@@ -17,7 +17,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[QueryModule] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    EventQueries
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -13,8 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The events table carries TIMESTAMP(NANOS) which Spark's vectorized
+    // parquet reader rejects; sessions set
+    // spark.sql.legacy.parquet.nanosAsLong=true so the column arrives as
+    // raw nanos (LongType). Normalize to µs TimestampType with exact
+    // integer division (a double division would lose precision at 1.7e18).
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df
+    }
+  }
 
   /** Register every table as a temp view (for spark.sql-style queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

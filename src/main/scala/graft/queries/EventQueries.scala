@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryModule, Tables}
+
+/** Event-log dataflow operators from SURVEY §2, expressed over the driver's
+  * `events` table (event_id = append id, ts = event time).
+  *
+  * The mapping to the reference's operators (file:line cites are to
+  * /root/reference):
+  *  - ev_keyset_scan → S4/F1/G2, the replicator's resumable total-order scan
+  *    with a row-value `(lsn,id)` cursor
+  *    (tech.kage.event.replicator/.../EventReplicatorWorker.java:66-72);
+  *    here `(ts, event_id)` plays `(lsn, id)`. Struct comparison gives
+  *    row-value semantics and pushes down as a range predicate.
+  *  - ev_lag → A1, the replication-lag gauge `MAX(lsn) − cursor`
+  *    (EventReplicatorWorker.java:77, 242-248).
+  *  - ev_last_per_key → A3, the progress-topic fold "last value per key"
+  *    (tech.kage.event.replicator/.../EventReplicator.java:238-246).
+  *  - ev_count_by_type → A5 count assertions.
+  *  - ev_window_tumble / ev_session → §2.7 extensions: event-time windowed
+  *    aggregation and session windows (Structured Streaming gives the same
+  *    operators on unbounded input; batch form is oracle-checkable).
+  *  - ev_json_props → T7-style enrichment: projecting typed fields out of a
+  *    serialized payload (JSON here standing in for the Avro body).
+  *
+  * Scale: every aggregation is a map-side-combinable `groupBy`; the keyset
+  * scan's cursor predicate prunes parquet row groups via min/max stats (at
+  * 100 TB the event log is written in `(lsn)`-ordered segment files, so the
+  * cursor filter skips all but the tail segments — see graft.store.EventLog).
+  */
+object EventQueries extends QueryModule {
+  private val dec2 = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4: resumable ordered keyset scan after a (ts,id) cursor.
+    "ev_keyset_scan" -> { (s, dir) =>
+      import s.implicits._
+      val cursorTs = to_timestamp(lit("2024-01-15 00:00:00"))
+      Tables.load(s, dir, "events")
+        .filter(struct($"ts", $"event_id") > struct(cursorTs, lit(4500L)))
+        .orderBy($"ts", $"event_id")
+        .limit(500)
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+    },
+
+    // A1: lag gauge = max(id) − cursor, null → 0.
+    "ev_lag" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .agg((coalesce(max($"event_id"), lit(0L)) - 42L).as("lag_events"))
+    },
+
+    // A3: last-value-per-key fold (compacted-topic replay).
+    "ev_last_per_key" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          max_by($"event_type", $"event_id").as("last_type"),
+          max_by($"value", $"event_id").as("last_value"),
+          max($"event_id").as("last_event_id"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // A5: golden row counts per type.
+    "ev_count_by_type" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"))
+    },
+
+    // §2.7 extension: tumbling event-time window aggregation.
+    "ev_window_tumble" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(dec2)).cast("double").as("sum_value"))
+        .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+    },
+
+    // §2.7 extension: session windows (30-minute inactivity gap per user).
+    "ev_session" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"w.start".as("session_start"),
+          $"w.end".as("session_end"), $"n_events")
+    },
+
+    // T7 analog: typed projection out of a serialized payload column.
+    "ev_json_props" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .filter($"k" >= 50)
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ev_keyset_scan" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE (CAST(ts AS TIMESTAMP), event_id) > (TIMESTAMP '2024-01-15 00:00:00', 4500)
+        |ORDER BY ts, event_id
+        |LIMIT 500""".stripMargin,
+
+    "ev_lag" ->
+      "SELECT coalesce(max(event_id), 0) - 42 AS lag_events FROM events",
+
+    "ev_last_per_key" ->
+      """SELECT user_id,
+        |  arg_max(event_type, event_id) AS last_type,
+        |  arg_max(value, event_id) AS last_value,
+        |  max(event_id) AS last_event_id,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "ev_count_by_type" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev_window_tumble" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands sessionization; Spark's session_window end is
+    // last-event-time + gap, new session when gap >= 30 min.
+    "ev_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, sess""".stripMargin,
+
+    "ev_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin
+  )
+}

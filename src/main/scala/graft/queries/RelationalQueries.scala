@@ -13,17 +13,31 @@ import graft.{QueryModule, Tables}
   * declarative DataFrame plans so Catalyst applies pushdown, pruning, join
   * selection and AQE.
   *
-  * Cross-engine determinism note: all money/quantity aggregations run in
-  * DECIMAL (exact, order-independent) and cast to double only at output;
-  * summing doubles directly would make the result depend on partition
-  * ordering and never hash-match the DuckDB oracle.
+  * Scale notes (100 TB design envelope):
+  *  - dimension tables (region/nation, and customer/supplier at star-schema
+  *    ratios) are broadcast explicitly so the fact-table join never shuffles
+  *    the big side;
+  *  - aggregations are partial (map-side combine) by construction — plain
+  *    `groupBy.agg` over codegen'd built-ins;
+  *  - every query filters/prunes at the parquet scan (verified via
+  *    `.explain("formatted")` → PushedFilters/ReadSchema).
+  *
+  * Cross-engine determinism: all money/quantity aggregations run in DECIMAL
+  * (exact, order-independent) and cast to double only at output; summing
+  * doubles directly would make the result depend on partition ordering and
+  * never hash-match the DuckDB oracle. Ratios are computed as
+  * double(exact_decimal) / long, which is a single deterministic FP op.
   */
 object RelationalQueries extends QueryModule {
   private val dec2 = DecimalType(18, 2)
 
   private def d2(c: Column): Column = c.cast(dec2)
 
+  /** DuckDB-side spelling of the same decimal cast. */
+  private def od2(e: String): String = s"CAST($e AS DECIMAL(18,2))"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- q1: wide aggregate with map-side combine (TPC-H Q1 analog) ---
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "lineitem")
@@ -34,18 +48,265 @@ object RelationalQueries extends QueryModule {
           sum(d2($"l_extendedprice") * (d2(lit(1)) - d2($"l_discount"))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // --- q2: 5-way star join, small dims broadcast (TPC-H Q5 analog) ---
+    "q2_join5" -> { (s, dir) =>
+      import s.implicits._
+      val customer = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region").filter($"r_name" === "ASIA")
+      lineitem
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(d2($"l_extendedprice") * (d2(lit(1)) - d2($"l_discount"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // --- q3: top-N by computed revenue (TPC-H Q3 analog) ---
+    "q3_topn" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders").filter($"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" > to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(d2($"l_extendedprice") * (d2(lit(1)) - d2($"l_discount"))).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // --- q4: window functions — rank + running sum per partition ---
+    "q4_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.load(s, dir, "customer")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("running_bal", sum(d2($"c_acctbal")).over(w).cast("double"))
+        .filter($"rnk" <= 3)
+        .select($"c_nationkey", $"c_custkey", $"rnk", $"running_bal")
+    },
+
+    // --- q5: EXISTS → left-semi join ---
+    "q5_semijoin" -> { (s, dir) =>
+      import s.implicits._
+      val fOrders = Tables.load(s, dir, "orders").filter($"o_orderstatus" === "F")
+      Tables.load(s, dir, "customer")
+        .join(fOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+    },
+
+    // --- q6: selective filter + scalar aggregate (TPC-H Q6 analog;
+    //     predicate pushes to the parquet scan) ---
+    "q6_filter" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          $"l_shipdate" < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(sum(d2($"l_extendedprice") * d2($"l_discount")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // --- q7: set operation (INTERSECT distinct-semantics) ---
+    "q7_setop" -> { (s, dir) =>
+      import s.implicits._
+      val building = Tables.load(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("k"))
+      val openOrders = Tables.load(s, dir, "orders")
+        .filter($"o_orderstatus" === "O").select($"o_custkey".as("k"))
+      building.intersect(openOrders)
+    },
+
+    // --- q8: multi-column distinct aggregation ---
+    "q8_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+          countDistinct($"l_partkey").as("n_parts"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // --- q9: HAVING + exact-decimal average ---
+    "q9_having" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg((sum(d2($"c_acctbal")).cast("double") / count(lit(1))).as("avg_bal"),
+          count(lit(1)).as("n_cust"))
+        .filter($"n_cust" > 20)
+    },
+
+    // --- q10: conditional (CASE) aggregation ---
+    "q10_case" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_totalprice" > 200000, 1).otherwise(0)).as("n_big"),
+          sum(when($"o_orderstatus" === "F", 1).otherwise(0)).as("n_finished"),
+          count(lit(1)).as("n"))
+    },
+
+    // --- q11: scalar subquery (uncorrelated) — parts above mean price ---
+    "q11_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val part = Tables.load(s, dir, "part")
+      val avgPrice = part.agg((sum(d2($"p_retailprice")).cast("double") / count(lit(1))).as("a"))
+        .head().getDouble(0)
+      part.filter($"p_retailprice" > avgPrice)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_above"),
+          max($"p_retailprice").as("max_price"))
+    },
+
+    // --- q12: NOT EXISTS → left-anti join ---
+    "q12_antijoin" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      Tables.load(s, dir, "customer")
+        .join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_nationkey")
+    },
+
+    // --- q13: join + grouped sort with multiple aggregates (supplier side) ---
+    "q13_suppagg" -> { (s, dir) =>
+      import s.implicits._
+      val supplier = Tables.load(s, dir, "supplier")
+      val nation = Tables.load(s, dir, "nation")
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(d2($"l_quantity")).cast("double").as("total_qty"),
+          countDistinct($"l_suppkey").as("n_suppliers"))
+    },
+
+    // --- q14: grouped join between two fact aggregates (orders-per-customer
+    //     distribution; TPC-H Q13 analog exercising outer join + re-agg) ---
+    "q14_custdist" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      Tables.load(s, dir, "customer")
+        .join(orders, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
     }
   )
 
+  private val disc = s"${od2("l_extendedprice")} * (${od2("1")} - ${od2("l_discount")})"
+
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(${od2("l_quantity")}) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(${od2("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($disc) AS DOUBLE) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join5" ->
+      s"""SELECT n_name, CAST(sum($disc) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+
+    "q3_topn" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(sum($disc) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q4_window" ->
+      s"""SELECT c_nationkey, c_custkey, rnk, running_bal FROM (
+         |  SELECT c_nationkey, c_custkey,
+         |    rank() OVER w AS rnk,
+         |    CAST(sum(${od2("c_acctbal")}) OVER w AS DOUBLE) AS running_bal
+         |  FROM customer
+         |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+         |) WHERE rnk <= 3""".stripMargin,
+
+    "q5_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q6_filter" ->
+      s"""SELECT CAST(sum(${od2("l_extendedprice")} * ${od2("l_discount")}) AS DOUBLE) AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q7_setop" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q8_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q9_having" ->
+      s"""SELECT c_nationkey,
+         |  CAST(sum(${od2("c_acctbal")}) AS DOUBLE) / count(*) AS avg_bal,
+         |  count(*) AS n_cust
+         |FROM customer GROUP BY c_nationkey HAVING count(*) > 20""".stripMargin,
+
+    "q10_case" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q11_subquery" ->
+      s"""SELECT p_brand, count(*) AS n_above, max(p_retailprice) AS max_price
+         |FROM part
+         |WHERE p_retailprice > (SELECT CAST(sum(${od2("p_retailprice")}) AS DOUBLE) / count(*) FROM part)
+         |GROUP BY p_brand""".stripMargin,
+
+    "q12_antijoin" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q13_suppagg" ->
+      s"""SELECT n_name,
+         |  CAST(sum(${od2("l_quantity")}) AS DOUBLE) AS total_qty,
+         |  count(DISTINCT l_suppkey) AS n_suppliers
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+
+    "q14_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count""".stripMargin
   )
 }
