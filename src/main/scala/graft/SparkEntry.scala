@@ -18,7 +18,10 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
-    EventQueries
+    EventQueries,
+    DedupQueries,
+    TextQueries,
+    SimilarityQueries
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

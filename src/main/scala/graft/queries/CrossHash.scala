@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic primitives shared by the dedup / text /
+  * similarity suites.
+  *
+  * Everything here has a byte-identical DuckDB spelling (the oracle side),
+  * so LSH bucketing, minhash signatures and fingerprints agree across
+  * engines without any tolerance windows:
+  *
+  *  - h60: first 60 bits of md5 as a non-negative long
+  *    (Spark `conv(substr(md5(x),1,15),16,10)`, DuckDB
+  *    `CAST('0x'||substr(md5(x),1,15) AS UBIGINT)`);
+  *  - tokens: whitespace split;
+  *  - shingles: word 3-grams.
+  *
+  * md5 is overkill cryptographically but is the only hash both engines
+  * evaluate identically; at scale, swap for xxhash64 via a custom Expression
+  * (graft.functions) — the algebra is unchanged.
+  */
+object CrossHash {
+  /** Modulus for minhash/fingerprint arithmetic (fits products in i64). */
+  val P: Long = 1000000007L
+
+  /** Minhash permutation count and (a,b) parameters for
+    * h_i(x) = (a_i·x + b_i) mod P. 16 hashes → 4 bands × 4 rows. */
+  val NumPerm = 16
+  val BandRows = 4
+  val NumBands: Int = NumPerm / BandRows
+  val permA: IndexedSeq[Long] = (0 until NumPerm).map(i => 1234567L + 999983L * i)
+  val permB: IndexedSeq[Long] = (0 until NumPerm).map(i => 424242L + 777779L * i)
+
+  // ---- Spark side ----
+
+  /** 60-bit md5 hash of a string column (non-negative long). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Word 3-gram shingles of a token-array column (by column name). */
+  def shingles3(w: String): Column =
+    expr(s"transform(sequence(1, greatest(size($w) - 2, 0)), " +
+      s"i -> concat_ws(' ', element_at($w, i), element_at($w, i+1), element_at($w, i+2)))")
+
+  // ---- DuckDB (oracle) side ----
+
+  /** DuckDB spelling of [[h60]]. */
+  def oH60(e: String): String =
+    s"CAST(CAST('0x'||substr(md5($e),1,15) AS UBIGINT) AS BIGINT)"
+
+  val oTokens: String = """string_split_regex(text, '\s+')"""
+
+  /** DuckDB word 3-grams over a list column named `w`. */
+  val oShingles3: String =
+    "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]"
+}

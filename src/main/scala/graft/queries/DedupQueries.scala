@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+import CrossHash._
+
+/** Deduplication suite over the `documents` / `embeddings` tables — the
+  * training-data-pipeline operators a 100 TB corpus needs.
+  *
+  * Scale design:
+  *  - dedup_exact: one hash-shuffle on md5(text); at 100 TB, group on the
+  *    digest (never the raw text) so shuffle rows are tiny and skew-free.
+  *  - dedup_ngram_jaccard: exact all-pairs via the inverted shingle index
+  *    (self-join on shingle). Quadratic in docs-per-shingle — correct
+  *    baseline at test scale; the LSH variant below is the scale path.
+  *  - dedup_minhash_lsh: minhash signatures (16 perms) → banded LSH
+  *    (4 bands × 4 rows) → bucket-join produces only candidate pairs →
+  *    exact jaccard verification of candidates. Cost is O(candidates), not
+  *    O(n²); bands shuffle on (band_idx, band_value) which is uniform by
+  *    construction of the hash.
+  *  - dedup_simhash: 32-bit simhash fingerprints; the pair scan is a
+  *    broadcast nested-loop at test scale, but fingerprints are 4 bytes —
+  *    at 100 TB you'd band the fingerprint bits the same LSH way.
+  *  - dedup_embed_cosine: exact cosine near-dup pairs over embeddings;
+  *    the ANN-bucketed variant lives in SimilarityQueries (knn_ivf).
+  *
+  * All arithmetic is integer (md5-derived 60-bit hashes mod P) except the
+  * final jaccard/cosine ratio, which is a single double division — both
+  * engines evaluate it identically (see CrossHash).
+  */
+object DedupQueries extends QueryModule {
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shingles3("w")).as("s"))
+      .distinct()
+  }
+
+  private val oShingleCtes =
+    s"""docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest($oShingles3) AS s FROM docs),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content digest, keep lowest doc_id.
+    "dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (inverted-index self-join).
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingleSet(s, dir).cache()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
+      inter
+        .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .filter(j >= 0.6)
+        .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
+    },
+
+    // MinHash + banded LSH candidates, exact-verified.
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingleSet(s, dir).cache()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val hx = sh.select($"doc_id", (h60($"s") % P).as("x"))
+      val sigCols = (0 until NumPerm).map(i =>
+        min((lit(permA(i)) * $"x" + lit(permB(i))) % P).as(s"m$i"))
+      val sig = hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandStructs = (0 until NumBands).map { b =>
+        val cols = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+        struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bv"))
+      }
+      val bands = sig.select($"doc_id", explode(array(bandStructs: _*)).as("e"))
+        .select($"doc_id", $"e.band".as("band"), $"e.bv".as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), "doc_a")
+        .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), "doc_b")
+        .filter($"sa" === $"sb")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("inter"))
+      val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
+      inter
+        .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .filter(j >= 0.6)
+        .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
+    },
+
+    // 32-bit SimHash fingerprints; near-dups at hamming distance <= 2.
+    "dedup_simhash" -> { (s, dir) =>
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(tokens($"text")).as("t"))
+        .select($"doc_id", h60($"t").as("h"))
+      val bitCols = (0 until 32).map(b =>
+        sum((shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"w$b"))
+      val agg0 = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val fp = (0 until 32).map(b =>
+          when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val fps = agg0.select($"doc_id", fp.as("fp"))
+      val hd = bit_count($"a.fp".bitwiseXOR($"b.fp"))
+      fps.as("a").join(fps.as("b"), $"a.doc_id" < $"b.doc_id")
+        .filter(hd <= 2)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          hd.cast("long").as("hamming"))
+    },
+
+    // Embedding-cosine near-dup pairs (exact; ANN path in knn_ivf).
+    "dedup_embed_cosine" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      val cos = expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+        (col("anrm") * col("bnrm"))
+      e.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("anrm")).as("a")
+        .join(e.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bnrm")).as("b"),
+          $"vec_a" < $"vec_b")
+        .withColumn("cosine", cos)
+        .filter($"cosine" >= 0.4)
+        .select($"vec_a", $"vec_b", round($"cosine", 6).as("cosine"))
+    }
+  )
+
+  def oracles: Map[String, String] = {
+    val sigExprs = (0 until NumPerm)
+      .map(i => s"min((${permA(i)}*x + ${permB(i)}) % $P) AS m$i").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (0 until BandRows).map(r => s"m${b * BandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    val simhashBits = (0 until 32)
+      .map(b => s"sum(((h>>$b)&1)*2 - 1) AS w$b").mkString(", ")
+    val simhashFp = (0 until 32)
+      .map(b => s"(CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+    Map(
+      "dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
+           |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
+
+      "dedup_minhash_lsh" ->
+        s"""WITH $oShingleCtes,
+           |hx AS (SELECT doc_id, ${oH60("s")} % $P AS x FROM sh),
+           |sig AS (SELECT doc_id, $sigExprs FROM hx GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT doc_a, doc_b, count(*) AS i
+           |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
+           |            JOIN sh sb ON sb.doc_id = doc_b AND sa.s = sb.s
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
+           |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, ${oH60("t")} AS h
+           |  FROM (SELECT doc_id, unnest($oTokens) AS t FROM documents)),
+           |agg AS (SELECT doc_id, $simhashBits FROM tok GROUP BY doc_id),
+           |fps AS (SELECT doc_id, $simhashFp AS fp FROM agg)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+           |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.fp, b.fp)) <= 2""".stripMargin,
+
+      "dedup_embed_cosine" ->
+        """WITH e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |  round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cosine
+          |FROM n a JOIN n b ON a.vec_id < b.vec_id
+          |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+import CrossHash._
+
+/** Text-analysis suite over the `documents` table: token counting, quality
+  * scoring, language identification, and document fingerprinting — the
+  * row-local preprocessing stages of a training-data pipeline.
+  *
+  * Every operator here is a narrow (shuffle-free) projection: at 100 TB
+  * these run as one map stage fused into whole-stage codegen, and the
+  * outputs are the inputs to the shuffling stages in DedupQueries.
+  */
+object TextQueries extends QueryModule {
+  /** Stopword list for the quality heuristic. */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Marker-word profiles for the n-gram-free language-ID heuristic. The
+    * predicted language is the profile with the highest token-hit count
+    * (first wins on ties, 'und' = undetermined when no profile hits). */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** "BPE-ish" pre-tokenizer: letter runs, digit runs, single punctuation. */
+  private val bpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + regex pre-tokens + chars.
+    "text_tokens" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(tokens($"text")).cast("long").as("n_ws_tokens"),
+          regexp_count($"text", lit(bpeRegex)).cast("long").as("n_bpe_tokens"),
+          length($"text").cast("long").as("len_chars"))
+    },
+
+    // Quality scoring: stopword ratio, punctuation ratio, mean token length.
+    "text_quality" -> { (s, dir) =>
+      import s.implicits._
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"), $"text")
+        .select($"doc_id",
+          size($"w").cast("long").as("n_tokens"),
+          (size(filter($"w", t => array_contains(stopArr, t))).cast("double") /
+            size($"w")).as("stop_ratio"),
+          (regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double") /
+            length($"text")).as("punct_ratio"),
+          (aggregate(transform($"w", t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+            .cast("double") / size($"w")).as("mean_token_len"))
+    },
+
+    // Language ID: argmax of marker-profile hit counts.
+    "text_langid" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang".as("labeled_lang"), tokens($"text").as("w"))
+      val scored = langProfiles.foldLeft(base) { case (df, (l, words)) =>
+        val arr = array(words.map(lit): _*)
+        df.withColumn(s"s_$l", size(filter(col("w"), t => array_contains(arr, t))).cast("long"))
+      }
+      val best = langProfiles.map(_._1).foldLeft(lit(0L))((m, l) => greatest(m, col(s"s_$l")))
+      val pred = langProfiles.reverse.foldLeft(lit("und")) { case (e, (l, _)) =>
+        when(col(s"s_$l") === col("best") && col("best") > 0, lit(l)).otherwise(e)
+      }
+      scored.withColumn("best", best)
+        .withColumn("pred_lang", pred)
+        .select(($"doc_id" +: $"labeled_lang" +: $"pred_lang" +:
+          langProfiles.map { case (l, _) => col(s"s_$l") }): _*)
+    },
+
+    // Rolling-hash document fingerprint (order-sensitive, mod-P fold).
+    "text_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id",
+          aggregate(transform($"w", t => h60(t) % P), lit(0L),
+            (acc, x) => (acc * 31 + x) % P).as("fingerprint"))
+    }
+  )
+
+  def oracles: Map[String, String] = {
+    val oStop = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scoreCols = langProfiles.map { case (l, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(w, t -> list_contains($arr, t))) AS s_$l"
+    }.mkString(", ")
+    val bestExpr = "greatest(" + langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ", 0)"
+    val predExpr = "CASE " + langProfiles.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+
+    Map(
+      "text_tokens" ->
+        s"""SELECT doc_id,
+           |  len($oTokens) AS n_ws_tokens,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           |  length(text) AS len_chars
+           |FROM documents""".stripMargin,
+
+      "text_quality" ->
+        s"""SELECT doc_id,
+           |  len(w) AS n_tokens,
+           |  CAST(len(list_filter(w, t -> list_contains($oStop, t))) AS DOUBLE) / len(w) AS stop_ratio,
+           |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+           |  CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(w) AS mean_token_len
+           |FROM (SELECT doc_id, text, $oTokens AS w FROM documents)""".stripMargin,
+
+      "text_langid" ->
+        s"""SELECT doc_id, labeled_lang, $predExpr AS pred_lang,
+           |  ${langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ")}
+           |FROM (
+           |  SELECT doc_id, labeled_lang, $bestExpr AS best,
+           |    ${langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ")}
+           |  FROM (
+           |    SELECT doc_id, lang AS labeled_lang, $scoreCols
+           |    FROM (SELECT doc_id, lang, $oTokens AS w FROM documents)))""".stripMargin,
+
+      "text_fingerprint" ->
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT), list_transform($oTokens, t -> ${oH60("t")} % $P)),
+           |    (acc, x) -> (acc * 31 + x) % $P) AS fingerprint
+           |FROM documents""".stripMargin
+    )
+  }
+}
