@@ -1,0 +1,93 @@
+package graft.replicate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.codec.Cursor
+import graft.sources.KafkaShapedLog
+import graft.store.EventLog
+
+/** Event replication: native log → Kafka-shaped sink, in `(lsn, id)` order,
+  * exactly-once — the Spark re-expression of the reference's
+  * EventReplicator/EventReplicatorWorker pipeline (SURVEY §3-C).
+  *
+  * Per poll (`pollAndSendBatch`, EventReplicatorWorker.java:174-209):
+  *  1. S4 keyset scan: `(lsn,id) > cursor ORDER BY lsn,id LIMIT batchSize`;
+  *  2. T10 key projection + T9 header build (`id`, `lsn`, then stored
+  *     metadata entries, all sorted by header key);
+  *  3. S12 transactional send: records + progress cursor commit atomically
+  *     (KafkaShapedLog.appendTxn);
+  *  4. G2/G3: after a crash the cursor re-filter makes the retry
+  *     idempotent — same-LSN siblings split across batches resume cleanly
+  *     because the cursor is the row-value pair, not the LSN alone.
+  *
+  * `run()` mirrors the drain loop (EventReplicatorWorker.java:148-160):
+  * poll until an empty batch. `replicateAll` discovers topics via the
+  * `_events` suffix filter (S8/F4, EventReplicator.java:197-204).
+  */
+final class Replicator(
+    source: EventLog,
+    sink: KafkaShapedLog,
+    batchSize: Int = Replicator.DefaultBatchSize) {
+
+  /** Build sink records from scanned event rows (T9/T10/T5). Metadata
+    * decode → headers happens columnar: the canonical Avro map bytes are
+    * decoded on executors, never on the driver. */
+  private[replicate] def toRecords(topic: String, batch: DataFrame): DataFrame = {
+    val decodeMeta = udf { bytes: Array[Byte] =>
+      if (bytes == null) Map.empty[String, Array[Byte]]
+      else graft.codec.MetadataCodec.decode(bytes): Map[String, Array[Byte]]
+    }
+    // Headers: id + lsn + stored metadata, sorted by header key
+    // (EventReplicatorWorker.java:219-230; byte encoding of id/lsn matches
+    // the reference's UTF-8-of-toString transport form).
+    batch
+      .withColumn("meta", decodeMeta(col("metadata")))
+      .withColumn("meta", map_concat(col("meta"),
+        map(lit("id"), encode(col("id").cast("string"), "UTF-8"),
+          lit("lsn"), encode(col("lsn").cast("string"), "UTF-8"))))
+      .select(
+        lit(topic).as("topic"),
+        col("key"),
+        col("data").as("value"),
+        array_sort(map_entries(col("meta"))).as("headers"),
+        col("timestamp"),
+        col("id").as("_seq"))
+  }
+
+  /** One S4 poll + S12 transactional send. @return events sent. */
+  def pollAndSendBatch(topic: String): Long = {
+    val cursor = sink.cursorFor(topic)
+    val batch = source.scan(topic, cursor, batchSize)
+      .persist()
+    try {
+      val maxRow = batch.agg(max(struct(col("lsn"), col("id"))).as("m"))
+        .select(col("m.lsn"), col("m.id")).collect()(0)
+      if (maxRow.isNullAt(0)) 0L
+      else {
+        val next = Cursor(maxRow.getLong(0), maxRow.getLong(1))
+        sink.appendTxn(toRecords(topic, batch), topic, next)
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Drain loop: poll until empty (EventReplicatorWorker.java:148-160). */
+  def run(topic: String): Long = {
+    var total = 0L
+    var n = pollAndSendBatch(topic)
+    while (n > 0) { total += n; n = pollAndSendBatch(topic) }
+    total
+  }
+
+  /** Replicate every `_events` topic (S8 discovery + F4 filter). */
+  def replicateAll(): Map[String, Long] =
+    source.topics().map(t => t -> run(t)).toMap
+
+  /** A1 lag gauge for monitoring. */
+  def lag(topic: String): Long = source.lag(topic, sink.cursorFor(topic))
+}
+
+object Replicator {
+  /** Reference default batch size (EventReplicatorWorker.java:134). */
+  val DefaultBatchSize = 100
+}

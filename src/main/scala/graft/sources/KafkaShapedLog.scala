@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.codec.Cursor
+
+/** A Kafka-shaped record log with transactional appends — the replication
+  * sink (S2/S12) re-expressed without a broker.
+  *
+  * Record schema mirrors a Kafka `ProducerRecord`: (topic, partition,
+  * offset, key binary, value binary, headers array<struct<key,value>>,
+  * timestamp). Offsets are per-(topic,partition) monotone.
+  *
+  * Exactly-once (G3 analog of EventReplicatorWorker.java:184-208, where one
+  * Kafka transaction = N event sends + 1 progress-cursor send): an append
+  * writes parquet files to an uncommitted staging dir, then commits by
+  * atomically replacing `manifest.json` — which lists the committed files,
+  * the per-partition next offsets, AND the per-source-table progress cursor.
+  * Readers only see manifest-listed files (`read_committed`), so a crash
+  * between staging and commit leaves invisible orphans and an unchanged
+  * cursor; the replicator's resume re-filter makes the retry idempotent.
+  * This is the same atomicity shape as Kafka's txn marker + the compacted
+  * `_event_replicator_progress` topic (EventReplicator.java:79,158) fused
+  * into one commit point.
+  *
+  * Scale: the manifest holds file names and counters only (O(appends), and
+  * compactable); record data never passes through the driver — Spark writes
+  * the staged parquet in parallel and commit is a metadata rename.
+  */
+final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartitions: Int = 1) {
+
+  import KafkaShapedLog._
+
+  private val manifestPath = root.resolve("manifest.json")
+
+  Files.createDirectories(root.resolve("staging"))
+
+  def manifest(): Manifest =
+    if (Files.exists(manifestPath)) Manifest.parse(Files.readString(manifestPath))
+    else Manifest(Nil, Map.empty, Map.empty)
+
+  private def commitManifest(m: Manifest): Unit = {
+    val tmp = root.resolve(s"manifest.${UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, m.render)
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Progress cursor for a source table (S9 bootstrap scan analog — but a
+    * map lookup, not a topic replay). */
+  def cursorFor(sourceTable: String): Cursor =
+    manifest().cursors.getOrElse(sourceTable, Cursor.zero)
+
+  /** One transaction: append `records` (topic, key, value, headers,
+    * timestamp, `_seq` columns; partition/offset assigned here, offsets
+    * follow `_seq` order — the source's (lsn,id) order, preserving G1's
+    * total order per partition) and advance the progress cursor of
+    * `sourceTable` — atomically. */
+  def appendTxn(records: DataFrame, sourceTable: String, newCursor: Cursor): Long = synchronized {
+    val m = manifest()
+    // Partition by key hash (per-key order), offsets dense per partition.
+    val parted = records
+      .withColumn("partition", pmod(xxhash64(col("key")), lit(numPartitions)).cast("int"))
+      .withColumn("_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("topic"), col("partition"))
+          .orderBy(col("_seq"))))
+    val withOffsets = m.offsets.foldLeft(
+        parted.withColumn("offset", col("_rn").cast("long") - 1)) {
+      case (df, ((t, p), next)) =>
+        df.withColumn("offset",
+          when(col("topic") === t && col("partition") === p, col("offset") + next)
+            .otherwise(col("offset")))
+    }.drop("_rn")
+
+    val stage = root.resolve("staging").resolve(UUID.randomUUID().toString)
+    withOffsets.select("topic", "partition", "offset", "key", "value", "headers", "timestamp")
+      .write.parquet(stage.toString)
+    val files = Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toList
+
+    val counts = withOffsets.groupBy(col("topic"), col("partition"))
+      .agg(max(col("offset")).as("mx"), count(lit(1)).as("n")).collect()
+    val newOffsets = counts.foldLeft(m.offsets) { (acc, r) =>
+      acc + ((r.getString(0), r.getInt(1)) -> (r.getLong(2) + 1))
+    }
+    val n = counts.map(_.getLong(3)).sum
+    commitManifest(Manifest(m.files ++ files, newOffsets,
+      m.cursors + (sourceTable -> newCursor)))
+    n
+  }
+
+  /** read_committed view of one topic. */
+  def read(topic: String): DataFrame = {
+    val files = manifest().files.map(f => root.resolve(f).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], recordSchema)
+        .filter(col("topic") === topic)
+    else spark.read.schema(recordSchema).parquet(files: _*).filter(col("topic") === topic)
+  }
+
+  /** Uncommitted staged files (visible only to tests/inspection). */
+  def stagedFileCount(): Int = {
+    val s = Files.walk(root.resolve("staging"))
+    try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+}
+
+object KafkaShapedLog {
+  val recordSchema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", BinaryType, nullable = true))), containsNull = false),
+      nullable = true),
+    StructField("timestamp", TimestampType, nullable = false)))
+
+  /** Committed state: files + per-(topic,partition) next offsets + per-source
+    * progress cursors. Hand-rolled JSON (flat, driver-side, tiny). */
+  final case class Manifest(
+      files: List[String],
+      offsets: Map[(String, Int), Long],
+      cursors: Map[String, Cursor]) {
+    def render: String = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val fs = files.map(q).mkString("[", ",", "]")
+      val os = offsets.toSeq.sortBy(_._1)
+        .map { case ((t, p), o) => s"${q(s"$t/$p")}: $o" }.mkString("{", ",", "}")
+      val cs = cursors.toSeq.sortBy(_._1)
+        .map { case (t, c) => s"${q(t)}: ${q(c.encoded)}" }.mkString("{", ",", "}")
+      s"""{"files": $fs, "offsets": $os, "cursors": $cs}"""
+    }
+  }
+
+  object Manifest {
+    /** Minimal parser for the exact shape [[Manifest.render]] emits. */
+    def parse(s: String): Manifest = {
+      def strings(arr: String): List[String] =
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toList
+      def section(name: String): String = {
+        val i = s.indexOf("\"" + name + "\"")
+        require(i >= 0, s"manifest missing $name")
+        val start = s.indexOf(if (name == "files") '[' else '{', i)
+        val end = s.indexOf(if (name == "files") ']' else '}', start)
+        s.substring(start + 1, end)
+      }
+      val files = strings(section("files"))
+      val offsets = "\"([^\"]+)/(\\d+)\"\\s*:\\s*(\\d+)".r
+        .findAllMatchIn(section("offsets"))
+        .map(m => (m.group(1), m.group(2).toInt) -> m.group(3).toLong).toMap
+      val cursors = "\"([^\"]+)\"\\s*:\\s*\"(\\d+:\\d+)\"".r
+        .findAllMatchIn(section("cursors"))
+        .map(m => m.group(1) -> Cursor.parse(m.group(2))).toMap
+      Manifest(files, offsets, cursors)
+    }
+  }
+
+  def apply(root: String, spark: SparkSession, numPartitions: Int = 1): KafkaShapedLog =
+    new KafkaShapedLog(Paths.get(root), spark, numPartitions)
+}

@@ -1,0 +1,181 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.Cursor
+import graft.model.{Event, KeyType}
+
+/** Native per-topic event log: an append-ordered parquet directory with
+  * driver-allocated monotone `(lsn, id)` — the Spark-first replacement for
+  * the reference's Postgres event table + LsnUpdater CDC stage (SURVEY §7.1
+  * step 4). Because the log itself assigns the commit sequence at append
+  * time, the whole "stamp commit LSN via logical replication" pipeline
+  * (/root/reference tech.kage.event.postgres.lsnupdater) disappears — G1's
+  * ordering guarantee is held by construction under a single writer per
+  * topic (enforced in-process here; across processes use [[LockFile]], the
+  * advisory-lock analog of LockManager.java:45-84).
+  *
+  * Semantics preserved:
+  *  - all rows of one append batch share one `lsn` (a multi-insert
+  *    transaction gets one commit LSN — LsnUpdaterIT.java:132-174);
+  *  - `id` is unique and monotone within the topic (bigserial);
+  *  - scans resume from a row-value `(lsn, id)` cursor, so same-LSN
+  *    siblings are never skipped or re-read (G2,
+  *    EventReplicatorWorker.java:53-59);
+  *  - topic names must end `_events` (F4, EventReplicator.java:74).
+  *
+  * Scale design: each append writes its own parquet files, so files are
+  * naturally lsn-ranged; the cursor filter prunes all but the tail files
+  * via parquet min/max stats — a resumed replicator never rescans history.
+  * The committed cursor lives in `_graft_meta/cursor` (atomic rename);
+  * after a crash between data write and cursor write, [[reconcile]] reads
+  * max(lsn,id) back from the data — the data, not the meta file, is the
+  * source of truth.
+  */
+final class EventLog(val root: Path, spark: SparkSession) {
+
+  private def topicDir(topic: String): Path = {
+    require(topic.endsWith("_events"), s"topic must end with '_events': $topic")
+    root.resolve(topic)
+  }
+
+  private def metaDir(topic: String): Path = topicDir(topic).resolve("_graft_meta")
+
+  private def cursorFile(topic: String): Path = metaDir(topic).resolve("cursor")
+
+  /** Topics present in the log (S8 catalog scan + F4 suffix filter). */
+  def topics(): Seq[String] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.endsWith("_events"))
+        .map(_.getFileName.toString).toSeq.sorted
+    } finally s.close()
+  }
+
+  def createTopic(topic: String, keyType: KeyType = KeyType.Bytea): Unit = {
+    Files.createDirectories(metaDir(topic))
+    val kt = metaDir(topic).resolve("keytype")
+    if (!Files.exists(kt)) Files.writeString(kt, keyType.name)
+  }
+
+  def keyTypeOf(topic: String): KeyType = {
+    val kt = metaDir(topic).resolve("keytype")
+    if (Files.exists(kt)) KeyType(Files.readString(kt).trim) else KeyType.Bytea
+  }
+
+  /** Committed append cursor = highest (lsn, id) in the topic. */
+  def currentCursor(topic: String): Cursor = {
+    val f = cursorFile(topic)
+    if (Files.exists(f)) Cursor.parse(Files.readString(f).trim) else Cursor.zero
+  }
+
+  private def writeCursor(topic: String, c: Cursor): Unit = {
+    Files.createDirectories(metaDir(topic))
+    val tmp = metaDir(topic).resolve(s"cursor.tmp")
+    Files.writeString(tmp, c.encoded)
+    Files.move(tmp, cursorFile(topic), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Recompute the cursor from data (crash recovery: data committed but
+    * cursor file not yet moved). Data wins over meta. */
+  def reconcile(topic: String): Cursor = {
+    val dataMax =
+      if (hasData(topic))
+        read(topic).agg(max(struct(col("lsn"), col("id"))).as("m"))
+          .select(col("m.lsn"), col("m.id")).collect().headOption
+          .filterNot(_.isNullAt(0))
+          .map(r => Cursor(r.getLong(0), r.getLong(1)))
+          .getOrElse(Cursor.zero)
+      else Cursor.zero
+    val meta = currentCursor(topic)
+    val fixed = if (dataMax.lsn > meta.lsn || (dataMax.lsn == meta.lsn && dataMax.id > meta.id))
+      dataMax else meta
+    if (fixed != meta) writeCursor(topic, fixed)
+    fixed
+  }
+
+  private def hasData(topic: String): Boolean = {
+    val d = topicDir(topic)
+    if (!Files.isDirectory(d)) return false
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    } finally s.close()
+  }
+
+  /** Append a batch as one transaction: every row gets `lsn = cursor.lsn+1`
+    * and a consecutive `id`. Single-writer per topic (synchronized
+    * in-process; see class doc for the cross-process lock). */
+  def append(topic: String, batch: DataFrame): Cursor = EventLog.writeLock.synchronized {
+    createTopic(topic)
+    val cur = currentCursor(topic)
+    val lsn = cur.lsn + 1
+    val base = cur.id
+    // zipWithIndex preserves the caller's row order → append order == id
+    // order, deterministically (G9 per-record sequentiality analog).
+    val withIds = batch.selectExpr("key", "data", "metadata", "timestamp")
+      .rdd.zipWithIndex().map { case (r, i) =>
+        Row(base + i + 1, r.get(0), r.get(1), r.get(2), r.get(3), lsn)
+      }
+    withIds.persist()
+    val n = withIds.count()
+    spark.createDataFrame(withIds, EventLogSchema.schema)
+      .write.mode("append").parquet(topicDir(topic).toString)
+    withIds.unpersist()
+    val next = Cursor(lsn, base + n)
+    writeCursor(topic, next)
+    next
+  }
+
+  /** Driver-side convenience append (S1 `save`/`saveAll` analog). */
+  def saveAll(topic: String, events: Seq[Event]): Cursor = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      events.map(EventLogSchema.appendRow).asJava, EventLogSchema.appendSchema)
+    append(topic, df)
+  }
+
+  /** Full bounded read of a topic (unordered; order with scan()). */
+  def read(topic: String): DataFrame =
+    spark.read.schema(EventLogSchema.schema).parquet(topicDir(topic).toString)
+
+  /** S4: resumable total-order keyset scan —
+    * `WHERE lsn IS NOT NULL AND (lsn,id) > cursor ORDER BY lsn,id LIMIT n`
+    * (EventReplicatorWorker.java:66-72). The struct comparison gives
+    * row-value semantics; parquet min/max stats prune non-tail files. */
+  def scan(topic: String, after: Cursor, limit: Int): DataFrame =
+    read(topic)
+      .filter(col("lsn").isNotNull &&
+        struct(col("lsn"), col("id")) > struct(lit(after.lsn), lit(after.id)))
+      .orderBy(col("lsn"), col("id"))
+      .limit(limit)
+
+  /** A1: replication lag in sequence units: max(lsn) − cursor.lsn, null→0
+    * (EventReplicatorWorker.java:77, 242-248). */
+  def lag(topic: String, cursor: Cursor): Long = {
+    if (!hasData(topic)) return 0L
+    val m = read(topic).filter(col("lsn").isNotNull).agg(max(col("lsn"))).collect()(0)
+    if (m.isNullAt(0)) 0L else math.max(m.getLong(0) - cursor.lsn, 0L)
+  }
+
+  /** Ordered driver-side materialization (tests / small replays only). */
+  def typedRead(topic: String): Seq[(Cursor, Event)] =
+    read(topic).orderBy(col("lsn"), col("id")).collect().toSeq
+      .map(r => (Cursor(r.getAs[Long]("lsn"), r.getAs[Long]("id")), EventLogSchema.toEvent(r)))
+}
+
+object EventLog {
+  /** In-process single-writer guard (G1/G6). */
+  private val writeLock = new Object
+
+  def apply(root: String, spark: SparkSession): EventLog =
+    new EventLog(Paths.get(root), spark)
+}

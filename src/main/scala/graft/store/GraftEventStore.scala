@@ -1,0 +1,74 @@
+package graft.store
+
+import org.apache.avro.generic.GenericRecord
+
+import graft.codec.{ConfluentAvro, Cursor, SchemaCatalog}
+import graft.crypto.EventEncryptor
+import graft.model.Event
+
+/** The user-facing EventStore API — the analog of the reference's
+  * `EventStore.save/subscribe` contract (/root/reference
+  * tech.kage.event/src/main/java/tech/kage/event/EventStore.java), wired to
+  * the native log.
+  *
+  * `save` follows trace §3-A of SURVEY (PostgresEventStore.java:98-142):
+  *  1. validate — nulls + reserved metadata keys (F2/F3, enforced in
+  *     Event.apply);
+  *  2. serialize — T1 Confluent-framed Avro via the schema catalog
+  *     (RecordNameStrategy analog: the embedded schema id, not the topic,
+  *     identifies the record type);
+  *  3. encrypt (optional) — E1 with AD from the PRE-encryption metadata;
+  *  4. metadata column — add `kid` when encrypted (E3), canonical encode,
+  *     NULL when empty;
+  *  5. append — S1, batched (`saveAll`), since per-row writes are
+  *     anti-idiomatic in Spark.
+  *
+  * `readEvents` is the bounded-replay consume path: F5 decrypt-or-
+  * passthrough → T2 deserialize → typed events.
+  */
+final class GraftEventStore(
+    val log: EventLog,
+    val catalog: SchemaCatalog,
+    encryptor: Option[EventEncryptor] = None) {
+
+  /** T1 + steps 1-5 for a batch of typed payload records. */
+  def saveAll(
+      topic: String,
+      records: Seq[(Array[Byte], GenericRecord, java.time.Instant, Map[String, Array[Byte]])],
+      encryptionKeyUri: Option[String] = None): Cursor = {
+    val events = records.map { case (key, payload, ts, metadata) =>
+      val framed = ConfluentAvro.serialize(catalog.idFor(payload.getSchema), payload)
+      val e = Event(key, framed, ts, metadata) // validates F2/F3, truncates to millis
+      encryptionKeyUri match {
+        case None => e
+        case Some(uri) =>
+          val enc = encryptor.getOrElse(
+            throw new IllegalStateException("encryption key given but no encryptor configured"))
+          val ciphertext = enc.encrypt(framed, e.key, e.timestamp.toEpochMilli, e.metadata, uri)
+          new Event(e.key, ciphertext, e.timestamp, enc.withKeyId(e.metadata, uri))
+      }
+    }
+    log.saveAll(topic, events)
+  }
+
+  def save(
+      topic: String,
+      key: Array[Byte],
+      payload: GenericRecord,
+      timestamp: java.time.Instant = java.time.Instant.now(),
+      metadata: Map[String, Array[Byte]] = Map.empty,
+      encryptionKeyUri: Option[String] = None): Cursor =
+    saveAll(topic, Seq((key, payload, timestamp, metadata)), encryptionKeyUri)
+
+  /** Bounded replay: ordered typed events with payload decrypted (F5/E2)
+    * and deserialized (T2). */
+  def readEvents(topic: String, after: Cursor = Cursor.zero): Seq[(Event, GenericRecord)] =
+    log.typedRead(topic)
+      .collect { case (c, e) if c.lsn > after.lsn || (c.lsn == after.lsn && c.id > after.id) =>
+        val plain = encryptor match {
+          case Some(enc) => enc.decrypt(e.payload, e.key, e.timestamp.toEpochMilli, e.metadata)
+          case None => e.payload
+        }
+        (e, ConfluentAvro.deserialize(plain, catalog))
+      }
+}

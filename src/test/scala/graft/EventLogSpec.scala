@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.Cursor
+import graft.model.Event
+import graft.store.EventLog
+
+/** Native event log semantics: monotone (lsn,id), shared-LSN batches,
+  * row-value cursor scans, crash reconcile (G1/G2, SURVEY §5 cat 6-7). */
+class EventLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def newLog(): EventLog =
+    EventLog(Files.createTempDirectory("graft-log-").toString, spark)
+
+  private def ev(i: Int): Event =
+    Event(s"key-$i".getBytes(UTF_8), s"payload-$i".getBytes(UTF_8),
+      Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i),
+      Map("n" -> i.toString.getBytes(UTF_8)))
+
+  test("topic name must end _events (F4)") {
+    val log = newLog()
+    intercept[IllegalArgumentException](log.saveAll("bad_topic", Seq(ev(1))))
+  }
+
+  test("append assigns one lsn per batch, consecutive ids (G1; LsnUpdaterIT multi-insert txn)") {
+    val log = newLog()
+    val c1 = log.saveAll("t1_events", (1 to 3).map(ev))
+    assert(c1 == Cursor(1, 3))
+    val c2 = log.saveAll("t1_events", (4 to 5).map(ev))
+    assert(c2 == Cursor(2, 5))
+    val rows = log.read("t1_events").orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == (1L to 5L))
+    assert(rows.map(_.getAs[Long]("lsn")).toSeq == Seq(1L, 1L, 1L, 2L, 2L))
+  }
+
+  test("scan resumes after row-value cursor within a shared lsn (G2)") {
+    val log = newLog()
+    log.saveAll("t2_events", (1 to 5).map(ev)) // all share lsn=1
+    // batch smaller than the same-LSN group (EventReplicatorWorkerIT.java:222-279)
+    val b1 = log.scan("t2_events", Cursor.zero, 2).collect()
+    assert(b1.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    val b2 = log.scan("t2_events", Cursor(1, 2), 2).collect()
+    assert(b2.map(_.getAs[Long]("id")).toSeq == Seq(3L, 4L))
+    val b3 = log.scan("t2_events", Cursor(1, 4), 2).collect()
+    assert(b3.map(_.getAs[Long]("id")).toSeq == Seq(5L))
+    assert(log.scan("t2_events", Cursor(1, 5), 2).isEmpty)
+  }
+
+  test("scan is (lsn,id)-ordered across batches") {
+    val log = newLog()
+    log.saveAll("t3_events", Seq(ev(1), ev(2)))
+    log.saveAll("t3_events", Seq(ev(3)))
+    log.saveAll("t3_events", Seq(ev(4), ev(5)))
+    val all = log.scan("t3_events", Cursor.zero, 100).collect()
+    assert(all.map(r => (r.getAs[Long]("lsn"), r.getAs[Long]("id"))).toSeq ==
+      Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L)))
+  }
+
+  test("events roundtrip through the log byte-identically, metadata canonical") {
+    val log = newLog()
+    val events = (1 to 4).map(ev)
+    log.saveAll("t4_events", events)
+    val back = log.typedRead("t4_events").map(_._2)
+    assert(back == events)
+  }
+
+  test("empty metadata stored as NULL column (PostgresEventStore.java:128-138)") {
+    val log = newLog()
+    log.saveAll("t5_events", Seq(Event(key = "k".getBytes(UTF_8),
+      payload = Array[Byte](1), timestamp = Instant.now(), metadata = Map.empty)))
+    val r = log.read("t5_events").collect()(0)
+    assert(r.getAs[Array[Byte]]("metadata") == null)
+  }
+
+  test("reconcile repairs a stale cursor from data (crash between data write and cursor move)") {
+    val log = newLog()
+    log.saveAll("t6_events", (1 to 3).map(ev))
+    // simulate crash: cursor file deleted after data landed
+    val cursorFile = log.root.resolve("t6_events").resolve("_graft_meta").resolve("cursor")
+    Files.delete(cursorFile)
+    assert(log.currentCursor("t6_events") == Cursor.zero)
+    assert(log.reconcile("t6_events") == Cursor(1, 3))
+    // next append continues the sequence, no id reuse
+    val c = log.saveAll("t6_events", Seq(ev(4)))
+    assert(c == Cursor(2, 4))
+  }
+
+  test("lag gauge = max lsn - cursor lsn, empty → 0 (A1)") {
+    val log = newLog()
+    log.createTopic("t7_events")
+    assert(log.lag("t7_events", Cursor.zero) == 0L)
+    log.saveAll("t7_events", Seq(ev(1)))
+    log.saveAll("t7_events", Seq(ev(2)))
+    assert(log.lag("t7_events", Cursor.zero) == 2L)
+    assert(log.lag("t7_events", Cursor(2, 2)) == 0L)
+  }
+
+  test("topic discovery lists only _events dirs sorted (S8)") {
+    val log = newLog()
+    log.createTopic("b_events")
+    log.createTopic("a_events")
+    Files.createDirectories(log.root.resolve("not_a_topic"))
+    assert(log.topics() == Seq("a_events", "b_events"))
+  }
+}

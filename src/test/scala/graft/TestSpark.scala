@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole suite (Spark startup ~5s). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.configure(
+        SparkSession.builder().master("local[4]"), shufflePartitions = 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
