@@ -64,9 +64,10 @@ object DedupQueries extends QueryModule {
         .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
+      // per-doc counts are |docs| rows — broadcast both lookup joins
       inter
-        .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
+        .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
         .filter(j >= 0.6)
         .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
     },
@@ -84,13 +85,19 @@ object DedupQueries extends QueryModule {
         val cols = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
         struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bv"))
       }
+      // both sides of the bucket self-join read bands — cache to evaluate
+      // the signature aggregation once.
       val bands = sig.select($"doc_id", explode(array(bandStructs: _*)).as("e"))
         .select($"doc_id", $"e.band".as("band"), $"e.bv".as("bv"))
+        .cache()
       val cand = bands.as("a").join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .distinct()
-      val inter = cand
+        .cache()
+      // candidate set is tiny (LSH pruned) — broadcast it against the
+      // shingle index; per-doc counts broadcast likewise.
+      val inter = broadcast(cand)
         .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), "doc_a")
         .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), "doc_b")
         .filter($"sa" === $"sb")
@@ -98,8 +105,8 @@ object DedupQueries extends QueryModule {
         .agg(count(lit(1)).as("inter"))
       val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
       inter
-        .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
+        .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
         .filter(j >= 0.6)
         .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
     },
@@ -116,7 +123,9 @@ object DedupQueries extends QueryModule {
       val fp = (0 until 32).map(b =>
           when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _)
-      val fps = agg0.select($"doc_id", fp.as("fp"))
+      // fps is tiny (one long per doc) but feeds both sides of the pair
+      // join — cache so the token explode + 32-way agg runs once.
+      val fps = agg0.select($"doc_id", fp.as("fp")).cache()
       val hd = bit_count($"a.fp".bitwiseXOR($"b.fp"))
       fps.as("a").join(fps.as("b"), $"a.doc_id" < $"b.doc_id")
         .filter(hd <= 2)
@@ -125,13 +134,16 @@ object DedupQueries extends QueryModule {
     },
 
     // Embedding-cosine near-dup pairs (exact; ANN path in knn_ivf).
+    // Dot products via the native codegen graft_dot expression (see
+    // graft.functions.expressions.DotProduct — same fold order as the
+    // composable aggregate/zip_with form, ~10× faster).
     "dedup_embed_cosine" -> { (s, dir) =>
       import s.implicits._
+      graft.GraftExtensions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-      val cos = expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-        (col("anrm") * col("bnrm"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val cos = expr("graft_dot(av, bv)") / (col("anrm") * col("bnrm"))
       e.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("anrm")).as("a")
         .join(e.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bnrm")).as("b"),
           $"vec_a" < $"vec_b")

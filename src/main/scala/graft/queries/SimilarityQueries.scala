@@ -31,15 +31,15 @@ object SimilarityQueries extends QueryModule {
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     Tables.load(s, dir, "embeddings")
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
   }
 
   private def topk(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
-    val cos = expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-      (col("qnrm") * col("cnrm"))
+    val cos = expr("graft_dot(qv, cv)") / (col("qnrm") * col("cnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
     pairs.withColumn("cosine", cos)
       .withColumn("rnk", row_number().over(w))
