@@ -21,7 +21,8 @@ object SparkEntry {
     EventQueries,
     DedupQueries,
     TextQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    MultimodalQueries
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

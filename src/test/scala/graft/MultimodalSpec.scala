@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{Asset, StubDecoder}
+
+/** Multimodal plumbing: schema, batch decode shape, stub determinism. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stub decoder is deterministic and bounded") {
+    val a = Asset(1L, "hello media bytes".getBytes(UTF_8), "application/octet-stream", "src")
+    val f1 = StubDecoder.decode(a)
+    val f2 = StubDecoder.decode(a)
+    assert(f1 == f2)
+    assert(f1.n_bytes == 17)
+    assert(f1.width >= 64 && f1.width < 256)
+    assert(f1.height >= 64 && f1.height < 256)
+    assert(f1.n_frames >= 1 && f1.n_frames <= 8)
+    assert(f1.frame_hashes.length == f1.n_frames)
+  }
+
+  test("content hash differs on a single-byte change") {
+    val base = "media-payload".getBytes(UTF_8)
+    val tweaked = base.clone(); tweaked(3) = (tweaked(3) ^ 1).toByte
+    assert(StubDecoder.decode(Asset(1, base, "m", "s")).content_hash !=
+      StubDecoder.decode(Asset(1, tweaked, "m", "s")).content_hash)
+  }
+
+  test("extractFeatures runs distributed over the documents-derived assets") {
+    val ds = Multimodal.assets(spark, "/root/testdata/sf0.001")
+    val out = Multimodal.extractFeatures(ds, targetPartitions = 4).collect()
+    assert(out.length == 500)
+    assert(out.map(_.asset_id).distinct.length == 500)
+    // media bytes were the utf-8 text: n_bytes must equal byte length
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id", "octet_length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    out.foreach(f => assert(f.n_bytes == docs(f.asset_id)))
+  }
+
+  test("feature query drops the wide binary column from its output") {
+    val df = Multimodal.featureQuery(spark, "/root/testdata/sf0.001")
+    assert(!df.columns.contains("media"))
+    assert(df.count() == 500)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{LockFile, TopicOffsets}
+
+/** Advisory lock (G6) + offsets table (S10) semantics. */
+class StoreInfraSpec extends AnyFunSuite {
+
+  test("lock is exclusive within and across handles; release frees it") {
+    val p = Files.createTempDirectory("graft-lock-").resolve(".graft_lock")
+    val l1 = LockFile.acquireOrFail(p)
+    assert(l1.stillHeld)
+    assert(LockFile.tryAcquire(p).isEmpty, "second acquire must fail (G6)")
+    intercept[IllegalStateException](LockFile.acquireOrFail(p))
+    l1.close()
+    assert(!l1.stillHeld)
+    val l2 = LockFile.tryAcquire(p)
+    assert(l2.isDefined, "released lock is reacquirable")
+    l2.get.close()
+  }
+
+  test("offsets bootstrap at -1 and update atomically (S10)") {
+    val o = TopicOffsets(Files.createTempDirectory("graft-off-").toString)
+    assert(o.offsetFor("t_events", 0) == -1L) // insert-on-absent
+    o.update("t_events", 0, 41L)
+    assert(o.offsetFor("t_events", 0) == 41L)
+    o.update("t_events", 1, 7L)
+    assert(o.all() == Map(("t_events", 0) -> 41L, ("t_events", 1) -> 7L))
+  }
+
+  test("topic names containing dashes round-trip through the file layout") {
+    val o = TopicOffsets(Files.createTempDirectory("graft-off2-").toString)
+    o.update("my-topic_events", 3, 9L)
+    assert(o.offsetFor("my-topic_events", 3) == 9L)
+    assert(o.all().keySet == Set(("my-topic_events", 3)))
+  }
+}
