@@ -107,6 +107,17 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
     else spark.read.schema(recordSchema).parquet(files: _*).filter(col("topic") === topic)
   }
 
+  /** Next offset to be written for a partition (committed view). */
+  def nextOffset(topic: String, partition: Int): Long =
+    manifest().offsets.getOrElse((topic, partition), 0L)
+
+  /** A2: consumer lag gauge = committed end − last processed − 1
+    * (ReactorKafkaEventStore.java:379-400; the reference subtracts 2
+    * because Kafka's read_committed end offset sits past the transaction
+    * marker — this log has no marker records, so the adjustment is 1). */
+  def consumerLag(topic: String, partition: Int, lastProcessed: Long): Long =
+    math.max(nextOffset(topic, partition) - lastProcessed - 1, 0L)
+
   /** Uncommitted staged files (visible only to tests/inspection). */
   def stagedFileCount(): Int = {
     val s = Files.walk(root.resolve("staging"))

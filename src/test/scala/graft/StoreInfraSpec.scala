@@ -31,6 +31,21 @@ class StoreInfraSpec extends AnyFunSuite {
     assert(o.all() == Map(("t_events", 0) -> 41L, ("t_events", 1) -> 7L))
   }
 
+  test("consumer lag gauge: committed end - processed - 1, floored at 0 (A2)") {
+    val spark = TestSpark.spark
+    val sink = graft.sources.KafkaShapedLog(
+      Files.createTempDirectory("graft-lag-").toString, spark)
+    assert(sink.consumerLag("t_events", 0, -1L) == 0L) // empty log, nothing processed
+    val log = graft.store.EventLog(Files.createTempDirectory("graft-lagsrc-").toString, spark)
+    log.saveAll("t_events", (1 to 5).map(i =>
+      graft.model.Event(s"k$i".getBytes, s"p$i".getBytes, java.time.Instant.now())))
+    new graft.replicate.Replicator(log, sink).run("t_events")
+    assert(sink.nextOffset("t_events", 0) == 5L)
+    assert(sink.consumerLag("t_events", 0, -1L) == 5L)  // consumed nothing
+    assert(sink.consumerLag("t_events", 0, 2L) == 2L)   // consumed 0..2
+    assert(sink.consumerLag("t_events", 0, 4L) == 0L)   // caught up
+  }
+
   test("topic names containing dashes round-trip through the file layout") {
     val o = TopicOffsets(Files.createTempDirectory("graft-off2-").toString)
     o.update("my-topic_events", 3, 9L)
