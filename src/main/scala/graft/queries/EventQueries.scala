@@ -95,6 +95,28 @@ object EventQueries extends QueryModule {
           $"w.end".as("session_end"), $"n_events")
     },
 
+    // §2.7 extension: sliding event-time windows (1h window, 30m slide —
+    // each event lands in two windows; Spark's window() generates them,
+    // the oracle unrolls the same two bucket starts per event).
+    "ev_window_sliding" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("window_start"), $"event_type", $"n")
+    },
+
+    // Top-k per group: rank events per user by value (window + filter).
+    "ev_topk_per_user" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"user_id", $"event_id", $"rnk".cast("long").as("rnk"), $"value")
+    },
+
     // T7 analog: typed projection out of a serialized payload column.
     "ev_json_props" -> { (s, dir) =>
       import s.implicits._
@@ -153,6 +175,23 @@ object EventQueries extends QueryModule {
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  count(*) AS n_events
         |FROM numbered GROUP BY user_id, sess""".stripMargin,
+
+    "ev_window_sliding" ->
+      """WITH starts AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+        |            time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes'
+        |           ]) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM starts GROUP BY 1, 2""".stripMargin,
+
+    "ev_topk_per_user" ->
+      """SELECT user_id, event_id, rnk, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+        |  FROM events
+        |) WHERE rnk <= 3""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

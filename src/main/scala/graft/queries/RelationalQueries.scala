@@ -200,6 +200,29 @@ object RelationalQueries extends QueryModule {
         .agg(count($"o_orderkey").as("c_count"))
         .groupBy($"c_count")
         .agg(count(lit(1)).as("custdist"))
+    },
+
+    // --- q15: hierarchical ROLLUP aggregation (subtotals + grand total) ---
+    "q15_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(d2($"l_quantity")).cast("double").as("sum_qty"))
+    },
+
+    // --- q16: FULL OUTER join of two independent aggregates ---
+    "q16_fullouter" -> { (s, dir) =>
+      import s.implicits._
+      val custByNation = Tables.load(s, dir, "customer")
+        .groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("n_cust"))
+      val suppByNation = Tables.load(s, dir, "supplier")
+        .groupBy($"s_nationkey".as("nationkey")).agg(count(lit(1)).as("n_supp"))
+      custByNation.as("c").join(suppByNation.as("s"),
+          $"c.nationkey" === $"s.nationkey", "full_outer")
+        .select(coalesce($"c.nationkey", $"s.nationkey").as("nationkey"),
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"))
     }
   )
 
@@ -307,6 +330,19 @@ object RelationalQueries extends QueryModule {
         |  SELECT c_custkey, count(o_orderkey) AS c_count
         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey
-        |) GROUP BY c_count""".stripMargin
+        |) GROUP BY c_count""".stripMargin,
+
+    "q15_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  CAST(sum(${od2("l_quantity")}) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q16_fullouter" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c.nationkey = s.nationkey""".stripMargin
   )
 }

@@ -100,6 +100,27 @@ class StoreSpec extends AnyFunSuite {
       (0 until 7).map(_.toString))
   }
 
+  test("schema evolution: multiple record types on one topic resolve by embedded id (SURVEY §7.4 #5)") {
+    val otherSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"OtherPayload","namespace":"graft.test",
+        |"fields":[{"name":"n","type":"long"}]}""".stripMargin)
+    val cat2 = catalog.register(2, otherSchema)
+    val log = EventLog(Files.createTempDirectory("graft-evo-").toString, spark)
+    val store = new GraftEventStore(log, cat2)
+    val other = new GenericData.Record(otherSchema)
+    other.put("n", 99L)
+    // RecordNameStrategy analog: two record types interleaved on one topic
+    store.saveAll("evo_events", Seq(
+      ("k1".getBytes(UTF_8), rec("first"): org.apache.avro.generic.GenericRecord,
+        Instant.now(), Map.empty[String, Array[Byte]]),
+      ("k2".getBytes(UTF_8), other: org.apache.avro.generic.GenericRecord,
+        Instant.now(), Map.empty[String, Array[Byte]])))
+    val back = store.readEvents("evo_events")
+    assert(back.map(_._2.getSchema.getName) == Seq("TestPayload", "OtherPayload"))
+    assert(back(0)._2.get("text").toString == "first")
+    assert(back(1)._2.get("n") == 99L)
+  }
+
   test("enrich decrypts encrypted topics columnar (F5→E2 on executors)") {
     val store = newStore(encrypted = true)
     val uri = "test-kms://test-keys/col-1"

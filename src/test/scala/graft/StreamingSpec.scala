@@ -78,6 +78,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(Files.exists(stateDir.resolve("batch-0").resolve("out")))
   }
 
+  test("flatMapGroupsWithState: per-key state survives across micro-batches") {
+    import graft.streaming.StatefulOps
+    val logDir = Files.createTempDirectory("graft-state-").toString
+    val log = EventLog(logDir, spark)
+    // two appends → (with maxFilesPerTrigger=1) at least two micro-batches
+    log.saveAll("st_events", (1 to 4).map(ev(_, 0)))
+    log.saveAll("st_events", (5 to 6).map(ev(_, 1)))
+
+    // key = id % 2 (derive a keyed column from the event rows)
+    val keyed = Subscribe.stream(spark, logDir, "st_events", maxFilesPerTrigger = 1)
+      .selectExpr("id % 2 AS user_id", "CAST(id AS DOUBLE) AS value", "timestamp")
+    val finalCounts = scala.collection.mutable.Map.empty[Long, Long]
+    val q = StatefulOps.runningCountPerKey(keyed)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt3-").toString)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StatefulOps.KeyCount], _: Long) =>
+        ds.collect().foreach(kc => finalCounts(kc.key) = kc.events)
+      }
+      .start()
+    q.awaitTermination()
+    // ids 1..6 → key 1: ids 1,3,5 (3 events); key 0: ids 2,4,6 (3 events)
+    assert(finalCounts == Map(0L -> 3L, 1L -> 3L),
+      "state must accumulate across batches, not reset per batch")
+  }
+
+  test("streaming exact-dedup drops same-key duplicates within the watermark") {
+    import graft.streaming.StatefulOps
+    val logDir = Files.createTempDirectory("graft-dedup-").toString
+    val log = EventLog(logDir, spark)
+    // duplicate keys+timestamps across two appends
+    val e = (1 to 3).map(ev(_, 0))
+    log.saveAll("dd_events", e)
+    log.saveAll("dd_events", e) // exact duplicates (same key, same ts)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = StatefulOps.dedupStream(
+        Subscribe.stream(spark, logDir, "dd_events").selectExpr("key", "timestamp"),
+        keyCols = Seq("key"), eventTimeCol = "timestamp", watermark = "1 hour")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt4-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= df.collect().map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.sorted.toSeq == Seq("key-1", "key-2", "key-3"),
+      "each duplicated key must surface exactly once")
+  }
+
   test("event-time tumbling window with watermark over the subscribe stream") {
     val logDir = Files.createTempDirectory("graft-stream2-").toString
     val log = EventLog(logDir, spark)
