@@ -36,12 +36,15 @@ object EventQueries extends QueryModule {
   private val dec2 = DecimalType(18, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S4: resumable ordered keyset scan after a (ts,id) cursor.
+    // S4: resumable ordered keyset scan after a (ts,id) cursor. The
+    // redundant `ts >= cursor` bound is parquet-pushable (row-group
+    // pruning); the struct comparison supplies exact row-value semantics.
     "ev_keyset_scan" -> { (s, dir) =>
       import s.implicits._
       val cursorTs = to_timestamp(lit("2024-01-15 00:00:00"))
       Tables.load(s, dir, "events")
-        .filter(struct($"ts", $"event_id") > struct(cursorTs, lit(4500L)))
+        .filter($"ts" >= cursorTs &&
+          struct($"ts", $"event_id") > struct(cursorTs, lit(4500L)))
         .orderBy($"ts", $"event_id")
         .limit(500)
         .select($"event_id", $"user_id", $"event_type", $"ts")

@@ -150,10 +150,14 @@ final class EventLog(val root: Path, spark: SparkSession) {
   /** S4: resumable total-order keyset scan —
     * `WHERE lsn IS NOT NULL AND (lsn,id) > cursor ORDER BY lsn,id LIMIT n`
     * (EventReplicatorWorker.java:66-72). The struct comparison gives
-    * row-value semantics; parquet min/max stats prune non-tail files. */
+    * row-value semantics but is not a parquet-pushable predicate, so a
+    * redundant coarse bound `lsn >= cursor.lsn` is added — that one pushes
+    * down and prunes all non-tail files via min/max stats (each append
+    * writes its own lsn-homogeneous files), which is what keeps resume
+    * O(tail), not O(history), at scale. */
   def scan(topic: String, after: Cursor, limit: Int): DataFrame =
     read(topic)
-      .filter(col("lsn").isNotNull &&
+      .filter(col("lsn").isNotNull && col("lsn") >= after.lsn &&
         struct(col("lsn"), col("id")) > struct(lit(after.lsn), lit(after.id)))
       .orderBy(col("lsn"), col("id"))
       .limit(limit)
