@@ -120,6 +120,34 @@ object EventQueries extends QueryModule {
         .select($"user_id", $"event_id", $"rnk".cast("long").as("rnk"), $"value")
     },
 
+    // Conversion funnel: users whose first signup precedes a later purchase
+    // (conditional event-time aggregation per key).
+    "ev_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val per = Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "signup", $"ts")).as("first_signup"),
+          max(when($"event_type" === "purchase", $"ts")).as("last_purchase"))
+      per.agg(
+        count(lit(1)).as("n_users"),
+        sum(when($"first_signup".isNotNull && $"last_purchase".isNotNull &&
+          $"first_signup" < $"last_purchase", 1).otherwise(0)).as("n_converted"))
+    },
+
+    // Hour-over-hour retention: users active in h and h+1.
+    "ev_retention" -> { (s, dir) =>
+      import s.implicits._
+      val active = Tables.load(s, dir, "events")
+        .select($"user_id", window($"ts", "1 hour")("start").as("h"))
+        .distinct()
+      active.as("a").join(active.as("b"),
+          $"a.user_id" === $"b.user_id" &&
+            $"b.h" === $"a.h" + expr("INTERVAL 1 HOUR"))
+        .groupBy($"a.h".as("window_start"))
+        .agg(count(lit(1)).as("retained"))
+    },
+
     // T7 analog: typed projection out of a serialized payload column.
     "ev_json_props" -> { (s, dir) =>
       import s.implicits._
@@ -195,6 +223,26 @@ object EventQueries extends QueryModule {
         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk
         |  FROM events
         |) WHERE rnk <= 3""".stripMargin,
+
+    "ev_funnel" ->
+      """SELECT count(*) AS n_users,
+        |  sum(CASE WHEN first_signup IS NOT NULL AND last_purchase IS NOT NULL
+        |            AND first_signup < last_purchase THEN 1 ELSE 0 END) AS n_converted
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+        |    max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS last_purchase
+        |  FROM events GROUP BY user_id)""".stripMargin,
+
+    "ev_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |    time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h
+        |  FROM events)
+        |SELECT a.h AS window_start, count(*) AS retained
+        |FROM active a JOIN active b
+        |  ON a.user_id = b.user_id AND b.h = a.h + INTERVAL '1 hour'
+        |GROUP BY a.h""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -77,6 +77,21 @@ object TextQueries extends QueryModule {
           langProfiles.map { case (l, _) => col(s"s_$l") }): _*)
     },
 
+    // Corpus bigram document frequencies (top-20, deterministic tiebreak).
+    "text_ngram_freq" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(size(w) - 1, 0)), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("bigram"))
+        .distinct()
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"bigram")
+        .limit(20)
+    },
+
     // Rolling-hash document fingerprint (order-sensitive, mod-P fold).
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -124,6 +139,12 @@ object TextQueries extends QueryModule {
            |  FROM (
            |    SELECT doc_id, lang AS labeled_lang, $scoreCols
            |    FROM (SELECT doc_id, lang, $oTokens AS w FROM documents)))""".stripMargin,
+
+      "text_ngram_freq" ->
+        s"""SELECT bigram, count(*) AS df FROM (
+           |  SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+           |  FROM (SELECT doc_id, $oTokens AS w FROM documents))
+           |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
 
       "text_fingerprint" ->
         s"""SELECT doc_id,

@@ -101,6 +101,27 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.lag("t7_events", Cursor(2, 2)) == 0L)
   }
 
+  test("key-type matrix: topic tag round-trips typed keys (uuid/text/integer/bytea)") {
+    import graft.model.KeyType
+    val log = newLog()
+    val cases: Seq[(KeyType, Any)] = Seq(
+      KeyType.Uuid -> java.util.UUID.fromString("123e4567-e89b-12d3-a456-426614174000"),
+      KeyType.Text -> "string-key",
+      KeyType.Integer -> 42,
+      KeyType.Bytea -> Array[Byte](1, 2, 3))
+    cases.foreach { case (kt, key) =>
+      val topic = s"kt_${kt.name}_events"
+      log.createTopic(topic, kt)
+      log.saveAll(topic, Seq(Event(kt.toBytes(key), Array[Byte](9), Instant.now())))
+      assert(log.keyTypeOf(topic) == kt)
+      val back = log.keyTypeOf(topic).fromBytes(log.typedRead(topic).head._2.key)
+      (key, back) match {
+        case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b))
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
+
   test("topic discovery lists only _events dirs sorted (S8)") {
     val log = newLog()
     log.createTopic("b_events")

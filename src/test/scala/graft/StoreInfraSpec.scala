@@ -52,4 +52,20 @@ class StoreInfraSpec extends AnyFunSuite {
     assert(o.offsetFor("my-topic_events", 3) == 9L)
     assert(o.all().keySet == Set(("my-topic_events", 3)))
   }
+
+  test("graft_dot is SQL-callable after registration; interpreted and codegen agree") {
+    val s2 = TestSpark.spark.newSession() // isolated function registry
+    intercept[org.apache.spark.sql.AnalysisException](
+      s2.sql("SELECT graft_dot(array(1.0D), array(1.0D))").collect())
+    graft.GraftExtensions.register(s2)
+    val r = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()
+    assert(r(0).getDouble(0) == 11.0)
+    // interpreted path (eval) must match the codegen path
+    val e = graft.functions.expressions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(3.0, 4.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 11.0)
+  }
 }
