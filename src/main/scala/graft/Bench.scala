@@ -24,11 +24,37 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } :+ pipelineBench(spark, sfDir)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Core event-store path end to end: ingest the events table into the
+    * native log (encode + (lsn,id) allocation), replicate it to the
+    * Kafka-shaped sink exactly-once, and consume/decode the sink — the
+    * §7.2 slice, timed as one pipeline. */
+  private def pipelineBench(spark: SparkSession, sfDir: String): (String, Double) = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")
+    val t0 = System.nanoTime()
+    try {
+      val log = store.EventLog(tmp.resolve("log").toString, spark)
+      val batch = Tables.load(spark, sfDir, "events")
+        .select(
+          encode(col("user_id").cast("string"), "UTF-8").as("key"),
+          encode(col("props"), "UTF-8").as("data"),
+          lit(null).cast("binary").as("metadata"),
+          col("ts").as("timestamp"))
+      log.append("bench_events", batch)
+      val sink = sources.KafkaShapedLog(tmp.resolve("sink").toString, spark, numPartitions = 4)
+      new replicate.Replicator(log, sink, batchSize = 1000000).run("bench_events")
+      sink.read("bench_events").count()
+      "pipeline_ingest_replicate_consume" -> (System.nanoTime() - t0) / 1e9
+    } catch {
+      case _: Throwable => "pipeline_ingest_replicate_consume" -> -1.0
+    }
   }
 }

@@ -111,6 +111,28 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(sink.read("b_events").count() == 2)
   }
 
+  test("malformed manifest fails fast (EventReplicatorIT.java:251-277 analog)") {
+    import graft.sources.KafkaShapedLog.Manifest
+    intercept[Exception](Manifest.parse("{}"))
+    intercept[Exception](Manifest.parse("""{"files": [], "offsets": {}}""")) // missing cursors
+    // malformed cursor value (no colon) must not silently parse
+    val m = Manifest.parse(
+      """{"files": [], "offsets": {}, "cursors": {"t_events": "12:34"}}""")
+    assert(m.cursors("t_events") == Cursor(12, 34))
+    val bad = Manifest.parse(
+      """{"files": [], "offsets": {}, "cursors": {"t_events": "1234"}}""")
+    assert(!bad.cursors.contains("t_events"), "colon-less cursor must not match")
+  }
+
+  test("manifest renders and reparses losslessly") {
+    import graft.sources.KafkaShapedLog.Manifest
+    val m = Manifest(
+      List("staging/x/part-0.parquet", "staging/y/part-1.parquet"),
+      Map(("a_events", 0) -> 5L, ("b_events", 2) -> 9L),
+      Map("a_events" -> Cursor(3, 17)))
+    assert(Manifest.parse(m.render) == m)
+  }
+
   test("per-key partition assignment preserves source order per partition (G9)") {
     val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
     val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark, numPartitions = 4)
