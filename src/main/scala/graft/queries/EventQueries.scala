@@ -120,6 +120,28 @@ object EventQueries extends QueryModule {
         .select($"user_id", $"event_id", $"rnk".cast("long").as("rnk"), $"value")
     },
 
+    // As-of join: point-in-time state lookup — for each (user, t) find the
+    // latest event at or before t. Spark has no native ASOF JOIN; the
+    // composition (range join + max_by) expresses it exactly (DuckDB's
+    // built-in ASOF JOIN is the oracle). At scale the range join shuffles
+    // both sides by user_id once; max_by is a map-side-combinable agg.
+    "ev_asof" -> { (s, dir) =>
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      val asOf = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+      val times = asOf.toDF("t").select(to_timestamp($"t").as("at_ts"))
+      val queries = events.select($"user_id").distinct().crossJoin(times)
+      queries.join(events,
+          queries("user_id") === events("user_id") && $"ts" <= $"at_ts", "left")
+        .groupBy(queries("user_id"), $"at_ts")
+        .agg(
+          // event ids are append-ordered (monotone in ts), so id is the
+          // as-of ordering; a (ts,id) struct would be needed if ids could
+          // lag event time
+          max_by($"event_id", $"event_id").as("last_event_id"),
+          max_by($"event_type", $"event_id").as("last_type"))
+    },
+
     // Conversion funnel: users whose first signup precedes a later purchase
     // (conditional event-time aggregation per key).
     "ev_funnel" -> { (s, dir) =>
@@ -223,6 +245,18 @@ object EventQueries extends QueryModule {
         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk
         |  FROM events
         |) WHERE rnk <= 3""".stripMargin,
+
+    "ev_asof" ->
+      """WITH q AS (
+        |  SELECT user_id, unnest([TIMESTAMP '2024-01-10 00:00:00',
+        |                          TIMESTAMP '2024-01-20 00:00:00']) AS at_ts
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT q.user_id, q.at_ts,
+        |  arg_max(e.event_id, e.event_id) AS last_event_id,
+        |  arg_max(e.event_type, e.event_id) AS last_type
+        |FROM q LEFT JOIN e ON q.user_id = e.user_id AND e.ts <= q.at_ts
+        |GROUP BY q.user_id, q.at_ts""".stripMargin,
 
     "ev_funnel" ->
       """SELECT count(*) AS n_users,

@@ -132,6 +132,33 @@ class StreamingSpec extends AnyFunSuite {
       "each duplicated key must surface exactly once")
   }
 
+  test("columnar decode pipeline (enrich) runs on the subscribe stream") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    import graft.codec.{ConfluentAvro, SchemaCatalog}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"StreamPayload","namespace":"graft.test",
+        |"fields":[{"name":"text","type":"string"}]}""".stripMargin)
+    val catalog = SchemaCatalog(5 -> schema)
+    val logDir = Files.createTempDirectory("graft-streamdec-").toString
+    val log = EventLog(logDir, spark)
+    log.saveAll("sd_events", (1 to 3).map { i =>
+      val r = new GenericData.Record(schema)
+      r.put("text", s"msg $i")
+      Event(s"k$i".getBytes(UTF_8), ConfluentAvro.serialize(5, r),
+        Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i))
+    })
+    val decoded = scala.collection.mutable.ArrayBuffer.empty[String]
+    EosProjection.runAvailableNow(
+      graft.functions.EventFunctions.enrich(
+        Subscribe.stream(spark, logDir, "sd_events"), catalog),
+      Files.createTempDirectory("graft-ckpt5-").toString,
+      new EosProjection(Files.createTempDirectory("graft-proj5-"))) { (df, _, _) =>
+      decoded ++= df.orderBy("id").collect().map(_.getAs[String]("payload_json"))
+    }
+    assert(decoded.toSeq == (1 to 3).map(i => s"""{"text": "msg $i"}"""))
+  }
+
   test("event-time tumbling window with watermark over the subscribe stream") {
     val logDir = Files.createTempDirectory("graft-stream2-").toString
     val log = EventLog(logDir, spark)
