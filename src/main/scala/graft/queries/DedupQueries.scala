@@ -40,6 +40,25 @@ object DedupQueries extends QueryModule {
       .distinct()
   }
 
+  /** Exact word-3-gram Jaccard pairs ≥ 0.6 (shared by the pair query and
+    * the clustering query). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleSet(s, dir).cache()
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
+    // per-doc counts are |docs| rows — broadcast both lookup joins
+    inter
+      .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
+      .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
+      .filter(j >= 0.6)
+      .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
+  }
+
   private val oShingleCtes =
     s"""docs AS (SELECT doc_id, $oTokens AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, unnest($oShingles3) AS s FROM docs),
@@ -55,21 +74,16 @@ object DedupQueries extends QueryModule {
     },
 
     // Exact n-gram Jaccard near-dup pairs (inverted-index self-join).
-    "dedup_ngram_jaccard" -> { (s, dir) =>
+    "dedup_ngram_jaccard" -> { (s, dir) => jaccardPairs(s, dir) },
+
+    // Near-dup clustering: connected components over the verified pair
+    // graph; cluster_id = min doc in the component (the keeper).
+    "dedup_clusters" -> { (s, dir) =>
       import s.implicits._
-      val sh = shingleSet(s, dir).cache()
-      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
-      // per-doc counts are |docs| rows — broadcast both lookup joins
-      inter
-        .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
-        .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
-        .filter(j >= 0.6)
-        .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
+      val edges = jaccardPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
+      val nodes = Tables.load(s, dir, "documents").select($"doc_id".as("id"))
+      graft.operators.ConnectedComponents.clusters(nodes, edges)
+        .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
     },
 
     // MinHash + banded LSH candidates, exact-verified.
@@ -179,6 +193,24 @@ object DedupQueries extends QueryModule {
            |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
+
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+           |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH $oShingleCtes,

@@ -170,6 +170,18 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("retained"))
     },
 
+    // Pivot: event_type → columns (relational reshape of the stream).
+    "ev_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select($"user_id", $"click".as("n_click"), $"view".as("n_view"),
+          $"purchase".as("n_purchase"), $"signup".as("n_signup"), $"error".as("n_error"))
+    },
+
     // T7 analog: typed projection out of a serialized payload column.
     "ev_json_props" -> { (s, dir) =>
       import s.implicits._
@@ -277,6 +289,15 @@ object EventQueries extends QueryModule {
         |FROM active a JOIN active b
         |  ON a.user_id = b.user_id AND b.h = a.h + INTERVAL '1 hour'
         |GROUP BY a.h""".stripMargin,
+
+    "ev_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

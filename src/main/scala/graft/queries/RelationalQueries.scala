@@ -211,6 +211,21 @@ object RelationalQueries extends QueryModule {
           sum(d2($"l_quantity")).cast("double").as("sum_qty"))
     },
 
+    // --- q17: correlated-aggregate filter (TPC-H Q17 analog): lineitems
+    //     below 20% of their part's mean quantity. The correlation is
+    //     decorrelated by hand into a per-part aggregate + broadcast-able
+    //     join, which is exactly what Catalyst's decorrelator would emit. ---
+    "q17_avgqty" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val perPart = li.groupBy($"l_partkey".as("pk"))
+        .agg((sum(d2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+      li.join(perPart, $"l_partkey" === $"pk")
+        .filter($"l_quantity" < $"avg_qty" * 0.2)
+        .agg(sum(d2($"l_extendedprice")).cast("double").as("total_price"),
+          count(lit(1)).as("n"))
+    },
+
     // --- q16: FULL OUTER join of two independent aggregates ---
     "q16_fullouter" -> { (s, dir) =>
       import s.implicits._
@@ -337,6 +352,15 @@ object RelationalQueries extends QueryModule {
          |  CAST(sum(${od2("l_quantity")}) AS DOUBLE) AS sum_qty
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q17_avgqty" ->
+      s"""SELECT CAST(sum(${od2("l_extendedprice")}) AS DOUBLE) AS total_price, count(*) AS n
+         |FROM lineitem JOIN (
+         |  SELECT l_partkey AS pk,
+         |    CAST(sum(${od2("l_quantity")}) AS DOUBLE) / count(*) AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey
+         |) ON l_partkey = pk
+         |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
 
     "q16_fullouter" ->
       """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,

@@ -121,6 +121,26 @@ class StoreSpec extends AnyFunSuite {
     assert(back(1)._2.get("n") == 99L)
   }
 
+  test("streams topology: consume → transform → re-save (T8; KafkaStreamsEventStoreIT.java:332-338 fixture)") {
+    val store = newStore()
+    store.saveAll("in_events", (1 to 3).map { i =>
+      (s"k$i".getBytes(UTF_8), rec(s"test payload $i"): org.apache.avro.generic.GenericRecord,
+        Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i), Map.empty[String, Array[Byte]])
+    })
+    // the reference's test topology: append " (processed)", shift ts +3s
+    val transformed = store.readEvents("in_events").map { case (e, payload) =>
+      val out = rec(payload.get("text").toString + " (processed)")
+      (e.key, out: org.apache.avro.generic.GenericRecord,
+        e.timestamp.plusSeconds(3), e.metadata)
+    }
+    store.saveAll("out_events", transformed)
+    val back = store.readEvents("out_events")
+    assert(back.map(_._2.get("text").toString) ==
+      (1 to 3).map(i => s"test payload $i (processed)"))
+    assert(back.map(_._1.timestamp) ==
+      (1 to 3).map(i => Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i + 3L)))
+  }
+
   test("enrich decrypts encrypted topics columnar (F5→E2 on executors)") {
     val store = newStore(encrypted = true)
     val uri = "test-kms://test-keys/col-1"
