@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Pass the forked JVM's stdout through verbatim: the bench/verify harness
+// parses a bare JSON line, which sbt's default logger would prefix with
+// "[info] ".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)

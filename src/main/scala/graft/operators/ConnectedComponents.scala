@@ -22,16 +22,64 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count threshold below which the component structure is computed
+    * with driver-side union-find (the verified near-dup pair set is
+    * typically orders of magnitude smaller than the corpus, so this is the
+    * common case; the result is a broadcast map-join against the nodes).
+    * Above it, distributed label propagation runs. */
+  val DriverEdgeLimit = 1000000L
+
   /** @param nodes one column `id`
     * @param edges  two columns `a`, `b` (undirected pairs)
     * @return (id, cluster) where cluster = min node id in the component */
   def clusters(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val undirected = edges.select($"a", $"b")
+    val cachedEdges = edges.select($"a", $"b").cache()
+    val result =
+      if (cachedEdges.count() <= DriverEdgeLimit) clustersUnionFind(nodes, cachedEdges)
+      else clustersPropagate(nodes, cachedEdges, maxIter)
+    cachedEdges.unpersist()
+    result
+  }
+
+  /** Small-graph path: union-find over collected edges (edge list only —
+    * never the corpus), result joined back as a broadcast map. */
+  private[graft] def clustersUnionFind(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val pairs = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    val mapping = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(x => x -> find(x)).toSeq.toDF("mid", "mcluster")
+    nodes.join(org.apache.spark.sql.functions.broadcast(mapping),
+        nodes("id") === mapping("mid"), "left")
+      .select(nodes("id"), coalesce($"mcluster", nodes("id")).as("cluster"))
+  }
+
+  /** Large-graph path: distributed min-label propagation. */
+  private[graft] def clustersPropagate(nodes: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val undirected = edges
       .union(edges.select($"b".as("a"), $"a".as("b")))
       .cache()
-    var labels = nodes.select($"id", $"id".as("cluster")).cache()
+    // localCheckpoint (not cache) each round: the label plan references
+    // itself twice per iteration (union + join), so lineage doubles every
+    // round — without truncation the logical plan grows 2^iterations and
+    // plan stringification alone OOMs. Checkpointing keeps it O(1).
+    var labels = nodes.select($"id", $"id".as("cluster")).localCheckpoint(true)
     var converged = false
     var iter = 0
     var prevSum = labels.agg(sum($"cluster")).collect()(0).getLong(0)
@@ -41,9 +89,8 @@ object ConnectedComponents {
         .select(undirected("a").as("id"), $"cluster")
       val next = labels.union(neighborLabels)
         .groupBy($"id").agg(min($"cluster").as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       val nextSum = next.agg(sum($"cluster")).collect()(0).getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

@@ -8,33 +8,45 @@ import graft.operators.ConnectedComponents
 class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def runBoth(nodes: Seq[Long], edges: Seq[(Long, Long)]): Seq[Map[Long, Long]] = {
     import spark.implicits._
-    ConnectedComponents.clusters(
-        nodes.toDF("id"), edges.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (n, e) = (nodes.toDF("id"), edges.toDF("a", "b"))
+    Seq(
+      ConnectedComponents.clustersUnionFind(n, e),
+      ConnectedComponents.clustersPropagate(n, e, maxIter = 25))
+      .map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
-  test("pairs, chains, and singletons resolve to min-id components") {
+  test("pairs, chains, and singletons resolve to min-id components (both paths agree)") {
     // components: {1,2} {3,4,5 via chain} {6} {7,8 via 8-7}
-    val got = run(1L to 8L, Seq((1L, 2L), (3L, 4L), (4L, 5L), (8L, 7L)))
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L,
-      6L -> 6L, 7L -> 7L, 8L -> 7L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L)
+    runBoth(1L to 8L, Seq((1L, 2L), (3L, 4L), (4L, 5L), (8L, 7L)))
+      .foreach(got => assert(got == expected))
   }
 
   test("long chain needs multiple propagation rounds (diameter > 2)") {
     val chain = (1L until 10L).map(i => (i, i + 1))
-    val got = run(1L to 10L, chain)
-    assert(got.values.toSet == Set(1L), "whole chain collapses to min node")
+    runBoth(1L to 10L, chain)
+      .foreach(got => assert(got.values.toSet == Set(1L), "whole chain collapses to min node"))
   }
 
   test("cycle converges") {
-    val got = run(1L to 3L, Seq((1L, 2L), (2L, 3L), (3L, 1L)))
-    assert(got.values.toSet == Set(1L))
+    runBoth(1L to 3L, Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+      .foreach(got => assert(got.values.toSet == Set(1L)))
   }
 
   test("empty edge set leaves every node its own cluster") {
-    val got = run(1L to 4L, Seq.empty)
-    assert(got == (1L to 4L).map(i => i -> i).toMap)
+    runBoth(1L to 4L, Seq.empty[(Long, Long)])
+      .foreach(got => assert(got == (1L to 4L).map(i => i -> i).toMap))
+  }
+
+  test("public clusters() dispatches by edge count and matches the paths") {
+    import spark.implicits._
+    val n = (1L to 6L).toDF("id")
+    val e = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val got = ConnectedComponents.clusters(n, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 }
