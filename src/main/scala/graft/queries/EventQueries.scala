@@ -170,6 +170,20 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("retained"))
     },
 
+    // Exact interpolated percentiles of value per type (both engines sort
+    // and linearly interpolate at p·(n−1) — identical doubles).
+    "ev_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"),
+          min($"value").as("vmin"),
+          max($"value").as("vmax"))
+    },
+
     // Pivot: event_type → columns (relational reshape of the stream).
     "ev_pivot" -> { (s, dir) =>
       import s.implicits._
@@ -289,6 +303,14 @@ object EventQueries extends QueryModule {
         |FROM active a JOIN active b
         |  ON a.user_id = b.user_id AND b.h = a.h + INTERVAL '1 hour'
         |GROUP BY a.h""".stripMargin,
+
+    "ev_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "ev_pivot" ->
       """SELECT user_id,
