@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+/** Scale techniques: salted skew joins, bucketed co-located joins, and the
+  * metrics gauge surface. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join equals unsalted join on skewed data") {
+    import spark.implicits._
+    // hot key: 90% of big side is key 1
+    val big = ((1 to 900).map(i => (1L, s"row$i")) ++ (1 to 100).map(i => (i.toLong % 7 + 2, s"tail$i")))
+      .toDF("k", "payload")
+    val small = (1L to 10L).map(k => (k, s"dim$k")).toDF("k", "dim")
+    val expected = big.join(small, "k").select($"k", $"payload", $"dim")
+      .collect().map(_.toSeq).toSet
+    val got = SkewJoin.saltedInnerJoin(big, small, "k", salts = 8)
+      .select($"k", $"payload", $"dim")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    // the salt actually spreads the hot key across several salt values
+    val spread = big.withColumn("_salt",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.monotonically_increasing_id()),
+          org.apache.spark.sql.functions.lit(8)))
+      .filter($"k" === 1L).select("_salt").distinct().count()
+    assert(spread > 1, "hot key must span multiple salts")
+  }
+
+  test("bucketed tables join without a shuffle exchange (co-located join)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+      val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
+      a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_a")
+      b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_b")
+      val joined = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan was:\n$plan")
+      assert(joined.count() == 1000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("metrics gauges: replication and consumer lag registered/read/removed") {
+    import java.nio.file.Files
+    import graft.streaming.GraftMetrics
+    val log = graft.store.EventLog(Files.createTempDirectory("graft-m-").toString, spark)
+    val sink = graft.sources.KafkaShapedLog(Files.createTempDirectory("graft-ms-").toString, spark)
+    val rep = new graft.replicate.Replicator(log, sink)
+    log.saveAll("m_events", (1 to 3).map(i =>
+      graft.model.Event(s"k$i".getBytes, s"p$i".getBytes, java.time.Instant.now())))
+    val m = new GraftMetrics
+    m.registerReplicationLag(rep, "m_events")
+    var processed = -1L
+    m.registerConsumerLag(sink, "m_events", 0, () => processed)
+    assert(m.value("event.replicator.lag.m_events").contains(1L)) // head lsn 1, cursor 0
+    rep.run("m_events")
+    assert(m.value("event.replicator.lag.m_events").contains(0L))
+    assert(m.value("event.store.consumer.lag.m_events.0").contains(3L))
+    processed = 2L
+    assert(m.value("event.store.consumer.lag.m_events.0").contains(0L))
+    m.remove("event.replicator.lag.m_events")
+    assert(m.value("event.replicator.lag.m_events").isEmpty)
+    assert(m.snapshot().keySet == Set("event.store.consumer.lag.m_events.0"))
+  }
+}

@@ -8,6 +8,8 @@ object TestSpark {
     val s = GraftSession.configure(
         SparkSession.builder().master("local[4]"), shufflePartitions = 4)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
