@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{ConfluentSchemaId, DotProduct}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -17,23 +17,32 @@ import graft.functions.expressions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotFn)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotFn = (
-    FunctionIdentifier("graft_dot"),
-    DotProduct.info,
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-      require(children.length == 2, "graft_dot takes exactly 2 arguments")
-      DotProduct(children(0), children(1))
-    })
+  private type FnDef = (FunctionIdentifier,
+    org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression)
+
+  private val functions: Seq[FnDef] = Seq(
+    (FunctionIdentifier("graft_dot"), DotProduct.info,
+      children => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_schema_id"), ConfluentSchemaId.info,
+      children => {
+        require(children.length == 1, "graft_schema_id takes exactly 1 argument")
+        ConfluentSchemaId(children.head)
+      }))
 
   /** Idempotent on-session registration. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotFn._1)) {
-      registry.registerFunction(dotFn._1, dotFn._2, dotFn._3)
+    functions.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
   }
 }

@@ -79,6 +79,7 @@ object EventFunctions {
     * as the replicator's headers do, plus every stored entry). */
   def enrich(events: DataFrame, catalog: SchemaCatalog,
       encryptor: Option[EventEncryptor] = None): DataFrame = {
+    graft.GraftExtensions.register(events.sparkSession)
     val meta = decodeMetadata(col("metadata"))
     val plain = encryptor match {
       case Some(e) => decryptPayload(e)(col("data"), col("key"), col("timestamp"), col("meta"))
@@ -88,7 +89,8 @@ object EventFunctions {
       .withColumn("meta", meta)
       .withColumn("plain", plain)
       .withColumn("payload_json", decodePayloadJson(catalog)(col("plain")))
-      .withColumn("schema_id", confluentSchemaId(col("plain")))
+      // frame check + id read via the native codegen expression (hot path)
+      .withColumn("schema_id", expr("graft_schema_id(plain)"))
       .select(col("id"), col("lsn"), col("key"), col("timestamp"),
         col("meta").as("metadata"), col("schema_id"), col("payload_json"))
   }

@@ -170,6 +170,68 @@ final class EventLog(val root: Path, spark: SparkSession) {
     if (m.isNullAt(0)) 0L else math.max(m.getLong(0) - cursor.lsn, 0L)
   }
 
+  /** Compact a topic's segment files: rewrite history into `targetFiles`
+    * lsn-range-partitioned files. Many small appends → many small parquet
+    * files; at scale the scan cost becomes file-open-bound, and compaction
+    * restores big, lsn-ordered segments whose min/max stats still prune
+    * cursor scans (S4). Runs under the writer lock: rewrite lands in a
+    * staging dir, then old files are swapped out; data content and the
+    * (lsn,id) order are unchanged.
+    */
+  def compact(topic: String, targetFiles: Int = 1): Unit = EventLog.writeLock.synchronized {
+    import scala.jdk.CollectionConverters._
+    val dir = topicDir(topic)
+    if (!hasData(topic)) return
+    val stage = dir.resolve("_graft_compact_tmp")
+    if (Files.exists(stage)) deleteRecursively(stage)
+    read(topic)
+      .repartitionByRange(targetFiles, col("lsn"), col("id"))
+      .sortWithinPartitions(col("lsn"), col("id"))
+      .write.parquet(stage.toString)
+    val oldFiles = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          (p.getFileName.toString.endsWith(".parquet") || p.getFileName.toString == "_SUCCESS"))
+        .toList
+      finally s.close()
+    }
+    val newFiles = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    // Swap: place new files first, then remove old. Requires quiesced
+    // readers (single-maintenance-window operation, like VACUUM FULL); a
+    // crash mid-swap leaves both copies visible and is repaired by
+    // deleting the partial `compacted-<stamp>-*` generation. A
+    // production deployment would do manifest-based swaps like
+    // KafkaShapedLog instead of directory listing.
+    val stamp = System.currentTimeMillis()
+    newFiles.zipWithIndex.foreach { case (f, i) =>
+      Files.move(f, dir.resolve(s"compacted-$stamp-$i.parquet"))
+    }
+    oldFiles.foreach(Files.delete)
+    deleteRecursively(stage)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
+
+  /** Number of parquet segment files in a topic (compaction observability). */
+  def segmentFileCount(topic: String): Int = {
+    val s = Files.list(topicDir(topic))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    } finally s.close()
+  }
+
   /** Ordered driver-side materialization (tests / small replays only). */
   def typedRead(topic: String): Seq[(Cursor, Event)] =
     read(topic).orderBy(col("lsn"), col("id")).collect().toSeq

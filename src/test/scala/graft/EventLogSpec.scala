@@ -122,6 +122,21 @@ class EventLogSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction merges segments; data, order, and cursor scans unchanged") {
+    val log = newLog()
+    (1 to 6).grouped(2).foreach(g => log.saveAll("cp_events", g.map(ev)))
+    assert(log.segmentFileCount("cp_events") >= 3, "one append = at least one file")
+    val before = log.typedRead("cp_events")
+    log.compact("cp_events", targetFiles = 1)
+    assert(log.segmentFileCount("cp_events") == 1)
+    assert(log.typedRead("cp_events") == before, "content and order preserved")
+    // cursor scans still resume correctly over the compacted layout
+    val b2 = log.scan("cp_events", graft.codec.Cursor(2, 4), 10).collect()
+    assert(b2.map(_.getAs[Long]("id")).toSeq == Seq(5L, 6L))
+    // appends continue after compaction
+    assert(log.saveAll("cp_events", Seq(ev(7))) == Cursor(4, 7))
+  }
+
   test("topic discovery lists only _events dirs sorted (S8)") {
     val log = newLog()
     log.createTopic("b_events")
