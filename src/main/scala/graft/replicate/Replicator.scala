@@ -85,6 +85,18 @@ final class Replicator(
 
   /** A1 lag gauge for monitoring. */
   def lag(topic: String): Long = source.lag(topic, sink.cursorFor(topic))
+
+  /** Fixed-delay scheduling loop — the reference's per-topic worker
+    * cadence (EventReplicator.java:138, 174-183: schedule at
+    * `poll.interval.ms`, each tick drains the backlog fully). Bounded by
+    * `maxTicks` so bounded deployments/tests terminate; a service passes
+    * Int.MaxValue. @return events replicated per tick. */
+  def runLoop(topic: String, intervalMillis: Long, maxTicks: Int): Seq[Long] =
+    (1 to maxTicks).map { tick =>
+      val n = run(topic)
+      if (tick < maxTicks && intervalMillis > 0) Thread.sleep(intervalMillis)
+      n
+    }
 }
 
 object Replicator {

@@ -107,6 +107,36 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
     else spark.read.schema(recordSchema).parquet(files: _*).filter(col("topic") === topic)
   }
 
+  /** S2/S3 direct publish: typed events → records, bypassing the source
+    * log (the reference's Kafka-backed `EventStore.save`,
+    * ReactorKafkaEventStore.java:188-212). T5 projection + T6 header
+    * preparation: metadata entries as headers sorted by key — `kid`
+    * included when present, exactly as the transformer appends it
+    * (ReactorKafkaEventTransformer.java:147-167). */
+  def publishEvents(topic: String, events: Seq[graft.model.Event]): Long = {
+    import java.sql.Timestamp
+    val rows = events.zipWithIndex.map { case (e, i) =>
+      org.apache.spark.sql.Row(
+        topic,
+        e.key,
+        e.payload,
+        e.metadata.toSeq.sortBy(_._1).map { case (k, v) => org.apache.spark.sql.Row(k, v) },
+        Timestamp.from(e.timestamp),
+        i.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("topic", StringType, nullable = false),
+      StructField("key", BinaryType, nullable = true),
+      StructField("value", BinaryType, nullable = true),
+      recordSchema("headers"),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("_seq", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val cur = manifest().cursors.getOrElse(s"_publish.$topic", Cursor.zero)
+    appendTxn(df, s"_publish.$topic", Cursor(cur.lsn + 1, cur.id + events.size))
+  }
+
   /** Next offset to be written for a partition (committed view). */
   def nextOffset(topic: String, partition: Int): Long =
     manifest().offsets.getOrElse((topic, partition), 0L)

@@ -111,6 +111,35 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(sink.read("b_events").count() == 2)
   }
 
+  test("direct publish (S2): headers sorted, kid included, timestamps verbatim") {
+    val spark2 = TestSpark.spark
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-pub-").toString, spark2)
+    val e = Event("k1".getBytes(UTF_8), "payload".getBytes(UTF_8),
+      Instant.parse("2024-02-01T10:00:00.123Z"),
+      Map("zk" -> "z".getBytes(UTF_8), "ak" -> "a".getBytes(UTF_8)))
+    // storage layer adds kid for encrypted events — publish must carry it through
+    val withKid = new Event(e.key, e.payload, e.timestamp,
+      e.metadata + ("kid" -> "test-kms://k/1".getBytes(UTF_8)))
+    assert(sink.publishEvents("pub_events", Seq(withKid)) == 1L)
+    val r = sink.read("pub_events").collect()(0)
+    val headerKeys = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("headers"))
+      .map(_.getAs[String]("key"))
+    assert(headerKeys == Seq("ak", "kid", "zk"), "headers sorted by key, kid present")
+    assert(r.getAs[java.sql.Timestamp]("timestamp").toInstant == withKid.timestamp)
+    // successive publishes advance offsets
+    assert(sink.publishEvents("pub_events", Seq(e)) == 1L)
+    assert(sink.read("pub_events").count() == 2)
+    assert(sink.nextOffset("pub_events", 0) == 2L)
+  }
+
+  test("runLoop drains per tick at the configured cadence") {
+    val (log, sink, rep) = fixture()
+    log.saveAll("t_events", (1 to 3).map(ev))
+    val perTick = rep.runLoop("t_events", intervalMillis = 0, maxTicks = 3)
+    assert(perTick.head == 3L)
+    assert(perTick.tail.forall(_ == 0L), "subsequent ticks see an empty backlog")
+  }
+
   test("malformed manifest fails fast (EventReplicatorIT.java:251-277 analog)") {
     import graft.sources.KafkaShapedLog.Manifest
     intercept[Exception](Manifest.parse("{}"))

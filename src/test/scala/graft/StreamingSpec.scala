@@ -132,6 +132,37 @@ class StreamingSpec extends AnyFunSuite {
       "each duplicated key must surface exactly once")
   }
 
+  test("session windows on the stream: append mode emits watermark-closed sessions only") {
+    import org.apache.spark.sql.functions._
+    val logDir = Files.createTempDirectory("graft-sess-").toString
+    val log = EventLog(logDir, spark)
+    // burst at minutes 0-2 (one session), burst at minute 60-61 (another)
+    log.saveAll("ss_events", Seq(ev(1, 0), ev(2, 1), ev(3, 2), ev(4, 60), ev(5, 61)))
+    val sessions = scala.collection.mutable.Map.empty[String, Long]
+    val q = Subscribe.stream(spark, logDir, "ss_events")
+      .selectExpr("id % 2 AS user_id", "timestamp")
+      .withWatermark("timestamp", "10 minutes")
+      // keyed session windows (streaming rejects the global form)
+      .groupBy(session_window(col("timestamp"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(concat(col("user_id"), lit("@"), col("session_window.start")).as("s"), col("n"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append") // session windows require append on streams
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt6-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => sessions(r.getAs[String]("s")) = r.getAs[Long]("n"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // watermark settles at max(ts)-10min = 51:05 → the early sessions
+    // (user 1: ids 1,3; user 0: id 2) close and emit; the minute-60/61
+    // sessions stay open in state, exactly as append semantics specify.
+    assert(sessions.values.toSeq.sorted == Seq(1L, 2L),
+      s"only watermark-closed sessions emit under append mode, got $sessions")
+  }
+
   test("columnar decode pipeline (enrich) runs on the subscribe stream") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.GenericData
