@@ -87,7 +87,7 @@ object RelationalQueries extends QueryModule {
       import s.implicits._
       val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
       Tables.load(s, dir, "customer")
-        .withColumn("rnk", rank().over(w))
+        .withColumn("rnk", rank().over(w).cast("long"))
         .withColumn("running_bal", sum(d2($"c_acctbal")).over(w).cast("double"))
         .filter($"rnk" <= 3)
         .select($"c_nationkey", $"c_custkey", $"rnk", $"running_bal")

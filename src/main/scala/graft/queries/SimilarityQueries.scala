@@ -29,6 +29,22 @@ object SimilarityQueries extends QueryModule {
   private val K = 10
   private val NQueries = 10
 
+  /** Hyperplane-LSH parameters: `NBits` random-sign hyperplanes over `Dim`
+    * dims, derived deterministically from md5 so Spark and DuckDB build
+    * byte-identical planes (CrossHash doctrine). bucket(v) = bitmap of
+    * sign(v·r_j). */
+  private val Dim = 64
+  private val NBits = 8
+  private[queries] val hyperplanes: IndexedSeq[IndexedSeq[Int]] =
+    (0 until NBits).map { j =>
+      (0 until Dim).map { d =>
+        // stable ±1 from md5 of "j_d"
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_$d".getBytes("UTF-8"))
+        if ((md(0) & 1) == 0) 1 else -1
+      }
+    }
+
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
@@ -66,8 +82,33 @@ object SimilarityQueries extends QueryModule {
       val c = e.select($"vec_id".as("neighbor_id"), $"label", $"v".as("cv"), $"nrm".as("cnrm"))
       topk(broadcast(q).join(c,
         $"qlabel" === $"label" && $"query_id" =!= $"neighbor_id"))
+    },
+
+    // Hyperplane-LSH ANN: bucket = sign bitmap of 8 fixed hyperplane dot
+    // products; probe only the query's bucket. The bucket column is what
+    // a 100 TB corpus is partitioned/bucketed by on disk, so a probe is a
+    // partition-pruned scan; recall tunes with NBits/multi-probe.
+    "knn_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      val bucket = (0 until NBits).map { j =>
+        when(expr(s"graft_dot(v, ${planeSql(j)})") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val withB = e.withColumn("bucket", bucket)
+      val q = withB.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"bucket".as("qbucket"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val c = withB.select($"vec_id".as("neighbor_id"), $"bucket", $"v".as("cv"), $"nrm".as("cnrm"))
+      topk(broadcast(q).join(c,
+        $"qbucket" === $"bucket" && $"query_id" =!= $"neighbor_id"))
     }
   )
+
+  /** SQL literal for hyperplane j (shared by Spark expr and oracle). */
+  private def planeSql(j: Int): String =
+    hyperplanes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
+
+  private def oPlane(j: Int): String =
+    hyperplanes(j).map(x => s"${x}.0").mkString("[", ", ", "]::DOUBLE[]")
 
   private def oracle(joinCond: String): String =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -82,8 +123,26 @@ object SimilarityQueries extends QueryModule {
        |      FROM pairs)
        |WHERE rnk <= $K""".stripMargin
 
-  def oracles: Map[String, String] = Map(
-    "knn_brute" -> oracle(""),
-    "knn_ivf" -> oracle("AND c.label = q.label")
-  )
+  def oracles: Map[String, String] = {
+    val bucketExpr = (0 until NBits).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${oPlane(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    Map(
+      "knn_brute" -> oracle(""),
+      "knn_ivf" -> oracle("AND c.label = q.label"),
+      "knn_lsh" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+           |        $bucketExpr AS bucket FROM e),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
+           |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+           |    AND c.bucket = q.bucket)
+           |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+           |FROM (SELECT query_id, neighbor_id, cosine,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |      FROM pairs)
+           |WHERE rnk <= $K""".stripMargin)
+  }
 }
