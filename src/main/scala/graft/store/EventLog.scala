@@ -170,6 +170,40 @@ final class EventLog(val root: Path, spark: SparkSession) {
     if (m.isNullAt(0)) 0L else math.max(m.getLong(0) - cursor.lsn, 0L)
   }
 
+  /** Point-in-time replay bound: all events with `(lsn,id) <= asOf`, in
+    * order — the bounded-replay complement of [[scan]] (an event-sourced
+    * projection rebuilt "as of" a past cursor). */
+  def readAsOf(topic: String, asOf: Cursor): DataFrame =
+    read(topic)
+      .filter(col("lsn").isNotNull && col("lsn") <= asOf.lsn &&
+        !(struct(col("lsn"), col("id")) > struct(lit(asOf.lsn), lit(asOf.id))))
+      .orderBy(col("lsn"), col("id"))
+
+  /** Retention: drop whole segment files whose events all precede `before`
+    * (Kafka `retention.ms` analog, file-granular so it never rewrites
+    * data; events straddling the bound are kept). Requires quiesced
+    * readers like [[compact]]. */
+  def truncateBefore(topic: String, before: Cursor): Int = EventLog.writeLock.synchronized {
+    import scala.jdk.CollectionConverters._
+    if (!hasData(topic)) return 0
+    val files = {
+      val s = Files.list(topicDir(topic))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    val deletable = files.filter { f =>
+      val stats = spark.read.schema(EventLogSchema.schema).parquet(f.toString)
+        .agg(max(struct(col("lsn"), col("id"))).as("m"))
+        .select(col("m.lsn"), col("m.id")).collect()(0)
+      !stats.isNullAt(0) &&
+        (stats.getLong(0) < before.lsn ||
+          (stats.getLong(0) == before.lsn && stats.getLong(1) <= before.id))
+    }
+    deletable.foreach(Files.delete)
+    deletable.size
+  }
+
   /** Compact a topic's segment files: rewrite history into `targetFiles`
     * lsn-range-partitioned files. Many small appends → many small parquet
     * files; at scale the scan cost becomes file-open-bound, and compaction

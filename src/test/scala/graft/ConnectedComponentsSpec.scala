@@ -41,6 +41,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .foreach(got => assert(got == (1L to 4L).map(i => i -> i).toMap))
   }
 
+  test("random graphs: union-find, propagation, and BFS reference all agree") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val edges = (1 to 25).map(_ => (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      // BFS reference on the driver
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def component(start: Long): Set[Long] = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen
+      }
+      val expected = (1L to n).map(i => i -> component(i).min).toMap
+      runBoth(1L to n, edges).foreach(got => assert(got == expected))
+    }
+  }
+
   test("public clusters() dispatches by edge count and matches the paths") {
     import spark.implicits._
     val n = (1L to 6L).toDF("id")

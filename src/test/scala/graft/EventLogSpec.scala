@@ -137,6 +137,29 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.saveAll("cp_events", Seq(ev(7))) == Cursor(4, 7))
   }
 
+  test("readAsOf replays history up to a cursor, inclusive") {
+    val log = newLog()
+    log.saveAll("pt_events", (1 to 3).map(ev)) // lsn 1
+    log.saveAll("pt_events", (4 to 6).map(ev)) // lsn 2
+    val asOf = log.readAsOf("pt_events", Cursor(1, 3)).collect()
+    assert(asOf.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    val mid = log.readAsOf("pt_events", Cursor(2, 5)).collect()
+    assert(mid.map(_.getAs[Long]("id")).toSeq == (1L to 5L))
+  }
+
+  test("truncateBefore drops only whole expired segments (retention)") {
+    val log = newLog()
+    log.saveAll("tr_events", (1 to 2).map(ev)) // file 1: lsn 1
+    log.saveAll("tr_events", (3 to 4).map(ev)) // file 2: lsn 2
+    log.saveAll("tr_events", (5 to 6).map(ev)) // file 3: lsn 3
+    val dropped = log.truncateBefore("tr_events", Cursor(2, 4))
+    assert(dropped >= 1, "expired segments removed")
+    val remaining = log.read("tr_events").collect().map(_.getAs[Long]("id")).sorted
+    assert(remaining.toSeq == Seq(5L, 6L), "only the live tail remains")
+    // appends continue; cursor untouched by retention
+    assert(log.saveAll("tr_events", Seq(ev(7))) == Cursor(4, 7))
+  }
+
   test("topic discovery lists only _events dirs sorted (S8)") {
     val log = newLog()
     log.createTopic("b_events")
