@@ -121,15 +121,25 @@ final class EventLog(val root: Path, spark: SparkSession) {
     val base = cur.id
     // zipWithIndex preserves the caller's row order → append order == id
     // order, deterministically (G9 per-record sequentiality analog).
-    val withIds = batch.selectExpr("key", "data", "metadata", "timestamp")
-      .rdd.zipWithIndex().map { case (r, i) =>
-        Row(base + i + 1, r.get(0), r.get(1), r.get(2), r.get(3), lsn)
+    // Two passes: (1) per-partition sizes, (2) id-stamped write. Ids are
+    // base + cumulative-partition-offset + position, preserving the
+    // caller's row order deterministically (G9) without a zipWithIndex +
+    // persist + count chain (three passes).
+    val rows = batch.selectExpr("key", "data", "metadata", "timestamp").rdd
+    val sizes = rows.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val withIds = rows.mapPartitionsWithIndex { (p, it) =>
+      var i = 0L
+      val off = offsets(p)
+      it.map { r =>
+        i += 1
+        Row(base + off + i, r.get(0), r.get(1), r.get(2), r.get(3), lsn)
       }
-    withIds.persist()
-    val n = withIds.count()
+    }
     spark.createDataFrame(withIds, EventLogSchema.schema)
       .write.mode("append").parquet(topicDir(topic).toString)
-    withIds.unpersist()
     val next = Cursor(lsn, base + n)
     writeCursor(topic, next)
     next
