@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce aggressively: test-scale shuffles are tiny, so fewer,
+      // fuller post-shuffle partitions beat raw parallelism (on a real
+      // cluster the default parallelism-first policy is the right call)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
