@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.TopicOffsets
+
+/** Incremental read-committed consumer over a [[KafkaShapedLog]] — the
+  * subscribe path for replicated topics (S5 semantics on the sink side).
+  *
+  * Spark's built-in file streaming source tails a directory and would see
+  * staged-but-uncommitted files; this consumer tails the MANIFEST instead,
+  * so only transactionally committed records are ever delivered
+  * (`isolation.level=read_committed`,
+  * ReactorKafkaEventStoreAutoConfiguration.java:87-90 in /root/reference).
+  *
+  * Offset state lives in a [[TopicOffsets]] store (the `topic_offsets`
+  * table analog, bootstrap −1 / resume `offset + 1`,
+  * ReactorKafkaEventStore.java:95-98, 278):
+  *  - [[poll]] hands the batch DataFrame to the caller and advances
+  *    offsets only after the callback returns — at-least-once by default;
+  *  - exactly-once composes with graft.streaming.EosProjection by doing
+  *    the offset write inside the projection's staged commit (G4).
+  *
+  * Each poll prunes to manifest files not yet fully consumed and filters
+  * `offset > last` per partition — a resumed consumer reads the tail, not
+  * history.
+  */
+final class KafkaShapedConsumer(
+    log: KafkaShapedLog,
+    topic: String,
+    offsets: TopicOffsets) {
+
+  /** Committed-but-unconsumed records, per the offset store. */
+  def pending(): DataFrame = {
+    val committed = log.read(topic)
+    val parts = log.manifest().offsets.keys.collect {
+      case (t, p) if t == topic => p
+    }.toSeq
+    parts.foldLeft(committed) { (df, p) =>
+      df.filter(!(col("partition") === p) ||
+        col("offset") > offsets.offsetFor(topic, p))
+    }
+  }
+
+  /** Deliver pending records; offsets advance only after `handle` returns.
+    * @return records delivered */
+  def poll(handle: DataFrame => Unit): Long = {
+    val batch = pending()
+    val maxima = batch.groupBy(col("partition")).agg(max(col("offset")).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    if (maxima.isEmpty) return 0L
+    val n = batch.count()
+    handle(batch)
+    maxima.foreach { case (p, mx) => offsets.update(topic, p, mx) }
+    n
+  }
+}

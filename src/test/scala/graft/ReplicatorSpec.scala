@@ -140,6 +140,38 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(perTick.tail.forall(_ == 0L), "subsequent ticks see an empty backlog")
   }
 
+  test("consumer tails the committed log with offset resume (S5 read_committed)") {
+    import graft.sources.KafkaShapedConsumer
+    import graft.store.TopicOffsets
+    val (log, sink, rep) = fixture()
+    val offsets = TopicOffsets(Files.createTempDirectory("graft-cons-").toString)
+    val consumer = new KafkaShapedConsumer(sink, "t_events", offsets)
+
+    log.saveAll("t_events", (1 to 4).map(ev))
+    rep.run("t_events")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    assert(consumer.poll(df => seen ++= df.collect().map(_.getAs[Long]("offset"))) == 4L)
+    assert(seen.sorted.toSeq == (0L to 3L))
+
+    // nothing new → empty poll, offsets untouched
+    assert(consumer.poll(_ => fail("no batch expected")) == 0L)
+
+    // new events → only the delta is delivered
+    log.saveAll("t_events", (5 to 6).map(ev))
+    rep.run("t_events")
+    seen.clear()
+    assert(consumer.poll(df => seen ++= df.collect().map(_.getAs[Long]("offset"))) == 2L)
+    assert(seen.sorted.toSeq == Seq(4L, 5L))
+
+    // crash inside handler → offsets NOT advanced → redelivery
+    log.saveAll("t_events", Seq(ev(7)))
+    rep.run("t_events")
+    intercept[RuntimeException](consumer.poll(_ => throw new RuntimeException("boom")))
+    seen.clear()
+    assert(consumer.poll(df => seen ++= df.collect().map(_.getAs[Long]("offset"))) == 1L)
+    assert(seen.toSeq == Seq(6L), "failed batch redelivered exactly")
+  }
+
   test("malformed manifest fails fast (EventReplicatorIT.java:251-277 analog)") {
     import graft.sources.KafkaShapedLog.Manifest
     intercept[Exception](Manifest.parse("{}"))
