@@ -16,8 +16,10 @@ import graft.functions.expressions.{ConfluentSchemaId, DotProduct}
   *    without special configuration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RowValueCursorBound)
+  }
 }
 
 object GraftExtensions {
@@ -38,11 +40,17 @@ object GraftExtensions {
         ConfluentSchemaId(children.head)
       }))
 
-  /** Idempotent on-session registration. */
+  /** Idempotent on-session registration (functions + optimizer rule; the
+    * rule rides the public `experimental.extraOptimizations` hook when the
+    * session wasn't built with spark.sql.extensions). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>
       if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.RowValueCursorBound)) {
+      spark.experimental.extraOptimizations = extra :+ graft.plans.RowValueCursorBound
     }
   }
 }
