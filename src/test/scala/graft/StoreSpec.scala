@@ -141,6 +141,34 @@ class StoreSpec extends AnyFunSuite {
       (1 to 3).map(i => Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i + 3L)))
   }
 
+  test("encrypted end-to-end: replicate ciphertext verbatim, consumer decrypts from sink records (§3-C + E2)") {
+    import graft.crypto.{EventEncryptor, InMemoryKms}
+    val store = newStore(encrypted = true)
+    val uri = "test-kms://test-keys/e2e-1"
+    store.saveAll("e2e_events", (1 to 3).map { i =>
+      (s"k$i".getBytes(UTF_8), rec(s"secret $i"): org.apache.avro.generic.GenericRecord,
+        Instant.parse("2024-03-01T00:00:00Z").plusSeconds(i),
+        Map("m" -> s"v$i".getBytes(UTF_8)))
+    }, encryptionKeyUri = Some(uri))
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-e2e-").toString, spark)
+    new Replicator(store.log, sink).run("e2e_events")
+
+    val enc = new EventEncryptor(new InMemoryKms)
+    val decoded = sink.read("e2e_events").orderBy("offset").collect().map { r =>
+      val headers = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("headers"))
+        .map(h => h.getAs[String]("key") -> h.getAs[Array[Byte]]("value")).toMap
+      assert(headers.contains("kid"), "kid header replicated")
+      assert(headers.contains("id") && headers.contains("lsn"))
+      val key = r.getAs[Array[Byte]]("key")
+      val tsMillis = r.getAs[java.sql.Timestamp]("timestamp").getTime
+      // consumer-side metadata = headers minus transport id/lsn (E2 AD excludes them anyway)
+      val meta = headers - "id" - "lsn"
+      val plain = enc.decrypt(r.getAs[Array[Byte]]("value"), key, tsMillis, meta)
+      ConfluentAvro.deserialize(plain, catalog).get("text").toString
+    }
+    assert(decoded.toSeq == (1 to 3).map(i => s"secret $i"))
+  }
+
   test("enrich decrypts encrypted topics columnar (F5→E2 on executors)") {
     val store = newStore(encrypted = true)
     val uri = "test-kms://test-keys/col-1"
