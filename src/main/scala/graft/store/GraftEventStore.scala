@@ -60,6 +60,33 @@ final class GraftEventStore(
       encryptionKeyUri: Option[String] = None): Cursor =
     saveAll(topic, Seq((key, payload, timestamp, metadata)), encryptionKeyUri)
 
+  /** T8: consume a topic, transform payloads, save to another topic — the
+    * Streams output-transformer path (KafkaStreamsEventStore.java:160-192).
+    * Faithful semantics: the stored `kid` is dropped from the outgoing
+    * metadata and, when present, its key URI re-encrypts the transformed
+    * payload (EncryptingOutputEventTransformer pulls the key from metadata,
+    * KafkaStreamsEventStore.java:183-187). `keyOverride` rotates to a new
+    * key instead. */
+  def transformTopic(
+      inTopic: String,
+      outTopic: String,
+      f: GenericRecord => GenericRecord,
+      shiftTimestamp: java.time.Duration = java.time.Duration.ZERO,
+      keyOverride: Option[String] = None): Cursor = {
+    val out = readEvents(inTopic).map { case (e, payload) =>
+      val sourceUri = e.metadata.get(Event.MetadataKeyId).map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      val uri = keyOverride.orElse(sourceUri)
+      val cleanMeta = e.metadata - Event.MetadataKeyId - Event.MetadataId
+      (e.key, f(payload), e.timestamp.plus(shiftTimestamp), cleanMeta, uri)
+    }
+    // group by encryption target is unnecessary: saveAll takes one key per
+    // batch in the reference too (per-event keys via repeated calls)
+    out.groupBy(_._5).foldLeft(Cursor.zero) { case (_, (uri, group)) =>
+      saveAll(outTopic, group.map { case (k, p, t, m, _) => (k, p, t, m) }, uri)
+    }
+    log.currentCursor(outTopic)
+  }
+
   /** Bounded replay: ordered typed events with payload decrypted (F5/E2)
     * and deserialized (T2). */
   def readEvents(topic: String, after: Cursor = Cursor.zero): Seq[(Event, GenericRecord)] =

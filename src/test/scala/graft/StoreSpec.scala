@@ -141,6 +141,67 @@ class StoreSpec extends AnyFunSuite {
       (1 to 3).map(i => Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i + 3L)))
   }
 
+  test("T8 output transformer: re-encrypts with the kid-sourced key, drops kid from user metadata") {
+    val store = newStore(encrypted = true)
+    val uri = "test-kms://test-keys/t8"
+    store.save("t8in_events", "k".getBytes(UTF_8), rec("original"),
+      Instant.parse("2024-04-01T00:00:00Z"), Map("m" -> "v".getBytes(UTF_8)),
+      encryptionKeyUri = Some(uri))
+    store.transformTopic("t8in_events", "t8out_events",
+      p => rec(p.get("text").toString + " (processed)"),
+      shiftTimestamp = java.time.Duration.ofSeconds(3))
+    val Seq((outEvent, outPayload)) = store.readEvents("t8out_events")
+    assert(outPayload.get("text").toString == "original (processed)")
+    assert(outEvent.timestamp == Instant.parse("2024-04-01T00:00:03Z"))
+    // re-encrypted at rest under the same key (kid present, not plaintext)
+    val (_, stored) = store.log.typedRead("t8out_events").head
+    assert(new String(stored.metadata("kid"), UTF_8) == uri)
+    assert(!stored.payload.sameElements(
+      ConfluentAvro.serialize(1, rec("original (processed)"))))
+  }
+
+  test("T8 key rotation: keyOverride re-encrypts under a new kid") {
+    val store = newStore(encrypted = true)
+    store.save("rotin_events", "k".getBytes(UTF_8), rec("rotate me"),
+      Instant.now(), Map.empty, encryptionKeyUri = Some("test-kms://test-keys/old"))
+    store.transformTopic("rotin_events", "rotout_events", identity,
+      keyOverride = Some("test-kms://test-keys/new"))
+    val (_, stored) = store.log.typedRead("rotout_events").head
+    assert(new String(stored.metadata("kid"), UTF_8) == "test-kms://test-keys/new")
+    val Seq((_, payload)) = store.readEvents("rotout_events")
+    assert(payload.get("text").toString == "rotate me")
+  }
+
+  test("randomized pipeline property: save → replicate → read-back equality (seeded)") {
+    val rnd = new scala.util.Random(99)
+    val store = newStore()
+    val events = (1 to 40).map { i =>
+      val meta = (0 until rnd.nextInt(4)).map { j =>
+        val v = new Array[Byte](rnd.nextInt(16)); rnd.nextBytes(v)
+        s"k${rnd.alphanumeric.take(4).mkString}$j" -> v
+      }.toMap
+      (rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString.getBytes(UTF_8),
+        rec(s"payload ${rnd.nextInt(1000000)}"): org.apache.avro.generic.GenericRecord,
+        Instant.ofEpochMilli(1700000000000L + rnd.nextInt(1000000)),
+        meta)
+    }
+    store.saveAll("rand_events", events)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-rand-").toString, spark, numPartitions = 3)
+    assert(new Replicator(store.log, sink, batchSize = 7).run("rand_events") == 40L)
+    // read-back equality: payloads, millis-truncated timestamps, metadata
+    val back = store.readEvents("rand_events")
+    assert(back.size == 40)
+    back.zip(events).foreach { case ((e, p), (k, p0, t0, m0)) =>
+      assert(e.key.sameElements(k))
+      assert(p.get("text").toString == p0.asInstanceOf[GenericData.Record].get("text").toString)
+      assert(e.timestamp == t0.truncatedTo(java.time.temporal.ChronoUnit.MILLIS))
+      assert(e.metadata.keySet == m0.keySet)
+      m0.foreach { case (mk, mv) => assert(e.metadata(mk).sameElements(mv)) }
+    }
+    // sink holds exactly the same 40 values, no loss/dup across partitions
+    assert(sink.read("rand_events").count() == 40L)
+  }
+
   test("encrypted end-to-end: replicate ciphertext verbatim, consumer decrypts from sink records (§3-C + E2)") {
     import graft.crypto.{EventEncryptor, InMemoryKms}
     val store = newStore(encrypted = true)
