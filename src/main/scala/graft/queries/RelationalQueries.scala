@@ -226,6 +226,50 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("n"))
     },
 
+    // --- q18: large-volume orders (TPC-H Q18 analog): HAVING over a fact
+    //     aggregate, joined back to dimensions ---
+    "q18_bigorders" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val big = li.groupBy($"l_orderkey")
+        .agg(sum(d2($"l_quantity")).cast("double").as("total_qty"))
+        .filter($"total_qty" > 150)
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      big.join(orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"total_qty")
+    },
+
+    // --- q19: disjunctive multi-clause predicate join (TPC-H Q19 analog:
+    //     OR-of-ANDs that must not block the join pushdown) ---
+    "q19_disjunct" -> { (s, dir) =>
+      import s.implicits._
+      val part = Tables.load(s, dir, "part")
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#1" && $"p_size" <= 15 && $"l_quantity" >= 1 && $"l_quantity" <= 20) ||
+          ($"p_brand" === "Brand#3" && $"p_size" <= 30 && $"l_quantity" >= 10 && $"l_quantity" <= 40))
+        .agg(sum(d2($"l_extendedprice") * (d2(lit(1)) - d2($"l_discount"))).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // --- q20: nested semi-join chain (TPC-H Q20 analog: suppliers of
+    //     parts that appear in large lineitems) ---
+    "q20_nestsemi" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem").filter($"l_quantity" > 45)
+      val parts = Tables.load(s, dir, "part").filter($"p_size" > 40)
+        .join(li, $"p_partkey" === $"l_partkey", "left_semi")
+      val suppliers = Tables.load(s, dir, "supplier")
+        .join(
+          Tables.load(s, dir, "lineitem").join(parts, $"l_partkey" === $"p_partkey", "left_semi"),
+          $"s_suppkey" === $"l_suppkey", "left_semi")
+      suppliers.select($"s_suppkey", $"s_name")
+    },
+
     // --- q16: FULL OUTER join of two independent aggregates ---
     "q16_fullouter" -> { (s, dir) =>
       import s.implicits._
@@ -361,6 +405,30 @@ object RelationalQueries extends QueryModule {
          |  FROM lineitem GROUP BY l_partkey
          |) ON l_partkey = pk
          |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+
+    "q18_bigorders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+         |FROM (
+         |  SELECT l_orderkey, CAST(sum(${od2("l_quantity")}) AS DOUBLE) AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING CAST(sum(${od2("l_quantity")}) AS DOUBLE) > 150
+         |) JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_disjunct" ->
+      s"""SELECT CAST(sum($disc) AS DOUBLE) AS revenue, count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 1 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 10 AND l_quantity <= 40)""".stripMargin,
+
+    "q20_nestsemi" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (
+        |    SELECT p_partkey FROM part
+        |    WHERE p_size > 40 AND p_partkey IN (
+        |      SELECT l_partkey FROM lineitem WHERE l_quantity > 45)))""".stripMargin,
 
     "q16_fullouter" ->
       """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,

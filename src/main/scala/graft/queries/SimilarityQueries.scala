@@ -84,6 +84,26 @@ object SimilarityQueries extends QueryModule {
         $"qlabel" === $"label" && $"query_id" =!= $"neighbor_id"))
     },
 
+    // IVF with TRAINED centroids (Spark ML KMeans, fixed seed): the
+    // production shape of knn_ivf — coarse quantizer learned from the
+    // corpus, probe = the query's nearest centroid's bucket. Not
+    // SQL-expressible (k-means), so the driver records the rows-only
+    // check; SimilaritySpec asserts recall against knn_brute.
+    "knn_ivf_kmeans" -> { (s, dir) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import s.implicits._
+      val e = vecs(s, dir).withColumn("features", array_to_vector($"v")).cache()
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(e)
+      val assigned = model.transform(e)
+        .select($"vec_id", $"v", $"nrm", $"prediction".as("centroid"))
+      val q = assigned.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"centroid".as("qc"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val c = assigned.select($"vec_id".as("neighbor_id"), $"centroid", $"v".as("cv"), $"nrm".as("cnrm"))
+      topk(broadcast(q).join(c,
+        $"qc" === $"centroid" && $"query_id" =!= $"neighbor_id"))
+    },
+
     // Hyperplane-LSH ANN: bucket = sign bitmap of 8 fixed hyperplane dot
     // products; probe only the query's bucket. The bucket column is what
     // a 100 TB corpus is partitioned/bucketed by on disk, so a probe is a

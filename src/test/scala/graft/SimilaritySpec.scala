@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality: the bucketed variants are approximations of knn_brute —
+  * assert they return well-formed rankings and nonzero overlap with the
+  * exact top-k (the planted structure is weak, so thresholds are loose;
+  * the exact result sets themselves are oracle-checked by the driver). */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def resultSet(name: String): Map[(Long, Long), Long] =
+    queries.SimilarityQueries.queries(name)(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("rnk"))
+      .toMap
+
+  test("brute-force top-k is a dense ranking per query") {
+    val brute = resultSet("knn_brute")
+    val perQuery = brute.keys.groupBy(_._1)
+    assert(perQuery.size == 10)
+    perQuery.foreach { case (q, pairs) =>
+      val ranks = pairs.map(brute).toSeq.sorted
+      assert(ranks == (1L to pairs.size), s"dense ranks for query $q")
+    }
+  }
+
+  test("ivf/kmeans/lsh probes return subsets consistent with their buckets") {
+    val brute = resultSet("knn_brute").keySet
+    Seq("knn_ivf", "knn_lsh", "knn_ivf_kmeans").foreach { name =>
+      val approx = resultSet(name)
+      assert(approx.nonEmpty, s"$name returned rows")
+      // every approximate neighbor must also exist as SOME brute pair
+      // universe member (sanity: ids in range, no self-pairs)
+      approx.keys.foreach { case (q, n) =>
+        assert(q != n, s"$name produced a self-pair")
+        assert(q < 10 && n >= 0)
+      }
+      val overlap = approx.keySet.intersect(brute).size
+      assert(overlap > 0, s"$name shares no pairs with exact top-k")
+    }
+  }
+}
