@@ -203,7 +203,10 @@ object KafkaShapedLog {
       val offsets = "\"([^\"]+)/(\\d+)\"\\s*:\\s*(\\d+)".r
         .findAllMatchIn(section("offsets"))
         .map(m => (m.group(1), m.group(2).toInt) -> m.group(3).toLong).toMap
-      val cursors = "\"([^\"]+)\"\\s*:\\s*\"(\\d+:\\d+)\"".r
+      // strict: a malformed cursor value must fail init, not be skipped
+      // (EventReplicatorIT.java:251-277 — Cursor.parse throws
+      // IllegalStateException on anything but "<lsn>:<id>")
+      val cursors = "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
         .findAllMatchIn(section("cursors"))
         .map(m => m.group(1) -> Cursor.parse(m.group(2))).toMap
       Manifest(files, offsets, cursors)

@@ -176,13 +176,15 @@ class ReplicatorSpec extends AnyFunSuite {
     import graft.sources.KafkaShapedLog.Manifest
     intercept[Exception](Manifest.parse("{}"))
     intercept[Exception](Manifest.parse("""{"files": [], "offsets": {}}""")) // missing cursors
-    // malformed cursor value (no colon) must not silently parse
     val m = Manifest.parse(
       """{"files": [], "offsets": {}, "cursors": {"t_events": "12:34"}}""")
     assert(m.cursors("t_events") == Cursor(12, 34))
-    val bad = Manifest.parse(
-      """{"files": [], "offsets": {}, "cursors": {"t_events": "1234"}}""")
-    assert(!bad.cursors.contains("t_events"), "colon-less cursor must not match")
+    // malformed cursor value must fail init, not be silently skipped
+    // (EventReplicatorIT.java:251-277)
+    intercept[IllegalStateException](Manifest.parse(
+      """{"files": [], "offsets": {}, "cursors": {"t_events": "1234"}}"""))
+    intercept[IllegalStateException](Manifest.parse(
+      """{"files": [], "offsets": {}, "cursors": {"t_events": "a:b"}}"""))
   }
 
   test("manifest renders and reparses losslessly") {
