@@ -136,4 +136,15 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SchemaCatalog.empty.schemaById(1))
     intercept[IllegalArgumentException](SchemaCatalog.empty.idFor("nope.Missing"))
   }
+
+  test("catalog loads <id>_<name>.avsc files from a directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-")
+    java.nio.file.Files.writeString(dir.resolve("7_TestPayload.avsc"),
+      payloadSchema.toString)
+    java.nio.file.Files.writeString(dir.resolve("ignore.txt"), "not a schema")
+    val cat = SchemaCatalog.fromDir(dir)
+    assert(cat.ids == Set(7))
+    assert(cat.schemaById(7).getFullName == "graft.test.TestPayload")
+    assert(cat.idFor("graft.test.TestPayload") == 7)
+  }
 }
