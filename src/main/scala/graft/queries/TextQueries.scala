@@ -77,6 +77,33 @@ object TextQueries extends QueryModule {
           langProfiles.map { case (l, _) => col(s"s_$l") }): _*)
     },
 
+    // Text cleaning: whitespace normalization + lowercasing + digit
+    // masking — the regex-normalization stage of a corpus pipeline.
+    "text_clean" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          regexp_replace(
+            regexp_replace(trim(lower($"text")), "[0-9]+", "<num>"),
+            "\\s+", " ").as("clean_text"))
+        .withColumn("clean_len", length($"clean_text").cast("long"))
+    },
+
+    // Repetition scoring: most-repeated word 3-gram count and its share of
+    // all shingles (high repetition → low-quality/generated text).
+    "text_repetition" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id", explode(shingles3("w")).as("sh"))
+        .groupBy($"doc_id", $"sh")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("max_rep"),
+          sum($"c").as("n_shingles"),
+          (max($"c").cast("double") / sum($"c")).as("rep_ratio"))
+    },
+
     // Corpus bigram document frequencies (top-20, deterministic tiebreak).
     "text_ngram_freq" -> { (s, dir) =>
       import s.implicits._
@@ -139,6 +166,22 @@ object TextQueries extends QueryModule {
            |  FROM (
            |    SELECT doc_id, lang AS labeled_lang, $scoreCols
            |    FROM (SELECT doc_id, lang, $oTokens AS w FROM documents)))""".stripMargin,
+
+      "text_clean" ->
+        """SELECT doc_id,
+          |  regexp_replace(regexp_replace(trim(lower(text)), '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g') AS clean_text,
+          |  length(regexp_replace(regexp_replace(trim(lower(text)), '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g')) AS clean_len
+          |FROM documents""".stripMargin,
+
+      "text_repetition" ->
+        s"""SELECT doc_id, max(c) AS max_rep, CAST(sum(c) AS BIGINT) AS n_shingles,
+           |  CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+           |FROM (
+           |  SELECT doc_id, sh, count(*) AS c FROM (
+           |    SELECT doc_id, unnest($oShingles3) AS sh
+           |    FROM (SELECT doc_id, $oTokens AS w FROM documents))
+           |  GROUP BY doc_id, sh)
+           |GROUP BY doc_id""".stripMargin,
 
       "text_ngram_freq" ->
         s"""SELECT bigram, count(*) AS df FROM (
