@@ -79,9 +79,9 @@ final class GraftEventStore(
       val cleanMeta = e.metadata - Event.MetadataKeyId - Event.MetadataId
       (e.key, f(payload), e.timestamp.plus(shiftTimestamp), cleanMeta, uri)
     }
-    // group by encryption target is unnecessary: saveAll takes one key per
-    // batch in the reference too (per-event keys via repeated calls)
-    out.groupBy(_._5).foldLeft(Cursor.zero) { case (_, (uri, group)) =>
+    // one append per encryption target (saveAll takes one key per batch);
+    // groups sorted so multi-key outputs land in a deterministic order
+    out.groupBy(_._5).toSeq.sortBy(_._1.getOrElse("")).foreach { case (uri, group) =>
       saveAll(outTopic, group.map { case (k, p, t, m, _) => (k, p, t, m) }, uri)
     }
     log.currentCursor(outTopic)
