@@ -163,6 +163,35 @@ class StreamingSpec extends AnyFunSuite {
       s"only watermark-closed sessions emit under append mode, got $sessions")
   }
 
+  test("stream-stream interval join with watermarks (click ⋈ follow-up within 10 min)") {
+    import org.apache.spark.sql.functions._
+    val logDir = Files.createTempDirectory("graft-ssj-").toString
+    val log = EventLog(logDir, spark)
+    // "clicks" topic: events at minutes 0, 1; "acts" topic: minute 5 (joins), minute 30 (too late)
+    log.saveAll("clicks_events", Seq(ev(1, 0), ev(2, 1)))
+    log.saveAll("acts_events", Seq(ev(1, 5), ev(2, 30)))
+
+    val clicks = Subscribe.stream(spark, logDir, "clicks_events")
+      .selectExpr("key AS ckey", "timestamp AS cts").withWatermark("cts", "1 hour")
+    val acts = Subscribe.stream(spark, logDir, "acts_events")
+      .selectExpr("key AS akey", "timestamp AS ats").withWatermark("ats", "1 hour")
+    val joined = clicks.join(acts,
+      expr("ckey = akey AND ats > cts AND ats <= cts + INTERVAL 10 MINUTES"))
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = joined.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt7-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= df.collect().map(r => new String(r.getAs[Array[Byte]]("ckey"), UTF_8))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(out.toSeq == Seq("key-1"),
+      s"only the within-window pair joins; got $out")
+  }
+
   test("columnar decode pipeline (enrich) runs on the subscribe stream") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.GenericData
