@@ -160,6 +160,31 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.saveAll("tr_events", Seq(ev(7))) == Cursor(4, 7))
   }
 
+  test("concurrent appends serialize: unique consecutive ids, one lsn per batch (G1)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val log = newLog()
+    log.createTopic("cc_events")
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (1 to 8).map { b =>
+        Future { log.saveAll("cc_events", (1 to 3).map(i => ev(b * 10 + i))) }
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+      val rows = log.read("cc_events").collect()
+      assert(rows.length == 24)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == (1L to 24L),
+        "ids dense and unique under contention")
+      // each append batch carries exactly one lsn and 3 rows
+      val byLsn = rows.groupBy(_.getAs[Long]("lsn"))
+      assert(byLsn.size == 8)
+      assert(byLsn.values.forall(_.length == 3))
+      assert(log.currentCursor("cc_events") == Cursor(8, 24))
+    } finally pool.shutdown()
+  }
+
   test("topic discovery lists only _events dirs sorted (S8)") {
     val log = newLog()
     log.createTopic("b_events")
