@@ -196,6 +196,71 @@ object EventQueries extends QueryModule {
           $"purchase".as("n_purchase"), $"signup".as("n_signup"), $"error".as("n_error"))
     },
 
+    // Inter-event gap statistics per user (lag window): the heartbeat /
+    // activity-cadence operator. Gaps in exact integer microseconds so
+    // both engines agree bit-for-bit; the mean is one double division.
+    "ev_gaps" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+        .filter($"gap_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min($"gap_us").as("min_gap_us"),
+          max($"gap_us").as("max_gap_us"),
+          (sum($"gap_us").cast("double") / count(lit(1))).as("mean_gap_us"))
+    },
+
+    // Running cumulative value per user in (ts, event_id) order — the
+    // stateful running-total projection (decimal-exact, then one cast).
+    "ev_cumsum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id",
+          sum($"value".cast(dec2)).over(w).cast("double").as("running_value"))
+    },
+
+    // First-touch attribution: each user's earliest event (min_by fold) —
+    // the mirror of ev_last_per_key's compacted-topic semantics.
+    "ev_first_touch" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          min_by($"event_type", $"event_id").as("first_type"),
+          min($"ts").as("first_ts"),
+          min($"event_id").as("first_event_id"))
+    },
+
+    // Consecutive-duplicate collapse per user (lag filter): stream
+    // compaction that keeps only type-change points — the event-log analog
+    // of Kafka log compaction restricted to adjacent records.
+    "ev_dedup_consec" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+    },
+
+    // Fixed-width value histogram per event type (numeric binning; both
+    // engines compute floor(value/100) over doubles identically).
+    "ev_histogram" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type", floor($"value" / 100.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min($"value").as("vmin"),
+          max($"value").as("vmax"))
+    },
+
     // T7 analog: typed projection out of a serialized payload column.
     "ev_json_props" -> { (s, dir) =>
       import s.implicits._
@@ -320,6 +385,43 @@ object EventQueries extends QueryModule {
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "ev_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  CAST(sum(gap_us) AS DOUBLE) / count(*) AS mean_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+
+    "ev_cumsum" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+
+    "ev_first_touch" ->
+      """SELECT user_id,
+        |  arg_min(event_type, event_id) AS first_type,
+        |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |  min(event_id) AS first_event_id
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "ev_dedup_consec" ->
+      """SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |WHERE prev_type IS NULL OR prev_type <> event_type""".stripMargin,
+
+    "ev_histogram" ->
+      """SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

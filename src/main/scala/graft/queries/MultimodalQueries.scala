@@ -5,14 +5,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.QueryModule
 import graft.multimodal.Multimodal
 
-/** Multimodal feature extraction as a registered query. No oracle: the
-  * decode stage is a codec stand-in, not SQL-expressible — the driver
-  * records the weaker rows-only check; ScalaTest pins the stub's output
-  * (MultimodalSpec). */
+/** Multimodal queries over opaque binary payloads.
+  *
+  *  - mm_features: decode / feature-extract over binary media (stubbed
+  *    codec behind `Multimodal.MediaDecoder`). No oracle: the decode stage
+  *    is not SQL-expressible — the driver records the weaker rows-only
+  *    check; ScalaTest pins the stub's output (MultimodalSpec).
+  *  - mm_meta: the metadata stage that IS oracle-checkable — byte length,
+  *    magic-byte sniff (head hex), content digest, and fixed-size chunk
+  *    count over the opaque `binary` column. At 100 TB this is the narrow
+  *    shuffle-free projection that routes media rows to per-type decode
+  *    pipelines (the binary stays unparsed; only 8 head bytes + a digest
+  *    leave the scan).
+  */
 object MultimodalQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> { (s, dir) => Multimodal.featureQuery(s, dir) }
+    "mm_features" -> { (s, dir) => Multimodal.featureQuery(s, dir) },
+
+    "mm_meta" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("data"))
+        .select($"doc_id",
+          length($"data").cast("long").as("n_bytes"),
+          hex(substring($"data", 1, 8)).as("magic_hex"),
+          md5($"data").as("digest"),
+          ceil(length($"data") / 256.0).cast("long").as("n_chunks"))
+    }
   )
 
-  def oracles: Map[String, String] = Map.empty
+  // DuckDB 1.0 can't slice or md5 BLOBs directly: the magic bytes come from
+  // substr over hex(blob) (same bytes, hex-space slice) and the digest from
+  // md5(text) (identical to Spark's md5 over the UTF-8 binary).
+  def oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  substr(hex(encode(text)), 1, 16) AS magic_hex,
+        |  md5(text) AS digest,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+        |FROM documents""".stripMargin
+  )
 }

@@ -270,6 +270,47 @@ object RelationalQueries extends QueryModule {
       suppliers.select($"s_suppkey", $"s_name")
     },
 
+    // --- q21: sole-late-supplier (TPC-H Q21 analog). The synthetic schema
+    //     has no receipt/commit dates, so "late" := shipped more than 90
+    //     days after the order date. The correlated EXISTS / NOT EXISTS
+    //     pair is hand-decorrelated into one per-order aggregate
+    //     (n_supp > 1 ∧ exactly one late supplier) — a single extra
+    //     shuffle on l_orderkey instead of two correlated self-joins. ---
+    "q21_waiting" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders").filter($"o_orderstatus" === "F")
+      val li = Tables.load(s, dir, "lineitem")
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      val perOrder = li.groupBy($"l_orderkey".as("ok"))
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
+      li.filter($"late")
+        .join(perOrder, $"l_orderkey" === $"ok")
+        .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+        .join(broadcast(Tables.load(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(100)
+    },
+
+    // --- q22: inactive rich customers by "country" (TPC-H Q22 analog; the
+    //     synthetic customer has no phone, so nationkey plays the country
+    //     code). Scalar subquery (positive-balance mean) + anti-join. ---
+    "q22_custsale" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val avgBal = cust.filter($"c_acctbal" > 0)
+        .agg((sum(d2($"c_acctbal")).cast("double") / count(lit(1))).as("a"))
+        .head().getDouble(0)
+      cust.filter($"c_acctbal" > avgBal)
+        .join(Tables.load(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(d2($"c_acctbal")).cast("double").as("totacctbal"))
+    },
+
     // --- q16: FULL OUTER join of two independent aggregates ---
     "q16_fullouter" -> { (s, dir) =>
       import s.implicits._
@@ -429,6 +470,35 @@ object RelationalQueries extends QueryModule {
         |    SELECT p_partkey FROM part
         |    WHERE p_size > 40 AND p_partkey IN (
         |      SELECT l_partkey FROM lineitem WHERE l_quantity > 45)))""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH li AS (
+        |  SELECT l.*, o.o_orderdate,
+        |    l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem l JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM li l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM li l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q22_custsale" ->
+      s"""SELECT c_nationkey, count(*) AS numcust,
+         |  CAST(sum(${od2("c_acctbal")}) AS DOUBLE) AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (
+         |    SELECT CAST(sum(${od2("c_acctbal")}) AS DOUBLE) / count(*)
+         |    FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_nationkey""".stripMargin,
 
     "q16_fullouter" ->
       """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,

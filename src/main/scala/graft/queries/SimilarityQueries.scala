@@ -104,6 +104,23 @@ object SimilarityQueries extends QueryModule {
         $"qc" === $"centroid" && $"query_id" =!= $"neighbor_id"))
     },
 
+    // Radius (range) search: all neighbors within a cosine threshold —
+    // the "find everything similar enough" dual of top-k. Same broadcast
+    // nested-loop shape as knn_brute; output is filter-bounded instead of
+    // rank-bounded.
+    "knn_range" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      val cos = expr("graft_dot(qv, cv)") / (col("qnrm") * col("cnrm"))
+      broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
+        .withColumn("cosine", cos)
+        .filter($"cosine" >= 0.3)
+        .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"))
+    },
+
     // Hyperplane-LSH ANN: bucket = sign bitmap of 8 fixed hyperplane dot
     // products; probe only the query's bucket. The bucket column is what
     // a 100 TB corpus is partitioned/bucketed by on disk, so a probe is a
@@ -150,6 +167,13 @@ object SimilarityQueries extends QueryModule {
     Map(
       "knn_brute" -> oracle(""),
       "knn_ivf" -> oracle("AND c.label = q.label"),
+      "knn_range" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+           |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |  round(list_dot_product(q.v, c.v)/(q.nrm*c.nrm), 6) AS cosine
+           |FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+           |WHERE list_dot_product(q.v, c.v)/(q.nrm*c.nrm) >= 0.3""".stripMargin,
       "knn_lsh" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
