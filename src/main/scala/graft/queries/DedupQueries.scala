@@ -13,8 +13,10 @@ import CrossHash._
   *  - dedup_exact: one hash-shuffle on md5(text); at 100 TB, group on the
   *    digest (never the raw text) so shuffle rows are tiny and skew-free.
   *  - dedup_ngram_jaccard: exact all-pairs via the inverted shingle index
-  *    (self-join on shingle). Quadratic in docs-per-shingle — correct
-  *    baseline at test scale; the LSH variant below is the scale path.
+  *    (self-join on the 60-bit shingle hash — fixed-width keys, ~4× less
+  *    shuffle than raw shingle strings). Quadratic in docs-per-shingle —
+  *    correct baseline at test scale; the LSH variant below is the scale
+  *    path.
   *  - dedup_minhash_lsh: minhash signatures (16 perms) → banded LSH
   *    (4 bands × 4 rows) → bucket-join produces only candidate pairs →
   *    exact jaccard verification of candidates. Cost is O(candidates), not
@@ -31,12 +33,19 @@ import CrossHash._
   * engines evaluate it identically (see CrossHash).
   */
 object DedupQueries extends QueryModule {
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle-hash) pairs. Shingles are hashed to 60-bit
+    * longs (h60, identical in both engines) BEFORE the distinct/self-join:
+    * the shuffle rows shrink from ~30-byte strings to 8-byte longs and the
+    * join keys become fixed-width — at 100 TB this is the difference
+    * between shuffling the corpus' text and shuffling one long per
+    * shingle. Hash collisions are deterministic and engine-identical, so
+    * the oracle agrees bit-for-bit. */
   private def shingleSet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select($"doc_id", tokens($"text").as("w"))
       .select($"doc_id", explode(shingles3("w")).as("s"))
+      .select($"doc_id", h60($"s").as("h"))
       .distinct()
   }
 
@@ -47,7 +56,7 @@ object DedupQueries extends QueryModule {
     val sh = shingleSet(s, dir).cache()
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
@@ -61,7 +70,8 @@ object DedupQueries extends QueryModule {
 
   private val oShingleCtes =
     s"""docs AS (SELECT doc_id, $oTokens AS w FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest($oShingles3) AS s FROM docs),
+       |sh AS (SELECT DISTINCT doc_id, ${oH60("s")} AS h
+       |       FROM (SELECT doc_id, unnest($oShingles3) AS s FROM docs)),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -91,7 +101,7 @@ object DedupQueries extends QueryModule {
       import s.implicits._
       val sh = shingleSet(s, dir).cache()
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val hx = sh.select($"doc_id", (h60($"s") % P).as("x"))
+      val hx = sh.select($"doc_id", ($"h" % P).as("x"))
       val sigCols = (0 until NumPerm).map(i =>
         min((lit(permA(i)) * $"x" + lit(permB(i))) % P).as(s"m$i"))
       val sig = hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -104,17 +114,18 @@ object DedupQueries extends QueryModule {
       val bands = sig.select($"doc_id", explode(array(bandStructs: _*)).as("e"))
         .select($"doc_id", $"e.band".as("band"), $"e.bv".as("bv"))
         .cache()
+      // cand is consumed exactly once (inside the broadcast build below) —
+      // no cache; the broadcast itself is the materialization.
       val cand = bands.as("a").join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .distinct()
-        .cache()
       // candidate set is tiny (LSH pruned) — broadcast it against the
       // shingle index; per-doc counts broadcast likewise.
       val inter = broadcast(cand)
-        .join(sh.select($"doc_id".as("doc_a"), $"s".as("sa")), "doc_a")
-        .join(sh.select($"doc_id".as("doc_b"), $"s".as("sb")), "doc_b")
-        .filter($"sa" === $"sb")
+        .join(sh.select($"doc_id".as("doc_a"), $"h".as("ha")), "doc_a")
+        .join(sh.select($"doc_id".as("doc_b"), $"h".as("hb")), "doc_b")
+        .filter($"ha" === $"hb")
         .groupBy($"doc_a", $"doc_b")
         .agg(count(lit(1)).as("inter"))
       val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
@@ -188,7 +199,7 @@ object DedupQueries extends QueryModule {
         s"""WITH $oShingleCtes,
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
            |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
@@ -198,7 +209,7 @@ object DedupQueries extends QueryModule {
         s"""WITH RECURSIVE $oShingleCtes,
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2),
            |pairs AS (
            |  SELECT doc_a, doc_b
@@ -214,7 +225,7 @@ object DedupQueries extends QueryModule {
 
       "dedup_minhash_lsh" ->
         s"""WITH $oShingleCtes,
-           |hx AS (SELECT doc_id, ${oH60("s")} % $P AS x FROM sh),
+           |hx AS (SELECT doc_id, h % $P AS x FROM sh),
            |sig AS (SELECT doc_id, $sigExprs FROM hx GROUP BY doc_id),
            |bands AS ($bandSelects),
            |cand AS (
@@ -224,7 +235,7 @@ object DedupQueries extends QueryModule {
            |inter AS (
            |  SELECT doc_a, doc_b, count(*) AS i
            |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
-           |            JOIN sh sb ON sb.doc_id = doc_b AND sa.s = sb.s
+           |            JOIN sh sb ON sb.doc_id = doc_b AND sa.h = sb.h
            |  GROUP BY 1, 2)
            |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
