@@ -25,8 +25,15 @@ object SparkEntry {
     MultimodalQueries
   )
 
+  /** Every query runs with graft's Catalyst extensions registered
+    * (native expressions + optimizer rules) — registration is idempotent
+    * and the driver's vanilla session gets them without configuration. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+    modules.flatMap(_.queries).toMap.map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        GraftExtensions.register(s); fn(s, dir)
+      }
+    }
 
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap

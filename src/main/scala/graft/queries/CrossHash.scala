@@ -34,9 +34,12 @@ object CrossHash {
 
   // ---- Spark side ----
 
-  /** 60-bit md5 hash of a string column (non-negative long). */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit md5 hash of a string column (non-negative long). Native
+    * codegen expression (graft.functions.expressions.Md5Prefix60) —
+    * value-identical to `conv(substring(md5(c),1,15),16,10)::long` but one
+    * fused digest instead of two string allocations per row. Requires
+    * GraftExtensions registration (SparkEntry wraps every query with it). */
+  def h60(c: Column): Column = call_function("graft_h60", c)
 
   /** Whitespace tokens. */
   def tokens(c: Column): Column = split(c, "\\s+")

@@ -68,4 +68,29 @@ class StoreInfraSpec extends AnyFunSuite {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
     assert(e.eval(null) == 11.0)
   }
+
+  test("graft_h60 equals the composed conv(substring(md5)) spelling on arbitrary strings") {
+    val s = TestSpark.spark
+    graft.GraftExtensions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // unicode, empty, long, and md5-edge inputs; plus a seeded random batch
+    val rnd = new scala.util.Random(42)
+    val samples = Seq("", "a", "hello world", "的是了在我", "naïve café",
+      "x" * 10000) ++ (1 to 200).map(_ => rnd.nextString(rnd.nextInt(50)))
+    val df = samples.toDF("t").select(
+      call_function("graft_h60", $"t").as("native"),
+      conv(substring(md5($"t"), 1, 15), 16, 10).cast("long").as("composed"))
+    assert(df.filter($"native" =!= $"composed").count() == 0)
+    // null-in → null-out
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(call_function("graft_h60", $"t")).collect()
+    assert(n(0).isNullAt(0))
+    // interpreted path agrees with codegen
+    val e = graft.functions.expressions.Md5Prefix60(
+      org.apache.spark.sql.catalyst.expressions.Literal("hello world"))
+    val composed = df.sparkSession.sql(
+      "SELECT CAST(conv(substring(md5('hello world'),1,15),16,10) AS BIGINT)").collect()(0).getLong(0)
+    assert(e.eval(null) == composed)
+  }
 }
