@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: assert the scale-critical plan properties hold —
+  * these are the "would this survive 100 TB" invariants, pinned so a
+  * refactor that silently loses a pushdown or broadcasts the wrong side
+  * fails CI rather than a production run.
+  *
+  * Checked against the formatted explain of the ACTUAL registered queries
+  * (sf0.001 inputs — plan shape, not data, is under test).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("q6_filter: selective predicates reach the parquet scan (PushedFilters) and only needed columns are read") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_shipdate"), p)
+    // pushed, not just post-scan: the scan node lists shipdate bounds
+    assert("PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\]".r.findFirstIn(p).isDefined, p)
+    // projection pruning: the 11-column lineitem scan must not read
+    // join-only columns like l_orderkey / l_partkey
+    val readSchema = "ReadSchema:[^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q2_join5: every dimension join is broadcast (fact side never shuffles for dims)") {
+    val p = plan("q2_join5")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q1_agg: aggregation is partial (map-side combine before the exchange)") {
+    val p = plan("q1_agg")
+    val nAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 2, s"expected partial+final HashAggregate, plan:\n$p")
+    // partial agg must sit below the shuffle: the (root-first) tree shows
+    // final HashAggregate, then the Exchange, then the partial HashAggregate
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("ev_keyset_scan: the cursor bound is pushed to the parquet scan (row-group pruning)") {
+    val p = plan("ev_keyset_scan")
+    assert("PushedFilters: \\[[^\\]]*ts[^\\]]*\\]".r.findFirstIn(p).isDefined,
+      s"ts bound not pushed:\n$p")
+  }
+
+  test("knn_brute: query side broadcasts; the corpus is never shuffled or sorted for the join") {
+    val p = plan("knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("narrow projections (text_tokens, text_clean, mm_meta) are shuffle-free single stages") {
+    for (q <- Seq("text_tokens", "text_clean", "mm_meta")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      // formatted mode marks codegen'd nodes with a leading '*'
+      assert(p.contains("* Project"), s"$q projection not codegen'd:\n$p")
+    }
+  }
+
+  test("dedup_exact groups on the digest, not the raw text (shuffle rows are hashes)") {
+    val p = plan("dedup_exact")
+    // the exchange key must be the digest (Catalyst hoists it into a
+    // _groupingexpression computed below the shuffle); raw text may only
+    // appear at the scan, never as a partitioning key
+    assert(
+      "hashpartitioning\\((content_hash|_groupingexpression)".r.findFirstIn(p).isDefined, p)
+    assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, p)
+    assert(p.contains("md5("), p)
+  }
+
+  test("q21_waiting: the per-order aggregate joins back without a cartesian; supplier dim broadcasts") {
+    val p = plan("q21_waiting")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
