@@ -261,6 +261,25 @@ object EventQueries extends QueryModule {
           max($"value").as("vmax"))
     },
 
+    // Time-series densification: hourly event counts per type INCLUDING
+    // empty hours (sequence-explode over each type's [min,max] span,
+    // left join, zero-fill) — sparse log → dense series for downstream
+    // rate/anomaly models. The generated span table is |types|·|hours| —
+    // tiny relative to the log — and joins broadcast at scale.
+    "ev_densify" -> { (s, dir) =>
+      import s.implicits._
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val dense = hourly.groupBy($"event_type")
+        .agg(min($"h").as("h0"), max($"h").as("h1"))
+        .select($"event_type",
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      dense.join(hourly, Seq("event_type", "h"), "left")
+        .select($"event_type", $"h".as("window_start"),
+          coalesce($"cnt", lit(0L)).as("n"))
+    },
+
     // T7 analog: typed projection out of a serialized payload column.
     "ev_json_props" -> { (s, dir) =>
       import s.implicits._
@@ -422,6 +441,16 @@ object EventQueries extends QueryModule {
       """SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS bucket,
         |  count(*) AS n, min(value) AS vmin, max(value) AS vmax
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_densify" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY event_type)
+        |SELECT s.event_type, s.h AS window_start, coalesce(cnt, 0) AS n
+        |FROM spans s LEFT JOIN hourly USING (event_type, h)""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

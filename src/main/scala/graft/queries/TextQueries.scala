@@ -119,6 +119,21 @@ object TextQueries extends QueryModule {
         .limit(20)
     },
 
+    // Deterministic hash-stratified sampling: keep ~10% of docs per
+    // language via h60(text) % 10 = 0 — the reproducible corpus-subsample
+    // operator (no RNG state, no seed coordination across executors; the
+    // sample is a pure function of content, so reruns and late-arriving
+    // partitions agree). Reports per-stratum totals vs sampled counts.
+    "text_sample_strat" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(h60($"text") % 10 === 0, 1L).otherwise(0L)).as("n_sampled"))
+        .withColumn("sample_ratio",
+          round($"n_sampled".cast("double") / $"n_total", 6))
+    },
+
     // Rolling-hash document fingerprint (order-sensitive, mod-P fold).
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -188,6 +203,12 @@ object TextQueries extends QueryModule {
            |  SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
            |  FROM (SELECT doc_id, $oTokens AS w FROM documents))
            |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
+
+      "text_sample_strat" ->
+        s"""SELECT lang, count(*) AS n_total,
+           |  sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS n_sampled,
+           |  round(CAST(sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS sample_ratio
+           |FROM documents GROUP BY lang""".stripMargin,
 
       "text_fingerprint" ->
         s"""SELECT doc_id,
