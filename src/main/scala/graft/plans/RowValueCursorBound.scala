@@ -5,20 +5,26 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: widen row-value cursor predicates with their pushable
-  * first-component bound.
+  * scalar bounds.
   *
   * The engine's resumable scans filter on
   * `struct(lsn, id) > struct(LIT_lsn, LIT_id)` (S4 keyset cursor, G2).
   * The struct comparison is exact but opaque to parquet — data sources
   * cannot push struct ordering, so without help a resume scans every file.
-  * This rule conjoins the implied scalar bound `lsn >= LIT_lsn`, which IS
-  * pushable and prunes all non-tail files via min/max stats.
+  * This rule conjoins the implied scalar bounds, both pushable:
+  *  - `lsn >= LIT_lsn` — a plain range that prunes all non-tail files;
+  *  - `lsn > LIT_lsn OR (lsn = LIT_lsn AND id > LIT_id)` — the exact
+  *    two-component expansion; parquet pushes OR-of-range predicates, so
+  *    row groups inside the cursor's own lsn whose id range is already
+  *    consumed are pruned too (the drain-a-big-append-in-batches case).
   *
-  * Soundness: `(a,b) > (x,y)` implies `a >= x` whenever the comparison
-  * yields true; when `a` is null both the struct comparison and the added
-  * bound evaluate to null, so the conjunction filters identically.
-  * Idempotent: the bound is only added when not already present among the
-  * conjuncts (EventLog.scan also writes it by hand; plans stay stable
+  * Soundness: `(a,b) > (x,y)` is exactly `a > x OR (a = x AND b > y)` for
+  * a two-field struct, including three-valued logic on nulls (a null `a`
+  * makes both forms null; a null `b` only matters when `a = x`, where both
+  * forms are null). The `a >= x` widening holds whenever the comparison is
+  * true and is null whenever `a` is null.
+  * Idempotent: bounds are only added when not already present among the
+  * conjuncts (EventLog.scan also writes them by hand; plans stay stable
   * under re-optimization).
   *
   * This is the one plan rewrite the engine justifies (SURVEY §4: "no
@@ -41,25 +47,37 @@ object RowValueCursorBound extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** struct(a, ...) > <struct literal> → Some(a >= lit) when `a` is a
-    * plain attribute. Constant folding has usually collapsed the
-    * right-hand struct into a single struct Literal by the time user
-    * rules run; the pre-fold CreateNamedStruct shape is handled too. */
-  private def impliedBound(e: Expression): Option[Expression] = e match {
+  /** struct(a, b, ...) > <struct literal> → pushable scalar bounds when the
+    * struct fields are plain attributes. Constant folding has usually
+    * collapsed the right-hand struct into a single struct Literal by the
+    * time user rules run; the pre-fold CreateNamedStruct shape is handled
+    * too. Emits `a >= la` always, plus the exact 2-component disjunction
+    * when the struct has exactly two fields. */
+  private def impliedBound(e: Expression): Seq[Expression] = e match {
     case GreaterThan(CreateNamedStruct(lhs), rhs) if lhs.size >= 2 =>
-      val first = lhs(1)
-      (first, rhs) match {
-        case (a: Attribute, Literal(row: org.apache.spark.sql.catalyst.InternalRow,
-            st: org.apache.spark.sql.types.StructType)) if st.nonEmpty =>
-          val ft = st.head.dataType
-          Some(GreaterThanOrEqual(a, Literal(row.get(0, ft), ft)))
-        case (a: Attribute, CreateNamedStruct(rvs)) if rvs.size >= 2 =>
-          rvs(1) match {
-            case l: Literal => Some(GreaterThanOrEqual(a, l))
-            case _ => None
-          }
-        case _ => None
+      // CreateNamedStruct children alternate (name, value): values at 1, 3, …
+      val fields = lhs.grouped(2).map(_.last).toSeq
+      val lits: Seq[Literal] = rhs match {
+        case Literal(row: org.apache.spark.sql.catalyst.InternalRow,
+            st: org.apache.spark.sql.types.StructType) if st.size == fields.size =>
+          st.zipWithIndex.map { case (f, i) => Literal(row.get(i, f.dataType), f.dataType) }
+        case CreateNamedStruct(rvs) if rvs.size == lhs.size =>
+          val vs = rvs.grouped(2).map(_.last).toSeq
+          if (vs.forall(_.isInstanceOf[Literal])) vs.map(_.asInstanceOf[Literal])
+          else Seq.empty
+        case _ => Seq.empty
       }
-    case _ => None
+      (fields.headOption, lits.headOption) match {
+        case (Some(a: Attribute), Some(la)) =>
+          val coarse = GreaterThanOrEqual(a, la)
+          (fields, lits) match {
+            case (Seq(_, b: Attribute), Seq(_, lb)) if fields.size == 2 =>
+              Seq(coarse,
+                Or(GreaterThan(a, la), And(EqualTo(a, la), GreaterThan(b, lb))))
+            case _ => Seq(coarse)
+          }
+        case _ => Seq.empty
+      }
+    case _ => Seq.empty
   }
 }

@@ -58,7 +58,10 @@ final class Replicator(
   /** One S4 poll + S12 transactional send. @return events sent. */
   def pollAndSendBatch(topic: String): Long = {
     val cursor = sink.cursorFor(topic)
-    val batch = source.scan(topic, cursor, batchSize)
+    // drainRange: EventLog ids are dense, so the poll is a two-sided range
+    // scan with no global sort — the sink establishes per-partition order
+    // from _seq, which is the G9 guarantee (see EventLog.drainRange).
+    val batch = source.drainRange(topic, cursor, batchSize)
       .persist()
     try {
       val maxRow = batch.agg(max(struct(col("lsn"), col("id"))).as("m"))

@@ -66,8 +66,15 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
   def appendTxn(records: DataFrame, sourceTable: String, newCursor: Cursor): Long = synchronized {
     val m = manifest()
     // Partition by key hash (per-key order), offsets dense per partition.
+    // The explicit repartition produces HashPartitioning(topic, partition,
+    // numPartitions), which already satisfies the window's required
+    // distribution — the window adds only a local sort (no second
+    // exchange), task count stays = numPartitions (AQE never coalesces an
+    // explicit repartition), and the staged write emits exactly one file
+    // per kafka-partition instead of shuffle.partitions mostly-empty ones.
     val parted = records
       .withColumn("partition", pmod(xxhash64(col("key")), lit(numPartitions)).cast("int"))
+      .repartition(numPartitions, col("topic"), col("partition"))
       .withColumn("_rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("topic"), col("partition"))
@@ -87,7 +94,13 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => root.relativize(p).toString).toList
 
-    val counts = withOffsets.groupBy(col("topic"), col("partition"))
+    // Count/max-offset from the staged files just written, not from the
+    // input plan: re-evaluating `withOffsets` would run the partition
+    // shuffle + offset window a second time. The staged parquet is tiny
+    // column-pruned reads away from the same numbers (and is the committed
+    // truth by definition).
+    val counts = spark.read.schema(recordSchema).parquet(stage.toString)
+      .groupBy(col("topic"), col("partition"))
       .agg(max(col("offset")).as("mx"), count(lit(1)).as("n")).collect()
     val newOffsets = counts.foldLeft(m.offsets) { (acc, r) =>
       acc + ((r.getString(0), r.getInt(1)) -> (r.getLong(2) + 1))

@@ -160,15 +160,47 @@ final class EventLog(val root: Path, spark: SparkSession) {
   /** S4: resumable total-order keyset scan —
     * `WHERE lsn IS NOT NULL AND (lsn,id) > cursor ORDER BY lsn,id LIMIT n`
     * (EventReplicatorWorker.java:66-72). The struct comparison gives
-    * row-value semantics but is not a parquet-pushable predicate, so a
-    * redundant coarse bound `lsn >= cursor.lsn` is added — that one pushes
-    * down and prunes all non-tail files via min/max stats (each append
-    * writes its own lsn-homogeneous files), which is what keeps resume
-    * O(tail), not O(history), at scale. */
+    * row-value semantics but is not a parquet-pushable predicate, so the
+    * equivalent scalar disjunction
+    * `lsn > c.lsn OR (lsn = c.lsn AND id > c.id)` is conjoined — parquet
+    * pushes OR-of-range predicates, so min/max stats prune BOTH all
+    * non-tail-lsn files AND, within the cursor's own lsn (one giant append
+    * drained in batches), all row groups whose id range is already
+    * consumed. That keeps a drain loop O(tail) per poll instead of
+    * re-scanning the whole segment each time. */
   def scan(topic: String, after: Cursor, limit: Int): DataFrame =
     read(topic)
       .filter(col("lsn").isNotNull && col("lsn") >= after.lsn &&
+        (col("lsn") > after.lsn || (col("lsn") === after.lsn && col("id") > after.id)) &&
         struct(col("lsn"), col("id")) > struct(lit(after.lsn), lit(after.id)))
+      .orderBy(col("lsn"), col("id"))
+      .limit(limit)
+
+  /** Bounded drain read: the rows of [[scan]]`(topic, after, limit)` but
+    * UNORDERED and with the exact upper bound `id <= after.id + limit`
+    * conjoined. Sound and tight because EventLog ids are DENSE and
+    * globally monotone by construction — `append` allocates
+    * `cur.id+1 … cur.id+n` under the single-writer lock, and nothing ever
+    * renumbers (retention deletes whole files but never re-uses ids, so
+    * any gap it creates is strictly BELOW every live cursor). Both bounds
+    * are parquet-pushable, so a poll touches only the row groups of its
+    * own id window — and skipping the global ORDER BY means a drain loop
+    * never sorts the whole remaining tail per poll; consumers that need
+    * total order apply it downstream (the replication sink orders per
+    * partition, which is the Kafka-parity guarantee G9). A store without
+    * dense ids must use [[scan]]. */
+  def drainRange(topic: String, after: Cursor, limit: Int): DataFrame =
+    read(topic)
+      .filter(col("lsn").isNotNull && col("lsn") >= after.lsn &&
+        (col("lsn") > after.lsn || (col("lsn") === after.lsn && col("id") > after.id)) &&
+        col("id") <= after.id + limit &&
+        struct(col("lsn"), col("id")) > struct(lit(after.lsn), lit(after.id)))
+
+  /** [[scan]] with the dense-id upper bound of [[drainRange]] — ordered,
+    * for callers that need the S4 total-order contract AND know the store
+    * has dense ids (the sort input is at most `limit` rows). */
+  def scanRange(topic: String, after: Cursor, limit: Int): DataFrame =
+    drainRange(topic, after, limit)
       .orderBy(col("lsn"), col("id"))
       .limit(limit)
 
