@@ -52,6 +52,25 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.scan("t2_events", Cursor(1, 5), 2).isEmpty)
   }
 
+  test("drainRange returns exactly scan's rows (dense-id window, no order) and pushes both bounds") {
+    val log = newLog()
+    log.saveAll("t2b_events", (1 to 9).map(ev))   // lsn=1, ids 1-9
+    log.saveAll("t2b_events", (10 to 12).map(ev)) // lsn=2, ids 10-12
+    for (cursor <- Seq(Cursor.zero, Cursor(1, 4), Cursor(1, 9), Cursor(2, 11)); n <- Seq(3, 100)) {
+      val viaScan = log.scan("t2b_events", cursor, n)
+        .collect().map(_.getAs[Long]("id")).toSet
+      val viaDrain = log.drainRange("t2b_events", cursor, n)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(viaDrain == viaScan, s"cursor=$cursor n=$n")
+    }
+    // both the lsn disjunction and the id upper bound reach the parquet scan
+    val p = log.drainRange("t2b_events", Cursor(1, 4), 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("LessThanOrEqual(id"), pushed)
+    assert(pushed.contains("Or(GreaterThan(lsn"), pushed)
+  }
+
   test("scan is (lsn,id)-ordered across batches") {
     val log = newLog()
     log.saveAll("t3_events", Seq(ev(1), ev(2)))
