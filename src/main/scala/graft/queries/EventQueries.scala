@@ -280,6 +280,46 @@ object EventQueries extends QueryModule {
           coalesce($"cnt", lit(0L)).as("n"))
     },
 
+    // Path analysis: each user's first five event types in (ts, event_id)
+    // order as a ">"-joined path, counted corpus-wide (top-20). The
+    // per-user ordering rides a sort_array over (rank, type) structs —
+    // collect_list alone has no order guarantee across partitions.
+    "ev_paths" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .groupBy($"user_id")
+        .agg(collect_list(struct($"rn", $"event_type")).as("steps"))
+        .select(concat_ws(">",
+          expr("transform(array_sort(steps), s -> s.event_type)")).as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(20)
+    },
+
+    // Anomaly flags: per-type z-score over value, |z| >= 3. Moments are
+    // exact decimal sums (order-independent); the z arithmetic is the
+    // same double expression in both engines.
+    "ev_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val stats = ev.groupBy($"event_type".as("t"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast(dec2)).cast("double").as("s"),
+          sum(($"value".cast(dec2) * $"value".cast(dec2))).cast("double").as("sq"))
+        .select($"t", ($"s" / $"n").as("mean"),
+          sqrt((($"sq" - $"s" * $"s" / $"n") / ($"n" - 1))).as("sd"))
+      ev.join(broadcast(stats), $"event_type" === $"t")
+        .withColumn("z", ($"value" - $"mean") / $"sd")
+        .filter(abs($"z") >= 3.0)
+        .select($"event_id", $"event_type", $"value", round($"z", 6).as("z"))
+    },
+
     // T7 analog: typed projection out of a serialized payload column.
     "ev_json_props" -> { (s, dir) =>
       import s.implicits._
@@ -451,6 +491,31 @@ object EventQueries extends QueryModule {
         |  FROM hourly GROUP BY event_type)
         |SELECT s.event_type, s.h AS window_start, coalesce(cnt, 0) AS n
         |FROM spans s LEFT JOIN hourly USING (event_type, h)""".stripMargin,
+
+    "ev_paths" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |paths AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM ranked WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users
+        |FROM paths GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH stats AS (
+        |  SELECT event_type AS t,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |    sqrt((CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |          - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |            * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |         / (count(*) - 1)) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value, round((value - mean) / sd, 6) AS z
+        |FROM events JOIN stats ON event_type = t
+        |WHERE abs((value - mean) / sd) >= 3.0""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -121,6 +121,24 @@ object SimilarityQueries extends QueryModule {
         .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"))
     },
 
+    // Retrieval: ANN top-k joined back to the document store — the search
+    // result a user actually sees (neighbor ids → text metadata). The
+    // top-k set is k·|queries| rows, so the join back to documents
+    // broadcasts it against the (partition-pruned at scale) doc table.
+    "knn_retrieve" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      val hits = topk(broadcast(q).join(c, $"query_id" =!= $"neighbor_id"))
+        .filter($"rnk" <= 3)
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source")
+      broadcast(hits).join(docs, hits("neighbor_id") === docs("doc_id"))
+        .select($"query_id", $"rnk", $"neighbor_id", $"lang", $"source", $"cosine")
+    },
+
     // Hyperplane-LSH ANN: bucket = sign bitmap of 8 fixed hyperplane dot
     // products; probe only the query's bucket. The bucket column is what
     // a 100 TB corpus is partitioned/bucketed by on disk, so a probe is a
@@ -167,6 +185,22 @@ object SimilarityQueries extends QueryModule {
     Map(
       "knn_brute" -> oracle(""),
       "knn_ivf" -> oracle("AND c.label = q.label"),
+      "knn_retrieve" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
+           |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+           |hits AS (
+           |  SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+           |  FROM (SELECT query_id, neighbor_id, cosine,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |        FROM pairs)
+           |  WHERE rnk <= 3)
+           |SELECT query_id, rnk, neighbor_id, lang, source, cosine
+           |FROM hits JOIN documents ON neighbor_id = doc_id""".stripMargin,
+
       "knn_range" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
