@@ -130,10 +130,10 @@ object EventQueries extends QueryModule {
       val events = Tables.load(s, dir, "events")
       val asOf = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")
       val times = asOf.toDF("t").select(to_timestamp($"t").as("at_ts"))
-      val queries = events.select($"user_id").distinct().crossJoin(times)
+      val queries = events.select($"user_id".as("q_user")).distinct().crossJoin(times)
       queries.join(events,
-          queries("user_id") === events("user_id") && $"ts" <= $"at_ts", "left")
-        .groupBy(queries("user_id"), $"at_ts")
+          $"q_user" === $"user_id" && $"ts" <= $"at_ts", "left")
+        .groupBy($"q_user".as("user_id"), $"at_ts")
         .agg(
           // event ids are append-ordered (monotone in ts), so id is the
           // as-of ordering; a (ts,id) struct would be needed if ids could
