@@ -136,6 +136,18 @@ object DedupQueries extends QueryModule {
         .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
     },
 
+    // Incremental dedup: near-dup pairs for a NEW batch (doc_id >= 40)
+    // against the existing corpus — |batch|-bounded probe of the shingle
+    // index, never a corpus self-join (operators/IncrementalDedup; the
+    // oracle is the full recompute restricted to pairs involving a new
+    // doc, which the operator provably equals).
+    "dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingleSet(s, dir)
+      graft.operators.IncrementalDedup.newPairs(
+        sh.filter($"doc_id" < 40), sh.filter($"doc_id" >= 40), 0.6)
+    },
+
     // 32-bit SimHash fingerprints; near-dups at hamming distance <= 2.
     "dedup_simhash" -> { (s, dir) =>
       import s.implicits._
@@ -240,6 +252,17 @@ object DedupQueries extends QueryModule {
            |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
+
+      "dedup_incremental" ->
+        s"""WITH $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
+           |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6
+           |  AND (doc_a >= 40 OR doc_b >= 40)""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH tok AS (
