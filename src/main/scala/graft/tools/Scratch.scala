@@ -29,9 +29,24 @@ object Scratch {
     val distinctOffsets = sink.read("scale_events")
       .select("partition", "offset").distinct().count()
     val t3 = System.nanoTime()
-    println(f"## append: ${(t1-t0)/1e9}%.1fs  replicate: ${(t2-t1)/1e9}%.1fs  consume: ${(t3-t2)/1e9}%.1fs")
-    println(s"## rows: $cnt  distinct(partition,offset): $distinctOffsets")
-    println(f"## end-to-end: ${n/((t3-t0)/1e9)}%.0f events/s")
+    // Streaming leg: tail the native log as a Structured Streaming source
+    // (Subscribe.stream) and drain it with Trigger.AvailableNow — the
+    // subscribe-path throughput over the same 1M events.
+    var streamed = 0L
+    val q = graft.streaming.Subscribe.stream(
+        spark, tmp.resolve("log").toString, "scale_events")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streamed += df.count(): Unit
+      }
+      .start()
+    q.awaitTermination()
+    val t4 = System.nanoTime()
+    println(f"## append: ${(t1-t0)/1e9}%.1fs  replicate: ${(t2-t1)/1e9}%.1fs  consume: ${(t3-t2)/1e9}%.1fs  subscribe-drain: ${(t4-t3)/1e9}%.1fs")
+    println(s"## rows: $cnt  distinct(partition,offset): $distinctOffsets  streamed: $streamed")
+    println(f"## end-to-end: ${n/((t3-t0)/1e9)}%.0f events/s  subscribe: ${streamed/((t4-t3)/1e9)}%.0f events/s")
     spark.stop()
   }
 }
