@@ -96,6 +96,37 @@ object Multimodal {
       .as[Asset]
   }
 
+  /** Resize stage: wraps a decoder and clamps output dimensions to
+    * `maxDim`, preserving aspect ratio (integer arithmetic). The stub for
+    * the real resample kernel — the Spark-side contract (a decoder
+    * decorator, composing inside the same mapPartitions pass with no extra
+    * shuffle or materialization) is what carries to production. */
+  final case class ResizingDecoder(inner: MediaDecoder, maxDim: Int) extends MediaDecoder {
+    override def decode(a: Asset): MediaFeatures = {
+      val f = inner.decode(a)
+      val m = math.max(f.width, f.height)
+      if (m <= maxDim) f
+      else f.copy(width = f.width * maxDim / m, height = f.height * maxDim / m)
+    }
+  }
+
+  /** One sampled frame of a decoded asset. */
+  final case class FrameSample(asset_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Frame-sampling stage: keep every `stride`-th frame of each asset —
+    * the video-pipeline subsample that bounds downstream work per asset.
+    * Runs as a narrow explode over the already-narrow feature rows (the
+    * wide binary is long gone from the plan by this point). */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): Dataset[FrameSample] = {
+    import features.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    features.flatMap { f =>
+      f.frame_hashes.zipWithIndex.collect {
+        case (h, i) if i % stride == 0 => FrameSample(f.asset_id, i, h)
+      }
+    }
+  }
+
   /** The decode stage: batched, executor-side, decoder per partition. */
   def extractFeatures(assets: Dataset[Asset],
       decoder: MediaDecoder = StubDecoder,

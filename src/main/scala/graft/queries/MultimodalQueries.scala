@@ -32,6 +32,32 @@ object MultimodalQueries extends QueryModule {
           hex(substring($"data", 1, 8)).as("magic_hex"),
           md5($"data").as("digest"),
           ceil(length($"data") / 256.0).cast("long").as("n_chunks"))
+    },
+
+    // Frame-sampling plan over the opaque binary (every 2nd frame): the
+    // StubDecoder's frame geometry — n_frames = 1 + (byte0 % 8),
+    // frame_size = max(n_bytes / n_frames, 1) — computed columnar and
+    // exploded into (frame_idx, offset, length) rows. This is the part of
+    // frame sampling a SQL oracle CAN check (the byte-offset plan); the
+    // hash-per-frame stage is Multimodal.sampleFrames (MultimodalSpec).
+    "mm_frame_plan" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("data"))
+        .select($"doc_id",
+          length($"data").cast("long").as("n_bytes"),
+          (lit(1) + conv(hex(substring($"data", 1, 1)), 16, 10).cast("int") % 8)
+            .as("n_frames"))
+        .withColumn("frame_size",
+          greatest(($"n_bytes" / $"n_frames").cast("long"), lit(1L)))
+        .select($"doc_id", $"n_bytes", $"n_frames", $"frame_size",
+          explode(expr("sequence(0, n_frames - 1, 2)")).as("frame_idx"))
+        .withColumn("frame_off", $"frame_idx" * $"frame_size")
+        .withColumn("frame_len",
+          least($"frame_size", greatest($"n_bytes" - $"frame_off", lit(0L))))
+        .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+          $"frame_off", $"frame_len")
     }
   )
 
@@ -45,6 +71,25 @@ object MultimodalQueries extends QueryModule {
         |  substr(hex(encode(text)), 1, 16) AS magic_hex,
         |  md5(text) AS digest,
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "mm_frame_plan" ->
+      """WITH geo AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    1 + CAST(CAST('0x' || substr(hex(encode(text)), 1, 2) AS UBIGINT) AS INT) % 8 AS n_frames
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, n_bytes, n_frames,
+        |    greatest(n_bytes // n_frames, 1) AS frame_size
+        |  FROM geo),
+        |frames AS (
+        |  SELECT doc_id, n_bytes, frame_size,
+        |    unnest(range(0, n_frames, 2)) AS frame_idx
+        |  FROM sized)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  frame_idx * frame_size AS frame_off,
+        |  least(frame_size, greatest(n_bytes - frame_idx * frame_size, 0)) AS frame_len
+        |FROM frames""".stripMargin
   )
 }

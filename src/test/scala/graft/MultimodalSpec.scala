@@ -42,6 +42,33 @@ class MultimodalSpec extends AnyFunSuite {
     out.foreach(f => assert(f.n_bytes == docs(f.asset_id)))
   }
 
+  test("resizing decoder clamps to maxDim preserving aspect; no-op under the bound") {
+    val a = Asset(1L, "hello media bytes resize me".getBytes(UTF_8), "m", "s")
+    val plain = StubDecoder.decode(a)
+    val clamped = Multimodal.ResizingDecoder(StubDecoder, 32).decode(a)
+    assert(math.max(clamped.width, clamped.height) == 32)
+    // aspect preserved under integer arithmetic
+    val m = math.max(plain.width, plain.height)
+    assert(clamped.width == plain.width * 32 / m)
+    assert(clamped.height == plain.height * 32 / m)
+    val untouched = Multimodal.ResizingDecoder(StubDecoder, 10000).decode(a)
+    assert(untouched == plain)
+  }
+
+  test("sampleFrames keeps every stride-th frame with its original index") {
+    val ds = Multimodal.assets(spark, "/root/testdata/sf0.001")
+    val features = Multimodal.extractFeatures(ds).cache()
+    val all = features.collect().map(f => f.asset_id -> f.frame_hashes).toMap
+    val sampled = Multimodal.sampleFrames(features, stride = 2).collect()
+    sampled.foreach { s =>
+      assert(s.frame_idx % 2 == 0)
+      assert(all(s.asset_id)(s.frame_idx) == s.frame_hash)
+    }
+    val expectedCount = all.values.map(h => (h.length + 1) / 2).sum
+    assert(sampled.length == expectedCount)
+    features.unpersist()
+  }
+
   test("feature query drops the wide binary column from its output") {
     val df = Multimodal.featureQuery(spark, "/root/testdata/sf0.001")
     assert(!df.columns.contains("media"))
