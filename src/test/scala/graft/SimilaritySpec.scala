@@ -41,4 +41,13 @@ class SimilaritySpec extends AnyFunSuite {
       assert(overlap > 0, s"$name shares no pairs with exact top-k")
     }
   }
+
+  test("trained IVF multi-probe recall@10 >= 0.6 vs exact top-k (deterministic seed)") {
+    val brute = resultSet("knn_brute").keySet
+    val ivf = resultSet("knn_ivf_kmeans").keySet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // measured 0.67 at sf0.001 with k=16, nprobe=4, seed=42 — everything
+    // deterministic, so the floor is a regression pin, not a flaky bound
+    assert(recall >= 0.6, f"recall@10 = $recall%.2f")
+  }
 }
