@@ -31,6 +31,19 @@ object TextQueries extends QueryModule {
   /** "BPE-ish" pre-tokenizer: letter runs, digit runs, single punctuation. */
   private val bpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Character-n-gram language profiles (the classic n-gram language-ID
+    * heuristic; the marker-WORD variant is text_langid). All alternatives
+    * within a profile have EQUAL length, so the leftmost non-overlapping
+    * regex scan consumes identical positions in Spark (java.util.regex)
+    * and DuckDB (RE2) — counts agree exactly regardless of which
+    * same-length alternative labels a position. */
+  private val charProfiles: Seq[(String, String)] = Seq(
+    "en" -> "th|he|in|er|an",
+    "de" -> "ch|ei|en|ie|un",
+    "es" -> "de|la|os|ue|ar",
+    "fr" -> "es|le|re|ou|au",
+    "zh" -> "的|是|了|在|我")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + regex pre-tokens + chars.
     "text_tokens" -> { (s, dir) =>
@@ -75,6 +88,26 @@ object TextQueries extends QueryModule {
         .withColumn("pred_lang", pred)
         .select(($"doc_id" +: $"labeled_lang" +: $"pred_lang" +:
           langProfiles.map { case (l, _) => col(s"s_$l") }): _*)
+    },
+
+    // Language ID via character n-grams: per-profile bigram occurrence
+    // counts over the lowercased text, argmax with deterministic
+    // tie-break — one shuffle-free codegen'd projection.
+    "text_langid_ngram" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang".as("labeled_lang"), lower($"text").as("lt"))
+      val scored = charProfiles.foldLeft(base) { case (df, (l, pat)) =>
+        df.withColumn(s"g_$l", regexp_count($"lt", lit(pat)).cast("long"))
+      }
+      val best = charProfiles.map(_._1).foldLeft(lit(0L))((m, l) => greatest(m, col(s"g_$l")))
+      val pred = charProfiles.reverse.foldLeft(lit("und")) { case (e, (l, _)) =>
+        when(col(s"g_$l") === col("best") && col("best") > 0, lit(l)).otherwise(e)
+      }
+      scored.withColumn("best", best)
+        .withColumn("pred_lang", pred)
+        .select(($"doc_id" +: $"labeled_lang" +: $"pred_lang" +:
+          charProfiles.map { case (l, _) => col(s"g_$l") }): _*)
     },
 
     // Text cleaning: whitespace normalization + lowercasing + digit
@@ -181,6 +214,23 @@ object TextQueries extends QueryModule {
            |  FROM (
            |    SELECT doc_id, lang AS labeled_lang, $scoreCols
            |    FROM (SELECT doc_id, lang, $oTokens AS w FROM documents)))""".stripMargin,
+
+      "text_langid_ngram" -> {
+        val gCols = charProfiles.map { case (l, pat) =>
+          s"len(regexp_extract_all(lt, '$pat')) AS g_$l"
+        }.mkString(", ")
+        val gNames = charProfiles.map { case (l, _) => s"g_$l" }.mkString(", ")
+        val gBest = "greatest(" + gNames.split(", ").mkString(", ") + ", 0)"
+        val gPred = "CASE " + charProfiles.map { case (l, _) =>
+          s"WHEN g_$l = best AND best > 0 THEN '$l'"
+        }.mkString(" ") + " ELSE 'und' END"
+        s"""SELECT doc_id, labeled_lang, $gPred AS pred_lang, $gNames
+           |FROM (
+           |  SELECT doc_id, labeled_lang, $gBest AS best, $gNames
+           |  FROM (
+           |    SELECT doc_id, lang AS labeled_lang, $gCols
+           |    FROM (SELECT doc_id, lang, lower(text) AS lt FROM documents)))""".stripMargin
+      },
 
       "text_clean" ->
         """SELECT doc_id,
