@@ -320,6 +320,46 @@ object EventQueries extends QueryModule {
         .select($"event_id", $"event_type", $"value", round($"z", 6).as("z"))
     },
 
+    // Data-quality audit: key uniqueness across the primary tables — the
+    // assert-before-training stage (a dup key silently double-weights a
+    // training row). Each leg is one map-side-combinable groupBy on a
+    // single column; the union is three tiny aggregates.
+    "dq_uniqueness" -> { (s, dir) =>
+      import s.implicits._
+      def dups(table: String, keyCol: String) =
+        Tables.load(s, dir, table)
+          .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(when($"c" > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+            sum(when($"c" > 1, $"c").otherwise(0L)).as("n_dup_rows"))
+          .select(lit(table).as("table_name"), $"n_keys", $"n_dup_keys", $"n_dup_rows")
+      dups("events", "event_id")
+        .unionAll(dups("documents", "doc_id"))
+        .unionAll(dups("embeddings", "vec_id"))
+    },
+
+    // Data-quality audit: referential integrity of the star schema —
+    // orphan counts per foreign-key edge (anti-join aggregates; each edge
+    // is one shuffle on the key, or a broadcast when the parent is a dim).
+    "dq_integrity" -> { (s, dir) =>
+      import s.implicits._
+      def orphans(edge: String, child: DataFrame, key: String, parent: DataFrame, pkey: String) =
+        child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(edge).as("fk_edge"), $"n_orphans")
+      val li = Tables.load(s, dir, "lineitem")
+      val orders = Tables.load(s, dir, "orders")
+      orphans("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(orphans("orders.custkey->customer", orders, "o_custkey",
+          Tables.load(s, dir, "customer"), "c_custkey"))
+        .unionAll(orphans("lineitem.partkey->part", li, "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey"))
+        .unionAll(orphans("lineitem.suppkey->supplier", li, "l_suppkey",
+          Tables.load(s, dir, "supplier"), "s_suppkey"))
+    },
+
     // T7 analog: typed projection out of a serialized payload column.
     "ev_json_props" -> { (s, dir) =>
       import s.implicits._
@@ -516,6 +556,35 @@ object EventQueries extends QueryModule {
         |SELECT event_id, event_type, value, round((value - mean) / sd, 6) AS z
         |FROM events JOIN stats ON event_type = t
         |WHERE abs((value - mean) / sd) >= 3.0""".stripMargin,
+
+    "dq_uniqueness" ->
+      """SELECT 'events' AS table_name, count(*) AS n_keys,
+        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_rows
+        |FROM (SELECT event_id, count(*) AS c FROM events GROUP BY event_id)
+        |UNION ALL
+        |SELECT 'documents', count(*),
+        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        |FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY doc_id)
+        |UNION ALL
+        |SELECT 'embeddings', count(*),
+        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        |FROM (SELECT vec_id, count(*) AS c FROM embeddings GROUP BY vec_id)""".stripMargin,
+
+    "dq_integrity" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk_edge, count(*) AS n_orphans
+        |FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders.custkey->customer', count(*)
+        |FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part', count(*)
+        |FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem.suppkey->supplier', count(*)
+        |FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)""".stripMargin,
 
     "ev_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
