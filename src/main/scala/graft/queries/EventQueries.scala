@@ -360,6 +360,20 @@ object EventQueries extends QueryModule {
           Tables.load(s, dir, "supplier"), "s_suppkey"))
     },
 
+    // Moving average over an explicit ROWS frame (last 3 events per user
+    // in stream order) — the bounded-frame window variant (cumsum is the
+    // unbounded one). Decimal-exact inside the frame, one cast out.
+    "ev_moving_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id",
+          (sum($"value".cast(dec2)).over(w).cast("double") /
+            count(lit(1)).over(w)).as("avg3"))
+    },
+
     // T7 analog: typed projection out of a serialized payload column.
     "ev_json_props" -> { (s, dir) =>
       import s.implicits._
@@ -556,6 +570,15 @@ object EventQueries extends QueryModule {
         |SELECT event_id, event_type, value, round((value - mean) / sd, 6) AS z
         |FROM events JOIN stats ON event_type = t
         |WHERE abs((value - mean) / sd) >= 3.0""".stripMargin,
+
+    "ev_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+        |FROM events""".stripMargin,
 
     "dq_uniqueness" ->
       """SELECT 'events' AS table_name, count(*) AS n_keys,

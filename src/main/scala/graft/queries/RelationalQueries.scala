@@ -311,6 +311,16 @@ object RelationalQueries extends QueryModule {
           sum(d2($"c_acctbal")).cast("double").as("totacctbal"))
     },
 
+    // --- q23: CUBE grouping sets (all 4 combinations of the two keys;
+    //     rollup's lattice sibling — one pass, partial-agg expanded) ---
+    "q23_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(d2($"l_quantity")).cast("double").as("sum_qty"))
+    },
+
     // --- q16: FULL OUTER join of two independent aggregates ---
     "q16_fullouter" -> { (s, dir) =>
       import s.implicits._
@@ -499,6 +509,12 @@ object RelationalQueries extends QueryModule {
          |    FROM customer WHERE c_acctbal > 0)
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          |GROUP BY c_nationkey""".stripMargin,
+
+    "q23_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  CAST(sum(${od2("l_quantity")}) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q16_fullouter" ->
       """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
