@@ -36,25 +36,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
   }
 
-  test("incremental pairs == full pairs involving a new doc (new-corpus AND new-new)") {
+  test("incremental pairs == full pairs involving a new doc, at every split point") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val splitId = 40L // corpus: doc_id < 40, batch: the rest
-    val corpusSh = shingles(docs.filter($"doc_id" < splitId)).cache()
-    val batchSh = shingles(docs.filter($"doc_id" >= splitId)).cache()
-
-    val expected = fullPairs(shingles(docs), 0.6)
-      .filter($"doc_a" >= splitId || $"doc_b" >= splitId)
+    val sh = shingles(docs).cache()
+    val allPairs = fullPairs(sh, 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val got = IncrementalDedup.newPairs(corpusSh, batchSh, 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-
-    assert(got == expected)
-    assert(expected.nonEmpty, "split produced no cross/new pairs — test would be vacuous")
-    // sanity: some expected pair is new-vs-CORPUS (not only new-new),
-    // else the probe-the-corpus path went untested
-    assert(expected.exists { case (a, b, _) => a < splitId && b >= splitId })
-    // and no old-old pair leaked in
-    assert(got.forall { case (a, b, _) => a >= splitId || b >= splitId })
+    var crossTested = false
+    // splits across the spectrum: tiny corpus, balanced, tiny batch
+    for (splitId <- Seq(10L, 100L, 250L, 460L)) {
+      val expected = allPairs.filter { case (a, b, _) => a >= splitId || b >= splitId }
+      val got = IncrementalDedup.newPairs(
+          sh.filter($"doc_id" < splitId), sh.filter($"doc_id" >= splitId), 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"split=$splitId")
+      // no old-old pair may leak in
+      assert(got.forall { case (a, b, _) => a >= splitId || b >= splitId }, s"split=$splitId")
+      crossTested ||= expected.exists { case (a, b, _) => a < splitId && b >= splitId }
+    }
+    assert(allPairs.nonEmpty, "corpus has no near-dup pairs — test would be vacuous")
+    // at least one split must exercise the probe-the-corpus path
+    assert(crossTested, "no split produced a new-vs-corpus pair")
   }
 }
