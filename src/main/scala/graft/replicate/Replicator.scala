@@ -89,6 +89,40 @@ final class Replicator(
   /** A1 lag gauge for monitoring. */
   def lag(topic: String): Long = source.lag(topic, sink.cursorFor(topic))
 
+  /** Continuous replication as a Structured Streaming job: tail the source
+    * log (Subscribe.stream file source) and commit each micro-batch to the
+    * sink transactionally. Exactly-once WITHOUT relying on the Spark
+    * checkpoint alone: every batch is re-filtered by the sink's committed
+    * cursor, so a replayed batch (crash after sink commit, before
+    * checkpoint commit — or a deleted checkpoint) re-commits nothing.
+    * This is the always-on form of [[runLoop]]; `Trigger.AvailableNow`
+    * turns it into a one-shot drain. */
+  def replicateStream(topic: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Subscribe.stream(
+        source.read(topic).sparkSession, source.root.toString, topic)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val cursor = sink.cursorFor(topic)
+        val fresh = df.filter(
+          struct(col("lsn"), col("id")) >
+            struct(lit(cursor.lsn), lit(cursor.id))).persist()
+        try {
+          val maxRow = fresh.agg(max(struct(col("lsn"), col("id"))).as("m"))
+            .select(col("m.lsn"), col("m.id")).collect()(0)
+          if (!maxRow.isNullAt(0)) {
+            sink.appendTxn(toRecords(topic, fresh), topic,
+              Cursor(maxRow.getLong(0), maxRow.getLong(1)))
+          }
+          (): Unit
+        } finally { fresh.unpersist(); () }
+      }
+      .start()
+
   /** Fixed-delay scheduling loop — the reference's per-topic worker
     * cadence (EventReplicator.java:138, 174-183: schedule at
     * `poll.interval.ms`, each tick drains the backlog fully). Bounded by

@@ -140,6 +140,28 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(perTick.tail.forall(_ == 0L), "subsequent ticks see an empty backlog")
   }
 
+  test("streaming replication: AvailableNow drain is exactly-once, even with a wiped checkpoint") {
+    val (log, sink, rep) = fixture()
+    log.saveAll("ts_events", (1 to 5).map(ev))
+    val ckpt = Files.createTempDirectory("graft-repl-ckpt-")
+    val q1 = rep.replicateStream("ts_events", ckpt.resolve("c1").toString)
+    q1.awaitTermination()
+    assert(sink.read("ts_events").count() == 5)
+    // new appends → second run picks up only the tail
+    log.saveAll("ts_events", (6 to 8).map(ev))
+    val q2 = rep.replicateStream("ts_events", ckpt.resolve("c1").toString)
+    q2.awaitTermination()
+    val rows = sink.read("ts_events").orderBy("offset").collect()
+    assert(rows.length == 8)
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSeq ==
+      (1 to 8).map(i => s"key-$i"))
+    // wiped checkpoint = full source replay; the sink cursor re-filter
+    // must drop every already-committed row (EOS without the checkpoint)
+    val q3 = rep.replicateStream("ts_events", ckpt.resolve("c2-fresh").toString)
+    q3.awaitTermination()
+    assert(sink.read("ts_events").count() == 8)
+  }
+
   test("consumer tails the committed log with offset resume (S5 read_committed)") {
     import graft.sources.KafkaShapedConsumer
     import graft.store.TopicOffsets
