@@ -136,16 +136,19 @@ object DedupQueries extends QueryModule {
         .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
     },
 
-    // Incremental dedup: near-dup pairs for a NEW batch (doc_id >= 40)
-    // against the existing corpus — |batch|-bounded probe of the shingle
-    // index, never a corpus self-join (operators/IncrementalDedup; the
-    // oracle is the full recompute restricted to pairs involving a new
-    // doc, which the operator provably equals).
+    // Incremental dedup: near-dup pairs for a NEW batch (10% of docs,
+    // doc_id % 10 = 0 — proportional at every SF) against the existing
+    // corpus — |batch|-bounded probe of the shingle index, never a corpus
+    // self-join (operators/IncrementalDedup; the oracle is the full
+    // recompute restricted to pairs involving a new doc, which the
+    // operator provably equals).
     "dedup_incremental" -> { (s, dir) =>
       import s.implicits._
-      val sh = shingleSet(s, dir)
+      // cache: corpus and batch branches, their union, and the probe join
+      // all re-read the shingle index — one materialization serves all
+      val sh = shingleSet(s, dir).cache()
       graft.operators.IncrementalDedup.newPairs(
-        sh.filter($"doc_id" < 40), sh.filter($"doc_id" >= 40), 0.6)
+        sh.filter($"doc_id" % 10 =!= 0), sh.filter($"doc_id" % 10 === 0), 0.6)
     },
 
     // 32-bit SimHash fingerprints; near-dups at hamming distance <= 2.
@@ -262,7 +265,7 @@ object DedupQueries extends QueryModule {
            |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6
-           |  AND (doc_a >= 40 OR doc_b >= 40)""".stripMargin,
+           |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH tok AS (
