@@ -320,6 +320,21 @@ object EventQueries extends QueryModule {
         .select($"event_id", $"event_type", $"value", round($"z", 6).as("z"))
     },
 
+    // Event-type transition matrix (Markov counts): for each user-stream
+    // step, count (type → next type) pairs in (ts, event_id) order — the
+    // behavioral-model input. One window shuffle on user_id, then a
+    // map-side-combinable pair count.
+    "ev_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Data-quality audit: key uniqueness across the primary tables — the
     // assert-before-training stage (a dup key silently double-weights a
     // training row). Each leg is one map-side-combinable groupBy on a
@@ -579,6 +594,15 @@ object EventQueries extends QueryModule {
         |  / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
         |FROM events""".stripMargin,
+
+    "ev_transitions" ->
+      """SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "dq_uniqueness" ->
       """SELECT 'events' AS table_name, count(*) AS n_keys,

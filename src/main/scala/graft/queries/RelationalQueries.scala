@@ -321,6 +321,19 @@ object RelationalQueries extends QueryModule {
           sum(d2($"l_quantity")).cast("double").as("sum_qty"))
     },
 
+    // --- q24: distribution window functions (ntile quartiles,
+    //     percent_rank, cume_dist) over a unique ordering ---
+    "q24_distribution" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+      Tables.load(s, dir, "customer")
+        .select($"c_nationkey", $"c_custkey",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    },
+
     // --- q16: FULL OUTER join of two independent aggregates ---
     "q16_fullouter" -> { (s, dir) =>
       import s.implicits._
@@ -515,6 +528,14 @@ object RelationalQueries extends QueryModule {
          |  CAST(sum(${od2("l_quantity")}) AS DOUBLE) AS sum_qty
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q24_distribution" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin,
 
     "q16_fullouter" ->
       """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
