@@ -27,6 +27,8 @@ object Bench {
     // dev convenience: `runMain graft.Bench q1_agg dedup_clusters` times just
     // those queries (and skips the pipeline stage); no args = full battery.
     val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
     // Two passes per query, keep the min: single-shot numbers at this scale

@@ -106,7 +106,9 @@ object Multimodal {
       val f = inner.decode(a)
       val m = math.max(f.width, f.height)
       if (m <= maxDim) f
-      else f.copy(width = f.width * maxDim / m, height = f.height * maxDim / m)
+      else f.copy( // floor to >= 1: extreme aspect ratios must not emit a 0 dimension
+        width = math.max(f.width * maxDim / m, 1),
+        height = math.max(f.height * maxDim / m, 1))
     }
   }
 

@@ -56,10 +56,14 @@ object IncrementalDedup {
       .select($"doc_a", $"doc_b",
         when($"na".isNotNull && $"nb".isNotNull, ($"i2" / 2).cast("long"))
           .otherwise($"i2").as("inter"))
+    // the candidate pair set is the SMALL side — broadcast IT against the
+    // (corpus-sized, distributed) per-doc counts; broadcasting cnt would
+    // ship 10^8 rows to every executor at the scale this operator targets
     val j = $"inter".cast("double") / ($"na_n" + $"nb_n" - $"inter")
-    inter2
-      .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na_n"))), "doc_a")
-      .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb_n"))), "doc_b")
+    val withA = cnt.select($"doc_id".as("doc_a"), $"n".as("na_n"))
+      .join(broadcast(inter2), "doc_a")
+    cnt.select($"doc_id".as("doc_b"), $"n".as("nb_n"))
+      .join(broadcast(withA), "doc_b")
       .filter(j >= threshold)
       .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
   }

@@ -19,10 +19,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    consumed are pruned too (the drain-a-big-append-in-batches case).
   *
   * Soundness: `(a,b) > (x,y)` is exactly `a > x OR (a = x AND b > y)` for
-  * a two-field struct, including three-valued logic on nulls (a null `a`
-  * makes both forms null; a null `b` only matters when `a = x`, where both
-  * forms are null). The `a >= x` widening holds whenever the comparison is
-  * true and is null whenever `a` is null.
+  * a two-field struct with NON-NULL literals x and y (bounds are emitted
+  * only then — Spark's struct ordering is a nulls-first TOTAL order, so a
+  * null literal component would make the struct comparison true/false
+  * where the scalar rewrite is null and wrongly drop rows). A null column
+  * value makes both forms null identically. The `a >= x` widening holds
+  * whenever the comparison is true and is null whenever `a` is null.
   * Idempotent: bounds are only added when not already present among the
   * conjuncts (EventLog.scan also writes them by hand; plans stay stable
   * under re-optimization).
@@ -67,11 +69,16 @@ object RowValueCursorBound extends Rule[LogicalPlan] {
           else Seq.empty
         case _ => Seq.empty
       }
+      // NULL literal components are excluded: Spark's struct ORDERING is a
+      // nulls-first total order (struct(5,7) > struct(5,null) is TRUE),
+      // while the scalar rewrite `b > null` is NULL — conjoining it would
+      // wrongly drop rows. Engine cursors are never null, but the rule is
+      // session-wide and must be sound for arbitrary user structs.
       (fields.headOption, lits.headOption) match {
-        case (Some(a: Attribute), Some(la)) =>
+        case (Some(a: Attribute), Some(la)) if la.value != null =>
           val coarse = GreaterThanOrEqual(a, la)
           (fields, lits) match {
-            case (Seq(_, b: Attribute), Seq(_, lb)) if fields.size == 2 =>
+            case (Seq(_, b: Attribute), Seq(_, lb)) if fields.size == 2 && lb.value != null =>
               Seq(coarse,
                 Or(GreaterThan(a, la), And(EqualTo(a, la), GreaterThan(b, lb))))
             case _ => Seq(coarse)

@@ -47,7 +47,10 @@ object MultimodalQueries extends QueryModule {
         .select($"doc_id", encode($"text", "UTF-8").as("data"))
         .select($"doc_id",
           length($"data").cast("long").as("n_bytes"),
-          (lit(1) + conv(hex(substring($"data", 1, 1)), 16, 10).cast("int") % 8)
+          // empty payload → no byte 0 → one (empty) frame, matching
+          // StubDecoder; without the coalesce the null n_frames would
+          // silently drop the row while the oracle errors on CAST('0x')
+          (lit(1) + coalesce(conv(hex(substring($"data", 1, 1)), 16, 10).cast("int"), lit(0)) % 8)
             .as("n_frames"))
         .withColumn("frame_size",
           greatest(($"n_bytes" / $"n_frames").cast("long"), lit(1L)))
@@ -77,7 +80,9 @@ object MultimodalQueries extends QueryModule {
       """WITH geo AS (
         |  SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    1 + CAST(CAST('0x' || substr(hex(encode(text)), 1, 2) AS UBIGINT) AS INT) % 8 AS n_frames
+        |    CASE WHEN octet_length(encode(text)) = 0 THEN 1
+        |         ELSE 1 + CAST(CAST('0x' || substr(hex(encode(text)), 1, 2) AS UBIGINT) AS INT) % 8
+        |    END AS n_frames
         |  FROM documents),
         |sized AS (
         |  SELECT doc_id, n_bytes, n_frames,

@@ -55,23 +55,31 @@ final class Replicator(
         col("id").as("_seq"))
   }
 
-  /** One S4 poll + S12 transactional send. @return events sent. */
+  /** One S4 poll + S12 transactional send. @return events sent.
+    *
+    * First probes the dense id window (drainRange — no global sort); if
+    * that comes back empty, re-probes with the general ordered scan before
+    * declaring the backlog drained: retention may have deleted the ids
+    * right above a lagging sink cursor, and without the fallback the drain
+    * would wedge on the gap forever. The fallback runs only on empty polls
+    * (once per gap or idle tick) and its `lsn >= cursor` bound still
+    * prunes to the tail in the normal case. */
   def pollAndSendBatch(topic: String): Long = {
     val cursor = sink.cursorFor(topic)
-    // drainRange: EventLog ids are dense, so the poll is a two-sided range
-    // scan with no global sort — the sink establishes per-partition order
-    // from _seq, which is the G9 guarantee (see EventLog.drainRange).
-    val batch = source.drainRange(topic, cursor, batchSize)
-      .persist()
-    try {
-      val maxRow = batch.agg(max(struct(col("lsn"), col("id"))).as("m"))
-        .select(col("m.lsn"), col("m.id")).collect()(0)
-      if (maxRow.isNullAt(0)) 0L
-      else {
-        val next = Cursor(maxRow.getLong(0), maxRow.getLong(1))
-        sink.appendTxn(toRecords(topic, batch), topic, next)
-      }
-    } finally batch.unpersist()
+    def poll(batch: DataFrame): Long = {
+      val persisted = batch.persist()
+      try {
+        val maxRow = persisted.agg(max(struct(col("lsn"), col("id"))).as("m"))
+          .select(col("m.lsn"), col("m.id")).collect()(0)
+        if (maxRow.isNullAt(0)) 0L
+        else {
+          val next = Cursor(maxRow.getLong(0), maxRow.getLong(1))
+          sink.appendTxn(toRecords(topic, persisted), topic, next)
+        }
+      } finally persisted.unpersist()
+    }
+    val n = poll(source.drainRange(topic, cursor, batchSize))
+    if (n > 0) n else poll(source.scan(topic, cursor, batchSize))
   }
 
   /** Drain loop: poll until empty (EventReplicatorWorker.java:148-160). */
@@ -95,6 +103,16 @@ final class Replicator(
     * checkpoint alone: every batch is re-filtered by the sink's committed
     * cursor, so a replayed batch (crash after sink commit, before
     * checkpoint commit — or a deleted checkpoint) re-commits nothing.
+    *
+    * The cursor filter is only sound if the committed cursor always covers
+    * a COMPLETE id prefix, so before committing, the batch must be the
+    * exact dense continuation `cursor.id+1 … cursor.id+n` (EventLog ids
+    * are dense — see drainRange). The file source delivers appends in
+    * (mtime, path) order, which tracks append order in practice, but a
+    * filesystem with coarse mtimes could reorder same-timestamp files —
+    * in that case this FAILS FAST (G8) instead of silently losing the
+    * displaced rows; recovery is a [[run]] drain (ordered, cursor-exact)
+    * and a stream restart.
     * This is the always-on form of [[runLoop]]; `Trigger.AvailableNow`
     * turns it into a one-shot drain. */
   def replicateStream(topic: String, checkpointDir: String,
@@ -112,11 +130,18 @@ final class Replicator(
           struct(col("lsn"), col("id")) >
             struct(lit(cursor.lsn), lit(cursor.id))).persist()
         try {
-          val maxRow = fresh.agg(max(struct(col("lsn"), col("id"))).as("m"))
-            .select(col("m.lsn"), col("m.id")).collect()(0)
-          if (!maxRow.isNullAt(0)) {
+          val stats = fresh.agg(
+              max(struct(col("lsn"), col("id"))).as("m"),
+              min(col("id")).as("mn"), count(lit(1)).as("n"))
+            .select(col("m.lsn"), col("m.id"), col("mn"), col("n")).collect()(0)
+          if (!stats.isNullAt(0)) {
+            val (mx, mn, n) = (stats.getLong(1), stats.getLong(2), stats.getLong(3))
+            if (mn != cursor.id + 1 || n != mx - mn + 1)
+              throw new IllegalStateException(
+                s"out-of-order or gapped delivery for $topic: committed id ${cursor.id}, " +
+                  s"batch ids [$mn, $mx] n=$n — recover with Replicator.run() then restart the stream")
             sink.appendTxn(toRecords(topic, fresh), topic,
-              Cursor(maxRow.getLong(0), maxRow.getLong(1)))
+              Cursor(stats.getLong(0), mx))
           }
           (): Unit
         } finally { fresh.unpersist(); () }
