@@ -162,6 +162,44 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(sink.read("ts_events").count() == 8)
   }
 
+  test("drain heals a retention gap above the sink cursor (fallback to ordered scan)") {
+    val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark)
+    val rep = new Replicator(log, sink, batchSize = 2)
+    log.saveAll("tg_events", (1 to 3).map(ev))  // lsn 1, ids 1-3
+    log.saveAll("tg_events", (4 to 6).map(ev))  // lsn 2, ids 4-6
+    log.saveAll("tg_events", (7 to 9).map(ev))  // lsn 3, ids 7-9
+    // retention drops the first two appends' segment files entirely (ids 1-6)
+    assert(log.truncateBefore("tg_events", Cursor(2, 6)) > 0)
+    assert(log.read("tg_events").agg(org.apache.spark.sql.functions.min("id"))
+      .collect()(0).getLong(0) == 7L)
+    // fresh sink (cursor zero): the dense window (0, 2] is all-deleted —
+    // without the scan fallback this would wedge at 0 forever
+    assert(rep.run("tg_events") == 3L)
+    val keys = sink.read("tg_events").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).sorted.toSeq
+    assert(keys == (7 to 9).map(i => s"key-$i"))
+  }
+
+  test("streaming replication fails fast on a gap instead of silently dropping rows") {
+    val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark)
+    val rep = new Replicator(log, sink)
+    log.saveAll("tf_events", (1 to 3).map(ev))  // lsn 1, ids 1-3
+    log.saveAll("tf_events", (4 to 6).map(ev))  // lsn 2, ids 4-6
+    assert(log.truncateBefore("tf_events", Cursor(1, 3)) > 0) // ids 1-3 gone
+    val ckpt = Files.createTempDirectory("graft-repl-gap-")
+    val q = rep.replicateStream("tf_events", ckpt.toString)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("out-of-order or gapped delivery")))
+    assert(sink.read("tf_events").count() == 0) // nothing half-committed
+  }
+
   test("consumer tails the committed log with offset resume (S5 read_committed)") {
     import graft.sources.KafkaShapedConsumer
     import graft.store.TopicOffsets
