@@ -62,4 +62,31 @@ class RowValueCursorBoundSpec extends AnyFunSuite {
       .filter(struct($"lsn", $"id") > struct(lit(2L), lit(5L)))
     assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 1L), (2L, 9L)))
   }
+
+  test("the full two-component disjunction is derived and pushes the id bound") {
+    import spark.implicits._
+    val df = parquetDF((1L to 10L).map(i => (2L, i)))
+      .filter(struct($"lsn", $"id") > struct(lit(2L), lit(5L)))
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      .getOrElse("")
+    assert(pushed.contains("Or(GreaterThan(lsn"), pushed)
+    assert(df.collect().map(_.getLong(1)).toSet == (6L to 10L).toSet)
+  }
+
+  test("NULL literal components produce no bounds (struct ordering is nulls-first total order)") {
+    import spark.implicits._
+    // struct(5,7) > struct(5,null) is TRUE under Spark's field ordering; a
+    // derived scalar bound `id > null` would be NULL and drop the row
+    val rows = Seq[(java.lang.Long, java.lang.Long)]((5L, 7L), (5L, null), (4L, 9L))
+    val df = rows.toDF("lsn", "id")
+      .filter(struct($"lsn", $"id") >
+        struct(lit(5L), lit(null).cast("long")))
+    val got = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    assert(got == Set((5L, 7L)), s"got $got")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // no derived scalar bounds may appear for the null-component literal
+    assert(!optimized.contains("isnotnull(id"), optimized)
+  }
 }
