@@ -320,6 +320,21 @@ object EventQueries extends QueryModule {
         .select($"event_id", $"event_type", $"value", round($"z", 6).as("z"))
     },
 
+    // Per-user-hour first/last snapshot (first_value/last_value over the
+    // full window frame): the open/close values of each activity bucket.
+    "ev_first_last" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"h").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .withColumn("h", date_trunc("hour", $"ts"))
+        .select($"user_id", $"h".as("window_start"),
+          first($"value").over(w).as("open_value"),
+          last($"value").over(w).as("close_value"))
+        .distinct()
+    },
+
     // Event-type transition matrix (Markov counts): for each user-stream
     // step, count (type → next type) pairs in (ts, event_id) order — the
     // behavioral-model input. One window shuffle on user_id, then a
@@ -594,6 +609,17 @@ object EventQueries extends QueryModule {
         |  / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
         |FROM events""".stripMargin,
+
+    "ev_first_last" ->
+      """SELECT DISTINCT user_id,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  first_value(value) OVER w AS open_value,
+        |  last_value(value) OVER w AS close_value
+        |FROM events
+        |WINDOW w AS (
+        |  PARTITION BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "ev_transitions" ->
       """SELECT event_type AS from_type, next_type AS to_type, count(*) AS n

@@ -334,6 +334,15 @@ object RelationalQueries extends QueryModule {
           round(cume_dist().over(w), 6).as("cume"))
     },
 
+    // --- q25: EXCEPT (distinct set difference; INTERSECT's sibling q7) ---
+    "q25_except" -> { (s, dir) =>
+      import s.implicits._
+      val withOrders = Tables.load(s, dir, "orders").select($"o_custkey".as("k"))
+      val withFinished = Tables.load(s, dir, "orders")
+        .filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+      withOrders.except(withFinished)
+    },
+
     // --- q16: FULL OUTER join of two independent aggregates ---
     "q16_fullouter" -> { (s, dir) =>
       import s.implicits._
@@ -536,6 +545,11 @@ object RelationalQueries extends QueryModule {
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin,
+
+    "q25_except" ->
+      """SELECT o_custkey AS k FROM orders
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     "q16_fullouter" ->
       """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
