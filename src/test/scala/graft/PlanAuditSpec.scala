@@ -86,4 +86,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ev_cumsum: running totals cost exactly one exchange (the window partition shuffle)") {
+    val p = plan("ev_cumsum")
+    // count node headers ("(3) Exchange"), not tree+details double mentions
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1, p)
+  }
+
+  test("dedup_minhash_lsh: banded candidate generation never goes cartesian") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("knn_retrieve: hit-set joins back to documents without sorting either side") {
+    val p = plan("knn_retrieve")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
