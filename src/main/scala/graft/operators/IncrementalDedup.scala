@@ -65,6 +65,6 @@ object IncrementalDedup {
     cnt.select($"doc_id".as("doc_b"), $"n".as("nb_n"))
       .join(broadcast(withA), "doc_b")
       .filter(j >= threshold)
-      .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
+      .select($"doc_a", $"doc_b", j.as("jaccard"))
   }
 }

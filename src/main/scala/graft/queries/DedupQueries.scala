@@ -65,7 +65,7 @@ object DedupQueries extends QueryModule {
       .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
       .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
       .filter(j >= 0.6)
-      .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
+      .select($"doc_a", $"doc_b", j.as("jaccard"))
   }
 
   private val oShingleCtes =
@@ -133,7 +133,7 @@ object DedupQueries extends QueryModule {
         .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
         .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
         .filter(j >= 0.6)
-        .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
+        .select($"doc_a", $"doc_b", j.as("jaccard"))
     },
 
     // Incremental dedup: near-dup pairs for a NEW batch (10% of docs,
@@ -189,7 +189,7 @@ object DedupQueries extends QueryModule {
           $"vec_a" < $"vec_b")
         .withColumn("cosine", cos)
         .filter($"cosine" >= 0.4)
-        .select($"vec_a", $"vec_b", round($"cosine", 6).as("cosine"))
+        .select($"vec_a", $"vec_b", $"cosine".as("cosine"))
     }
   )
 
@@ -216,7 +216,7 @@ object DedupQueries extends QueryModule {
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
            |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
-           |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
+           |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
 
@@ -252,7 +252,7 @@ object DedupQueries extends QueryModule {
            |  FROM cand JOIN sh sa ON sa.doc_id = doc_a
            |            JOIN sh sb ON sb.doc_id = doc_b AND sa.h = sb.h
            |  GROUP BY 1, 2)
-           |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
+           |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
 
@@ -262,7 +262,7 @@ object DedupQueries extends QueryModule {
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
            |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
-           |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
+           |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6
            |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
@@ -283,7 +283,7 @@ object DedupQueries extends QueryModule {
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          |  round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cosine
+          |  list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cosine
           |FROM n a JOIN n b ON a.vec_id < b.vec_id
           |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4""".stripMargin
     )

@@ -317,7 +317,7 @@ object EventQueries extends QueryModule {
       ev.join(broadcast(stats), $"event_type" === $"t")
         .withColumn("z", ($"value" - $"mean") / $"sd")
         .filter(abs($"z") >= 3.0)
-        .select($"event_id", $"event_type", $"value", round($"z", 6).as("z"))
+        .select($"event_id", $"event_type", $"value", $"z".as("z"))
     },
 
     // Per-user-hour first/last snapshot (first_value/last_value over the
@@ -597,7 +597,7 @@ object EventQueries extends QueryModule {
         |            * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
         |         / (count(*) - 1)) AS sd
         |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, value, round((value - mean) / sd, 6) AS z
+        |SELECT event_id, event_type, value, (value - mean) / sd AS z
         |FROM events JOIN stats ON event_type = t
         |WHERE abs((value - mean) / sd) >= 3.0""".stripMargin,
 

@@ -322,7 +322,12 @@ object RelationalQueries extends QueryModule {
     },
 
     // --- q24: distribution window functions (ntile quartiles,
-    //     percent_rank, cume_dist) over a unique ordering ---
+    //     percent_rank, cume_dist) over a unique ordering. The ratios are
+    //     emitted RAW: both engines compute the same single integer
+    //     division in IEEE double (bit-identical), whereas round(x, 6)
+    //     diverges on exact decimal half-ties (e.g. 41/640 = 0.0640625 —
+    //     Spark rounds the shortest decimal string HALF_UP, DuckDB rounds
+    //     the binary double, which sits just below the tie). ---
     "q24_distribution" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
@@ -330,8 +335,8 @@ object RelationalQueries extends QueryModule {
       Tables.load(s, dir, "customer")
         .select($"c_nationkey", $"c_custkey",
           ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
     },
 
     // --- q25: EXCEPT (distinct set difference; INTERSECT's sibling q7) ---
@@ -541,8 +546,8 @@ object RelationalQueries extends QueryModule {
     "q24_distribution" ->
       """SELECT c_nationkey, c_custkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin,
 

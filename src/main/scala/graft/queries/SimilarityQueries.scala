@@ -23,7 +23,10 @@ import graft.{QueryModule, Tables}
   *
   * The dot product folds left-to-right (`aggregate` over `zip_with`) which
   * matches DuckDB's sequential `list_dot_product` — bit-identical doubles,
-  * so ranks and rounded cosines hash-match.
+  * so ranks and cosines hash-match. Ratios are emitted RAW (no round):
+  * both engines produce the same IEEE double, while round-to-6 diverges on
+  * exact decimal half-ties (Spark rounds the shortest decimal string,
+  * DuckDB the binary value — see q24's scaladoc for the concrete case).
   */
 object SimilarityQueries extends QueryModule {
   private val K = 10
@@ -61,7 +64,7 @@ object SimilarityQueries extends QueryModule {
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= K)
       .select($"query_id", $"neighbor_id", $"rnk".cast("long").as("rnk"),
-        round($"cosine", 6).as("cosine"))
+        $"cosine".as("cosine"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -136,7 +139,7 @@ object SimilarityQueries extends QueryModule {
       broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
         .withColumn("cosine", cos)
         .filter($"cosine" >= 0.3)
-        .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"))
+        .select($"query_id", $"neighbor_id", $"cosine".as("cosine"))
     },
 
     // Retrieval: ANN top-k joined back to the document store — the search
@@ -190,7 +193,7 @@ object SimilarityQueries extends QueryModule {
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
        |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id $joinCond)
-       |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+       |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine AS cosine
        |FROM (SELECT query_id, neighbor_id, cosine,
        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
        |      FROM pairs)
@@ -211,7 +214,7 @@ object SimilarityQueries extends QueryModule {
            |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
            |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
            |hits AS (
-           |  SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+           |  SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine AS cosine
            |  FROM (SELECT query_id, neighbor_id, cosine,
            |          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
            |        FROM pairs)
@@ -223,7 +226,7 @@ object SimilarityQueries extends QueryModule {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
            |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |  round(list_dot_product(q.v, c.v)/(q.nrm*c.nrm), 6) AS cosine
+           |  list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
            |FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
            |WHERE list_dot_product(q.v, c.v)/(q.nrm*c.nrm) >= 0.3""".stripMargin,
       "knn_lsh" ->
@@ -235,7 +238,7 @@ object SimilarityQueries extends QueryModule {
            |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
            |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
            |    AND c.bucket = q.bucket)
-           |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, round(cosine, 6) AS cosine
+           |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine AS cosine
            |FROM (SELECT query_id, neighbor_id, cosine,
            |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
            |      FROM pairs)

@@ -164,7 +164,7 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("n_total"),
           sum(when(h60($"text") % 10 === 0, 1L).otherwise(0L)).as("n_sampled"))
         .withColumn("sample_ratio",
-          round($"n_sampled".cast("double") / $"n_total", 6))
+          $"n_sampled".cast("double") / $"n_total")
     },
 
     // Rolling-hash document fingerprint (order-sensitive, mod-P fold).
@@ -257,7 +257,7 @@ object TextQueries extends QueryModule {
       "text_sample_strat" ->
         s"""SELECT lang, count(*) AS n_total,
            |  sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS n_sampled,
-           |  round(CAST(sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS sample_ratio
+           |  CAST(sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS sample_ratio
            |FROM documents GROUP BY lang""".stripMargin,
 
       "text_fingerprint" ->

@@ -33,7 +33,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .filter(j >= threshold)
-      .select($"doc_a", $"doc_b", round(j, 6).as("jaccard"))
+      .select($"doc_a", $"doc_b", j.as("jaccard"))
   }
 
   test("incremental pairs == full pairs involving a new doc, at every split point") {
