@@ -160,6 +160,35 @@ object SimilarityQueries extends QueryModule {
         .select($"query_id", $"rnk", $"neighbor_id", $"lang", $"source", $"cosine")
     },
 
+    // Time-series behavioral similarity: each user's 24-dim hour-of-day
+    // activity profile (event counts, zero-filled), cosine top-5 similar
+    // users for the first 5 users — series similarity search composed
+    // from the stream (pivot-to-vector) and the ANN top-k machinery. At
+    // scale the profile build is one map-side-combinable aggregation and
+    // the query side broadcasts, like every knn_* probe.
+    "sim_user_profile" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val counts = Tables.load(s, dir, "events")
+        .groupBy($"user_id", hour($"ts").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val prof = counts.groupBy($"user_id")
+        .agg(map_from_entries(collect_list(struct($"h", $"c"))).as("m"))
+        .select($"user_id",
+          expr("transform(sequence(0, 23), h -> CAST(coalesce(element_at(m, h), 0) AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val q = prof.filter($"user_id" <= 5)
+        .select($"user_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val c = prof.select($"user_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      val cos = expr("graft_dot(qv, cv)") / (col("qnrm") * col("cnrm"))
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"query_id", $"neighbor_id", $"rnk".cast("long").as("rnk"), $"cosine")
+    },
+
     // Hyperplane-LSH ANN: bucket = sign bitmap of 8 fixed hyperplane dot
     // products; probe only the query's bucket. The bucket column is what
     // a 100 TB corpus is partitioned/bucketed by on disk, so a probe is a
@@ -221,6 +250,30 @@ object SimilarityQueries extends QueryModule {
            |  WHERE rnk <= 3)
            |SELECT query_id, rnk, neighbor_id, lang, source, cosine
            |FROM hits JOIN documents ON neighbor_id = doc_id""".stripMargin,
+
+      "sim_user_profile" ->
+        """WITH counts AS (
+          |  SELECT user_id, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT u.user_id, t.h
+          |  FROM (SELECT DISTINCT user_id FROM events) u
+          |  CROSS JOIN (SELECT unnest(range(0, 24)) AS h) t),
+          |filled AS (
+          |  SELECT g.user_id, g.h, CAST(coalesce(c.c, 0) AS DOUBLE) AS c
+          |  FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.h = c.h),
+          |prof AS (
+          |  SELECT user_id, list(c ORDER BY h) AS v FROM filled GROUP BY user_id),
+          |n AS (SELECT user_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM prof),
+          |pairs AS (
+          |  SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+          |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
+          |  FROM n q JOIN n c ON q.user_id <= 5 AND c.user_id <> q.user_id)
+          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+          |FROM (SELECT query_id, neighbor_id, cosine,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          |      FROM pairs)
+          |WHERE rnk <= 5""".stripMargin,
 
       "knn_range" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
