@@ -40,17 +40,24 @@ final class Replicator(
     }
     // Headers: id + lsn + stored metadata, sorted by header key
     // (EventReplicatorWorker.java:219-230; byte encoding of id/lsn matches
-    // the reference's UTF-8-of-toString transport form).
+    // the reference's UTF-8-of-toString transport form). Built as an ARRAY
+    // concat, never through a map: Kafka headers legally repeat keys, and
+    // a user metadata entry named 'lsn' (allowed — Event reserves only
+    // id/kid) would make map_concat throw on the duplicate and poison the
+    // topic's replication forever.
     batch
       .withColumn("meta", decodeMeta(col("metadata")))
-      .withColumn("meta", map_concat(col("meta"),
-        map(lit("id"), encode(col("id").cast("string"), "UTF-8"),
-          lit("lsn"), encode(col("lsn").cast("string"), "UTF-8"))))
       .select(
         lit(topic).as("topic"),
         col("key"),
         col("data").as("value"),
-        array_sort(map_entries(col("meta"))).as("headers"),
+        array_sort(concat(
+          map_entries(col("meta")),
+          array(
+            struct(lit("id").as("key"),
+              encode(col("id").cast("string"), "UTF-8").as("value")),
+            struct(lit("lsn").as("key"),
+              encode(col("lsn").cast("string"), "UTF-8").as("value"))))).as("headers"),
         col("timestamp"),
         col("id").as("_seq"))
   }

@@ -48,13 +48,17 @@ final class KafkaShapedConsumer(
   /** Deliver pending records; offsets advance only after `handle` returns.
     * @return records delivered */
   def poll(handle: DataFrame => Unit): Long = {
-    val batch = pending()
-    val maxima = batch.groupBy(col("partition")).agg(max(col("offset")).as("mx"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
-    if (maxima.isEmpty) return 0L
-    val n = batch.count()
-    handle(batch)
-    maxima.foreach { case (p, mx) => offsets.update(topic, p, mx) }
-    n
+    // persist across the three uses (maxima/count + the handler's own
+    // evaluation) — otherwise every poll re-reads the manifest parquet 3×
+    val batch = pending().persist()
+    try {
+      val stats = batch.groupBy(col("partition"))
+        .agg(max(col("offset")).as("mx"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      if (stats.isEmpty) return 0L
+      handle(batch)
+      stats.foreach { case (p, mx, _) => offsets.update(topic, p, mx) }
+      stats.map(_._3).sum
+    } finally batch.unpersist()
   }
 }

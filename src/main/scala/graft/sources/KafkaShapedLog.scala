@@ -90,9 +90,13 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
     val stage = root.resolve("staging").resolve(UUID.randomUUID().toString)
     withOffsets.select("topic", "partition", "offset", "key", "value", "headers", "timestamp")
       .write.parquet(stage.toString)
-    val files = Files.list(stage).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => root.relativize(p).toString).toList
+    val files = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toList
+      finally s.close()
+    }
 
     // Count/max-offset from the staged files just written, not from the
     // input plan: re-evaluating `withOffsets` would run the partition
@@ -161,10 +165,16 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
   def consumerLag(topic: String, partition: Int, lastProcessed: Long): Long =
     math.max(nextOffset(topic, partition) - lastProcessed - 1, 0L)
 
-  /** Uncommitted staged files (visible only to tests/inspection). */
+  /** Uncommitted staged files: parquet under staging/ NOT referenced by
+    * the manifest (committed files stay in their staging dir — only the
+    * manifest defines visibility, so membership, not location, is what
+    * separates a crash orphan from committed data). */
   def stagedFileCount(): Int = {
+    val committed = manifest().files.toSet
     val s = Files.walk(root.resolve("staging"))
-    try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    try s.iterator().asScala.count(p =>
+      p.getFileName.toString.endsWith(".parquet") &&
+        !committed.contains(root.relativize(p).toString))
     finally s.close()
   }
 }

@@ -77,10 +77,12 @@ object PgOutputParser {
 
   def parse(bytes: Array[Byte]): PgMessage = parse(ByteBuffer.wrap(bytes))
 
+  // UTF-8 decode of the byte run: byte-by-byte Byte.toChar would corrupt
+  // any multi-byte identifier (e.g. a table named café_events)
   private def cString(buf: ByteBuffer): String = {
-    val sb = new java.lang.StringBuilder
+    val out = new java.io.ByteArrayOutputStream
     var b = buf.get()
-    while (b != 0) { sb.append(b.toChar); b = buf.get() }
-    sb.toString
+    while (b != 0) { out.write(b.toInt); b = buf.get() }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 }

@@ -113,37 +113,51 @@ final class EventLog(val root: Path, spark: SparkSession) {
 
   /** Append a batch as one transaction: every row gets `lsn = cursor.lsn+1`
     * and a consecutive `id`. Single-writer per topic (synchronized
-    * in-process; see class doc for the cross-process lock). */
+    * in-process; see class doc for the cross-process lock).
+    *
+    * The first append to a topic per EventLog instance reconciles the
+    * cursor from data first: a previous process may have crashed between
+    * the parquet commit and the cursor move, and allocating from the stale
+    * meta cursor would mint duplicate (lsn, id) pairs — breaking the
+    * dense-id invariant everything downstream relies on. */
   def append(topic: String, batch: DataFrame): Cursor = EventLog.writeLock.synchronized {
     createTopic(topic)
+    if (!reconciled.contains(topic)) { reconcile(topic); reconciled += topic }
     val cur = currentCursor(topic)
     val lsn = cur.lsn + 1
     val base = cur.id
-    // zipWithIndex preserves the caller's row order → append order == id
-    // order, deterministically (G9 per-record sequentiality analog).
     // Two passes: (1) per-partition sizes, (2) id-stamped write. Ids are
     // base + cumulative-partition-offset + position, preserving the
-    // caller's row order deterministically (G9) without a zipWithIndex +
-    // persist + count chain (three passes).
+    // caller's row order deterministically (G9). The RDD is persisted
+    // across the passes: a re-evaluated nondeterministic input plan could
+    // change partition sizes between the jobs and corrupt the id
+    // allocation.
     val rows = batch.selectExpr("key", "data", "metadata", "timestamp").rdd
-    val sizes = rows.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = sizes.scanLeft(0L)(_ + _)
-    val n = offsets.last
-    val withIds = rows.mapPartitionsWithIndex { (p, it) =>
-      var i = 0L
-      val off = offsets(p)
-      it.map { r =>
-        i += 1
-        Row(base + off + i, r.get(0), r.get(1), r.get(2), r.get(3), lsn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = rows.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = sizes.scanLeft(0L)(_ + _)
+      val n = offsets.last
+      val withIds = rows.mapPartitionsWithIndex { (p, it) =>
+        var i = 0L
+        val off = offsets(p)
+        it.map { r =>
+          i += 1
+          Row(base + off + i, r.get(0), r.get(1), r.get(2), r.get(3), lsn)
+        }
       }
-    }
-    spark.createDataFrame(withIds, EventLogSchema.schema)
-      .write.mode("append").parquet(topicDir(topic).toString)
-    val next = Cursor(lsn, base + n)
-    writeCursor(topic, next)
-    next
+      spark.createDataFrame(withIds, EventLogSchema.schema)
+        .write.mode("append").parquet(topicDir(topic).toString)
+      val next = Cursor(lsn, base + n)
+      writeCursor(topic, next)
+      next
+    } finally rows.unpersist()
   }
+
+  /** Topics whose cursor has been reconciled against data by this
+    * instance (crash-recovery check runs once per topic per boot). */
+  private val reconciled = scala.collection.mutable.Set.empty[String]
 
   /** Driver-side convenience append (S1 `save`/`saveAll` analog). */
   def saveAll(topic: String, events: Seq[Event]): Cursor = {
@@ -234,13 +248,22 @@ final class EventLog(val root: Path, spark: SparkSession) {
         .filter(_.getFileName.toString.endsWith(".parquet")).toList
       finally s.close()
     }
+    // one job for all segments (groupBy input_file_name), not one Spark
+    // job per file — retention over thousands of small appends would
+    // otherwise be driver-bound on job-scheduling overhead
+    val perFile = spark.read.schema(EventLogSchema.schema)
+      .parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(max(struct(col("lsn"), col("id"))).as("m"))
+      .select(col("f"), col("m.lsn"), col("m.id")).collect()
+      .map(r => {
+        val name = r.getString(0).split('/').last
+        name -> (r.getLong(1), r.getLong(2))
+      }).toMap
     val deletable = files.filter { f =>
-      val stats = spark.read.schema(EventLogSchema.schema).parquet(f.toString)
-        .agg(max(struct(col("lsn"), col("id"))).as("m"))
-        .select(col("m.lsn"), col("m.id")).collect()(0)
-      !stats.isNullAt(0) &&
-        (stats.getLong(0) < before.lsn ||
-          (stats.getLong(0) == before.lsn && stats.getLong(1) <= before.id))
+      perFile.get(f.getFileName.toString).exists { case (l, i) =>
+        l < before.lsn || (l == before.lsn && i <= before.id)
+      }
     }
     deletable.foreach(Files.delete)
     deletable.size

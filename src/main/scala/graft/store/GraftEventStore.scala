@@ -88,14 +88,16 @@ final class GraftEventStore(
   }
 
   /** Bounded replay: ordered typed events with payload decrypted (F5/E2)
-    * and deserialized (T2). */
+    * and deserialized (T2). The cursor bound rides EventLog.scan, so a
+    * resume near the head reads only the (parquet-pruned) tail — never
+    * the full history to the driver. */
   def readEvents(topic: String, after: Cursor = Cursor.zero): Seq[(Event, GenericRecord)] =
-    log.typedRead(topic)
-      .collect { case (c, e) if c.lsn > after.lsn || (c.lsn == after.lsn && c.id > after.id) =>
-        val plain = encryptor match {
-          case Some(enc) => enc.decrypt(e.payload, e.key, e.timestamp.toEpochMilli, e.metadata)
-          case None => e.payload
-        }
-        (e, ConfluentAvro.deserialize(plain, catalog))
+    log.scan(topic, after, Int.MaxValue).collect().toSeq.map { r =>
+      val e = EventLogSchema.toEvent(r)
+      val plain = encryptor match {
+        case Some(enc) => enc.decrypt(e.payload, e.key, e.timestamp.toEpochMilli, e.metadata)
+        case None => e.payload
       }
+      (e, ConfluentAvro.deserialize(plain, catalog))
+    }
 }

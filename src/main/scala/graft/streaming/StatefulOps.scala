@@ -23,19 +23,30 @@ object StatefulOps {
 
   final case class KeyCount(key: Long, events: Long, lastValue: Double)
 
-  /** Per-key running aggregate via flatMapGroupsWithState (Update mode). */
+  /** Per-key running aggregate via flatMapGroupsWithState (Update mode).
+    *
+    * `seqCol` (event-sequence column, default the event-log id order via
+    * `timestamp`) orders the fold WITHIN each micro-batch: the iterator
+    * flatMapGroupsWithState hands over is in shuffle-arrival order, so
+    * folding it raw would make `lastValue` whichever row happened to
+    * arrive last, not the latest event. The batch is sorted per key
+    * before folding (bounded by the micro-batch size, not the stream). */
   def runningCountPerKey(events: DataFrame,
-      keyCol: String = "user_id", valueCol: String = "value"): Dataset[KeyCount] = {
+      keyCol: String = "user_id", valueCol: String = "value",
+      seqCol: String = "timestamp"): Dataset[KeyCount] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col(keyCol).cast("long").as("k"), col(valueCol).cast("double").as("v"))
-      .as[(Long, Double)]
+      .select(col(keyCol).cast("long").as("k"), col(valueCol).cast("double").as("v"),
+        col(seqCol).cast("long").as("s"))
+      .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[KeyCount]) => {
+        (key: Long, rows: Iterator[(Long, Double, Long)], state: GroupState[KeyCount]) => {
           var agg = state.getOption.getOrElse(KeyCount(key, 0L, 0d))
-          rows.foreach { case (_, v) => agg = KeyCount(key, agg.events + 1, v) }
+          rows.toSeq.sortBy(_._3).foreach { case (_, v, _) =>
+            agg = KeyCount(key, agg.events + 1, v)
+          }
           state.update(agg)
           Iterator.single(agg)
         })
