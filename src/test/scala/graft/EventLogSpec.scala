@@ -97,6 +97,20 @@ class EventLogSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]]("metadata") == null)
   }
 
+  test("append after a crash-stale cursor reconciles first: no duplicate (lsn,id) minted") {
+    val root = Files.createTempDirectory("graft-crash-")
+    val log1 = EventLog(root.toString, spark)
+    log1.saveAll("tc_events", (1 to 3).map(ev))
+    // simulate the crash window: data committed, cursor move lost
+    Files.writeString(root.resolve("tc_events/_graft_meta/cursor"), Cursor.zero.encoded)
+    // a NEW instance (fresh boot) must not reuse ids 1-3
+    val log2 = EventLog(root.toString, spark)
+    log2.saveAll("tc_events", Seq(ev(4), ev(5)))
+    val rows = log2.read("tc_events").orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == (1L to 5L), "dense unique ids after recovery")
+    assert(rows.map(_.getAs[Long]("lsn")).distinct.length == 2, "second append got its own lsn")
+  }
+
   test("reconcile repairs a stale cursor from data (crash between data write and cursor move)") {
     val log = newLog()
     log.saveAll("t6_events", (1 to 3).map(ev))

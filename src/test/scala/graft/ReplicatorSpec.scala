@@ -140,6 +140,22 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(perTick.tail.forall(_ == 0L), "subsequent ticks see an empty backlog")
   }
 
+  test("user metadata key 'lsn' replicates (duplicate header keys are legal, like Kafka)") {
+    val (log, sink, rep) = fixture()
+    log.saveAll("tl_events", Seq(
+      Event("k".getBytes(UTF_8), "p".getBytes(UTF_8),
+        Instant.parse("2024-01-01T00:00:00Z"),
+        Map("lsn" -> "user-set".getBytes(UTF_8)))))  // 'lsn' is user-settable; id/kid are not (F2)
+    assert(rep.run("tl_events") == 1L)
+    val headers = sink.read("tl_events").collect()(0)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers")
+      .map(h => h.getString(0) -> new String(h.getAs[Array[Byte]](1), UTF_8))
+    // both the user entry and the system-stamped one survive, sorted by key
+    assert(headers.count(_._1 == "lsn") == 2, headers)
+    assert(headers.map(_._2).contains("user-set"))
+    assert(headers.map(_._1) == headers.map(_._1).sorted)
+  }
+
   test("streaming replication: AvailableNow drain is exactly-once, even with a wiped checkpoint") {
     val (log, sink, rep) = fixture()
     log.saveAll("ts_events", (1 to 5).map(ev))
