@@ -11,7 +11,13 @@ object LsnCodec {
   def parse(text: String): Long = {
     val parts = text.split("/", -1)
     require(parts.length == 2, s"malformed pg_lsn: $text")
-    (java.lang.Long.parseLong(parts(0), 16) << 32) | java.lang.Long.parseLong(parts(1), 16)
+    val hi = java.lang.Long.parseLong(parts(0), 16)
+    val lo = java.lang.Long.parseLong(parts(1), 16)
+    // pg_lsn halves are 32-bit; out-of-range hex would otherwise be
+    // silently folded by the shift/OR into a wrong-but-valid position
+    require((hi & 0xFFFFFFFFL) == hi && (lo & 0xFFFFFFFFL) == lo,
+      s"pg_lsn half out of 32-bit range: $text")
+    (hi << 32) | lo
   }
 }
 

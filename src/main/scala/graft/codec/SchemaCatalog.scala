@@ -42,11 +42,17 @@ object SchemaCatalog {
     schemas.foldLeft(empty) { case (c, (id, s)) => c.register(id, s) }
 
   /** Load every `<id>_<name>.avsc` in a directory. */
-  def fromDir(dir: Path): SchemaCatalog =
-    Files.list(dir).iterator().asScala
+  def fromDir(dir: Path): SchemaCatalog = {
+    val s = Files.list(dir)
+    try s.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".avsc"))
       .foldLeft(empty) { (c, p) =>
-        val id = p.getFileName.toString.takeWhile(_.isDigit).toInt
-        c.register(id, new Schema.Parser().parse(Files.readString(p)))
+        val name = p.getFileName.toString
+        val digits = name.takeWhile(_.isDigit)
+        require(digits.nonEmpty && digits.length <= 9,
+          s"schema file '$name' must be named <id>_<recordName>.avsc (id = 1-9 digits)")
+        c.register(digits.toInt, new Schema.Parser().parse(Files.readString(p)))
       }
+    finally s.close()
+  }
 }

@@ -19,21 +19,31 @@ import graft.crypto.EventEncryptor
   */
 object EventFunctions {
 
+  // null binary in → null out for every frame accessor (the native
+  // graft_schema_id expression and Spark built-ins behave the same; an
+  // unguarded UDF would NPE the whole task on e.g. an outer-join null)
+
   /** T2a: schema id from a Confluent-framed payload (frame check included). */
   def confluentSchemaId(data: Column): Column = {
-    val u = udf { bytes: Array[Byte] => ConfluentAvro.schemaId(bytes) }
+    val u = udf { bytes: Array[Byte] =>
+      if (bytes == null) null else Int.box(ConfluentAvro.schemaId(bytes))
+    }
     u(data)
   }
 
   /** T2b: Avro body (frame stripped). */
   def confluentBody(data: Column): Column = {
-    val u = udf { bytes: Array[Byte] => ConfluentAvro.unframe(bytes)._2 }
+    val u = udf { bytes: Array[Byte] =>
+      if (bytes == null) null else ConfluentAvro.unframe(bytes)._2
+    }
     u(data)
   }
 
   /** T1: frame an Avro body with a schema id. */
   def confluentFrame(schemaId: Column, body: Column): Column = {
-    val u = udf { (id: Int, b: Array[Byte]) => ConfluentAvro.frame(id, b) }
+    val u = udf { (id: java.lang.Integer, b: Array[Byte]) =>
+      if (id == null || b == null) null else ConfluentAvro.frame(id, b)
+    }
     u(schemaId, body)
   }
 
@@ -74,9 +84,14 @@ object EventFunctions {
   }
 
   /** T7: full record→event enrichment over a subscribe stream: decoded
-    * metadata + transport fields, mirroring
-    * ReactorKafkaEventTransformer.java:128-145 (metadata gains `id`, `lsn`
-    * as the replicator's headers do, plus every stored entry). */
+    * metadata + transport fields (ReactorKafkaEventTransformer.java:128-145).
+    * The output metadata map carries the STORED entries only; `id` and
+    * `lsn` stay dedicated columns — the native log's transport fields,
+    * where the reference's consumer surfaces them as headers. They are
+    * deliberately NOT merged into the metadata map: decryption excludes
+    * `id`/`kid` (not `lsn`) when rebuilding the AEAD associated data, so
+    * injecting transport entries before decryptPayload would poison the
+    * AD of every encrypted event. */
   def enrich(events: DataFrame, catalog: SchemaCatalog,
       encryptor: Option[EventEncryptor] = None): DataFrame = {
     graft.GraftExtensions.register(events.sparkSession)

@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * summation of `a(i)*b(i)` in IEEE double — the same fold order DuckDB's
   * `list_dot_product` uses, so oracle hashes are unchanged.
   *
-  * Null handling: null input array → null (BinaryExpression default);
-  * arrays must be equal length; null elements are not expected from the
-  * parquet schema and would NPE in the primitive fast path by design.
+  * Null handling matches the composed spelling too: null input array →
+  * null (BinaryExpression default); a null ELEMENT or a length mismatch →
+  * null (`zip_with` pads the shorter side with nulls and the aggregate
+  * lambda propagates them) — silently treating a null slot as 0.0 or
+  * truncating to the shorter length would mask data bugs with
+  * plausible-looking numbers.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,15 +42,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0d
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += xs.getDouble(i) * ys.getDouble(i)
       i += 1
     }
@@ -60,10 +67,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

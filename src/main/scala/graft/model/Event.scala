@@ -56,6 +56,12 @@ object Event {
     require(payload != null, "payload must not be null")
     require(timestamp != null, "timestamp must not be null")
     require(metadata != null, "metadata must not be null")
+    // value nulls fail HERE, not as a bare NPE deep inside the canonical
+    // encoder or the AEAD associated-data build (Event.java parity:
+    // Map.copyOf rejects null values at construction)
+    metadata.foreach { case (k, v) =>
+      require(k != null && v != null, s"metadata entries must be non-null (key: $k)")
+    }
     val bad = metadata.keySet.intersect(forbiddenUserKeys)
     require(bad.isEmpty, s"metadata must not contain reserved keys: ${bad.mkString(", ")}")
     new Event(key, payload, timestamp.truncatedTo(ChronoUnit.MILLIS), metadata)
