@@ -37,6 +37,13 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LsnCodec.parse("deadbeef"))
   }
 
+  test("lsn halves beyond 32 bits reject (would silently fold into a wrong position)") {
+    intercept[IllegalArgumentException](LsnCodec.parse("1FFFFFFFF/0"))
+    intercept[IllegalArgumentException](LsnCodec.parse("0/1FFFFFFFF"))
+    // boundary values still round-trip
+    assert(LsnCodec.parse("FFFFFFFF/FFFFFFFF") == -1L)
+  }
+
   // --- Cursor (T11): "<lsn>:<id>", strict parse, EventReplicatorWorker.java:262-297 ---
 
   test("cursor encode golden") {

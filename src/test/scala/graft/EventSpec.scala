@@ -25,6 +25,11 @@ class EventSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Event(key, payload, Instant.now(), null))
   }
 
+  test("null metadata values rejected at construction (Map.copyOf parity)") {
+    intercept[IllegalArgumentException](
+      Event(key, payload, Instant.now(), Map("trace" -> null)))
+  }
+
   test("reserved metadata keys id/kid rejected, lsn allowed (PostgresEventStore.java:113-119)") {
     intercept[IllegalArgumentException](
       Event(key, payload, Instant.now(), Map("id" -> Array[Byte](1))))

@@ -69,6 +69,22 @@ class StoreInfraSpec extends AnyFunSuite {
     assert(e.eval(null) == 11.0)
   }
 
+  test("graft_dot matches the composed zip_with/aggregate form on null elements and length mismatch") {
+    val s = TestSpark.spark
+    graft.GraftExtensions.register(s)
+    val rows = s.sql(
+      """SELECT
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok,
+        |  graft_dot(array(1.0D, CAST(null AS DOUBLE)), array(3.0D, 4.0D)) AS null_elem,
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D)) AS len_mismatch,
+        |  aggregate(zip_with(array(1.0D, 2.0D), array(3.0D), (x, y) -> x * y),
+        |            0D, (acc, x) -> acc + x) AS composed_mismatch""".stripMargin).collect()(0)
+    assert(rows.getDouble(0) == 11.0)
+    assert(rows.isNullAt(1), "null element must yield NULL, not treat the slot as 0.0")
+    assert(rows.isNullAt(2), "length mismatch must yield NULL, not a truncated partial sum")
+    assert(rows.isNullAt(3), "composed form agrees: NULL on mismatch")
+  }
+
   test("graft_h60 equals the composed conv(substring(md5)) spelling on arbitrary strings") {
     val s = TestSpark.spark
     graft.GraftExtensions.register(s)
