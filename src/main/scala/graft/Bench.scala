@@ -41,6 +41,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }.min
+      // queries cache intermediates for their own multi-use plans; drop
+      // them between queries so 70+ retained caches don't crowd executor
+      // storage for the rest of the session
+      spark.catalog.clearCache()
       name -> t
     } ++ (if (only.isEmpty) Seq(pipelineBench(spark, sfDir)) else Nil)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

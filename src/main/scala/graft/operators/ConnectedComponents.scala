@@ -80,9 +80,17 @@ object ConnectedComponents {
     // round — without truncation the logical plan grows 2^iterations and
     // plan stringification alone OOMs. Checkpointing keeps it O(1).
     var labels = nodes.select($"id", $"id".as("cluster")).localCheckpoint(true)
+    // convergence scalar in DECIMAL(38,0): a long sum of 64-bit ids
+    // overflows (ANSI: job abort; legacy: wraparound that can spuriously
+    // equal the previous round and falsely converge); null (empty nodes)
+    // maps to 0
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum($"cluster".cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var converged = false
     var iter = 0
-    var prevSum = labels.agg(sum($"cluster")).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     while (!converged && iter < maxIter) {
       val neighborLabels = undirected
         .join(labels, undirected("b") === labels("id"))
@@ -90,9 +98,9 @@ object ConnectedComponents {
       val next = labels.union(neighborLabels)
         .groupBy($"id").agg(min($"cluster").as("cluster"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum($"cluster")).collect()(0).getLong(0)
+      val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }

@@ -44,10 +44,15 @@ object CrossHash {
   /** Whitespace tokens. */
   def tokens(c: Column): Column = split(c, "\\s+")
 
-  /** Word 3-gram shingles of a token-array column (by column name). */
+  /** Word 3-gram shingles of a token-array column (by column name).
+    * Guarded with CASE, not `greatest(..., 0)`: Spark's `sequence(1, 0)`
+    * is the DESCENDING [1, 0] (not empty), so the unguarded form indexes
+    * element_at(w, 0)/beyond-end and aborts on any document with fewer
+    * than 3 tokens — the oracle's range() yields no shingles instead. */
   def shingles3(w: String): Column =
-    expr(s"transform(sequence(1, greatest(size($w) - 2, 0)), " +
-      s"i -> concat_ws(' ', element_at($w, i), element_at($w, i+1), element_at($w, i+2)))")
+    expr(s"CASE WHEN size($w) >= 3 THEN transform(sequence(1, size($w) - 2), " +
+      s"i -> concat_ws(' ', element_at($w, i), element_at($w, i+1), element_at($w, i+2))) " +
+      s"ELSE array() END")
 
   // ---- DuckDB (oracle) side ----
 

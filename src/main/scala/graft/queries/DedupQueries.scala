@@ -183,7 +183,9 @@ object DedupQueries extends QueryModule {
       val e = Tables.load(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      val cos = expr("graft_dot(av, bv)") / (col("anrm") * col("bnrm"))
+      // nullif: a zero-norm vector must drop out (NULL, like the oracle's
+      // /0) rather than abort under ANSI
+      val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
       e.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("anrm")).as("a")
         .join(e.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bnrm")).as("b"),
           $"vec_a" < $"vec_b")

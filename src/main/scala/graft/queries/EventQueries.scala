@@ -312,10 +312,16 @@ object EventQueries extends QueryModule {
           count(lit(1)).as("n"),
           sum($"value".cast(dec2)).cast("double").as("s"),
           sum(($"value".cast(dec2) * $"value".cast(dec2))).cast("double").as("sq"))
+        // guards (Spark 4's ANSI default turns /0 into job aborts; the
+        // oracle yields NULL and drops the rows): singleton groups get a
+        // NULL sd via the n > 1 case; fp-noise-negative variance clamps
+        // to 0; a zero sd nulls z instead of dividing by zero
         .select($"t", ($"s" / $"n").as("mean"),
-          sqrt((($"sq" - $"s" * $"s" / $"n") / ($"n" - 1))).as("sd"))
+          when($"n" > 1,
+            sqrt(greatest(($"sq" - $"s" * $"s" / $"n") / ($"n" - 1), lit(0.0))))
+            .as("sd"))
       ev.join(broadcast(stats), $"event_type" === $"t")
-        .withColumn("z", ($"value" - $"mean") / $"sd")
+        .withColumn("z", ($"value" - $"mean") / nullif($"sd", lit(0.0)))
         .filter(abs($"z") >= 3.0)
         .select($"event_id", $"event_type", $"value", $"z".as("z"))
     },
@@ -447,7 +453,7 @@ object EventQueries extends QueryModule {
     // last-event-time + gap, new session when gap >= 30 min.
     "ev_session" ->
       """WITH flagged AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP) >= INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_s
@@ -455,7 +461,7 @@ object EventQueries extends QueryModule {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), numbered AS (
         |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM flagged
         |)
         |SELECT user_id, min(ts) AS session_start,
@@ -592,14 +598,17 @@ object EventQueries extends QueryModule {
       """WITH stats AS (
         |  SELECT event_type AS t,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
-        |    sqrt((CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        |          - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        |            * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-        |         / (count(*) - 1)) AS sd
+        |    CASE WHEN count(*) > 1 THEN
+        |      sqrt(greatest(
+        |        (CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |        / (count(*) - 1), 0))
+        |    END AS sd
         |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, value, (value - mean) / sd AS z
+        |SELECT event_id, event_type, value, (value - mean) / nullif(sd, 0) AS z
         |FROM events JOIN stats ON event_type = t
-        |WHERE abs((value - mean) / sd) >= 3.0""".stripMargin,
+        |WHERE abs((value - mean) / nullif(sd, 0)) >= 3.0""".stripMargin,
 
     "ev_moving_avg" ->
       """SELECT user_id, event_id,

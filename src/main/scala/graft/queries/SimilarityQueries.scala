@@ -56,9 +56,16 @@ object SimilarityQueries extends QueryModule {
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
   }
 
+  // zero-norm guard shared by every cosine site: an all-zero vector makes
+  // the denominator 0, which ABORTS under Spark 4's ANSI default while
+  // DuckDB's /0 yields NULL (row drops out of filters/ranks) — nullif
+  // restores the oracle's semantics
+  private def cosExpr: org.apache.spark.sql.Column =
+    expr("graft_dot(qv, cv)") / nullif(col("qnrm") * col("cnrm"), lit(0.0))
+
   private def topk(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
-    val cos = expr("graft_dot(qv, cv)") / (col("qnrm") * col("cnrm"))
+    val cos = cosExpr
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
     pairs.withColumn("cosine", cos)
       .withColumn("rnk", row_number().over(w))
@@ -135,9 +142,8 @@ object SimilarityQueries extends QueryModule {
       val q = e.filter($"vec_id" < NQueries)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-      val cos = expr("graft_dot(qv, cv)") / (col("qnrm") * col("cnrm"))
       broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
-        .withColumn("cosine", cos)
+        .withColumn("cosine", cosExpr)
         .filter($"cosine" >= 0.3)
         .select($"query_id", $"neighbor_id", $"cosine".as("cosine"))
     },
@@ -180,7 +186,7 @@ object SimilarityQueries extends QueryModule {
       val q = prof.filter($"user_id" <= 5)
         .select($"user_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       val c = prof.select($"user_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-      val cos = expr("graft_dot(qv, cv)") / (col("qnrm") * col("cnrm"))
+      val cos = cosExpr
       val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
       broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
         .withColumn("cosine", cos)

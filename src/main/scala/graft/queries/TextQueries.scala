@@ -65,8 +65,10 @@ object TextQueries extends QueryModule {
           size($"w").cast("long").as("n_tokens"),
           (size(filter($"w", t => array_contains(stopArr, t))).cast("double") /
             size($"w")).as("stop_ratio"),
+          // nullif: an empty document must yield NULL like the oracle's
+          // /0, not abort the job under Spark 4's default ANSI mode
           (regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double") /
-            length($"text")).as("punct_ratio"),
+            nullif(length($"text"), lit(0))).as("punct_ratio"),
           (aggregate(transform($"w", t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
             .cast("double") / size($"w")).as("mean_token_len"))
     },
@@ -142,9 +144,11 @@ object TextQueries extends QueryModule {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select($"doc_id", tokens($"text").as("w"))
+        // CASE guard, not greatest(...,0): sequence(1,0) is [1,0] in Spark
+        // and would index out of bounds on a single-token document
         .select($"doc_id", explode(expr(
-          "transform(sequence(1, greatest(size(w) - 1, 0)), " +
-            "i -> concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("bigram"))
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i+1))) ELSE array() END")).as("bigram"))
         .distinct()
         .groupBy($"bigram")
         .agg(count(lit(1)).as("df"))

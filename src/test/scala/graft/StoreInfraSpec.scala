@@ -85,6 +85,20 @@ class StoreInfraSpec extends AnyFunSuite {
     assert(rows.isNullAt(3), "composed form agrees: NULL on mismatch")
   }
 
+  test("shingles3 yields empty (not an index error) for documents under 3 tokens") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0], so an unguarded
+    // transform would element_at out of bounds on short docs
+    val out = Seq("", "one", "one two", "one two three", "a b c d")
+      .toDF("text")
+      .select(graft.queries.CrossHash.tokens($"text").as("w"))
+      .select(size(graft.queries.CrossHash.shingles3("w")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 0, 0, 1, 2))
+  }
+
   test("graft_h60 equals the composed conv(substring(md5)) spelling on arbitrary strings") {
     val s = TestSpark.spark
     graft.GraftExtensions.register(s)
