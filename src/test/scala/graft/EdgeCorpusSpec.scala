@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The registered queries must SURVIVE adversarial inputs — empty and
+  * sub-3-token documents, punctuation-only text, zero embedding vectors,
+  * singleton event types, same-timestamp events — under Spark 4's default
+  * ANSI mode (where an unguarded /0 or out-of-bounds element_at aborts the
+  * job). The DuckDB cross-check of the same corpus lives in
+  * tools/make_edge_corpus.py + local_verify; this spec keeps the guards
+  * enforced in plain CI. */
+class EdgeCorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-edge-").toString
+    Seq(
+      (0L, "", "en", "web", 0L),
+      (1L, "one", "en", "web", 3L),
+      (2L, "one two", "en", "web", 7L),
+      (3L, "a b c", "en", "web", 5L),
+      (4L, "的 是 了", "zh", "web", 5L),
+      (5L, "!!! ??? ...", "en", "web", 11L),
+      (6L, "the quick brown fox jumps over the lazy dog again and again", "en", "books", 60L),
+      (7L, "the quick brown fox jumps over the lazy dog again and again", "en", "books", 60L),
+      (8L, "der die und das ein zwei drei vier", "de", "web", 34L),
+      (9L, "   ", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    Seq(
+      (0L, Array(0f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 2f, 3f, 4f), 1),
+      (2L, Array(1f, 2f, 3f, 4.1f), 1),
+      (3L, Array(-1f, 0.5f, 2f, 0f), 0),
+      (4L, Array(0.1f, 0.1f, 0.1f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 10.0, """{"k": 60}"""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 10.0, """{"k": 1}"""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "singleton", 5.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 2L, "click", 10.0, "{}"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 2L, "click", 10.0, "{}"),
+      (6L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, "view", 7.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("every documents/embeddings/events query survives the edge corpus (no ANSI aborts)") {
+    // queries over TPC-H tables are out of scope (those tables don't
+    // exist here); knn_lsh's hyperplanes assume 64-dim embeddings
+    val applicable = SparkEntry.queries.keys.filter(n =>
+      (n.startsWith("text_") || n.startsWith("dedup_") || n.startsWith("mm_") ||
+        n.startsWith("ev_") || n.startsWith("knn_") || n.startsWith("sim_")) &&
+        n != "knn_lsh" && n != "knn_ivf_kmeans").toSeq.sorted
+    assert(applicable.size >= 35)
+    applicable.foreach { n =>
+      val rows = SparkEntry.queries(n)(spark, dir).count() // must not throw
+      assert(rows >= 0, n)
+    }
+  }
+
+  test("edge semantics: short docs shingle to nothing, dup docs pair at jaccard 1.0, zero vector drops out") {
+    val jac = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((6L, 7L, 1.0)), "only the exact-duplicate pair, at jaccard 1.0")
+    val knn = SparkEntry.queries("knn_brute")(spark, dir).collect()
+    // the zero vector (vec_id 0) has NULL cosine everywhere (guarded
+    // division, no ANSI abort); with k larger than the corpus it still
+    // receives the LAST ranks — nulls-last in both engines — and its
+    // cosine is null wherever it appears
+    val zeroRows = knn.filter(_.getLong(1) == 0L)
+    assert(zeroRows.nonEmpty && zeroRows.forall(_.isNullAt(3)),
+      "zero-vector neighbors carry NULL cosine")
+    zeroRows.foreach { r =>
+      val ranksForQuery = knn.filter(_.getLong(0) == r.getLong(0)).map(_.getLong(2))
+      assert(r.getLong(2) == ranksForQuery.max, "NULL cosine sorts last")
+    }
+    val anomaly = SparkEntry.queries("ev_anomaly")(spark, dir).collect()
+    assert(anomaly.isEmpty, "singleton/zero-variance types yield no z-scores, not a crash")
+  }
+}
