@@ -71,6 +71,14 @@ class EventLogSpec extends AnyFunSuite {
     assert(pushed.contains("Or(GreaterThan(lsn"), pushed)
   }
 
+  test("scanRange is ordered and limit-bounded like scan (dense-id fast path)") {
+    val log = newLog()
+    log.saveAll("t2c_events", (1 to 8).map(ev))
+    val got = log.scanRange("t2c_events", Cursor(1, 2), 3)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == Seq(3L, 4L, 5L), "ordered, exactly limit rows after the cursor")
+  }
+
   test("scan is (lsn,id)-ordered across batches") {
     val log = newLog()
     log.saveAll("t3_events", Seq(ev(1), ev(2)))
