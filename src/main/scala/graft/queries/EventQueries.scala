@@ -500,8 +500,8 @@ object EventQueries extends QueryModule {
 
     "ev_funnel" ->
       """SELECT count(*) AS n_users,
-        |  sum(CASE WHEN first_signup IS NOT NULL AND last_purchase IS NOT NULL
-        |            AND first_signup < last_purchase THEN 1 ELSE 0 END) AS n_converted
+        |  CAST(sum(CASE WHEN first_signup IS NOT NULL AND last_purchase IS NOT NULL
+        |            AND first_signup < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM (
         |  SELECT user_id,
         |    min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
@@ -528,11 +528,11 @@ object EventQueries extends QueryModule {
 
     "ev_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
 
     "ev_gaps" ->
@@ -641,18 +641,18 @@ object EventQueries extends QueryModule {
 
     "dq_uniqueness" ->
       """SELECT 'events' AS table_name, count(*) AS n_keys,
-        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
-        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_rows
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
         |FROM (SELECT event_id, count(*) AS c FROM events GROUP BY event_id)
         |UNION ALL
         |SELECT 'documents', count(*),
-        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
-        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
         |FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY doc_id)
         |UNION ALL
         |SELECT 'embeddings', count(*),
-        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
-        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
         |FROM (SELECT vec_id, count(*) AS c FROM embeddings GROUP BY vec_id)""".stripMargin,
 
     "dq_integrity" ->

@@ -438,8 +438,8 @@ object RelationalQueries extends QueryModule {
 
     "q10_case" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 

@@ -260,7 +260,7 @@ object TextQueries extends QueryModule {
 
       "text_sample_strat" ->
         s"""SELECT lang, count(*) AS n_total,
-           |  sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS n_sampled,
+           |  CAST(sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            |  CAST(sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS sample_ratio
            |FROM documents GROUP BY lang""".stripMargin,
 
