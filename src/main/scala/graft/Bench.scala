@@ -31,14 +31,18 @@ object Bench {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
-    // Two passes per query, keep the min: single-shot numbers at this scale
+    // Three passes per query, keep the min: single-shot numbers at this scale
     // are dominated by JIT/GC noise (observed 4× run-to-run swings on the
-    // same plan); the min of two is stable and still includes all real work
-    // (nothing is cached across passes at the table layer).
+    // same plan); the min is stable and still includes all real work
+    // (nothing is cached across passes at the table layer). A failing query
+    // ABORTS the bench — swallowing would report a broken query as fast.
     val results = selected.map { case (name, fn) =>
-      val t = (1 to 2).map { _ =>
+      val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            throw new RuntimeException(s"bench query '$name' failed", e)
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
       // queries cache intermediates for their own multi-use plans; drop
@@ -76,7 +80,8 @@ object Bench {
       sink.read("bench_events").count()
       "pipeline_ingest_replicate_consume" -> (System.nanoTime() - t0) / 1e9
     } catch {
-      case _: Throwable => "pipeline_ingest_replicate_consume" -> -1.0
+      // fail the bench, loudly — a broken pipeline must not bench as "fast"
+      case e: Throwable => throw new RuntimeException("pipeline bench failed", e)
     }
   }
 }

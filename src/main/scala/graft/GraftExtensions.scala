@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{ConfluentSchemaId, DotProduct, Md5Prefix60}
+import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, Md5Prefix60}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -43,6 +43,11 @@ object GraftExtensions {
       children => {
         require(children.length == 1, "graft_h60 takes exactly 1 argument")
         Md5Prefix60(children.head)
+      }),
+    (FunctionIdentifier("graft_meta_decode"), DecodeMetadata.info,
+      children => {
+        require(children.length == 1, "graft_meta_decode takes exactly 1 argument")
+        DecodeMetadata(children.head)
       }))
 
   /** Idempotent on-session registration (functions + optimizer rule; the

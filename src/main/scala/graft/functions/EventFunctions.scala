@@ -47,14 +47,13 @@ object EventFunctions {
     u(schemaId, body)
   }
 
-  /** T4: canonical metadata bytes → map<string,binary> (sorted on decode). */
-  def decodeMetadata(metadata: Column): Column = {
-    val u = udf { bytes: Array[Byte] =>
-      if (bytes == null) Map.empty[String, Array[Byte]]
-      else MetadataCodec.decode(bytes): Map[String, Array[Byte]]
-    }
-    u(metadata)
-  }
+  /** T4: canonical metadata bytes → map<string,binary> (sorted on decode).
+    * Resolves to the native [[graft.functions.expressions.DecodeMetadata]]
+    * expression (null bytes → empty map, non-nullable output); the session
+    * must have [[graft.GraftExtensions.register]] applied — every graft
+    * entry point does this. */
+  def decodeMetadata(metadata: Column): Column =
+    call_function("graft_meta_decode", metadata)
 
   /** T3: map<string,binary> → canonical (sorted) metadata bytes. */
   def encodeMetadata(metadata: Column): Column = {

@@ -37,13 +37,20 @@ case class ConfluentSchemaId(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b => {
+      // Janino misparses `($b[i] & 0xff) << n` as a cast ("... is not a
+      // type"), so each byte goes through an int local before combining.
+      val (b1, b2, b3, b4) = (ctx.freshName("sid1"), ctx.freshName("sid2"),
+        ctx.freshName("sid3"), ctx.freshName("sid4"))
       s"""
          |if ($b.length < 5 || $b[0] != (byte) 0) {
          |  throw new IllegalArgumentException(
          |    "not a Confluent-framed payload (len=" + $b.length + ")");
          |}
-         |${ev.value} = (($b[1] & 0xff) << 24) | (($b[2] & 0xff) << 16)
-         |  | (($b[3] & 0xff) << 8) | ($b[4] & 0xff);
+         |int $b1 = $b[1] & 0xff;
+         |int $b2 = $b[2] & 0xff;
+         |int $b3 = $b[3] & 0xff;
+         |int $b4 = $b[4] & 0xff;
+         |${ev.value} = ($b1 << 24) | ($b2 << 16) | ($b3 << 8) | $b4;
        """.stripMargin
     })
 

@@ -34,10 +34,12 @@ final class Replicator(
     * decode → headers happens columnar: the canonical Avro map bytes are
     * decoded on executors, never on the driver. */
   private[replicate] def toRecords(topic: String, batch: DataFrame): DataFrame = {
-    val decodeMeta = udf { bytes: Array[Byte] =>
-      if (bytes == null) Map.empty[String, Array[Byte]]
-      else graft.codec.MetadataCodec.decode(bytes): Map[String, Array[Byte]]
-    }
+    // T4 decode via the native DecodeMetadata expression (stays in the
+    // codegen stage; the old per-row Scala UDF boxed every metadata map and
+    // was rebuilt on each toRecords call)
+    graft.GraftExtensions.register(batch.sparkSession)
+    val decodeMeta = (c: org.apache.spark.sql.Column) =>
+      graft.functions.EventFunctions.decodeMetadata(c)
     // Headers: id + lsn + stored metadata, sorted by header key
     // (EventReplicatorWorker.java:219-230; byte encoding of id/lsn matches
     // the reference's UTF-8-of-toString transport form). Built as an ARRAY

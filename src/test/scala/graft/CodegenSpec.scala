@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.GenericData
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.codec.{ConfluentAvro, MetadataCodec, SchemaCatalog}
+import graft.crypto.{EventEncryptor, InMemoryKms}
+import graft.functions.EventFunctions
+import graft.replicate.Replicator
+import graft.sources.KafkaShapedLog
+import graft.store.{EventLog, GraftEventStore}
+
+/** Codegen pinning: every native graft expression must COMPILE under
+  * Janino — no silent interpreter fallback on the hot paths.
+  *
+  * Spark's default `spark.sql.codegen.fallback=true` hides codegen bugs:
+  * a Janino CompileException logs a warning and the stage silently runs
+  * interpreted (exactly what happened to graft_schema_id's original
+  * `(($b[1] & 0xff) << 24)` spelling, which Janino misparses as a cast).
+  * This suite runs the hot decode/replicate paths on a session pinned to
+  * `codegen.fallback=false` + `factoryMode=CODEGEN_ONLY`, so any future
+  * codegen regression fails CI instead of shipping as a throughput tax.
+  *
+  * Uses `newSession()` — own SQLConf over the shared SparkContext — so the
+  * pinned flags never leak into concurrently-running suites.
+  */
+class CodegenSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    GraftExtensions.register(s)
+    s
+  }
+
+  private val payloadSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"CgPayload","namespace":"graft.test",
+      |"fields":[{"name":"text","type":"string"}]}""".stripMargin)
+  private val catalog = SchemaCatalog(7 -> payloadSchema)
+
+  private def rec(text: String): GenericData.Record = {
+    val r = new GenericData.Record(payloadSchema)
+    r.put("text", text)
+    r
+  }
+
+  test("graft_schema_id compiles and survives a shuffle (the round-3 failure context)") {
+    import spark.implicits._
+    // schema ids spread over 3 values; the expression feeds the exchange,
+    // so it lands inside a ShuffleMapTask's generated code
+    val framed = (1 to 90).map { i =>
+      ConfluentAvro.frame(100 + (i % 3), ConfluentAvro.encodeBody(rec(s"m$i")))
+    }
+    val counts = framed.toDF("data")
+      .select(expr("graft_schema_id(data)").as("sid"))
+      .groupBy($"sid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(100 -> 30, 101 -> 30, 102 -> 30))
+  }
+
+  test("graft_meta_decode compiles; null bytes decode to the empty map") {
+    import spark.implicits._
+    val meta = MetadataCodec.encode(Map(
+      "zk" -> "zv".getBytes(UTF_8), "ak" -> "av".getBytes(UTF_8)))
+    val rows = Seq(Some(meta), None).toDF("metadata")
+      .select(expr("graft_meta_decode(metadata)").as("m"))
+      .select(map_keys($"m").as("ks"), transform(map_values($"m"),
+        v => decode(v, "UTF-8")).as("vs"))
+      .collect()
+    assert(rows(0).getSeq[String](0) == Seq("ak", "zk")) // key-sorted decode
+    assert(rows(0).getSeq[String](1) == Seq("av", "zv"))
+    assert(rows(1).getSeq[String](0).isEmpty) // null → empty map, not null
+  }
+
+  test("graft_dot and graft_h60 compile in projection and aggregate contexts") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0), "alpha"),
+      (Array(0.5, 0.5, 0.0), Array(2.0, 2.0, 2.0), "beta"))
+      .toDF("a", "b", "t")
+    val out = df.select(
+        expr("graft_dot(a, b)").as("dot"),
+        expr("graft_h60(t)").as("h"))
+      .groupBy($"h").agg(sum($"dot").as("s"))
+      .collect()
+    assert(out.length == 2)
+    assert(out.map(_.getDouble(1)).sorted.toSeq == Seq(2.0, 32.0))
+  }
+
+  test("full enrich decode pipeline (encrypted) compiles under CODEGEN_ONLY") {
+    val log = EventLog(Files.createTempDirectory("graft-cg-").toString, spark)
+    val store = new GraftEventStore(log, catalog,
+      Some(new EventEncryptor(new InMemoryKms)))
+    store.saveAll("cg_events", (1 to 6).map { i =>
+      (s"k$i".getBytes(UTF_8), rec(s"cg $i"): org.apache.avro.generic.GenericRecord,
+        Instant.parse("2024-06-01T00:00:00Z").plusSeconds(i),
+        Map("seq" -> i.toString.getBytes(UTF_8)))
+    }, encryptionKeyUri = Some("test-kms://test-keys/cg"))
+    val decoded = EventFunctions.enrich(log.read("cg_events"), catalog,
+        encryptor = Some(new EventEncryptor(new InMemoryKms)))
+      .orderBy("id").collect()
+    assert(decoded.map(_.getAs[String]("payload_json")).toSeq ==
+      (1 to 6).map(i => s"""{"text": "cg $i"}"""))
+    assert(decoded.map(_.getAs[Int]("schema_id")).distinct.toSeq == Seq(7))
+  }
+
+  test("replication header build (toRecords' native metadata decode) compiles") {
+    val log = EventLog(Files.createTempDirectory("graft-cgr-").toString, spark)
+    val store = new GraftEventStore(log, catalog)
+    store.saveAll("cgr_events", (1 to 5).map { i =>
+      (s"k$i".getBytes(UTF_8), rec(s"r $i"): org.apache.avro.generic.GenericRecord,
+        Instant.parse("2024-06-02T00:00:00Z").plusSeconds(i),
+        Map("seq" -> i.toString.getBytes(UTF_8)))
+    })
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-cgs-").toString, spark)
+    assert(new Replicator(log, sink, batchSize = 2).run("cgr_events") == 5L)
+    val headers = sink.read("cgr_events").orderBy("offset").collect().map { r =>
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("headers"))
+        .map(h => h.getAs[String]("key")).toSeq
+    }
+    // id + lsn + seq, sorted by header key, on every record
+    assert(headers.forall(_ == Seq("id", "lsn", "seq")))
+  }
+}
