@@ -32,6 +32,42 @@ object CrossHash {
   val permA: IndexedSeq[Long] = (0 until NumPerm).map(i => 1234567L + 999983L * i)
   val permB: IndexedSeq[Long] = (0 until NumPerm).map(i => 424242L + 777779L * i)
 
+  /** Banded hyperplane LSH over embeddings (dedup_embed_cosine candidate
+    * generation): [[EmbBits]] random-sign planes, derived deterministically
+    * from md5 so both engines build byte-identical planes, banded into
+    * [[EmbBands]] bands of [[EmbBandBits]] bits. Two vectors are CANDIDATES
+    * iff some band's bit pattern matches — the same OR-amplification as
+    * minhash banding, so the pair join shuffles on (band, bits) and costs
+    * O(Σ bucket²), never O(n²).
+    *
+    * Parameters tune to the threshold: at production near-dup thresholds
+    * (cosine ≥ 0.9, θ ≤ 26°) a 6-bit band matches w.p. 0.857⁶ ≈ 0.40 and
+    * 16 bands give recall 1-(1-0.40)¹⁶ > 0.999 with ~2% false candidates.
+    * The test corpus' threshold 0.4 sits near random (θ ≈ 66°), the
+    * hardest regime for any LSH — measured recall there is 44/59 at sf0.01
+    * with ~4× candidate pruning (DedupScaleSpec pins the cross-check
+    * against the exact all-pairs spelling). */
+  val EmbBandBits = 6
+  val EmbBands = 16
+  val EmbBits: Int = EmbBands * EmbBandBits
+  val EmbDim = 64
+  val embPlanes: IndexedSeq[IndexedSeq[Int]] =
+    (0 until EmbBits).map { j =>
+      (0 until EmbDim).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lsh${j / EmbBandBits}_${j % EmbBandBits}_$d".getBytes("UTF-8"))
+        if ((md(0) & 1) == 0) 1 else -1
+      }
+    }
+
+  /** SimHash banding (dedup_simhash): 32-bit fingerprints at hamming ≤ 2
+    * split into 3 bands (11+11+10 bits). Pigeonhole: ≤2 differing bits
+    * can touch at most 2 of 3 bands, so every qualifying pair matches
+    * exactly on some band — banding is EXACT here (unlike the embedding
+    * LSH), losslessly replacing the all-pairs join. */
+  val SimhashBandOffsets: IndexedSeq[(Int, Int, Long)] = IndexedSeq(
+    (0, 0, 0x7ffL), (1, 11, 0x7ffL), (2, 22, 0x3ffL)) // (band, shift, mask)
+
   // ---- Spark side ----
 
   /** 60-bit md5 hash of a string column (non-negative long). Native
@@ -65,4 +101,12 @@ object CrossHash {
   /** DuckDB word 3-grams over a list column named `w`. */
   val oShingles3: String =
     "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]"
+
+  /** Spark SQL literal for embedding-LSH plane j. */
+  def embPlaneSql(j: Int): String =
+    embPlanes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
+
+  /** DuckDB literal for embedding-LSH plane j. */
+  def oEmbPlane(j: Int): String =
+    embPlanes(j).map(x => s"${x}.0").mkString("[", ", ", "]::DOUBLE[]")
 }

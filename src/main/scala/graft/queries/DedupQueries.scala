@@ -22,11 +22,19 @@ import CrossHash._
   *    exact jaccard verification of candidates. Cost is O(candidates), not
   *    O(n²); bands shuffle on (band_idx, band_value) which is uniform by
   *    construction of the hash.
-  *  - dedup_simhash: 32-bit simhash fingerprints; the pair scan is a
-  *    broadcast nested-loop at test scale, but fingerprints are 4 bytes —
-  *    at 100 TB you'd band the fingerprint bits the same LSH way.
-  *  - dedup_embed_cosine: exact cosine near-dup pairs over embeddings;
-  *    the ANN-bucketed variant lives in SimilarityQueries (knn_ivf).
+  *  - dedup_simhash: 32-bit simhash fingerprints; near-dups at hamming ≤ 2
+  *    via EXACT pigeonhole banding (3 bands; ≤2 flipped bits leave some
+  *    band untouched) — candidates join on (band, bits), never all-pairs,
+  *    and the banded result provably equals the quadratic spelling
+  *    (DedupScaleSpec pins the equality).
+  *  - dedup_embed_cosine: LSH-bucketed cosine near-dup pairs over
+  *    embeddings — banded hyperplane signatures (CrossHash.embPlanes)
+  *    generate candidates, exact cosine verifies them. The oracle computes
+  *    the identical deterministic bands (knn_lsh doctrine), so the gate
+  *    checks the bucketed computation bit-for-bit; recall vs the exact
+  *    all-pairs spelling is pinned separately in DedupScaleSpec (LSH at
+  *    the test threshold 0.4 ≈ random similarity is recall-limited by
+  *    construction; production thresholds ≥0.8 recall >0.999).
   *
   * All arithmetic is integer (md5-derived 60-bit hashes mod P) except the
   * final jaccard/cosine ratio, which is a single double division — both
@@ -152,48 +160,118 @@ object DedupQueries extends QueryModule {
     },
 
     // 32-bit SimHash fingerprints; near-dups at hamming distance <= 2.
+    // Pigeonhole banding (exact — see simhashFingerprints scaladoc).
     "dedup_simhash" -> { (s, dir) =>
       import s.implicits._
-      val tok = Tables.load(s, dir, "documents")
-        .select($"doc_id", explode(tokens($"text")).as("t"))
-        .select($"doc_id", h60($"t").as("h"))
-      val bitCols = (0 until 32).map(b =>
-        sum((shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"w$b"))
-      val agg0 = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
-      val fp = (0 until 32).map(b =>
-          when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      // fps is tiny (one long per doc) but feeds both sides of the pair
+      // fps is tiny (one long per doc) but feeds both sides of the band
       // join — cache so the token explode + 32-way agg runs once.
-      val fps = agg0.select($"doc_id", fp.as("fp")).cache()
+      val fps = simhashFingerprints(s, dir).cache()
+      val bandStructs = SimhashBandOffsets.map { case (b, shift, mask) =>
+        struct(lit(b).as("band"),
+          shiftright($"fp", shift).bitwiseAND(lit(mask)).as("bb"))
+      }
+      val bands = fps
+        .select($"doc_id", $"fp", explode(array(bandStructs: _*)).as("x"))
+        .select($"doc_id", $"fp", $"x.band".as("band"), $"x.bb".as("bb"))
       val hd = bit_count($"a.fp".bitwiseXOR($"b.fp"))
-      fps.as("a").join(fps.as("b"), $"a.doc_id" < $"b.doc_id")
+      // a pair at hamming 0/1 matches on 2-3 bands — distinct collapses
+      // the duplicate candidates (hamming is functional on the pair)
+      bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bb" === $"b.bb" && $"a.doc_id" < $"b.doc_id")
         .filter(hd <= 2)
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
           hd.cast("long").as("hamming"))
+        .distinct()
     },
 
-    // Embedding-cosine near-dup pairs (exact; ANN path in knn_ivf).
-    // Dot products via the native codegen graft_dot expression (see
-    // graft.functions.expressions.DotProduct — same fold order as the
-    // composable aggregate/zip_with form, ~10× faster).
+    // LSH-bucketed embedding-cosine near-dup pairs: banded hyperplane
+    // signatures → candidate join on (band, bits) → exact cosine verify.
+    // Dot products via the native codegen graft_dot expression. The exact
+    // quadratic spelling survives as embCosineAllPairs (DedupScaleSpec's
+    // recall cross-check); the point-query ANN paths live in knn_*.
     "dedup_embed_cosine" -> { (s, dir) =>
       import s.implicits._
       graft.GraftExtensions.register(s)
-      val e = Tables.load(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      // the corpus feeds the band explode AND both verify probes — one
+      // materialization serves all three
+      val e = embVecs(s, dir).cache()
+      val bandStructs = (0 until EmbBands).map { t =>
+        val bits = (0 until EmbBandBits).map { j =>
+          when(expr(s"graft_dot(v, ${embPlaneSql(t * EmbBandBits + j)})") > 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("band"), bits.as("bb"))
+      }
+      val bands = e.select($"vec_id", explode(array(bandStructs: _*)).as("x"))
+        .select($"vec_id", $"x.band".as("band"), $"x.bb".as("bb"))
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bb" === $"b.bb" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+        .distinct()
       // nullif: a zero-norm vector must drop out (NULL, like the oracle's
       // /0) rather than abort under ANSI
       val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
-      e.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("anrm")).as("a")
-        .join(e.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bnrm")).as("b"),
-          $"vec_a" < $"vec_b")
+      cand
+        .join(e.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("anrm")), "vec_a")
+        .join(e.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bnrm")), "vec_b")
         .withColumn("cosine", cos)
         .filter($"cosine" >= 0.4)
         .select($"vec_a", $"vec_b", $"cosine".as("cosine"))
     }
   )
+
+  /** Normalized embedding vectors (shared by the LSH query and the exact
+    * cross-check spelling). */
+  private def embVecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
+
+  /** 32-bit simhash fingerprint per doc: sign of the per-bit ±1 vote sum
+    * over token h60 hashes. */
+  private def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("t"))
+      .select($"doc_id", h60($"t").as("h"))
+    val bitCols = (0 until 32).map(b =>
+      sum((shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"w$b"))
+    val agg0 = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 32).map(b =>
+        when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg0.select($"doc_id", fp.as("fp"))
+  }
+
+  /** The quadratic simhash spelling — DedupScaleSpec asserts the banded
+    * query equals this exactly (pigeonhole guarantee made executable). */
+  private[graft] def simhashAllPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = simhashFingerprints(s, dir).cache()
+    val hd = bit_count($"a.fp".bitwiseXOR($"b.fp"))
+    fps.as("a").join(fps.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(hd <= 2)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        hd.cast("long").as("hamming"))
+  }
+
+  /** The exact quadratic cosine spelling — DedupScaleSpec's ground truth
+    * for the LSH query's recall (never registered; it would not finish at
+    * corpus scale). */
+  private[graft] def embCosineAllPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embVecs(s, dir)
+    val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
+    e.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("anrm")).as("a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bnrm")).as("b"),
+        $"vec_a" < $"vec_b")
+      .withColumn("cosine", cos)
+      .filter($"cosine" >= 0.4)
+      .select($"vec_a", $"vec_b", $"cosine".as("cosine"))
+  }
 
   def oracles: Map[String, String] = {
     val sigExprs = (0 until NumPerm)
@@ -280,14 +358,29 @@ object DedupQueries extends QueryModule {
            |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.fp, b.fp)) <= 2""".stripMargin,
 
-      "dedup_embed_cosine" ->
-        """WITH e AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          |  list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cosine
-          |FROM n a JOIN n b ON a.vec_id < b.vec_id
-          |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4""".stripMargin
+      // Oracle computes the IDENTICAL deterministic bands (md5-derived
+      // planes are literal in both engines), so the hash gate verifies the
+      // bucketed candidate generation + exact verify bit-for-bit.
+      "dedup_embed_cosine" -> {
+        val bandSelects = (0 until EmbBands).map { t =>
+          val bits = (0 until EmbBandBits).map { j =>
+            s"(CASE WHEN list_dot_product(v, ${oEmbPlane(t * EmbBandBits + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, $t AS band, $bits AS bb FROM n"
+        }.mkString(" UNION ALL ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bb = b.bb AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b,
+           |  list_dot_product(na.v, nb.v)/(na.nrm*nb.nrm) AS cosine
+           |FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+           |WHERE list_dot_product(na.v, nb.v)/(na.nrm*nb.nrm) >= 0.4""".stripMargin
+      }
     )
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupQueries
+
+/** Cross-checks of the banded/bucketed dedup operators against their exact
+  * quadratic spellings (the all-pairs forms survive as private[graft]
+  * methods precisely for this spec — the IncrementalDedupSpec pattern).
+  *
+  *  - simhash banding is EXACT: hamming ≤ 2 over 3 bands pigeonholes into
+  *    at least one untouched band, so the banded query must equal the
+  *    all-pairs join row-for-row.
+  *  - embedding LSH is APPROXIMATE by construction: candidates are a
+  *    subset (precision 1.0 — every emitted pair is exact-verified), and
+  *    recall at the test threshold (0.4 ≈ random similarity, LSH's
+  *    hardest regime) is pinned at its measured floor so a plane/banding
+  *    regression is caught.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("banded simhash equals the quadratic spelling exactly (pigeonhole over 3 bands)") {
+    val banded = SparkEntry.queries("dedup_simhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = DedupQueries.simhashAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == exact,
+      s"banded≠exact: missing=${(exact -- banded).take(5)} extra=${(banded -- exact).take(5)}")
+    assert(exact.nonEmpty) // the gate must not pass vacuously
+    spark.catalog.clearCache()
+  }
+
+  test("LSH embed-cosine: perfect precision (subset of exact pairs, identical cosines), recall ≥ 0.6") {
+    val lsh = SparkEntry.queries("dedup_embed_cosine")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = DedupQueries.embCosineAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted non-pairs: ${(lsh -- exact).take(5)}")
+    // measured 48/66 at sf0.001 with 16 bands × 6 bits; floor leaves head-
+    // room for plane tweaks but catches a broken banding (recall ~0 or 1.0
+    // via accidental all-pairs)
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall = ${lsh.size}/${exact.size}")
+    spark.catalog.clearCache()
+  }
+}

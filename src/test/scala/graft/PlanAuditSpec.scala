@@ -103,4 +103,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("knn_retrieve")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("dedup_simhash: pigeonhole banding — candidates join on (band, bits), never all-pairs") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_embed_cosine: LSH bands — candidates join on (band, bits), never all-pairs") {
+    val p = plan("dedup_embed_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
