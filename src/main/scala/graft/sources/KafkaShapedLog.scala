@@ -44,7 +44,7 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
 
   def manifest(): Manifest =
     if (Files.exists(manifestPath)) Manifest.parse(Files.readString(manifestPath))
-    else Manifest(Nil, Map.empty, Map.empty)
+    else Manifest(Nil, Map.empty, Map.empty, Map.empty)
 
   private def commitManifest(m: Manifest): Unit = {
     val tmp = root.resolve(s"manifest.${UUID.randomUUID()}.tmp")
@@ -63,7 +63,8 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
     * follow `_seq` order — the source's (lsn,id) order, preserving G1's
     * total order per partition) and advance the progress cursor of
     * `sourceTable` — atomically. */
-  def appendTxn(records: DataFrame, sourceTable: String, newCursor: Cursor): Long = synchronized {
+  def appendTxn(records: DataFrame, sourceTable: String, newCursor: Cursor,
+      dropPending: Seq[Pending] = Nil): Long = synchronized {
     val m = manifest()
     // Partition by key hash (per-key order), offsets dense per partition.
     // The explicit repartition produces HashPartitioning(topic, partition,
@@ -110,9 +111,46 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
       acc + ((r.getString(0), r.getInt(1)) -> (r.getLong(2) + 1))
     }
     val n = counts.map(_.getLong(3)).sum
+    val pend =
+      if (dropPending.isEmpty) m.pending
+      else m.pending.updated(sourceTable,
+        m.pending.getOrElse(sourceTable, Nil).filterNot(dropPending.contains))
     commitManifest(Manifest(m.files ++ files, newOffsets,
-      m.cursors + (sourceTable -> newCursor)))
+      m.cursors + (sourceTable -> newCursor), pend))
     n
+  }
+
+  /** Parked out-of-order runs for a source table (id ranges delivered
+    * ahead of the dense prefix — see [[parkRange]]), sorted by `from`. */
+  def pendingRanges(sourceTable: String): List[Pending] =
+    manifest().pending.getOrElse(sourceTable, Nil).sortBy(_.from)
+
+  /** Park an out-of-order run: stage the RAW source rows (no offsets — Kafka
+    * offset assignment must follow id order, and earlier ids haven't
+    * arrived) and record the id range in the manifest atomically. The rows
+    * re-enter the normal [[appendTxn]] pipeline at promotion time, once
+    * the dense prefix has been committed, so per-partition offset order
+    * still equals (lsn, id) order (G1/G9 preserved across reordering). */
+  def parkRange(rows: DataFrame, sourceTable: String,
+      from: Long, to: Long, lsnMax: Long): Unit = synchronized {
+    val m = manifest()
+    val dir = root.resolve("staging").resolve(s"pending-${UUID.randomUUID()}")
+    rows.write.parquet(dir.toString)
+    val p = Pending(from, to, lsnMax, root.relativize(dir).toString)
+    commitManifest(m.copy(pending = m.pending.updated(sourceTable,
+      (m.pending.getOrElse(sourceTable, Nil) :+ p).sortBy(_.from))))
+  }
+
+  /** Read a parked run's raw rows back. */
+  def readPending(p: Pending): DataFrame =
+    spark.read.parquet(root.resolve(p.dir).toString)
+
+  /** Drop a parked range without committing records (stale range whose ids
+    * were drained by another path, e.g. a Replicator.run() recovery). */
+  def discardPending(sourceTable: String, p: Pending): Unit = synchronized {
+    val m = manifest()
+    commitManifest(m.copy(pending = m.pending.updated(sourceTable,
+      m.pending.getOrElse(sourceTable, Nil).filterNot(_ == p))))
   }
 
   /** read_committed view of one topic. */
@@ -192,12 +230,19 @@ object KafkaShapedLog {
       nullable = true),
     StructField("timestamp", TimestampType, nullable = false)))
 
+  /** A parked out-of-order id run: raw rows staged at `dir`, covering
+    * source ids `[from, to]` whose max lsn is `lsnMax`, awaiting the dense
+    * prefix before promotion through appendTxn. */
+  final case class Pending(from: Long, to: Long, lsnMax: Long, dir: String)
+
   /** Committed state: files + per-(topic,partition) next offsets + per-source
-    * progress cursors. Hand-rolled JSON (flat, driver-side, tiny). */
+    * progress cursors + parked out-of-order ranges. Hand-rolled JSON (flat,
+    * driver-side, tiny). */
   final case class Manifest(
       files: List[String],
       offsets: Map[(String, Int), Long],
-      cursors: Map[String, Cursor]) {
+      cursors: Map[String, Cursor],
+      pending: Map[String, List[Pending]] = Map.empty) {
     def render: String = {
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val fs = files.map(q).mkString("[", ",", "]")
@@ -205,7 +250,11 @@ object KafkaShapedLog {
         .map { case ((t, p), o) => s"${q(s"$t/$p")}: $o" }.mkString("{", ",", "}")
       val cs = cursors.toSeq.sortBy(_._1)
         .map { case (t, c) => s"${q(t)}: ${q(c.encoded)}" }.mkString("{", ",", "}")
-      s"""{"files": $fs, "offsets": $os, "cursors": $cs}"""
+      val ps = pending.toSeq.sortBy(_._1).filter(_._2.nonEmpty)
+        .map { case (t, l) =>
+          s"${q(t)}: ${l.map(p => q(s"${p.from}:${p.to}:${p.lsnMax}:${p.dir}")).mkString("[", ",", "]")}"
+        }.mkString("{", ",", "}")
+      s"""{"files": $fs, "offsets": $os, "cursors": $cs, "pending": $ps}"""
     }
   }
 
@@ -215,9 +264,12 @@ object KafkaShapedLog {
       def strings(arr: String): List[String] =
         "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr)
           .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toList
-      def section(name: String): String = {
+      def section(name: String, required: Boolean = true): String = {
         val i = s.indexOf("\"" + name + "\"")
-        require(i >= 0, s"manifest missing $name")
+        if (i < 0) {
+          require(!required, s"manifest missing $name")
+          return ""
+        }
         val start = s.indexOf(if (name == "files") '[' else '{', i)
         val end = s.indexOf(if (name == "files") ']' else '}', start)
         s.substring(start + 1, end)
@@ -232,7 +284,20 @@ object KafkaShapedLog {
       val cursors = "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
         .findAllMatchIn(section("cursors"))
         .map(m => m.group(1) -> Cursor.parse(m.group(2))).toMap
-      Manifest(files, offsets, cursors)
+      // pending is optional (absent in pre-range manifests); entries are
+      // "from:to:lsnMax:dir" strings per source table — strict parse, a
+      // malformed range must fail init like a malformed cursor
+      val pending = "\"([^\"]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        .findAllMatchIn(section("pending", required = false))
+        .map { m =>
+          m.group(1) -> strings(m.group(2)).map { e =>
+            e.split(":", 4) match {
+              case Array(f, t, l, d) => Pending(f.toLong, t.toLong, l.toLong, d)
+              case _ => throw new IllegalStateException(s"malformed pending range: $e")
+            }
+          }
+        }.toMap
+      Manifest(files, offsets, cursors, pending)
     }
   }
 
