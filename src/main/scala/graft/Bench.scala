@@ -54,8 +54,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only the log tail, which has truncated the long
+    // queries map in past rounds — persist the full line as a file artifact
+    // and stop Spark BEFORE printing so its shutdown logging can't push the
+    // JSON out of the captured tail.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
     spark.stop()
+    println(line)
   }
 
   /** Core event-store path end to end: ingest the events table into the

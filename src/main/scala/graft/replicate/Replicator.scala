@@ -114,48 +114,134 @@ final class Replicator(
     * checkpoint commit — or a deleted checkpoint) re-commits nothing.
     *
     * The cursor filter is only sound if the committed cursor always covers
-    * a COMPLETE id prefix, so before committing, the batch must be the
-    * exact dense continuation `cursor.id+1 … cursor.id+n` (EventLog ids
-    * are dense — see drainRange). The file source delivers appends in
-    * (mtime, path) order, which tracks append order in practice, but a
-    * filesystem with coarse mtimes could reorder same-timestamp files —
-    * in that case this FAILS FAST (G8) instead of silently losing the
-    * displaced rows; recovery is a [[run]] drain (ordered, cursor-exact)
-    * and a stream restart.
+    * a COMPLETE id prefix (EventLog ids are dense — see drainRange). The
+    * file source delivers appends in (mtime, path) order, which tracks
+    * append order in practice, but a filesystem with coarse mtimes can
+    * reorder same-timestamp files — [[commitStreamBatch]] tolerates that by
+    * PARKING runs delivered ahead of the committed prefix in the sink
+    * manifest and promoting them once the prefix lands; only a gap that can
+    * never fill (the missing ids are gone from the source, e.g. retention)
+    * FAILS FAST (G8). Recovery from that is a [[run]] drain (ordered,
+    * cursor-exact) and a stream restart — stale parked ranges the drain
+    * already covered are discarded on the next batch.
     * This is the always-on form of [[runLoop]]; `Trigger.AvailableNow`
     * turns it into a one-shot drain. */
   def replicateStream(topic: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 100)
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.Subscribe.stream(
-        source.read(topic).sparkSession, source.root.toString, topic)
+        source.read(topic).sparkSession, source.root.toString, topic,
+        maxFilesPerTrigger)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, _: Long) =>
-        val cursor = sink.cursorFor(topic)
-        val fresh = df.filter(
-          struct(col("lsn"), col("id")) >
-            struct(lit(cursor.lsn), lit(cursor.id))).persist()
-        try {
-          val stats = fresh.agg(
-              max(struct(col("lsn"), col("id"))).as("m"),
-              min(col("id")).as("mn"), count(lit(1)).as("n"))
-            .select(col("m.lsn"), col("m.id"), col("mn"), col("n")).collect()(0)
-          if (!stats.isNullAt(0)) {
-            val (mx, mn, n) = (stats.getLong(1), stats.getLong(2), stats.getLong(3))
-            if (mn != cursor.id + 1 || n != mx - mn + 1)
-              throw new IllegalStateException(
-                s"out-of-order or gapped delivery for $topic: committed id ${cursor.id}, " +
-                  s"batch ids [$mn, $mx] n=$n — recover with Replicator.run() then restart the stream")
-            sink.appendTxn(toRecords(topic, fresh), topic,
-              Cursor(stats.getLong(0), mx))
-          }
-          (): Unit
-        } finally { fresh.unpersist(); () }
+        commitStreamBatch(topic, df); ()
       }
       .start()
+
+  /** Commit one delivered micro-batch of source rows with out-of-order
+    * tolerance (G1/G9 preserved across reordered file delivery):
+    *
+    *  - rows at or below the sink cursor are dropped (crash/checkpoint
+    *    replay — the EOS re-filter);
+    *  - the dense continuation `cursor.id+1 … cursor.id+n` commits
+    *    directly (hot path: one aggregate, no window);
+    *  - a batch that is NOT the dense continuation splits into maximal
+    *    contiguous id runs; runs extending the prefix commit in order,
+    *    runs delivered ahead are parked ([[KafkaShapedLog.parkRange]]) —
+    *    but only after verifying the missing ids still exist in the
+    *    source, because a retention gap would otherwise wedge the parked
+    *    run forever (fail fast instead, G8);
+    *  - after every commit, parked runs the new cursor makes dense are
+    *    promoted through `appendTxn(dropPending=…)` — records, cursor and
+    *    pending-drop are one atomic manifest swap, so a crash anywhere
+    *    leaves either the old state or the fully-promoted one.
+    *
+    * The run-split window sorts only the one micro-batch (bounded by
+    * maxFilesPerTrigger), and only on the rare non-dense path.
+    * @return records committed (parked rows count when promoted). */
+  private[graft] def commitStreamBatch(topic: String, df: DataFrame): Long = {
+    var committed = promotePending(topic) // post-recovery promotion + stale GC
+    val cursor = sink.cursorFor(topic)
+    val fresh = df.filter(
+      struct(col("lsn"), col("id")) >
+        struct(lit(cursor.lsn), lit(cursor.id))).persist()
+    try {
+      val stats = fresh.agg(
+          max(struct(col("lsn"), col("id"))).as("m"),
+          min(col("id")).as("mn"), count(lit(1)).as("n"))
+        .select(col("m.lsn"), col("m.id"), col("mn"), col("n")).collect()(0)
+      if (!stats.isNullAt(0)) {
+        val (mxLsn, mx, mn, n) =
+          (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+        if (mn == cursor.id + 1 && n == mx - mn + 1) {
+          committed += sink.appendTxn(toRecords(topic, fresh), topic, Cursor(mxLsn, mx))
+          committed += promotePending(topic)
+        } else {
+          val runs = fresh.withColumn("_grp",
+            col("id") - row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+          val runStats = runs.groupBy(col("_grp"))
+            .agg(min(col("id")).as("from"), max(col("id")).as("to"),
+              max(col("lsn")).as("lsnMax"))
+            .orderBy(col("from")).collect()
+          runStats.foreach { r =>
+            val (g, from, to, lsnMax) =
+              (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+            val cur = sink.cursorFor(topic)
+            if (to <= cur.id) () // fully-committed replay range
+            else if (from <= cur.id + 1) {
+              val rows = runs.filter(col("_grp") === g && col("id") > cur.id).drop("_grp")
+              committed += sink.appendTxn(toRecords(topic, rows), topic, Cursor(lsnMax, to))
+              committed += promotePending(topic)
+            } else {
+              requireGapLive(topic, cur.id + 1, from - 1)
+              sink.parkRange(runs.filter(col("_grp") === g).drop("_grp"),
+                topic, from, to, lsnMax)
+            }
+          }
+        }
+      }
+      committed
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Promote parked runs the committed cursor now makes dense (each
+    * promotion drops its range atomically with the record commit); discard
+    * ranges a [[run]] recovery already drained. @return records committed. */
+  private def promotePending(topic: String): Long = {
+    var n = 0L
+    var go = true
+    while (go) {
+      val cur = sink.cursorFor(topic)
+      sink.pendingRanges(topic).headOption match {
+        case Some(p) if p.to <= cur.id =>
+          sink.discardPending(topic, p) // drained by a run() recovery
+        case Some(p) if p.from <= cur.id + 1 =>
+          val rows = sink.readPending(p).filter(col("id") > cur.id)
+          n += sink.appendTxn(toRecords(topic, rows), topic,
+            Cursor(p.lsnMax, p.to), dropPending = Seq(p))
+        case _ => go = false
+      }
+    }
+    n
+  }
+
+  /** Fail fast when ids `[lo, hi]` are no longer in the source (a retention
+    * gap no later delivery can fill) — parking would wedge silently. The
+    * probe is a pushed-down point-range count, and runs only on the rare
+    * gapped path. */
+  private def requireGapLive(topic: String, lo: Long, hi: Long): Unit = {
+    val live = source.read(topic)
+      .filter(col("lsn").isNotNull && col("id") >= lo && col("id") <= hi).count()
+    if (live != hi - lo + 1)
+      throw new IllegalStateException(
+        s"gapped delivery for $topic: ids [$lo, $hi] are missing from the source " +
+          s"($live of ${hi - lo + 1} live) — recover with Replicator.run() then restart the stream")
+  }
 
   /** Fixed-delay scheduling loop — the reference's per-topic worker
     * cadence (EventReplicator.java:138, 174-183: schedule at

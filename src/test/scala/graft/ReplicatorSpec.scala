@@ -212,8 +212,109 @@ class ReplicatorSpec extends AnyFunSuite {
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(err).exists(c => c.isInstanceOf[IllegalStateException] &&
-      c.getMessage.contains("out-of-order or gapped delivery")))
+      c.getMessage.contains("gapped delivery")))
     assert(sink.read("tf_events").count() == 0) // nothing half-committed
+    assert(sink.pendingRanges("tf_events").isEmpty,
+      "a permanent gap must fail fast, not park forever")
+  }
+
+  test("commitStreamBatch parks a run delivered ahead and promotes it when the prefix lands") {
+    import org.apache.spark.sql.functions.col
+    val (log, sink, rep) = fixture()
+    log.saveAll("t_events", (1 to 6).map(ev)) // lsn 1, ids 1-6
+    val all = log.read("t_events")
+    // deliver the tail first (out-of-order file delivery): parked, nothing visible
+    assert(rep.commitStreamBatch("t_events", all.filter(col("id") >= 4)) == 0L)
+    assert(sink.pendingRanges("t_events").map(p => (p.from, p.to)) == List((4L, 6L)))
+    assert(sink.read("t_events").count() == 0)
+    assert(sink.cursorFor("t_events") == Cursor.zero)
+    // the dense prefix lands: commit + promote, atomically dropping the range
+    assert(rep.commitStreamBatch("t_events", all.filter(col("id") <= 3)) == 6L)
+    assert(sink.pendingRanges("t_events").isEmpty)
+    val rows = sink.read("t_events").orderBy("offset").collect()
+    assert(rows.map(_.getAs[Long]("offset")).toSeq == (0L to 5L), "offsets dense")
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSeq ==
+      (1 to 6).map(i => s"key-$i"), "offset order == id order across the reordering")
+    assert(sink.cursorFor("t_events") == Cursor(1, 6))
+    // full replay (wiped checkpoint) → EOS re-filter drops everything
+    assert(rep.commitStreamBatch("t_events", all) == 0L)
+    assert(sink.read("t_events").count() == 6)
+  }
+
+  test("commitStreamBatch orders interleaved runs within one gapped batch") {
+    import org.apache.spark.sql.functions.col
+    val (log, sink, rep) = fixture()
+    log.saveAll("t_events", (1 to 9).map(ev))
+    // one batch containing runs [1-2], [4-5], [7-9] (ids 3 and 6 withheld)
+    val holes = log.read("t_events").filter(col("id") =!= 3 && col("id") =!= 6)
+    assert(rep.commitStreamBatch("t_events", holes) == 2L) // only [1-2] is dense
+    assert(sink.pendingRanges("t_events").map(p => (p.from, p.to)) ==
+      List((4L, 5L), (7L, 9L)))
+    assert(sink.cursorFor("t_events") == Cursor(1, 2))
+    // the missing ids arrive → both parked runs promote in id order
+    assert(rep.commitStreamBatch("t_events",
+      log.read("t_events").filter(col("id") === 3 || col("id") === 6)) == 7L)
+    assert(sink.pendingRanges("t_events").isEmpty)
+    val rows = sink.read("t_events").orderBy("offset").collect()
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSeq ==
+      (1 to 9).map(i => s"key-$i"))
+    assert(sink.cursorFor("t_events") == Cursor(1, 9))
+  }
+
+  test("run() recovery drains parked ids; stale pending ranges are discarded") {
+    import org.apache.spark.sql.functions.col
+    val (log, sink, rep) = fixture()
+    log.saveAll("t_events", (1 to 6).map(ev))
+    rep.commitStreamBatch("t_events", log.read("t_events").filter(col("id") >= 4))
+    assert(sink.pendingRanges("t_events").nonEmpty)
+    // operator recovery: ordered drain covers ids 1-6 (including the parked run)
+    assert(rep.run("t_events") == 6L)
+    assert(sink.cursorFor("t_events") == Cursor(1, 6))
+    // next stream batch GCs the now-stale parked range, commits nothing twice
+    assert(rep.commitStreamBatch("t_events", log.read("t_events")) == 0L)
+    assert(sink.pendingRanges("t_events").isEmpty)
+    assert(sink.read("t_events").count() == 6)
+    assert(sink.read("t_events").collect().map(_.getAs[Long]("offset")).sorted.toSeq ==
+      (0L to 5L), "no duplicates from the parked copy")
+  }
+
+  test("streaming replication survives out-of-order file delivery (park + promote, EOS)") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => smax, min => smin}
+    val srcDir = Files.createTempDirectory("graft-ooo-src-")
+    val log = EventLog(srcDir.toString, spark)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-ooo-sink-").toString, spark)
+    val rep = new Replicator(log, sink)
+    log.saveAll("oo_events", (1 to 3).map(ev)) // lsn 1, ids 1-3
+    log.saveAll("oo_events", (4 to 6).map(ev)) // lsn 2, ids 4-6
+    // Invert modification times so the file source (which processes oldest
+    // mtime first) delivers later-id files BEFORE earlier-id ones — the
+    // coarse-mtime reordering the park/promote path exists for.
+    val perFile = log.read("oo_events")
+      .groupBy(input_file_name().as("f")).agg(smin(col("id")).as("lo")).collect()
+      .map(r => r.getString(0).stripPrefix("file:") -> r.getLong(1))
+      .sortBy(_._2)
+    val t0 = java.time.Instant.now().minusSeconds(600)
+    perFile.zipWithIndex.foreach { case ((f, _), i) =>
+      // earliest ids get the NEWEST mtime → delivered last
+      Files.setLastModifiedTime(java.nio.file.Paths.get(f),
+        java.nio.file.attribute.FileTime.from(
+          t0.plusSeconds((perFile.length - i) * 60L)))
+    }
+    val ckpt = Files.createTempDirectory("graft-ooo-ckpt-")
+    val q = rep.replicateStream("oo_events", ckpt.resolve("c1").toString,
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    assert(sink.pendingRanges("oo_events").isEmpty, "everything promoted")
+    val rows = sink.read("oo_events").orderBy("offset").collect()
+    assert(rows.map(_.getAs[Long]("offset")).toSeq == (0L to 5L), "offsets dense")
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSeq ==
+      (1 to 6).map(i => s"key-$i"), "offset order == (lsn,id) order despite reordering")
+    assert(sink.cursorFor("oo_events") == Cursor(2, 6))
+    // crash-replay: fresh checkpoint = full source replay → no duplicates
+    val q2 = rep.replicateStream("oo_events", ckpt.resolve("c2").toString,
+      maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(sink.read("oo_events").count() == 6)
   }
 
   test("consumer tails the committed log with offset resume (S5 read_committed)") {
@@ -270,6 +371,27 @@ class ReplicatorSpec extends AnyFunSuite {
       Map(("a_events", 0) -> 5L, ("b_events", 2) -> 9L),
       Map("a_events" -> Cursor(3, 17)))
     assert(Manifest.parse(m.render) == m)
+  }
+
+  test("manifest with non-empty pending ranges round-trips; malformed pending fails fast") {
+    import graft.sources.KafkaShapedLog.{Manifest, Pending}
+    val m = Manifest(
+      List("staging/x/part-0.parquet"),
+      Map(("a_events", 0) -> 5L),
+      Map("a_events" -> Cursor(3, 17)),
+      Map("a_events" -> List(
+        Pending(18, 25, 4, "staging/pending-1/part.parquet"),
+        Pending(30, 31, 5, "staging/pending-2/part.parquet"))))
+    val back = Manifest.parse(m.render)
+    assert(back == m)
+    assert(back.pending("a_events").map(p => (p.from, p.to, p.lsnMax)) ==
+      List((18L, 25L, 4L), (30L, 31L, 5L)))
+    // empty pending lists are dropped on render, not kept as empty sections
+    val m2 = m.copy(pending = Map("a_events" -> Nil))
+    assert(Manifest.parse(m2.render).pending == Map.empty)
+    // a malformed range entry must fail init like a malformed cursor
+    intercept[IllegalStateException](Manifest.parse(
+      """{"files": [], "offsets": {}, "cursors": {}, "pending": {"a_events": ["1:2"]}}"""))
   }
 
   test("per-key partition assignment preserves source order per partition (G9)") {
