@@ -66,33 +66,76 @@ final class GraftEventStore(
     * metadata and, when present, its key URI re-encrypts the transformed
     * payload (EncryptingOutputEventTransformer pulls the key from metadata,
     * KafkaStreamsEventStore.java:183-187). `keyOverride` rotates to a new
-    * key instead. */
+    * key instead.
+    *
+    * Runs COLUMNAR: decrypt → deserialize → `f` → re-serialize →
+    * re-encrypt happen per partition on executors (catalog and encryptor
+    * are Serializable by design), and the result lands through one
+    * distributed [[EventLog.append]] — no event ever funnels through a
+    * driver-side Seq, so topic size is bounded by the cluster, not driver
+    * heap. Per-event keys need no batch grouping here: each row
+    * re-encrypts with its own URI in place. Output order: the input's
+    * distributed (lsn, id) range sort makes partition-index order the
+    * total order, which append's id allocation preserves (G9).
+    *
+    * `f` runs on executors and must be Serializable (avoid closing over
+    * non-serializable enclosing state; `org.apache.avro.Schema` itself is
+    * Serializable and safe to capture). */
   def transformTopic(
       inTopic: String,
       outTopic: String,
       f: GenericRecord => GenericRecord,
       shiftTimestamp: java.time.Duration = java.time.Duration.ZERO,
       keyOverride: Option[String] = None): Cursor = {
-    val out = readEvents(inTopic).map { case (e, payload) =>
-      val sourceUri = e.metadata.get(Event.MetadataKeyId).map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
-      val uri = keyOverride.orElse(sourceUri)
-      val cleanMeta = e.metadata - Event.MetadataKeyId - Event.MetadataId
-      (e.key, f(payload), e.timestamp.plus(shiftTimestamp), cleanMeta, uri)
-    }
-    // one append per encryption target (saveAll takes one key per batch);
-    // groups sorted so multi-key outputs land in a deterministic order
-    out.groupBy(_._5).toSeq.sortBy(_._1.getOrElse("")).foreach { case (uri, group) =>
-      saveAll(outTopic, group.map { case (k, p, t, m, _) => (k, p, t, m) }, uri)
-    }
-    log.currentCursor(outTopic)
+    import org.apache.spark.sql.functions.col
+    val in = log.read(inTopic).filter(col("lsn").isNotNull)
+    if (in.isEmpty) return log.currentCursor(outTopic)
+    // locals only — the closure must not capture `this` (the log holds the
+    // non-serializable SparkSession)
+    val (cat, enc, shift, ko) = (catalog, encryptor, shiftTimestamp, keyOverride)
+    val outRows = in.orderBy(col("lsn"), col("id")).rdd.mapPartitions(_.map { r =>
+      val e = EventLogSchema.toEvent(r)
+      val plain = enc match {
+        case Some(x) => x.decrypt(e.payload, e.key, e.timestamp.toEpochMilli, e.metadata)
+        case None => e.payload
+      }
+      val transformed = f(ConfluentAvro.deserialize(plain, cat))
+      val framed = ConfluentAvro.serialize(cat.idFor(transformed.getSchema), transformed)
+      val base = Event(e.key, framed, e.timestamp.plus(shift),
+        e.metadata - Event.MetadataKeyId - Event.MetadataId)
+      val uri = ko.orElse(e.metadata.get(Event.MetadataKeyId)
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
+      val out = uri match {
+        case None => base
+        case Some(u) =>
+          val x = enc.getOrElse(throw new IllegalStateException(
+            "encryption key given but no encryptor configured"))
+          val ct = x.encrypt(base.payload, base.key, base.timestamp.toEpochMilli, base.metadata, u)
+          new Event(base.key, ct, base.timestamp, x.withKeyId(base.metadata, u))
+      }
+      EventLogSchema.appendRow(out)
+    })
+    log.append(outTopic,
+      in.sparkSession.createDataFrame(outRows, EventLogSchema.appendSchema))
   }
 
   /** Bounded replay: ordered typed events with payload decrypted (F5/E2)
     * and deserialized (T2). The cursor bound rides EventLog.scan, so a
-    * resume near the head reads only the (parquet-pruned) tail — never
-    * the full history to the driver. */
-  def readEvents(topic: String, after: Cursor = Cursor.zero): Seq[(Event, GenericRecord)] =
-    log.scan(topic, after, Int.MaxValue).collect().toSeq.map { r =>
+    * resume near the head reads only the (parquet-pruned) tail.
+    *
+    * DRIVER-SIDE materialization, strictly bounded: a tail larger than
+    * `limit` FAILS (no silent truncation, no driver OOM). Raise the limit
+    * deliberately for bigger replays, or use the columnar consume paths
+    * ([[transformTopic]] / `EventFunctions.enrich`) for full-topic work. */
+  def readEvents(topic: String, after: Cursor = Cursor.zero,
+      limit: Int = GraftEventStore.DefaultReadLimit): Seq[(Event, GenericRecord)] = {
+    val probe = if (limit == Int.MaxValue) limit else limit + 1
+    val rows = log.scan(topic, after, probe).collect()
+    if (rows.length > limit)
+      throw new IllegalStateException(
+        s"readEvents($topic) tail exceeds limit=$limit rows — raise the limit " +
+          "explicitly or use the columnar consume paths (transformTopic / EventFunctions.enrich)")
+    rows.toSeq.map { r =>
       val e = EventLogSchema.toEvent(r)
       val plain = encryptor match {
         case Some(enc) => enc.decrypt(e.payload, e.key, e.timestamp.toEpochMilli, e.metadata)
@@ -100,4 +143,11 @@ final class GraftEventStore(
       }
       (e, ConfluentAvro.deserialize(plain, catalog))
     }
+  }
+}
+
+object GraftEventStore {
+  /** Default [[GraftEventStore.readEvents]] bound — the point at which a
+    * driver-side replay should become a deliberate choice. */
+  val DefaultReadLimit = 10000
 }

@@ -147,8 +147,14 @@ class StoreSpec extends AnyFunSuite {
     store.save("t8in_events", "k".getBytes(UTF_8), rec("original"),
       Instant.parse("2024-04-01T00:00:00Z"), Map("m" -> "v".getBytes(UTF_8)),
       encryptionKeyUri = Some(uri))
+    // f ships to executors: close over the (Serializable) schema, not the suite
+    val ps = payloadSchema
     store.transformTopic("t8in_events", "t8out_events",
-      p => rec(p.get("text").toString + " (processed)"),
+      p => {
+        val r = new GenericData.Record(ps)
+        r.put("text", p.get("text").toString + " (processed)")
+        r
+      },
       shiftTimestamp = java.time.Duration.ofSeconds(3))
     val Seq((outEvent, outPayload)) = store.readEvents("t8out_events")
     assert(outPayload.get("text").toString == "original (processed)")
@@ -170,6 +176,73 @@ class StoreSpec extends AnyFunSuite {
     assert(new String(stored.metadata("kid"), UTF_8) == "test-kms://test-keys/new")
     val Seq((_, payload)) = store.readEvents("rotout_events")
     assert(payload.get("text").toString == "rotate me")
+  }
+
+  test("transformTopic is columnar and order-preserving across appends and mixed per-row keys") {
+    val store = newStore(encrypted = true)
+    val (uriA, uriB) = ("test-kms://test-keys/mixA", "test-kms://test-keys/mixB")
+    def batch(lo: Int, hi: Int) = (lo to hi).map { i =>
+      (s"k$i".getBytes(UTF_8), rec(s"text $i"): org.apache.avro.generic.GenericRecord,
+        Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i), Map.empty[String, Array[Byte]])
+    }
+    // three appends (three lsns), each under a different key regime
+    store.saveAll("mix_events", batch(1, 4)) // plaintext
+    store.saveAll("mix_events", batch(5, 8), encryptionKeyUri = Some(uriA))
+    store.saveAll("mix_events", batch(9, 12), encryptionKeyUri = Some(uriB))
+    val ps = payloadSchema // Serializable; the suite itself is not
+    store.transformTopic("mix_events", "mixout_events",
+      p => {
+        val r = new GenericData.Record(ps)
+        r.put("text", p.get("text").toString + "!")
+        r
+      })
+    // output ids follow input (lsn, id) order end to end
+    val back = store.readEvents("mixout_events")
+    assert(back.map(_._2.get("text").toString) == (1 to 12).map(i => s"text $i!"))
+    // per-row key handling: each row re-encrypted under ITS OWN source kid
+    val kids = store.log.typedRead("mixout_events")
+      .map { case (_, e) => e.metadata.get("kid").map(new String(_, UTF_8)) }
+    assert(kids == (1 to 12).map {
+      case i if i <= 4 => None
+      case i if i <= 8 => Some(uriA)
+      case _           => Some(uriB)
+    })
+  }
+
+  test("readEvents fails loudly past its limit instead of materializing the topic") {
+    val store = newStore()
+    store.saveAll("lim_events", (1 to 5).map { i =>
+      (s"k$i".getBytes(UTF_8), rec(s"r$i"): org.apache.avro.generic.GenericRecord,
+        Instant.now(), Map.empty[String, Array[Byte]])
+    })
+    val ex = intercept[IllegalStateException](store.readEvents("lim_events", limit = 3))
+    assert(ex.getMessage.contains("exceeds limit=3"))
+    assert(store.readEvents("lim_events", limit = 5).size == 5)
+  }
+
+  test("unregistered embedded schema id fails fast on both decode paths (SerializationException parity)") {
+    val otherSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"UnknownPayload","namespace":"graft.test",
+        |"fields":[{"name":"n","type":"long"}]}""".stripMargin)
+    val writerCat = catalog.register(7, otherSchema)
+    val log = EventLog(Files.createTempDirectory("graft-unk-").toString, spark)
+    val writer = new GraftEventStore(log, writerCat)
+    val other = new GenericData.Record(otherSchema)
+    other.put("n", 42L)
+    writer.save("unk_events", "k1".getBytes(UTF_8), rec("known"))
+    writer.save("unk_events", "k2".getBytes(UTF_8), other)
+    // reader's catalog lacks id 7 → driver path throws, never skips silently
+    val reader = new GraftEventStore(log, catalog)
+    val ex = intercept[IllegalArgumentException](reader.readEvents("unk_events"))
+    assert(ex.getMessage.contains("unknown schema id"))
+    // columnar path: the same fail-fast, surfaced through the Spark job
+    val ex2 = intercept[org.apache.spark.SparkException] {
+      EventFunctions.enrich(log.read("unk_events"), catalog).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex2).exists(_.getMessage != null) &&
+      chain(ex2).exists(c => c.getMessage != null && c.getMessage.contains("unknown schema id")))
   }
 
   test("randomized pipeline property: save → replicate → read-back equality (seeded)") {
