@@ -51,14 +51,29 @@ object CrossHash {
   val EmbBands = 16
   val EmbBits: Int = EmbBands * EmbBandBits
   val EmbDim = 64
-  val embPlanes: IndexedSeq[IndexedSeq[Int]] =
-    (0 until EmbBits).map { j =>
-      (0 until EmbDim).map { d =>
+
+  /** Deterministic ±1 hyperplanes for an arbitrary (bands × bits) geometry;
+    * each plane is keyed by its (band, bit) pair, so any geometry derives
+    * reproducibly and engine-identically.
+    *
+    * SCALING RULE (the geometry is a per-corpus knob, not a constant):
+    * expected candidates per band ≈ n²/2^bits for near-random data, so
+    * `bits` must grow with log₂(n) — 6 bits (64 buckets/band) suits the
+    * 10³–10⁴-vector test corpora; at 10⁸ vectors use 16–24 bits/band and
+    * recover recall by raising `bands` (recall = 1-(1-p^bits)^bands with
+    * p = 1-θ/π). DedupScaleSpec pins a second geometry to keep this path
+    * honest. */
+  def embPlanesFor(bands: Int, bits: Int, dim: Int = EmbDim): IndexedSeq[IndexedSeq[Int]] =
+    (0 until bands * bits).map { j =>
+      (0 until dim).map { d =>
         val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"lsh${j / EmbBandBits}_${j % EmbBandBits}_$d".getBytes("UTF-8"))
+          .digest(s"lsh${j / bits}_${j % bits}_$d".getBytes("UTF-8"))
         if ((md(0) & 1) == 0) 1 else -1
       }
     }
+
+  /** Test-default geometry's planes (registered query + oracle). */
+  val embPlanes: IndexedSeq[IndexedSeq[Int]] = embPlanesFor(EmbBands, EmbBandBits)
 
   /** SimHash banding (dedup_simhash): 32-bit fingerprints at hamming ≤ 2
     * split into 3 bands (11+11+10 bits). Pigeonhole: ≤2 differing bits
@@ -102,9 +117,12 @@ object CrossHash {
   val oShingles3: String =
     "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]"
 
-  /** Spark SQL literal for embedding-LSH plane j. */
-  def embPlaneSql(j: Int): String =
-    embPlanes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
+  /** Spark SQL literal for embedding-LSH plane j (default geometry). */
+  def embPlaneSql(j: Int): String = embPlaneSqlOf(embPlanes, j)
+
+  /** Spark SQL literal for plane j of an explicit plane set. */
+  def embPlaneSqlOf(planes: IndexedSeq[IndexedSeq[Int]], j: Int): String =
+    planes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
 
   /** DuckDB literal for embedding-LSH plane j. */
   def oEmbPlane(j: Int): String =

@@ -68,10 +68,14 @@ object DedupQueries extends QueryModule {
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
-    // per-doc counts are |docs| rows — broadcast both lookup joins
+    // per-doc counts are |docs| rows (~10⁸ at the 100 TB design point) —
+    // deliberately NO broadcast hint: AQE broadcasts from runtime stats
+    // while cnt is small and degrades to a shuffle join once it isn't,
+    // whereas a forced hint would OOM the driver at scale
+    // (PlanAuditSpec pins the absence of mandatory hints here).
     inter
-      .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
-      .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
+      .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .filter(j >= 0.6)
       .select($"doc_a", $"doc_b", j.as("jaccard"))
   }
@@ -122,15 +126,16 @@ object DedupQueries extends QueryModule {
       val bands = sig.select($"doc_id", explode(array(bandStructs: _*)).as("e"))
         .select($"doc_id", $"e.band".as("band"), $"e.bv".as("bv"))
         .cache()
-      // cand is consumed exactly once (inside the broadcast build below) —
-      // no cache; the broadcast itself is the materialization.
       val cand = bands.as("a").join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .distinct()
-      // candidate set is tiny (LSH pruned) — broadcast it against the
-      // shingle index; per-doc counts broadcast likewise.
-      val inter = broadcast(cand)
+      // the candidate set is LSH-pruned but its size is DATA-DEPENDENT
+      // (skewed band values inflate it), and cnt is |docs|-sized — no
+      // forced broadcasts on either: AQE broadcasts the small side from
+      // runtime stats at test scale and falls back to shuffle joins at
+      // corpus scale instead of OOMing on a mandatory hint.
+      val inter = cand
         .join(sh.select($"doc_id".as("doc_a"), $"h".as("ha")), "doc_a")
         .join(sh.select($"doc_id".as("doc_b"), $"h".as("hb")), "doc_b")
         .filter($"ha" === $"hb")
@@ -138,8 +143,8 @@ object DedupQueries extends QueryModule {
         .agg(count(lit(1)).as("inter"))
       val j = $"inter".cast("double") / ($"na" + $"nb" - $"inter")
       inter
-        .join(broadcast(cnt.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
-        .join(broadcast(cnt.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
+        .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
         .filter(j >= 0.6)
         .select($"doc_a", $"doc_b", j.as("jaccard"))
     },
@@ -189,36 +194,46 @@ object DedupQueries extends QueryModule {
     // Dot products via the native codegen graft_dot expression. The exact
     // quadratic spelling survives as embCosineAllPairs (DedupScaleSpec's
     // recall cross-check); the point-query ANN paths live in knn_*.
-    "dedup_embed_cosine" -> { (s, dir) =>
-      import s.implicits._
-      graft.GraftExtensions.register(s)
-      // the corpus feeds the band explode AND both verify probes — one
-      // materialization serves all three
-      val e = embVecs(s, dir).cache()
-      val bandStructs = (0 until EmbBands).map { t =>
-        val bits = (0 until EmbBandBits).map { j =>
-          when(expr(s"graft_dot(v, ${embPlaneSql(t * EmbBandBits + j)})") > 0,
-            lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(t).as("band"), bits.as("bb"))
-      }
-      val bands = e.select($"vec_id", explode(array(bandStructs: _*)).as("x"))
-        .select($"vec_id", $"x.band".as("band"), $"x.bb".as("bb"))
-      val cand = bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.bb" === $"b.bb" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
-        .distinct()
-      // nullif: a zero-norm vector must drop out (NULL, like the oracle's
-      // /0) rather than abort under ANSI
-      val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
-      cand
-        .join(e.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("anrm")), "vec_a")
-        .join(e.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bnrm")), "vec_b")
-        .withColumn("cosine", cos)
-        .filter($"cosine" >= 0.4)
-        .select($"vec_a", $"vec_b", $"cosine".as("cosine"))
-    }
+    "dedup_embed_cosine" -> { (s, dir) => embCosineBanded(s, dir) }
   )
+
+  /** The banded-LSH cosine pipeline at an arbitrary (bands × bits)
+    * geometry. The registered query runs the test default
+    * ([[EmbBands]] × [[EmbBandBits]]); band geometry MUST scale with corpus
+    * size (candidates ≈ bands · n²/2^bits) — see the scaling rule on
+    * [[CrossHash.embPlanesFor]]. DedupScaleSpec pins a second geometry's
+    * precision/recall so the parameterization stays correct. */
+  private[graft] def embCosineBanded(s: SparkSession, dir: String,
+      nBands: Int = EmbBands, nBits: Int = EmbBandBits): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val planes = embPlanesFor(nBands, nBits)
+    // the corpus feeds the band explode AND both verify probes — one
+    // materialization serves all three
+    val e = embVecs(s, dir).cache()
+    val bandStructs = (0 until nBands).map { t =>
+      val bits = (0 until nBits).map { j =>
+        when(expr(s"graft_dot(v, ${embPlaneSqlOf(planes, t * nBits + j)})") > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("band"), bits.as("bb"))
+    }
+    val bands = e.select($"vec_id", explode(array(bandStructs: _*)).as("x"))
+      .select($"vec_id", $"x.band".as("band"), $"x.bb".as("bb"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bb" === $"b.bb" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .distinct()
+    // nullif: a zero-norm vector must drop out (NULL, like the oracle's
+    // /0) rather than abort under ANSI
+    val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("anrm")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bnrm")), "vec_b")
+      .withColumn("cosine", cos)
+      .filter($"cosine" >= 0.4)
+      .select($"vec_a", $"vec_b", $"cosine".as("cosine"))
+  }
 
   /** Normalized embedding vectors (shared by the LSH query and the exact
     * cross-check spelling). */

@@ -47,4 +47,21 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall = ${lsh.size}/${exact.size}")
     spark.catalog.clearCache()
   }
+
+  test("embed-LSH at a second geometry (32 bands × 3 bits): precision stays perfect, recall rises") {
+    // the geometry is a corpus-size knob (candidates ≈ bands·n²/2^bits) —
+    // this pins that a non-default (bands, bits) still produces a verified
+    // subset of the exact pairs, with the recall the banding math predicts
+    // (3-bit bands match far more often than 6-bit ones: ≥0.999 vs ~0.65
+    // at the 0.4 threshold)
+    val lsh = DedupQueries.embCosineBanded(spark, dir, nBands = 32, nBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = DedupQueries.embCosineAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall = ${lsh.size}/${exact.size}")
+    spark.catalog.clearCache()
+  }
 }

@@ -99,6 +99,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup verify joins force no broadcast hints (|docs|-sized cnt must degrade to shuffle, not OOM)") {
+    // AQE may still CHOOSE broadcast at test scale from runtime stats —
+    // the invariant is that nothing in the plan MANDATES it.
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty, s"$q mandates join strategies: $hints")
+    }
+  }
+
   test("knn_retrieve: hit-set joins back to documents without sorting either side") {
     val p = plan("knn_retrieve")
     assert(!p.contains("SortMergeJoin"), p)
