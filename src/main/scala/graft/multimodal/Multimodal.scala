@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *  - output is a narrow typed feature row — the wide binary drops out of
   *    the plan right after decode, keeping downstream shuffles small.
   *
-  * DECODER IS A STUB: the container has no image/audio codecs, so
-  * [[StubDecoder]] derives deterministic pseudo-features from the bytes
-  * (documented, unit-tested). The seam — [[MediaDecoder]] — is where a real
-  * decoder plugs in without touching the Spark plumbing.
+  * DECODERS: PNG/JPEG decode FOR REAL via [[ImageIoDecoder]] (JDK
+  * `javax.imageio`, present on every executor). Audio/video codecs are not
+  * in this container, so those modalities fall back to [[StubDecoder]]'s
+  * deterministic pseudo-features (documented, unit-tested). The seam —
+  * [[MediaDecoder]] — is where further codecs plug in without touching the
+  * Spark plumbing.
   */
 object Multimodal {
 
@@ -80,6 +82,66 @@ object Multimodal {
         height = 64 + (if (n < 2) 0 else (b(1) & 0xff) % 192),
         n_frames = nFrames,
         frame_hashes = (0 until nFrames).map(f => fnv1a(b, f * frameSize, (f + 1) * frameSize)))
+    }
+  }
+
+  /** Real image codec for PNG/JPEG via the JDK's `javax.imageio`, behind
+    * the same [[MediaDecoder]] seam (no extra dependency — ImageIO ships
+    * with the JRE, so it is present on every executor).
+    *
+    *  - payloads sniffed as PNG (`\x89PNG`) or JPEG (`\xFF\xD8\xFF`)
+    *    decode for real: exact pixel width/height, one frame whose hash is
+    *    FNV-1a over the row-major ARGB raster (deterministic across JVMs —
+    *    a decode-equality fingerprint, not a perceptual hash);
+    *  - anything else — and any sniffed image whose decode fails — routes
+    *    to `fallback` (default [[StubDecoder]]), so one corrupt asset
+    *    degrades to pseudo-features instead of killing a 100 TB job (a
+    *    production pipeline would fork a quarantine output here).
+    *
+    * ImageIO's disk-backed stream cache is disabled: decode must stay an
+    * in-memory per-row operation on executors. */
+  final case class ImageIoDecoder(fallback: MediaDecoder = StubDecoder) extends MediaDecoder {
+    private def sniffImage(b: Array[Byte]): Boolean =
+      (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+
+    override def decode(a: Asset): MediaFeatures = {
+      if (!sniffImage(a.media)) return fallback.decode(a)
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.media))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) return fallback.decode(a)
+      MediaFeatures(
+        asset_id = a.asset_id,
+        n_bytes = a.media.length.toLong,
+        content_hash = StubDecoder.fnv1a(a.media, 0, a.media.length),
+        width = img.getWidth,
+        height = img.getHeight,
+        n_frames = 1,
+        frame_hashes = Seq(rasterHash(img)))
+    }
+
+    /** FNV-1a over the ARGB ints, row-major. */
+    private def rasterHash(img: java.awt.image.BufferedImage): Long = {
+      var h = 0xcbf29ce484222325L
+      val prime = 0x100000001b3L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          var p = img.getRGB(x, y)
+          var i = 0
+          while (i < 4) {
+            h = (h ^ (p & 0xff)) * prime
+            p >>>= 8
+            i += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      h
     }
   }
 
@@ -139,10 +201,13 @@ object Multimodal {
   }
 
   /** Feature extraction as a registered query (rows-only check: the decode
-    * is not SQL-expressible by design — it stands in for a codec). */
+    * is not SQL-expressible by design). Runs the REAL codec path: PNG/JPEG
+    * payloads decode via [[ImageIoDecoder]]; the synthetic corpus' text
+    * bytes route to the stub fallback, so the query exercises sniff +
+    * dispatch on every row and full decode on any real image. */
   def featureQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    extractFeatures(assets(spark, sfDir))
+    extractFeatures(assets(spark, sfDir), decoder = ImageIoDecoder())
       .toDF()
       .select($"asset_id", $"n_bytes", $"content_hash", $"width", $"height",
         $"n_frames", size($"frame_hashes").cast("long").as("n_frame_hashes"))

@@ -69,6 +69,60 @@ class MultimodalSpec extends AnyFunSuite {
     features.unpersist()
   }
 
+  test("ImageIoDecoder decodes a generated PNG and JPEG with exact dimensions (distributed)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, format, out))
+      out.toByteArray
+    }
+    val png = imageBytes(123, 45, "png")
+    val jpg = imageBytes(64, 128, "jpg")
+    val text = "not an image".getBytes(UTF_8)
+    import spark.implicits._
+    val ds = Seq(
+      Asset(1L, png, "image/png", "s"),
+      Asset(2L, jpg, "image/jpeg", "s"),
+      Asset(3L, text, "text/plain", "s")).toDS()
+    // through the real Spark mapPartitions path, decoder shipped to executors
+    val out = Multimodal.extractFeatures(ds, decoder = Multimodal.ImageIoDecoder())
+      .collect().map(f => f.asset_id -> f).toMap
+    assert((out(1L).width, out(1L).height) == (123, 45), "exact PNG dimensions")
+    assert((out(2L).width, out(2L).height) == (64, 128), "exact JPEG dimensions")
+    assert(out(1L).n_frames == 1 && out(1L).frame_hashes.length == 1)
+    // raster hash is a decode-equality fingerprint: identical pixels under
+    // lossless PNG → re-encoding the same raster hashes identically
+    val png2 = imageBytes(123, 45, "png")
+    val again = Multimodal.ImageIoDecoder().decode(Asset(9L, png2, "image/png", "s"))
+    assert(again.frame_hashes == out(1L).frame_hashes)
+    // non-image payloads route to the stub fallback unchanged
+    assert(out(3L) == StubDecoder.decode(Asset(3L, text, "text/plain", "s")))
+  }
+
+  test("ImageIoDecoder falls back on a corrupt image instead of failing the job") {
+    val img = {
+      val b = new java.awt.image.BufferedImage(10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      out.toByteArray
+    }
+    val corrupt = img.take(20) // PNG magic intact, body truncated
+    val a = Asset(7L, corrupt, "image/png", "s")
+    assert(Multimodal.ImageIoDecoder().decode(a) == StubDecoder.decode(a))
+  }
+
+  test("ResizingDecoder composes over the real codec (128x64 clamped to 64x32)") {
+    val img = new java.awt.image.BufferedImage(128, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val a = Asset(4L, out.toByteArray, "image/png", "s")
+    val f = Multimodal.ResizingDecoder(Multimodal.ImageIoDecoder(), 64).decode(a)
+    assert((f.width, f.height) == (64, 32))
+  }
+
   test("feature query drops the wide binary column from its output") {
     val df = Multimodal.featureQuery(spark, "/root/testdata/sf0.001")
     assert(!df.columns.contains("media"))
