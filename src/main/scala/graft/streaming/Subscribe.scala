@@ -36,6 +36,26 @@ object Subscribe {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(Paths.get(logRoot).resolve(topic).toString)
 
+  /** Tail SEVERAL topics as ONE stream, each row tagged with its `topic`
+    * (derived from the segment file's parent directory). N topics cost one
+    * file source + one checkpoint instead of N queries — the fan-in the
+    * reference runs as one replicator process over all discovered topics
+    * (EventReplicator.java:168-184). The glob is explicit (`{a,b}`), not
+    * `*_events`: a topic created after the stream started must not
+    * silently join mid-checkpoint. */
+  def streamTopics(spark: SparkSession, logRoot: String, topics: Seq[String],
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    require(topics.nonEmpty, "streamTopics needs at least one topic")
+    require(topics.forall(t => !t.contains(",") && !t.contains("/")),
+      s"illegal topic names: $topics")
+    spark.readStream
+      .schema(EventLogSchema.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(Paths.get(logRoot).resolve(topics.mkString("{", ",", "}")).toString)
+      .withColumn("topic",
+        regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1))
+  }
+
   /** Event-time tumbling aggregation with a watermark — the §2.7 extension
     * surface (the reference has no windowing; Structured Streaming gives it
     * on the same subscribe stream). */

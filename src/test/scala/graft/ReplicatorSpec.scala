@@ -317,6 +317,48 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(sink.read("oo_events").count() == 6)
   }
 
+  test("multi-topic streaming replication: one query, per-topic cursors exact (≥3 topics, interleaved)") {
+    val log = EventLog(Files.createTempDirectory("graft-mt-src-").toString, spark)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-mt-sink-").toString, spark)
+    val rep = new Replicator(log, sink)
+    // interleaved appends across three topics (distinct per-topic lsn/id spaces)
+    log.saveAll("ma_events", (1 to 2).map(ev))   // a: lsn1 ids1-2
+    log.saveAll("mb_events", (1 to 3).map(ev))   // b: lsn1 ids1-3
+    log.saveAll("mc_events", Seq(ev(1)))         // c: lsn1 id1
+    log.saveAll("ma_events", (3 to 4).map(ev))   // a: lsn2 ids3-4
+    log.saveAll("mc_events", (2 to 3).map(ev))   // c: lsn2 ids2-3
+    log.saveAll("mb_events", Seq(ev(4)))         // b: lsn2 id4
+    val topics = Seq("ma_events", "mb_events", "mc_events")
+    val ckpt = Files.createTempDirectory("graft-mt-ckpt-")
+    val q = rep.replicateStreamAll(topics, ckpt.resolve("c1").toString,
+      maxFilesPerTrigger = 2) // several micro-batches, topics interleaved within them
+    q.awaitTermination()
+    assert(sink.cursorFor("ma_events") == Cursor(2, 4))
+    assert(sink.cursorFor("mb_events") == Cursor(2, 4))
+    assert(sink.cursorFor("mc_events") == Cursor(2, 3))
+    for ((t, n) <- Seq(("ma_events", 4), ("mb_events", 4), ("mc_events", 3))) {
+      val rows = sink.read(t).orderBy("offset").collect()
+      assert(rows.length == n, t)
+      assert(rows.map(_.getAs[Long]("offset")).toSeq == (0L until n.toLong), s"$t offsets dense")
+      assert(rows.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSeq ==
+        (1 to n).map(i => s"key-$i"), s"$t in (lsn,id) order")
+    }
+    // resume: new appends on two topics → second run commits only the deltas
+    log.saveAll("ma_events", Seq(ev(5)))
+    log.saveAll("mc_events", Seq(ev(4)))
+    val q2 = rep.replicateStreamAll(topics, ckpt.resolve("c1").toString)
+    q2.awaitTermination()
+    assert(sink.cursorFor("ma_events") == Cursor(3, 5))
+    assert(sink.cursorFor("mb_events") == Cursor(2, 4))
+    assert(sink.cursorFor("mc_events") == Cursor(3, 4))
+    assert(sink.read("ma_events").count() == 5)
+    assert(sink.read("mc_events").count() == 4)
+    // wiped checkpoint → full replay → cursor re-filter drops everything
+    val q3 = rep.replicateStreamAll(topics, ckpt.resolve("c2-fresh").toString)
+    q3.awaitTermination()
+    assert(topics.map(t => sink.read(t).count()).sum == 13)
+  }
+
   test("consumer tails the committed log with offset resume (S5 read_committed)") {
     import graft.sources.KafkaShapedConsumer
     import graft.store.TopicOffsets
