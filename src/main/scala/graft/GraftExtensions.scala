@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, Md5Prefix60}
+import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, LshBands, Md5Prefix60}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -48,6 +48,12 @@ object GraftExtensions {
       children => {
         require(children.length == 1, "graft_meta_decode takes exactly 1 argument")
         DecodeMetadata(children.head)
+      }),
+    (FunctionIdentifier("graft_lsh_bands"), LshBands.info,
+      children => {
+        require(children.length == 4,
+          "graft_lsh_bands takes exactly 4 arguments: (vector, planesFlat, bands, bits)")
+        LshBands(children(0), children(1), children(2), children(3))
       }))
 
   /** Idempotent on-session registration (functions + optimizer rule; the

@@ -211,15 +211,16 @@ object DedupQueries extends QueryModule {
     // the corpus feeds the band explode AND both verify probes — one
     // materialization serves all three
     val e = embVecs(s, dir).cache()
-    val bandStructs = (0 until nBands).map { t =>
-      val bits = (0 until nBits).map { j =>
-        when(expr(s"graft_dot(v, ${embPlaneSqlOf(planes, t * nBits + j)})") > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("band"), bits.as("bb"))
-    }
-    val bands = e.select($"vec_id", explode(array(bandStructs: _*)).as("x"))
-      .select($"vec_id", $"x.band".as("band"), $"x.bb".as("bb"))
+    // Fused one-pass signature (graft_lsh_bands): the plane matrix rides as
+    // ONE foldable array reference instead of bands×bits per-row dot-product
+    // literals; band values are bit-identical to the composed
+    // graft_dot-per-plane spelling the oracle runs (strict left-to-right
+    // IEEE summation — see LshBands scaladoc; CodegenSpec pins equality).
+    val flatPlanes: Seq[Double] = planes.flatten.map(_.toDouble)
+    val bands = e.select($"vec_id",
+        posexplode(call_function("graft_lsh_bands",
+          $"v", typedlit(flatPlanes), lit(nBands), lit(nBits))))
+      .select($"vec_id", $"pos".as("band"), $"col".as("bb"))
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bb" === $"b.bb" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))

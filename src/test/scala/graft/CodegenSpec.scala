@@ -130,4 +130,42 @@ class CodegenSpec extends AnyFunSuite {
     // id + lsn + seq, sorted by header key, on every record
     assert(headers.forall(_ == Seq("id", "lsn", "seq")))
   }
+
+  test("graft_lsh_bands compiles; bit-identical to the composed graft_dot spelling") {
+    import spark.implicits._
+    import graft.queries.CrossHash
+    val nBands = 4
+    val nBits = 3
+    val dim = 8
+    val planes = CrossHash.embPlanesFor(nBands, nBits, dim)
+    val flat = planes.flatten.map(_.toDouble)
+    val rnd = new scala.util.Random(42)
+    val vecs = (1 to 50).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "v").cache()
+    // fused one-pass signature
+    val fused = df.select($"vec_id",
+        posexplode(call_function("graft_lsh_bands",
+          $"v", typedlit(flat), lit(nBands), lit(nBits))))
+      .select($"vec_id", $"pos".as("band"), $"col".as("bb"))
+    // composed spelling: one graft_dot per plane (the oracle's form)
+    val composed = df.select($"vec_id", explode(array((0 until nBands).map { t =>
+        val bits = (0 until nBits).map { j =>
+          when(expr(s"graft_dot(v, ${CrossHash.embPlaneSqlOf(planes, t * nBits + j)})") > 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("band"), bits.as("bb"))
+      }: _*)).as("x"))
+      .select($"vec_id", $"x.band".as("band"), $"x.bb".as("bb"))
+    assert(fused.except(composed).isEmpty && composed.except(fused).isEmpty)
+    // null doctrine: null vector, null element, dimension mismatch → null
+    val edge = Seq(
+      (1L, null: Array[java.lang.Double]),
+      (2L, Array[java.lang.Double](1.0, null, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)),
+      (3L, Array[java.lang.Double](1.0, 2.0))) // wrong dim
+      .toDF("vec_id", "v")
+      .select(call_function("graft_lsh_bands",
+        $"v", typedlit(flat), lit(nBands), lit(nBits)).as("sig"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
 }
