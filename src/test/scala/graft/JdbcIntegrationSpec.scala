@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.codec.Cursor
-import graft.sources.JdbcEventStore
+import graft.sources.{JdbcEventStore, JdbcLockManager}
 
 /** Live-database integration of the JDBC deployment mode (S1/S4/S10)
   * against EMBEDDED DERBY — no Postgres ships in this container, so Derby
@@ -117,4 +117,59 @@ class JdbcIntegrationSpec extends AnyFunSuite {
       store.commitOffset("never_bootstrapped", 9, 1L)
     }
   }
+
+  test("G6 boot guard: advisory lock admits exactly one instance (LockManager key + SQL)") {
+    // The reference key packing, pinned as a CONSTANT (String.hashCode is
+    // specified by the JLS, so this value is what a reference LockManager
+    // instance would bind against the same database — contention, not
+    // parallel boot). -1073600217 = "_event_replicator_lock".hashCode.
+    assert(JdbcLockManager.lockKey(JdbcLockManager.LockName) == -4611077820993503210L)
+    assert(JdbcLockManager.AcquireLockSql == "SELECT pg_try_advisory_lock(?)")
+
+    // Execute the real acquire path against Derby: pg_try_advisory_lock is
+    // registered as an in-JVM function with PG's try-lock contention
+    // semantics (first caller wins, others fail). Derby needs VALUES f(?)
+    // where PG takes a FROM-less SELECT — that spelling difference is the
+    // only deviation from the default statement.
+    ddl
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      """CREATE FUNCTION pg_try_advisory_lock(k BIGINT) RETURNS BOOLEAN
+        |PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA
+        |EXTERNAL NAME 'graft.AdvisoryLockEmu.tryLock'""".stripMargin)
+    finally c.close()
+    val derbySql = "VALUES pg_try_advisory_lock(?)"
+
+    val a = new JdbcLockManager(url, acquireSql = derbySql)
+    val b = new JdbcLockManager(url, acquireSql = derbySql)
+    try {
+      assert(a.acquireLock(), "first instance must win the lock")
+      assert(a.isHeld)
+      assert(!b.acquireLock(), "second instance must be refused")
+      assert(!b.isHeld)
+      // a manager is one-shot: the lock rides its pinned session
+      intercept[IllegalArgumentException] { a.acquireLock() }
+    } finally { a.close(); b.close() }
+
+    // In PG the lock is session-scoped — close() released a's session. The
+    // emulation can't observe Derby's session end, so model the release
+    // explicitly, then prove a successor can boot.
+    AdvisoryLockEmu.release(JdbcLockManager.lockKey(JdbcLockManager.LockName))
+    val c2 = new JdbcLockManager(url, acquireSql = derbySql)
+    try assert(c2.acquireLock(), "lock must be reacquirable after the holder's session ends")
+    finally {
+      c2.close()
+      AdvisoryLockEmu.release(JdbcLockManager.lockKey(JdbcLockManager.LockName))
+    }
+  }
+}
+
+/** In-JVM stand-in for PG's advisory-lock table, callable from Derby SQL
+  * via a static-forwarded function. Try-lock contention semantics only;
+  * session-scoped auto-release is PG's side of the contract (modeled by
+  * explicit [[release]] in the spec). */
+object AdvisoryLockEmu {
+  private val held = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  def tryLock(k: Long): Boolean = held.add(k)
+  def release(k: Long): Boolean = held.remove(k)
 }
