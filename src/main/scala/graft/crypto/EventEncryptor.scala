@@ -33,9 +33,12 @@ import graft.model.Event
   * unchanged where it is resolvable.)
   *
   * Key resolution: `kid` metadata carries the key URI
-  * (PostgresEventStore.java:152-160); [[KeyProvider]] maps URI → primitive
-  * with a per-URI cache (the reference resolves via Spring/KMS).
-  * Serializable, so decryption runs on executors.
+  * (PostgresEventStore.java:152-160); [[KeyProvider]] maps URI → primitive.
+  * [[InMemoryKms]] is the test/standalone form; the deployment form is
+  * [[KmsKeyProvider]] — a Tink-KmsClients-shaped registry resolving URIs
+  * through [[KmsClient]]s to keyset-backed AEADs ([[TinkKeysetAead]], which
+  * also speaks the TINK output prefix the reference's AES256_GCM keysets
+  * write). Serializable, so decryption runs on executors.
   */
 final class EventEncryptor(keys: KeyProvider) extends Serializable {
 
