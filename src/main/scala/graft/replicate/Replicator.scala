@@ -75,18 +75,21 @@ final class Replicator(
     * prunes to the tail in the normal case. */
   def pollAndSendBatch(topic: String): Long = {
     val cursor = sink.cursorFor(topic)
-    def poll(batch: DataFrame): Long = {
-      val persisted = batch.persist()
-      try {
-        val maxRow = persisted.agg(max(struct(col("lsn"), col("id"))).as("m"))
-          .select(col("m.lsn"), col("m.id")).collect()(0)
-        if (maxRow.isNullAt(0)) 0L
-        else {
-          val next = Cursor(maxRow.getLong(0), maxRow.getLong(1))
-          sink.appendTxn(toRecords(topic, persisted), topic, next)
-        }
-      } finally persisted.unpersist()
-    }
+    def poll(batch: DataFrame): Long =
+      // limit-1 probe first: the common idle poll costs one pruned scan.
+      // A non-empty batch then flows through ONE job — the cursor is
+      // harvested by `observe` DURING the sink's staged write instead of a
+      // separate persist + max-aggregate pass over the batch (appendTxn
+      // evaluates its cursor argument only after that write completes).
+      if (batch.isEmpty) 0L
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val observed = batch.observe(obs, max(struct(col("lsn"), col("id"))).as("m"))
+        sink.appendTxn(toRecords(topic, observed), topic, {
+          val m = obs.get("m").asInstanceOf[org.apache.spark.sql.Row]
+          Cursor(m.getLong(0), m.getLong(1))
+        })
+      }
     val n = poll(source.drainRange(topic, cursor, batchSize))
     if (n > 0) n else poll(source.scan(topic, cursor, batchSize))
   }

@@ -62,8 +62,13 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
     * timestamp, `_seq` columns; partition/offset assigned here, offsets
     * follow `_seq` order — the source's (lsn,id) order, preserving G1's
     * total order per partition) and advance the progress cursor of
-    * `sourceTable` — atomically. */
-  def appendTxn(records: DataFrame, sourceTable: String, newCursor: Cursor,
+    * `sourceTable` — atomically.
+    *
+    * `newCursor` is by-name and evaluated exactly once, AFTER the staged
+    * write has completed — so callers may derive it from `observe` metrics
+    * harvested during that write (Replicator.pollAndSendBatch), paying a
+    * single pass over the batch. */
+  def appendTxn(records: DataFrame, sourceTable: String, newCursor: => Cursor,
       dropPending: Seq[Pending] = Nil): Long = synchronized {
     val m = manifest()
     // Partition by key hash (per-key order), offsets dense per partition.

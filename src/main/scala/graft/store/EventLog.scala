@@ -127,32 +127,49 @@ final class EventLog(val root: Path, spark: SparkSession) {
     val lsn = cur.lsn + 1
     val base = cur.id
     // Two passes: (1) per-partition sizes, (2) id-stamped write. Ids are
-    // base + cumulative-partition-offset + position, preserving the
-    // caller's row order deterministically (G9). The RDD is persisted
-    // across the passes: a re-evaluated nondeterministic input plan could
-    // change partition sizes between the jobs and corrupt the id
-    // allocation.
-    val rows = batch.selectExpr("key", "data", "metadata", "timestamp").rdd
+    // base + cumulative-partition-offset + within-partition position,
+    // preserving the caller's row order deterministically (G9). Fully
+    // columnar — `spark_partition_id` + `monotonically_increasing_id`
+    // (= partitionId·2³³ + position) pin each row's (partition, position)
+    // inside whole-stage codegen; the old spelling dropped to `.rdd`,
+    // which deserialized every row to a Java object and re-serialized it
+    // for the write. The staged frame is persisted across the passes: a
+    // re-evaluated nondeterministic input plan could change partition
+    // sizes between the jobs and corrupt the id allocation.
+    val staged = batch.selectExpr("key", "data", "metadata", "timestamp")
+      .withColumn("_p", spark_partition_id())
+      .withColumn("_m", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sizes = rows.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = sizes.scanLeft(0L)(_ + _)
-      val n = offsets.last
-      val withIds = rows.mapPartitionsWithIndex { (p, it) =>
-        var i = 0L
-        val off = offsets(p)
-        it.map { r =>
-          i += 1
-          Row(base + off + i, r.get(0), r.get(1), r.get(2), r.get(3), lsn)
-        }
+      // partial agg: one row per input partition reaches the driver
+      val sizes = staged.groupBy(col("_p")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = sizes.map(_._2).sum
+      val offsets = {
+        var acc = 0L
+        sizes.map { case (p, c) => val o = (p, acc); acc += c; o }
       }
-      spark.createDataFrame(withIds, EventLogSchema.schema)
+      // offsets join is |partitions|-sized — broadcast hash lookup, O(1)
+      // per row at any partition count (a map literal would scan linearly)
+      import scala.jdk.CollectionConverters._
+      val offDf = spark.createDataFrame(
+        offsets.map { case (p, o) => Row(p, o) }.toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_p2",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("_off",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      staged.join(broadcast(offDf), col("_p") === col("_p2"))
+        .select(
+          (lit(base) + col("_off") +
+            (col("_m") - col("_p").cast("long") * lit(1L << 33)) + lit(1L)).as("id"),
+          col("key"), col("data"), col("metadata"), col("timestamp"),
+          lit(lsn).as("lsn"))
         .write.mode("append").parquet(topicDir(topic).toString)
       val next = Cursor(lsn, base + n)
       writeCursor(topic, next)
       next
-    } finally rows.unpersist()
+    } finally staged.unpersist()
   }
 
   /** Topics whose cursor has been reconciled against data by this
