@@ -31,39 +31,48 @@ object IncrementalDedup {
   def newPairs(corpus: DataFrame, batch: DataFrame, threshold: Double): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val all = corpus.union(batch)
+    // batch membership rides the union as a literal flag — candidate
+    // classification (new-vs-corpus or new-vs-new) then falls out of the
+    // probe join itself, with no membership lookup joins at all
+    val all = corpus.withColumn("_bnew", lit(false))
+      .union(batch.withColumn("_bnew", lit(true)))
     val cnt = all.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // probe side = the new batch; build side = corpus ∪ batch. Restricting
     // one side to the batch keeps the join |batch|-bounded; doc_a < doc_b
     // would drop new-vs-new pairs where the new doc has the higher id, so
     // the asymmetric condition keeps (new, any) and dedups symmetric
     // (new, new) pairs afterwards via the canonical (min, max) ordering.
+    // Every shared shingle is counted once per (a,b) orientation the join
+    // emits: new-vs-corpus pairs appear once, new-vs-new pairs twice (both
+    // docs probe; `b._bnew` is true in both orientations) — halve the
+    // latter. Corpus docs never join corpus docs, so old-old pairs
+    // (already known) are never recomputed.
     val inter = batch.as("a").join(all.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
       .select(
         least($"a.doc_id", $"b.doc_id").as("doc_a"),
-        greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"),
+        $"b._bnew".as("bn"))
       .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("i2"))
-    // every shared shingle is counted once per (a,b) orientation that the
-    // join emits: new-vs-corpus pairs appear once, new-vs-new pairs twice
-    // (both docs probe) — halve the latter. Corpus docs never join corpus
-    // docs, so old-old pairs (already known) are never recomputed.
-    val newIds = batch.select($"doc_id".as("nid")).distinct()
-    val inter2 = inter
-      .join(broadcast(newIds.select($"nid".as("na"))), $"doc_a" === $"na", "left")
-      .join(broadcast(newIds.select($"nid".as("nb"))), $"doc_b" === $"nb", "left")
-      .select($"doc_a", $"doc_b",
-        when($"na".isNotNull && $"nb".isNotNull, ($"i2" / 2).cast("long"))
-          .otherwise($"i2").as("inter"))
+      .agg(count(lit(1)).as("i2"), max($"bn").as("bn"))
+    val inter2 = inter.select($"doc_a", $"doc_b",
+      when($"bn", ($"i2" / 2).cast("long")).otherwise($"i2").as("inter"))
     // the candidate pair set is the SMALL side — broadcast IT against the
     // (corpus-sized, distributed) per-doc counts; broadcasting cnt would
-    // ship 10^8 rows to every executor at the scale this operator targets
+    // ship 10^8 rows to every executor at the scale this operator targets.
+    // Each pair needs BOTH members' counts: explode the pair to its two
+    // doc sides and join cnt ONCE, then fold the sides back per pair —
+    // one corpus pass and one broadcast instead of two of each chained
+    // serially (broadcast(withA) could only build after the first
+    // corpus join finished).
+    val sides = inter2.select($"doc_a", $"doc_b", $"inter",
+      explode(array($"doc_a", $"doc_b")).as("doc"))
     val j = $"inter".cast("double") / ($"na_n" + $"nb_n" - $"inter")
-    val withA = cnt.select($"doc_id".as("doc_a"), $"n".as("na_n"))
-      .join(broadcast(inter2), "doc_a")
-    cnt.select($"doc_id".as("doc_b"), $"n".as("nb_n"))
-      .join(broadcast(withA), "doc_b")
+    cnt.join(broadcast(sides), $"doc_id" === $"doc")
+      .groupBy($"doc_a", $"doc_b", $"inter")
+      .agg(
+        max(when($"doc" === $"doc_a", $"n")).as("na_n"),
+        max(when($"doc" === $"doc_b", $"n")).as("nb_n"))
       .filter(j >= threshold)
       .select($"doc_a", $"doc_b", j.as("jaccard"))
   }
