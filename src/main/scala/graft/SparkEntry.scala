@@ -21,6 +21,7 @@ object SparkEntry {
     EventQueries,
     DedupQueries,
     TextQueries,
+    CorpusQueries,
     SimilarityQueries,
     MultimodalQueries
   )

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+import graft.operators.GlobalCumsum
+import CrossHash._
+
+/** Corpus-level training-data-pipeline stages over the `documents` table —
+  * the cross-document operators that complement TextQueries' row-local
+  * projections (which never shuffle) and DedupQueries' near-dup suite.
+  *
+  *  - text_decontam: benchmark decontamination — flag training documents
+  *    sharing any word-3-gram with a held-out eval split. The eval
+  *    shingle set is benchmark-sized (MBs against a 100 TB corpus), so
+  *    AQE broadcasts it and the corpus side never shuffles; no forced
+  *    hint (the dedup-broadcast doctrine: degrade to shuffle, not OOM).
+  *  - doc_pack: concat-and-chunk sequence packing — each document's shard
+  *    and offset under a fixed token budget per training sequence. Needs a
+  *    CORPUS-WIDE prefix sum, which must NOT plan as the single-partition
+  *    window `sum() OVER (ORDER BY doc_id)`; graft.operators.GlobalCumsum
+  *    computes it distributed (range-bucket + in-bucket window + bucket
+  *    offsets) and CorpusSpec pins equality with the naive spelling while
+  *    PlanAuditSpec pins the absence of a single-partition exchange.
+  *  - sample_weighted: deterministic importance sampling — keep-probability
+  *    from a quality weight (here: inverse length, longer docs downsampled
+  *    toward a uniform token budget), decided by a content-hash draw so
+  *    the sample is bit-reproducible across engines, reruns and scales
+  *    (no RNG state; the oracle draws the identical sample). Narrow — at
+  *    100 TB this is a map-only pass fused into the scan.
+  *  - text_tfidf: corpus IDF + per-document top-3 TF-IDF terms (keyword
+  *    extraction). IDF uses the rational (N+1)/(df+1) form rather than its
+  *    log: same per-term ranking, but pure IEEE mul/div that both engines
+  *    evaluate bit-identically (ln differs in last-ulp across libms). The
+  *    document-frequency table is vocabulary-sized — tiny next to the
+  *    corpus — so AQE broadcasts it; the only corpus-sized shuffles are
+  *    the two hash aggregations.
+  */
+object CorpusQueries extends QueryModule {
+  /** Tokens per packed training sequence (doc_pack). */
+  val PackBudget = 256L
+
+  /** Eval split modulus: doc_id % EvalMod == 0 is the held-out benchmark. */
+  val EvalMod = 17L
+
+  /** Target tokens per kept document for the weighted sample: documents
+    * with n_tokens ≤ target always keep; longer ones keep w.p.
+    * target/n_tokens, equalizing expected token contribution per doc. */
+  val SampleTargetTokens = 32.0
+
+  /** Distinct (doc_id, 60-bit shingle hash) pairs — same shape as
+    * DedupQueries' inverted index (hash BEFORE distinct so shuffle rows
+    * are 8-byte longs, not shingle strings). */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shingles3("w")).as("sg"))
+      .select($"doc_id", h60($"sg").as("h"))
+      .distinct()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: per training doc, how many of its
+    // 3-gram shingles appear anywhere in the eval split.
+    "text_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingleSet(s, dir)
+      val evalH = sh.filter($"doc_id" % EvalMod === 0).select($"h").distinct()
+        .withColumn("hit", lit(1L))
+      sh.filter($"doc_id" % EvalMod =!= 0)
+        .join(evalH, Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+        .withColumn("contam_frac", $"n_contaminated".cast("double") / $"n_shingles")
+    },
+
+    // Concat-and-chunk sequence packing: documents stream in doc_id order
+    // into fixed PackBudget-token training sequences; each doc lands at
+    // (shard, shard_offset) of the concatenated token stream.
+    "doc_pack" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      GlobalCumsum.runningBefore(docs, "doc_id", "n_tokens", "cb")
+        .select($"doc_id", $"n_tokens",
+          expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+          ($"cb" % PackBudget).as("shard_offset"))
+    },
+
+    // Deterministic length-weighted sampling: hash draw vs an integer
+    // threshold, so both engines (and any rerun) keep the identical set.
+    "sample_weighted" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"), $"text")
+        .withColumn("sample_p",
+          least(lit(1.0), lit(SampleTargetTokens) / $"n_tokens"))
+        .filter(h60(concat($"text", lit("|sw"))) % 1000000L <
+          floor($"sample_p" * 1000000.0).cast("long"))
+        .select($"doc_id", $"n_tokens", $"sample_p")
+    },
+
+    // Per-doc top-3 TF-IDF terms (rational idf — see scaladoc).
+    "text_tfidf" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.distinct().groupBy($"term").agg(count(lit(1)).as("dfreq"))
+      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      tf.join(dfreq, "term")
+        .crossJoin(ndocs) // 1 row — AQE turns this into a broadcast
+        .withColumn("tfidf", $"tf".cast("double") *
+          (($"n_docs" + 1).cast("double") / ($"dfreq" + 1).cast("double")))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk".cast("long").as("rnk"), $"term", $"tfidf")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_decontam" ->
+      s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM docs)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |tr AS (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0)
+         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / count(*) AS contam_frac
+         |FROM tr LEFT JOIN ev ON tr.h = ev.h
+         |GROUP BY tr.doc_id""".stripMargin,
+
+    "doc_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |FROM c""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens, text FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |    least(CAST(1.0 AS DOUBLE), CAST($SampleTargetTokens AS DOUBLE) / n_tokens) AS sample_p,
+         |    text FROM t)
+         |SELECT doc_id, n_tokens, sample_p FROM p
+         |WHERE ${oH60("text || '|sw'")} % 1000000
+         |  < CAST(floor(sample_p * 1000000.0) AS BIGINT)""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS dfreq
+         |          FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, CAST(tf AS DOUBLE) *
+         |    (CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq + 1 AS DOUBLE)) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+         |FROM (SELECT doc_id, term, tfidf,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         |      FROM sc)
+         |WHERE rnk <= 3""".stripMargin
+  )
+}

@@ -38,6 +38,12 @@ object SimilarityQueries extends QueryModule {
     * sign(v·r_j). */
   private val Dim = 64
   private val NBits = 8
+
+  /** knn_self_topk: 4-bit bucket (first 4 hyperplanes → 16 buckets) and
+    * k=3 neighbors per vector — test-scale constants of the same
+    * log₂(n)-bits scaling rule documented in CrossHash. */
+  private val SelfBits = 4
+  private val SelfK = 3
   private[queries] val hyperplanes: IndexedSeq[IndexedSeq[Int]] =
     (0 until NBits).map { j =>
       (0 until Dim).map { d =>
@@ -211,6 +217,31 @@ object SimilarityQueries extends QueryModule {
       val c = withB.select($"vec_id".as("neighbor_id"), $"bucket", $"v".as("cv"), $"nrm".as("cnrm"))
       topk(broadcast(q).join(c,
         $"qbucket" === $"bucket" && $"query_id" =!= $"neighbor_id"))
+    },
+
+    // Semantic-dedup candidate stage (the SemDeDup shape): EVERY vector's
+    // top-3 cosine neighbors via a bucketed self-join — both sides are the
+    // corpus, so unlike every knn_* probe above NOTHING broadcasts: the
+    // join shuffles both sides on the 4-bit LSH bucket and each task sees
+    // one bucket's ~n/16. Output is rank-bounded at 3·n rows. At 10⁸
+    // vectors the bucket bits grow with log₂(n) (CrossHash scaling rule)
+    // and the bucket column becomes the on-disk partition key, making the
+    // self-join a co-partitioned zipped scan.
+    "knn_self_topk" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      val bucket = (0 until SelfBits).map { j =>
+        when(expr(s"graft_dot(v, ${planeSql(j)})") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val withB = e.withColumn("bucket", bucket)
+      val q = withB.select($"vec_id".as("query_id"), $"bucket", $"v".as("qv"), $"nrm".as("qnrm"))
+      val c = withB.select($"vec_id".as("neighbor_id"), $"bucket".as("cbucket"), $"v".as("cv"), $"nrm".as("cnrm"))
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      q.join(c, $"bucket" === $"cbucket" && $"query_id" =!= $"neighbor_id")
+        .withColumn("cosine", cosExpr)
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= SelfK)
+        .select($"query_id", $"rnk".cast("long").as("rnk"), $"neighbor_id", $"cosine")
     }
   )
 
@@ -301,6 +332,23 @@ object SimilarityQueries extends QueryModule {
            |FROM (SELECT query_id, neighbor_id, cosine,
            |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
            |      FROM pairs)
-           |WHERE rnk <= $K""".stripMargin)
+           |WHERE rnk <= $K""".stripMargin,
+      "knn_self_topk" -> {
+        val selfBucket = (0 until SelfBits).map { j =>
+          s"(CASE WHEN list_dot_product(v, ${oPlane(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+           |        $selfBucket AS bucket FROM e),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
+           |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+           |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cosine AS cosine
+           |FROM (SELECT query_id, neighbor_id, cosine,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |      FROM pairs)
+           |WHERE rnk <= $SelfK""".stripMargin
+      })
   }
 }

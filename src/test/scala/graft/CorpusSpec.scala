@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GlobalCumsum
+
+/** Corpus-pipeline operators (CorpusQueries) + the GlobalCumsum primitive.
+  *
+  * GlobalCumsum is cross-checked against the naive single-partition window
+  * spelling (the thing it exists to avoid) over several bucket geometries,
+  * including degenerate ones (1 bucket = the naive shape itself; more
+  * buckets than rows = every row alone). The pack/sample queries are
+  * pinned by their algebraic invariants — the driver's DuckDB oracle
+  * already checks exact values.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("GlobalCumsum equals the single-partition window over sparse, non-contiguous keys") {
+    import spark.implicits._
+    // keys deliberately sparse + clustered so value-range buckets are uneven
+    val rows = Seq((3L, 5L), (4L, 2L), (9L, 1L), (100L, 7L), (101L, 3L),
+      (5000L, 11L), (5001L, 0L), (5002L, 4L), (999999L, 9L))
+    val df = rows.toDF("k", "v")
+    val naive = df.withColumn("cb",
+        coalesce(sum($"v").over(Window.orderBy($"k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"k", $"cb").as[(Long, Long)].collect().toMap
+    for (nb <- Seq(1, 2, 4, 32, 1000)) {
+      val got = GlobalCumsum.runningBefore(df, "k", "v", "cb", nb)
+        .select($"k", $"cb").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"numBuckets=$nb: $got != $naive")
+    }
+  }
+
+  test("GlobalCumsum on an empty frame yields an empty frame with the output column") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("k", "v")
+    val out = GlobalCumsum.runningBefore(df, "k", "v", "cb")
+    assert(out.columns.contains("cb"))
+    assert(out.count() == 0)
+  }
+
+  test("doc_pack: offsets stay inside the budget and the stream reassembles exactly") {
+    import spark.implicits._
+    val b = graft.queries.CorpusQueries.PackBudget
+    val rows = SparkEntry.queries("doc_pack")(spark, dir)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"shard", $"shard_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    for ((_, n, shard, off) <- rows) {
+      assert(off >= 0 && off < b)
+      assert(shard == cum / b && off == cum % b, s"pack position mismatch at cum=$cum")
+      cum += n
+    }
+  }
+
+  test("sample_weighted: deterministic (two runs identical) and long docs downsampled") {
+    import spark.implicits._
+    def run() = SparkEntry.queries("sample_weighted")(spark, dir)
+      .select($"doc_id", $"sample_p").as[(Long, Double)].collect().toMap
+    val a = run(); val b = run()
+    assert(a == b, "sampling must be bit-reproducible across runs")
+    assert(a.nonEmpty)
+    assert(a.values.forall(p => p > 0.0 && p <= 1.0))
+    // the corpus has docs longer than the target, so some p < 1 must occur
+    assert(a.values.exists(_ < 1.0))
+  }
+
+  test("text_decontam: the eval split itself never appears; fractions are consistent") {
+    import spark.implicits._
+    val m = graft.queries.CorpusQueries.EvalMod
+    val rows = SparkEntry.queries("text_decontam")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((id, n, c, f) <- rows) {
+      assert(id % m != 0, s"eval doc $id leaked into the training-side output")
+      assert(c >= 0 && c <= n)
+      assert(math.abs(f - c.toDouble / n) == 0.0)
+    }
+    // word-salad corpora share shingles: contamination must be non-vacuous
+    assert(rows.exists(_._3 > 0))
+  }
+
+  test("knn_self_topk: every vector with bucket-mates gets ranked neighbors; ranks dense from 1") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("knn_self_topk")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_._1)
+    for ((q, ns) <- byQuery) {
+      val ranks = ns.map(_._2).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"query $q ranks not dense: ${ranks.toSeq}")
+      assert(ns.map(_._3).distinct.length == ns.length, s"query $q repeats a neighbor")
+      assert(!ns.map(_._3).contains(q), s"query $q returned itself")
+    }
+  }
+}

@@ -127,4 +127,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("doc_pack: the corpus-wide prefix sum never plans a single-partition exchange") {
+    val p = plan("doc_pack")
+    assert(!p.contains("SinglePartition"), s"global cumsum funnels into one task:\n$p")
+    // the in-bucket window still exists — partitioned by the range bucket
+    assert(p.contains("Window"), p)
+  }
+
+  test("knn_self_topk: corpus self-join shuffles on the bucket — no cartesian, no broadcast of the corpus") {
+    val p = plan("knn_self_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // both sides are |corpus| — nothing may mandate a broadcast
+    val df = SparkEntry.queries("knn_self_topk")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"knn_self_topk mandates join strategies: $hints")
+  }
+
+  test("text_decontam: the corpus side joins the eval shingle set without a mandated broadcast") {
+    val df = SparkEntry.queries("text_decontam")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"text_decontam mandates join strategies: $hints")
+    val p = plan("text_decontam")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sample_weighted: deterministic sampling is a shuffle-free map pass") {
+    val p = plan("sample_weighted")
+    assert(!p.contains("Exchange"), s"sample_weighted shuffles:\n$p")
+  }
 }
