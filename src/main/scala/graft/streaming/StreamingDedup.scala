@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.CrossHash.{h60, shingles3, tokens}
+
+/** Streaming near-duplicate detection: an unbounded stream of documents
+  * probed against the STATIC corpus shingle index — the continuous-
+  * ingestion twin of `operators/IncrementalDedup` (whose batch form this
+  * provably matches, see StreamingSpec).
+  *
+  * Division of labor in a streaming ingestion pipeline:
+  *  - stream-vs-stream exact dups → [[StatefulOps.dedupStream]]
+  *    (watermark-bounded dropDuplicates state);
+  *  - stream-vs-corpus NEAR dups → this probe (stream-static join; the
+  *    corpus index carries no streaming state at all).
+  *
+  * Scale shape: the index is built once and at 100 TB lives bucketed by
+  * `h` on disk, so each micro-batch's join is a bucket-pruned lookup of
+  * only the batch's shingle hashes — per-trigger cost is bounded by the
+  * batch, never the corpus (the IncrementalDedup doctrine). The aggregate
+  * groups on (window, pair) under the stream's watermark, so pair state is
+  * evicted once the window closes — append mode emits each verified pair
+  * exactly once.
+  */
+object StreamingDedup {
+  /** Static corpus shingle index: one row per distinct (doc_id, shingle
+    * hash), denormalized with the doc's total shingle count `nb` — one
+    * precomputed table so each micro-batch joins ONCE (a separate count
+    * join would re-shuffle corpus rows every trigger). */
+  def corpusIndex(corpus: DataFrame): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id").as("b_doc"), tokens(col("text")).as("w"))
+      .select(col("b_doc"), explode(shingles3("w")).as("sg"))
+      .select(col("b_doc"), h60(col("sg")).as("h"))
+      .distinct()
+    val cnt = sh.groupBy(col("b_doc")).agg(count(lit(1)).as("nb"))
+    sh.join(cnt, "b_doc")
+  }
+
+  /** Distinct shingle hashes of a (streaming or batch) document frame,
+    * with the per-doc count carried on every row (computed row-locally —
+    * no streaming aggregate needed for the denominator). */
+  private def streamShingles(docs: DataFrame, eventTimeCol: String): DataFrame =
+    docs
+      .select(col("doc_id").as("a_doc"), col(eventTimeCol).as("_ts"),
+        tokens(col("text")).as("w"))
+      .withColumn("hs", array_distinct(transform(shingles3("w"), (sg: Column) => h60(sg))))
+      .withColumn("na", size(col("hs")).cast("long"))
+      .select(col("a_doc"), col("_ts"), col("na"), explode(col("hs")).as("h"))
+
+  /** Near-dup pairs (a_doc from the stream, b_doc from the corpus,
+    * jaccard ≥ threshold), emitted once per pair when the event-time
+    * window closes under the watermark. `docs` needs columns
+    * (doc_id, text, `eventTimeCol`). */
+  def nearDupProbe(docs: DataFrame, index: DataFrame, threshold: Double,
+      eventTimeCol: String = "ts", watermark: String = "10 minutes",
+      window: String = "10 minutes"): DataFrame = {
+    val probe = streamShingles(docs.withWatermark(eventTimeCol, watermark), eventTimeCol)
+    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    probe
+      .join(index, "h") // stream-static: corpus side is never stateful
+      .groupBy(org.apache.spark.sql.functions.window(col("_ts"), window),
+        col("a_doc"), col("b_doc"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(j >= threshold)
+      .select(col("a_doc"), col("b_doc"), j.as("jaccard"))
+  }
+}

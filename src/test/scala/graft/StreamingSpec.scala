@@ -239,4 +239,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.values.sum == 6L)
     assert(counts.size == 2)
   }
+
+  test("streaming near-dup probe equals batch IncrementalDedup restricted to stream-vs-corpus pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    import graft.queries.CrossHash._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "red green blue yellow purple orange")).toDF("doc_id", "text")
+    val index = StreamingDedup.corpusIndex(corpus).cache()
+
+    val ms = MemoryStream[(Long, Long, String)]
+    val docs = ms.toDF.toDF("doc_id", "sec", "text")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = StreamingDedup.nearDupProbe(docs, index, 0.3)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-ndp-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .start()
+    // doc 10 near-copies corpus doc 1 (3 of 4 shingles shared); doc 11
+    // matches nothing; doc 99 is the watermark flush (far-future ts closes
+    // the first window; its own window legitimately stays open)
+    ms.addData((10L, 60L, "alpha beta gamma delta epsilon eta"),
+      (11L, 70L, "cats dogs birds fish mice voles"))
+    q.processAllAvailable()
+    ms.addData((99L, 1000000L, "totally unrelated flush document words"))
+    q.processAllAvailable()
+    q.stop()
+
+    // expected = the batch incremental-dedup pair set for the same split,
+    // restricted to cross (stream, corpus) pairs — canonical (min, max)
+    def sh(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shingles3("w")).as("sg"))
+      .select($"doc_id", h60($"sg").as("h")).distinct()
+    val streamed = Seq((10L, "alpha beta gamma delta epsilon eta"),
+      (11L, "cats dogs birds fish mice voles")).toDF("doc_id", "text")
+    val expected = graft.operators.IncrementalDedup.newPairs(sh(corpus), sh(streamed), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a <= 3L || b <= 3L } // cross pairs only
+      .toSet
+    val gotCanonical = got.map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(expected.nonEmpty, "no cross near-dup pair — test would be vacuous")
+    assert(gotCanonical == expected,
+      s"stream probe != batch incremental: got $gotCanonical expected $expected")
+  }
 }
