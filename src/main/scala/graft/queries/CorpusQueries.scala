@@ -104,6 +104,29 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", $"n_tokens", $"sample_p")
     },
 
+    // Training-mixture rebalancing: per-source sampling rates that
+    // equalize each source's token contribution (the data-mixing stage of
+    // a pretraining pipeline — rate_s = min(1, fair_share / tokens_s)).
+    // Two tiny aggregates (per-source, global) — the global total joins
+    // back as a 1-row cross join, so the whole allocation is
+    // O(sources) after one corpus pass.
+    "mix_allocation" -> { (s, dir) =>
+      import s.implicits._
+      val perSource = Tables.load(s, dir, "documents")
+        .select($"source", size(tokens($"text")).cast("long").as("n"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      val totals = perSource.agg(
+        sum($"n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSource.crossJoin(totals)
+        .withColumn("fair_share",
+          $"total_tokens".cast("double") / $"n_sources")
+        .withColumn("sample_rate",
+          least(lit(1.0), $"fair_share" / $"n_tokens"))
+        .select($"source", $"n_docs", $"n_tokens", $"fair_share", $"sample_rate")
+    },
+
     // Per-doc top-3 TF-IDF terms (rational idf — see scaladoc).
     "text_tfidf" -> { (s, dir) =>
       import s.implicits._
@@ -158,6 +181,19 @@ object CorpusQueries extends QueryModule {
          |SELECT doc_id, n_tokens, sample_p FROM p
          |WHERE ${oH60("text || '|sw'")} % 1000000
          |  < CAST(floor(sample_p * 1000000.0) AS BIGINT)""".stripMargin,
+
+    "mix_allocation" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($oTokens)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |          count(*) AS n_sources FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(total_tokens AS DOUBLE) / n_sources AS fair_share,
+         |  least(CAST(1.0 AS DOUBLE),
+         |    (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens) AS sample_rate
+         |FROM per CROSS JOIN tot""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS term FROM documents),

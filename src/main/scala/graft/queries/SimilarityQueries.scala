@@ -242,6 +242,28 @@ object SimilarityQueries extends QueryModule {
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= SelfK)
         .select($"query_id", $"rnk".cast("long").as("rnk"), $"neighbor_id", $"cosine")
+    },
+
+    // Scalar int8 vector quantization audit: per-vector symmetric scale
+    // (max|x|/127), round-to-nearest, and the reconstruction cosine
+    // between the original and dequantized vector — the compression step
+    // a 10⁸-vector ANN index needs (4× memory/bandwidth vs float32) with
+    // its quality metric. Narrow map-only pass, no shuffle; rounding is
+    // floor(x+0.5) in both engines (banker's-rounding `round` would
+    // diverge on half-ties). Zero vectors are excluded by the scale>0
+    // filter in both engines (their quantization is trivially empty).
+    "vq_int8" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))") / 127.0)
+        .filter($"scale" > 0)
+        .withColumn("dq", expr("transform(v, x -> floor(x / scale + 0.5D) * scale)"))
+        .select($"vec_id", $"scale",
+          (expr("graft_dot(v, dq)") /
+            nullif(sqrt(expr("graft_dot(v, v)")) * sqrt(expr("graft_dot(dq, dq)")), lit(0.0)))
+            .as("recon_cosine"))
     }
   )
 
@@ -349,6 +371,17 @@ object SimilarityQueries extends QueryModule {
            |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
            |      FROM pairs)
            |WHERE rnk <= $SelfK""".stripMargin
-      })
+      },
+      "vq_int8" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+          |d AS (SELECT vec_id, v, scale,
+          |        list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+          |      FROM s WHERE scale > 0)
+          |SELECT vec_id, scale,
+          |  list_dot_product(v, dq) /
+          |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))) AS recon_cosine
+          |FROM d""".stripMargin)
   }
 }
