@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,27 +13,33 @@ import org.apache.spark.sql.functions._
   * global offsets, token budgeting). This operator computes the identical
   * result as two distributed passes:
   *
-  *  1. bucket rows into contiguous key ranges (bucket = (k - min) / width,
-  *     width from a one-row min/max aggregate — so bucket order == key
-  *     order);
+  *  1. bucket rows into contiguous key ranges. Bucket BOUNDS come from an
+  *     approximate-quantile sketch of the key (Greenwald–Khanna via
+  *     `df.stat.approxQuantile` — deterministic, one pass), so buckets
+  *     stay balanced under ARBITRARY key skew: clustered ids, gappy
+  *     ranges, hot regions. (Fixed-width value ranges would collapse to
+  *     one bucket whenever the keys cluster inside a narrow span of a
+  *     huge domain.) Correctness never depends on the bounds — any
+  *     monotone bucketing yields the same running totals, the bounds only
+  *     steer balance — which is why the sketch being approximate is fine;
   *  2. aggregate per-bucket totals (≤ `numBuckets` rows, collected once on
   *     the driver — bounded, like the other audited one-row collects) and
   *     prefix-scan them into per-bucket offsets;
-  *  3. window WITHIN each bucket (the shuffle is hash(bucket), all 32+
-  *     tasks busy) and add the bucket's offset.
+  *  3. window WITHIN each bucket (the shuffle is hash(bucket), all slots
+  *     busy) and add the bucket's offset.
   *
   * At 100 TB: `numBuckets` scales with the cluster (buckets ≈ 10–100×
-  * executor count); the per-bucket totals stay a trivially small driver
-  * collect, and no task ever sees more than ~1/numBuckets of the data.
-  * Value-range bucketing assumes keys are roughly uniform (true for
-  * sequential ids); for skewed keys, derive bucket bounds from a sampled
-  * quantile sketch instead — the algebra is unchanged.
+  * executor count); the quantile sketch and the per-bucket totals stay
+  * trivially small driver data, and no task ever sees more than
+  * ~1/numBuckets of the rows.
   */
 object GlobalCumsum {
   /** Adds column `out` = sum of `valueCol` over all rows with a strictly
     * smaller `orderCol` (running total EXCLUDING the current row — the
     * "offset before me" form sequence packing needs). `orderCol` must be
-    * unique per row for the total order to be well defined. */
+    * unique per row for the total order to be well defined, numeric, and
+    * exactly representable as double for the bucket-bound comparison
+    * (ids ≤ 2^53 — beyond that, pre-scale or bucket on a derived key). */
   def runningBefore(
       df: DataFrame,
       orderCol: String,
@@ -41,12 +47,17 @@ object GlobalCumsum {
       out: String,
       numBuckets: Int = 32): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    val k = col(orderCol).cast("long")
-    val stats = df.agg(min(k).as("lo"), max(k).as("hi")).head()
-    if (stats.isNullAt(0)) return df.withColumn(out, lit(0L)) // empty input
-    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
-    val width = math.max(1L, (hi - lo) / numBuckets + 1)
-    val bucketed = df.withColumn("_gc_bucket", ((k - lit(lo)) / lit(width)).cast("long"))
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    val bounds: Array[Double] =
+      if (probs.isEmpty) Array.empty
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    // bucket = #bounds < k: monotone in k, so bucket order == key order
+    // (an empty frame flows through every stage below and stays empty)
+    val k = col(orderCol).cast("double")
+    val bucket: Column =
+      if (bounds.isEmpty) lit(0L)
+      else size(filter(array(bounds.map(lit(_)): _*), b => b < k)).cast("long")
+    val bucketed = df.withColumn("_gc_bucket", bucket)
 
     val totals = bucketed.groupBy(col("_gc_bucket"))
       .agg(sum(col(valueCol).cast("long")).as("_gc_total"))

@@ -36,6 +36,29 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalCumsum stays exact AND balanced under pathological key skew") {
+    import spark.implicits._
+    // 10k keys crammed into [0, 10k) plus one outlier at 2^52: fixed-width
+    // value-range bucketing would put 10k rows in bucket 0 — the quantile
+    // bounds must keep spreading them
+    val rows = ((0L until 10000L) :+ (1L << 52)).map(k => (k, k % 7))
+    val df = rows.toDF("k", "v").repartition(8)
+    val naive = df.withColumn("cb",
+        coalesce(sum($"v").over(Window.orderBy($"k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"k", $"cb").as[(Long, Long)].collect().toMap
+    val got = GlobalCumsum.runningBefore(df, "k", "v", "cb", 16)
+      .select($"k", $"cb").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    // balance: the largest quantile bucket must hold ≪ everything (the
+    // bound is loose — GK with ε=0.001 is near-exact at this size)
+    val probs = (1 until 16).map(_.toDouble / 16).toArray
+    val bounds = df.stat.approxQuantile("k", probs, 0.001).distinct.sorted
+    val perBucket = rows.groupBy(r => bounds.count(_ < r._1.toDouble)).values.map(_.size)
+    assert(perBucket.max <= rows.size / 4,
+      s"skewed keys collapsed into one bucket: $perBucket")
+  }
+
   test("GlobalCumsum on an empty frame yields an empty frame with the output column") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("k", "v")
