@@ -396,6 +396,24 @@ object EventQueries extends QueryModule {
           Tables.load(s, dir, "supplier"), "s_suppkey"))
     },
 
+    // Sketch aggregates: HLL++ distinct users + approximate value
+    // percentiles per event type — the ONLY viable interactive shape at
+    // 100 TB: both sketches are fixed-size and map-side MERGEABLE, so the
+    // shuffle carries |types| × KB sketch bytes instead of the distinct
+    // key space an exact count must move. Approximate by construction →
+    // no DuckDB hash oracle (rows-only check); ScaleOpsSpec pins ≤5%
+    // relative error for the HLL count and rank-tolerance for the
+    // percentiles against the exact spellings.
+    "ev_approx_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+          percentile_approx($"value", array(lit(0.5), lit(0.95)), lit(10000))
+            .as("value_p50_p95"))
+    },
+
     // Moving average over an explicit ROWS frame (last 3 events per user
     // in stream order) — the bounded-frame window variant (cumsum is the
     // unbounded one). Decimal-exact inside the frame, one cast out.

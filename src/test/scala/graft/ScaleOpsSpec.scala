@@ -73,4 +73,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(m.value("event.replicator.lag.m_events").isEmpty)
     assert(m.snapshot().keySet == Set("event.store.consumer.lag.m_events.0"))
   }
+
+  test("ev_approx_stats: mergeable sketches stay within pinned error of the exact spellings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val events = Tables.load(spark, dir, "events")
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("users"),
+        expr("percentile(value, array(0.5D, 0.95D))").as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    val approx = SparkEntry.queries("ev_approx_stats")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(approx.keySet == exact.keySet)
+    assert(exact.nonEmpty)
+    for ((tpe, (aUsers, aPs)) <- approx) {
+      val (eUsers, ePs) = exact(tpe)
+      val relErr = math.abs(aUsers - eUsers).toDouble / eUsers
+      assert(relErr <= 0.05, s"$tpe: HLL distinct off by ${relErr * 100}% ($aUsers vs $eUsers)")
+      for (((a, e), i) <- aPs.zip(ePs).zipWithIndex)
+        assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1e-9),
+          s"$tpe p${if (i == 0) 50 else 95}: $a vs $e")
+    }
+  }
 }
