@@ -127,6 +127,49 @@ object CorpusQueries extends QueryModule {
         .select($"source", $"n_docs", $"n_tokens", $"fair_share", $"sample_rate")
     },
 
+    // The full curation DAG as ONE job — what a user actually runs over a
+    // raw crawl: quality gate → exact dedup (keep lowest doc_id per
+    // content digest) → benchmark decontamination (drop docs with ≥50%
+    // eval shingle overlap, and the eval split itself) → sequence packing
+    // of the survivors. Each stage only narrows the previous one, so the
+    // whole pipeline costs: one corpus scan + the dedup digest shuffle +
+    // the (eval-broadcast) decontam join + GlobalCumsum's bucketed
+    // window — no stage re-reads the input.
+    "pipeline_curate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", size(tokens($"text")).cast("long").as("n_tokens"))
+      // quality gate: enough tokens, not punctuation soup
+      val quality = docs.filter($"n_tokens" >= 5 &&
+        (regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double") /
+          nullif(length($"text"), lit(0))) < 0.3)
+      // exact dedup: keep the lowest doc_id per content digest
+      val keep = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("doc_id"))
+      val kept = quality.join(keep, "doc_id").select($"doc_id", $"text", $"n_tokens")
+      // decontamination: drop the eval split and anything ≥50% eval-overlapping
+      val sh = kept
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id", explode(shingles3("w")).as("sg"))
+        .select($"doc_id", h60($"sg").as("h"))
+        .distinct()
+      val evalH = sh.filter($"doc_id" % EvalMod === 0).select($"h").distinct()
+        .withColumn("hit", lit(1L))
+      val contaminated = sh.filter($"doc_id" % EvalMod =!= 0)
+        .join(evalH, Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1))).as("frac"))
+        .filter($"frac" >= 0.5)
+        .select($"doc_id")
+      val train = kept.filter($"doc_id" % EvalMod =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"n_tokens")
+      // pack the survivors
+      GlobalCumsum.runningBefore(train, "doc_id", "n_tokens", "cb")
+        .select($"doc_id", $"n_tokens",
+          expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+          ($"cb" % PackBudget).as("shard_offset"))
+    },
+
     // Per-doc top-3 TF-IDF terms (rational idf — see scaladoc).
     "text_tfidf" -> { (s, dir) =>
       import s.implicits._
@@ -194,6 +237,39 @@ object CorpusQueries extends QueryModule {
          |  least(CAST(1.0 AS DOUBLE),
          |    (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens) AS sample_rate
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH docs AS (SELECT doc_id, text,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |quality AS (SELECT * FROM docs WHERE n_tokens >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+         |kept AS (SELECT q.doc_id, q.text, q.n_tokens
+         |         FROM quality q JOIN keep k ON q.doc_id = k.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg
+         |             FROM (SELECT doc_id, $oTokens AS w FROM kept))),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT tr.doc_id,
+         |      CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) AS frac
+         |    FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |    LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+         |  WHERE frac >= 0.5),
+         |train AS (SELECT doc_id, n_tokens FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |c AS (SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM train)
+         |SELECT doc_id, n_tokens,
+         |  CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |FROM c""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS term FROM documents),

@@ -161,4 +161,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("sample_weighted")
     assert(!p.contains("Exchange"), s"sample_weighted shuffles:\n$p")
   }
+
+  test("pipeline_curate: the whole curation DAG plans without a single-partition stage or cartesian") {
+    val p = plan("pipeline_curate")
+    assert(!p.contains("SinglePartition"), s"curation funnels into one task:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
