@@ -62,19 +62,26 @@ object CorpusQueries extends QueryModule {
       .distinct()
   }
 
+  /** Per-training-doc contamination counts vs the eval split, from a
+    * (doc_id, h) shingle index: (doc_id, n_shingles, n_contaminated).
+    * The eval shingle set is benchmark-sized — AQE broadcasts it, no
+    * mandated hint (PlanAuditSpec). */
+  private def contamination(sh: DataFrame): DataFrame = {
+    val evalH = sh.filter(col("doc_id") % EvalMod === 0).select(col("h")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % EvalMod =!= 0)
+      .join(evalH, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: per training doc, how many of its
     // 3-gram shingles appear anywhere in the eval split.
     "text_decontam" -> { (s, dir) =>
       import s.implicits._
-      val sh = shingleSet(s, dir)
-      val evalH = sh.filter($"doc_id" % EvalMod === 0).select($"h").distinct()
-        .withColumn("hit", lit(1L))
-      sh.filter($"doc_id" % EvalMod =!= 0)
-        .join(evalH, Seq("h"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+      contamination(shingleSet(s, dir))
         .withColumn("contam_frac", $"n_contaminated".cast("double") / $"n_shingles")
     },
 
@@ -152,13 +159,8 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", explode(shingles3("w")).as("sg"))
         .select($"doc_id", h60($"sg").as("h"))
         .distinct()
-      val evalH = sh.filter($"doc_id" % EvalMod === 0).select($"h").distinct()
-        .withColumn("hit", lit(1L))
-      val contaminated = sh.filter($"doc_id" % EvalMod =!= 0)
-        .join(evalH, Seq("h"), "left")
-        .groupBy($"doc_id")
-        .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1))).as("frac"))
-        .filter($"frac" >= 0.5)
+      val contaminated = contamination(sh)
+        .filter($"n_contaminated".cast("double") / $"n_shingles" >= 0.5)
         .select($"doc_id")
       val train = kept.filter($"doc_id" % EvalMod =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
