@@ -150,9 +150,14 @@ object CorpusQueries extends QueryModule {
       val quality = docs.filter($"n_tokens" >= 5 &&
         (regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double") /
           nullif(length($"text"), lit(0))) < 0.3)
-      // exact dedup: keep the lowest doc_id per content digest
+      // exact dedup: keep the lowest doc_id per content digest.
+      // `kept` feeds BOTH the shingle index and the packing input, and
+      // GlobalCumsum drives multiple actions (quantile sketch, bucket
+      // totals, final plan) — cache the stage boundary or the whole
+      // scan→quality→dedup prefix re-executes once per action
       val keep = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("doc_id"))
       val kept = quality.join(keep, "doc_id").select($"doc_id", $"text", $"n_tokens")
+        .cache()
       // decontamination: drop the eval split and anything ≥50% eval-overlapping
       val sh = kept
         .select($"doc_id", tokens($"text").as("w"))
@@ -165,6 +170,7 @@ object CorpusQueries extends QueryModule {
       val train = kept.filter($"doc_id" % EvalMod =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select($"doc_id", $"n_tokens")
+        .cache()
       // pack the survivors
       GlobalCumsum.runningBefore(train, "doc_id", "n_tokens", "cb")
         .select($"doc_id", $"n_tokens",
