@@ -47,17 +47,23 @@ object GlobalCumsum {
       out: String,
       numBuckets: Int = 32): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // this operator drives THREE actions over its input (quantile sketch,
+    // bucket totals, the final plan) — cache it here so every caller's
+    // upstream runs once, not three times (MEMORY_AND_DISK: spills, never
+    // OOMs; at 100 TB the input to a pack stage is the narrow
+    // (key, value) projection, not the corpus)
+    val input = df.cache()
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
     val bounds: Array[Double] =
       if (probs.isEmpty) Array.empty
-      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+      else input.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
     // bucket = #bounds < k: monotone in k, so bucket order == key order
     // (an empty frame flows through every stage below and stays empty)
     val k = col(orderCol).cast("double")
     val bucket: Column =
       if (bounds.isEmpty) lit(0L)
       else size(filter(array(bounds.map(lit(_)): _*), b => b < k)).cast("long")
-    val bucketed = df.withColumn("_gc_bucket", bucket)
+    val bucketed = input.withColumn("_gc_bucket", bucket)
 
     val totals = bucketed.groupBy(col("_gc_bucket"))
       .agg(sum(col(valueCol).cast("long")).as("_gc_total"))

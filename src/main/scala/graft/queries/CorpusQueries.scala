@@ -170,7 +170,6 @@ object CorpusQueries extends QueryModule {
       val train = kept.filter($"doc_id" % EvalMod =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select($"doc_id", $"n_tokens")
-        .cache()
       // pack the survivors
       GlobalCumsum.runningBefore(train, "doc_id", "n_tokens", "cb")
         .select($"doc_id", $"n_tokens",
