@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, LshBands, Md5Prefix60}
+import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, LshBands, Md5Prefix60, Shingle60}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -48,6 +48,11 @@ object GraftExtensions {
       children => {
         require(children.length == 1, "graft_meta_decode takes exactly 1 argument")
         DecodeMetadata(children.head)
+      }),
+    (FunctionIdentifier("graft_shingle60"), Shingle60.info,
+      children => {
+        require(children.length == 1, "graft_shingle60 takes exactly 1 argument")
+        Shingle60(children.head)
       }),
     (FunctionIdentifier("graft_lsh_bands"), LshBands.info,
       children => {

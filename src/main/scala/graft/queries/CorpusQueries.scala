@@ -55,10 +55,9 @@ object CorpusQueries extends QueryModule {
     * are 8-byte longs, not shingle strings). */
   private def shingleSet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     Tables.load(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("w"))
-      .select($"doc_id", explode(shingles3("w")).as("sg"))
-      .select($"doc_id", h60($"sg").as("h"))
+      .select($"doc_id", explode(shingleHashes($"text")).as("h"))
       .distinct()
   }
 
@@ -160,9 +159,7 @@ object CorpusQueries extends QueryModule {
         .cache()
       // decontamination: drop the eval split and anything ≥50% eval-overlapping
       val sh = kept
-        .select($"doc_id", tokens($"text").as("w"))
-        .select($"doc_id", explode(shingles3("w")).as("sg"))
-        .select($"doc_id", h60($"sg").as("h"))
+        .select($"doc_id", explode(shingleHashes($"text")).as("h"))
         .distinct()
       val contaminated = contamination(sh)
         .filter($"n_contaminated".cast("double") / $"n_shingles" >= 0.5)

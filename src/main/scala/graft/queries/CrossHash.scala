@@ -95,6 +95,12 @@ object CrossHash {
   /** Whitespace tokens. */
   def tokens(c: Column): Column = split(c, "\\s+")
 
+  /** Fused word-3-gram shingle hashes (array<long>) — value-identical to
+    * `transform(shingles3(tokens(c)), h60)` but one native codegen call
+    * (graft.functions.expressions.Shingle60): no shingle strings, no
+    * per-shingle expression evaluation. CodegenSpec pins the equality. */
+  def shingleHashes(c: Column): Column = call_function("graft_shingle60", c)
+
   /** Word 3-gram shingles of a token-array column (by column name).
     * Guarded with CASE, not `greatest(..., 0)`: Spark's `sequence(1, 0)`
     * is the DESCENDING [1, 0] (not empty), so the unguarded form indexes

@@ -50,10 +50,9 @@ object DedupQueries extends QueryModule {
     * the oracle agrees bit-for-bit. */
   private def shingleSet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     Tables.load(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("w"))
-      .select($"doc_id", explode(shingles3("w")).as("s"))
-      .select($"doc_id", h60($"s").as("h"))
+      .select($"doc_id", explode(shingleHashes($"text")).as("h"))
       .distinct()
   }
 

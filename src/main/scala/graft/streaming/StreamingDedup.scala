@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.queries.CrossHash.{h60, shingles3, tokens}
+import graft.queries.CrossHash.shingleHashes
 
 /** Streaming near-duplicate detection: an unbounded stream of documents
   * probed against the STATIC corpus shingle index — the continuous-
@@ -30,10 +30,9 @@ object StreamingDedup {
     * precomputed table so each micro-batch joins ONCE (a separate count
     * join would re-shuffle corpus rows every trigger). */
   def corpusIndex(corpus: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
     val sh = corpus
-      .select(col("doc_id").as("b_doc"), tokens(col("text")).as("w"))
-      .select(col("b_doc"), explode(shingles3("w")).as("sg"))
-      .select(col("b_doc"), h60(col("sg")).as("h"))
+      .select(col("doc_id").as("b_doc"), explode(shingleHashes(col("text"))).as("h"))
       .distinct()
     val cnt = sh.groupBy(col("b_doc")).agg(count(lit(1)).as("nb"))
     sh.join(cnt, "b_doc")
@@ -44,9 +43,8 @@ object StreamingDedup {
     * no streaming aggregate needed for the denominator). */
   private def streamShingles(docs: DataFrame, eventTimeCol: String): DataFrame =
     docs
-      .select(col("doc_id").as("a_doc"), col(eventTimeCol).as("_ts"),
-        tokens(col("text")).as("w"))
-      .withColumn("hs", array_distinct(transform(shingles3("w"), (sg: Column) => h60(sg))))
+      .select(col("doc_id").as("a_doc"), col(eventTimeCol).as("_ts"), col("text"))
+      .withColumn("hs", array_distinct(shingleHashes(col("text"))))
       .withColumn("na", size(col("hs")).cast("long"))
       .select(col("a_doc"), col("_ts"), col("na"), explode(col("hs")).as("h"))
 

@@ -168,4 +168,34 @@ class CodegenSpec extends AnyFunSuite {
       .collect()
     assert(edge.forall(_.isNullAt(0)))
   }
+
+  test("graft_shingle60 compiles; value-identical to the composed split/concat_ws/h60 spelling") {
+    import spark.implicits._
+    import graft.queries.CrossHash
+    val docs = (Seq(
+      "", " ", "   ", "one", "one two", "a b c", "a  b\tc", " lead and trail ",
+      "the quick brown fox jumps over the lazy dog",
+      "rep rep rep rep rep", "的 是 了 在 我") ++
+      // plus real corpus text
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select($"text").as[String].collect().take(100))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").cache()
+    // fused: one native call; multiset semantics (duplicates preserved)
+    val fused = docs.select($"doc_id",
+      explode(CrossHash.shingleHashes($"text")).as("h"))
+    // composed: the oracle-mirroring chain
+    val composed = docs
+      .select($"doc_id", CrossHash.tokens($"text").as("w"))
+      .select($"doc_id", explode(CrossHash.shingles3("w")).as("sg"))
+      .select($"doc_id", CrossHash.h60($"sg").as("h"))
+    val f = fused.groupBy($"doc_id", $"h").count()
+    val c = composed.groupBy($"doc_id", $"h").count()
+    assert(f.except(c).isEmpty && c.except(f).isEmpty,
+      "fused shingle hashes must equal the composed spelling, duplicates included")
+    // null text → null array (UnaryExpression null propagation)
+    val n = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(CrossHash.shingleHashes($"text").as("hs")).collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
 }
