@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.CrossHash.shingleHashes
+
+/** Materialized corpus shingle index: the on-disk form every incremental
+  * dedup scaladoc promises ("at 100 TB the corpus shingle index is written
+  * bucketed by `h`, so the probe is a co-located join").
+  *
+  * [[materialize]] writes two tables:
+  *  - `<name>`: distinct (doc_id, h) BUCKETED BY h — a probe joining on
+  *    `h` co-locates against the bucket files, so the corpus index is
+  *    never re-shuffled (ShingleIndexSpec pins: no exchange above the
+  *    index scan in the probe plan);
+  *  - `<name>_counts`: (doc_id, n) per-doc shingle counts, derived from
+  *    the index itself (no second shingle pass over the text).
+  *
+  * [[probe]] then deduplicates a NEW batch against the corpus WITHOUT
+  * touching the corpus text: batch-vs-corpus candidates come from the
+  * co-located bucket join (only the batch side shuffles), batch-vs-batch
+  * from a |batch|-bounded self-join — the IncrementalDedup pair set
+  * (ShingleIndexSpec pins the equality), at probe-only cost.
+  */
+object ShingleIndex {
+  /** Write the bucketed index tables for `docs` (doc_id, text). */
+  def materialize(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    graft.GraftExtensions.register(spark)
+    docs.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct()
+      .write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
+    spark.table(name)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").saveAsTable(s"${name}_counts")
+  }
+
+  /** Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) between a new
+    * batch (doc_id, text; ids disjoint from the corpus) and the
+    * materialized index — plus within the batch itself. Equals
+    * `IncrementalDedup.newPairs` on the same split. */
+  def probe(spark: SparkSession, name: String, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val bsh = batch
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct()
+      .cache()
+    val bcnt = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val idx = spark.table(name)
+    val ccnt = spark.table(s"${name}_counts")
+
+    // batch-vs-corpus: the bucketed index side never shuffles — only the
+    // (small) batch repartitions to the bucket layout
+    val cross = bsh.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("bdoc"), col("b.doc_id").as("cdoc"))
+      .agg(count(lit(1)).as("inter"))
+    // candidate pairs are batch-bounded — broadcast THEM against the
+    // corpus-sized counts table (never the reverse)
+    val crossN = ccnt.select(col("doc_id").as("cdoc"), col("n").as("nb"))
+      .join(broadcast(cross
+        .join(bcnt.select(col("doc_id").as("bdoc"), col("n").as("na")), "bdoc")), "cdoc")
+
+    // batch-vs-batch: |batch|-bounded self-join, each pair once
+    val self = bsh.as("a").join(bsh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("bdoc"), col("b.doc_id").as("cdoc"))
+      .agg(count(lit(1)).as("inter"))
+    val selfN = self
+      .join(bcnt.select(col("doc_id").as("bdoc"), col("n").as("na")), "bdoc")
+      .join(bcnt.select(col("doc_id").as("cdoc"), col("n").as("nb")), "cdoc")
+
+    val j = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    crossN.select(col("bdoc"), col("cdoc"), col("inter"), col("na"), col("nb"))
+      .unionByName(selfN.select(col("bdoc"), col("cdoc"), col("inter"), col("na"), col("nb")))
+      .filter(j >= threshold)
+      .select(
+        least(col("bdoc"), col("cdoc")).as("doc_a"),
+        greatest(col("bdoc"), col("cdoc")).as("doc_b"),
+        j.as("jaccard"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IncrementalDedup, ShingleIndex}
+import graft.queries.CrossHash._
+
+/** The materialized bucketed shingle index: probing it must (a) emit
+  * exactly the IncrementalDedup pair set for the same corpus/batch split
+  * and (b) never shuffle the index side — the scan feeds its join
+  * co-located through the bucket layout. */
+class ShingleIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("probe equals IncrementalDedup.newPairs; the bucketed index never shuffles") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    try {
+      ShingleIndex.materialize(corpus, "graft_shidx")
+      val probe = ShingleIndex.probe(spark, "graft_shidx", batch, 0.6)
+
+      // (b) the index scan is never beneath a shuffle in the probe plan
+      val plan = probe.queryExecution.sparkPlan
+      val shuffledScans = plan.collect { case e: ShuffleExchangeExec => e }
+        .flatMap(_.collect { case f: FileSourceScanExec => f })
+        .filter(_.tableIdentifier.exists(_.table == "graft_shidx"))
+      assert(shuffledScans.isEmpty,
+        s"the bucketed index was shuffled:\n${probe.queryExecution.executedPlan}")
+
+      // (a) pair-set equality with the on-the-fly incremental operator
+      def sh(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
+      val expected = IncrementalDedup.newPairs(sh(corpus), sh(batch), 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(expected.nonEmpty, "no near-dup pairs — test would be vacuous")
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_shidx")
+      spark.sql("DROP TABLE IF EXISTS graft_shidx_counts")
+      spark.catalog.clearCache()
+    }
+  }
+}
