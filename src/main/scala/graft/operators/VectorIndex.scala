@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.CrossHash
+
+/** Materialized ANN layout: embeddings written hive-partitioned by their
+  * hyperplane-LSH bucket — the on-disk form of SURVEY §9.1's embeddings
+  * row ("partitioned by coarse quantizer cell; probes become
+  * partition-pruned scans").
+  *
+  * [[materialize]] stamps each vector's sign-bitmap bucket (deterministic
+  * md5-derived planes, CrossHash doctrine) and writes
+  * `path/bucket=N/part-*.parquet`. [[probe]] computes the SAME bucket for
+  * the query vectors driver-side, then reads the corpus with a LITERAL
+  * `bucket IN (...)` predicate — static partition pruning, no dynamic
+  * filter needed — so a probe of q queries touches at most q of the 2^bits
+  * partitions regardless of corpus size (VectorIndexSpec pins the
+  * partition filter in the scan and result equality with the in-memory
+  * bucketed spelling).
+  *
+  * At 10⁸+ vectors `bits` grows with log₂(n) like every LSH geometry here,
+  * and multi-probe (neighboring buckets per query) recovers recall — the
+  * probe takes the bucket list per query, so multi-probe is a caller-side
+  * union of bucket ids, still a pruned scan.
+  */
+object VectorIndex {
+  /** Sign-bitmap bucket of an array<double> column over the first `bits`
+    * deterministic planes for `dim` dimensions. */
+  private def bucketCol(v: Column, bits: Int, dim: Int): Column = {
+    val planes = CrossHash.embPlanesFor(1, bits, dim)
+    (0 until bits).map { j =>
+      val plane = planes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
+      when(expr(s"graft_dot(${v.toString}, $plane)") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Write `vecs` (vec_id, embedding array<float|double>) partitioned by
+    * LSH bucket. */
+  def materialize(vecs: DataFrame, path: String, bits: Int = 4, dim: Int = 64): Unit = {
+    graft.GraftExtensions.register(vecs.sparkSession)
+    vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", bucketCol(col("v"), bits, dim))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Top-k cosine neighbors per query vector, scanning ONLY the queries'
+    * bucket partitions. `queries`: (query_id, embedding). */
+  def probe(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val q = queries
+      .select(col("query_id"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("bucket", bucketCol(col("qv"), bits, dim))
+      .withColumn("qnrm", sqrt(expr("graft_dot(qv, qv)")))
+      .cache()
+    // the query set is probe-sized: its bucket list is a literal predicate,
+    // so the corpus scan prunes partitions STATICALLY
+    val buckets = q.select(col("bucket")).distinct().collect().map(_.getLong(0))
+    val corpus = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("v").as("cv"), sqrt(expr("graft_dot(v, v)")).as("cnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(corpus, Seq("bucket"))
+      .withColumn("cosine",
+        expr("graft_dot(qv, cv)") / nullif(col("qnrm") * col("cnrm"), lit(0.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cosine"))
+  }
+}

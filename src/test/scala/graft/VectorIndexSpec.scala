@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorIndex
+import graft.queries.CrossHash
+
+/** The materialized LSH-partitioned vector layout: probes must prune to
+  * the queries' bucket partitions (file-level, not post-scan) and return
+  * exactly the in-memory bucketed top-k. */
+class VectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val Bits = 4
+
+  test("probe prunes to the query buckets and equals the in-memory bucketed top-k") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val path = Files.createTempDirectory("graft-vecidx-").toString
+    val vecs = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    VectorIndex.materialize(vecs, path, bits = Bits)
+
+    // partition layout exists
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")), dirs.toSeq)
+
+    val queries = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = VectorIndex.probe(spark, path, queries, k = 3, bits = Bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // file-level pruning: the filtered corpus reads strictly fewer files
+    // than the full table (unless every bucket is probed — not the case
+    // with 5 queries over 16 buckets)
+    val planes = CrossHash.embPlanesFor(1, Bits, 64)
+    def bucketOf(v: Array[Double]): Long =
+      (0 until Bits).map { j =>
+        val dot = v.zip(planes(j)).map { case (x, p) => x * p }.sum
+        if (dot > 0) 1L << j else 0L
+      }.sum
+    val qBuckets = queries.select($"embedding".cast("array<double>")).as[Array[Double]]
+      .collect().map(bucketOf).toSet
+    assert(qBuckets.size < dirs.length, "every bucket probed — pruning unobservable")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val all = spark.read.parquet(path)
+    val prunedFiles = filesRead(all.filter($"bucket".isin(qBuckets.toSeq: _*)))
+    val allFiles = filesRead(all)
+    assert(prunedFiles < allFiles,
+      s"no file-level pruning: $prunedFiles vs $allFiles")
+
+    // equality with the in-memory bucketed spelling
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    val byBucket = e.groupBy { case (_, v) => bucketOf(v) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (qid, qv) <- e.filter(_._1 < 5)
+      mates = byBucket(bucketOf(qv))
+      ranked = mates.map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+      ((nid, c), i) <- ranked.zipWithIndex.take(3)
+    } yield (qid, (i + 1).toLong, nid, c)).toSet
+    // the probe does not exclude self-matches (rank 1 is the query itself,
+    // cosine 1.0) — neither does the expected spelling
+    assert(expected.nonEmpty)
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)),
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    spark.catalog.clearCache()
+  }
+}
