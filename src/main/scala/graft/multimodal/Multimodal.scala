@@ -145,6 +145,56 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec for PCM WAV via the JDK's `javax.sound.sampled`,
+    * behind the same [[MediaDecoder]] seam (AudioSystem ships with the
+    * JRE — present on every executor, no dependency).
+    *
+    * Audio mapping of the (image-shaped) [[MediaFeatures]] contract,
+    * chosen so downstream stages stay modality-agnostic:
+    *  - `width` = channel count, `height` = bits per sample;
+    *  - `n_frames` = whole SECONDS of audio (ceiling) — the audio analog
+    *    of video frame sampling, so [[sampleFrames]] composes unchanged;
+    *  - `frame_hashes` = FNV-1a over each second's raw PCM bytes (a
+    *    decode-equality fingerprint per window, like the image raster
+    *    hash).
+    *
+    * Payloads that do not sniff as RIFF/WAVE — and any sniffed WAV whose
+    * parse fails — route to `fallback`, so decoders CHAIN:
+    * `WavDecoder(ImageIoDecoder(StubDecoder))` dispatches each asset to
+    * its real codec by magic bytes and degrades per-asset, never failing
+    * the job. */
+  final case class WavDecoder(fallback: MediaDecoder = StubDecoder) extends MediaDecoder {
+    private def sniffWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    override def decode(a: Asset): MediaFeatures = {
+      if (!sniffWav(a.media)) return fallback.decode(a)
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.media))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) return fallback.decode(a)
+      try {
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        val bytesPerSec = math.max(1, (fmt.getFrameRate * fmt.getFrameSize).toInt)
+        val nSec = math.max(1, (pcm.length + bytesPerSec - 1) / bytesPerSec)
+        MediaFeatures(
+          asset_id = a.asset_id,
+          n_bytes = a.media.length.toLong,
+          content_hash = StubDecoder.fnv1a(a.media, 0, a.media.length),
+          width = fmt.getChannels,
+          height = fmt.getSampleSizeInBits,
+          n_frames = nSec,
+          frame_hashes = (0 until nSec).map(i =>
+            StubDecoder.fnv1a(pcm, i * bytesPerSec, (i + 1) * bytesPerSec)))
+      } catch {
+        case scala.util.control.NonFatal(_) => fallback.decode(a)
+      } finally in.close()
+    }
+  }
+
   /** Synthesize an asset table from the `documents` table (the driver data
     * has no binary column; the media payload is the UTF-8 bytes — opaque to
     * everything downstream, exactly like a real jpeg would be). */

@@ -114,6 +114,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ImageIoDecoder().decode(a) == StubDecoder.decode(a))
   }
 
+  test("WavDecoder parses a generated PCM WAV; decoders chain by magic bytes (distributed)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavBytes(seconds: Double, rate: Float = 8000f, channels: Int = 2): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val nFrames = (rate * seconds).toInt
+      val pcm = Array.tabulate(nFrames * fmt.getFrameSize)(i => ((i * 37) & 0xff).toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val wav = wavBytes(1.5) // 1.5 s stereo 16-bit → 2 one-second windows
+    val png = {
+      val b = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out)
+      out.toByteArray
+    }
+    val text = "neither".getBytes(UTF_8)
+    import spark.implicits._
+    val chain = Multimodal.WavDecoder(Multimodal.ImageIoDecoder())
+    val ds = Seq(
+      Asset(1L, wav, "audio/wav", "s"),
+      Asset(2L, png, "image/png", "s"),
+      Asset(3L, text, "text/plain", "s")).toDS()
+    val out = Multimodal.extractFeatures(ds, decoder = chain)
+      .collect().map(f => f.asset_id -> f).toMap
+    // audio mapping: width=channels, height=bits/sample, frames=seconds
+    assert((out(1L).width, out(1L).height, out(1L).n_frames) == (2, 16, 2), out(1L))
+    assert(out(1L).frame_hashes.length == 2)
+    assert(out(1L).frame_hashes.distinct.length == 2, "per-second windows hash distinctly")
+    // the same chain still real-decodes images and stubs everything else
+    assert((out(2L).width, out(2L).height) == (20, 10))
+    assert(out(3L) == StubDecoder.decode(Asset(3L, text, "text/plain", "s")))
+    // decode is deterministic
+    assert(chain.decode(Asset(9L, wavBytes(1.5), "audio/wav", "s")).frame_hashes
+      == out(1L).frame_hashes)
+  }
+
+  test("WavDecoder falls back on a corrupt WAV instead of failing the job") {
+    val wav = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(new Array[Byte](1600)), fmt, 800L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val corrupt = wav.take(16) // RIFF/WAVE magic intact, chunks truncated
+    val a = Asset(7L, corrupt, "audio/wav", "s")
+    assert(Multimodal.WavDecoder().decode(a) == StubDecoder.decode(a))
+  }
+
   test("ResizingDecoder composes over the real codec (128x64 clamped to 64x32)") {
     val img = new java.awt.image.BufferedImage(128, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val out = new java.io.ByteArrayOutputStream()
