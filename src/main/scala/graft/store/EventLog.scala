@@ -188,6 +188,20 @@ final class EventLog(val root: Path, spark: SparkSession) {
   def read(topic: String): DataFrame =
     spark.read.schema(EventLogSchema.schema).parquet(topicDir(topic).toString)
 
+  /** Analytics offload: export a topic to a DATE-PARTITIONED lake layout
+    * (`outPath/event_date=YYYY-MM-DD/part-*.parquet`) — SURVEY §9.1's
+    * time-travel layout. The operational log itself stays (lsn,id)-ordered
+    * segments (cursor scans prune on lsn/id stats); time-bounded analytics
+    * instead read this export, where a date predicate prunes at FILE level
+    * before any row group is opened (EventLogSpec pins the pruning via the
+    * scan's numFiles metric). At 100 TB the export runs incrementally off
+    * the replication cursor (drainRange → append to the partitioned
+    * table); the one-shot form here is the full-rewrite spelling. */
+  def exportPartitioned(topic: String, outPath: String): Unit =
+    read(topic)
+      .withColumn("event_date", date_format(col("timestamp"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outPath)
+
   /** S4: resumable total-order keyset scan —
     * `WHERE lsn IS NOT NULL AND (lsn,id) > cursor ORDER BY lsn,id LIMIT n`
     * (EventReplicatorWorker.java:66-72). The struct comparison gives

@@ -178,6 +178,29 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.saveAll("cp_events", Seq(ev(7))) == Cursor(4, 7))
   }
 
+  test("exportPartitioned writes a date-partitioned layout; date predicates prune at file level") {
+    import org.apache.spark.sql.functions._
+    val log = newLog()
+    // events straddling midnight: i=86399 lands on 2024-01-01, the rest on 01-02
+    log.saveAll("xp_events", Seq(86399, 86400, 86401).map(ev))
+    val out = Files.createTempDirectory("graft-export-").toString
+    log.exportPartitioned("xp_events", out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("event_date=2024-01-01", "event_date=2024-01-02"), dirs.toSeq)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val all = spark.read.parquet(out)
+    val day1 = all.filter(col("event_date") === "2024-01-01")
+    assert(day1.count() == 1 && all.count() == 3)
+    assert(filesRead(day1) < filesRead(all), "date predicate must prune files")
+    // content round-trips (id/lsn/key preserved through the export)
+    assert(all.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("readAsOf replays history up to a cursor, inclusive") {
     val log = newLog()
     log.saveAll("pt_events", (1 to 3).map(ev)) // lsn 1
