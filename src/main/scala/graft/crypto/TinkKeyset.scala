@@ -71,15 +71,23 @@ object TinkKeyset {
       "not a Tink keyset: primaryKeyId/key missing")
     val keys = (0 until root.get("key").size()).map { i =>
       val k = root.get("key").get(i)
-      val kd = k.get("keyData")
-      val typeUrl = kd.get("typeUrl").asText()
+      // structural fail-fast (GeneralSecurityException, not NPE): every
+      // invalid-material path in this module must diagnose, not crash
+      def field(n: com.fasterxml.jackson.databind.JsonNode, name: String) = {
+        val f = if (n == null) null else n.get(name)
+        if (f == null || f.isNull)
+          throw new GeneralSecurityException(s"malformed keyset: key[$i].$name missing")
+        f
+      }
+      val kd = field(k, "keyData")
+      val typeUrl = field(kd, "typeUrl").asText()
       if (typeUrl != AesGcmTypeUrl)
         throw new GeneralSecurityException(s"unsupported key type: $typeUrl")
       KeysetKey(
-        keyId = k.get("keyId").asLong(),
-        keyBytes = aesGcmKeyValue(Base64.getDecoder.decode(kd.get("value").asText())),
-        outputPrefixType = k.get("outputPrefixType").asText(),
-        status = k.get("status").asText())
+        keyId = field(k, "keyId").asLong(),
+        keyBytes = aesGcmKeyValue(Base64.getDecoder.decode(field(kd, "value").asText())),
+        outputPrefixType = field(k, "outputPrefixType").asText(),
+        status = field(k, "status").asText())
     }
     Keyset(root.get("primaryKeyId").asLong(), keys)
   }

@@ -26,10 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * the sign — and therefore every band value — is bit-identical to the
   * composed spelling the oracle still runs.
   *
-  * Nulls: null vector → null; null vector ELEMENT or dimension mismatch
-  * with the plane matrix → null (masking a ragged vector as "some band
-  * value" would poison candidate generation silently — same doctrine as
-  * graft_dot).
+  * Nulls/ragged vectors: a null vector, a null ELEMENT, or a dimension
+  * mismatch with the plane matrix yields the ALL-ZERO signature — exactly
+  * what the composed spelling computes there (`graft_dot` returns NULL,
+  * and `WHEN null > 0 … ELSE 0` maps every band to 0), so the fused and
+  * composed plans stay row-for-row identical even on malformed input
+  * (CodegenSpec pins it). Such vectors collide into bucket 0 of every
+  * band; the exact verify stage then drops them (their cosine is NULL in
+  * both engines), so they can inflate candidates but never results.
   */
 case class LshBands(vector: Expression, planes: Expression,
     bands: Expression, bits: Expression) extends Expression {
@@ -55,7 +59,7 @@ case class LshBands(vector: Expression, planes: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
 
   override def prettyName: String = "graft_lsh_bands"
 
@@ -72,12 +76,13 @@ case class LshBands(vector: Expression, planes: Expression,
 
   override def eval(input: InternalRow): Any = {
     val v = vector.eval(input)
-    if (v == null) return null
+    if (v == null) return new GenericArrayData(new Array[Long](nBands))
     val xs = v.asInstanceOf[ArrayData]
-    if (xs.numElements() != dim) return null
+    if (xs.numElements() != dim)
+      return new GenericArrayData(new Array[Long](nBands))
     var i = 0
     while (i < dim) {
-      if (xs.isNullAt(i)) return null
+      if (xs.isNullAt(i)) return new GenericArrayData(new Array[Long](nBands))
       i += 1
     }
     val vec = xs.toDoubleArray()
@@ -95,7 +100,7 @@ case class LshBands(vector: Expression, planes: Expression,
     ev.copy(code =
       code"""
          |${vEv.code}
-         |boolean ${ev.isNull} = true;
+         |boolean ${ev.isNull} = false;
          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
          |if (!${vEv.isNull}) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $xs = ${vEv.value};
@@ -108,9 +113,13 @@ case class LshBands(vector: Expression, planes: Expression,
          |      double[] $vec = $xs.toDoubleArray();
          |      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |        graft.functions.expressions.LshBands.signature($vec, $planesRef, $nBands, $nBits));
-         |      ${ev.isNull} = false;
          |    }
          |  }
+         |}
+         |if (${ev.value} == null) {
+         |  // composed-spelling parity: NULL dot products map every band to 0
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new long[$nBands]);
          |}
        """.stripMargin)
   }

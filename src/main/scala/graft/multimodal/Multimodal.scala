@@ -107,7 +107,7 @@ object Multimodal {
 
     override def decode(a: Asset): MediaFeatures = {
       if (!sniffImage(a.media)) return fallback.decode(a)
-      javax.imageio.ImageIO.setUseCache(false)
+      ImageIoDecoder.init // one-time JVM-global setting, not per-row
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.media))
         catch { case scala.util.control.NonFatal(_) => null }
@@ -145,6 +145,13 @@ object Multimodal {
     }
   }
 
+  object ImageIoDecoder {
+    /** Disable ImageIO's disk-backed stream cache once per JVM (decode
+      * must stay an in-memory per-row operation on executors). */
+    private[multimodal] lazy val init: Unit =
+      javax.imageio.ImageIO.setUseCache(false)
+  }
+
   /** Real audio codec for PCM WAV via the JDK's `javax.sound.sampled`,
     * behind the same [[MediaDecoder]] seam (AudioSystem ships with the
     * JRE — present on every executor, no dependency).
@@ -177,8 +184,13 @@ object Multimodal {
       if (in == null) return fallback.decode(a)
       try {
         val fmt = in.getFormat
+        // a crafted/corrupt fmt chunk can declare rate or frame size as 0
+        // or AudioSystem.NOT_SPECIFIED (-1) — clamping that to 1 B/s would
+        // emit one "second" hash per PCM byte; malformed formats fall back
+        val bps = fmt.getFrameRate.toDouble * fmt.getFrameSize
+        if (!(bps >= 1 && bps <= Int.MaxValue)) return fallback.decode(a)
         val pcm = in.readAllBytes()
-        val bytesPerSec = math.max(1, (fmt.getFrameRate * fmt.getFrameSize).toInt)
+        val bytesPerSec = bps.toInt
         val nSec = math.max(1, (pcm.length + bytesPerSec - 1) / bytesPerSec)
         MediaFeatures(
           asset_id = a.asset_id,

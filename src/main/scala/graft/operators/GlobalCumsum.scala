@@ -51,7 +51,12 @@ object GlobalCumsum {
     // bucket totals, the final plan) — cache it here so every caller's
     // upstream runs once, not three times (MEMORY_AND_DISK: spills, never
     // OOMs; at 100 TB the input to a pack stage is the narrow
-    // (key, value) projection, not the corpus)
+    // (key, value) projection, not the corpus). LIFECYCLE: the returned
+    // (lazy) frame depends on this cache, so it cannot be unpersisted
+    // here; the cache lives until the caller unpersists or clears — the
+    // query registry's harnesses clear between queries, and a long-lived
+    // session composing this repeatedly should `spark.catalog.clearCache()`
+    // at its own job boundaries.
     val input = df.cache()
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
     val bounds: Array[Double] =
@@ -65,8 +70,11 @@ object GlobalCumsum {
       else size(filter(array(bounds.map(lit(_)): _*), b => b < k)).cast("long")
     val bucketed = input.withColumn("_gc_bucket", bucket)
 
+    // coalesce: a bucket whose every value is NULL sums to NULL, and
+    // Row.getLong would NPE — the window sum below skips NULLs, which is
+    // arithmetically the same as contributing 0 to later rows' totals
     val totals = bucketed.groupBy(col("_gc_bucket"))
-      .agg(sum(col(valueCol).cast("long")).as("_gc_total"))
+      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("_gc_total"))
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .sortBy(_._1)

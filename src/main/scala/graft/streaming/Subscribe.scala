@@ -46,8 +46,12 @@ object Subscribe {
   def streamTopics(spark: SparkSession, logRoot: String, topics: Seq[String],
       maxFilesPerTrigger: Int = 100): DataFrame = {
     require(topics.nonEmpty, "streamTopics needs at least one topic")
-    require(topics.forall(t => !t.contains(",") && !t.contains("/")),
-      s"illegal topic names: $topics")
+    // whitelist, not a blacklist: the names are interpolated into a Hadoop
+    // GLOB, where '*'/'?'/'['/'{' are live metacharacters — a topic named
+    // `x*_events` would otherwise match EVERY topic directory and commit
+    // cursors for topics the caller never listed
+    require(topics.forall(_.matches("[A-Za-z0-9_.-]+")),
+      s"illegal topic names (allowed: [A-Za-z0-9_.-]+): $topics")
     spark.readStream
       .schema(EventLogSchema.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

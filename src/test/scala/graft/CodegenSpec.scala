@@ -157,7 +157,11 @@ class CodegenSpec extends AnyFunSuite {
       }: _*)).as("x"))
       .select($"vec_id", $"x.band".as("band"), $"x.bb".as("bb"))
     assert(fused.except(composed).isEmpty && composed.except(fused).isEmpty)
-    // null doctrine: null vector, null element, dimension mismatch → null
+    // composed-spelling parity on malformed input: null vector, null
+    // element, dimension mismatch — graft_dot yields NULL there and
+    // `WHEN null > 0 … ELSE 0` maps every band to 0, so the fused form
+    // must emit the all-zero signature (NOT null, which would silently
+    // drop the row from candidate generation while the oracle keeps it)
     val edge = Seq(
       (1L, null: Array[java.lang.Double]),
       (2L, Array[java.lang.Double](1.0, null, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)),
@@ -166,7 +170,8 @@ class CodegenSpec extends AnyFunSuite {
       .select(call_function("graft_lsh_bands",
         $"v", typedlit(flat), lit(nBands), lit(nBits)).as("sig"))
       .collect()
-    assert(edge.forall(_.isNullAt(0)))
+    assert(edge.forall(r => !r.isNullAt(0) &&
+      r.getSeq[Long](0) == Seq.fill(nBands)(0L)))
   }
 
   test("graft_shingle60 compiles; value-identical to the composed split/concat_ws/h60 spelling") {

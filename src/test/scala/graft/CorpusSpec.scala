@@ -59,6 +59,21 @@ class CorpusSpec extends AnyFunSuite {
       s"skewed keys collapsed into one bucket: $perBucket")
   }
 
+  test("GlobalCumsum tolerates NULL values — including a bucket that is entirely NULL") {
+    import spark.implicits._
+    // keys 0..9 all NULL-valued (one quantile bucket is all-NULL), then real values
+    val rows = (0L to 9L).map(k => (k, None: Option[Long])) ++
+      (100L to 109L).map(k => (k, Some(k)))
+    val df = rows.toDF("k", "v")
+    val naive = df.withColumn("cb",
+        coalesce(sum($"v").over(Window.orderBy($"k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"k", $"cb").as[(Long, Long)].collect().toMap
+    val got = GlobalCumsum.runningBefore(df, "k", "v", "cb", 4)
+      .select($"k", $"cb").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+  }
+
   test("GlobalCumsum on an empty frame yields an empty frame with the output column") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("k", "v")

@@ -187,16 +187,11 @@ class EventLogSpec extends AnyFunSuite {
     log.exportPartitioned("xp_events", out)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq == Seq("event_date=2024-01-01", "event_date=2024-01-02"), dirs.toSeq)
-    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-      df.collect()
-      df.queryExecution.executedPlan
-        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-        .map(_.metrics("numFiles").value).sum
-    }
     val all = spark.read.parquet(out)
     val day1 = all.filter(col("event_date") === "2024-01-01")
     assert(day1.count() == 1 && all.count() == 3)
-    assert(filesRead(day1) < filesRead(all), "date predicate must prune files")
+    assert(TestSpark.filesRead(day1) < TestSpark.filesRead(all),
+      "date predicate must prune files")
     // content round-trips (id/lsn/key preserved through the export)
     assert(all.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }

@@ -14,4 +14,14 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Executes `df` and sums the parquet scans' `numFiles` metric — the
+    * file-level partition-pruning probe shared by the layout specs
+    * (`DataFrame.inputFiles` ignores filters, so it can't observe pruning). */
+  def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+  }
 }

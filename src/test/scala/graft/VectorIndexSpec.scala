@@ -45,15 +45,9 @@ class VectorIndexSpec extends AnyFunSuite {
     val qBuckets = queries.select($"embedding".cast("array<double>")).as[Array[Double]]
       .collect().map(bucketOf).toSet
     assert(qBuckets.size < dirs.length, "every bucket probed — pruning unobservable")
-    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-      df.collect()
-      df.queryExecution.executedPlan
-        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-        .map(_.metrics("numFiles").value).sum
-    }
     val all = spark.read.parquet(path)
-    val prunedFiles = filesRead(all.filter($"bucket".isin(qBuckets.toSeq: _*)))
-    val allFiles = filesRead(all)
+    val prunedFiles = TestSpark.filesRead(all.filter($"bucket".isin(qBuckets.toSeq: _*)))
+    val allFiles = TestSpark.filesRead(all)
     assert(prunedFiles < allFiles,
       s"no file-level pruning: $prunedFiles vs $allFiles")
 
