@@ -50,7 +50,13 @@ object Bench {
       // storage for the rest of the session
       spark.catalog.clearCache()
       name -> t
-    } ++ (if (only.isEmpty) Seq(pipelineBench(spark, sfDir)) else Nil)
+    } ++ (if (only.isEmpty) {
+      // min-of-2 like the queries (the first pass is JIT/classload-bound —
+      // measured ~4s cold vs ~2.5s warm for identical work); each pass
+      // builds its own temp log/sink so nothing is cached across passes
+      val passes = (1 to 2).map(_ => pipelineBench(spark, sfDir))
+      Seq(passes.head._1 -> passes.map(_._2).min)
+    } else Nil)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
