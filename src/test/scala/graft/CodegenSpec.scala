@@ -177,10 +177,18 @@ class CodegenSpec extends AnyFunSuite {
   test("graft_shingle60 compiles; value-identical to the composed split/concat_ws/h60 spelling") {
     import spark.implicits._
     import graft.queries.CrossHash
+    // seeded random strings over an adversarial alphabet: unicode words,
+    // tabs/newlines/multi-space runs, leading/trailing whitespace, empties
+    val rnd = new scala.util.Random(20260812L)
+    val atoms = Vector("a", "bb", "word", "的", "naïve", "x1", "", " ", "  ", "\t", "\n")
+    val randomDocs = Vector.fill(200) {
+      Vector.fill(rnd.nextInt(12))(atoms(rnd.nextInt(atoms.length))).mkString(
+        if (rnd.nextBoolean()) " " else "")
+    }
     val docs = (Seq(
       "", " ", "   ", "one", "one two", "a b c", "a  b\tc", " lead and trail ",
       "the quick brown fox jumps over the lazy dog",
-      "rep rep rep rep rep", "的 是 了 在 我") ++
+      "rep rep rep rep rep", "的 是 了 在 我") ++ randomDocs ++
       // plus real corpus text
       Tables.load(spark, "/root/testdata/sf0.001", "documents")
         .select($"text").as[String].collect().take(100))
