@@ -47,26 +47,60 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
-  /** Top-k cosine neighbors per query vector, scanning ONLY the queries'
-    * bucket partitions. `queries`: (query_id, embedding). */
+  /** Top-k cosine neighbors per query vector, scanning ONLY the probed
+    * bucket partitions. `queries`: (query_id, embedding).
+    *
+    * `nprobe` > 1 enables MULTI-PROBE: besides its own bucket, each query
+    * probes the hamming-1 neighbor buckets whose hyperplane margin
+    * `|dot(q, plane_j)|` is smallest — the planes the query sits closest
+    * to are the ones most likely to have cut it off from true neighbors
+    * (the classic multi-probe LSH ordering). The probe set stays
+    * |queries|·nprobe rows, so the scan still prunes statically. */
   def probe(spark: SparkSession, path: String, queries: DataFrame, k: Int,
-      bits: Int = 4, dim: Int = 64): DataFrame = {
+      bits: Int = 4, dim: Int = 64, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe must be in [1, bits+1]: flipping one of $bits planes per extra probe")
     graft.GraftExtensions.register(spark)
+    val planes = CrossHash.embPlanesFor(1, bits, dim)
+    val dots = (0 until bits).map { j =>
+      val plane = planes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
+      expr(s"graft_dot(qv, $plane)").as(s"_d$j")
+    }
     val q = queries
       .select(col("query_id"), col("embedding").cast("array<double>").as("qv"))
-      .withColumn("bucket", bucketCol(col("qv"), bits, dim))
+      .select((col("query_id") :: col("qv") :: Nil) ++ dots: _*)
+      .withColumn("bucket",
+        (0 until bits).map(j => when(col(s"_d$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _))
       .withColumn("qnrm", sqrt(expr("graft_dot(qv, qv)")))
       .cache()
-    // the query set is probe-sized: its bucket list is a literal predicate,
-    // so the corpus scan prunes partitions STATICALLY
-    val buckets = q.select(col("bucket")).distinct().collect().map(_.getLong(0))
+    // per query: its bucket + the (nprobe-1) smallest-margin plane flips —
+    // a |queries|·nprobe-row driver list, bounded like every probe set
+    val probeRows = q.collect().flatMap { r =>
+      val base = r.getAs[Long]("bucket")
+      val qid = r.get(r.fieldIndex("query_id"))
+      val margins = (0 until bits)
+        .map(j => j -> math.abs(r.getAs[Double](s"_d$j"))).sortBy(_._2)
+      (base +: margins.take(nprobe - 1).map { case (j, _) => base ^ (1L << j) })
+        .map(b => (qid, b))
+    }
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toSeq.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          q.schema("query_id").dataType, nullable = false),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val buckets = probeRows.map(_._2).distinct
     val corpus = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
       .select(col("vec_id").as("neighbor_id"), col("bucket"),
         col("v").as("cv"), sqrt(expr("graft_dot(v, v)")).as("cnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(q).join(corpus, Seq("bucket"))
+    broadcast(probes.join(q.select(col("query_id"), col("qv"), col("qnrm")), "query_id"))
+      .join(corpus, Seq("bucket"))
       .withColumn("cosine",
         expr("graft_dot(qv, cv)") / nullif(col("qnrm") * col("cnrm"), lit(0.0)))
       .withColumn("rnk", row_number().over(w))

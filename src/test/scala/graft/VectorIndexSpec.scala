@@ -71,6 +71,37 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
     assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)),
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+    // multi-probe: flipping the smallest-margin planes widens each query's
+    // candidate set, so recall vs the exact brute-force top-k can only
+    // grow — and it must equal the in-memory multi-probe spelling
+    def dotOf(a: Array[Double], p: IndexedSeq[Int]): Double =
+      a.zip(p).map { case (x, s) => x * s }.sum
+    def probeSet(qv: Array[Double], nprobe: Int): Set[Long] = {
+      val base = bucketOf(qv)
+      val margins = (0 until Bits).map(j => j -> math.abs(dotOf(qv, planes(j)))).sortBy(_._2)
+      (base +: margins.take(nprobe - 1).map { case (j, _) => base ^ (1L << j) }).toSet
+    }
+    val got3 = VectorIndex.probe(spark, path, queries, k = 3, bits = Bits, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected3 = (for {
+      (qid, qv) <- e.filter(_._1 < 5)
+      mates = probeSet(qv, 3).toSeq.flatMap(b => byBucket.getOrElse(b, Array.empty[(Long, Array[Double])]))
+      ((nid, _), i) <- mates.map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.zipWithIndex.take(3)
+    } yield (qid, (i + 1).toLong, nid)).toSet
+    assert(got3 == expected3,
+      s"missing=${(expected3 -- got3).take(5)} extra=${(got3 -- expected3).take(5)}")
+    // recall vs exact brute top-3 is monotone in nprobe
+    val brute = (for {
+      (qid, qv) <- e.filter(_._1 < 5)
+      ((nid, _), i) <- e.map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.zipWithIndex.take(3)
+    } yield (qid, nid)).toSet
+    def recall(s: Set[(Long, Long, Long)]) =
+      s.map(t => (t._1, t._3)).intersect(brute).size.toDouble / brute.size
+    assert(recall(got3) >= recall(got.map(t => (t._1, t._2, t._3))),
+      "multi-probe recall must not drop below single-probe")
     spark.catalog.clearCache()
   }
 }
