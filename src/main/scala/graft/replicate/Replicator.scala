@@ -77,18 +77,53 @@ final class Replicator(
     val cursor = sink.cursorFor(topic)
     def poll(batch: DataFrame): Long =
       // limit-1 probe first: the common idle poll costs one pruned scan.
-      // A non-empty batch then flows through ONE job — the cursor is
-      // harvested by `observe` DURING the sink's staged write instead of a
-      // separate persist + max-aggregate pass over the batch (appendTxn
-      // evaluates its cursor argument only after that write completes).
+      // A non-empty batch then flows through ONE job — cursor AND density
+      // stats are harvested by `observe` DURING the sink's staged write
+      // instead of a separate persist + aggregate pass over the batch
+      // (appendTxn evaluates its cursor argument only after that write
+      // completes, and a throw there aborts before the manifest commit).
       if (batch.isEmpty) 0L
       else {
         val obs = org.apache.spark.sql.Observation()
-        val observed = batch.observe(obs, max(struct(col("lsn"), col("id"))).as("m"))
-        sink.appendTxn(toRecords(topic, observed), topic, {
-          val m = obs.get("m").asInstanceOf[org.apache.spark.sql.Row]
-          Cursor(m.getLong(0), m.getLong(1))
-        })
+        val observed = batch.observe(obs,
+          max(struct(col("lsn"), col("id"))).as("m"),
+          count(lit(1)).as("n"))
+        try {
+          sink.appendTxn(toRecords(topic, observed), topic, {
+            val m = obs.get("m").asInstanceOf[org.apache.spark.sql.Row]
+            // zero rows at write time despite the non-empty probe
+            // (concurrent retention/compaction): commit a cursor no-op
+            if (m == null || m.isNullAt(0)) cursor
+            else {
+              val (mxLsn, mx) = (m.getLong(0), m.getLong(1))
+              val n = obs.get("n").asInstanceOf[Long]
+              // DENSITY GATE (G3): ids are dense per topic, so a batch
+              // covering (cursor.id, mx] must hold exactly mx - cursor.id
+              // rows. Fewer means ids this scan never saw — either a
+              // retention gap (gone forever: skip it, like the scan
+              // fallback always did) or a concurrent append whose task
+              // files were only partially renamed into the topic dir when
+              // we listed it. Committing mx in the latter case would
+              // advance the cursor past rows that become visible
+              // milliseconds later — silent permanent loss. Distinguish by
+              // re-probing the source: ids live in (cursor.id, mx] beyond
+              // what we scanned ⇒ transient visibility ⇒ abort this poll
+              // (the next tick re-reads a settled listing).
+              if (n != mx - cursor.id) {
+                val live = source.read(topic).filter(
+                  col("lsn").isNotNull &&
+                    col("id") > cursor.id && col("id") <= mx).count()
+                if (live != n) throw new Replicator.TransientVisibilityGap(
+                  s"$topic: scanned $n of $live live ids in (${cursor.id}, $mx]")
+              }
+              Cursor(mxLsn, mx)
+            }
+          })
+        } catch {
+          // no manifest was committed; the staged files are invisible
+          // orphans. Report nothing sent — the caller's next poll retries.
+          case _: Replicator.TransientVisibilityGap => 0L
+        }
       }
     val n = poll(source.drainRange(topic, cursor, batchSize))
     if (n > 0) n else poll(source.scan(topic, cursor, batchSize))
@@ -158,8 +193,7 @@ final class Replicator(
       maxFilesPerTrigger: Int = 100)
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.Subscribe.streamTopics(
-        source.read(topics.head).sparkSession, source.root.toString, topics,
-        maxFilesPerTrigger)
+        sink.spark, source.root.toString, topics, maxFilesPerTrigger)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -268,14 +302,29 @@ final class Replicator(
   /** Fail fast when ids `[lo, hi]` are no longer in the source (a retention
     * gap no later delivery can fill) — parking would wedge silently. The
     * probe is a pushed-down point-range count, and runs only on the rare
-    * gapped path. */
+    * gapped path.
+    *
+    * The probe RETRIES briefly before condemning the gap: the commonest
+    * cause of a missing id range is not retention but an append whose task
+    * files are mid-rename when we list the directory — a gap that heals in
+    * milliseconds. Killing the stream for that (and demanding a manual
+    * run() recovery) would turn a benign visibility race into an outage. */
   private def requireGapLive(topic: String, lo: Long, hi: Long): Unit = {
-    val live = source.read(topic)
-      .filter(col("lsn").isNotNull && col("id") >= lo && col("id") <= hi).count()
-    if (live != hi - lo + 1)
+    val expected = hi - lo + 1
+    var live = 0L
+    var attempt = 0
+    while ({
+      live = source.read(topic)
+        .filter(col("lsn").isNotNull && col("id") >= lo && col("id") <= hi).count()
+      live != expected && attempt < 3
+    }) {
+      attempt += 1
+      Thread.sleep(100L * attempt)
+    }
+    if (live != expected)
       throw new IllegalStateException(
         s"gapped delivery for $topic: ids [$lo, $hi] are missing from the source " +
-          s"($live of ${hi - lo + 1} live) — recover with Replicator.run() then restart the stream")
+          s"($live of $expected live) — recover with Replicator.run() then restart the stream")
   }
 
   /** Fixed-delay scheduling loop — the reference's per-topic worker
@@ -294,4 +343,10 @@ final class Replicator(
 object Replicator {
   /** Reference default batch size (EventReplicatorWorker.java:134). */
   val DefaultBatchSize = 100
+
+  /** A poll observed a source listing mid-append-commit (ids live beyond
+    * what the scan saw) — abort without committing; the next poll retries
+    * against a settled listing. */
+  private[replicate] final class TransientVisibilityGap(msg: String)
+    extends Exception(msg)
 }

@@ -97,8 +97,17 @@ final class JdbcEventStore(
       val ins = c.prepareStatement(
         s"""INSERT INTO $OffsetsTable (topic, "partition", "offset") VALUES (?, ?, -1)""")
       ins.setString(1, topic); ins.setInt(2, partition)
-      ins.executeUpdate()
-      -1L
+      try { ins.executeUpdate(); -1L }
+      catch {
+        // two consumers bootstrapping the same partition race the insert;
+        // the loser re-reads the winner's row (SQLState 23xxx = integrity
+        // violation — the reference's select-or-insert runs in one txn)
+        case e: java.sql.SQLException
+            if Option(e.getSQLState).exists(_.startsWith("23")) =>
+          val rs2 = sel.executeQuery()
+          require(rs2.next(), s"offset row vanished after duplicate insert: $topic/$partition")
+          rs2.getLong(1)
+      }
     }
   }
 

@@ -24,9 +24,13 @@ import graft.store.TopicOffsets
   *  - exactly-once composes with graft.streaming.EosProjection by doing
   *    the offset write inside the projection's staged commit (G4).
   *
-  * Each poll prunes to manifest files not yet fully consumed and filters
-  * `offset > last` per partition — a resumed consumer reads the tail, not
-  * history.
+  * Each poll reads the manifest's committed view and filters
+  * `offset > last` per partition — a resumed consumer DELIVERS only the
+  * tail. The filter is row-level over the committed files (appendTxn
+  * hashes topics across shared task files, so per-file topic/offset
+  * pruning would need per-file stats in the manifest); poll cost therefore
+  * grows with committed history, and long-lived logs should compact or
+  * the consumer should tail via Subscribe's file source instead.
   */
 final class KafkaShapedConsumer(
     log: KafkaShapedLog,

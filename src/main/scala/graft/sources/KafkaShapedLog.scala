@@ -34,7 +34,7 @@ import graft.codec.Cursor
   * compactable); record data never passes through the driver — Spark writes
   * the staged parquet in parallel and commit is a metadata rename.
   */
-final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartitions: Int = 1) {
+final class KafkaShapedLog(val root: Path, val spark: SparkSession, val numPartitions: Int = 1) {
 
   import KafkaShapedLog._
 
@@ -85,13 +85,27 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("topic"), col("partition"))
           .orderBy(col("_seq"))))
-    val withOffsets = m.offsets.foldLeft(
-        parted.withColumn("offset", col("_rn").cast("long") - 1)) {
-      case (df, ((t, p), next)) =>
-        df.withColumn("offset",
-          when(col("topic") === t && col("partition") === p, col("offset") + next)
-            .otherwise(col("offset")))
-    }.drop("_rn")
+    // base offsets join as a |known (topic,partition)|-row broadcast — the
+    // old per-entry withColumn(when(...)) fold grew the plan O(P) with the
+    // fleet's lifetime partition count and made Catalyst re-analyze the
+    // deepening chain on every commit (EventLog.append's offsets join is
+    // the same pattern)
+    val withOffsets = (if (m.offsets.isEmpty)
+        parted.withColumn("offset", col("_rn").cast("long") - 1)
+      else {
+        val offRows = m.offsets.toSeq.map { case ((t, p), next) =>
+          org.apache.spark.sql.Row(t, p, next)
+        }
+        val offDf = spark.createDataFrame(offRows.asJava, StructType(Seq(
+          StructField("_ot", StringType, nullable = false),
+          StructField("_op", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("_onext", LongType, nullable = false))))
+        parted.join(broadcast(offDf),
+            col("topic") === col("_ot") && col("partition") === col("_op"), "left")
+          .withColumn("offset",
+            col("_rn").cast("long") - 1 + coalesce(col("_onext"), lit(0L)))
+          .drop("_ot", "_op", "_onext")
+      }).drop("_rn")
 
     val stage = root.resolve("staging").resolve(UUID.randomUUID().toString)
     withOffsets.select("topic", "partition", "offset", "key", "value", "headers", "timestamp")
@@ -122,6 +136,12 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
         m.pending.getOrElse(sourceTable, Nil).filterNot(dropPending.contains))
     commitManifest(Manifest(m.files ++ files, newOffsets,
       m.cursors + (sourceTable -> newCursor), pend))
+    // promoted runs were re-staged as committed files above — their parked
+    // dirs are now unreferenced; without this, every park leaks its staged
+    // copy forever and pollutes the stagedFileCount orphan gauge. (A crash
+    // between the commit and this delete leaves an orphan the gauge
+    // reports — same contract as any staged write.)
+    dropPending.foreach(p => deletePendingDir(p))
     n
   }
 
@@ -156,6 +176,18 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
     val m = manifest()
     commitManifest(m.copy(pending = m.pending.updated(sourceTable,
       m.pending.getOrElse(sourceTable, Nil).filterNot(_ == p))))
+    deletePendingDir(p)
+  }
+
+  /** Remove a dropped parked run's staged directory (never in `files`). */
+  private def deletePendingDir(p: Pending): Unit = {
+    val dir = root.resolve(p.dir)
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
   }
 
   /** read_committed view of one topic. */
@@ -193,8 +225,13 @@ final class KafkaShapedLog(val root: Path, spark: SparkSession, val numPartition
       StructField("_seq", LongType, nullable = false)))
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, schema)
-    val cur = manifest().cursors.getOrElse(s"_publish.$topic", Cursor.zero)
-    appendTxn(df, s"_publish.$topic", Cursor(cur.lsn + 1, cur.id + events.size))
+    // the cursor read rides the BY-NAME argument so it evaluates inside
+    // appendTxn's lock — reading it here would let two concurrent
+    // publishers both advance from the same stale cursor
+    appendTxn(df, s"_publish.$topic", {
+      val cur = manifest().cursors.getOrElse(s"_publish.$topic", Cursor.zero)
+      Cursor(cur.lsn + 1, cur.id + events.size)
+    })
   }
 
   /** Next offset to be written for a partition (committed view). */

@@ -33,6 +33,10 @@ object LockFile {
       else Some(new LockFile(ch, l))
     } catch {
       case _: OverlappingFileLockException => ch.close(); None
+      // locking unsupported/failing (NFS without lockd, SMB): close the
+      // channel before propagating — leaking the CREATE|WRITE handle per
+      // boot attempt would also block cleanup on handle-pinning platforms
+      case e: Throwable => ch.close(); throw e
     }
   }
 

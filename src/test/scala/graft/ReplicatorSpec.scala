@@ -28,6 +28,19 @@ class ReplicatorSpec extends AnyFunSuite {
       Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i),
       Map("mk" -> s"mv-$i".getBytes(UTF_8)))
 
+  /** Parked-run directories still on disk under staging/. */
+  private def pendingDirCount(sink: KafkaShapedLog): Int = {
+    val staging = sink.root.resolve("staging")
+    if (!Files.isDirectory(staging)) 0
+    else {
+      val s = Files.list(staging)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.startsWith("pending-"))
+      } finally s.close()
+    }
+  }
+
   test("drain loop replicates everything in multiple polls (multi-poll drain)") {
     val (log, sink, rep) = fixture()
     log.saveAll("t_events", (1 to 5).map(ev))
@@ -132,6 +145,27 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(sink.nextOffset("pub_events", 0) == 2L)
   }
 
+  test("concurrent publishes serialize: cursor counts every transaction, offsets dense") {
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-pub2-").toString, TestSpark.spark)
+    def e(i: Int) = Event(s"ck-$i".getBytes(UTF_8), s"p-$i".getBytes(UTF_8),
+      Instant.parse("2024-02-01T10:00:00Z").plusSeconds(i))
+    val threads = (0 until 4).map { t =>
+      new Thread(() => { sink.publishEvents("cpub_events", Seq(e(2 * t), e(2 * t + 1))); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // the by-name cursor evaluates inside appendTxn's lock, so all four
+    // transactions count — a pre-lock read would lose lsn/id advances
+    val cur = sink.manifest().cursors("_publish.cpub_events")
+    assert(cur == Cursor(4, 8), s"lost publish cursor update: $cur")
+    val offs = sink.read("cpub_events").collect()
+      .groupBy(_.getAs[Int]("partition"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("offset")).sorted.toSeq }
+    offs.foreach { case (p, os) =>
+      assert(os == (0L until os.length), s"partition $p offsets not dense: $os")
+    }
+    assert(offs.values.map(_.size).sum == 8)
+  }
+
   test("runLoop drains per tick at the configured cadence") {
     val (log, sink, rep) = fixture()
     log.saveAll("t_events", (1 to 3).map(ev))
@@ -231,6 +265,7 @@ class ReplicatorSpec extends AnyFunSuite {
     // the dense prefix lands: commit + promote, atomically dropping the range
     assert(rep.commitStreamBatch("t_events", all.filter(col("id") <= 3)) == 6L)
     assert(sink.pendingRanges("t_events").isEmpty)
+    assert(pendingDirCount(sink) == 0, "promoted parked dirs must be deleted from staging/")
     val rows = sink.read("t_events").orderBy("offset").collect()
     assert(rows.map(_.getAs[Long]("offset")).toSeq == (0L to 5L), "offsets dense")
     assert(rows.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSeq ==
@@ -273,6 +308,7 @@ class ReplicatorSpec extends AnyFunSuite {
     // next stream batch GCs the now-stale parked range, commits nothing twice
     assert(rep.commitStreamBatch("t_events", log.read("t_events")) == 0L)
     assert(sink.pendingRanges("t_events").isEmpty)
+    assert(pendingDirCount(sink) == 0, "discarded parked dirs must be deleted from staging/")
     assert(sink.read("t_events").count() == 6)
     assert(sink.read("t_events").collect().map(_.getAs[Long]("offset")).sorted.toSeq ==
       (0L to 5L), "no duplicates from the parked copy")
