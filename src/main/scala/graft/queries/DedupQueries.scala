@@ -193,7 +193,35 @@ object DedupQueries extends QueryModule {
     // Dot products via the native codegen graft_dot expression. The exact
     // quadratic spelling survives as embCosineAllPairs (DedupScaleSpec's
     // recall cross-check); the point-query ANN paths live in knn_*.
-    "dedup_embed_cosine" -> { (s, dir) => embCosineBanded(s, dir) }
+    "dedup_embed_cosine" -> { (s, dir) => embCosineBanded(s, dir) },
+
+    // Duplicated-SPAN accounting (the measurement behind substring-level
+    // dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    // Models Better"): for each document, how many of its word-3-gram
+    // OCCURRENCES (spans, duplicates included — unlike the set-semantics
+    // suite above) also appear in at least one OTHER document. High
+    // dup_ratio = the document is mostly boilerplate shared with the rest
+    // of the corpus, the usual cut signal for span-level filtering.
+    //
+    // Scale shape: occurrences explode to (doc_id, 8-byte hash) rows; the
+    // document-frequency table aggregates the DISTINCT pairs on the hash
+    // (map-side combine applies), and the occurrence⋈df join shuffles on
+    // the same 8-byte hash — no raw shingle text ever shuffles, nothing
+    // is forced to broadcast (AQE decides from runtime stats), and there
+    // is no pairwise join anywhere: cost is O(occurrences), not O(n²).
+    "dedup_spans" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val occ = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(shingleHashes($"text")).as("h"))
+      val docFreq = occ.distinct()
+        .groupBy($"h").agg(count(lit(1)).as("nd"))
+      occ.join(docFreq, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_ratio", $"n_dup_spans".cast("double") / $"n_spans")
+    }
   )
 
   /** The banded-LSH cosine pipeline at an arbitrary (bands × bits)
@@ -395,7 +423,20 @@ object DedupQueries extends QueryModule {
            |  list_dot_product(na.v, nb.v)/(na.nrm*nb.nrm) AS cosine
            |FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
            |WHERE list_dot_product(na.v, nb.v)/(na.nrm*nb.nrm) >= 0.4""".stripMargin
-      }
+      },
+
+      "dedup_spans" ->
+        s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+           |occ AS (SELECT doc_id, ${oH60("s")} AS h
+           |        FROM (SELECT doc_id, unnest($oShingles3) AS s FROM docs)),
+           |ddf AS (SELECT h, count(*) AS nd
+           |        FROM (SELECT DISTINCT doc_id, h FROM occ) GROUP BY h)
+           |SELECT occ.doc_id, count(*) AS n_spans,
+           |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           |  CAST(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           |    / count(*) AS dup_ratio
+           |FROM occ JOIN ddf ON occ.h = ddf.h
+           |GROUP BY occ.doc_id""".stripMargin
     )
   }
 }
