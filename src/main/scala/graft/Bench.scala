@@ -57,18 +57,24 @@ object Bench {
       val passes = (1 to 2).map(_ => pipelineBench(spark, sfDir))
       Seq(passes.head._1 -> passes.map(_._2).min)
     } else Nil)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures only the log tail, which has truncated the long
-    // queries map in past rounds — persist the full line as a file artifact
-    // and stop Spark BEFORE printing so its shutdown logging can't push the
-    // JSON out of the captured tail.
+    def render(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = fmt(results.map(_._2).sum)
+      val sfTag = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+    }
+    // The driver captures only the LAST ~2000 log chars; r4/r5 both lost the
+    // front of this line to that window (BENCH parsed:null). Print a
+    // centisecond-precision line (~1.85k chars for 89 queries — fits under
+    // the window minus sbt's trailing "[success]" line) and persist the
+    // full-precision line as a file artifact. Stop Spark BEFORE printing so
+    // its shutdown logging can't push the JSON out of the captured tail.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
+      render(_.toString) + "\n")
     spark.stop()
-    println(line)
+    println(render(v => f"$v%.2f"))
   }
 
   /** Core event-store path end to end: ingest the events table into the

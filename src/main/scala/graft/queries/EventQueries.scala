@@ -406,12 +406,18 @@ object EventQueries extends QueryModule {
     // percentiles against the exact spellings.
     "ev_approx_stats" -> { (s, dir) =>
       import s.implicits._
+      // The percentile pair is flattened to scalar columns: the driver's
+      // rows-only comparator sorts result columns and cannot hash an
+      // array cell (r5 regression — pandas "unhashable numpy.ndarray").
       Tables.load(s, dir, "events")
         .groupBy($"event_type")
         .agg(
           approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
           percentile_approx($"value", array(lit(0.5), lit(0.95)), lit(10000))
-            .as("value_p50_p95"))
+            .as("ps"))
+        .select($"event_type", $"approx_users",
+          element_at($"ps", 1).as("value_p50"),
+          element_at($"ps", 2).as("value_p95"))
     },
 
     // Moving average over an explicit ROWS frame (last 3 events per user

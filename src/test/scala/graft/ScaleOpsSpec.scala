@@ -85,7 +85,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
     val approx = SparkEntry.queries("ev_approx_stats")(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), Seq(r.getDouble(2), r.getDouble(3)))).toMap
     assert(approx.keySet == exact.keySet)
     assert(exact.nonEmpty)
     for ((tpe, (aUsers, aPs)) <- approx) {
