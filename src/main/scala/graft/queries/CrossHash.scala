@@ -131,6 +131,9 @@ object CrossHash {
     planes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
 
   /** DuckDB literal for embedding-LSH plane j. */
-  def oEmbPlane(j: Int): String =
-    embPlanes(j).map(x => s"${x}.0").mkString("[", ", ", "]::DOUBLE[]")
+  def oEmbPlane(j: Int): String = oEmbPlaneOf(embPlanes, j)
+
+  /** DuckDB literal for plane j of an explicit plane set. */
+  def oEmbPlaneOf(planes: IndexedSeq[IndexedSeq[Int]], j: Int): String =
+    planes(j).map(x => s"${x}.0").mkString("[", ", ", "]::DOUBLE[]")
 }

@@ -221,8 +221,51 @@ object DedupQueries extends QueryModule {
         .agg(count(lit(1)).as("n_spans"),
           sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
         .withColumn("dup_ratio", $"n_dup_spans".cast("double") / $"n_spans")
+    },
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): partition the embedding
+    // space into coarse clusters, then dedup ONLY within a cluster — a
+    // vector is dropped when a lower-id vector in the SAME cluster has
+    // cosine ≥ 0.4 (lowest id = the kept representative; `dup_of` names
+    // it). Cross-cluster near-dups are missed by design — that pruning is
+    // exactly what makes the pass feasible at corpus scale: cost is
+    // Σ |cluster|², never O(n²), and both self-join sides shuffle on the
+    // cluster key, so each cluster dedups inside one partition.
+    //
+    // Production SemDeDup clusters with k-means; here the cluster key is
+    // the deterministic hyperplane sign pattern ([[CrossHash.embPlanesFor]],
+    // 1 band × SemBits bits → 2^SemBits cells) so the oracle can build the
+    // IDENTICAL partition and the gate verifies the whole keep/drop verdict
+    // bit-for-bit — the trained-quantizer variant of coarse partitioning is
+    // exercised by knn_ivf_kmeans. SemBits is a corpus-size knob like the
+    // LSH band geometry: cells ≈ 2^bits must grow with n to keep
+    // Σ|cluster|² bounded (at 10⁸ vectors use 16+ bits ≈ 64k+ cells).
+    "dedup_semantic" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val flat: Seq[Double] = semPlanes.flatten.map(_.toDouble)
+      val e = embVecs(s, dir)
+        .withColumn("cluster", element_at(call_function("graft_lsh_bands",
+          $"v", typedlit(flat), lit(1), lit(SemBits)), 1))
+      val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
+      val dups = e.select($"cluster", $"vec_id", $"v".as("av"), $"nrm".as("anrm")).as("a")
+        .join(e.select($"cluster", $"vec_id".as("vec_b"), $"v".as("bv"),
+          $"nrm".as("bnrm")).as("b"),
+          $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"vec_b")
+        .filter(cos >= 0.4)
+        .groupBy($"vec_b".as("vec_id")).agg(min($"a.vec_id").as("dup_of"))
+      e.select($"vec_id", $"cluster")
+        .join(dups, Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster", $"dup_of", $"dup_of".isNull.as("keep"))
     }
   )
+
+  /** Semantic-cluster geometry: 1 band × [[SemBits]] sign bits =
+    * 2^SemBits coarse cells (16 at test scale — small enough that clusters
+    * are non-trivial on the 10³-vector corpora, see scaling note on the
+    * query). */
+  val SemBits = 4
+  private val semPlanes = embPlanesFor(1, SemBits)
 
   /** The banded-LSH cosine pipeline at an arbitrary (bands × bits)
     * geometry. The registered query runs the test default
@@ -423,6 +466,25 @@ object DedupQueries extends QueryModule {
            |  list_dot_product(na.v, nb.v)/(na.nrm*nb.nrm) AS cosine
            |FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
            |WHERE list_dot_product(na.v, nb.v)/(na.nrm*nb.nrm) >= 0.4""".stripMargin
+      },
+
+      // Identical deterministic hyperplane cells in both engines (same
+      // doctrine as dedup_embed_cosine), so keep/drop/dup_of verify exactly.
+      "dedup_semantic" -> {
+        val cellBits = (0 until SemBits).map { j =>
+          s"(CASE WHEN list_dot_product(v, ${oEmbPlaneOf(semPlanes, j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+           |             CAST($cellBits AS BIGINT) AS cluster FROM e),
+           |dup AS (
+           |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+           |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4
+           |  GROUP BY b.vec_id)
+           |SELECT n.vec_id, n.cluster, dup.dup_of, dup.dup_of IS NULL AS keep
+           |FROM n LEFT JOIN dup ON dup.vec_id = n.vec_id""".stripMargin
       },
 
       "dedup_spans" ->

@@ -48,6 +48,31 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup_semantic: verdicts equal the cluster-restricted exact pairs (independent spelling)") {
+    // Independent ground truth: exact all-pairs cosine (≥0.4) restricted
+    // to pairs whose hyperplane cells match — exactly the pairs SemDeDup's
+    // cluster pruning is ALLOWED to see. A vector must be dropped iff it
+    // is the higher id of such a pair, and dup_of must be the LOWEST such
+    // partner. Cross-cluster near-dup pairs must be invisible (that loss
+    // is the documented trade of the pruning, not a bug).
+    import org.apache.spark.sql.functions._
+    val verdicts = SparkEntry.queries("dedup_semantic")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val cell = verdicts.map { case (id, (c, _)) => id -> c }
+    val exactSameCell = DedupQueries.embCosineAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cell(a) == cell(b) }
+    val expectDropped = exactSameCell.groupBy(_._2).map { case (b, ps) =>
+      b -> ps.map(_._1).min }
+    assert(expectDropped.nonEmpty, "vacuous: no same-cell near-dup pairs at this SF")
+    val dropped = verdicts.collect { case (id, (_, Some(d))) => id -> d }
+    assert(dropped == expectDropped,
+      s"missing=${(expectDropped.toSet -- dropped.toSet).take(5)} " +
+        s"extra=${(dropped.toSet -- expectDropped.toSet).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("embed-LSH at a second geometry (32 bands × 3 bits): precision stays perfect, recall rises") {
     // the geometry is a corpus-size knob (candidates ≈ bands·n²/2^bits) —
     // this pins that a non-default (bands, bits) still produces a verified

@@ -128,6 +128,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_semantic: within-cluster self-join keys on the cell — never all-pairs") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("doc_pack: the corpus-wide prefix sum never plans a single-partition exchange") {
     val p = plan("doc_pack")
     assert(!p.contains("SinglePartition"), s"global cumsum funnels into one task:\n$p")
