@@ -128,6 +128,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("knn_ivfpq: probes broadcast against the coded corpus — the corpus is never shuffled or sorted") {
+    val p = plan("knn_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(neighbor_id"), p)
+  }
+
   test("dedup_semantic: within-cluster self-join keys on the cell — never all-pairs") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"), p)

@@ -42,6 +42,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: exact-cosine output, recall@10 >= 0.7 vs the exact in-cell top-k (isolates PQ loss)") {
+    // knn_ivf is the EXACT within-label-cell top-k, so comparing against
+    // it isolates what the PQ code + ADC shortlist lose (cell assignment
+    // is identical); measured 0.82 at sf0.001 with M=8, Kc=16,
+    // shortlist=2k — fully deterministic (driver-side Lloyd, fixed init),
+    // so the floor is a regression pin. The emitted cosines must be exact
+    // (re-ranked against raw vectors): any pair PQ shares with knn_ivf
+    // must carry the identical double.
+    val ivfCos = queries.SimilarityQueries.queries("knn_ivf")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val pqCos = queries.SimilarityQueries.queries("knn_ivfpq")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val shared = pqCos.keySet.intersect(ivfCos.keySet)
+    val recall = shared.size.toDouble / ivfCos.size
+    assert(recall >= 0.7, f"recall@10 vs exact in-cell = $recall%.2f")
+    shared.foreach(k => assert(pqCos(k) == ivfCos(k), s"re-ranked cosine differs at $k"))
+    spark.catalog.clearCache()
+  }
+
   test("trained IVF multi-probe recall@10 >= 0.6 vs exact top-k (deterministic seed)") {
     val brute = resultSet("knn_brute").keySet
     val ivf = resultSet("knn_ivf_kmeans").keySet
