@@ -54,12 +54,11 @@ object SimilarityQueries extends QueryModule {
       }
     }
 
-  /** Product-quantizer geometry (knn_ivfpq): M subspaces of SubDim dims,
-    * Kc centroids each (4-bit codes). The ADC shortlist re-ranks exactly,
-    * so Kc/M trade index size against shortlist recall, not correctness
-    * of the emitted cosines. */
+  /** Product-quantizer geometry (knn_ivfpq): up to M subspaces (evenly
+    * splitting the corpus dim), Kc centroids each (4-bit codes). The ADC
+    * shortlist re-ranks exactly, so Kc/M trade index size against
+    * shortlist recall, not correctness of the emitted cosines. */
   private val PqM = 8
-  private val PqSubDim = Dim / PqM
   private val PqKc = 16
   private val PqShortlist = 20
   private val PqTrainN = 512
@@ -76,19 +75,26 @@ object SimilarityQueries extends QueryModule {
     val sample = e.filter($"vec_id" < PqTrainN)
       .select($"vec_id", $"v").collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(sample.length >= PqKc, s"PQ training sample ${sample.length} < $PqKc")
-    (0 until PqM).map { m =>
-      val pts = sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
-      var cents = IndexedSeq.tabulate(PqKc)(i => pts((i * pts.length) / PqKc).toIndexedSeq)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    // degrade on tiny/narrow corpora (EdgeCorpusSpec's 5-vector, 4-dim
+    // table): fewer centroids than Kc and fewer/narrower subspaces than
+    // M×SubDim are still valid codebooks, just coarser
+    val k = math.min(PqKc, sample.length)
+    val dim = sample.map(_.length).min
+    val effM = math.min(PqM, dim)
+    (0 until effM).map { m =>
+      val (lo, hi) = (m * dim / effM, (m + 1) * dim / effM)
+      val pts = sample.map(_.slice(lo, hi))
+      var cents = IndexedSeq.tabulate(k)(i => pts((i * pts.length) / k).toIndexedSeq)
       for (_ <- 0 until PqIters) {
         val assign = pts.map { p =>
-          (0 until PqKc).minBy(i => cents(i).zip(p).map { case (c, x) =>
+          (0 until k).minBy(i => cents(i).zip(p).map { case (c, x) =>
             (c - x) * (c - x) }.sum)
         }
-        cents = (0 until PqKc).map { i =>
+        cents = (0 until k).map { i =>
           val mine = pts.indices.filter(assign(_) == i)
           if (mine.isEmpty) cents(i)
-          else (0 until PqSubDim).map(d => mine.map(pts(_)(d)).sum / mine.length)
+          else (0 until (hi - lo)).map(d => mine.map(pts(_)(d)).sum / mine.length)
         }
       }
       cents
@@ -205,21 +211,25 @@ object SimilarityQueries extends QueryModule {
       // per-subspace score arrays: score_i = -2·⟨x_m, c_i⟩ + ‖c_i‖² is the
       // subspace L2 distance minus the per-row constant ‖x_m‖², which
       // cancels in BOTH the argmin (encode) and the per-query ADC ranking
-      def dsSql(m: Int): String = (0 until PqKc).map { i =>
+      // subspace m covers slice [offs(m)+1, len subLens(m)] — the geometry
+      // adapts to the corpus dim (see pqCodebooks degrade note)
+      val subLens = cb.map(_.head.length)
+      val offs = subLens.scanLeft(0)(_ + _)
+      def dsSql(m: Int): String = cb(m).indices.map { i =>
         val c2 = cb(m)(i).map(x => x * x).sum
-        s"(-2*graft_dot(slice(v, ${m * PqSubDim + 1}, $PqSubDim), ${pqCentSql(cb, m, i)}) + $c2)"
+        s"(-2*graft_dot(slice(v, ${offs(m) + 1}, ${subLens(m)}), ${pqCentSql(cb, m, i)}) + $c2)"
       }.mkString("array(", ", ", ")")
       def withScores(df: DataFrame): DataFrame =
-        (0 until PqM).foldLeft(df)((d, m) => d.withColumn(s"ds_$m", expr(dsSql(m))))
+        cb.indices.foldLeft(df)((d, m) => d.withColumn(s"ds_$m", expr(dsSql(m))))
       val codes = withScores(e)
         .select($"vec_id".as("neighbor_id"), $"label",
-          array((0 until PqM).map(m =>
+          array(cb.indices.map(m =>
             expr(s"CAST(array_position(ds_$m, array_min(ds_$m)) AS INT)")): _*).as("codes"))
       val q = withScores(e.filter($"vec_id" < NQueries))
         .select(($"vec_id".as("query_id") +: $"label".as("qlabel") +:
           $"v".as("qv") +: $"nrm".as("qnrm") +:
-          (0 until PqM).map(m => col(s"ds_$m").as(s"tab_$m"))): _*)
-      val adc = (0 until PqM).map(m =>
+          cb.indices.map(m => col(s"ds_$m").as(s"tab_$m"))): _*)
+      val adc = cb.indices.map(m =>
         element_at(col(s"tab_$m"), element_at($"codes", m + 1))).reduce(_ + _)
       val ws = Window.partitionBy($"query_id").orderBy($"adc".asc, $"neighbor_id")
       val shortlist = broadcast(q).join(codes,
