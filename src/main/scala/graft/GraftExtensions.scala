@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, LshBands, Md5Prefix60, Shingle60}
+import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, LshBands, Md5Prefix60, PqScores, Shingle60}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -59,6 +59,12 @@ object GraftExtensions {
         require(children.length == 4,
           "graft_lsh_bands takes exactly 4 arguments: (vector, planesFlat, bands, bits)")
         LshBands(children(0), children(1), children(2), children(3))
+      }),
+    (FunctionIdentifier("graft_pq_scores"), PqScores.info,
+      children => {
+        require(children.length == 5,
+          "graft_pq_scores takes exactly 5 arguments: (vector, cbFlat, c2Flat, m, k)")
+        PqScores(children(0), children(1), children(2), children(3), children(4))
       }))
 
   /** Idempotent on-session registration (functions + optimizer rule; the

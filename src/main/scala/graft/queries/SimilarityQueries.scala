@@ -101,10 +101,6 @@ object SimilarityQueries extends QueryModule {
     }
   }
 
-  /** SQL array literal for centroid i of subspace m. */
-  private def pqCentSql(cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], m: Int, i: Int): String =
-    cb(m)(i).map(x => s"${x}D").mkString("array(", ", ", ")")
-
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
@@ -206,31 +202,33 @@ object SimilarityQueries extends QueryModule {
     // against both knn_ivf (isolates PQ loss) and knn_brute.
     "knn_ivfpq" -> { (s, dir) =>
       import s.implicits._
+      graft.GraftExtensions.register(s)
       val e = vecs(s, dir).cache()
       val cb = pqCodebooks(e)
-      // per-subspace score arrays: score_i = -2·⟨x_m, c_i⟩ + ‖c_i‖² is the
-      // subspace L2 distance minus the per-row constant ‖x_m‖², which
-      // cancels in BOTH the argmin (encode) and the per-query ADC ranking
-      // subspace m covers slice [offs(m)+1, len subLens(m)] — the geometry
-      // adapts to the corpus dim (see pqCodebooks degrade note)
-      val subLens = cb.map(_.head.length)
-      val offs = subLens.scanLeft(0)(_ + _)
-      def dsSql(m: Int): String = cb(m).indices.map { i =>
-        val c2 = cb(m)(i).map(x => x * x).sum
-        s"(-2*graft_dot(slice(v, ${offs(m) + 1}, ${subLens(m)}), ${pqCentSql(cb, m, i)}) + $c2)"
-      }.mkString("array(", ", ", ")")
-      def withScores(df: DataFrame): DataFrame =
-        cb.indices.foldLeft(df)((d, m) => d.withColumn(s"ds_$m", expr(dsSql(m))))
-      val codes = withScores(e)
+      val (mEff, kEff) = (cb.length, cb.head.length)
+      // One fused pass (graft_pq_scores) computes every subspace's score
+      // array — score[j·k+i] = -2·⟨v_j, c_i⟩ + ‖c_i‖², the subspace L2
+      // distance minus the per-row constant ‖v_j‖², which cancels in BOTH
+      // uses of the array: per-subspace argmin (the corpus vector's code)
+      // and the per-query ADC lookup table. The composed m·k
+      // graft_dot-per-centroid spelling carried 128 array literals through
+      // the plan and tripled wall time on plan compile (PqScores scaladoc).
+      val cbFlat: Seq[Double] = cb.flatten.flatten
+      val c2Flat: Seq[Double] = cb.flatten.map(c => c.map(x => x * x).sum)
+      def scored(df: DataFrame): DataFrame =
+        df.withColumn("sc", call_function("graft_pq_scores",
+          $"v", typedlit(cbFlat), typedlit(c2Flat), lit(mEff), lit(kEff)))
+      val codes = scored(e)
         .select($"vec_id".as("neighbor_id"), $"label",
-          array(cb.indices.map(m =>
-            expr(s"CAST(array_position(ds_$m, array_min(ds_$m)) AS INT)")): _*).as("codes"))
-      val q = withScores(e.filter($"vec_id" < NQueries))
-        .select(($"vec_id".as("query_id") +: $"label".as("qlabel") +:
-          $"v".as("qv") +: $"nrm".as("qnrm") +:
-          cb.indices.map(m => col(s"ds_$m").as(s"tab_$m"))): _*)
-      val adc = cb.indices.map(m =>
-        element_at(col(s"tab_$m"), element_at($"codes", m + 1))).reduce(_ + _)
+          expr(s"transform(sequence(0, ${mEff - 1}), j -> " +
+            s"array_position(slice(sc, CAST(j*$kEff+1 AS INT), $kEff), " +
+            s"array_min(slice(sc, CAST(j*$kEff+1 AS INT), $kEff))))").as("codes"))
+      val q = scored(e.filter($"vec_id" < NQueries))
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+          $"v".as("qv"), $"nrm".as("qnrm"), $"sc".as("qsc"))
+      // ADC: Σ_j qsc[j·k + code_j] — m table lookups per candidate
+      val adc = expr(s"aggregate(sequence(0, ${mEff - 1}), CAST(0 AS DOUBLE), (acc, j) -> " +
+        s"acc + element_at(qsc, CAST(j*$kEff + element_at(codes, CAST(j+1 AS INT)) AS INT)))")
       val ws = Window.partitionBy($"query_id").orderBy($"adc".asc, $"neighbor_id")
       val shortlist = broadcast(q).join(codes,
           $"qlabel" === $"label" && $"query_id" =!= $"neighbor_id")

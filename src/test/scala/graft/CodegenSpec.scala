@@ -174,6 +174,36 @@ class CodegenSpec extends AnyFunSuite {
       r.getSeq[Long](0) == Seq.fill(nBands)(0L)))
   }
 
+  test("graft_pq_scores compiles; bit-identical to the composed slice/graft_dot spelling") {
+    import spark.implicits._
+    val (m, k, dim) = (4, 3, 8)
+    val rnd = new scala.util.Random(7)
+    val cb = IndexedSeq.fill(m, k, dim / m)(rnd.nextGaussian())
+    val cbFlat = cb.flatten.flatten
+    val c2Flat = cb.flatten.map(c => c.map(x => x * x).sum)
+    val df = (1 to 50).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "v").cache()
+    val fused = df.select($"vec_id", call_function("graft_pq_scores",
+      $"v", typedlit(cbFlat), typedlit(c2Flat), lit(m), lit(k)).as("sc"))
+    // composed spelling: one graft_dot per (subspace, centroid)
+    val composed = df.select($"vec_id", array((for (m0 <- 0 until m; i <- 0 until k) yield {
+      val cent = cb(m0)(i).map(x => s"${x}D").mkString("array(", ", ", ")")
+      expr(s"-2*graft_dot(slice(v, ${m0 * (dim / m) + 1}, ${dim / m}), $cent) + ${c2Flat(m0 * k + i)}")
+    }): _*).as("sc"))
+    assert(fused.except(composed).isEmpty && composed.except(fused).isEmpty)
+    // malformed input parity: graft_dot over a misaligned slice returns
+    // NULL and poisons the composed array; the fused form returns NULL
+    val edge = Seq(
+      (1L, null: Array[java.lang.Double]),
+      (2L, Array[java.lang.Double](1.0, null, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)),
+      (3L, Array[java.lang.Double](1.0, 2.0))) // wrong dim
+      .toDF("vec_id", "v")
+      .select(call_function("graft_pq_scores",
+        $"v", typedlit(cbFlat), typedlit(c2Flat), lit(m), lit(k)).as("sc"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("graft_shingle60 compiles; value-identical to the composed split/concat_ws/h60 spelling") {
     import spark.implicits._
     import graft.queries.CrossHash
