@@ -50,6 +50,13 @@ object CorpusQueries extends QueryModule {
     * target/n_tokens, equalizing expected token contribution per doc. */
   val SampleTargetTokens = 32.0
 
+  /** doc_chunk window geometry: W-token windows at stride S (overlap
+    * W−S). Test-scale constants sized to the ~35-token synthetic docs
+    * (2–3 windows each); a 100 TB run uses its context length (e.g.
+    * W=4096, S=3840) — the integer algebra is unchanged. */
+  val ChunkTokens = 16L
+  val ChunkStride = 12L
+
   /** Distinct (doc_id, 60-bit shingle hash) pairs — same shape as
     * DedupQueries' inverted index (hash BEFORE distinct so shuffle rows
     * are 8-byte longs, not shingle strings). */
@@ -95,6 +102,30 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", $"n_tokens",
           expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
           ($"cb" % PackBudget).as("shard_offset"))
+    },
+
+    // Sliding-context-window chunking: each document splits into
+    // fixed-size token windows with overlap (stride < window) — the
+    // example-preparation step between curation and tokenizer packing
+    // (doc_pack packs whole docs into sequences; this splits long docs
+    // into training-context windows). Pure integer arithmetic on token
+    // COUNTS (ceil-division chunk count, clamped end), so the oracle is
+    // hash-exact; the explode is a narrow map pass — per-doc fan-out is
+    // ceil((n-W)/S)+1 rows of 5 longs, no shuffle at all.
+    "doc_chunk" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+        .withColumn("n_chunks",
+          when($"n_tokens" <= ChunkTokens, lit(1L))
+            .otherwise(expr(s"(n_tokens - $ChunkTokens + $ChunkStride - 1) " +
+              s"DIV $ChunkStride + 1")))
+      docs.select($"doc_id", $"n_tokens",
+          explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_id"))
+        .withColumn("start_tok", $"chunk_id" * ChunkStride + 1)
+        .withColumn("end_tok", least($"start_tok" + (ChunkTokens - 1), $"n_tokens"))
+        .select($"doc_id", $"chunk_id", $"start_tok", $"end_tok",
+          ($"end_tok" - $"start_tok" + 1).as("chunk_tokens"))
     },
 
     // Deterministic length-weighted sampling: hash draw vs an integer
@@ -218,6 +249,20 @@ object CorpusQueries extends QueryModule {
          |  CAST(cb // $PackBudget AS BIGINT) AS shard,
          |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
          |FROM c""".stripMargin,
+
+    "doc_chunk" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |n AS (SELECT doc_id, n_tokens,
+         |    CASE WHEN n_tokens <= $ChunkTokens THEN 1
+         |         ELSE (n_tokens - $ChunkTokens + $ChunkStride - 1) // $ChunkStride + 1
+         |    END AS n_chunks FROM t),
+         |x AS (SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+         |SELECT doc_id, chunk_id, chunk_id * $ChunkStride + 1 AS start_tok,
+         |  least(chunk_id * $ChunkStride + $ChunkTokens, n_tokens) AS end_tok,
+         |  least(chunk_id * $ChunkStride + $ChunkTokens, n_tokens)
+         |    - (chunk_id * $ChunkStride + 1) + 1 AS chunk_tokens
+         |FROM x""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH t AS (SELECT doc_id,

@@ -61,8 +61,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("narrow projections (text_tokens, text_clean, mm_meta) are shuffle-free single stages") {
-    for (q <- Seq("text_tokens", "text_clean", "mm_meta")) {
+  test("narrow projections (text_tokens, text_clean, mm_meta, doc_chunk) are shuffle-free single stages") {
+    for (q <- Seq("text_tokens", "text_clean", "mm_meta", "doc_chunk")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // formatted mode marks codegen'd nodes with a leading '*'
