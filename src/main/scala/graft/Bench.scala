@@ -74,12 +74,15 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
       render(_.toString) + "\n")
     spark.stop()
-    // centiseconds with trailing zeros stripped ("0.50"→"0.5", "2.00"→"2")
-    // — every query added to the battery eats ~20 chars of the window
-    println(render { v =>
-      val s = f"$v%.2f"
+    // trailing-zero-stripped fixed precision ("0.50"→"0.5", "2.00"→"2");
+    // every query added to the battery eats ~20 chars of the window, so
+    // degrade precision until the line fits with margin (92 queries at
+    // centiseconds measured 1904 chars — 20 from the edge)
+    def compact(dec: Int): String = render { v =>
+      val s = String.format(s"%.${dec}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
-    })
+    }
+    println(Seq(compact(2), compact(1)).find(_.length <= 1850).getOrElse(compact(1)))
   }
 
   /** Core event-store path end to end: ingest the events table into the
