@@ -240,32 +240,76 @@ object DedupQueries extends QueryModule {
     // exercised by knn_ivf_kmeans. SemBits is a corpus-size knob like the
     // LSH band geometry: cells ≈ 2^bits must grow with n to keep
     // Σ|cluster|² bounded (at 10⁸ vectors use 16+ bits ≈ 64k+ cells).
-    "dedup_semantic" -> { (s, dir) =>
+    "dedup_semantic" -> { (s, dir) => semanticVerdicts(s, dir) },
+
+    // Incremental semantic dedup: the batch-vs-corpus form of
+    // dedup_semantic (the embedding analog of dedup_incremental) — a
+    // daily embeddings delta is deduped against the standing corpus
+    // WITHOUT re-running the corpus-wide pass. Batch = vec_id % 10 == 0
+    // (the suite's incremental-split convention); a batch vector is
+    // dropped when its cell contains EITHER any corpus vector OR a
+    // lower-id batch vector with cosine ≥ 0.4 — exactly the verdicts the
+    // full pass would hand those vectors if appended with ids above the
+    // corpus (IncrementalDedupSpec pins the equality). The probe join is
+    // |batch|-bounded: the corpus side never self-joins, and at scale the
+    // corpus is stored partitioned by cell so each batch cell probes one
+    // partition.
+    "dedup_semantic_incr" -> { (s, dir) =>
       import s.implicits._
       graft.GraftExtensions.register(s)
-      val flat: Seq[Double] = semPlanes.flatten.map(_.toDouble)
+      val flat: Seq[Double] = semPlanesFor(SemBits).flatten.map(_.toDouble)
       val e = embVecs(s, dir)
         .withColumn("cluster", element_at(call_function("graft_lsh_bands",
           $"v", typedlit(flat), lit(1), lit(SemBits)), 1))
+      val batch = e.filter($"vec_id" % 10 === 0)
+      val others = e // corpus ∪ batch: any lower-id same-cell near-dup wins
       val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
-      val dups = e.select($"cluster", $"vec_id", $"v".as("av"), $"nrm".as("anrm")).as("a")
-        .join(e.select($"cluster", $"vec_id".as("vec_b"), $"v".as("bv"),
+      val dups = others
+        .select($"cluster", $"vec_id", $"v".as("av"), $"nrm".as("anrm")).as("a")
+        .join(batch.select($"cluster", $"vec_id".as("vec_b"), $"v".as("bv"),
           $"nrm".as("bnrm")).as("b"),
-          $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"vec_b")
+          $"a.cluster" === $"b.cluster" &&
+            ($"a.vec_id" % 10 =!= 0 || $"a.vec_id" < $"vec_b") &&
+            $"a.vec_id" =!= $"vec_b")
         .filter(cos >= 0.4)
         .groupBy($"vec_b".as("vec_id")).agg(min($"a.vec_id").as("dup_of"))
-      e.select($"vec_id", $"cluster")
+      batch.select($"vec_id", $"cluster")
         .join(dups, Seq("vec_id"), "left")
         .select($"vec_id", $"cluster", $"dup_of", $"dup_of".isNull.as("keep"))
     }
   )
 
+  /** The SemDeDup pass at an arbitrary cell geometry (1 band × `bits`
+    * sign bits). The registered query runs [[SemBits]]; like the LSH band
+    * geometry, `bits` is a corpus-size knob (cells = 2^bits must grow
+    * with n to bound Σ|cluster|²) — DedupScaleSpec pins a second geometry
+    * so the parameterization stays correct. */
+  private[graft] def semanticVerdicts(s: SparkSession, dir: String,
+      bits: Int = SemBits): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val flat: Seq[Double] = semPlanesFor(bits).flatten.map(_.toDouble)
+    val e = embVecs(s, dir)
+      .withColumn("cluster", element_at(call_function("graft_lsh_bands",
+        $"v", typedlit(flat), lit(1), lit(bits)), 1))
+    val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
+    val dups = e.select($"cluster", $"vec_id", $"v".as("av"), $"nrm".as("anrm")).as("a")
+      .join(e.select($"cluster", $"vec_id".as("vec_b"), $"v".as("bv"),
+        $"nrm".as("bnrm")).as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"vec_b")
+      .filter(cos >= 0.4)
+      .groupBy($"vec_b".as("vec_id")).agg(min($"a.vec_id").as("dup_of"))
+    e.select($"vec_id", $"cluster")
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster", $"dup_of", $"dup_of".isNull.as("keep"))
+  }
+
   /** Semantic-cluster geometry: 1 band × [[SemBits]] sign bits =
     * 2^SemBits coarse cells (16 at test scale — small enough that clusters
-    * are non-trivial on the 10³-vector corpora, see scaling note on the
-    * query). */
+    * are non-trivial on the 10³-vector corpora, see scaling note on
+    * [[semanticVerdicts]]). */
   val SemBits = 4
-  private val semPlanes = embPlanesFor(1, SemBits)
+  private def semPlanesFor(bits: Int) = embPlanesFor(1, bits)
 
   /** The banded-LSH cosine pipeline at an arbitrary (bands × bits)
     * geometry. The registered query runs the test default
@@ -472,7 +516,7 @@ object DedupQueries extends QueryModule {
       // doctrine as dedup_embed_cosine), so keep/drop/dup_of verify exactly.
       "dedup_semantic" -> {
         val cellBits = (0 until SemBits).map { j =>
-          s"(CASE WHEN list_dot_product(v, ${oEmbPlaneOf(semPlanes, j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+          s"(CASE WHEN list_dot_product(v, ${oEmbPlaneOf(semPlanesFor(SemBits), j)}) > 0 THEN ${1L << j} ELSE 0 END)"
         }.mkString(" + ")
         s"""WITH e AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -485,6 +529,29 @@ object DedupQueries extends QueryModule {
            |  GROUP BY b.vec_id)
            |SELECT n.vec_id, n.cluster, dup.dup_of, dup.dup_of IS NULL AS keep
            |FROM n LEFT JOIN dup ON dup.vec_id = n.vec_id""".stripMargin
+      },
+
+      // Batch (vec_id % 10 = 0) verdicts against the standing corpus: a
+      // corpus partner suppresses regardless of id (the corpus precedes
+      // the batch); a batch partner only when lower-id.
+      "dedup_semantic_incr" -> {
+        val cellBits = (0 until SemBits).map { j =>
+          s"(CASE WHEN list_dot_product(v, ${oEmbPlaneOf(semPlanesFor(SemBits), j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+           |             CAST($cellBits AS BIGINT) AS cluster FROM e),
+           |bt AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+           |dup AS (
+           |  SELECT bt.vec_id AS vec_id, min(a.vec_id) AS dup_of
+           |  FROM n a JOIN bt ON a.cluster = bt.cluster
+           |    AND a.vec_id <> bt.vec_id
+           |    AND (a.vec_id % 10 <> 0 OR a.vec_id < bt.vec_id)
+           |  WHERE list_dot_product(a.v, bt.v)/(a.nrm*bt.nrm) >= 0.4
+           |  GROUP BY bt.vec_id)
+           |SELECT bt.vec_id, bt.cluster, dup.dup_of, dup.dup_of IS NULL AS keep
+           |FROM bt LEFT JOIN dup ON dup.vec_id = bt.vec_id""".stripMargin
       },
 
       "dedup_spans" ->

@@ -73,6 +73,57 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup_semantic at a second geometry (6 bits): verdicts still equal the cell-restricted pairs") {
+    // the cell geometry is a corpus-size knob (Σ|cluster|² bounds the
+    // pass) — pin that a non-default bit width still produces verdicts
+    // equal to the independent spelling, with MORE cells ⇒ fewer or equal
+    // same-cell pairs than the 4-bit default
+    import org.apache.spark.sql.functions._
+    val verdicts = DedupQueries.semanticVerdicts(spark, dir, bits = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val cell = verdicts.map { case (id, (c, _)) => id -> c }
+    assert(cell.values.toSet.size > 16, "6-bit geometry should occupy more than 2^4 cells")
+    val exactSameCell = DedupQueries.embCosineAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cell(a) == cell(b) }
+    val expectDropped = exactSameCell.groupBy(_._2).map { case (b, ps) =>
+      b -> ps.map(_._1).min }
+    val dropped = verdicts.collect { case (id, (_, Some(d))) => id -> d }
+    assert(dropped == expectDropped,
+      s"missing=${(expectDropped.toSet -- dropped.toSet).take(5)} " +
+        s"extra=${(dropped.toSet -- expectDropped.toSet).take(5)}")
+    spark.catalog.clearCache()
+  }
+
+  test("dedup_semantic_incr: batch verdicts equal the corpus-precedes-batch rule (independent spelling)") {
+    // a batch vector (vec_id % 10 == 0) must be dropped iff its cell holds
+    // a qualifying partner that is EITHER a corpus vector (any id — the
+    // corpus precedes the batch) OR a lower-id batch vector; dup_of is the
+    // lowest such partner. Derived here from the exact all-pairs spelling
+    // + the full pass's cells, independently of the incremental query.
+    val full = SparkEntry.queries("dedup_semantic")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verdicts = SparkEntry.queries("dedup_semantic_incr")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(verdicts.keySet == full.keySet.filter(_ % 10 == 0))
+    verdicts.foreach { case (id, (c, _)) => assert(c == full(id), s"cell mismatch at $id") }
+    val pairs = DedupQueries.embCosineAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => full(a) == full(b) }
+    val expectDropped = (pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (partner, b) =>
+        b % 10 == 0 && (partner % 10 != 0 || partner < b) })
+      .groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    assert(expectDropped.nonEmpty, "vacuous: no qualifying batch pairs at this SF")
+    val dropped = verdicts.collect { case (id, (_, Some(d))) => id -> d }
+    assert(dropped == expectDropped,
+      s"missing=${(expectDropped.toSet -- dropped.toSet).take(5)} " +
+        s"extra=${(dropped.toSet -- expectDropped.toSet).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("embed-LSH at a second geometry (32 bands × 3 bits): precision stays perfect, recall rises") {
     // the geometry is a corpus-size knob (candidates ≈ bands·n²/2^bits) —
     // this pins that a non-default (bands, bits) still produces a verified

@@ -135,10 +135,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(neighbor_id"), p)
   }
 
-  test("dedup_semantic: within-cluster self-join keys on the cell — never all-pairs") {
-    val p = plan("dedup_semantic")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  test("dedup_semantic(+incr): within-cluster joins key on the cell — never all-pairs") {
+    for (q <- Seq("dedup_semantic", "dedup_semantic_incr")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
   }
 
   test("doc_pack: the corpus-wide prefix sum never plans a single-partition exchange") {
