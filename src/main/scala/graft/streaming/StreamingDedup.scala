@@ -65,4 +65,53 @@ object StreamingDedup {
       .filter(j >= threshold)
       .select(col("a_doc"), col("b_doc"), j.as("jaccard"))
   }
+
+  /** Static corpus cell index for SEMANTIC (embedding) streaming dedup:
+    * one row per corpus vector with its hyperplane cell
+    * (`queries/DedupQueries.dedup_semantic`'s deterministic coarse
+    * partition), normalized vector and norm. At 100 TB this table lives
+    * PARTITIONED BY cluster on disk, so a micro-batch's probe reads only
+    * the cells its vectors land in. `corpus` needs (vec_id, embedding). */
+  def semanticIndex(corpus: DataFrame, bits: Int, dim: Int): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val flat: Seq[Double] =
+      graft.queries.CrossHash.embPlanesFor(1, bits, dim).flatten.map(_.toDouble)
+    corpus
+      .select(col("vec_id").as("b_vec"), col("embedding").cast("array<double>").as("bv"))
+      .withColumn("bnrm", sqrt(expr("graft_dot(bv, bv)")))
+      .withColumn("cluster", element_at(call_function("graft_lsh_bands",
+        col("bv"), typedLit(flat), lit(1), lit(bits)), 1))
+  }
+
+  /** Streaming semantic near-dup verdicts: each stream vector's lowest-id
+    * corpus partner with cosine ≥ threshold in its cell, emitted once when
+    * the event-time window closes — the continuous twin of
+    * `dedup_semantic_incr`'s corpus side (stream-vs-stream near-dups are
+    * out of scope for a stream-static join, exactly as exact stream dups
+    * are [[StatefulOps.dedupStream]]'s job). The cell is computed
+    * row-locally on the stream (narrow), so per-trigger cost is the
+    * batch's vectors joined against only their cells of the static index.
+    * `vecs` needs (vec_id, embedding, `eventTimeCol`). */
+  def semanticProbe(vecs: DataFrame, index: DataFrame, threshold: Double,
+      bits: Int, dim: Int, eventTimeCol: String = "ts",
+      watermark: String = "10 minutes", window: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.register(vecs.sparkSession)
+    val flat: Seq[Double] =
+      graft.queries.CrossHash.embPlanesFor(1, bits, dim).flatten.map(_.toDouble)
+    val probe = vecs.withWatermark(eventTimeCol, watermark)
+      .select(col("vec_id").as("a_vec"), col(eventTimeCol).as("_ts"),
+        col("embedding").cast("array<double>").as("av"))
+      .withColumn("anrm", sqrt(expr("graft_dot(av, av)")))
+      .withColumn("cluster", element_at(call_function("graft_lsh_bands",
+        col("av"), typedLit(flat), lit(1), lit(bits)), 1))
+    val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
+    probe
+      .join(index, "cluster") // stream-static: corpus side is never stateful
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= threshold)
+      .groupBy(org.apache.spark.sql.functions.window(col("_ts"), window),
+        col("a_vec"))
+      .agg(min(col("b_vec")).as("dup_of"), count(lit(1)).as("n_dups"))
+      .select(col("a_vec").as("vec_id"), col("dup_of"), col("n_dups"))
+  }
 }
