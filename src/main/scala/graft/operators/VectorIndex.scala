@@ -58,6 +58,31 @@ object VectorIndex {
     * |queries|·nprobe rows, so the scan still prunes statically. */
   def probe(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       bits: Int = 4, dim: Int = 64, nprobe: Int = 1): DataFrame = {
+    val (q, probes, buckets) = queryProbes(spark, queries, bits, dim, nprobe)
+    val corpus = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("v").as("cv"), sqrt(expr("graft_dot(v, v)")).as("cnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes.join(q.select(col("query_id"), col("qv"), col("qnrm")), "query_id"))
+      .join(corpus, Seq("bucket"))
+      .withColumn("cosine",
+        expr("graft_dot(qv, cv)") / nullif(col("qnrm") * col("cnrm"), lit(0.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  /** Query-side probe prep shared by the raw and PQ probe paths:
+    * normalized query frame with bucket + margins, the (query, bucket)
+    * multi-probe rows (its own bucket + the (nprobe−1) smallest-margin
+    * plane flips — the classic multi-probe LSH ordering), and the distinct
+    * bucket list for static partition pruning. The probe set stays
+    * |queries|·nprobe rows, a bounded driver list. */
+  private def queryProbes(spark: SparkSession, queries: DataFrame,
+      bits: Int, dim: Int, nprobe: Int): (DataFrame, DataFrame, Seq[Long]) = {
     require(nprobe >= 1 && nprobe <= bits + 1,
       s"nprobe must be in [1, bits+1]: flipping one of $bits planes per extra probe")
     graft.GraftExtensions.register(spark)
@@ -74,8 +99,6 @@ object VectorIndex {
           .reduce(_ + _))
       .withColumn("qnrm", sqrt(expr("graft_dot(qv, qv)")))
       .cache()
-    // per query: its bucket + the (nprobe-1) smallest-margin plane flips —
-    // a |queries|·nprobe-row driver list, bounded like every probe set
     val probeRows = q.collect().flatMap { r =>
       val base = r.getAs[Long]("bucket")
       val qid = r.get(r.fieldIndex("query_id"))
@@ -92,15 +115,75 @@ object VectorIndex {
           q.schema("query_id").dataType, nullable = false),
         org.apache.spark.sql.types.StructField("bucket",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val buckets = probeRows.map(_._2).distinct
-    val corpus = spark.read.parquet(path)
+    (q, probes, probeRows.map(_._2).distinct.toSeq)
+  }
+
+  /** PQ-coded index layout — the memory-bound form of this index for
+    * corpora whose raw vectors don't fit the probe budget:
+    *
+    *   path/codebook  deterministic per-subspace centroids (PqCodebook)
+    *   path/codes     (vec_id, codes) partitioned by LSH bucket — the HOT
+    *                  table a probe scans; m bytes-ish per vector instead
+    *                  of 8·dim
+    *   path/raw       (vec_id, v) — fetched ONLY for the shortlist re-rank
+    *
+    * Probes ([[probePq]]) scan the probed bucket partitions of `codes`,
+    * rank by ADC table lookups (graft_pq_scores), and exact-re-rank only
+    * the shortlist against `raw` — the knn_ivfpq query shape, persisted. */
+  def materializePq(vecs: DataFrame, path: String, bits: Int = 4, dim: Int = 64,
+      kc: Int = 16, m: Int = 8, iters: Int = 10, trainN: Long = 512L): Unit = {
+    val spark = vecs.sparkSession
+    graft.GraftExtensions.register(spark)
+    val e = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = PqCodebook.trainFrom(e, "v", kc, m, iters, trainN)
+    PqCodebook.save(spark, cb, s"$path/codebook")
+    val (mEff, kEff) = (cb.length, cb.head.length)
+    e.withColumn("sc", call_function("graft_pq_scores", col("v"),
+        typedLit(PqCodebook.flatten(cb)), typedLit(PqCodebook.norms2(cb)),
+        lit(mEff), lit(kEff)))
+      .withColumn("codes", expr(s"transform(sequence(0, ${mEff - 1}), j -> " +
+        s"array_position(slice(sc, CAST(j*$kEff+1 AS INT), $kEff), " +
+        s"array_min(slice(sc, CAST(j*$kEff+1 AS INT), $kEff))))"))
+      .withColumn("bucket", bucketCol(col("v"), bits, dim))
+      .select(col("vec_id"), col("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    e.write.mode("overwrite").parquet(s"$path/raw")
+  }
+
+  /** Top-k cosine neighbors via the PQ index: ADC-rank the probed bucket
+    * partitions of the codes table, exact-re-rank the `shortlist` against
+    * the raw vectors. Emitted cosines are exact; PQ loss only affects
+    * which candidates reach the re-rank. */
+  def probePq(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, nprobe: Int = 1,
+      shortlist: Int = 20): DataFrame = {
+    val cb = PqCodebook.load(spark, s"$path/codebook")
+    val (mEff, kEff) = (cb.length, cb.head.length)
+    val (q0, probes, buckets) = queryProbes(spark, queries, bits, dim, nprobe)
+    val q = q0.withColumn("qsc", call_function("graft_pq_scores", col("qv"),
+      typedLit(PqCodebook.flatten(cb)), typedLit(PqCodebook.norms2(cb)),
+      lit(mEff), lit(kEff)))
+    val codes = spark.read.parquet(s"$path/codes")
       .filter(col("bucket").isin(buckets: _*))
-      .select(col("vec_id").as("neighbor_id"), col("bucket"),
-        col("v").as("cv"), sqrt(expr("graft_dot(v, v)")).as("cnrm"))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"), col("codes"))
+    val adc = expr(s"aggregate(sequence(0, ${mEff - 1}), CAST(0 AS DOUBLE), (acc, j) -> " +
+      s"acc + element_at(qsc, CAST(j*$kEff + element_at(codes, CAST(j+1 AS INT)) AS INT)))")
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val short = broadcast(probes
+        .join(q.select(col("query_id"), col("qv"), col("qnrm"), col("qsc")), "query_id"))
+      .join(codes, Seq("bucket"))
+      .withColumn("adc", adc)
+      .withColumn("sr", row_number().over(ws))
+      .filter(col("sr") <= shortlist)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("neighbor_id"))
+    val raw = spark.read.parquet(s"$path/raw")
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        sqrt(expr("graft_dot(v, v)")).as("cnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(probes.join(q.select(col("query_id"), col("qv"), col("qnrm")), "query_id"))
-      .join(corpus, Seq("bucket"))
+    broadcast(short).join(raw, "neighbor_id")
       .withColumn("cosine",
         expr("graft_dot(qv, cv)") / nullif(col("qnrm") * col("cnrm"), lit(0.0)))
       .withColumn("rnk", row_number().over(w))

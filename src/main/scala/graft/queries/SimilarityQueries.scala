@@ -64,42 +64,12 @@ object SimilarityQueries extends QueryModule {
   private val PqTrainN = 512
   private val PqIters = 10
 
-  /** Deterministic Lloyd's k-means per subspace over a bounded id-prefix
-    * sample (vec_id < PqTrainN, collected sorted): fixed init (evenly
-    * spaced sample points), fixed iteration count, lowest-index
-    * tie-breaks, empty clusters keep their previous centroid — byte-stable
-    * across runs and partitionings, which is what lets the resulting
-    * codebooks ride the plan as literals. */
-  private[queries] def pqCodebooks(e: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
-    import e.sparkSession.implicits._
-    val sample = e.filter($"vec_id" < PqTrainN)
-      .select($"vec_id", $"v").collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(sample.nonEmpty, "PQ training sample is empty")
-    // degrade on tiny/narrow corpora (EdgeCorpusSpec's 5-vector, 4-dim
-    // table): fewer centroids than Kc and fewer/narrower subspaces than
-    // M×SubDim are still valid codebooks, just coarser
-    val k = math.min(PqKc, sample.length)
-    val dim = sample.map(_.length).min
-    val effM = math.min(PqM, dim)
-    (0 until effM).map { m =>
-      val (lo, hi) = (m * dim / effM, (m + 1) * dim / effM)
-      val pts = sample.map(_.slice(lo, hi))
-      var cents = IndexedSeq.tabulate(k)(i => pts((i * pts.length) / k).toIndexedSeq)
-      for (_ <- 0 until PqIters) {
-        val assign = pts.map { p =>
-          (0 until k).minBy(i => cents(i).zip(p).map { case (c, x) =>
-            (c - x) * (c - x) }.sum)
-        }
-        cents = (0 until k).map { i =>
-          val mine = pts.indices.filter(assign(_) == i)
-          if (mine.isEmpty) cents(i)
-          else (0 until (hi - lo)).map(d => mine.map(pts(_)(d)).sum / mine.length)
-        }
-      }
-      cents
-    }
-  }
+  /** Deterministic per-subspace codebooks over a bounded id-prefix sample
+    * — delegated to [[graft.operators.PqCodebook]] (shared with the
+    * materialized PQ index), which also documents the tiny/narrow-corpus
+    * degrade rules the EdgeCorpusSpec sweep relies on. */
+  private[queries] def pqCodebooks(e: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    graft.operators.PqCodebook.trainFrom(e, "v", PqKc, PqM, PqIters, PqTrainN)
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
