@@ -30,10 +30,15 @@ import graft.model.{Event, KeyType}
   * Scale design: each append writes its own parquet files, so files are
   * naturally lsn-ranged; the cursor filter prunes all but the tail files
   * via parquet min/max stats — a resumed replicator never rescans history.
-  * The committed cursor lives in `_graft_meta/cursor` (atomic rename);
-  * after a crash between data write and cursor write, [[reconcile]] reads
-  * max(lsn,id) back from the data — the data, not the meta file, is the
-  * source of truth.
+  * Readers resolve segments through the `_graft_meta/segments` MANIFEST
+  * (atomic rename = commit point), so compaction and retention are
+  * concurrent-reader safe: they swap the manifest and leave superseded
+  * files on disk until [[vacuum]]. The committed cursor lives in
+  * `_graft_meta/cursor` (atomic rename); after a crash between manifest
+  * commit and cursor write, [[reconcile]] reads max(lsn,id) back from the
+  * committed data — the data, not the cursor file, is the source of
+  * truth (files staged but never manifested are invisible and carry no
+  * allocated ids).
   */
 final class EventLog(val root: Path, spark: SparkSession) {
 
@@ -45,6 +50,57 @@ final class EventLog(val root: Path, spark: SparkSession) {
   private def metaDir(topic: String): Path = topicDir(topic).resolve("_graft_meta")
 
   private def cursorFile(topic: String): Path = metaDir(topic).resolve("cursor")
+
+  // ---- segment manifest ------------------------------------------------
+  // Readers resolve the topic through `_graft_meta/segments` (one live
+  // parquet file name per line, committed by atomic rename), NOT by
+  // directory listing — so compaction/retention swap the manifest and
+  // leave old generation files on disk for in-flight readers; [[vacuum]]
+  // is the only operation that deletes data files. "Committed" = listed:
+  // a crash between file staging and the manifest move leaves orphans
+  // that were never visible and are reclaimed by vacuum. (The same
+  // manifest-commit model as KafkaShapedLog's EOS sink, applied to the
+  // native log.)
+
+  private def segmentsFile(topic: String): Path = metaDir(topic).resolve("segments")
+
+  private def listParquet(d: Path): Seq[Path] = {
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    } finally s.close()
+  }
+
+  /** Live segment files. Pre-manifest (legacy) topic dirs fall back to a
+    * directory listing; the first mutation writes the manifest. */
+  private def liveFiles(topic: String): Seq[Path] = {
+    val sf = segmentsFile(topic)
+    if (Files.exists(sf))
+      Files.readString(sf).split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(topicDir(topic).resolve(_)).toSeq
+    else listParquet(topicDir(topic))
+  }
+
+  private def writeSegments(topic: String, files: Seq[Path]): Unit = {
+    Files.createDirectories(metaDir(topic))
+    val tmp = metaDir(topic).resolve("segments.tmp")
+    Files.writeString(tmp,
+      files.map(_.getFileName.toString).sorted.mkString("", "\n", "\n"))
+    Files.move(tmp, segmentsFile(topic), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Writer-side: establish the manifest (legacy migration) and return the
+    * live set. Call only under the write lock. */
+  private def ensureManifest(topic: String): Seq[Path] = {
+    if (!Files.exists(segmentsFile(topic)))
+      writeSegments(topic, listParquet(topicDir(topic)))
+    liveFiles(topic)
+  }
 
   /** Topics present in the log (S8 catalog scan + F4 suffix filter). */
   def topics(): Seq[String] = {
@@ -101,15 +157,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
     fixed
   }
 
-  private def hasData(topic: String): Boolean = {
-    val d = topicDir(topic)
-    if (!Files.isDirectory(d)) return false
-    val s = Files.list(d)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-    } finally s.close()
-  }
+  private def hasData(topic: String): Boolean = liveFiles(topic).nonEmpty
 
   /** Append a batch as one transaction: every row gets `lsn = cursor.lsn+1`
     * and a consecutive `id`. Single-writer per topic (synchronized
@@ -159,13 +207,29 @@ final class EventLog(val root: Path, spark: SparkSession) {
             org.apache.spark.sql.types.IntegerType, nullable = false),
           org.apache.spark.sql.types.StructField("_off",
             org.apache.spark.sql.types.LongType, nullable = false))))
+      // stage → move → manifest: the write lands in a staging dir, files
+      // move into the topic dir under unique names, and the MANIFEST move
+      // is the commit point — readers never see partial task output, and
+      // a crash anywhere before the manifest leaves only vacuum-able
+      // orphans (cursor untouched, so no (lsn,id) was ever visible)
+      val live = ensureManifest(topic)
+      val stage = topicDir(topic).resolve("_graft_stage_append")
+      if (Files.exists(stage)) deleteRecursively(stage)
       staged.join(broadcast(offDf), col("_p") === col("_p2"))
         .select(
           (lit(base) + col("_off") +
             (col("_m") - col("_p").cast("long") * lit(1L << 33)) + lit(1L)).as("id"),
           col("key"), col("data"), col("metadata"), col("timestamp"),
           lit(lsn).as("lsn"))
-        .write.mode("append").parquet(topicDir(topic).toString)
+        .write.mode("overwrite").parquet(stage.toString)
+      val stamp = System.nanoTime()
+      val moved = listParquet(stage).zipWithIndex.map { case (f, i) =>
+        val t = topicDir(topic).resolve(s"seg-$lsn-$stamp-$i.parquet")
+        Files.move(f, t)
+        t
+      }
+      writeSegments(topic, live ++ moved)
+      deleteRecursively(stage)
       val next = Cursor(lsn, base + n)
       writeCursor(topic, next)
       next
@@ -184,9 +248,16 @@ final class EventLog(val root: Path, spark: SparkSession) {
     append(topic, df)
   }
 
-  /** Full bounded read of a topic (unordered; order with scan()). */
-  def read(topic: String): DataFrame =
-    spark.read.schema(EventLogSchema.schema).parquet(topicDir(topic).toString)
+  /** Full bounded read of a topic (unordered; order with scan()) —
+    * manifest-gated: only committed segment files are visible, never
+    * staged/orphaned ones or superseded compaction generations. */
+  def read(topic: String): DataFrame = {
+    val files = liveFiles(topic)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], EventLogSchema.schema)
+    else
+      spark.read.schema(EventLogSchema.schema).parquet(files.map(_.toString): _*)
+  }
 
   /** Analytics offload: export a topic to a DATE-PARTITIONED lake layout
     * (`outPath/event_date=YYYY-MM-DD/part-*.parquet`) — SURVEY §9.1's
@@ -268,17 +339,12 @@ final class EventLog(val root: Path, spark: SparkSession) {
 
   /** Retention: drop whole segment files whose events all precede `before`
     * (Kafka `retention.ms` analog, file-granular so it never rewrites
-    * data; events straddling the bound are kept). Requires quiesced
-    * readers like [[compact]]. */
+    * data; events straddling the bound are kept). Reader-safe: expired
+    * segments leave the MANIFEST immediately but stay on disk for
+    * in-flight readers until [[vacuum]]. */
   def truncateBefore(topic: String, before: Cursor): Int = EventLog.writeLock.synchronized {
-    import scala.jdk.CollectionConverters._
-    if (!hasData(topic)) return 0
-    val files = {
-      val s = Files.list(topicDir(topic))
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toList
-      finally s.close()
-    }
+    val files = ensureManifest(topic)
+    if (files.isEmpty) return 0
     // one job for all segments (groupBy input_file_name), not one Spark
     // job per file — retention over thousands of small appends would
     // otherwise be driver-bound on job-scheduling overhead
@@ -296,7 +362,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
         l < before.lsn || (l == before.lsn && i <= before.id)
       }
     }
-    deletable.foreach(Files.delete)
+    writeSegments(topic, files.diff(deletable))
     deletable.size
   }
 
@@ -304,46 +370,61 @@ final class EventLog(val root: Path, spark: SparkSession) {
     * lsn-range-partitioned files. Many small appends → many small parquet
     * files; at scale the scan cost becomes file-open-bound, and compaction
     * restores big, lsn-ordered segments whose min/max stats still prune
-    * cursor scans (S4). Runs under the writer lock: rewrite lands in a
-    * staging dir, then old files are swapped out; data content and the
-    * (lsn,id) order are unchanged.
-    */
+    * cursor scans (S4). Data content and the (lsn,id) order are unchanged.
+    *
+    * CONCURRENT-READER SAFE: the rewrite lands in a staging dir, the new
+    * generation moves in under fresh names, and the manifest swap is the
+    * single commit point — plans resolved before the swap keep reading the
+    * old generation's files, which stay on disk until [[vacuum]]. A crash
+    * mid-compaction leaves the manifest on the old generation and only
+    * vacuum-able orphans. */
   def compact(topic: String, targetFiles: Int = 1): Unit = EventLog.writeLock.synchronized {
-    import scala.jdk.CollectionConverters._
     val dir = topicDir(topic)
-    if (!hasData(topic)) return
+    val oldFiles = ensureManifest(topic)
+    if (oldFiles.isEmpty) return
     val stage = dir.resolve("_graft_compact_tmp")
     if (Files.exists(stage)) deleteRecursively(stage)
     read(topic)
       .repartitionByRange(targetFiles, col("lsn"), col("id"))
       .sortWithinPartitions(col("lsn"), col("id"))
       .write.parquet(stage.toString)
-    val oldFiles = {
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          (p.getFileName.toString.endsWith(".parquet") || p.getFileName.toString == "_SUCCESS"))
-        .toList
-      finally s.close()
+    val stamp = System.nanoTime()
+    val moved = listParquet(stage).zipWithIndex.map { case (f, i) =>
+      val t = dir.resolve(s"compacted-$stamp-$i.parquet")
+      Files.move(f, t)
+      t
     }
-    val newFiles = {
-      val s = Files.list(stage)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toList
-      finally s.close()
-    }
-    // Swap: place new files first, then remove old. Requires quiesced
-    // readers (single-maintenance-window operation, like VACUUM FULL); a
-    // crash mid-swap leaves both copies visible and is repaired by
-    // deleting the partial `compacted-<stamp>-*` generation. A
-    // production deployment would do manifest-based swaps like
-    // KafkaShapedLog instead of directory listing.
-    val stamp = System.currentTimeMillis()
-    newFiles.zipWithIndex.foreach { case (f, i) =>
-      Files.move(f, dir.resolve(s"compacted-$stamp-$i.parquet"))
-    }
-    oldFiles.foreach(Files.delete)
+    writeSegments(topic, moved)
     deleteRecursively(stage)
+  }
+
+  /** Reclaim disk from files no committed reader can reach: parquet files
+    * in the topic dir that are NOT in the manifest (superseded compaction
+    * generations, truncated segments, crash orphans) and are older than
+    * `graceMs`. The grace window covers plans resolved against a previous
+    * manifest that are still executing — size it to the longest-running
+    * read (the lakehouse vacuum-retention contract). Returns the number of
+    * files deleted. */
+  def vacuum(topic: String, graceMs: Long = 0L): Int = EventLog.writeLock.synchronized {
+    val dir = topicDir(topic)
+    if (!Files.isDirectory(dir)) return 0
+    val live = ensureManifest(topic).map(_.getFileName.toString).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = listParquet(dir).filter { f =>
+      !live.contains(f.getFileName.toString) &&
+        Files.getLastModifiedTime(f).toMillis <= cutoff
+    }
+    dead.foreach(Files.delete)
+    // stale staging dirs (crashed append/compact) age out the same way
+    Seq("_graft_stage_append", "_graft_compact_tmp").foreach { n =>
+      val s = dir.resolve(n)
+      if (Files.isDirectory(s) && Files.getLastModifiedTime(s).toMillis <= cutoff)
+        deleteRecursively(s)
+    }
+    // a legacy _SUCCESS marker from the pre-manifest direct-append layout
+    val succ = dir.resolve("_SUCCESS")
+    if (Files.isRegularFile(succ)) Files.delete(succ)
+    dead.size
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -354,13 +435,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
   }
 
   /** Number of parquet segment files in a topic (compaction observability). */
-  def segmentFileCount(topic: String): Int = {
-    val s = Files.list(topicDir(topic))
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-    } finally s.close()
-  }
+  def segmentFileCount(topic: String): Int = liveFiles(topic).size
 
   /** Ordered driver-side materialization (tests / small replays only). */
   def typedRead(topic: String): Seq[(Cursor, Event)] =

@@ -178,6 +178,37 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.saveAll("cp_events", Seq(ev(7))) == Cursor(4, 7))
   }
 
+  test("compaction and retention are concurrent-reader safe; vacuum reclaims superseded generations") {
+    val log = newLog()
+    (1 to 6).grouped(2).foreach(g => log.saveAll("cr_events", g.map(ev)))
+    // resolve a plan against the pre-compaction generation
+    val preCompact = log.scan("cr_events", Cursor.zero, 10)
+    log.compact("cr_events", targetFiles = 1)
+    // the old generation is unreferenced but still on disk — the
+    // in-flight plan reads it unharmed
+    assert(preCompact.collect().map(_.getAs[Long]("id")).toSeq == (1L to 6L))
+    assert(log.segmentFileCount("cr_events") == 1, "live view is the compacted generation")
+    val onDisk = new java.io.File(log.root.resolve("cr_events").toString)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(onDisk > 1, "superseded generation retained for in-flight readers")
+    // retention: manifest-only removal, file stays for readers
+    val preTruncate = log.scan("cr_events", Cursor.zero, 10)
+    // compacted to one file, nothing is whole-file expired — re-split first
+    log.compact("cr_events", targetFiles = 3)
+    val dropped = log.truncateBefore("cr_events", Cursor(1, 2))
+    assert(dropped >= 1)
+    assert(preTruncate.collect().map(_.getAs[Long]("id")).toSeq == (1L to 6L),
+      "pre-retention plan still reads the full history")
+    // vacuum with a huge grace keeps everything; grace 0 reclaims
+    assert(log.vacuum("cr_events", graceMs = 3600000L) == 0)
+    val reclaimed = log.vacuum("cr_events")
+    assert(reclaimed >= 1, "unreferenced generations deleted")
+    val live = log.read("cr_events").collect().map(_.getAs[Long]("id")).sorted
+    assert(live.toSeq == (3L to 6L), "live view = retained tail")
+    // appends continue on the vacuumed topic
+    assert(log.saveAll("cr_events", Seq(ev(7))) == Cursor(4, 7))
+  }
+
   test("exportPartitioned writes a date-partitioned layout; date predicates prune at file level") {
     import org.apache.spark.sql.functions._
     val log = newLog()
