@@ -98,6 +98,39 @@ object EventQueries extends QueryModule {
           $"w.end".as("session_end"), $"n_events")
     },
 
+    // Purchase→session attribution via the general point-in-interval
+    // join (operators/IntervalJoin): browsing sessions (view/click,
+    // 6-hour gap rule — sized to the sparse synthetic cadence) become
+    // [first,last]-ts intervals and each purchase
+    // joins the same-user session containing it. The interval join grid-
+    // buckets instead of planning a cartesian/BNLJ — the named operator
+    // class Spark lacks natively (PlanAuditSpec pins no-cartesian); the
+    // oracle runs the naive BETWEEN join (DuckDB IEJoin), so the gate
+    // proves the bucketed plan row-identical to the inequality-join
+    // spelling.
+    "ev_interval_attr" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapMs = 6L * 3600 * 1000
+      val sess = ev.filter($"event_type".isin("view", "click"))
+        .withColumn("new_s",
+          when(lag($"ts", 1).over(w).isNull ||
+            (unix_millis($"ts") - unix_millis(lag($"ts", 1).over(w))) >= gapMs,
+            1).otherwise(0))
+        .withColumn("sess", sum($"new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val intervals = sess.groupBy($"user_id", $"sess")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+          min($"event_id").as("session_id"))
+      val points = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      graft.operators.IntervalJoin.pointsInIntervals(points, "ts",
+          intervals, "session_start", "session_end", Seq("user_id"), 21600L)
+        .select($"event_id", $"user_id", $"session_id", $"session_start")
+    },
+
     // §2.7 extension: sliding event-time windows (1h window, 30m slide —
     // each event lands in two windows; Spark's window() generates them,
     // the oracle unrolls the same two bucket starts per event).
@@ -492,6 +525,34 @@ object EventQueries extends QueryModule {
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  count(*) AS n_events
         |FROM numbered GROUP BY user_id, sess""".stripMargin,
+
+    "ev_interval_attr" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type IN ('view', 'click')
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM flagged
+        |), iv AS (
+        |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |    min(event_id) AS session_id
+        |  FROM numbered GROUP BY user_id, sess
+        |), p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, iv.session_id, iv.session_start
+        |FROM p JOIN iv ON p.user_id = iv.user_id
+        |  AND p.ts BETWEEN iv.session_start AND iv.session_end""".stripMargin,
 
     "ev_window_sliding" ->
       """WITH starts AS (

@@ -135,6 +135,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(neighbor_id"), p)
   }
 
+  test("ev_interval_attr: the interval join keys on (user, grid cell) — never a cartesian/BNLJ") {
+    val p = plan("ev_interval_attr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_semantic(+incr): within-cluster joins key on the cell — never all-pairs") {
     for (q <- Seq("dedup_semantic", "dedup_semantic_incr")) {
       val p = plan(q)
