@@ -212,6 +212,36 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(sink.read("ts_events").count() == 8)
   }
 
+  test("streaming replication stays exactly-once across mid-stream compaction and vacuum") {
+    // compaction republishes EVERY row inside a fresh file generation, so
+    // the directory-listing file source delivers the whole history again;
+    // the sink-cursor replay filter must drop the already-committed prefix
+    // while still committing genuinely new rows — and vacuuming the old
+    // generation (already-processed files) must not disturb the stream.
+    val (log, sink, rep) = fixture()
+    val ckpt = Files.createTempDirectory("graft-repl-cv-")
+    log.saveAll("cv_events", (1 to 4).map(ev))
+    rep.replicateStream("cv_events", ckpt.resolve("c").toString).awaitTermination()
+    assert(sink.read("cv_events").count() == 4)
+    // append more, then compact BEFORE the stream drains the tail: the
+    // compacted generation carries committed rows 1-4 AND new rows 5-8
+    log.saveAll("cv_events", (5 to 8).map(ev))
+    log.compact("cv_events", targetFiles = 1)
+    assert(log.vacuum("cv_events") > 0) // old generation reclaimed
+    rep.replicateStream("cv_events", ckpt.resolve("c").toString).awaitTermination()
+    val rows = sink.read("cv_events").orderBy("offset").collect()
+    assert(rows.length == 8, s"exactly-once violated: ${rows.length} rows")
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("key"), UTF_8)).toSeq ==
+      (1 to 8).map(i => s"key-$i"), "order or content corrupted")
+    // another compact+vacuum with NOTHING new: a full re-delivery of the
+    // compacted file must commit zero rows
+    log.compact("cv_events", targetFiles = 2)
+    assert(log.vacuum("cv_events") > 0)
+    rep.replicateStream("cv_events", ckpt.resolve("c").toString).awaitTermination()
+    assert(sink.read("cv_events").count() == 8)
+    assert(sink.pendingRanges("cv_events").isEmpty, "no ranges parked by replays")
+  }
+
   test("drain heals a retention gap above the sink cursor (fallback to ordered scan)") {
     val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
     val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark)
