@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RowValueCursorBound)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -78,6 +79,10 @@ object GraftExtensions {
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.RowValueCursorBound)) {
       spark.experimental.extraOptimizations = extra :+ graft.plans.RowValueCursorBound
+    }
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies = strategies :+ graft.plans.AsOfJoinStrategy
     }
   }
 }

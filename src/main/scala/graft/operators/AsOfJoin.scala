@@ -6,18 +6,16 @@ import org.apache.spark.sql.types._
 
 /** As-of join, scale path: for each (key, at_ts) query, the latest event
   * with `ts <= at_ts` — without materializing the (query × history) range
-  * join.
+  * join the composable spelling (EventQueries.ev_asof: range join +
+  * max_by) pays, O(|queries| × events-per-key) intermediate rows.
   *
-  * The composable spelling (EventQueries.ev_asof: range join + max_by) is
-  * correct but joins every query row against the key's FULL history before
-  * aggregating — O(|queries| × events-per-key) intermediate rows. This
-  * operator is the merge formulation: co-partition both sides by key,
-  * sort each partition by (ts, is-query) once, and sweep — each event is
-  * touched exactly once, carrying forward the running "last event" into
-  * any query rows it precedes. O(n log n) in the partition, zero
-  * intermediate blowup; this is the (d) `mapPartitions` tier of the
-  * custom-operator ladder (SURVEY §7.3), justified because no built-in
-  * composition avoids the quadratic intermediate.
+  * [[lastEventBefore]] plans the FIRST-CLASS Catalyst operator
+  * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec): a physical two-pointer
+  * merge that only DECLARES `ClusteredDistribution(key)` + `(key, time)`
+  * ordering, so the planner inserts — or reuses — the exchanges and
+  * sorts (tier (c) of the §7.3 ladder). [[lastEventBeforeSweep]] keeps
+  * the hand-choreographed mapPartitions spelling (tier (d)) as the
+  * independent cross-check AsOfJoinSpec pins both against.
   *
   * @param events  (key long, ts timestamp, id long) — the ordered history
   * @param queries (key long, at_ts timestamp)
@@ -29,7 +27,18 @@ object AsOfJoin {
     StructField("at_ts", TimestampType, nullable = false),
     StructField("last_id", LongType, nullable = true)))
 
-  def lastEventBefore(events: DataFrame, queries: DataFrame, partitions: Int = 0): DataFrame = {
+  /** Physical-operator path (AsOfJoinExec via the planner strategy). */
+  def lastEventBefore(events: DataFrame, queries: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    graft.GraftExtensions.register(spark)
+    val ev = events.select(col("key"), col("ts"), col("id"))
+    val q = queries.select(col("key"), col("at_ts"))
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(ev.queryExecution.analyzed, q.queryExecution.analyzed))
+  }
+
+  /** mapPartitions sweep (the tier-(d) spelling, kept as cross-check). */
+  def lastEventBeforeSweep(events: DataFrame, queries: DataFrame, partitions: Int = 0): DataFrame = {
     val spark = events.sparkSession
     val nParts =
       if (partitions > 0) partitions

@@ -25,12 +25,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       (2L, ts(149)),  // before key-2's only event → null
       (3L, ts(500))   // key with no events → null
     ).toDF("key", "at_ts")
-    val got = AsOfJoin.lastEventBefore(events, queries, partitions = 3)
+    val expected = Set(
+      (1L, ts(50), None), (1L, ts(200), Some(11L)), (1L, ts(250), Some(11L)),
+      (1L, ts(999), Some(12L)), (2L, ts(149), None), (3L, ts(500), None))
+    // physical operator (AsOfJoinExec) and the mapPartitions sweep agree
+    val physical = AsOfJoin.lastEventBefore(events, queries)
+    assert(physical.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "the planner strategy must place the physical operator")
+    val got = physical
       .collect().map(r => (r.getLong(0), r.getTimestamp(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
-    assert(got == Set(
-      (1L, ts(50), None), (1L, ts(200), Some(11L)), (1L, ts(250), Some(11L)),
-      (1L, ts(999), Some(12L)), (2L, ts(149), None), (3L, ts(500), None)))
+    assert(got == expected)
+    val swept = AsOfJoin.lastEventBeforeSweep(events, queries, partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(swept == expected)
   }
 
   test("agrees with the composable range-join + max_by spelling on random data") {
@@ -45,6 +54,9 @@ class AsOfJoinSpec extends AnyFunSuite {
     val merged = AsOfJoin.lastEventBefore(events, queries)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val swept = AsOfJoin.lastEventBeforeSweep(events, queries)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
 
     val composed = queries.as("q").join(events.as("e"),
         $"q.key" === $"e.key" && $"e.ts" <= $"q.at_ts", "left")
@@ -55,5 +67,6 @@ class AsOfJoinSpec extends AnyFunSuite {
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
 
     assert(merged == composed)
+    assert(swept == composed, "tier-(d) sweep must agree with both")
   }
 }
