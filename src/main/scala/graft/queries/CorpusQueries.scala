@@ -57,6 +57,12 @@ object CorpusQueries extends QueryModule {
   val ChunkTokens = 16L
   val ChunkStride = 12L
 
+  /** text_oov vocabulary size: top-K corpus tokens by frequency. The
+    * synthetic corpus has ~31 distinct tokens, so K=16 leaves a real OOV
+    * tail; a production run uses its tokenizer vocabulary (10⁴–10⁶ terms —
+    * still broadcast-sized next to the corpus). */
+  val VocabTopK = 16
+
   /** Distinct (doc_id, 60-bit shingle hash) pairs — same shape as
     * DedupQueries' inverted index (hash BEFORE distinct so shuffle rows
     * are 8-byte longs, not shingle strings). */
@@ -205,6 +211,57 @@ object CorpusQueries extends QueryModule {
           ($"cb" % PackBudget).as("shard_offset"))
     },
 
+    // Cross-source overlap matrix from per-source MinHash signatures —
+    // the corpus-mixing / cross-source-contamination signal ("how much of
+    // src7 is already in src3?"). Exact pairwise intersection of shingle
+    // sets is O(|pairs|·|shingles|) and infeasible at 100 TB; the MinHash
+    // estimate needs ONE corpus pass to build |sources|×NumPerm signature
+    // mins (map-side combinable agg), after which the pairwise matrix is
+    // O(sources²) on a broadcast-sized table. Signature arithmetic is
+    // integer mod-P, so the oracle is hash-exact.
+    "corpus_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"source", explode(shingleHashes($"text")).as("h"))
+        .distinct()
+        .select($"source", ($"h" % P).as("x"))
+      // x < P keeps a·x + b inside i64 (a ≤ 1.7e7, P ≈ 1e9 ⇒ product ≤ 1.7e16)
+      val sigCols = permA.indices.map(i =>
+        min((lit(permA(i)) * col("x") + lit(permB(i))) % P).as(s"m$i"))
+      val sig = sh.groupBy($"source").agg(sigCols.head, sigCols.tail: _*)
+      val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val matches = permA.indices.map(i =>
+        when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L)).reduce(_ + _)
+      a.join(b, col("a_source") < col("b_source"))
+        .select(col("a_source").as("src_a"), col("b_source").as("src_b"),
+          matches.as("n_match"))
+        .withColumn("jaccard_est", $"n_match".cast("double") / NumPerm)
+    },
+
+    // Vocabulary coverage / OOV rate: corpus top-K vocabulary by frequency
+    // (ties broken by token text), then per-document in-vocab vs
+    // out-of-vocab token counts — the tokenizer-fit signal of a curation
+    // pipeline (a doc whose tokens mostly miss the vocab is noise or the
+    // wrong language). The vocab is top-K of a corpus-wide hash agg
+    // (map-side combinable) and broadcast-sized by construction, so the
+    // per-doc pass is one narrow scan + broadcast join; integer counts →
+    // hash-exact oracle.
+    "text_oov" -> { (s, dir) =>
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+      val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"tok")
+        .limit(VocabTopK)
+        .select($"tok", lit(1L).as("in_vocab"))
+      tok.join(vocab, Seq("tok"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_frac", $"n_oov".cast("double") / $"n_tokens")
+    },
+
     // Per-doc top-3 TF-IDF terms (rational idf — see scaladoc).
     "text_tfidf" -> { (s, dir) =>
       import s.implicits._
@@ -319,6 +376,35 @@ object CorpusQueries extends QueryModule {
          |  CAST(cb // $PackBudget AS BIGINT) AS shard,
          |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
          |FROM c""".stripMargin,
+
+    "corpus_overlap" -> {
+      val sigCols = permA.indices
+        .map(i => s"min((${permA(i)}*x + ${permB(i)}) % $P) AS m$i").mkString(", ")
+      val matches = permA.indices
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (SELECT DISTINCT source, ${oH60("sg")} AS h
+         |       FROM (SELECT source, unnest($oShingles3) AS sg
+         |             FROM (SELECT source, $oTokens AS w FROM documents))),
+         |hx AS (SELECT source, h % $P AS x FROM sh),
+         |sig AS (SELECT source, $sigCols FROM hx GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST($matches AS BIGINT) AS n_match,
+         |  CAST($matches AS DOUBLE) / $NumPerm AS jaccard_est
+         |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+    },
+
+    "text_oov" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS tok FROM documents),
+         |vocab AS (SELECT tok FROM (
+         |    SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+         |    ORDER BY freq DESC, tok LIMIT $VocabTopK)),
+         |v AS (SELECT tok, 1 AS in_vocab FROM vocab)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS oov_frac
+         |FROM tok t LEFT JOIN v ON t.tok = v.tok
+         |GROUP BY t.doc_id""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS term FROM documents),

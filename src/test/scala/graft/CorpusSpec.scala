@@ -125,6 +125,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0))
   }
 
+  test("corpus_overlap: MinHash estimate tracks exact per-pair Jaccard within sketch error") {
+    import spark.implicits._
+    import graft.queries.CrossHash._
+    val est = SparkEntry.queries("corpus_overlap")(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (a, b, m, j) => (a, b) -> (m, j) }.toMap
+    assert(est.nonEmpty)
+    assert(est.keys.forall { case (a, b) => a < b }, "upper triangle only")
+    assert(est.values.forall { case (m, j) =>
+      m >= 0 && m <= NumPerm && math.abs(j - m.toDouble / NumPerm) == 0.0 })
+    // exact Jaccard per source pair from the same shingle sets
+    graft.GraftExtensions.register(spark)
+    val sets = Tables.load(spark, dir, "documents")
+      .select($"source", explode(shingleHashes($"text")).as("h")).distinct()
+      .as[(String, Long)].collect().groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    for (((a, b), (_, j)) <- est) {
+      val inter = (sets(a) & sets(b)).size.toDouble
+      val exact = inter / (sets(a) | sets(b)).size
+      // 16 permutations ⇒ stderr ≈ sqrt(J(1-J)/16) ≤ 0.125; allow 4 sigma
+      assert(math.abs(j - exact) <= 0.5, s"($a,$b): est $j vs exact $exact")
+    }
+  }
+
+  test("text_oov: counts partition exactly and the vocabulary is top-K by frequency") {
+    import spark.implicits._
+    import graft.queries.CrossHash._
+    val rows = SparkEntry.queries("text_oov")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((_, n, oov, f) <- rows) {
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(f - oov.toDouble / n) == 0.0)
+    }
+    // independent recount: per-doc token totals must match a direct count
+    val direct = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == direct)
+    // with K below the distinct-token count, some OOV mass must exist
+    assert(rows.exists(_._3 > 0), "vocab covers everything — K not below vocab size?")
+  }
+
   test("knn_self_topk: every vector with bucket-mates gets ranked neighbors; ranks dense from 1") {
     import spark.implicits._
     val rows = SparkEntry.queries("knn_self_topk")(spark, dir)
