@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, LshBands, Md5Prefix60, PqScores, Shingle60}
+import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -60,6 +60,11 @@ object GraftExtensions {
         require(children.length == 4,
           "graft_lsh_bands takes exactly 4 arguments: (vector, planesFlat, bands, bits)")
         LshBands(children(0), children(1), children(2), children(3))
+      }),
+    (FunctionIdentifier("graft_kmv"), KmvMinima.info,
+      children => {
+        require(children.length == 2, "graft_kmv takes exactly 2 arguments: (hash, k)")
+        KmvMinima(children(0), children(1))
       }),
     (FunctionIdentifier("graft_pq_scores"), PqScores.info,
       children => {

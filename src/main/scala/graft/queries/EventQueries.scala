@@ -35,6 +35,11 @@ import graft.{QueryModule, Tables}
 object EventQueries extends QueryModule {
   private val dec2 = DecimalType(18, 2)
 
+  /** ev_kmv_distinct sketch size (stderr ≈ 1/√(k−2) ≈ 13%) and the h60
+    * hash space 2⁶⁰ (exactly representable as a double). */
+  val KmvK = 64
+  val HashSpace = 1152921504606846976L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: resumable ordered keyset scan after a (ts,id) cursor. The
     // redundant `ts >= cursor` bound is parquet-pushable (row-group
@@ -437,6 +442,32 @@ object EventQueries extends QueryModule {
     // no DuckDB hash oracle (rows-only check); ScaleOpsSpec pins ≤5%
     // relative error for the HLL count and rank-tolerance for the
     // percentiles against the exact spellings.
+    // KMV (k-minimum-values) distinct-user sketch per event type — the
+    // second sketch shape next to ev_approx_stats' HLL, with the property
+    // HLL lacks: the k smallest distinct hashes are order-independent, so
+    // the sketch AND its estimator ((k−1)·M/h₍ₖ₎) are bit-identical across
+    // engines and merge orders → hash-exact oracle for an approximate
+    // aggregate. graft_kmv is a native TypedImperativeAggregate: bounded
+    // k-long buffer, map-side combined, no distinct shuffle at all — the
+    // shuffle carries |types| × k longs. ScaleOpsSpec pins the estimate's
+    // relative error against the exact distinct count.
+    "ev_kmv_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val k = KmvK
+      val kth = element_at($"mins", size($"mins"))
+      Tables.load(s, dir, "events")
+        .select($"event_type",
+          CrossHash.h60($"user_id".cast("string")).as("h"))
+        .groupBy($"event_type")
+        .agg(call_function("graft_kmv", $"h", lit(k)).as("mins"))
+        .select($"event_type",
+          size($"mins").cast("long").as("kmv_n"),
+          kth.as("kmv_kth"),
+          when(size($"mins") < k, size($"mins").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(HashSpace).cast("double") / kth)
+            .as("est_users"))
+    },
+
     "ev_approx_stats" -> { (s, dir) =>
       import s.implicits._
       // The percentile pair is flattened to scalar columns: the driver's
@@ -478,6 +509,19 @@ object EventQueries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "ev_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${CrossHash.oH60("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS kmv_n,
+         |    max(h) AS kmv_kth FROM r WHERE rk <= $KmvK GROUP BY event_type)
+         |SELECT event_type, kmv_n, kmv_kth,
+         |  CASE WHEN kmv_n < $KmvK THEN CAST(kmv_n AS DOUBLE)
+         |       ELSE ${(KmvK - 1).toDouble} * CAST($HashSpace AS DOUBLE) / kmv_kth
+         |  END AS est_users
+         |FROM s""".stripMargin,
+
     "ev_keyset_scan" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |FROM events

@@ -188,4 +188,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"curation funnels into one task:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ev_kmv_distinct: the sketch aggregates map-side (no distinct shuffle of the key space)") {
+    val p = plan("ev_kmv_distinct")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial below
+    // the exchange means the shuffle carries |types| × k longs, never the
+    // raw (type, user) pairs an exact distinct must move
+    val nAgg = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 2, s"expected partial+final ObjectHashAggregate, plan:\n$p")
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r.findFirstIn(p).isDefined, p)
+    // exactly one exchange node: the final agg's type shuffle (formatted
+    // plans list each node once in the tree and once in the detail
+    // section — count the numbered detail headers)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1,
+      s"extra shuffles in the sketch plan:\n$p")
+  }
+
+  test("corpus_overlap: one corpus pass builds signatures; the pair matrix joins signature-sized sides") {
+    val p = plan("corpus_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pairwise join is on the |sources|-row signature table — it must
+    // be a broadcast nested loop (inequality condition), never a shuffled
+    // corpus-side join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }

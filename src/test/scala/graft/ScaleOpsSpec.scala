@@ -97,4 +97,42 @@ class ScaleOpsSpec extends AnyFunSuite {
           s"$tpe p${if (i == 0) 50 else 95}: $a vs $e")
     }
   }
+
+  test("ev_kmv_distinct: estimate within sketch error of exact; result partition-independent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val events = Tables.load(spark, dir, "events")
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("users"))
+      .as[(String, Long)].collect().toMap
+    val est = SparkEntry.queries("ev_kmv_distinct")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(est.keySet == exact.keySet)
+    val k = graft.queries.EventQueries.KmvK
+    for ((tpe, (n, kth, e)) <- est) {
+      assert(n >= 1 && n <= k)
+      val ex = exact(tpe)
+      if (n < k) assert(e == ex.toDouble, s"$tpe: undersized sketch must be exact")
+      else {
+        assert(kth > 0)
+        // KMV stderr ≈ 1/√(k−2) ≈ 12.7% at k=64; allow 4σ
+        val relErr = math.abs(e - ex) / ex
+        assert(relErr <= 0.51, s"$tpe: KMV off by ${relErr * 100}% ($e vs $ex)")
+      }
+    }
+    // merge-order/partition independence: the minima are a function of the
+    // value SET — any repartitioning (and thus any partial/merge schedule)
+    // must produce the identical rows
+    graft.GraftExtensions.register(spark)
+    def run(parts: Int) = events.repartition(parts)
+      .select($"event_type", graft.queries.CrossHash.h60($"user_id".cast("string")).as("h"))
+      .groupBy($"event_type")
+      .agg(call_function("graft_kmv", $"h", lit(k)).as("mins"))
+      .as[(String, Seq[Long])].collect().toMap
+    val a = run(1); val b = run(7); val c = run(32)
+    assert(a == b && b == c, "KMV result varies with partitioning")
+    assert(a.values.forall(m => m == m.sorted && m.distinct.size == m.size),
+      "minima must be ascending and distinct")
+  }
 }
