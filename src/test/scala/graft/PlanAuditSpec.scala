@@ -189,6 +189,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ev_topk_per_user: rank filter plans a PARTIAL WindowGroupLimit below the exchange") {
+    val p = plan("ev_topk_per_user")
+    // Spark's InferWindowGroupLimit turns rank<=k into map-side top-k —
+    // each input partition forwards at most k rows per user, so the
+    // shuffle carries O(users × k), not the full event stream. Pin it so
+    // a rewrite of the query (or a conf regression) can't silently fall
+    // back to the full-shuffle window.
+    assert("(?s)WindowGroupLimit.*Exchange.*WindowGroupLimit".r.findFirstIn(p).isDefined,
+      s"expected partial+final WindowGroupLimit around the exchange:\n$p")
+    assert(p.contains("Partial"), p)
+  }
+
   test("ev_kmv_distinct: the sketch aggregates map-side (no distinct shuffle of the key space)") {
     val p = plan("ev_kmv_distinct")
     // TypedImperativeAggregate plans as ObjectHashAggregate; partial below
