@@ -240,6 +240,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.size == 2)
   }
 
+  test("graft_kmv runs inside a watermarked streaming window agg (sketch state survives batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two tumbling 1h windows; duplicate keys within a window must not
+    // inflate the sketch (the buffer is a set), and the minima must match
+    // the batch spelling over the same rows regardless of batch splits
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 40).map { i =>
+      (java.sql.Timestamp.from(base.plusSeconds((i % 2) * 3600L + i)), s"u${i % 7}")
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(call_function("graft_kmv", call_function("graft_h60", $"uid"), lit(4)).as("mins"))
+      .select($"w.start".as("ws"), $"mins")
+    // update mode: every batch re-emits the windows it touched; the LAST
+    // emission per window is the fully-merged sketch (state-store merge of
+    // the two batches' partial buffers)
+    val got = scala.collection.mutable.Map.empty[java.sql.Timestamp, Seq[Long]]
+    val sq = q.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-kmvckpt-").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r =>
+          got(r.getAs[java.sql.Timestamp]("ws")) = r.getAs[Seq[Long]]("mins"))
+      }
+    // split across two batches so partial sketches merge through the store
+    mem.addData(rows.take(25): _*); mem.addData(rows.drop(25): _*)
+    val run = sq.start(); run.awaitTermination()
+    val expect = rows.toDF("ts", "uid")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(call_function("graft_kmv", call_function("graft_h60", $"uid"), lit(4)).as("mins"))
+      .select($"w.start".as("ws"), $"mins")
+      .as[(java.sql.Timestamp, Seq[Long])].collect().toMap
+    assert(got == expect, s"streaming sketch diverged: $got vs $expect")
+    assert(expect.values.forall(m => m.size == 4 && m == m.sorted), expect.toString)
+  }
+
   test("streaming near-dup probe equals batch IncrementalDedup restricted to stream-vs-corpus pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
