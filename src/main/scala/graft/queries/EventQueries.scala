@@ -40,6 +40,49 @@ object EventQueries extends QueryModule {
   val KmvK = 64
   val HashSpace = 1152921504606846976L
 
+  /** Per-type mergeable stats state (ev_stats_incr): count, decimal sum,
+    * min/max, KMV minima — every column merges exactly, so a view over
+    * old ∪ delta equals the full recompute. */
+  def statsView(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("event_type"), col("value"),
+        CrossHash.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec2)).as("sv"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        call_function("graft_kmv", col("h"), lit(KmvK)).as("mins"))
+  }
+
+  /** Merge two stats states and project the published view columns.
+    * least/greatest skip nulls, so a type present on one side only
+    * carries through; the KMV merge is distinct-union → sort → first k. */
+  def mergeStatsViews(old: DataFrame, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = old.columns.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = delta.columns.foldLeft(delta)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val merged = a.join(b, col("a_event_type") === col("b_event_type"), "full_outer")
+      .select(
+        coalesce(col("a_event_type"), col("b_event_type")).as("event_type"),
+        (coalesce(col("a_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"),
+        (coalesce(col("a_sv"), lit(0).cast(dec2)) +
+          coalesce(col("b_sv"), lit(0).cast(dec2))).as("sv"),
+        least(col("a_vmin"), col("b_vmin")).as("vmin"),
+        greatest(col("a_vmax"), col("b_vmax")).as("vmax"),
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("a_mins"), expr("array()")),
+          coalesce(col("b_mins"), expr("array()"))))), 1, KmvK).as("mins"))
+    val kth = element_at(col("mins"), size(col("mins")))
+    merged.select(col("event_type"), col("n"),
+      col("sv").cast("double").as("sum_value"),
+      col("vmin"), col("vmax"),
+      size(col("mins")).cast("long").as("kmv_n"),
+      kth.as("kmv_kth"),
+      when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(HashSpace).cast("double") / kth)
+        .as("est_users"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: resumable ordered keyset scan after a (ts,id) cursor. The
     // redundant `ts >= cursor` bound is parquet-pushable (row-group
@@ -468,6 +511,25 @@ object EventQueries extends QueryModule {
             .as("est_users"))
     },
 
+    // Incremental materialized-view maintenance: a per-type stats view
+    // (count / decimal sum / min / max / KMV distinct sketch) refreshed by
+    // MERGING yesterday's state with a delta aggregate — never rescanning
+    // the full history. Every statistic is chosen mergeable: counts add,
+    // decimal sums add exactly, min/max fold, and the KMV minima union
+    // back into a KMV sketch (sketch mergeability is precisely what makes
+    // the distinct count incrementally maintainable — an exact distinct
+    // is NOT mergeable without the full key set). The registered query
+    // computes old-state ∪ delta via the merge path; the oracle computes
+    // the same view over ALL events in one pass — hash equality IS the
+    // incremental-correctness proof.
+    "ev_stats_incr" -> { (s, dir) =>
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      mergeStatsViews(
+        statsView(events.filter($"event_id" % 10 =!= 0)),
+        statsView(events.filter($"event_id" % 10 === 0)))
+    },
+
     "ev_approx_stats" -> { (s, dir) =>
       import s.implicits._
       // The percentile pair is flattened to scalar columns: the driver's
@@ -509,6 +571,29 @@ object EventQueries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    // The oracle is the NON-incremental spelling: one pass over all
+    // events. Hash equality proves the merge path reconstructs the full
+    // recompute exactly (decimal sums add associatively; KMV minima union
+    // losslessly).
+    "ev_stats_incr" ->
+      s"""WITH h AS (SELECT event_type, value,
+         |    ${CrossHash.oH60("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |d AS (SELECT DISTINCT event_type, h FROM h),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM d),
+         |kmv AS (SELECT event_type, CAST(count(*) AS BIGINT) AS kmv_n,
+         |    max(h) AS kmv_kth FROM r WHERE rk <= $KmvK GROUP BY event_type),
+         |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |    min(value) AS vmin, max(value) AS vmax
+         |  FROM h GROUP BY event_type)
+         |SELECT b.event_type, b.n, b.sum_value, b.vmin, b.vmax,
+         |  k.kmv_n, k.kmv_kth,
+         |  CASE WHEN k.kmv_n < $KmvK THEN CAST(k.kmv_n AS DOUBLE)
+         |       ELSE ${(KmvK - 1).toDouble} * CAST($HashSpace AS DOUBLE) / k.kmv_kth
+         |  END AS est_users
+         |FROM base b JOIN kmv k ON b.event_type = k.event_type""".stripMargin,
+
     "ev_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
          |    ${CrossHash.oH60("CAST(user_id AS VARCHAR)")} AS h FROM events),

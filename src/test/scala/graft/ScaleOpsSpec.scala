@@ -135,4 +135,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.values.forall(m => m == m.sorted && m.distinct.size == m.size),
       "minima must be ascending and distinct")
   }
+
+  test("ev_stats_incr: merged view equals full recompute at every split, incl. empty/total deltas") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.EventQueries.{mergeStatsViews, statsView}
+    graft.GraftExtensions.register(spark)
+    val events = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    // the one-pass view: merge against an empty old state (identity)
+    val full = key(mergeStatsViews(
+      statsView(events.filter(lit(false))), statsView(events)))
+    assert(full.nonEmpty)
+    for (m <- Seq(2L, 3L, 7L, 10L)) {
+      val got = key(mergeStatsViews(
+        statsView(events.filter($"event_id" % m =!= 0)),
+        statsView(events.filter($"event_id" % m === 0))))
+      assert(got == full, s"split %$m diverges from the full recompute")
+    }
+    // empty delta is a no-op refresh
+    val noop = key(mergeStatsViews(
+      statsView(events), statsView(events.filter(lit(false)))))
+    assert(noop == full, "empty delta changed the view")
+  }
 }
