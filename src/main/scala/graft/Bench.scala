@@ -57,13 +57,16 @@ object Bench {
       val passes = (1 to 2).map(_ => pipelineBench(spark, sfDir))
       Seq(passes.head._1 -> passes.map(_._2).min)
     } else Nil)
-    def render(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def renderOf(rs: Seq[(String, Double)])(fmt: Double => String): String = {
+      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // total always covers the FULL battery, even when the per-query map
+      // is sparsified to fit the log window
       val total = fmt(results.map(_._2).sum)
       val sfTag = new java.io.File(sfDir).getName
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
+    def render(fmt: Double => String): String = renderOf(results)(fmt)
     // The driver captures only the LAST ~2000 log chars; r4/r5 both lost the
     // front of this line to that window (BENCH parsed:null). Print a
     // centisecond-precision line (~1.85k chars for 89 queries — fits under
@@ -78,11 +81,25 @@ object Bench {
     // every query added to the battery eats ~20 chars of the window, so
     // degrade precision until the line fits with margin (92 queries at
     // centiseconds measured 1904 chars — 20 from the edge)
-    def compact(dec: Int): String = render { v =>
+    def trim(dec: Int)(v: Double): String = {
       val s = String.format(s"%.${dec}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    println(Seq(compact(2), compact(1)).find(_.length <= 1850).getOrElse(compact(1)))
+    def compact(dec: Int): String = render(trim(dec))
+    // last resort for a battery too large even at deciseconds: keep only
+    // the SLOWEST entries — drop fast queries one by one (alphabetical
+    // map order, so dropped keys are deterministic) until the line fits.
+    // The file artifact above keeps every key at full precision, and the
+    // printed total still covers the whole battery.
+    def sparse: String = {
+      val byTime = results.sortBy(-_._2)
+      (results.size to 1 by -1).iterator
+        .map(n => renderOf(byTime.take(n).sortBy(_._1))(trim(1)))
+        .find(_.length <= 1850)
+        .getOrElse(renderOf(byTime.take(1))(trim(1)))
+    }
+    println(Seq(compact(2), compact(1), sparse).find(_.length <= 1850)
+      .getOrElse(sparse))
   }
 
   /** Core event-store path end to end: ingest the events table into the
