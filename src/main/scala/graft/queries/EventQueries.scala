@@ -35,53 +35,22 @@ import graft.{QueryModule, Tables}
 object EventQueries extends QueryModule {
   private val dec2 = DecimalType(18, 2)
 
-  /** ev_kmv_distinct sketch size (stderr ≈ 1/√(k−2) ≈ 13%) and the h60
-    * hash space 2⁶⁰ (exactly representable as a double). */
-  val KmvK = 64
-  val HashSpace = 1152921504606846976L
+  /** ev_kmv_distinct sketch size and the h60 hash space — aliases of the
+    * [[graft.operators.MergeableStats]] constants (the oracle SQL
+    * interpolates them, so the query and the streaming StatsView share one
+    * definition). */
+  val KmvK: Int = graft.operators.MergeableStats.K
+  val HashSpace: Long = graft.operators.MergeableStats.HashSpace
 
-  /** Per-type mergeable stats state (ev_stats_incr): count, decimal sum,
-    * min/max, KMV minima — every column merges exactly, so a view over
-    * old ∪ delta equals the full recompute. */
-  def statsView(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    events
-      .select(col("event_type"), col("value"),
-        CrossHash.h60(col("user_id").cast("string")).as("h"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec2)).as("sv"),
-        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
-        call_function("graft_kmv", col("h"), lit(KmvK)).as("mins"))
-  }
+  /** Per-type mergeable stats state (ev_stats_incr) — see
+    * [[graft.operators.MergeableStats]]. */
+  def statsView(events: DataFrame): DataFrame =
+    graft.operators.MergeableStats.statsOf(events)
 
-  /** Merge two stats states and project the published view columns.
-    * least/greatest skip nulls, so a type present on one side only
-    * carries through; the KMV merge is distinct-union → sort → first k. */
-  def mergeStatsViews(old: DataFrame, delta: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val a = old.columns.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-    val b = delta.columns.foldLeft(delta)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    val merged = a.join(b, col("a_event_type") === col("b_event_type"), "full_outer")
-      .select(
-        coalesce(col("a_event_type"), col("b_event_type")).as("event_type"),
-        (coalesce(col("a_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"),
-        (coalesce(col("a_sv"), lit(0).cast(dec2)) +
-          coalesce(col("b_sv"), lit(0).cast(dec2))).as("sv"),
-        least(col("a_vmin"), col("b_vmin")).as("vmin"),
-        greatest(col("a_vmax"), col("b_vmax")).as("vmax"),
-        slice(array_sort(array_distinct(concat(
-          coalesce(col("a_mins"), expr("array()")),
-          coalesce(col("b_mins"), expr("array()"))))), 1, KmvK).as("mins"))
-    val kth = element_at(col("mins"), size(col("mins")))
-    merged.select(col("event_type"), col("n"),
-      col("sv").cast("double").as("sum_value"),
-      col("vmin"), col("vmax"),
-      size(col("mins")).cast("long").as("kmv_n"),
-      kth.as("kmv_kth"),
-      when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
-        .otherwise(lit((KmvK - 1).toDouble) * lit(HashSpace).cast("double") / kth)
-        .as("est_users"))
-  }
+  /** Merge two stats states and project the published view columns. */
+  def mergeStatsViews(old: DataFrame, delta: DataFrame): DataFrame =
+    graft.operators.MergeableStats.publish(
+      graft.operators.MergeableStats.merge(old, delta))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: resumable ordered keyset scan after a (ts,id) cursor. The

@@ -283,6 +283,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(expect.values.forall(m => m.size == 4 && m == m.sorted), expect.toString)
   }
 
+  test("StatsView: incrementally-maintained view equals full recompute; replayed batch is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0 until 60).map(i =>
+      (s"t${i % 4}", (i % 13) * 1.5, (i % 9).toLong))
+    val view = new graft.streaming.StatsView(
+      Files.createTempDirectory("graft-statsview-"), spark)
+    val mem = MemoryStream[(String, Double, Long)]
+    val sq = mem.toDF().toDF("event_type", "value", "user_id")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-svckpt-").toString)
+      .foreachBatch(view.update _)
+      .start()
+    // two separate micro-batches so the merge path (not just the bootstrap) runs
+    mem.addData(rows.take(20): _*); sq.processAllAvailable()
+    mem.addData(rows.drop(20): _*); sq.processAllAvailable()
+    sq.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    val got = snap(view.view().get)
+    val full = snap(graft.operators.MergeableStats.publish(
+      graft.operators.MergeableStats.statsOf(
+        rows.toDF("event_type", "value", "user_id"))))
+    assert(got == full, s"incremental view diverged: $got vs $full")
+    // crash-replay: re-applying an already-committed batch id must be a no-op
+    val before = snap(view.view().get)
+    view.update(rows.take(20).toDF("event_type", "value", "user_id"), 0L)
+    assert(snap(view.view().get) == before, "replayed batch double-merged")
+    // vacuum keeps only the live commit and the view still reads
+    view.vacuum()
+    assert(snap(view.view().get) == before, "vacuum removed the live state")
+  }
+
   test("streaming near-dup probe equals batch IncrementalDedup restricted to stream-vs-corpus pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
