@@ -234,6 +234,25 @@ object EventQueries extends QueryModule {
           max($"value").as("vmax"))
     },
 
+    // Quantiles from a DETERMINISTIC hash sample — the third sketch shape
+    // next to HLL (ev_approx_stats) and KMV (ev_kmv_distinct): the sample
+    // membership is a pure row property (h60(event_id) mod R), so it is
+    // mergeable (a map-side filter), reproducible across engines, reruns
+    // and partitionings, and the estimator (exact interpolated percentile
+    // OVER the sample) gets a hash-exact oracle — where t-digest-style
+    // sketches are merge-order-dependent and can only be rows-only
+    // checked. At 100 TB the filter fuses into the scan and the shuffle
+    // carries the R-fold-reduced sample.
+    "ev_quantile_sample" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .filter(CrossHash.h60($"event_id".cast("string")) % 10 === 0)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_sample"),
+          expr("percentile(value, 0.5)").as("p50_est"),
+          expr("percentile(value, 0.95)").as("p95_est"))
+    },
+
     // Pivot: event_type → columns (relational reshape of the stream).
     "ev_pivot" -> { (s, dir) =>
       import s.implicits._
@@ -708,6 +727,14 @@ object EventQueries extends QueryModule {
         |  quantile_cont(value, 0.99) AS p99,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev_quantile_sample" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         |  quantile_cont(value, 0.5) AS p50_est,
+         |  quantile_cont(value, 0.95) AS p95_est
+         |FROM events
+         |WHERE ${CrossHash.oH60("CAST(event_id AS VARCHAR)")} % 10 = 0
+         |GROUP BY event_type""".stripMargin,
 
     "ev_pivot" ->
       """SELECT user_id,

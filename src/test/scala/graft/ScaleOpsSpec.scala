@@ -136,6 +136,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       "minima must be ascending and distinct")
   }
 
+  test("ev_quantile_sample: hash-sample quantiles land within rank tolerance of the exact ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val events = Tables.load(spark, dir, "events")
+    val exact = events.groupBy($"event_type").agg(
+        expr("percentile(value, 0.4)").as("p40"),
+        expr("percentile(value, 0.6)").as("p60"),
+        expr("percentile(value, 0.90)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val est = SparkEntry.queries("ev_quantile_sample")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(est.keySet == exact.keySet)
+    for ((tpe, (n, p50e, p95e)) <- est) {
+      assert(n > 100, s"$tpe: sample too small to be meaningful ($n)")
+      val (p40, p60, p90, p99) = exact(tpe)
+      assert(p50e >= p40 && p50e <= p60, s"$tpe: p50 estimate $p50e outside [$p40,$p60]")
+      assert(p95e >= p90 && p95e <= p99, s"$tpe: p95 estimate $p95e outside [$p90,$p99]")
+    }
+  }
+
   test("ev_stats_incr: merged view equals full recompute at every split, incl. empty/total deltas") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
