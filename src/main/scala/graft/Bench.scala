@@ -57,49 +57,52 @@ object Bench {
       val passes = (1 to 2).map(_ => pipelineBench(spark, sfDir))
       Seq(passes.head._1 -> passes.map(_._2).min)
     } else Nil)
-    def renderOf(rs: Seq[(String, Double)])(fmt: Double => String): String = {
-      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      // total always covers the FULL battery, even when the per-query map
-      // is sparsified to fit the log window
-      val total = fmt(results.map(_._2).sum)
-      val sfTag = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
-    }
-    def render(fmt: Double => String): String = renderOf(results)(fmt)
+    val sfTag = new java.io.File(sfDir).getName
     // The driver captures only the LAST ~2000 log chars; r4/r5 both lost the
-    // front of this line to that window (BENCH parsed:null). Print a
-    // centisecond-precision line (~1.85k chars for 89 queries — fits under
-    // the window minus sbt's trailing "[success]" line) and persist the
-    // full-precision line as a file artifact. Stop Spark BEFORE printing so
-    // its shutdown logging can't push the JSON out of the captured tail.
+    // front of this line to that window (BENCH parsed:null). Persist the
+    // full-precision line as a file artifact, then print a line guaranteed
+    // to fit (renderFitted). Stop Spark BEFORE printing so its shutdown
+    // logging can't push the JSON out of the captured tail.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
-      render(_.toString) + "\n")
+      renderOf(results, results, sfTag)(_.toString) + "\n")
     spark.stop()
-    // trailing-zero-stripped fixed precision ("0.50"→"0.5", "2.00"→"2");
-    // every query added to the battery eats ~20 chars of the window, so
-    // degrade precision until the line fits with margin (92 queries at
-    // centiseconds measured 1904 chars — 20 from the edge)
+    println(renderFitted(results, sfTag))
+  }
+
+  private def renderOf(rs: Seq[(String, Double)], all: Seq[(String, Double)],
+      sfTag: String)(fmt: Double => String): String = {
+    val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // total always covers the FULL battery, even when the per-query map
+    // is sparsified to fit the log window
+    val total = fmt(all.map(_._2).sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+  }
+
+  /** The printed driver line: centisecond precision when it fits, then
+    * deciseconds, then (for a battery too large even at deciseconds) keep
+    * only the SLOWEST entries — dropping fast queries deterministically
+    * until the line fits `limit`. The file artifact keeps every key at
+    * full precision, and the printed total always covers the whole
+    * battery. Pure function of the results — BenchLineSpec pins the fit
+    * invariant so battery growth can never regress the round artifact
+    * again. */
+  def renderFitted(results: Seq[(String, Double)], sfTag: String,
+      limit: Int = 1850): String = {
     def trim(dec: Int)(v: Double): String = {
       val s = String.format(s"%.${dec}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    def compact(dec: Int): String = render(trim(dec))
-    // last resort for a battery too large even at deciseconds: keep only
-    // the SLOWEST entries — drop fast queries one by one (alphabetical
-    // map order, so dropped keys are deterministic) until the line fits.
-    // The file artifact above keeps every key at full precision, and the
-    // printed total still covers the whole battery.
+    def compact(dec: Int): String = renderOf(results, results, sfTag)(trim(dec))
     def sparse: String = {
       val byTime = results.sortBy(-_._2)
       (results.size to 1 by -1).iterator
-        .map(n => renderOf(byTime.take(n).sortBy(_._1))(trim(1)))
-        .find(_.length <= 1850)
-        .getOrElse(renderOf(byTime.take(1))(trim(1)))
+        .map(n => renderOf(byTime.take(n).sortBy(_._1), results, sfTag)(trim(1)))
+        .find(_.length <= limit)
+        .getOrElse(renderOf(byTime.take(1), results, sfTag)(trim(1)))
     }
-    println(Seq(compact(2), compact(1), sparse).find(_.length <= 1850)
-      .getOrElse(sparse))
+    Seq(compact(2), compact(1), sparse).find(_.length <= limit).getOrElse(sparse)
   }
 
   /** Core event-store path end to end: ingest the events table into the
