@@ -32,6 +32,48 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pigeonhole banding is exact on random fingerprints (seeded property sweep)") {
+    // the corpus test above exercises one fingerprint distribution; the
+    // pigeonhole claim (hamming ≤ 2 ⇒ some band of 11+11+10 bits
+    // untouched) is distribution-free — sweep seeded random fingerprints,
+    // including clustered ones that maximize near-collisions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.CrossHash.SimhashBandOffsets
+    for (seed <- Seq(1L, 42L, 20260813L)) {
+      val rnd = new scala.util.Random(seed)
+      // half uniform, half clustered around 64 centers with ≤3 flipped
+      // bits — the regime where banding decisions actually matter
+      val centers = IndexedSeq.fill(64)(rnd.nextLong() & 0xffffffffL)
+      val fps = ((0 until 500).map(_ => rnd.nextLong() & 0xffffffffL) ++
+        (0 until 500).map { _ =>
+          var f = centers(rnd.nextInt(centers.size))
+          (0 until rnd.nextInt(4)).foreach(_ => f ^= 1L << rnd.nextInt(32))
+          f
+        }).zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      val df = fps.toDF("doc_id", "fp")
+      val bandStructs = SimhashBandOffsets.map { case (b, shift, mask) =>
+        struct(lit(b).as("band"),
+          shiftright($"fp", shift).bitwiseAND(lit(mask)).as("bb"))
+      }
+      val bands = df.select($"doc_id", $"fp", explode(array(bandStructs: _*)).as("x"))
+        .select($"doc_id", $"fp", $"x.band".as("band"), $"x.bb".as("bb"))
+      val hd = bit_count($"a.fp".bitwiseXOR($"b.fp"))
+      val banded = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bb" === $"b.bb" && $"a.doc_id" < $"b.doc_id")
+        .filter(hd <= 2)
+        .select($"a.doc_id", $"b.doc_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      val quadratic = (for {
+        (i, fi) <- fps; (j, fj) <- fps
+        if i < j && java.lang.Long.bitCount(fi ^ fj) <= 2
+      } yield (i, j)).toSet
+      assert(banded == quadratic,
+        s"seed $seed: missing=${(quadratic -- banded).take(5)} extra=${(banded -- quadratic).take(5)}")
+      assert(quadratic.nonEmpty, s"seed $seed: vacuous sweep (no near pairs)")
+    }
+  }
+
   test("LSH embed-cosine: perfect precision (subset of exact pairs, identical cosines), recall ≥ 0.6") {
     val lsh = SparkEntry.queries("dedup_embed_cosine")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
