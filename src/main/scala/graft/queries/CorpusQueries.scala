@@ -221,9 +221,13 @@ object CorpusQueries extends QueryModule {
     // integer mod-P, so the oracle is hash-exact.
     "corpus_overlap" -> { (s, dir) =>
       import s.implicits._
+      // NO distinct before the signature agg: min over a multiset equals
+      // min over its value set, so duplicate shingles can't move any
+      // permuted minimum — dropping the usual dedup-suite distinct removes
+      // a full corpus-sized shuffle, leaving scan → partial agg → one
+      // |sources|-keyed exchange (PlanAuditSpec pins the single exchange).
       val sh = Tables.load(s, dir, "documents")
         .select($"source", explode(shingleHashes($"text")).as("h"))
-        .distinct()
         .select($"source", ($"h" % P).as("x"))
       // x < P keeps a·x + b inside i64 (a ≤ 1.7e7, P ≈ 1e9 ⇒ product ≤ 1.7e16)
       val sigCols = permA.indices.map(i =>
@@ -382,11 +386,10 @@ object CorpusQueries extends QueryModule {
         .map(i => s"min((${permA(i)}*x + ${permB(i)}) % $P) AS m$i").mkString(", ")
       val matches = permA.indices
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH sh AS (SELECT DISTINCT source, ${oH60("sg")} AS h
+      s"""WITH sh AS (SELECT source, ${oH60("sg")} % $P AS x
          |       FROM (SELECT source, unnest($oShingles3) AS sg
          |             FROM (SELECT source, $oTokens AS w FROM documents))),
-         |hx AS (SELECT source, h % $P AS x FROM sh),
-         |sig AS (SELECT source, $sigCols FROM hx GROUP BY source)
+         |sig AS (SELECT source, $sigCols FROM sh GROUP BY source)
          |SELECT a.source AS src_a, b.source AS src_b,
          |  CAST($matches AS BIGINT) AS n_match,
          |  CAST($matches AS DOUBLE) / $NumPerm AS jaccard_est

@@ -223,5 +223,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // be a broadcast nested loop (inequality condition), never a shuffled
     // corpus-side join
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // min-over-multiset == min-over-set, so there is NO distinct shuffle:
+    // each corpus branch costs exactly one |sources|-keyed exchange (the
+    // signature agg), 2 total for the self-joined pair matrix
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length <= 2,
+      s"distinct shuffle crept back into the signature build:\n$p")
   }
 }
