@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The output stage of the curation pipeline: materialize `doc_pack`'s
+  * concat-and-chunk assignment as one directory PER TRAINING SHARD
+  * (`shard=K/` hive partitions), so a trainer's data loader reads its
+  * shard with a single partition-pruned scan and no job-side filtering.
+  *
+  * Layout contract (pinned by CorpusSpec):
+  *  - shard ids are contiguous 0..N−1 (GlobalCumsum assigns them from the
+  *    corpus-wide token prefix sum, so no shard can be skipped);
+  *  - every input doc lands in exactly one shard, at the (shard,
+  *    shard_offset) the registered `doc_pack` query computes;
+  *  - reading one `shard=K` directory yields exactly that shard's docs —
+  *    the pruning is the on-disk partitioning, not a filter.
+  *
+  * At 100 TB this is the same single pass doc_pack already costs (the
+  * bucketed prefix-sum shuffle) plus a partitioned write; shard count =
+  * total tokens / budget, each shard file group written by the tasks that
+  * own its rows.
+  */
+object PackedExport {
+
+  /** Pack `docs` (doc_id, n_tokens) under `budget` tokens per training
+    * sequence and write `outDir/shard=K/` partitions. Returns the shard
+    * count. */
+  def export(docs: DataFrame, outDir: String, budget: Long): Long = {
+    val packed = GlobalCumsum.runningBefore(docs, "doc_id", "n_tokens", "cb")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"CAST(cb DIV $budget AS BIGINT)").as("shard"),
+        (col("cb") % budget).as("shard_offset"))
+    packed.write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    val spark = docs.sparkSession
+    // partition-column inference types `shard=K` dirs as int — normalize
+    spark.read.parquet(outDir)
+      .agg(max(col("shard").cast("long"))).collect()(0).getLong(0) + 1
+  }
+}

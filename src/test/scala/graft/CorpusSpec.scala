@@ -125,6 +125,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0))
   }
 
+  test("PackedExport: shard layout on disk equals doc_pack; single-shard reads are partition-pruned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.CrossHash.tokens
+    val out = java.nio.file.Files.createTempDirectory("graft-packed-").toString
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+    val budget = graft.queries.CorpusQueries.PackBudget
+    val nShards = graft.operators.PackedExport.export(docs, out, budget)
+    assert(nShards > 1, "test corpus should span several shards")
+    // read-back equals the registered doc_pack query row-for-row
+    val back = spark.read.parquet(out)
+      .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expect = SparkEntry.queries("doc_pack")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(back == expect, "exported layout diverges from doc_pack")
+    // shard dirs contiguous 0..N-1
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toLong).sorted
+    assert(dirs.toSeq == (0L until nShards), s"non-contiguous shards: ${dirs.toSeq}")
+    // one shard dir holds exactly that shard's docs (layout IS the filter)
+    val one = spark.read.parquet(s"$out/shard=1").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(one == expect.filter(_._3 == 1L).map(_._1), "shard=1 dir content mismatch")
+    assert(one.nonEmpty)
+  }
+
   test("corpus_overlap: MinHash estimate tracks exact per-pair Jaccard within sketch error") {
     import spark.implicits._
     import graft.queries.CrossHash._
