@@ -259,7 +259,13 @@ object Multimodal {
       targetPartitions: Int = 0): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     val sized = if (targetPartitions > 0) assets.repartition(targetPartitions) else assets
-    sized.mapPartitions { it => it.map(decoder.decode) }
+    // a NULL media column (missing asset in a dirty crawl) must degrade
+    // like a corrupt one — empty bytes route every decoder to its
+    // fallback/stub path instead of NPEing the whole job
+    sized.mapPartitions { it =>
+      it.map(a => decoder.decode(
+        if (a.media == null) a.copy(media = Array.emptyByteArray) else a))
+    }
   }
 
   /** Feature extraction as a registered query (rows-only check: the decode

@@ -55,7 +55,9 @@ object PqCodebook {
     * deterministic id-prefix sample (vec_id < trainN, sorted). */
   def trainFrom(vecs: DataFrame, vCol: String, kc: Int, mMax: Int,
       iters: Int, trainN: Long): Codebook = {
-    val sample = vecs.filter(col("vec_id") < trainN)
+    // NULL vectors (failed encoder outputs) carry no training signal and
+    // would NPE the collect below — skip them like the probe side does
+    val sample = vecs.filter(col("vec_id") < trainN && col(vCol).isNotNull)
       .select(col("vec_id"), col(vCol)).collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
     train(sample, kc, mMax, iters)

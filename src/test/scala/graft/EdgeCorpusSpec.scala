@@ -27,7 +27,8 @@ class EdgeCorpusSpec extends AnyFunSuite {
       (6L, "the quick brown fox jumps over the lazy dog again and again", "en", "books", 60L),
       (7L, "the quick brown fox jumps over the lazy dog again and again", "en", "books", 60L),
       (8L, "der die und das ein zwei drei vier", "de", "web", 34L),
-      (9L, "   ", "en", "web", 3L))
+      (9L, "   ", "en", "web", 3L),
+      (10L, null, "en", "web", 0L)) // NULL text — dirty-crawl reality
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
     Seq(
@@ -35,7 +36,8 @@ class EdgeCorpusSpec extends AnyFunSuite {
       (1L, Array(1f, 2f, 3f, 4f), 1),
       (2L, Array(1f, 2f, 3f, 4.1f), 1),
       (3L, Array(-1f, 0.5f, 2f, 0f), 0),
-      (4L, Array(0.1f, 0.1f, 0.1f, 0.1f), 1))
+      (4L, Array(0.1f, 0.1f, 0.1f, 0.1f), 1),
+      (5L, null, 0)) // NULL embedding — a failed encoder output
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$d/embeddings.parquet")
     Seq(
@@ -79,9 +81,12 @@ class EdgeCorpusSpec extends AnyFunSuite {
     val zeroRows = knn.filter(_.getLong(1) == 0L)
     assert(zeroRows.nonEmpty && zeroRows.forall(_.isNullAt(3)),
       "zero-vector neighbors carry NULL cosine")
-    zeroRows.foreach { r =>
-      val ranksForQuery = knn.filter(_.getLong(0) == r.getLong(0)).map(_.getLong(2))
-      assert(r.getLong(2) == ranksForQuery.max, "NULL cosine sorts last")
+    // null-cosine partners (the zero vector AND the null-embedding vector)
+    // must occupy exactly the LAST ranks of each query's list
+    for ((q, rows) <- knn.groupBy(_.getLong(0))) {
+      val nullRanks = rows.filter(_.isNullAt(3)).map(_.getLong(2)).sorted
+      val worst = rows.map(_.getLong(2)).sorted.takeRight(nullRanks.size)
+      assert(nullRanks.toSeq == worst.toSeq, s"query $q: NULL cosines not last")
     }
     val anomaly = SparkEntry.queries("ev_anomaly")(spark, dir).collect()
     assert(anomaly.isEmpty, "singleton/zero-variance types yield no z-scores, not a crash")
