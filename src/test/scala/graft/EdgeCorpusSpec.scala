@@ -40,15 +40,29 @@ class EdgeCorpusSpec extends AnyFunSuite {
       (5L, null, 0)) // NULL embedding — a failed encoder output
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$d/embeddings.parquet")
-    Seq(
-      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 10.0, """{"k": 60}"""),
-      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 10.0, """{"k": 1}"""),
-      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "singleton", 5.0, "{}"),
-      (4L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 2L, "click", 10.0, "{}"),
-      (5L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 2L, "click", 10.0, "{}"),
-      (6L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L, "view", 7.5, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$d/events.parquet")
+    locally {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val rows = java.util.Arrays.asList(
+        Row(1L, ts("2024-01-01 00:00:00"), 1L, "click", 10.0, """{"k": 60}"""),
+        Row(2L, ts("2024-01-01 00:00:00"), 1L, "click", 10.0, """{"k": 1}"""),
+        Row(3L, ts("2024-01-01 01:00:00"), 1L, "singleton", 5.0, "{}"),
+        Row(4L, ts("2024-01-01 02:00:00"), 2L, "click", 10.0, "{}"),
+        Row(5L, ts("2024-01-01 02:00:00"), 2L, "click", 10.0, "{}"),
+        Row(6L, ts("2024-01-02 00:00:00"), 2L, "view", 7.5, "{}"),
+        // dirty-stream rows: NULL type/value/props and an epoch-extreme ts
+        Row(7L, ts("2024-01-02 00:00:01"), 3L, null, null, null),
+        Row(8L, ts("1970-01-01 00:00:00"), 3L, "click", -1e15, "not json"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = false),
+        StructField("user_id", LongType, nullable = false),
+        StructField("event_type", StringType, nullable = true),
+        StructField("value", DoubleType, nullable = true),
+        StructField("props", StringType, nullable = true)))
+      spark.createDataFrame(rows, schema).write.parquet(s"$d/events.parquet")
+    }
     d
   }
 
