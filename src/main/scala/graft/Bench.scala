@@ -53,9 +53,16 @@ object Bench {
     } ++ (if (only.isEmpty) {
       // min-of-2 like the queries (the first pass is JIT/classload-bound —
       // measured ~4s cold vs ~2.5s warm for identical work); each pass
-      // builds its own temp log/sink so nothing is cached across passes
+      // builds its own temp log/sink so nothing is cached across passes.
+      // Per-leg keys (ingest/replicate/consume) make a perf movement
+      // attributable to the stage that caused it; the combined key stays
+      // for cross-round comparability (min of the per-pass TOTALS, so it
+      // remains a real end-to-end measurement, not a sum of best legs).
       val passes = (1 to 2).map(_ => pipelineBench(spark, sfDir))
-      Seq(passes.head._1 -> passes.map(_._2).min)
+      val legKeys = passes.head.map(_._1)
+      val best = passes.minBy(_.map(_._2).sum)
+      legKeys.map(k => k -> best.collectFirst { case (`k`, v) => v }.get) :+
+        ("pipeline_ingest_replicate_consume" -> best.map(_._2).sum)
     } else Nil)
     val sfTag = new java.io.File(sfDir).getName
     // The driver captures only the LAST ~2000 log chars; r4/r5 both lost the
@@ -108,11 +115,13 @@ object Bench {
   /** Core event-store path end to end: ingest the events table into the
     * native log (encode + (lsn,id) allocation), replicate it to the
     * Kafka-shaped sink exactly-once, and consume/decode the sink — the
-    * §7.2 slice, timed as one pipeline. */
-  private def pipelineBench(spark: SparkSession, sfDir: String): (String, Double) = {
+    * §7.2 slice, timed per leg. */
+  private def pipelineBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")
-    val t0 = System.nanoTime()
+    def timed[A](body: => A): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
     try {
       val log = store.EventLog(tmp.resolve("log").toString, spark)
       val batch = Tables.load(spark, sfDir, "events")
@@ -121,11 +130,14 @@ object Bench {
           encode(col("props"), "UTF-8").as("data"),
           lit(null).cast("binary").as("metadata"),
           col("ts").as("timestamp"))
-      log.append("bench_events", batch)
+      val tIngest = timed { log.append("bench_events", batch) }
       val sink = sources.KafkaShapedLog(tmp.resolve("sink").toString, spark, numPartitions = 4)
-      new replicate.Replicator(log, sink, batchSize = 1000000).run("bench_events")
-      sink.read("bench_events").count()
-      "pipeline_ingest_replicate_consume" -> (System.nanoTime() - t0) / 1e9
+      val tRepl = timed {
+        new replicate.Replicator(log, sink, batchSize = 1000000).run("bench_events")
+      }
+      val tConsume = timed { sink.read("bench_events").count() }
+      Seq("pipeline_ingest" -> tIngest, "pipeline_replicate" -> tRepl,
+        "pipeline_consume" -> tConsume)
     } catch {
       // fail the bench, loudly — a broken pipeline must not bench as "fast"
       case e: Throwable => throw new RuntimeException("pipeline bench failed", e)
