@@ -52,8 +52,11 @@ object MergeableStats {
       .select(
         coalesce(col("a_event_type"), col("b_event_type")).as("event_type"),
         (coalesce(col("a_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"),
-        (coalesce(col("a_sv"), lit(0).cast(dec2)) +
-          coalesce(col("b_sv"), lit(0).cast(dec2))).as("sv"),
+        // SQL sum over no non-null values is NULL — a both-sides-NULL merge
+        // must stay NULL (the one-pass recompute would), not become 0
+        when(col("a_sv").isNull && col("b_sv").isNull, lit(null).cast(dec2))
+          .otherwise(coalesce(col("a_sv"), lit(0).cast(dec2)) +
+            coalesce(col("b_sv"), lit(0).cast(dec2))).as("sv"),
         least(col("a_vmin"), col("b_vmin")).as("vmin"),
         greatest(col("a_vmax"), col("b_vmax")).as("vmax"),
         slice(array_sort(array_distinct(concat(
@@ -62,9 +65,15 @@ object MergeableStats {
   }
 
   /** Project the published view: scalar columns only (the driver's
-    * comparator hashes no arrays) with the KMV estimator folded in. */
+    * comparator hashes no arrays) with the KMV estimator folded in.
+    *
+    * Empty minima (every hash in the group was NULL) must NOT evaluate
+    * `element_at(mins, 0)` — ANSI array indices start at 1 and the
+    * unguarded form aborts the job; the k-th min is NULL and the
+    * estimate is 0 distinct (the size<K branch) for such groups. */
   def publish(state: DataFrame): DataFrame = {
-    val kth = element_at(col("mins"), size(col("mins")))
+    val kth = when(size(col("mins")) >= 1,
+      element_at(col("mins"), size(col("mins"))))
     state.select(col("event_type"), col("n"),
       col("sv").cast("double").as("sum_value"),
       col("vmin"), col("vmax"),

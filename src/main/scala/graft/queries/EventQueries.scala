@@ -485,7 +485,9 @@ object EventQueries extends QueryModule {
     "ev_kmv_distinct" -> { (s, dir) =>
       import s.implicits._
       val k = KmvK
-      val kth = element_at($"mins", size($"mins"))
+      // guarded like MergeableStats.publish: an all-NULL-hash group has
+      // empty minima and element_at(mins, 0) aborts under ANSI
+      val kth = when(size($"mins") >= 1, element_at($"mins", size($"mins")))
       Tables.load(s, dir, "events")
         .select($"event_type",
           CrossHash.h60($"user_id".cast("string")).as("h"))
@@ -566,7 +568,7 @@ object EventQueries extends QueryModule {
     "ev_stats_incr" ->
       s"""WITH h AS (SELECT event_type, value,
          |    ${CrossHash.oH60("CAST(user_id AS VARCHAR)")} AS h FROM events),
-         |d AS (SELECT DISTINCT event_type, h FROM h),
+         |d AS (SELECT DISTINCT event_type, h FROM h WHERE h IS NOT NULL),
          |r AS (SELECT event_type, h,
          |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM d),
          |kmv AS (SELECT event_type, CAST(count(*) AS BIGINT) AS kmv_n,
@@ -576,24 +578,28 @@ object EventQueries extends QueryModule {
          |    min(value) AS vmin, max(value) AS vmax
          |  FROM h GROUP BY event_type)
          |SELECT b.event_type, b.n, b.sum_value, b.vmin, b.vmax,
-         |  k.kmv_n, k.kmv_kth,
-         |  CASE WHEN k.kmv_n < $KmvK THEN CAST(k.kmv_n AS DOUBLE)
+         |  coalesce(k.kmv_n, 0) AS kmv_n, k.kmv_kth,
+         |  CASE WHEN coalesce(k.kmv_n, 0) < $KmvK
+         |       THEN CAST(coalesce(k.kmv_n, 0) AS DOUBLE)
          |       ELSE ${(KmvK - 1).toDouble} * CAST($HashSpace AS DOUBLE) / k.kmv_kth
          |  END AS est_users
-         |FROM base b JOIN kmv k ON b.event_type = k.event_type""".stripMargin,
+         |FROM base b LEFT JOIN kmv k ON b.event_type = k.event_type""".stripMargin,
 
     "ev_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
          |    ${CrossHash.oH60("CAST(user_id AS VARCHAR)")} AS h FROM events),
          |r AS (SELECT event_type, h,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM h WHERE h IS NOT NULL),
          |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS kmv_n,
-         |    max(h) AS kmv_kth FROM r WHERE rk <= $KmvK GROUP BY event_type)
-         |SELECT event_type, kmv_n, kmv_kth,
-         |  CASE WHEN kmv_n < $KmvK THEN CAST(kmv_n AS DOUBLE)
-         |       ELSE ${(KmvK - 1).toDouble} * CAST($HashSpace AS DOUBLE) / kmv_kth
+         |    max(h) AS kmv_kth FROM r WHERE rk <= $KmvK GROUP BY event_type),
+         |t AS (SELECT DISTINCT event_type FROM events)
+         |SELECT t.event_type, coalesce(s.kmv_n, 0) AS kmv_n, s.kmv_kth,
+         |  CASE WHEN coalesce(s.kmv_n, 0) < $KmvK
+         |       THEN CAST(coalesce(s.kmv_n, 0) AS DOUBLE)
+         |       ELSE ${(KmvK - 1).toDouble} * CAST($HashSpace AS DOUBLE) / s.kmv_kth
          |  END AS est_users
-         |FROM s""".stripMargin,
+         |FROM t LEFT JOIN s ON t.event_type = s.event_type""".stripMargin,
 
     "ev_keyset_scan" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -53,11 +53,15 @@ class EdgeCorpusSpec extends AnyFunSuite {
         Row(6L, ts("2024-01-02 00:00:00"), 2L, "view", 7.5, "{}"),
         // dirty-stream rows: NULL type/value/props and an epoch-extreme ts
         Row(7L, ts("2024-01-02 00:00:01"), 3L, null, null, null),
-        Row(8L, ts("1970-01-01 00:00:00"), 3L, "click", -1e15, "not json"))
+        Row(8L, ts("1970-01-01 00:00:00"), 3L, "click", -1e15, "not json"),
+        // a type whose EVERY row has NULL user and NULL value — the
+        // all-null group that empties sketch buffers and sums
+        Row(9L, ts("2024-01-02 01:00:00"), null, "ghost", null, "{}"),
+        Row(10L, ts("2024-01-02 01:00:01"), null, "ghost", null, "{}"))
       val schema = StructType(Seq(
         StructField("event_id", LongType, nullable = false),
         StructField("ts", TimestampType, nullable = false),
-        StructField("user_id", LongType, nullable = false),
+        StructField("user_id", LongType, nullable = true),
         StructField("event_type", StringType, nullable = true),
         StructField("value", DoubleType, nullable = true),
         StructField("props", StringType, nullable = true)))
@@ -104,5 +108,21 @@ class EdgeCorpusSpec extends AnyFunSuite {
     }
     val anomaly = SparkEntry.queries("ev_anomaly")(spark, dir).collect()
     assert(anomaly.isEmpty, "singleton/zero-variance types yield no z-scores, not a crash")
+    // the all-NULL-user "ghost" type: empty KMV minima must publish
+    // kmv_n=0 / NULL k-th / 0.0 estimate — not an ANSI element_at abort —
+    // and its all-NULL value sum must stay NULL (SQL sum semantics), not 0
+    val kmv = SparkEntry.queries("ev_kmv_distinct")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(kmv.contains("ghost"))
+    assert(kmv("ghost").getLong(1) == 0L && kmv("ghost").isNullAt(2) &&
+      kmv("ghost").getDouble(3) == 0.0, s"ghost sketch row: ${kmv("ghost")}")
+    val stats = SparkEntry.queries("ev_stats_incr")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.contains("ghost"))
+    assert(stats("ghost").getLong(1) == 2L, "ghost n counts its rows")
+    assert(stats("ghost").isNullAt(2) && stats("ghost").isNullAt(3) &&
+      stats("ghost").isNullAt(4), s"ghost sum/min/max must be NULL: ${stats("ghost")}")
+    assert(stats("ghost").getLong(5) == 0L && stats("ghost").getDouble(7) == 0.0,
+      s"ghost sketch state: ${stats("ghost")}")
   }
 }
