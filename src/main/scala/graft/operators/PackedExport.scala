@@ -27,6 +27,12 @@ object PackedExport {
     * sequence and write `outDir/shard=K/` partitions. Returns the shard
     * count. */
   def export(docs: DataFrame, outDir: String, budget: Long): Long = {
+    // an empty corpus writes no shard dirs and the read-back below can't
+    // infer a schema from nothing — short-circuit to zero shards
+    if (docs.isEmpty) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      return 0L
+    }
     val packed = GlobalCumsum.runningBefore(docs, "doc_id", "n_tokens", "cb")
       .select(col("doc_id"), col("n_tokens"),
         expr(s"CAST(cb DIV $budget AS BIGINT)").as("shard"),

@@ -47,8 +47,6 @@ final class StatsView(val stateDir: Path, spark: SparkSession) {
         case None => delta
       }
       merged.write.parquet(stage.resolve("state").toString)
-      // retire superseded state dirs (keep the current commit only once
-      // the new one lands via the atomic rename in EosProjection)
     }(batch, batchId)
 
   /** Drop committed state dirs older than the latest (bounded footprint —

@@ -151,6 +151,9 @@ class CorpusSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(one == expect.filter(_._3 == 1L).map(_._1), "shard=1 dir content mismatch")
     assert(one.nonEmpty)
+    // empty corpus → zero shards, no schema-inference crash
+    val out2 = java.nio.file.Files.createTempDirectory("graft-packed0-").toString
+    assert(graft.operators.PackedExport.export(docs.filter(lit(false)), out2, budget) == 0L)
   }
 
   test("corpus_overlap: MinHash estimate tracks exact per-pair Jaccard within sketch error") {
