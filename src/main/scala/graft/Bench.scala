@@ -98,7 +98,9 @@ object Bench {
   def renderFitted(results: Seq[(String, Double)], sfTag: String,
       limit: Int = 1850): String = {
     def trim(dec: Int)(v: Double): String = {
-      val s = String.format(s"%.${dec}f", Double.box(v))
+      // Locale.ROOT: a comma-decimal default locale would emit "0,32"
+      // and break the JSON artifact
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
     def compact(dec: Int): String = renderOf(results, results, sfTag)(trim(dec))
