@@ -266,6 +266,29 @@ object CorpusQueries extends QueryModule {
         .withColumn("oov_frac", $"n_oov".cast("double") / $"n_tokens")
     },
 
+    // Temperature-based multilingual mixture (the α-sampling of
+    // multilingual pretraining): language weights ∝ tokens^α with α=0.5,
+    // flattening the head so low-resource languages keep signal.
+    // Cross-engine float discipline: sqrt is IEEE-correctly-rounded in
+    // both engines, and the denominator Σ√tokens is computed as a RUNNING
+    // sum over rows ordered by lang — both engines add in the identical
+    // order, so the doubles agree bit-for-bit where an unordered SUM()
+    // could differ in the last ulp. O(langs) after one corpus pass.
+    "mix_temperature" -> { (s, dir) =>
+      import s.implicits._
+      val perLang = Tables.load(s, dir, "documents")
+        .select($"lang", size(tokens($"text")).cast("long").as("n"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+        .withColumn("w", sqrt($"n_tokens".cast("double")))
+      val wLang = Window.orderBy($"lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perLang
+        .withColumn("denom", sum($"w").over(wLang))
+        .select($"lang", $"n_docs", $"n_tokens", $"w".as("weight"),
+          ($"w" / $"denom").as("mix_p"))
+    },
+
     // Per-doc top-3 TF-IDF terms (rational idf — see scaladoc).
     "text_tfidf" -> { (s, dir) =>
       import s.implicits._
@@ -408,6 +431,18 @@ object CorpusQueries extends QueryModule {
          |    / count(*) AS oov_frac
          |FROM tok t LEFT JOIN v ON t.tok = v.tok
          |GROUP BY t.doc_id""".stripMargin,
+
+    "mix_temperature" ->
+      s"""WITH per AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($oTokens)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs, n_tokens,
+         |    sqrt(CAST(n_tokens AS DOUBLE)) AS weight FROM per)
+         |SELECT lang, n_docs, n_tokens, weight,
+         |  weight / sum(weight) OVER (ORDER BY lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mix_p
+         |FROM w""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS term FROM documents),

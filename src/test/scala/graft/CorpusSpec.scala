@@ -156,6 +156,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(graft.operators.PackedExport.export(docs.filter(lit(false)), out2, budget) == 0L)
   }
 
+  test("mix_temperature: α=0.5 weights — probabilities sum to 1 and flatten the token head") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("mix_temperature")(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12, "mix_p must sum to 1")
+    // flattening: p-share ordering follows token ordering, but the ratio
+    // between the largest and smallest share shrinks vs the raw shares
+    val byTok = rows.sortBy(_._3)
+    assert(byTok.map(_._5).zip(byTok.map(_._5).drop(1)).forall { case (a, b) => a <= b },
+      "mix_p must be monotone in token count")
+    val rawRatio = byTok.last._3.toDouble / byTok.head._3
+    val mixRatio = byTok.last._5 / byTok.head._5
+    assert(mixRatio < rawRatio, "temperature must flatten the distribution")
+  }
+
   test("corpus_overlap: MinHash estimate tracks exact per-pair Jaccard within sketch error") {
     import spark.implicits._
     import graft.queries.CrossHash._
