@@ -67,7 +67,7 @@ object GlobalCumsum {
     val k = col(orderCol).cast("double")
     val bucket: Column =
       if (bounds.isEmpty) lit(0L)
-      else size(filter(array(bounds.map(lit(_)): _*), b => b < k)).cast("long")
+      else size(filter(array(bounds.toIndexedSeq.map(lit(_)): _*), b => b < k)).cast("long")
     val bucketed = input.withColumn("_gc_bucket", bucket)
 
     // coalesce: a bucket whose every value is NULL sums to NULL, and

@@ -26,7 +26,7 @@ object PackedExport {
   /** Pack `docs` (doc_id, n_tokens) under `budget` tokens per training
     * sequence and write `outDir/shard=K/` partitions. Returns the shard
     * count. */
-  def export(docs: DataFrame, outDir: String, budget: Long): Long = {
+  def writeShards(docs: DataFrame, outDir: String, budget: Long): Long = {
     // an empty corpus writes no shard dirs and the read-back below can't
     // infer a schema from nothing — short-circuit to zero shards
     if (docs.isEmpty) {

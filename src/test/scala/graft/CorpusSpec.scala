@@ -133,7 +133,7 @@ class CorpusSpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
     val budget = graft.queries.CorpusQueries.PackBudget
-    val nShards = graft.operators.PackedExport.export(docs, out, budget)
+    val nShards = graft.operators.PackedExport.writeShards(docs, out, budget)
     assert(nShards > 1, "test corpus should span several shards")
     // read-back equals the registered doc_pack query row-for-row
     val back = spark.read.parquet(out)
@@ -153,7 +153,7 @@ class CorpusSpec extends AnyFunSuite {
     assert(one.nonEmpty)
     // empty corpus → zero shards, no schema-inference crash
     val out2 = java.nio.file.Files.createTempDirectory("graft-packed0-").toString
-    assert(graft.operators.PackedExport.export(docs.filter(lit(false)), out2, budget) == 0L)
+    assert(graft.operators.PackedExport.writeShards(docs.filter(lit(false)), out2, budget) == 0L)
   }
 
   test("mix_temperature: α=0.5 weights — probabilities sum to 1 and flatten the token head") {

@@ -336,7 +336,7 @@ class StreamingSpec extends AnyFunSuite {
     val index = StreamingDedup.corpusIndex(corpus).cache()
 
     val ms = MemoryStream[(Long, Long, String)]
-    val docs = ms.toDF.toDF("doc_id", "sec", "text")
+    val docs = ms.toDF().toDF("doc_id", "sec", "text")
       .withColumn("ts", timestamp_seconds($"sec"))
     val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
     val q = StreamingDedup.nearDupProbe(docs, index, 0.3)
@@ -398,7 +398,7 @@ class StreamingSpec extends AnyFunSuite {
       (10L, 60L, Array(0.95, 0.05, 0.0, 0.1)),
       (11L, 70L, Array(0.0, 0.0, 1.0, 0.0)))
     val ms = MemoryStream[(Long, Long, Array[Double])]
-    val vecs = ms.toDF.toDF("vec_id", "sec", "embedding")
+    val vecs = ms.toDF().toDF("vec_id", "sec", "embedding")
       .withColumn("ts", timestamp_seconds($"sec"))
     val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
     val q = StreamingDedup.semanticProbe(vecs, index, theta, bits, dim)
