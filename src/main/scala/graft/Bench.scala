@@ -77,13 +77,21 @@ object Bench {
     println(renderFitted(results, sfTag))
   }
 
+  /** Leg-breakdown keys: informational sub-timings of the combined
+    * pipeline key — excluded from the headline total so the pipeline isn't
+    * double-counted against earlier rounds' totals. */
+  private[graft] def isLegKey(k: String): Boolean =
+    k.startsWith("pipeline_") && k != "pipeline_ingest_replicate_consume" &&
+      k != "pipeline_curate"
+
   private def renderOf(rs: Seq[(String, Double)], all: Seq[(String, Double)],
       sfTag: String)(fmt: Double => String): String = {
     val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // total always covers the FULL battery, even when the per-query map
-    // is sparsified to fit the log window
-    val total = fmt(all.map(_._2).sum)
+    // is sparsified to fit the log window — but counts the pipeline once
+    // (the combined key), not again through its leg breakdown
+    val total = fmt(all.collect { case (k, v) if !isLegKey(k) => v }.sum)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
   }
 

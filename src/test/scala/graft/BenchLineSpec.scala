@@ -45,6 +45,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.count(_ == '{') == 2 && line.count(_ == '}') == 2)
   }
 
+  test("pipeline legs never double-count into the headline total") {
+    val rs = Seq("q1" -> 1.0, "pipeline_ingest" -> 0.5, "pipeline_replicate" -> 1.0,
+      "pipeline_consume" -> 0.5, "pipeline_ingest_replicate_consume" -> 2.0,
+      "pipeline_curate" -> 1.0)
+    val line = Bench.renderFitted(rs, "sf0.1")
+    // total = q1 + combined + curate = 4.0; the legs are a breakdown of
+    // the combined key, not extra work
+    assert(line.contains("\"value\":4"), line)
+    // the legs still appear in the per-query map
+    assert(line.contains("\"pipeline_replicate\":1"), line)
+  }
+
   test("a single enormous entry still renders (degenerate floor)") {
     val rs = Seq(("x" * 3000) -> 1.0)
     val line = Bench.renderFitted(rs, "sf0.1")
