@@ -318,6 +318,17 @@ class StreamingSpec extends AnyFunSuite {
     // vacuum keeps only the live commit and the view still reads
     view.vacuum()
     assert(snap(view.view().get) == before, "vacuum removed the live state")
+    // cold restart: a NEW instance over the same state dir resumes from the
+    // on-disk marker — same view, replay still skipped, fresh batch merges
+    val revived = new graft.streaming.StatsView(view.stateDir, spark)
+    assert(snap(revived.view().get) == before, "restart lost the view")
+    revived.update(rows.take(20).toDF("event_type", "value", "user_id"), 1L)
+    assert(snap(revived.view().get) == before, "restart re-applied a committed batch")
+    val extra = Seq(("tX", 9.0, 99L)).toDF("event_type", "value", "user_id")
+    revived.update(extra, 2L)
+    val after = snap(revived.view().get)
+    assert(after.contains("tX") && after.size == before.size + 1,
+      "restarted view must keep merging fresh deltas")
   }
 
   test("streaming near-dup probe equals batch IncrementalDedup restricted to stream-vs-corpus pairs") {
