@@ -201,6 +201,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p)
   }
 
+  test("ev_quantile_sample: the sample filter fuses into the scan stage; one agg exchange") {
+    val p = plan("ev_quantile_sample")
+    // the hash-membership filter must sit directly on the parquet scan
+    // (nodes 1+2 of the tree) — at 100 TB this is the difference between
+    // shuffling the full stream and shuffling the R-fold-reduced sample
+    assert(p.contains("(1) Scan parquet") && p.contains("(2) Filter"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1,
+      s"sample quantiles should cost exactly the one per-type agg shuffle:\n$p")
+  }
+
   test("ev_kmv_distinct: the sketch aggregates map-side (no distinct shuffle of the key space)") {
     val p = plan("ev_kmv_distinct")
     // TypedImperativeAggregate plans as ObjectHashAggregate; partial below
