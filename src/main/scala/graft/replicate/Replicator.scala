@@ -64,76 +64,134 @@ final class Replicator(
         col("id").as("_seq"))
   }
 
-  /** One S4 poll + S12 transactional send. @return events sent.
-    *
-    * First probes the dense id window (drainRange — no global sort); if
-    * that comes back empty, re-probes with the general ordered scan before
-    * declaring the backlog drained: retention may have deleted the ids
-    * right above a lagging sink cursor, and without the fallback the drain
-    * would wedge on the gap forever. The fallback runs only on empty polls
-    * (once per gap or idle tick) and its `lsn >= cursor` bound still
-    * prunes to the tail in the normal case. */
-  def pollAndSendBatch(topic: String): Long = {
-    val cursor = sink.cursorFor(topic)
-    def poll(batch: DataFrame): Long =
-      // limit-1 probe first: the common idle poll costs one pruned scan.
-      // A non-empty batch then flows through ONE job — cursor AND density
-      // stats are harvested by `observe` DURING the sink's staged write
-      // instead of a separate persist + aggregate pass over the batch
-      // (appendTxn evaluates its cursor argument only after that write
-      // completes, and a throw there aborts before the manifest commit).
-      if (batch.isEmpty) 0L
-      else {
-        val obs = org.apache.spark.sql.Observation()
-        val observed = batch.observe(obs,
-          max(struct(col("lsn"), col("id"))).as("m"),
-          count(lit(1)).as("n"))
-        try {
-          sink.appendTxn(toRecords(topic, observed), topic, {
-            val m = obs.get("m").asInstanceOf[org.apache.spark.sql.Row]
-            // zero rows at write time despite the non-empty probe
-            // (concurrent retention/compaction): commit a cursor no-op
-            if (m == null || m.isNullAt(0)) cursor
-            else {
-              val (mxLsn, mx) = (m.getLong(0), m.getLong(1))
-              val n = obs.get("n").asInstanceOf[Long]
-              // DENSITY GATE (G3): ids are dense per topic, so a batch
-              // covering (cursor.id, mx] must hold exactly mx - cursor.id
-              // rows. Fewer means ids this scan never saw — either a
-              // retention gap (gone forever: skip it, like the scan
-              // fallback always did) or a concurrent append whose task
-              // files were only partially renamed into the topic dir when
-              // we listed it. Committing mx in the latter case would
-              // advance the cursor past rows that become visible
-              // milliseconds later — silent permanent loss. Distinguish by
-              // re-probing the source: ids live in (cursor.id, mx] beyond
-              // what we scanned ⇒ transient visibility ⇒ abort this poll
-              // (the next tick re-reads a settled listing).
-              if (n != mx - cursor.id) {
-                val live = source.read(topic).filter(
-                  col("lsn").isNotNull &&
-                    col("id") > cursor.id && col("id") <= mx).count()
-                if (live != n) throw new Replicator.TransientVisibilityGap(
-                  s"$topic: scanned $n of $live live ids in (${cursor.id}, $mx]")
-              }
-              Cursor(mxLsn, mx)
-            }
-          })
-        } catch {
-          // no manifest was committed; the staged files are invisible
-          // orphans. Report nothing sent — the caller's next poll retries.
-          case _: Replicator.TransientVisibilityGap => 0L
+  /** One poll over `batch` + S12 transactional send. A batch flows through
+    * ONE Spark job — emptiness, cursor AND density stats are all harvested
+    * by `observe` DURING the sink's staged write (appendTxn commits nothing
+    * for an empty batch and evaluates its cursor argument only after the
+    * write completes; a throw there aborts before the manifest commit). */
+  private def pollWith(topic: String, cursor: Cursor, batch: DataFrame): Replicator.Poll = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = batch.observe(obs,
+      max(struct(col("lsn"), col("id"))).as("m"),
+      count(lit(1)).as("n"))
+    var windowFull = false
+    try {
+      val sent = sink.appendTxn(toRecords(topic, observed), topic, {
+        val m = obs.get("m").asInstanceOf[org.apache.spark.sql.Row]
+        // zero rows at write time is handled inside appendTxn (no commit);
+        // this guard only survives as belt-and-braces for a null max
+        if (m == null || m.isNullAt(0)) cursor
+        else {
+          val (mxLsn, mx) = (m.getLong(0), m.getLong(1))
+          val n = obs.get("n").asInstanceOf[Long]
+          // DENSITY GATE (G3): ids are dense per topic, so a batch
+          // covering (cursor.id, mx] must hold exactly mx - cursor.id
+          // rows. Fewer means ids this scan never saw — either a
+          // retention gap (gone forever: skip it, like the scan
+          // fallback always did) or a concurrent append whose task
+          // files were only partially renamed into the topic dir when
+          // we listed it. Committing mx in the latter case would
+          // advance the cursor past rows that become visible
+          // milliseconds later — silent permanent loss. Distinguish by
+          // re-probing the source: ids live in (cursor.id, mx] beyond
+          // what we scanned ⇒ transient visibility ⇒ abort this poll
+          // (the next tick re-reads a settled listing).
+          if (n != mx - cursor.id) {
+            val live = source.read(topic).filter(
+              col("lsn").isNotNull &&
+                col("id") > cursor.id && col("id") <= mx).count()
+            if (live != n) throw new Replicator.TransientVisibilityGap(
+              s"$topic: scanned $n of $live live ids in (${cursor.id}, $mx]")
+          }
+          windowFull = mx >= cursor.id + batchSize
+          Cursor(mxLsn, mx)
         }
-      }
-    val n = poll(source.drainRange(topic, cursor, batchSize))
-    if (n > 0) n else poll(source.scan(topic, cursor, batchSize))
+      })
+      Replicator.Poll(sent, windowFull)
+    } catch {
+      // no manifest was committed; the staged files are invisible
+      // orphans. Report nothing sent — the caller retries or gives up.
+      case _: Replicator.TransientVisibilityGap => Replicator.Poll(0L, windowFull = false)
+    }
   }
 
-  /** Drain loop: poll until empty (EventReplicatorWorker.java:148-160). */
+  /** Topics whose source cursor this instance has reconciled against data
+    * (once per boot, and only for PRE-manifest-cursor topics — a crashed
+    * writer's standalone cursor file could lag its committed data and make
+    * [[sourceIdle]] under-report the backlog until the topic's next
+    * append; manifest-embedded cursors are atomic with the data). */
+  private val sourceReconciled = scala.collection.mutable.Set.empty[String]
+
+  /** Zero-job idle check: the source's committed append cursor vs the
+    * sink's progress cursor — two metadata file reads, no Spark job. The
+    * common steady-state poll (reference cadence: every second,
+    * EventReplicator.java:138) costs nothing when there is nothing to
+    * drain. A cursor written concurrently with this read is seen one poll
+    * late — the same staleness window any fixed-cadence poller has. */
+  private def sourceIdle(topic: String, sinkCursor: Cursor): Boolean = {
+    val src = source.manifestCursor(topic).getOrElse {
+      if (sourceReconciled.add(topic)) source.reconcile(topic)
+      else source.currentCursor(topic)
+    }
+    src.lsn < sinkCursor.lsn ||
+      (src.lsn == sinkCursor.lsn && src.id <= sinkCursor.id)
+  }
+
+  /** Dense-window poll (drainRange — no global sort, both bounds pushed). */
+  private def densePoll(topic: String): Replicator.Poll = {
+    val cursor = sink.cursorFor(topic)
+    pollWith(topic, cursor, source.drainRange(topic, cursor, batchSize))
+  }
+
+  /** General ordered-scan poll: the fallback that sees past a retention
+    * gap right above the cursor (where the dense window is empty forever),
+    * and the retry path after a transient visibility abort (it re-reads a
+    * fresh listing). */
+  private def scanPoll(topic: String): Replicator.Poll = {
+    val cursor = sink.cursorFor(topic)
+    pollWith(topic, cursor, source.scan(topic, cursor, batchSize))
+  }
+
+  /** One S4 poll + S12 transactional send. @return events sent.
+    *
+    * First polls the dense id window (drainRange); if that commits
+    * nothing, re-probes with the general ordered scan before declaring the
+    * backlog drained: retention may have deleted the ids right above a
+    * lagging sink cursor, and without the fallback the poll would wedge on
+    * the gap forever. */
+  def pollAndSendBatch(topic: String): Long = {
+    if (sourceIdle(topic, sink.cursorFor(topic))) return 0L
+    val d = densePoll(topic)
+    if (d.sent > 0) d.sent else scanPoll(topic).sent
+  }
+
+  /** Drain loop: poll until drained (EventReplicatorWorker.java:148-160).
+    *
+    * Termination exploits dense ids: a dense-window poll that commits but
+    * does NOT fill its window (`mx < cursor.id + batchSize` with the
+    * density gate passed) proves no live ids remain above the new cursor
+    * inside the window — the backlog is drained, with no trailing
+    * empty-probe or fallback-scan jobs. The ordered-scan fallback runs
+    * only when a dense poll commits nothing (idle, a whole-window
+    * retention gap, or a transient-visibility abort — the scan re-reads a
+    * settled listing); a retention gap that opens ABOVE the stop point
+    * mid-drain is caught by the next run()'s fallback. */
   def run(topic: String): Long = {
     var total = 0L
-    var n = pollAndSendBatch(topic)
-    while (n > 0) { total += n; n = pollAndSendBatch(topic) }
+    var done = false
+    while (!done) {
+      if (sourceIdle(topic, sink.cursorFor(topic))) done = true
+      else {
+        val d = densePoll(topic)
+        total += d.sent
+        if (d.sent > 0) done = !d.windowFull
+        else {
+          val f = scanPoll(topic)
+          total += f.sent
+          done = f.sent == 0
+        }
+      }
+    }
     total
   }
 
@@ -343,6 +401,11 @@ final class Replicator(
 object Replicator {
   /** Reference default batch size (EventReplicatorWorker.java:134). */
   val DefaultBatchSize = 100
+
+  /** One drain poll's outcome: events committed + whether the committed
+    * window reached its upper bound (more backlog may exist). A poll that
+    * aborted on a transient visibility gap reports (0, false). */
+  private[replicate] final case class Poll(sent: Long, windowFull: Boolean)
 
   /** A poll observed a source listing mid-append-commit (ids live beyond
     * what the scan saw) — abort without committing; the next poll retries

@@ -67,7 +67,10 @@ final class KafkaShapedLog(val root: Path, val spark: SparkSession, val numParti
     * `newCursor` is by-name and evaluated exactly once, AFTER the staged
     * write has completed — so callers may derive it from `observe` metrics
     * harvested during that write (Replicator.pollAndSendBatch), paying a
-    * single pass over the batch. */
+    * single pass over the batch. An EMPTY batch commits nothing at all
+    * (`newCursor` is never evaluated, no manifest write) and returns 0 —
+    * so callers need no pre-write emptiness probe; the probe's job is
+    * folded into the write's own metrics. */
   def appendTxn(records: DataFrame, sourceTable: String, newCursor: => Cursor,
       dropPending: Seq[Pending] = Nil): Long = synchronized {
     val m = manifest()
@@ -107,9 +110,30 @@ final class KafkaShapedLog(val root: Path, val spark: SparkSession, val numParti
           .drop("_ot", "_op", "_onext")
       }).drop("_rn")
 
+    // Per-(topic,partition) counts ride the staged write itself as observe
+    // metrics — offsets are DENSE per group (row_number), so the next
+    // offset is just base + group count, and no second pass over the
+    // staged files is needed. Conditional per-partition counters work
+    // because `partition` is always in [0, numPartitions); the observed
+    // min/max topic detects the (currently nonexistent) multi-topic batch,
+    // which falls back to a grouped read of the staged files.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = withOffsets.observe(obs,
+      count(lit(1)).as("n"),
+      (Seq(min(col("topic")).as("t0"), max(col("topic")).as("t1")) ++
+        (0 until numPartitions).map(p =>
+          count(when(col("partition") === p, 1)).as(s"n$p"))): _*)
     val stage = root.resolve("staging").resolve(UUID.randomUUID().toString)
-    withOffsets.select("topic", "partition", "offset", "key", "value", "headers", "timestamp")
+    observed.select("topic", "partition", "offset", "key", "value", "headers", "timestamp")
       .write.parquet(stage.toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0 && dropPending.isEmpty) {
+      // empty transaction: nothing staged, nothing to commit — drop the
+      // (file-less) stage dir and leave the manifest untouched, so idle
+      // replication polls cost one pruned scan and zero manifest churn
+      deleteDir(stage)
+      return 0L
+    }
     val files = {
       val s = Files.list(stage)
       try s.iterator().asScala
@@ -117,19 +141,24 @@ final class KafkaShapedLog(val root: Path, val spark: SparkSession, val numParti
         .map(p => root.relativize(p).toString).toList
       finally s.close()
     }
-
-    // Count/max-offset from the staged files just written, not from the
-    // input plan: re-evaluating `withOffsets` would run the partition
-    // shuffle + offset window a second time. The staged parquet is tiny
-    // column-pruned reads away from the same numbers (and is the committed
-    // truth by definition).
-    val counts = spark.read.schema(recordSchema).parquet(stage.toString)
-      .groupBy(col("topic"), col("partition"))
-      .agg(max(col("offset")).as("mx"), count(lit(1)).as("n")).collect()
-    val newOffsets = counts.foldLeft(m.offsets) { (acc, r) =>
-      acc + ((r.getString(0), r.getInt(1)) -> (r.getLong(2) + 1))
-    }
-    val n = counts.map(_.getLong(3)).sum
+    val newOffsets =
+      if (obs.get("t0") == obs.get("t1") && obs.get("t0") != null) {
+        val topic = obs.get("t0").asInstanceOf[String]
+        (0 until numPartitions).foldLeft(m.offsets) { (acc, p) =>
+          val np = obs.get(s"n$p").asInstanceOf[Long]
+          if (np == 0) acc
+          else acc + ((topic, p) -> (acc.getOrElse((topic, p), 0L) + np))
+        }
+      } else {
+        // multi-topic batch (no current caller): one column-pruned pass
+        // over the staged files, the committed truth by definition
+        spark.read.schema(recordSchema).parquet(stage.toString)
+          .groupBy(col("topic"), col("partition"))
+          .agg(max(col("offset")).as("mx")).collect()
+          .foldLeft(m.offsets) { (acc, r) =>
+            acc + ((r.getString(0), r.getInt(1)) -> (r.getLong(2) + 1))
+          }
+      }
     val pend =
       if (dropPending.isEmpty) m.pending
       else m.pending.updated(sourceTable,
@@ -180,15 +209,15 @@ final class KafkaShapedLog(val root: Path, val spark: SparkSession, val numParti
   }
 
   /** Remove a dropped parked run's staged directory (never in `files`). */
-  private def deletePendingDir(p: Pending): Unit = {
-    val dir = root.resolve(p.dir)
+  private def deletePendingDir(p: Pending): Unit = deleteDir(root.resolve(p.dir))
+
+  private def deleteDir(dir: Path): Unit =
     if (Files.exists(dir)) {
       val s = Files.walk(dir)
       try s.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.deleteIfExists(_))
       finally s.close()
     }
-  }
 
   /** read_committed view of one topic. */
   def read(topic: String): DataFrame = {

@@ -33,12 +33,14 @@ import graft.model.{Event, KeyType}
   * Readers resolve segments through the `_graft_meta/segments` MANIFEST
   * (atomic rename = commit point), so compaction and retention are
   * concurrent-reader safe: they swap the manifest and leave superseded
-  * files on disk until [[vacuum]]. The committed cursor lives in
-  * `_graft_meta/cursor` (atomic rename); after a crash between manifest
-  * commit and cursor write, [[reconcile]] reads max(lsn,id) back from the
-  * committed data — the data, not the cursor file, is the source of
-  * truth (files staged but never manifested are invisible and carry no
-  * allocated ids).
+  * files on disk until [[vacuum]]. The committed cursor rides the
+  * manifest's first line, so cursor and file list commit in ONE atomic
+  * rename — a reader who can see the data always sees the matching
+  * cursor. Pre-manifest topics keep a standalone `_graft_meta/cursor`
+  * file whose separate move had a crash window; [[reconcile]] heals those
+  * by reading max(lsn,id) back from the committed data — the data, not
+  * the cursor file, is the source of truth (files staged but never
+  * manifested are invisible and carry no allocated ids).
   */
 final class EventLog(val root: Path, spark: SparkSession) {
 
@@ -80,25 +82,43 @@ final class EventLog(val root: Path, spark: SparkSession) {
   private def liveFiles(topic: String): Seq[Path] = {
     val sf = segmentsFile(topic)
     if (Files.exists(sf))
-      Files.readString(sf).split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+      Files.readString(sf).split('\n').iterator.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith(EventLog.CursorLine))
         .map(topicDir(topic).resolve(_)).toSeq
     else listParquet(topicDir(topic))
   }
 
-  private def writeSegments(topic: String, files: Seq[Path]): Unit = {
+  /** The manifest's first line carries the append cursor, committed in the
+    * SAME atomic rename as the file list — so a reader who sees the data
+    * always sees the matching cursor (no crash window between a parquet
+    * commit and a separate cursor move; Replicator.sourceIdle trusts this
+    * without a data reconciliation pass). */
+  private def writeSegments(topic: String, files: Seq[Path],
+      cursor: Cursor): Unit = {
     Files.createDirectories(metaDir(topic))
     val tmp = metaDir(topic).resolve("segments.tmp")
     Files.writeString(tmp,
-      files.map(_.getFileName.toString).sorted.mkString("", "\n", "\n"))
+      (Seq(EventLog.CursorLine + cursor.encoded) ++
+        files.map(_.getFileName.toString).sorted).mkString("", "\n", "\n"))
     Files.move(tmp, segmentsFile(topic), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Cursor committed atomically with the segment manifest, when present
+    * (pre-manifest-cursor topics need [[reconcile]] once instead). */
+  def manifestCursor(topic: String): Option[Cursor] = {
+    val sf = segmentsFile(topic)
+    if (!Files.exists(sf)) None
+    else Files.readString(sf).split('\n').iterator.map(_.trim)
+      .find(_.startsWith(EventLog.CursorLine))
+      .map(l => Cursor.parse(l.stripPrefix(EventLog.CursorLine)))
   }
 
   /** Writer-side: establish the manifest (legacy migration) and return the
     * live set. Call only under the write lock. */
   private def ensureManifest(topic: String): Seq[Path] = {
     if (!Files.exists(segmentsFile(topic)))
-      writeSegments(topic, listParquet(topicDir(topic)))
+      writeSegments(topic, listParquet(topicDir(topic)), currentCursor(topic))
     liveFiles(topic)
   }
 
@@ -125,22 +145,24 @@ final class EventLog(val root: Path, spark: SparkSession) {
     if (Files.exists(kt)) KeyType(Files.readString(kt).trim) else KeyType.Bytea
   }
 
-  /** Committed append cursor = highest (lsn, id) in the topic. */
-  def currentCursor(topic: String): Cursor = {
-    val f = cursorFile(topic)
-    if (Files.exists(f)) Cursor.parse(Files.readString(f).trim) else Cursor.zero
+  /** Committed append cursor = highest (lsn, id) in the topic. The
+    * manifest-embedded cursor wins (atomic with the data); the standalone
+    * cursor file is the legacy/pre-manifest fallback. */
+  def currentCursor(topic: String): Cursor =
+    manifestCursor(topic).getOrElse {
+      val f = cursorFile(topic)
+      if (Files.exists(f)) Cursor.parse(Files.readString(f).trim) else Cursor.zero
+    }
+
+  private def writeCursor(topic: String, c: Cursor): Unit = EventLog.writeLock.synchronized {
+    // committed via the manifest so cursor and file list stay one atomic
+    // unit; the legacy cursor file is left behind (manifest wins on read)
+    writeSegments(topic, ensureManifest(topic), c)
   }
 
-  private def writeCursor(topic: String, c: Cursor): Unit = {
-    Files.createDirectories(metaDir(topic))
-    val tmp = metaDir(topic).resolve(s"cursor.tmp")
-    Files.writeString(tmp, c.encoded)
-    Files.move(tmp, cursorFile(topic), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Recompute the cursor from data (crash recovery: data committed but
-    * cursor file not yet moved). Data wins over meta. */
+  /** Recompute the cursor from data (crash recovery for PRE-manifest
+    * topics, whose cursor file was a separate move; manifest-cursor topics
+    * are consistent by construction). Data wins over meta. */
   def reconcile(topic: String): Cursor = {
     val dataMax =
       if (hasData(topic))
@@ -181,13 +203,22 @@ final class EventLog(val root: Path, spark: SparkSession) {
     // (= partitionId·2³³ + position) pin each row's (partition, position)
     // inside whole-stage codegen; the old spelling dropped to `.rdd`,
     // which deserialized every row to a Java object and re-serialized it
-    // for the write. The staged frame is persisted across the passes: a
-    // re-evaluated nondeterministic input plan could change partition
-    // sizes between the jobs and corrupt the id allocation.
-    val staged = batch.selectExpr("key", "data", "metadata", "timestamp")
+    // for the write.
+    // The persist guards against a NONDETERMINISTIC input plan changing
+    // partition sizes between the two passes (which would corrupt the id
+    // allocation). A fully deterministic plan — the overwhelmingly common
+    // case: reads + pure projections — re-evaluates identically (file
+    // splits are frozen in the resolved relation), so the sizes pass can
+    // just re-scan, skipping the materialization copy entirely; it then
+    // decodes no data columns at all.
+    val deterministicInput = batch.queryExecution.analyzed.find(p =>
+      p.expressions.exists(e => e.find(!_.deterministic).isDefined)).isEmpty
+    val projected = batch.selectExpr("key", "data", "metadata", "timestamp")
       .withColumn("_p", spark_partition_id())
       .withColumn("_m", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val staged =
+      if (deterministicInput) projected
+      else projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // partial agg: one row per input partition reaches the driver
       val sizes = staged.groupBy(col("_p")).agg(count(lit(1)).as("n"))
@@ -228,12 +259,12 @@ final class EventLog(val root: Path, spark: SparkSession) {
         Files.move(f, t)
         t
       }
-      writeSegments(topic, live ++ moved)
-      deleteRecursively(stage)
       val next = Cursor(lsn, base + n)
-      writeCursor(topic, next)
+      // ONE commit point: files + cursor land in the same manifest rename
+      writeSegments(topic, live ++ moved, next)
+      deleteRecursively(stage)
       next
-    } finally staged.unpersist()
+    } finally { if (!deterministicInput) staged.unpersist(); () }
   }
 
   /** Topics whose cursor has been reconciled against data by this
@@ -362,7 +393,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
         l < before.lsn || (l == before.lsn && i <= before.id)
       }
     }
-    writeSegments(topic, files.diff(deletable))
+    writeSegments(topic, files.diff(deletable), currentCursor(topic))
     deletable.size
   }
 
@@ -394,7 +425,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
       Files.move(f, t)
       t
     }
-    writeSegments(topic, moved)
+    writeSegments(topic, moved, currentCursor(topic))
     deleteRecursively(stage)
   }
 
@@ -446,6 +477,9 @@ final class EventLog(val root: Path, spark: SparkSession) {
 object EventLog {
   /** In-process single-writer guard (G1/G6). */
   private val writeLock = new Object
+
+  /** Manifest line prefix for the atomically-committed append cursor. */
+  private val CursorLine = "cursor="
 
   def apply(root: String, spark: SparkSession): EventLog =
     new EventLog(Paths.get(root), spark)

@@ -119,15 +119,24 @@ class EventLogSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("lsn")).distinct.length == 2, "second append got its own lsn")
   }
 
-  test("reconcile repairs a stale cursor from data (crash between data write and cursor move)") {
+  test("reconcile repairs a stale LEGACY cursor from data (pre-manifest-cursor topic)") {
+    // Current appends commit cursor + file list in ONE manifest rename, so
+    // the old crash window (data committed, cursor move lost) cannot occur.
+    // reconcile's remaining job is pre-manifest-cursor topics: simulate one
+    // by stripping the cursor line out of the manifest and leaving no
+    // standalone cursor file either.
     val log = newLog()
     log.saveAll("t6_events", (1 to 3).map(ev))
-    // simulate crash: cursor file deleted after data landed
-    val cursorFile = log.root.resolve("t6_events").resolve("_graft_meta").resolve("cursor")
-    Files.delete(cursorFile)
+    val meta = log.root.resolve("t6_events").resolve("_graft_meta")
+    val segments = meta.resolve("segments")
+    val legacy = Files.readString(segments).linesIterator
+      .filterNot(_.startsWith("cursor=")).mkString("", "\n", "\n")
+    Files.writeString(segments, legacy)
     assert(log.currentCursor("t6_events") == Cursor.zero)
     assert(log.reconcile("t6_events") == Cursor(1, 3))
+    // the repair is durable (re-committed through the manifest) and the
     // next append continues the sequence, no id reuse
+    assert(log.currentCursor("t6_events") == Cursor(1, 3))
     val c = log.saveAll("t6_events", Seq(ev(4)))
     assert(c == Cursor(2, 4))
   }

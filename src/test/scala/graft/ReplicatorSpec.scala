@@ -506,6 +506,42 @@ class ReplicatorSpec extends AnyFunSuite {
       """{"files": [], "offsets": {}, "cursors": {}, "pending": {"a_events": ["1:2"]}}"""))
   }
 
+  test("drain job budget: full drain = ONE Spark job, idle poll = ZERO (scale: poll cadence)") {
+    // The 100 TB shape of the drain loop: a backlog that fits one window
+    // commits in a single observed write job (no pre-probe, no trailing
+    // empty-window probe, no fallback scan — dense ids prove drained-ness),
+    // and the steady-state idle poll is two metadata file reads, no job at
+    // all. A regression here is exactly the r6 pipeline slowdown.
+    val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark)
+    val rep = new Replicator(log, sink, batchSize = 100)
+    log.saveAll("jb_events", (1 to 7).map(ev))
+    def stableJobCount(): Int = {
+      // statusTracker is fed by the async listener bus — wait until the
+      // count stops moving before trusting it
+      var last = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      while (cur != last) {
+        last = cur
+        Thread.sleep(150)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      }
+      cur
+    }
+    val before = stableJobCount()
+    assert(rep.run("jb_events") == 7L)
+    // ONE observed staged write = ≤2 jobs (AQE runs the shuffle stage and
+    // the result stage as separate jobs); the old drain shape was 4-5
+    // (pre-probe + write + offset re-count + trailing probe + fallback)
+    assert(stableJobCount() - before <= 2,
+      "a one-window drain must cost only the observed staged write's jobs")
+    val afterDrain = stableJobCount()
+    assert(rep.pollAndSendBatch("jb_events") == 0L)
+    assert(rep.run("jb_events") == 0L)
+    assert(stableJobCount() == afterDrain,
+      "idle polls must cost zero Spark jobs (cursor-vs-cursor metadata check)")
+  }
+
   test("per-key partition assignment preserves source order per partition (G9)") {
     val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
     val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark, numPartitions = 4)
