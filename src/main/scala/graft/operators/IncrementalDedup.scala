@@ -57,18 +57,20 @@ object IncrementalDedup {
       .agg(count(lit(1)).as("i2"), max($"bn").as("bn"))
     val inter2 = inter.select($"doc_a", $"doc_b",
       when($"bn", ($"i2" / 2).cast("long")).otherwise($"i2").as("inter"))
-    // the candidate pair set is the SMALL side — broadcast IT against the
-    // (corpus-sized, distributed) per-doc counts; broadcasting cnt would
-    // ship 10^8 rows to every executor at the scale this operator targets.
-    // Each pair needs BOTH members' counts: explode the pair to its two
-    // doc sides and join cnt ONCE, then fold the sides back per pair —
-    // one corpus pass and one broadcast instead of two of each chained
-    // serially (broadcast(withA) could only build after the first
-    // corpus join finished).
+    // the candidate pair set is USUALLY the small side against the
+    // (corpus-sized, distributed) per-doc counts — but its size is
+    // data-dependent (|batch| × shingle-share fan-out, unbounded for a
+    // boilerplate-heavy batch), so the join strategy is LEFT TO AQE:
+    // runtime stats pick a broadcast when the pair set really is small and
+    // degrade to a shuffle join when it is not, instead of a mandated
+    // broadcast OOMing the executors (PlanAuditSpec pins the absence of a
+    // forced hint). Each pair needs BOTH members' counts: explode the pair
+    // to its two doc sides and join cnt ONCE, then fold the sides back per
+    // pair — one corpus pass instead of two count joins chained serially.
     val sides = inter2.select($"doc_a", $"doc_b", $"inter",
       explode(array($"doc_a", $"doc_b")).as("doc"))
     val j = $"inter".cast("double") / ($"na_n" + $"nb_n" - $"inter")
-    cnt.join(broadcast(sides), $"doc_id" === $"doc")
+    cnt.join(sides, $"doc_id" === $"doc")
       .groupBy($"doc_a", $"doc_b", $"inter")
       .agg(
         max(when($"doc" === $"doc_a", $"n")).as("na_n"),

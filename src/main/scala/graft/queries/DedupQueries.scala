@@ -164,28 +164,12 @@ object DedupQueries extends QueryModule {
     },
 
     // 32-bit SimHash fingerprints; near-dups at hamming distance <= 2.
-    // Pigeonhole banding (exact — see simhashFingerprints scaladoc).
+    // Pigeonhole banding (exact — see simhashFingerprints scaladoc) with a
+    // hot-bucket split + first-matching-band dedup (simhashBandedPairs).
     "dedup_simhash" -> { (s, dir) =>
-      import s.implicits._
       // fps is tiny (one long per doc) but feeds both sides of the band
       // join — cache so the token explode + 32-way agg runs once.
-      val fps = simhashFingerprints(s, dir).cache()
-      val bandStructs = SimhashBandOffsets.map { case (b, shift, mask) =>
-        struct(lit(b).as("band"),
-          shiftright($"fp", shift).bitwiseAND(lit(mask)).as("bb"))
-      }
-      val bands = fps
-        .select($"doc_id", $"fp", explode(array(bandStructs: _*)).as("x"))
-        .select($"doc_id", $"fp", $"x.band".as("band"), $"x.bb".as("bb"))
-      val hd = bit_count($"a.fp".bitwiseXOR($"b.fp"))
-      // a pair at hamming 0/1 matches on 2-3 bands — distinct collapses
-      // the duplicate candidates (hamming is functional on the pair)
-      bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.bb" === $"b.bb" && $"a.doc_id" < $"b.doc_id")
-        .filter(hd <= 2)
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          hd.cast("long").as("hamming"))
-        .distinct()
+      simhashBandedPairs(simhashFingerprints(s, dir).cache(), SimhashBucketCap)
     },
 
     // LSH-bucketed embedding-cosine near-dup pairs: banded hyperplane
@@ -374,6 +358,61 @@ object DedupQueries extends QueryModule {
         when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg0.select($"doc_id", fp.as("fp"))
+  }
+
+  /** Band buckets above this many docs split into hash sub-buckets
+    * (simhashBandedPairs). 4096² pairs is a comfortable single-task join;
+    * below the cap the split is a degenerate no-op (g = 1). */
+  private[graft] val SimhashBucketCap = 4096
+
+  /** Banded simhash near-dup pairs over a `(doc_id, fp)` frame, with a
+    * HOT-BUCKET GUARD: unlike minhash bands (uniform by construction),
+    * simhash band values are fingerprint slices, and a boilerplate-heavy
+    * corpus concentrates mass in few `(band, bb)` buckets — an unguarded
+    * self-join then degenerates toward Σ bucket² inside single tasks.
+    * Buckets above `cap` docs split fragment-replicate style: the probe
+    * side replicates across the bucket's `g = ⌈k/cap⌉` sub-buckets, the
+    * build side hashes into one, so every qualifying ordered pair still
+    * meets EXACTLY once (same rows, bounded per-task fan-in; DedupScaleSpec
+    * pins banded ≡ quadratic on a hot-bucket corpus). The sub-key join
+    * stays on the (band, bb) shuffle — partitioning by a key subset
+    * satisfies the clustered distribution, so the guard adds no exchange.
+    *
+    * Duplicate candidates (a hamming ≤1 pair matches 2-3 bands) are
+    * collapsed by a FIRST-MATCHING-BAND filter instead of a distinct():
+    * both fingerprints are in hand after the join, so "an earlier band
+    * also matched" is a scalar predicate — no distinct shuffle, and the
+    * duplicates die before materializing. */
+  private[graft] def simhashBandedPairs(fps: DataFrame, cap: Int): DataFrame = {
+    val s = fps.sparkSession
+    import s.implicits._
+    val bandStructs = SimhashBandOffsets.map { case (b, shift, mask) =>
+      struct(lit(b).as("band"),
+        shiftright($"fp", shift).bitwiseAND(lit(mask)).as("bb"))
+    }
+    val bands = fps
+      .select($"doc_id", $"fp", explode(array(bandStructs: _*)).as("x"))
+      .select($"doc_id", $"fp", $"x.band".as("band"), $"x.bb".as("bb"))
+    val sizes = bands.groupBy($"band", $"bb").agg(count(lit(1)).as("k"))
+      .select($"band", $"bb",
+        ceil($"k".cast("double") / cap).cast("int").as("g"))
+    val tagged = bands.join(sizes, Seq("band", "bb"))
+    val probe = tagged.withColumn("t", explode(sequence(lit(0), $"g" - 1)))
+    val build = tagged.withColumn("t",
+      pmod(xxhash64($"doc_id"), $"g".cast("long")).cast("int"))
+    val hd = bit_count($"a.fp".bitwiseXOR($"b.fp"))
+    val noEarlierBand = SimhashBandOffsets.foldLeft(lit(true)) {
+      case (acc, (b, shift, mask)) =>
+        acc && !(lit(b) < $"a.band" &&
+          shiftright($"a.fp", shift).bitwiseAND(lit(mask)) ===
+            shiftright($"b.fp", shift).bitwiseAND(lit(mask)))
+    }
+    probe.as("a").join(build.as("b"),
+        $"a.band" === $"b.band" && $"a.bb" === $"b.bb" &&
+          $"a.t" === $"b.t" && $"a.doc_id" < $"b.doc_id")
+      .filter(hd <= 2 && noEarlierBand)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        hd.cast("long").as("hamming"))
   }
 
   /** The quadratic simhash spelling — DedupScaleSpec asserts the banded

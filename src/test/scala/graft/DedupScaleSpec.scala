@@ -74,6 +74,32 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash hot-bucket split: banded ≡ quadratic on a boilerplate-heavy (skewed) corpus") {
+    // the guard's target regime: one (band, bb) bucket holding a large
+    // share of the corpus (shared boilerplate ⇒ identical band slices).
+    // cap = 16 forces g = ⌈2000/16⌉ = 125 sub-buckets — the split must
+    // change only the plan's skew profile, never the pair set.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val hot = (0 until 2000).map { i =>
+      (i.toLong, (rnd.nextLong() & 0xfffff800L) | 0x123L) // shared band-0 slice
+    }
+    val cold = (2000 until 2500).map(i => (i.toLong, rnd.nextLong() & 0xffffffffL))
+    val all = hot ++ cold
+    val banded = graft.queries.DedupQueries
+      .simhashBandedPairs(all.toDF("doc_id", "fp"), cap = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    val quadratic = (for {
+      (i, fi) <- all; (j, fj) <- all
+      if i < j && java.lang.Long.bitCount(fi ^ fj) <= 2
+    } yield (i, j, java.lang.Long.bitCount(fi ^ fj).toLong)).toSet
+    assert(banded == quadratic,
+      s"split broke exactness: missing=${(quadratic -- banded).take(5)} " +
+        s"extra=${(banded -- quadratic).take(5)}")
+    assert(quadratic.nonEmpty, "vacuous: no near pairs in the skewed corpus")
+    assert(hot.size > 16, "vacuous: hot bucket under the cap, no split exercised")
+  }
+
   test("LSH embed-cosine: perfect precision (subset of exact pairs, identical cosines), recall ≥ 0.6") {
     val lsh = SparkEntry.queries("dedup_embed_cosine")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
