@@ -44,11 +44,14 @@ object MergeableStats {
 
   /** Merge two state frames. least/greatest skip nulls, so a type present
     * on one side only carries through; the KMV merge is distinct-union →
-    * sort → first k. */
+    * sort → first k. The join is NULL-SAFE (`<=>`): NULL event_type is a
+    * legitimate group (dirty streams carry it — EdgeCorpusSpec), and plain
+    * `===` would emit two unmatched NULL rows instead of one merged one,
+    * breaking merge(stats(a), stats(b)) == stats(a ∪ b). */
   def merge(a0: DataFrame, b0: DataFrame): DataFrame = {
     val a = a0.columns.foldLeft(a0)((d, c) => d.withColumnRenamed(c, s"a_$c"))
     val b = b0.columns.foldLeft(b0)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    a.join(b, col("a_event_type") === col("b_event_type"), "full_outer")
+    a.join(b, col("a_event_type") <=> col("b_event_type"), "full_outer")
       .select(
         coalesce(col("a_event_type"), col("b_event_type")).as("event_type"),
         (coalesce(col("a_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"),

@@ -51,6 +51,14 @@ final class EventLog(val root: Path, spark: SparkSession) {
 
   private def metaDir(topic: String): Path = topicDir(topic).resolve("_graft_meta")
 
+  /** This topic's in-process writer lock — keyed on the NORMALIZED
+    * (root, topic) pair so two EventLog instances over the same directory
+    * share it, while different topics (G1 is per topic) and different
+    * roots never contend. */
+  private def writeLock(topic: String): Object =
+    EventLog.writeLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize().toString + "#" + topic, _ => new Object)
+
   private def cursorFile(topic: String): Path = metaDir(topic).resolve("cursor")
 
   // ---- segment manifest ------------------------------------------------
@@ -154,7 +162,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
       if (Files.exists(f)) Cursor.parse(Files.readString(f).trim) else Cursor.zero
     }
 
-  private def writeCursor(topic: String, c: Cursor): Unit = EventLog.writeLock.synchronized {
+  private def writeCursor(topic: String, c: Cursor): Unit = writeLock(topic).synchronized {
     // committed via the manifest so cursor and file list stay one atomic
     // unit; the legacy cursor file is left behind (manifest wins on read)
     writeSegments(topic, ensureManifest(topic), c)
@@ -190,7 +198,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
     * the parquet commit and the cursor move, and allocating from the stale
     * meta cursor would mint duplicate (lsn, id) pairs — breaking the
     * dense-id invariant everything downstream relies on. */
-  def append(topic: String, batch: DataFrame): Cursor = EventLog.writeLock.synchronized {
+  def append(topic: String, batch: DataFrame): Cursor = writeLock(topic).synchronized {
     createTopic(topic)
     if (!reconciled.contains(topic)) { reconcile(topic); reconciled += topic }
     val cur = currentCursor(topic)
@@ -373,7 +381,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
     * data; events straddling the bound are kept). Reader-safe: expired
     * segments leave the MANIFEST immediately but stay on disk for
     * in-flight readers until [[vacuum]]. */
-  def truncateBefore(topic: String, before: Cursor): Int = EventLog.writeLock.synchronized {
+  def truncateBefore(topic: String, before: Cursor): Int = writeLock(topic).synchronized {
     val files = ensureManifest(topic)
     if (files.isEmpty) return 0
     // one job for all segments (groupBy input_file_name), not one Spark
@@ -409,7 +417,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
     * old generation's files, which stay on disk until [[vacuum]]. A crash
     * mid-compaction leaves the manifest on the old generation and only
     * vacuum-able orphans. */
-  def compact(topic: String, targetFiles: Int = 1): Unit = EventLog.writeLock.synchronized {
+  def compact(topic: String, targetFiles: Int = 1): Unit = writeLock(topic).synchronized {
     val dir = topicDir(topic)
     val oldFiles = ensureManifest(topic)
     if (oldFiles.isEmpty) return
@@ -436,7 +444,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
     * manifest that are still executing — size it to the longest-running
     * read (the lakehouse vacuum-retention contract). Returns the number of
     * files deleted. */
-  def vacuum(topic: String, graceMs: Long = 0L): Int = EventLog.writeLock.synchronized {
+  def vacuum(topic: String, graceMs: Long = 0L): Int = writeLock(topic).synchronized {
     val dir = topicDir(topic)
     if (!Files.isDirectory(dir)) return 0
     val live = ensureManifest(topic).map(_.getFileName.toString).toSet
@@ -475,8 +483,11 @@ final class EventLog(val root: Path, spark: SparkSession) {
 }
 
 object EventLog {
-  /** In-process single-writer guard (G1/G6). */
-  private val writeLock = new Object
+  /** In-process single-writer guards, one per (root, topic) — G1 needs a
+    * single writer PER TOPIC, so two topics (even in one JVM, even under
+    * one root) append concurrently; only same-topic mutators serialize.
+    * Cross-process exclusion stays with [[LockFile]]. */
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Manifest line prefix for the atomically-committed append cursor. */
   private val CursorLine = "cursor="

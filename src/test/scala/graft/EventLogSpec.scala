@@ -141,6 +141,32 @@ class EventLogSpec extends AnyFunSuite {
     assert(c == Cursor(2, 4))
   }
 
+  test("concurrent appends: different topics parallelize, same topic stays single-writer (G1)") {
+    // the write lock is per (root, topic) — a JVM-global lock would also
+    // pass this, but the per-topic correctness contract is what matters:
+    // every topic ends with dense ids 1..n and one lsn per append batch,
+    // under concurrent mixed-topic append pressure
+    val log = newLog()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = for {
+        t <- Seq("ca_events", "cb_events")
+        chunk <- (1 to 12).grouped(4).toSeq
+      } yield pool.submit(new Runnable {
+        def run(): Unit = { log.saveAll(t, chunk.map(ev)); () }
+      })
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    for (t <- Seq("ca_events", "cb_events")) {
+      val rows = log.read(t).orderBy("id").collect()
+      assert(rows.map(_.getAs[Long]("id")).toSeq == (1L to 12L),
+        s"$t: ids not dense under concurrency")
+      assert(rows.map(_.getAs[Long]("lsn")).distinct.length == 3,
+        s"$t: each append batch must get its own lsn")
+      assert(log.currentCursor(t) == Cursor(3, 12))
+    }
+  }
+
   test("lag gauge = max lsn - cursor lsn, empty → 0 (A1)") {
     val log = newLog()
     log.createTopic("t7_events")

@@ -283,6 +283,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(expect.values.forall(m => m.size == 4 && m == m.sorted), expect.toString)
   }
 
+  test("MergeableStats.merge: NULL event_type groups on BOTH sides merge into one row") {
+    // dirty streams carry NULL event_type; a non-null-safe join would emit
+    // two unmatched NULL rows (the r6 advisor's finding) — the merge
+    // identity must hold with the NULL group split across the sides
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rows = (0 until 40).map { i =>
+      (if (i % 5 == 0) null else s"t${i % 3}", (i % 7) * 2.0, (i % 11).toLong)
+    }
+    val (l, r) = rows.splitAt(20) // NULL-type rows land on both sides
+    assert(l.exists(_._1 == null) && r.exists(_._1 == null), "split must cover both sides")
+    def df(xs: Seq[(String, Double, Long)]) = xs.toDF("event_type", "value", "user_id")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.MergeableStats.publish(d).collect()
+        .map(row => Option(row.getString(0)) ->
+          (row.getLong(1), row.getDouble(2), row.getDouble(3), row.getDouble(4),
+            row.getLong(5), row.getLong(6), row.getDouble(7))).toMap
+    val merged = snap(graft.operators.MergeableStats.merge(
+      graft.operators.MergeableStats.statsOf(df(l)),
+      graft.operators.MergeableStats.statsOf(df(r))))
+    val full = snap(graft.operators.MergeableStats.statsOf(df(rows)))
+    assert(merged.size == full.size, s"duplicate NULL group: $merged vs $full")
+    assert(merged == full, s"merge != recompute with NULL groups: $merged vs $full")
+  }
+
   test("StatsView: incrementally-maintained view equals full recompute; replayed batch is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
