@@ -42,6 +42,40 @@ class KafkaAdapterSpec extends AnyFunSuite {
     assert(opts("startingOffsets") == """{"t_events":{"0":0,"1":0}}""")
   }
 
+  test("txn sink: per-topic transactional id, byte serializers, idempotent acks=all (S12 broker form)") {
+    import graft.sources.KafkaTxnSinkAdapter
+    assert(KafkaTxnSinkAdapter.transactionalId("orders_events") ==
+      "event-replicator-orders_events")
+    val p = KafkaTxnSinkAdapter.producerProperties("b1:9092", "orders_events")
+    assert(p.getProperty("bootstrap.servers") == "b1:9092")
+    assert(p.getProperty("transactional.id") == "event-replicator-orders_events")
+    assert(p.getProperty("enable.idempotence") == "true")
+    assert(p.getProperty("acks") == "all")
+    assert(p.getProperty("key.serializer").endsWith("ByteArraySerializer"))
+    assert(p.getProperty("value.serializer").endsWith("ByteArraySerializer"))
+    // the Spark-sink (at-least-once) option map: kafka.-prefixed broker
+    // config, no serializer overrides (Spark rejects them)
+    val opts = KafkaTxnSinkAdapter.sinkOptions("b1:9092", "orders_events")
+    assert(opts("kafka.bootstrap.servers") == "b1:9092")
+    assert(opts("topic") == "orders_events")
+    assert(opts("kafka.enable.idempotence") == "true")
+    assert(opts("kafka.acks") == "all")
+    assert(!opts.keys.exists(_.contains("serializer")))
+  }
+
+  test("txn sink: progress record round-trips the cursor; malformed fails fast") {
+    import graft.codec.Cursor
+    import graft.sources.KafkaTxnSinkAdapter
+    val (k, v) = KafkaTxnSinkAdapter.progressRecord("orders_events", Cursor(7, 4242))
+    assert(new String(k, "UTF-8") == "orders_events")
+    assert(new String(v, "UTF-8") == "7:4242")
+    assert(KafkaTxnSinkAdapter.parseProgress(v) == Cursor(7, 4242))
+    assert(KafkaTxnSinkAdapter.ProgressTopic == "_event_replicator_progress")
+    intercept[IllegalStateException] {
+      KafkaTxnSinkAdapter.parseProgress("not-a-cursor".getBytes("UTF-8"))
+    }
+  }
+
   test("reader construction needs no broker (source resolves only at load)") {
     val offsets = TopicOffsets(Files.createTempDirectory("graft-ka4-").toString)
     val r = KafkaSubscribeAdapter.reader(
