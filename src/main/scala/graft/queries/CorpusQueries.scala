@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
+import graft.functions.Tokenizer
 import graft.operators.GlobalCumsum
 import CrossHash._
 
@@ -100,15 +101,7 @@ object CorpusQueries extends QueryModule {
     // Concat-and-chunk sequence packing: documents stream in doc_id order
     // into fixed PackBudget-token training sequences; each doc lands at
     // (shard, shard_offset) of the concatenated token stream.
-    "doc_pack" -> { (s, dir) =>
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
-      GlobalCumsum.runningBefore(docs, "doc_id", "n_tokens", "cb")
-        .select($"doc_id", $"n_tokens",
-          expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
-          ($"cb" % PackBudget).as("shard_offset"))
-    },
+    "doc_pack" -> { (s, dir) => docPack(s, dir) },
 
     // Sliding-context-window chunking: each document splits into
     // fixed-size token windows with overlap (stride < window) — the
@@ -118,34 +111,11 @@ object CorpusQueries extends QueryModule {
     // COUNTS (ceil-division chunk count, clamped end), so the oracle is
     // hash-exact; the explode is a narrow map pass — per-doc fan-out is
     // ceil((n-W)/S)+1 rows of 5 longs, no shuffle at all.
-    "doc_chunk" -> { (s, dir) =>
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
-        .withColumn("n_chunks",
-          when($"n_tokens" <= ChunkTokens, lit(1L))
-            .otherwise(expr(s"(n_tokens - $ChunkTokens + $ChunkStride - 1) " +
-              s"DIV $ChunkStride + 1")))
-      docs.select($"doc_id", $"n_tokens",
-          explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_id"))
-        .withColumn("start_tok", $"chunk_id" * ChunkStride + 1)
-        .withColumn("end_tok", least($"start_tok" + (ChunkTokens - 1), $"n_tokens"))
-        .select($"doc_id", $"chunk_id", $"start_tok", $"end_tok",
-          ($"end_tok" - $"start_tok" + 1).as("chunk_tokens"))
-    },
+    "doc_chunk" -> { (s, dir) => docChunk(s, dir) },
 
     // Deterministic length-weighted sampling: hash draw vs an integer
     // threshold, so both engines (and any rerun) keep the identical set.
-    "sample_weighted" -> { (s, dir) =>
-      import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"), $"text")
-        .withColumn("sample_p",
-          least(lit(1.0), lit(SampleTargetTokens) / $"n_tokens"))
-        .filter(h60(concat($"text", lit("|sw"))) % 1000000L <
-          floor($"sample_p" * 1000000.0).cast("long"))
-        .select($"doc_id", $"n_tokens", $"sample_p")
-    },
+    "sample_weighted" -> { (s, dir) => sampleWeighted(s, dir) },
 
     // Training-mixture rebalancing: per-source sampling rates that
     // equalize each source's token contribution (the data-mixing stage of
@@ -153,22 +123,7 @@ object CorpusQueries extends QueryModule {
     // Two tiny aggregates (per-source, global) — the global total joins
     // back as a 1-row cross join, so the whole allocation is
     // O(sources) after one corpus pass.
-    "mix_allocation" -> { (s, dir) =>
-      import s.implicits._
-      val perSource = Tables.load(s, dir, "documents")
-        .select($"source", size(tokens($"text")).cast("long").as("n"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
-      val totals = perSource.agg(
-        sum($"n_tokens").as("total_tokens"),
-        count(lit(1)).as("n_sources"))
-      perSource.crossJoin(totals)
-        .withColumn("fair_share",
-          $"total_tokens".cast("double") / $"n_sources")
-        .withColumn("sample_rate",
-          least(lit(1.0), $"fair_share" / $"n_tokens"))
-        .select($"source", $"n_docs", $"n_tokens", $"fair_share", $"sample_rate")
-    },
+    "mix_allocation" -> { (s, dir) => mixAllocation(s, dir) },
 
     // The full curation DAG as ONE job — what a user actually runs over a
     // raw crawl: quality gate → exact dedup (keep lowest doc_id per
@@ -178,38 +133,7 @@ object CorpusQueries extends QueryModule {
     // whole pipeline costs: one corpus scan + the dedup digest shuffle +
     // the (eval-broadcast) decontam join + GlobalCumsum's bucketed
     // window — no stage re-reads the input.
-    "pipeline_curate" -> { (s, dir) =>
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"text", size(tokens($"text")).cast("long").as("n_tokens"))
-      // quality gate: enough tokens, not punctuation soup
-      val quality = docs.filter($"n_tokens" >= 5 &&
-        (regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double") /
-          nullif(length($"text"), lit(0))) < 0.3)
-      // exact dedup: keep the lowest doc_id per content digest.
-      // `kept` feeds BOTH the shingle index and the packing input, and
-      // GlobalCumsum drives multiple actions (quantile sketch, bucket
-      // totals, final plan) — cache the stage boundary or the whole
-      // scan→quality→dedup prefix re-executes once per action
-      val keep = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("doc_id"))
-      val kept = quality.join(keep, "doc_id").select($"doc_id", $"text", $"n_tokens")
-        .cache()
-      // decontamination: drop the eval split and anything ≥50% eval-overlapping
-      val sh = kept
-        .select($"doc_id", explode(shingleHashes($"text")).as("h"))
-        .distinct()
-      val contaminated = contamination(sh)
-        .filter($"n_contaminated".cast("double") / $"n_shingles" >= 0.5)
-        .select($"doc_id")
-      val train = kept.filter($"doc_id" % EvalMod =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .select($"doc_id", $"n_tokens")
-      // pack the survivors
-      GlobalCumsum.runningBefore(train, "doc_id", "n_tokens", "cb")
-        .select($"doc_id", $"n_tokens",
-          expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
-          ($"cb" % PackBudget).as("shard_offset"))
-    },
+    "pipeline_curate" -> { (s, dir) => pipelineCurate(s, dir) },
 
     // Cross-source overlap matrix from per-source MinHash signatures —
     // the corpus-mixing / cross-source-contamination signal ("how much of
@@ -274,20 +198,7 @@ object CorpusQueries extends QueryModule {
     // sum over rows ordered by lang — both engines add in the identical
     // order, so the doubles agree bit-for-bit where an unordered SUM()
     // could differ in the last ulp. O(langs) after one corpus pass.
-    "mix_temperature" -> { (s, dir) =>
-      import s.implicits._
-      val perLang = Tables.load(s, dir, "documents")
-        .select($"lang", size(tokens($"text")).cast("long").as("n"))
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
-        .withColumn("w", sqrt($"n_tokens".cast("double")))
-      val wLang = Window.orderBy($"lang")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      perLang
-        .withColumn("denom", sum($"w").over(wLang))
-        .select($"lang", $"n_docs", $"n_tokens", $"w".as("weight"),
-          ($"w" / $"denom").as("mix_p"))
-    },
+    "mix_temperature" -> { (s, dir) => mixTemperature(s, dir) },
 
     // Per-doc top-3 TF-IDF terms (rational idf — see scaladoc).
     "text_tfidf" -> { (s, dir) =>
@@ -307,6 +218,123 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", $"rnk".cast("long").as("rnk"), $"term", $"tfidf")
     }
   )
+
+  // ---- tokenizer-parameterized builders --------------------------------
+  // The packing/mixture family budgets in TOKENS; the counter is a
+  // [[graft.functions.Tokenizer]] seam. The registry binds the default
+  // (whitespace — exactly the oracle SQL's spelling, so the driver gate
+  // stays hash-exact); a production pipeline passes Tokenizer.ToyBpe or
+  // its own counter and every downstream integer (shards, chunks, rates)
+  // re-derives consistently. CorpusSpec pins ToyBpe pack boundaries
+  // against an independent driver-side spelling.
+
+  private[graft] def docPack(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", tok.count($"text").as("n_tokens"))
+    GlobalCumsum.runningBefore(docs, "doc_id", "n_tokens", "cb")
+      .select($"doc_id", $"n_tokens",
+        expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+        ($"cb" % PackBudget).as("shard_offset"))
+  }
+
+  private[graft] def docChunk(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", tok.count($"text").as("n_tokens"))
+      .withColumn("n_chunks",
+        when($"n_tokens" <= ChunkTokens, lit(1L))
+          .otherwise(expr(s"(n_tokens - $ChunkTokens + $ChunkStride - 1) " +
+            s"DIV $ChunkStride + 1")))
+    docs.select($"doc_id", $"n_tokens",
+        explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).as("chunk_id"))
+      .withColumn("start_tok", $"chunk_id" * ChunkStride + 1)
+      .withColumn("end_tok", least($"start_tok" + (ChunkTokens - 1), $"n_tokens"))
+      .select($"doc_id", $"chunk_id", $"start_tok", $"end_tok",
+        ($"end_tok" - $"start_tok" + 1).as("chunk_tokens"))
+  }
+
+  private[graft] def sampleWeighted(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", tok.count($"text").as("n_tokens"), $"text")
+      .withColumn("sample_p",
+        least(lit(1.0), lit(SampleTargetTokens) / $"n_tokens"))
+      .filter(h60(concat($"text", lit("|sw"))) % 1000000L <
+        floor($"sample_p" * 1000000.0).cast("long"))
+      .select($"doc_id", $"n_tokens", $"sample_p")
+  }
+
+  private[graft] def mixAllocation(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
+    val perSource = Tables.load(s, dir, "documents")
+      .select($"source", tok.count($"text").as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+    val totals = perSource.agg(
+      sum($"n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(totals)
+      .withColumn("fair_share",
+        $"total_tokens".cast("double") / $"n_sources")
+      .withColumn("sample_rate",
+        least(lit(1.0), $"fair_share" / $"n_tokens"))
+      .select($"source", $"n_docs", $"n_tokens", $"fair_share", $"sample_rate")
+  }
+
+  private[graft] def mixTemperature(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
+    val perLang = Tables.load(s, dir, "documents")
+      .select($"lang", tok.count($"text").as("n"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .withColumn("w", sqrt($"n_tokens".cast("double")))
+    val wLang = Window.orderBy($"lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perLang
+      .withColumn("denom", sum($"w").over(wLang))
+      .select($"lang", $"n_docs", $"n_tokens", $"w".as("weight"),
+        ($"w" / $"denom").as("mix_p"))
+  }
+
+  private[graft] def pipelineCurate(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text", tok.count($"text").as("n_tokens"))
+    // quality gate: enough tokens, not punctuation soup
+    val quality = docs.filter($"n_tokens" >= 5 &&
+      (regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double") /
+        nullif(length($"text"), lit(0))) < 0.3)
+    // exact dedup: keep the lowest doc_id per content digest.
+    // `kept` feeds BOTH the shingle index and the packing input, and
+    // GlobalCumsum drives multiple actions (quantile sketch, bucket
+    // totals, final plan) — cache the stage boundary or the whole
+    // scan→quality→dedup prefix re-executes once per action
+    val keep = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("doc_id"))
+    val kept = quality.join(keep, "doc_id").select($"doc_id", $"text", $"n_tokens")
+      .cache()
+    // decontamination: drop the eval split and anything ≥50% eval-overlapping
+    val sh = kept
+      .select($"doc_id", explode(shingleHashes($"text")).as("h"))
+      .distinct()
+    val contaminated = contamination(sh)
+      .filter($"n_contaminated".cast("double") / $"n_shingles" >= 0.5)
+      .select($"doc_id")
+    val train = kept.filter($"doc_id" % EvalMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens")
+    // pack the survivors
+    GlobalCumsum.runningBefore(train, "doc_id", "n_tokens", "cb")
+      .select($"doc_id", $"n_tokens",
+        expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+        ($"cb" % PackBudget).as("shard_offset"))
+  }
 
   def oracles: Map[String, String] = Map(
     "text_decontam" ->
