@@ -64,6 +64,12 @@ object Bench {
       legKeys.map(k => k -> best.collectFirst { case (`k`, v) => v }.get) :+
         ("pipeline_ingest_replicate_consume" -> best.map(_._2).sum)
     } else Nil)
+    // Plan artifacts ride every bench run (outside the timed region): one
+    // formatted physical plan per query under target/plans/, so a
+    // cross-round perf drift (like r5→r6's broad ~27%) is attributable by
+    // diffing the plan surface instead of guessing session noise vs plan
+    // regression. PlanAuditSpec smoke-checks the dump shape.
+    dumpPlans(spark, sfDir, selected, java.nio.file.Paths.get("target/plans"))
     val sfTag = new java.io.File(sfDir).getName
     // The driver captures only the LAST ~2000 log chars; r4/r5 both lost the
     // front of this line to that window (BENCH parsed:null). Persist the
@@ -75,6 +81,28 @@ object Bench {
       renderOf(results, results, sfTag)(_.toString) + "\n")
     spark.stop()
     println(renderFitted(results, sfTag))
+  }
+
+  /** Write one `<name>.txt` formatted physical plan per query (planning
+    * only — nothing executes). A query that fails to PLAN writes a
+    * `PLAN FAIL` marker instead of silently vanishing from the surface.
+    * @return names that failed to plan. */
+  private[graft] def dumpPlans(spark: SparkSession, sfDir: String,
+      selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      dir: java.nio.file.Path): Seq[String] = {
+    java.nio.file.Files.createDirectories(dir)
+    selected.flatMap { case (name, fn) =>
+      val out = dir.resolve(s"$name.txt")
+      try {
+        java.nio.file.Files.writeString(out, fn(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+        None
+      } catch {
+        case e: Exception =>
+          java.nio.file.Files.writeString(out, s"PLAN FAIL: ${e.getMessage}")
+          Some(name)
+      }
+    }
   }
 
   /** Leg-breakdown keys: informational sub-timings of the combined

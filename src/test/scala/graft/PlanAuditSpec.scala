@@ -114,6 +114,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bench plan dump: one non-empty formatted plan per query, failures marked") {
+    // Bench.dumpPlans runs on every bench run → target/plans/; this smoke
+    // check pins the artifact shape on a sample so the dump can't silently
+    // rot (empty files, missing queries, swallowed plan failures)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plans-")
+    val sample = Seq("q1_agg", "dedup_exact", "doc_pack")
+      .map(n => n -> SparkEntry.queries(n))
+    val failed = graft.Bench.dumpPlans(spark, dir, sample, tmp)
+    assert(failed.isEmpty, s"queries failed to plan: $failed")
+    sample.foreach { case (n, _) =>
+      val f = tmp.resolve(s"$n.txt")
+      assert(java.nio.file.Files.exists(f), s"missing plan dump for $n")
+      val text = java.nio.file.Files.readString(f)
+      assert(text.contains("== Physical Plan =="), s"$n: not a formatted plan:\n$text")
+      assert(!text.startsWith("PLAN FAIL"), s"$n: $text")
+    }
+  }
+
   test("knn_retrieve: hit-set joins back to documents without sorting either side") {
     val p = plan("knn_retrieve")
     assert(!p.contains("SortMergeJoin"), p)
