@@ -25,8 +25,22 @@ object PackedExport {
 
   /** Pack `docs` (doc_id, n_tokens) under `budget` tokens per training
     * sequence and write `outDir/shard=K/` partitions. Returns the shard
-    * count. */
+    * count.
+    *
+    * REQUIRES every doc's n_tokens ≤ budget: a single oversized doc would
+    * jump the prefix sum across whole budgets, skipping shard ids — some
+    * `shard=K` dirs would not exist while the returned count says they
+    * should, and a trainer reading shard K would silently get nothing.
+    * Oversized docs must go through doc_chunk first; this fails fast
+    * instead of softening the contiguity contract (the contract is what
+    * lets a loader enumerate shards 0..N−1 without listing). */
   def writeShards(docs: DataFrame, outDir: String, budget: Long): Long = {
+    val oversized = docs.filter(col("n_tokens") > budget)
+      .select(col("doc_id"), col("n_tokens")).limit(1).collect()
+    require(oversized.isEmpty,
+      s"doc ${oversized.headOption.map(_.get(0)).orNull} has " +
+        s"${oversized.headOption.map(_.get(1)).orNull} tokens > budget $budget — " +
+        "chunk oversized docs (doc_chunk) before packing")
     // an empty corpus writes no shard dirs and the read-back below can't
     // infer a schema from nothing — short-circuit to zero shards
     if (docs.isEmpty) {

@@ -238,19 +238,26 @@ object EventQueries extends QueryModule {
     // next to HLL (ev_approx_stats) and KMV (ev_kmv_distinct): the sample
     // membership is a pure row property (h60(event_id) mod R), so it is
     // mergeable (a map-side filter), reproducible across engines, reruns
-    // and partitionings, and the estimator (exact interpolated percentile
-    // OVER the sample) gets a hash-exact oracle — where t-digest-style
-    // sketches are merge-order-dependent and can only be rows-only
-    // checked. At 100 TB the filter fuses into the scan and the shuffle
-    // carries the R-fold-reduced sample.
+    // and partitionings. The estimator is the NEAREST-RANK percentile
+    // spelled as explicit selection — sort the (R-fold-reduced) sample,
+    // pick index ceil(p·n) — because interpolated percentile builtins
+    // (Spark `percentile`, DuckDB `quantile_cont`) use different
+    // lower+frac·(upper−lower) formulas whose doubles can differ in the
+    // last ulp (r6 advisor). Here the only float op is ONE IEEE multiply +
+    // ceil, identical in both engines; the quantile itself is a selected
+    // data value, never arithmetic. At 100 TB the filter fuses into the
+    // scan and the per-group sorted sample is R-fold reduced.
     "ev_quantile_sample" -> { (s, dir) =>
       import s.implicits._
+      def rankTh(p: Double) = when(size($"vs") >= 1,
+        element_at($"vs", ceil(lit(p) * size($"vs")).cast("int")))
       Tables.load(s, dir, "events")
         .filter(CrossHash.h60($"event_id".cast("string")) % 10 === 0)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_sample"),
-          expr("percentile(value, 0.5)").as("p50_est"),
-          expr("percentile(value, 0.95)").as("p95_est"))
+          sort_array(collect_list($"value")).as("vs"))
+        .select($"event_type", $"n_sample",
+          rankTh(0.5).as("p50_est"), rankTh(0.95).as("p95_est"))
     },
 
     // Pivot: event_type → columns (relational reshape of the stream).
@@ -734,13 +741,22 @@ object EventQueries extends QueryModule {
         |  min(value) AS vmin, max(value) AS vmax
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // nearest-rank selection with the IDENTICAL ceil(p·n) index arithmetic
+    // as the Spark plan — the list is filtered to non-null (Spark's
+    // collect_list drops nulls; DuckDB's list() keeps them)
     "ev_quantile_sample" ->
-      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
-         |  quantile_cont(value, 0.5) AS p50_est,
-         |  quantile_cont(value, 0.95) AS p95_est
-         |FROM events
-         |WHERE ${CrossHash.oH60("CAST(event_id AS VARCHAR)")} % 10 = 0
-         |GROUP BY event_type""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         |    list(value ORDER BY value) FILTER (WHERE value IS NOT NULL) AS vs
+         |  FROM events
+         |  WHERE ${CrossHash.oH60("CAST(event_id AS VARCHAR)")} % 10 = 0
+         |  GROUP BY event_type)
+         |SELECT event_type, n_sample,
+         |  CASE WHEN len(vs) >= 1
+         |    THEN vs[CAST(ceil(0.5 * len(vs)) AS BIGINT)] END AS p50_est,
+         |  CASE WHEN len(vs) >= 1
+         |    THEN vs[CAST(ceil(0.95 * len(vs)) AS BIGINT)] END AS p95_est
+         |FROM g""".stripMargin,
 
     "ev_pivot" ->
       """SELECT user_id,

@@ -195,6 +195,14 @@ class CorpusSpec extends AnyFunSuite {
     // empty corpus → zero shards, no schema-inference crash
     val out2 = java.nio.file.Files.createTempDirectory("graft-packed0-").toString
     assert(graft.operators.PackedExport.writeShards(docs.filter(lit(false)), out2, budget) == 0L)
+    // an over-budget doc would skip shard ids (missing shard=K dirs while
+    // the count says otherwise) — the writer must fail fast instead
+    val out3 = java.nio.file.Files.createTempDirectory("graft-packed-big-").toString
+    val withBig = docs.union(Seq((999999L, budget + 1)).toDF("doc_id", "n_tokens"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.PackedExport.writeShards(withBig, out3, budget)
+    }
+    assert(e.getMessage.contains("chunk oversized docs"), e.getMessage)
   }
 
   test("mix_temperature: α=0.5 weights — probabilities sum to 1 and flatten the token head") {

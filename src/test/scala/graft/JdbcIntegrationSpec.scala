@@ -118,6 +118,14 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("PgConformance skips cleanly when no PostgreSQL URL is configured") {
+    // the runner must be safe to wire into any CI: without
+    // SPARK_GRAFT_PG_URL it prints a skip notice, touches nothing, exits 0
+    assert(!sys.env.contains(graft.tools.PgConformance.UrlEnv),
+      "test environment unexpectedly has a PG URL configured")
+    graft.tools.PgConformance.main(Array.empty) // must not throw
+  }
+
   test("G6 boot guard: advisory lock admits exactly one instance (LockManager key + SQL)") {
     // The reference key packing, pinned as a CONSTANT (String.hashCode is
     // specified by the JLS, so this value is what a reference LockManager

@@ -54,6 +54,40 @@ class KmvSpec extends AnyFunSuite {
     }
   }
 
+  test("update() path equals the merge-built buffer (cheap-reject branch swept)") {
+    // bufOf drives ONLY merge(); update()'s own insert policy — including
+    // the full-buffer cheap-reject branch and null skipping — must build
+    // the identical buffer, or a policy divergence would only surface in
+    // the slower Spark-level tests (r6 advisor finding)
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, Literal}
+    val bound = KmvMinima(
+      BoundReference(0, org.apache.spark.sql.types.LongType, nullable = true),
+      Literal(k))
+    def bufOfUpdate(xs: Seq[Option[Long]]) = {
+      val b = bound.createAggregationBuffer()
+      xs.foreach(x =>
+        bound.update(b, new GenericInternalRow(Array[Any](x.orNull))))
+      b
+    }
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(400)
+      // > k distinct values so the cheap-reject (full-buffer) branch runs;
+      // interleaved nulls must be skipped, not inserted as zeros
+      val xs = Seq.fill(n)(
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(120).toLong))
+      val viaUpdate = bufOfUpdate(xs)
+      val viaMerge = bufOf(xs.flatten)
+      assert(viaUpdate == viaMerge, s"seed $seed: update() diverged from merge()")
+      val got = {
+        val it = viaUpdate.iterator(); val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      assert(got == minima(xs.flatten), s"seed $seed: $got")
+    }
+  }
+
   test("serialize/deserialize round-trips the buffer exactly") {
     val a = agg
     val buf = bufOf(Seq(5L, 3L, 99L, 3L, 7L, Long.MaxValue, 0L))
