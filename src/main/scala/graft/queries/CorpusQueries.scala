@@ -200,6 +200,24 @@ object CorpusQueries extends QueryModule {
     // could differ in the last ulp. O(langs) after one corpus pass.
     "mix_temperature" -> { (s, dir) => mixTemperature(s, dir) },
 
+    // Deterministic train/validation/test split assignment — the
+    // reproducibility-critical fork of every training pipeline: membership
+    // is a pure content-hash property (h60(text) mod 100 against fixed
+    // 90/5/5 bucket bounds), so the split survives reruns, engine swaps,
+    // re-partitioning and corpus growth (a doc's split never changes when
+    // OTHER docs are added — unlike row_number()-based splits). Narrow
+    // map-only pass, fused into the scan at 100 TB.
+    "text_split_assign" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          (h60(concat($"text", lit("|split"))) % 100L).as("bucket"))
+        .select($"doc_id", $"bucket",
+          when($"bucket" < 90, "train")
+            .when($"bucket" < 95, "validation")
+            .otherwise("test").as("split"))
+    },
+
     // Per-doc top-3 TF-IDF terms (rational idf — see scaladoc).
     "text_tfidf" -> { (s, dir) =>
       import s.implicits._
@@ -471,6 +489,15 @@ object CorpusQueries extends QueryModule {
          |  weight / sum(weight) OVER (ORDER BY lang
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mix_p
          |FROM w""".stripMargin,
+
+    "text_split_assign" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    ${oH60("text || '|split'")} % 100 AS bucket FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($oTokens) AS term FROM documents),

@@ -108,6 +108,26 @@ object DedupQueries extends QueryModule {
     },
 
     // MinHash + banded LSH candidates, exact-verified.
+    // Per-document MinHash signatures as an EXPORTABLE artifact — the
+    // index-build stage of incremental dedup: yesterday's corpus
+    // signatures persist, today's batch computes its own and joins on
+    // bands, so the corpus text is never re-shingled. 16 mod-P permuted
+    // minima as flat columns (the layout a signature store/parquet index
+    // wants). NO distinct before the agg: min over a multiset equals min
+    // over its set (corpus_overlap doctrine), so the plan is scan →
+    // partial agg → one |docs|-keyed exchange; docs with no 3-gram (< 3
+    // tokens) have no signature and are absent, same as the LSH suite.
+    "text_minhash_sig" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val hx = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(shingleHashes($"text")).as("h"))
+        .select($"doc_id", ($"h" % P).as("x"))
+      val sigCols = (0 until NumPerm).map(i =>
+        min((lit(permA(i)) * $"x" + lit(permB(i))) % P).as(s"m$i"))
+      hx.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    },
+
     "dedup_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
       val sh = shingleSet(s, dir).cache()
@@ -458,6 +478,14 @@ object DedupQueries extends QueryModule {
       "dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      // multiset shingles (no DISTINCT) — min is unaffected, mirroring the
+      // Spark plan's shuffle-reduced shape
+      "text_minhash_sig" ->
+        s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+           |hx AS (SELECT doc_id, ${oH60("s")} % $P AS x
+           |       FROM (SELECT doc_id, unnest($oShingles3) AS s FROM docs))
+           |SELECT doc_id, $sigExprs FROM hx GROUP BY doc_id""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH $oShingleCtes,

@@ -331,6 +331,29 @@ object SimilarityQueries extends QueryModule {
     // floor(x+0.5) in both engines (banker's-rounding `round` would
     // diverge on half-ties). Zero vectors are excluded by the scale>0
     // filter in both engines (their quantization is trivially empty).
+    // Per-label (= per-cluster/per-source) embedding centroids — the
+    // monitoring/seed operator of the vector pipeline: centroids seed an
+    // IVF coarse quantizer, and their round-over-round drift is the
+    // embedding-space health signal. One map-side-combinable aggregation
+    // of |labels|×EmbDim cells. The per-dim SUM crosses rows in
+    // engine-chosen order, so each value is micro-quantized first —
+    // floor(x·10⁶ + 0.5), every step a PURE IEEE double op both engines
+    // evaluate bit-identically — and the sum runs in exact integers (the
+    // DECIMAL discipline fails here: Spark's and DuckDB's float→decimal
+    // conversion algorithms round one-in-hundreds of values differently
+    // at scale 10, measured on this very column). A 1e-6 quantum is far
+    // below any drift signal.
+    "emb_centroid" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "embeddings")
+        .select($"label".cast("long").as("label"), posexplode($"embedding"))
+        .groupBy($"label", ($"pos" + 1).cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor($"col".cast("double") * 1000000.0 + 0.5)).as("sq"))
+        .select($"label", $"dim", $"n_vecs",
+          ($"sq".cast("double") / 1000000.0 / $"n_vecs").as("centroid"))
+    },
+
     "vq_int8" -> { (s, dir) =>
       import s.implicits._
       graft.GraftExtensions.register(s)
@@ -451,6 +474,18 @@ object SimilarityQueries extends QueryModule {
            |      FROM pairs)
            |WHERE rnk <= $SelfK""".stripMargin
       },
+      // generate_subscripts + unnest zip row-wise (PG semantics), giving
+      // the same (label, dim, x) cells as Spark's posexplode; the same
+      // micro-quantized integer sum, division order identical
+      "emb_centroid" ->
+        """WITH e0 AS (SELECT CAST(label AS BIGINT) AS label,
+          |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+          |    unnest(embedding) AS x FROM embeddings),
+          |e AS (SELECT label, dim,
+          |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q FROM e0)
+          |SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+          |  CAST(sum(q) AS DOUBLE) / 1000000.0 / count(*) AS centroid
+          |FROM e GROUP BY label, dim""".stripMargin,
       "vq_int8" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |s AS (SELECT vec_id, v,
