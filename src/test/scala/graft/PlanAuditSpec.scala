@@ -132,6 +132,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_split_assign: pure map pass — zero exchanges") {
+    val p = plan("text_split_assign")
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+  }
+
+  test("text_minhash_sig / emb_centroid: one exchange each, partial agg map-side") {
+    // signature/centroid builds are scan → partial HashAggregate → ONE
+    // key exchange → final agg: no distinct shuffle (min/sum over
+    // multisets), no second exchange
+    for (q <- Seq("text_minhash_sig", "emb_centroid")) {
+      val p = plan(q)
+      // tree nodes only ("Exchange (5)"); the formatted details section
+      // repeats each node as "(5) Exchange"
+      val exchanges = "Exchange \\(".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q: expected exactly 1 exchange, got $exchanges:\n$p")
+      assert(p.contains("HashAggregate"), s"$q: hash aggregate missing:\n$p")
+    }
+  }
+
   test("knn_retrieve: hit-set joins back to documents without sorting either side") {
     val p = plan("knn_retrieve")
     assert(!p.contains("SortMergeJoin"), p)
