@@ -542,6 +542,26 @@ class ReplicatorSpec extends AnyFunSuite {
       "idle polls must cost zero Spark jobs (cursor-vs-cursor metadata check)")
   }
 
+  test("idle check heals a stale LEGACY source cursor via reconcile (no wedged drain)") {
+    // pre-manifest-cursor topic whose standalone cursor file went stale
+    // (writer crashed before the cursor move): the zero-job idle check
+    // would read source cursor == sink cursor == 0 and never drain — the
+    // once-per-boot reconcile must repair it first
+    val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark)
+    log.saveAll("lg_events", (1 to 5).map(ev))
+    val meta = log.root.resolve("lg_events").resolve("_graft_meta")
+    val legacy = Files.readString(meta.resolve("segments")).linesIterator
+      .filterNot(_.startsWith("cursor=")).mkString("", "\n", "\n")
+    Files.writeString(meta.resolve("segments"), legacy)
+    Files.writeString(meta.resolve("cursor"), Cursor.zero.encoded)
+    assert(log.currentCursor("lg_events") == Cursor.zero, "fixture: cursor is stale")
+    val rep = new Replicator(log, sink, batchSize = 100)
+    assert(rep.run("lg_events") == 5L, "stale legacy cursor wedged the drain")
+    assert(sink.cursorFor("lg_events") == Cursor(1, 5))
+    assert(rep.pollAndSendBatch("lg_events") == 0L)
+  }
+
   test("per-key partition assignment preserves source order per partition (G9)") {
     val log = EventLog(Files.createTempDirectory("graft-src-").toString, spark)
     val sink = KafkaShapedLog(Files.createTempDirectory("graft-sink-").toString, spark, numPartitions = 4)
