@@ -28,7 +28,11 @@ object PqCodebook {
   /** Train from an id-ascending sample of vectors. */
   def train(sample: Array[Array[Double]], kc: Int, mMax: Int,
       iters: Int): Codebook = {
-    require(sample.nonEmpty, "PQ training sample is empty")
+    // no training data (empty corpus / empty id prefix): a trivial
+    // 1-subspace zero codebook keeps the caller's plan well-formed — with
+    // nothing to encode, no score is ever evaluated and the query result
+    // is empty, instead of aborting the whole job here
+    if (sample.isEmpty) return IndexedSeq(IndexedSeq(IndexedSeq(0.0)))
     val k = math.min(kc, sample.length)
     val dim = sample.map(_.length).min
     val effM = math.min(mMax, dim)

@@ -159,8 +159,11 @@ object RelationalQueries extends QueryModule {
     "q11_subquery" -> { (s, dir) =>
       import s.implicits._
       val part = Tables.load(s, dir, "part")
-      val avgPrice = part.agg((sum(d2($"p_retailprice")).cast("double") / count(lit(1))).as("a"))
-        .head().getDouble(0)
+      // SUM over an empty table is NULL (getDouble would abort); the
+      // placeholder can be anything — no row exists to pass the filter
+      val avgRow = part.agg((sum(d2($"p_retailprice")).cast("double") / count(lit(1))).as("a"))
+        .head()
+      val avgPrice = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
       part.filter($"p_retailprice" > avgPrice)
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n_above"),
@@ -301,9 +304,13 @@ object RelationalQueries extends QueryModule {
     "q22_custsale" -> { (s, dir) =>
       import s.implicits._
       val cust = Tables.load(s, dir, "customer")
-      val avgBal = cust.filter($"c_acctbal" > 0)
+      // no positive balances ⇒ SUM is NULL ⇒ SQL's `x > NULL` keeps
+      // nothing; the 0.0 placeholder keeps nothing too (no balance > 0
+      // exists in that case), so the engines agree without the abort
+      val avgRow = cust.filter($"c_acctbal" > 0)
         .agg((sum(d2($"c_acctbal")).cast("double") / count(lit(1))).as("a"))
-        .head().getDouble(0)
+        .head()
+      val avgBal = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
       cust.filter($"c_acctbal" > avgBal)
         .join(Tables.load(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_nationkey")

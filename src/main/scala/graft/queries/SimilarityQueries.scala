@@ -139,14 +139,24 @@ object SimilarityQueries extends QueryModule {
       // difference between a bounded job and an O(corpus·iters) one. At
       // test scale the fit is Spark-ML-overhead-bound either way
       // (measured 1.6 s both spellings), so this is shape, not speed.
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .fit(e.filter($"vec_id" < PqTrainN))
-      val assigned = model.transform(e)
-        .select($"vec_id", $"v", $"nrm", $"prediction".as("centroid"))
-      // nprobe nearest centroids per query: tiny cross join (|q| × k),
-      // ranked by exact L2 via the codegen dot product
-      val cdf = model.clusterCenters.zipWithIndex
-        .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cid", "cvec")
+      val train = e.filter($"vec_id" < PqTrainN)
+      // empty training sample (empty corpus, or no vectors in the id
+      // prefix): degrade to ONE zero centroid — a single IVF cell is a
+      // brute-force probe, and an empty corpus flows through to an empty
+      // result instead of KMeans aborting on its empty summarizer
+      val (assigned, cdf) =
+        if (train.isEmpty)
+          (e.select($"vec_id", $"v", $"nrm", lit(0).as("centroid")),
+            Seq((0, Seq.fill(CrossHash.EmbDim)(0.0))).toDF("cid", "cvec"))
+        else {
+          val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(train)
+          (model.transform(e)
+              .select($"vec_id", $"v", $"nrm", $"prediction".as("centroid")),
+            // nprobe nearest centroids per query: tiny cross join (|q| × k),
+            // ranked by exact L2 via the codegen dot product
+            model.clusterCenters.zipWithIndex
+              .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq.toDF("cid", "cvec"))
+        }
       val q0 = assigned.filter($"vec_id" < NQueries)
         .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       val wc = Window.partitionBy($"query_id")
