@@ -200,7 +200,14 @@ final class EventLog(val root: Path, spark: SparkSession) {
     * dense-id invariant everything downstream relies on. */
   def append(topic: String, batch: DataFrame): Cursor = writeLock(topic).synchronized {
     createTopic(topic)
-    if (!reconciled.contains(topic)) { reconcile(topic); reconciled += topic }
+    if (!reconciled.contains(topic)) {
+      // a manifest-embedded cursor is data-consistent BY CONSTRUCTION
+      // (one atomic rename commits both), so the boot-time repair scan
+      // only runs for pre-manifest-cursor topics — on a TB-scale topic
+      // that scan is a whole extra job per writer boot
+      if (manifestCursor(topic).isEmpty) reconcile(topic)
+      reconciled += topic
+    }
     val cur = currentCursor(topic)
     val lsn = cur.lsn + 1
     val base = cur.id
@@ -475,6 +482,19 @@ final class EventLog(val root: Path, spark: SparkSession) {
 
   /** Number of parquet segment files in a topic (compaction observability). */
   def segmentFileCount(topic: String): Int = liveFiles(topic).size
+
+  /** Maintenance policy in one call: compact when the live segment count
+    * exceeds `maxSegments` (many small appends make scans
+    * file-open-bound), then vacuum superseded/orphaned files older than
+    * `graceMs`. Returns the number of files vacuumed. Run it from the
+    * ingest cadence (e.g. every N appends) — compact and vacuum are both
+    * concurrent-reader safe, so no coordination with readers or the
+    * replicator is needed; size `graceMs` to the longest-running read. */
+  def maintain(topic: String, maxSegments: Int = 64,
+      targetFiles: Int = 8, graceMs: Long = 0L): Int = {
+    if (segmentFileCount(topic) > maxSegments) compact(topic, targetFiles)
+    vacuum(topic, graceMs)
+  }
 
   /** Ordered driver-side materialization (tests / small replays only). */
   def typedRead(topic: String): Seq[(Cursor, Event)] =

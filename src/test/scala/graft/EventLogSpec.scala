@@ -167,6 +167,22 @@ class EventLogSpec extends AnyFunSuite {
     }
   }
 
+  test("maintain: compacts above the segment cap, vacuums superseded files, data unchanged") {
+    val log = newLog()
+    (1 to 6).foreach(i => log.saveAll("mt_events", Seq(ev(i)))) // 6 small segments
+    val before = log.typedRead("mt_events")
+    assert(log.segmentFileCount("mt_events") >= 6)
+    // below the cap: no compaction, nothing to vacuum
+    assert(log.maintain("mt_events", maxSegments = 64) == 0)
+    assert(log.segmentFileCount("mt_events") >= 6)
+    // above the cap: compaction to targetFiles, old generation vacuumed
+    val vacuumed = log.maintain("mt_events", maxSegments = 4, targetFiles = 1)
+    assert(vacuumed >= 6, s"expected the old generation reclaimed, got $vacuumed")
+    assert(log.segmentFileCount("mt_events") == 1)
+    assert(log.typedRead("mt_events") == before, "maintenance must not change data")
+    assert(log.currentCursor("mt_events") == Cursor(6, 6))
+  }
+
   test("lag gauge = max lsn - cursor lsn, empty → 0 (A1)") {
     val log = newLog()
     log.createTopic("t7_events")
