@@ -206,7 +206,7 @@ final class EventLog(val root: Path, spark: SparkSession) {
       // only runs for pre-manifest-cursor topics — on a TB-scale topic
       // that scan is a whole extra job per writer boot
       if (manifestCursor(topic).isEmpty) reconcile(topic)
-      reconciled += topic
+      reconciled.add(topic)
     }
     val cur = currentCursor(topic)
     val lsn = cur.lsn + 1
@@ -283,8 +283,11 @@ final class EventLog(val root: Path, spark: SparkSession) {
   }
 
   /** Topics whose cursor has been reconciled against data by this
-    * instance (crash-recovery check runs once per topic per boot). */
-  private val reconciled = scala.collection.mutable.Set.empty[String]
+    * instance (crash-recovery check runs once per topic per boot).
+    * Concurrent set: appends to DIFFERENT topics run under different
+    * per-topic locks and race on this instance-level registry. */
+  private val reconciled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Driver-side convenience append (S1 `save`/`saveAll` analog). */
   def saveAll(topic: String, events: Seq[Event]): Cursor = {
