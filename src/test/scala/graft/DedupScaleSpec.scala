@@ -71,6 +71,16 @@ class DedupScaleSpec extends AnyFunSuite {
       assert(banded == quadratic,
         s"seed $seed: missing=${(quadratic -- banded).take(5)} extra=${(banded -- quadratic).take(5)}")
       assert(quadratic.nonEmpty, s"seed $seed: vacuous sweep (no near pairs)")
+      // the production operator under MAXIMAL hot-bucket splitting (cap=1:
+      // every bucket fragments to singleton sub-buckets) must still emit
+      // exactly the quadratic pair set — the strongest exactness check of
+      // the split machinery, swept across the same distributions
+      val split = graft.queries.DedupQueries.simhashBandedPairs(df, cap = 1)
+        .select($"doc_a", $"doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(split == quadratic,
+        s"seed $seed cap=1: missing=${(quadratic -- split).take(5)} " +
+          s"extra=${(split -- quadratic).take(5)}")
     }
   }
 
