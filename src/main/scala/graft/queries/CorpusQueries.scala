@@ -200,6 +200,15 @@ object CorpusQueries extends QueryModule {
     // could differ in the last ulp. O(langs) after one corpus pass.
     "mix_temperature" -> { (s, dir) => mixTemperature(s, dir) },
 
+    // Incremental (daily-batch) sequence packing: the new batch continues
+    // the token stream AFTER the existing corpus — shard ids and offsets
+    // pick up where yesterday's pack ended instead of restarting at 0, so
+    // shard files already shipped to trainers are never renumbered. The
+    // base is ONE scalar (yesterday's total token count — in production
+    // read from the pack manifest, here recomputed); everything else is
+    // the same distributed prefix sum over just the batch.
+    "doc_pack_incr" -> { (s, dir) => docPackIncr(s, dir) },
+
     // Deterministic train/validation/test split assignment — the
     // reproducibility-critical fork of every training pipeline: membership
     // is a pure content-hash property (h60(text) mod 100 against fixed
@@ -272,6 +281,23 @@ object CorpusQueries extends QueryModule {
       .withColumn("end_tok", least($"start_tok" + (ChunkTokens - 1), $"n_tokens"))
       .select($"doc_id", $"chunk_id", $"start_tok", $"end_tok",
         ($"end_tok" - $"start_tok" + 1).as("chunk_tokens"))
+  }
+
+  private[graft] def docPackIncr(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", tok.count($"text").as("n_tokens"))
+    // the corpus side collapses to one scalar before the batch pack runs
+    // (a production pipeline reads it from the previous pack's manifest)
+    val baseRow = docs.filter($"doc_id" % 10 =!= 0)
+      .agg(coalesce(sum($"n_tokens"), lit(0L))).head()
+    val base = baseRow.getLong(0)
+    GlobalCumsum.runningBefore(
+        docs.filter($"doc_id" % 10 === 0), "doc_id", "n_tokens", "cb")
+      .select($"doc_id", $"n_tokens",
+        expr(s"CAST((cb + $base) DIV $PackBudget AS BIGINT)").as("shard"),
+        (($"cb" + base) % PackBudget).as("shard_offset"))
   }
 
   private[graft] def sampleWeighted(s: SparkSession, dir: String,
@@ -489,6 +515,20 @@ object CorpusQueries extends QueryModule {
          |  weight / sum(weight) OVER (ORDER BY lang
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mix_p
          |FROM w""".stripMargin,
+
+    "doc_pack_incr" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |base AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS b
+         |         FROM t WHERE doc_id % 10 <> 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM t WHERE doc_id % 10 = 0)
+         |SELECT doc_id, n_tokens,
+         |  CAST((cb + b) // $PackBudget AS BIGINT) AS shard,
+         |  CAST((cb + b) % $PackBudget AS BIGINT) AS shard_offset
+         |FROM c CROSS JOIN base""".stripMargin,
 
     "text_split_assign" ->
       s"""WITH b AS (SELECT doc_id,
