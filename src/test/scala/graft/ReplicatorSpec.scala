@@ -461,6 +461,46 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq(6L), "failed batch redelivered exactly")
   }
 
+  test("appendTxn multi-topic batch: offsets correct via the staged-read fallback") {
+    // no production caller mixes topics in one transaction, but the
+    // contract allows it — the observe fast path detects min(topic) !=
+    // max(topic) and falls back to a grouped read of the staged files;
+    // this pins that branch so it cannot rot unnoticed
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    val sink = KafkaShapedLog(Files.createTempDirectory("graft-mt-").toString, spark, numPartitions = 2)
+    val schema = StructType(Seq(
+      StructField("topic", StringType, nullable = false),
+      StructField("key", BinaryType, nullable = true),
+      StructField("value", BinaryType, nullable = true),
+      KafkaShapedLog.recordSchema("headers"),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("_seq", LongType, nullable = false)))
+    def rows(topic: String, n: Int, seq0: Long) = (0 until n).map(i =>
+      Row(topic, s"k$i".getBytes(UTF_8), s"v$i".getBytes(UTF_8),
+        Seq.empty[Row], java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), seq0 + i))
+    import scala.jdk.CollectionConverters._
+    val df = spark2.createDataFrame(
+      (rows("mta_events", 3, 0L) ++ rows("mtb_events", 2, 100L)).asJava, schema)
+    val sent = sink.appendTxn(df, "mixed", graft.codec.Cursor(1, 5))
+    assert(sent == 5L)
+    assert(sink.read("mta_events").count() == 3)
+    assert(sink.read("mtb_events").count() == 2)
+    // offsets dense per (topic, partition): next offsets sum to the counts
+    val m = sink.manifest()
+    assert(m.offsets.collect { case ((t, _), n) if t == "mta_events" => n }.sum == 3L)
+    assert(m.offsets.collect { case ((t, _), n) if t == "mtb_events" => n }.sum == 2L)
+    assert(sink.cursorFor("mixed") == Cursor(1, 5))
+    // a second mixed commit continues both topics' offsets
+    val df2 = spark2.createDataFrame(
+      (rows("mta_events", 2, 200L) ++ rows("mtb_events", 1, 300L)).asJava, schema)
+    assert(sink.appendTxn(df2, "mixed", Cursor(2, 8)) == 3L)
+    val m2 = sink.manifest()
+    assert(m2.offsets.collect { case ((t, _), n) if t == "mta_events" => n }.sum == 5L)
+    assert(m2.offsets.collect { case ((t, _), n) if t == "mtb_events" => n }.sum == 3L)
+  }
+
   test("malformed manifest fails fast (EventReplicatorIT.java:251-277 analog)") {
     import graft.sources.KafkaShapedLog.Manifest
     intercept[Exception](Manifest.parse("{}"))
