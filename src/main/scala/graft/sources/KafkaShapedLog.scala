@@ -286,6 +286,68 @@ final class KafkaShapedLog(val root: Path, val spark: SparkSession, val numParti
         !committed.contains(root.relativize(p).toString))
     finally s.close()
   }
+
+  /** Compact the committed record files into `targetFiles`
+    * (topic, partition, offset)-range-partitioned files: thousands of
+    * small per-transaction files make the read_committed scan
+    * file-open-bound at scale; compaction restores big sorted segments
+    * whose min/max stats still prune offset-resumed consumers. Offsets,
+    * progress cursors and parked ranges are untouched — only the `files`
+    * list swaps, in the same atomic manifest commit as every transaction,
+    * so in-flight readers keep their old generation until [[vacuum]]. */
+  def compact(targetFiles: Int = 1): Unit = synchronized {
+    val m = manifest()
+    if (m.files.isEmpty) return
+    val stage = root.resolve("staging").resolve(s"compact-${UUID.randomUUID()}")
+    spark.read.schema(recordSchema)
+      .parquet(m.files.map(f => root.resolve(f).toString): _*)
+      .repartitionByRange(targetFiles, col("topic"), col("partition"), col("offset"))
+      .sortWithinPartitions(col("topic"), col("partition"), col("offset"))
+      .write.parquet(stage.toString)
+    val files = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toList.sorted
+      finally s.close()
+    }
+    commitManifest(m.copy(files = files))
+  }
+
+  /** Reclaim staged parquet no committed reader can reach: files under
+    * staging/ that are neither manifest-listed nor part of a parked
+    * (pending) run, older than `graceMs` (size the grace to the
+    * longest-running read, as with EventLog.vacuum). Returns files
+    * deleted. */
+  def vacuum(graceMs: Long = 0L): Int = synchronized {
+    val m = manifest()
+    val keepDirs = m.pending.values.flatten.map(p => root.resolve(p.dir)).toSet
+    val live = m.files.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val s = Files.walk(root.resolve("staging"))
+    val dead =
+      try s.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          !live.contains(root.relativize(p).toString) &&
+          !keepDirs.exists(p.startsWith) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff).toList
+      finally s.close()
+    dead.foreach(Files.deleteIfExists(_))
+    // drop transaction dirs left with no data files (only _SUCCESS/crc
+    // markers) so the staging tree stays bounded
+    val d = Files.list(root.resolve("staging"))
+    try d.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !keepDirs.contains(p))
+      .foreach { p =>
+        val c = Files.walk(p)
+        val hasParquet =
+          try c.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+          finally c.close()
+        if (!hasParquet) deleteDir(p)
+      }
+    finally d.close()
+    dead.size
+  }
 }
 
 object KafkaShapedLog {

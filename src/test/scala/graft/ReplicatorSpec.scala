@@ -461,6 +461,35 @@ class ReplicatorSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq(6L), "failed batch redelivered exactly")
   }
 
+  test("sink compaction: files collapse, rows/offsets/cursor unchanged, vacuum reclaims, parked runs survive") {
+    val (log, sink, rep) = fixture() // batchSize = 2 → several transactions
+    log.saveAll("t_events", (1 to 7).map(ev))
+    assert(rep.run("t_events") == 7L)
+    val before = sink.read("t_events").orderBy("partition", "offset").collect().toSeq
+    val filesBefore = sink.manifest().files.size
+    assert(filesBefore >= 3, s"fixture should commit several files, got $filesBefore")
+    // park a fake out-of-order range: its staged dir must survive vacuum
+    import spark.implicits._
+    sink.parkRange(
+      log.read("t_events").filter($"id" === 7L), "t_events", 9L, 9L, 3L)
+    sink.compact(targetFiles = 1)
+    assert(sink.manifest().files.size == 1, "one compacted segment")
+    assert(sink.read("t_events").orderBy("partition", "offset").collect().toSeq == before,
+      "compaction must not change committed records")
+    assert(sink.cursorFor("t_events") == Cursor(1, 7), "cursor untouched")
+    val reclaimed = sink.vacuum()
+    assert(reclaimed >= filesBefore, s"old generation reclaimed, got $reclaimed")
+    assert(sink.read("t_events").orderBy("partition", "offset").collect().toSeq == before,
+      "read_committed view intact after vacuum")
+    assert(sink.pendingRanges("t_events").size == 1, "parked range metadata intact")
+    assert(sink.readPending(sink.pendingRanges("t_events").head).count() == 1L,
+      "parked rows must survive vacuum")
+    // idempotent append continues on the compacted generation
+    log.saveAll("t_events", Seq(ev(8)))
+    assert(rep.run("t_events") == 1L)
+    assert(sink.read("t_events").count() == 8L)
+  }
+
   test("appendTxn multi-topic batch: offsets correct via the staged-read fallback") {
     // no production caller mixes topics in one transaction, but the
     // contract allows it — the observe fast path detects min(topic) !=
