@@ -58,6 +58,17 @@ object CorpusQueries extends QueryModule {
   val ChunkTokens = 16L
   val ChunkStride = 12L
 
+  /** doc_shuffle shard count. Test-scale constant; a production epoch
+    * uses total_tokens/shard_size shards (10³–10⁵) — the shard key is a
+    * content hash, so the count only changes file granularity. */
+  val ShuffleShards = 8L
+
+  /** decontam_bloom false-positive rate: FPs only cost extra candidates
+    * into the exact verify join (never wrong output), so this trades
+    * prefilter selectivity against bloom size (~1.2 GiB per 10⁹ distinct
+    * shingles at 1% — broadcastable). */
+  val BloomFpp = 0.01
+
   /** text_oov vocabulary size: top-K corpus tokens by frequency. The
     * synthetic corpus has ~31 distinct tokens, so K=16 leaves a real OOV
     * tail; a production run uses its tokenizer vocabulary (10⁴–10⁶ terms —
@@ -227,6 +238,59 @@ object CorpusQueries extends QueryModule {
             .otherwise("test").as("split"))
     },
 
+    // Deterministic training-order shuffle: every epoch pipeline needs
+    // the corpus in a shuffled but REPRODUCIBLE order (restarts, engine
+    // swaps and stragglers must all see the same permutation). The order
+    // key is a content hash — no RNG state, no seed coordination — and
+    // the corpus splits into ShuffleShards shard files, each internally
+    // ordered by the hash: a data-loader worker streams its shard
+    // sequentially. One shuffle (the per-shard window); no global sort —
+    // the 100 TB token stream never funnels through one task, and shard
+    // count scales with corpus size, not cluster size.
+    "doc_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"shard").orderBy($"hh", $"doc_id")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          h60(concat($"doc_id".cast("string"), lit(":"), $"text")).as("hh"))
+        .withColumn("shard", $"hh" % ShuffleShards)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select($"doc_id", $"shard", $"pos")
+    },
+
+    // Bloom-prefiltered benchmark decontamination — text_decontam's
+    // 100 TB shape. The eval shingle set builds a Bloom filter (a few MiB
+    // per 10⁶ distinct shingles) that broadcasts to every executor; the
+    // corpus side drops ~99% of its shingles AT THE SCAN via the
+    // membership test, so only probable hits reach the exact verify join
+    // (false positives are eliminated there — the bloom can only ever
+    // cost extra candidates, never change the answer). The oracle is
+    // therefore text_decontam's own SQL verbatim: identical output,
+    // shuffle reduced from every-corpus-shingle to ~hit-rate × corpus.
+    "decontam_bloom" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingleSet(s, dir).cache()
+      val evalH = sh.filter($"doc_id" % EvalMod === 0).select($"h").distinct().cache()
+      // expected-items from the actual build side (production: catalog
+      // stats); an empty eval set gets a fresh zero-bit filter because
+      // stat.bloomFilter over zero rows leaves its bit array null
+      val nEval = evalH.count()
+      val bf =
+        if (nEval == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
+        else evalH.stat.bloomFilter("h", nEval, BloomFpp)
+      val bfB = s.sparkContext.broadcast(bf)
+      val might = udf((h: Long) => bfB.value.mightContainLong(h))
+      val train = sh.filter($"doc_id" % EvalMod =!= 0)
+      val totals = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hits = train.filter(might($"h"))
+        .join(evalH, Seq("h"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("nc"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"nc", lit(0L)).as("n_contaminated"))
+        .withColumn("contam_frac", $"n_contaminated".cast("double") / $"n_shingles")
+    },
+
     // Per-doc top-3 TF-IDF terms (rational idf — see scaladoc).
     "text_tfidf" -> { (s, dir) =>
       import s.implicits._
@@ -380,19 +444,34 @@ object CorpusQueries extends QueryModule {
         ($"cb" % PackBudget).as("shard_offset"))
   }
 
+  /** Shared by text_decontam and decontam_bloom: the bloom prefilter is
+    * output-invariant (exact verify removes its false positives), so both
+    * queries verify against the identical exact SQL. */
+  private val oDecontamSql =
+    s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+       |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM docs)),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+       |tr AS (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0)
+       |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / count(*) AS contam_frac
+       |FROM tr LEFT JOIN ev ON tr.h = ev.h
+       |GROUP BY tr.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "text_decontam" ->
-      s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
-         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM docs)),
-         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
-         |tr AS (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0)
-         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-         |  CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-         |  CAST(CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-         |    / count(*) AS contam_frac
-         |FROM tr LEFT JOIN ev ON tr.h = ev.h
-         |GROUP BY tr.doc_id""".stripMargin,
+    "decontam_bloom" -> oDecontamSql,
+
+    "doc_shuffle" ->
+      s"""SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |        ${oH60("CAST(doc_id AS VARCHAR) || ':' || text")} AS hh,
+         |        ${oH60("CAST(doc_id AS VARCHAR) || ':' || text")} % $ShuffleShards AS shard
+         |      FROM documents)""".stripMargin,
+
+    "text_decontam" -> oDecontamSql,
 
     "doc_pack" ->
       s"""WITH t AS (SELECT doc_id,

@@ -107,6 +107,32 @@ object DedupQueries extends QueryModule {
         .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
     },
 
+    // Cluster-representative selection — the decision stage after
+    // clustering: per duplicate cluster, KEEP the highest-quality member
+    // (here: most tokens; tie → lowest doc_id) instead of dedup_clusters'
+    // blind lowest-id rule. Cost on top of clustering is two |docs|-row
+    // aggregates and one cluster-keyed join — nothing touches the corpus
+    // text again. Token counts coalesce NULL→0 so a NULL-text doc is a
+    // valid (lowest-quality) member rather than a NULL-semantics fork
+    // between engines.
+    "dedup_best_keep" -> { (s, dir) =>
+      import s.implicits._
+      val edges = jaccardPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
+      val docs = Tables.load(s, dir, "documents")
+      val nodes = docs.select($"doc_id".as("id"))
+      val clusters = graft.operators.ConnectedComponents.clusters(nodes, edges)
+        .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
+      val tok = docs.select($"doc_id",
+        coalesce(size(tokens($"text")).cast("long"), lit(0L)).as("n_tok"))
+      val j = clusters.join(tok, "doc_id")
+      val m = j.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_members"), max($"n_tok").as("keep_tokens"))
+      m.join(j.select($"cluster_id", $"doc_id", $"n_tok"), Seq("cluster_id"))
+        .filter($"n_tok" === $"keep_tokens")
+        .groupBy($"cluster_id", $"n_members", $"keep_tokens")
+        .agg(min($"doc_id").as("keep_id"))
+    },
+
     // MinHash + banded LSH candidates, exact-verified.
     // Per-document MinHash signatures as an EXPORTABLE artifact — the
     // index-build stage of incremental dedup: yesterday's corpus
@@ -514,6 +540,33 @@ object DedupQueries extends QueryModule {
            |  UNION
            |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
            |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+      "dedup_best_keep" ->
+        s"""WITH RECURSIVE $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+           |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |tok AS (SELECT doc_id, COALESCE(CAST(len($oTokens) AS BIGINT), 0) AS n_tok
+           |        FROM documents),
+           |j AS (SELECT c.cluster_id, c.doc_id, t.n_tok
+           |      FROM clusters c JOIN tok t ON t.doc_id = c.doc_id),
+           |m AS (SELECT cluster_id, count(*) AS n_members, max(n_tok) AS keep_tokens
+           |      FROM j GROUP BY cluster_id)
+           |SELECT m.cluster_id, m.n_members, m.keep_tokens, min(j.doc_id) AS keep_id
+           |FROM m JOIN j ON j.cluster_id = m.cluster_id AND j.n_tok = m.keep_tokens
+           |GROUP BY 1, 2, 3""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH $oShingleCtes,

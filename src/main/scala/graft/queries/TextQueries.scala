@@ -31,6 +31,26 @@ object TextQueries extends QueryModule {
   /** "BPE-ish" pre-tokenizer: letter runs, digit runs, single punctuation. */
   private val bpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1, published heuristics):
+    * word count in [50, 100k], mean word length in [3, 10], ≥80% of words
+    * contain a letter, ≥2 stopword occurrences. Corpus-level knobs — the
+    * published values discriminate on the synthetic corpus too (~10–110
+    * words/doc). */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2L
+
+  /** PII patterns — chosen from regex subsets that Java's engine and RE2
+    * (DuckDB) match identically: character classes + bounded/greedy
+    * quantifiers, no backrefs or lookaround, so leftmost-first greedy
+    * semantics agree byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val IdRunRe = "[0-9]{9,}"
+
   /** Character-n-gram language profiles (the classic n-gram language-ID
     * heuristic; the marker-WORD variant is text_langid). All alternatives
     * within a profile have EQUAL length, so the leftmost non-overlapping
@@ -171,6 +191,64 @@ object TextQueries extends QueryModule {
           $"n_sampled".cast("double") / $"n_total")
     },
 
+    // Gopher quality rules (Rae et al. 2021): the published heuristic
+    // filter battery as one shuffle-free projection — word-count bounds,
+    // mean-word-length bounds, alphabetic-word fraction, stopword
+    // presence, and the conjunction as the keep verdict. At 100 TB this
+    // is the first gate of pipeline curation: a codegen'd map pass whose
+    // keep bit prunes every later (shuffling) stage.
+    "text_gopher_quality" -> { (s, dir) =>
+      import s.implicits._
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id",
+          size($"w").cast("long").as("n_words"),
+          (aggregate(transform($"w", t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+            .cast("double") / nullif(size($"w"), lit(0))).as("mean_word_len"),
+          (size(filter($"w", t => t.rlike("[A-Za-z]"))).cast("double") /
+            nullif(size($"w"), lit(0))).as("frac_alpha_words"),
+          size(filter($"w", t => array_contains(stopArr, t))).cast("long").as("n_stop_hits"))
+        .withColumn("keep",
+          when($"n_words".between(GopherMinWords, GopherMaxWords) &&
+            $"mean_word_len".between(GopherMinMeanLen, GopherMaxMeanLen) &&
+            $"frac_alpha_words" >= GopherMinAlphaFrac &&
+            $"n_stop_hits" >= GopherMinStopHits, 1L).otherwise(0L))
+    },
+
+    // PII detection + redaction. The corpus is synthetic word soup with
+    // no organic PII, so the query first builds a DETERMINISTIC
+    // contaminated view (doc_id/source-derived emails, IPv4s and long id
+    // runs on a doc_id-modulus schedule — a fixture both engines spell
+    // identically), then runs the real operator: per-doc match counts per
+    // PII class and the sequentially-redacted text. Narrow map pass —
+    // regex scan + replace fused into codegen, nothing shuffles.
+    "text_pii" -> { (s, dir) =>
+      import s.implicits._
+      val pii = concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"), lit("@"),
+            $"source", lit(".example.com"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" host 10."), ($"doc_id" % 250).cast("string"), lit(".0."),
+            ($"doc_id" % 200 + 1).cast("string"))).otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          concat(lit(" ref "), ($"doc_id" * 9973 + 900000000L).cast("string")))
+          .otherwise(lit("")))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", pii.as("pii_text"))
+        .select($"doc_id",
+          regexp_count($"pii_text", lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count($"pii_text", lit(Ipv4Re)).cast("long").as("n_ipv4"),
+          regexp_count($"pii_text", lit(IdRunRe)).cast("long").as("n_id_runs"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"pii_text", EmailRe, "<EMAIL>"),
+              Ipv4Re, "<IP>"),
+            IdRunRe, "<ID>").as("redacted"))
+        .withColumn("redacted_len", length($"redacted").cast("long"))
+    },
+
     // Rolling-hash document fingerprint (order-sensitive, mod-P fold).
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -263,6 +341,45 @@ object TextQueries extends QueryModule {
            |  CAST(sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            |  CAST(sum(CASE WHEN ${oH60("text")} % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS sample_ratio
            |FROM documents GROUP BY lang""".stripMargin,
+
+      "text_gopher_quality" ->
+        s"""SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+           |  CASE WHEN n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+           |        AND mean_word_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen
+           |        AND frac_alpha_words >= $GopherMinAlphaFrac
+           |        AND n_stop_hits >= $GopherMinStopHits
+           |       THEN 1 ELSE 0 END AS keep
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(len(w) AS BIGINT) AS n_words,
+           |    CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+           |      / nullif(len(w), 0) AS mean_word_len,
+           |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+           |      / nullif(len(w), 0) AS frac_alpha_words,
+           |    CAST(len(list_filter(w, t -> list_contains($oStop, t))) AS BIGINT) AS n_stop_hits
+           |  FROM (SELECT doc_id, $oTokens AS w FROM documents))""".stripMargin,
+
+      "text_pii" -> {
+        val oPii = "text" +
+          " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)" +
+          " || '@' || source || '.example.com' ELSE '' END" +
+          " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 250 AS VARCHAR)" +
+          " || '.0.' || CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END" +
+          " || CASE WHEN doc_id % 7 = 0 THEN ' ref ' || CAST(doc_id * 9973 + 900000000 AS VARCHAR)" +
+          " ELSE '' END"
+        // DuckDB single-quoted strings keep backslashes literal, so the
+        // Scala regex strings interpolate verbatim
+        val (e, i, d) = (EmailRe, Ipv4Re, IdRunRe)
+        s"""SELECT doc_id,
+           |  len(regexp_extract_all(pii_text, '$e')) AS n_emails,
+           |  len(regexp_extract_all(pii_text, '$i')) AS n_ipv4,
+           |  len(regexp_extract_all(pii_text, '$d')) AS n_id_runs,
+           |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+           |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$d', '<ID>', 'g') AS redacted,
+           |  length(regexp_replace(regexp_replace(regexp_replace(pii_text,
+           |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$d', '<ID>', 'g')) AS redacted_len
+           |FROM (SELECT doc_id, $oPii AS pii_text FROM documents)""".stripMargin
+      },
 
       "text_fingerprint" ->
         s"""SELECT doc_id,

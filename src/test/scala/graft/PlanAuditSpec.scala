@@ -62,7 +62,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("narrow projections (text_tokens, text_clean, mm_meta, doc_chunk) are shuffle-free single stages") {
-    for (q <- Seq("text_tokens", "text_clean", "mm_meta", "doc_chunk")) {
+    for (q <- Seq("text_tokens", "text_clean", "mm_meta", "doc_chunk",
+        "text_gopher_quality", "text_pii")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // formatted mode marks codegen'd nodes with a leading '*'
@@ -149,6 +150,26 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(exchanges == 1, s"$q: expected exactly 1 exchange, got $exchanges:\n$p")
       assert(p.contains("HashAggregate"), s"$q: hash aggregate missing:\n$p")
     }
+  }
+
+  test("doc_shuffle: per-shard windows — the epoch permutation never globally sorts") {
+    val p = plan("doc_shuffle")
+    // the window partitions by shard: a hash exchange, never a
+    // SinglePartition funnel or a global Sort+Exchange(range)
+    assert(!p.contains("SinglePartition"), s"epoch shuffle funnels into one task:\n$p")
+    assert(!p.contains("rangepartitioning"), s"epoch shuffle plans a global sort:\n$p")
+  }
+
+  test("decontam_bloom: bloom prefilter mandates no join strategy (exact verify degrades to shuffle)") {
+    val df = SparkEntry.queries("decontam_bloom")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"decontam_bloom mandates join strategies: $hints")
+    // the bloom membership UDF must appear as a Filter in the plan (the
+    // prefilter shrinks candidates before the verify join's exchange)
+    val p = plan("decontam_bloom")
+    assert(p.contains("UDF"), s"bloom membership filter not in plan:\n$p")
   }
 
   test("knn_retrieve: hit-set joins back to documents without sorting either side") {
