@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60}
+import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60, SpaceSavingTopK}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -65,6 +65,11 @@ object GraftExtensions {
       children => {
         require(children.length == 2, "graft_kmv takes exactly 2 arguments: (hash, k)")
         KmvMinima(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_topk"), SpaceSavingTopK.info,
+      children => {
+        require(children.length == 2, "graft_topk takes exactly 2 arguments: (item, k)")
+        SpaceSavingTopK(children(0), children(1))
       }),
     (FunctionIdentifier("graft_pq_scores"), PqScores.info,
       children => {

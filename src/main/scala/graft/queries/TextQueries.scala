@@ -51,6 +51,20 @@ object TextQueries extends QueryModule {
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val IdRunRe = "[0-9]{9,}"
 
+  /** text_heavy_hitters sketch size. The synthetic corpus has ~31 distinct
+    * tokens, so k=64 keeps the SpaceSaving summary in its exact regime
+    * (no evictions → err 0, hash-exact oracle); a production vocabulary
+    * pass uses k = 10⁴–10⁶ and accepts the published N/k error bound. */
+  val HeavyK = 64
+
+  /** text_quality_score hashed-linear-model parameters: feature dim,
+    * Knuth multiplicative constant, prime modulus, weight range (±100).
+    * All-integer weight derivation keeps the score exact across engines. */
+  val ScoreDim = 4096L
+  val ScoreA = 2654435761L
+  val ScoreP = 1000003L
+  val ScoreRange = 201L
+
   /** Character-n-gram language profiles (the classic n-gram language-ID
     * heuristic; the marker-WORD variant is text_langid). All alternatives
     * within a profile have EQUAL length, so the leftmost non-overlapping
@@ -249,6 +263,47 @@ object TextQueries extends QueryModule {
         .withColumn("redacted_len", length($"redacted").cast("long"))
     },
 
+    // Corpus token frequencies via the SpaceSaving heavy-hitters sketch
+    // (graft_topk, the frequency twin of ev_kmv_distinct's KMV): the
+    // vocabulary-building pass of a training pipeline. An exact frequency
+    // GROUP BY shuffles the full distinct-token space; the sketch is a
+    // k-entry buffer per partition, map-side combined, so the shuffle
+    // carries k entries per partition regardless of corpus size. On this
+    // corpus k exceeds the true distinct count, so the sketch is in its
+    // exact regime (err 0) and the oracle is the plain GROUP BY — at
+    // production scale the same plan degrades to the published N/k
+    // overcount bound, never to wrong top-k membership.
+    "text_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(tokens($"text")).as("token"))
+        .agg(call_function("graft_topk", $"token", lit(HeavyK)).as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item".as("token"), $"e.cnt".as("cnt"), $"e.err".as("err"))
+    },
+
+    // Hashed linear quality model (the fastText-classifier shape): tokens
+    // hash into ScoreDim feature buckets, each bucket carries an integer
+    // weight in [−100, 100], the document score is the weight sum. Here
+    // the weight table is a deterministic function of the bucket id so
+    // both engines can spell it; a production run swaps that one
+    // expression for an element_at into a broadcast trained-weight array
+    // — the plan (narrow codegen'd map pass, no shuffle) is identical.
+    // Integer weights keep the score exact; the mean is one IEEE divide.
+    "text_quality_score" -> { (s, dir) =>
+      import s.implicits._
+      val w = (t: org.apache.spark.sql.Column) =>
+        ((h60(t) % ScoreDim) * ScoreA) % ScoreP % ScoreRange - (ScoreRange / 2)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id",
+          size($"w").cast("long").as("n_tokens"),
+          aggregate(transform($"w", w), lit(0L), (acc, x) => acc + x).as("score"))
+        .withColumn("score_mean",
+          $"score".cast("double") / nullif($"n_tokens", lit(0L)))
+        .withColumn("keep", when($"score" > 0, 1L).otherwise(0L))
+    },
+
     // Rolling-hash document fingerprint (order-sensitive, mod-P fold).
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -380,6 +435,22 @@ object TextQueries extends QueryModule {
            |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$d', '<ID>', 'g')) AS redacted_len
            |FROM (SELECT doc_id, $oPii AS pii_text FROM documents)""".stripMargin
       },
+
+      "text_heavy_hitters" ->
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
+           |FROM (SELECT unnest($oTokens) AS token FROM documents)
+           |GROUP BY token""".stripMargin,
+
+      "text_quality_score" ->
+        s"""SELECT doc_id, n_tokens, score,
+           |  CAST(score AS DOUBLE) / nullif(n_tokens, 0) AS score_mean,
+           |  CASE WHEN score > 0 THEN 1 ELSE 0 END AS keep
+           |FROM (
+           |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |    CAST(list_sum(list_transform(w, t ->
+           |      ((${oH60("t")} % $ScoreDim) * $ScoreA) % $ScoreP % $ScoreRange - ${ScoreRange / 2}))
+           |      AS BIGINT) AS score
+           |  FROM (SELECT doc_id, $oTokens AS w FROM documents))""".stripMargin,
 
       "text_fingerprint" ->
         s"""SELECT doc_id,

@@ -63,7 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("narrow projections (text_tokens, text_clean, mm_meta, doc_chunk) are shuffle-free single stages") {
     for (q <- Seq("text_tokens", "text_clean", "mm_meta", "doc_chunk",
-        "text_gopher_quality", "text_pii")) {
+        "text_gopher_quality", "text_pii", "text_quality_score")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // formatted mode marks codegen'd nodes with a leading '*'
@@ -170,6 +170,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // prefilter shrinks candidates before the verify join's exchange)
     val p = plan("decontam_bloom")
     assert(p.contains("UDF"), s"bloom membership filter not in plan:\n$p")
+  }
+
+  test("text_heavy_hitters: the sketch aggregates map-side (no token-space shuffle)") {
+    val p = plan("text_heavy_hitters")
+    // like ev_kmv_distinct: partial ObjectHashAggregate below the exchange
+    // means each partition ships one k-entry summary, never raw tokens
+    val nAgg = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 2, s"expected partial+final ObjectHashAggregate, plan:\n$p")
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r.findFirstIn(p).isDefined, p)
   }
 
   test("knn_retrieve: hit-set joins back to documents without sorting either side") {
