@@ -133,6 +133,25 @@ object DedupQueries extends QueryModule {
         .agg(min($"doc_id").as("keep_id"))
     },
 
+    // Soft dedup: keep every duplicate but down-weight it by its cluster
+    // size (sampling weight 1/|cluster|), so one logical document
+    // contributes unit mass to the training mixture no matter how many
+    // copies crawl brought in — the alternative to hard dropping when
+    // duplicates carry distribution signal. Same cost shape as
+    // dedup_clusters plus one |docs|-row join; the weight is a single
+    // IEEE divide of two exact longs.
+    "dedup_soft" -> { (s, dir) =>
+      import s.implicits._
+      val edges = jaccardPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
+      val nodes = Tables.load(s, dir, "documents").select($"doc_id".as("id"))
+      val clusters = graft.operators.ConnectedComponents.clusters(nodes, edges)
+        .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
+      val sizes = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+      clusters.join(sizes, Seq("cluster_id"))
+        .select($"doc_id", $"cluster_id", $"n_members",
+          (lit(1.0) / $"n_members").as("weight"))
+    },
+
     // MinHash + banded LSH candidates, exact-verified.
     // Per-document MinHash signatures as an EXPORTABLE artifact — the
     // index-build stage of incremental dedup: yesterday's corpus
@@ -567,6 +586,28 @@ object DedupQueries extends QueryModule {
            |SELECT m.cluster_id, m.n_members, m.keep_tokens, min(j.doc_id) AS keep_id
            |FROM m JOIN j ON j.cluster_id = m.cluster_id AND j.n_tok = m.keep_tokens
            |GROUP BY 1, 2, 3""".stripMargin,
+
+      "dedup_soft" ->
+        s"""WITH RECURSIVE $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+           |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |sizes AS (SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY cluster_id)
+           |SELECT c.doc_id, c.cluster_id, s.n_members,
+           |  CAST(1.0 AS DOUBLE) / s.n_members AS weight
+           |FROM clusters c JOIN sizes s ON s.cluster_id = c.cluster_id""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH $oShingleCtes,

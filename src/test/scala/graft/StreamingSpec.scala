@@ -283,6 +283,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(expect.values.forall(m => m.size == 4 && m == m.sorted), expect.toString)
   }
 
+  test("graft_topk merges through the streaming state store in its exact regime") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // k=8 > 5 distinct tokens: the SpaceSaving summary must equal the
+    // exact frequency table (err 0) no matter how batches split, because
+    // exact-regime merge is order-independent (SpaceSavingSpec sweeps the
+    // algebra; this pins the state-store serialize/merge path end-to-end)
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 60).map { i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i)), s"tok${i % 5}")
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "tok")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(call_function("graft_topk", $"tok", lit(8)).as("tk"))
+      .select($"w.start".as("ws"), $"tk".cast("string").as("tk"))
+    val got = scala.collection.mutable.Map.empty[java.sql.Timestamp, String]
+    val sq = q.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-topkckpt-").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r =>
+          got(r.getAs[java.sql.Timestamp]("ws")) = r.getString(1))
+      }
+    mem.addData(rows.take(17): _*); mem.addData(rows.drop(17): _*)
+    val run = sq.start(); run.awaitTermination()
+    val expect = rows.toDF("ts", "tok")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(call_function("graft_topk", $"tok", lit(8)).as("tk"))
+      .select($"w.start".as("ws"), $"tk".cast("string").as("tk"))
+      .as[(java.sql.Timestamp, String)].collect().toMap
+    assert(got == expect, s"streaming topk diverged: $got vs $expect")
+    assert(expect.values.forall(_.contains(", 12, 0")), // 60 rows / 5 toks, err 0
+      s"exact-regime counts expected: $expect")
+  }
+
   test("MergeableStats.merge: NULL event_type groups on BOTH sides merge into one row") {
     // dirty streams carry NULL event_type; a non-null-safe join would emit
     // two unmatched NULL rows (the r6 advisor's finding) — the merge
