@@ -22,6 +22,7 @@ object SparkEntry {
     DedupQueries,
     TextQueries,
     CorpusQueries,
+    RetrievalQueries,
     SimilarityQueries,
     MultimodalQueries
   )

@@ -107,6 +107,31 @@ object SimilarityQueries extends QueryModule {
       topk(broadcast(q).join(c, $"query_id" =!= $"neighbor_id"))
     },
 
+    // Filtered vector search — exact top-k restricted to candidates that
+    // satisfy a metadata predicate held in a DIFFERENT table (documents:
+    // lang ∈ {en, de}; vec_id = doc_id by corpus convention). This is the
+    // production retrieval shape ("vector search with filters"): the
+    // predicate lives in the document store, not the vector index, so the
+    // engine must semi-join the allowed-id set into the probe INSTEAD of
+    // post-filtering a top-k (post-filtering returns < k rows whenever the
+    // filter is selective). Order matters at 100 TB: the lang filter is
+    // pushed to the documents parquet scan (PushedFilters), the semi-join
+    // prunes the corpus BEFORE any distance math, and only then does the
+    // broadcast-query candidate pass run — so cost scales with the
+    // filtered corpus, not the full one. Queries themselves are NOT
+    // required to pass the filter (a query vector may come from anywhere).
+    "knn_filtered" -> { (s, dir) =>
+      import s.implicits._
+      val e = vecs(s, dir)
+      val allowed = Tables.load(s, dir, "documents")
+        .filter($"lang".isin("en", "de")).select($"doc_id")
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val c = e.join(allowed, e("vec_id") === allowed("doc_id"), "left_semi")
+        .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+      topk(broadcast(q).join(c, $"query_id" =!= $"neighbor_id"))
+    },
+
     "knn_ivf" -> { (s, dir) =>
       import s.implicits._
       val e = vecs(s, dir)
@@ -405,6 +430,8 @@ object SimilarityQueries extends QueryModule {
     }.mkString(" + ")
     Map(
       "knn_brute" -> oracle(""),
+      "knn_filtered" -> oracle(
+        "AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang IN ('en', 'de'))"),
       "knn_ivf" -> oracle("AND c.label = q.label"),
       "knn_retrieve" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

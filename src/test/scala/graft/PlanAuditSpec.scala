@@ -61,6 +61,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("knn_filtered: the lang predicate is pushed to the documents scan; corpus pruned before distance math") {
+    val p = plan("knn_filtered")
+    // the metadata filter reaches the documents parquet scan as an In
+    // filter — at 100 TB this is what makes filtered search cost scale
+    // with the filtered corpus, not the full one
+    assert("PushedFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(p).isDefined,
+      s"lang predicate not pushed to the documents scan:\n$p")
+    // same probe shape as knn_brute: query side broadcasts, the corpus is
+    // never shuffled or sorted for the candidate join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_bm25: corpus aggregates combine map-side; the 1-row stats join never goes cartesian") {
+    val p = plan("text_bm25")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("retrieve_rrf: both legs and the fuse plan without a cartesian; per-query top-k is a partial WindowGroupLimit") {
+    val p = plan("retrieve_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // Spark 4 plans rank<=k as WindowGroupLimit Partial below the window
+    // exchange — candidate rows are capped per task before shuffling
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("narrow projections (text_tokens, text_clean, mm_meta, doc_chunk) are shuffle-free single stages") {
     for (q <- Seq("text_tokens", "text_clean", "mm_meta", "doc_chunk",
         "text_gopher_quality", "text_pii", "text_quality_score")) {
