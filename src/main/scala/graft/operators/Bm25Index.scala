@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.CrossHash.{h60, tokens}
+
+/** Materialized inverted index for BM25 probing — the index-once /
+  * probe-per-query-batch shape of lexical retrieval at 100 TB (the
+  * ShingleIndex pattern applied to ranked search: the corpus text is
+  * tokenized ONCE at build time, and every probe afterwards reads only
+  * the index buckets its query terms hash into).
+  *
+  * Layout under `path/`:
+  *  - `postings/` — (term, doc_id, tf, dl) hive-partitioned by
+  *    `b = pmod(h60(term), buckets)`. The document length is denormalized
+  *    into the posting row (the classic impact-style layout) so a probe
+  *    never joins a per-doc side table.
+  *  - `terms/` — (term, dfreq), same partitioning: the vocabulary-sized
+  *    document-frequency table, pruned by the same bucket set.
+  *  - `stats/` — one row (n_docs, total_dl).
+  *
+  * [[probe]] prunes STATICALLY: the distinct buckets of the query terms
+  * collect to a driver literal `b IN (...)` — bounded by |query terms|,
+  * like VectorIndex's bucket pruning — so the postings scan reads only
+  * the matching partition directories (Bm25IndexSpec pins the file-count
+  * drop via scan metrics). Scoring reuses [[contrib]], the exact
+  * expression the text_bm25 query evaluates, so probe ≡ recompute is an
+  * equality, not an approximation.
+  */
+object Bm25Index {
+  /** Scaled-long BM25 contribution of one (query term, posting) row —
+    * shared verbatim by RetrievalQueries.bm25Contrib (the oracle-checked
+    * spelling) and [[probe]]. See RetrievalQueries' scaladoc for the
+    * rational-idf / scaled-integer determinism discipline. */
+  def contrib(tf: Column, dl: Column, dfreq: Column,
+      nDocs: Column, totalDl: Column): Column = {
+    val idf = ((nDocs - dfreq).cast("double") + lit(0.5)) /
+      (dfreq.cast("double") + lit(0.5))
+    val avgdl = totalDl.cast("double") / nDocs.cast("double")
+    val tfnorm = (tf.cast("double") * lit(2.2)) /
+      (tf.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl)))
+    floor(idf * tfnorm * lit(1.0e9) + lit(0.5))
+  }
+
+  /** Tokenize `docs` (doc_id, text) once and write the bucketed index. */
+  def build(docs: DataFrame, path: String, buckets: Int = 32): Unit = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    tf.join(dl, "doc_id")
+      .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/postings")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+      .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/terms")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 scores of `qterms` (query_id, term) against the index:
+    * (query_id, doc_id, score_scaled), reading only the pruned buckets.
+    * Equals the from-scratch text_bm25 scoring on the same corpus. */
+  def probe(spark: SparkSession, path: String, qterms: DataFrame,
+      buckets: Int = 32): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val qb = qterms.withColumn("b", pmod(h60(col("term")), lit(buckets.toLong))).cache()
+    // |distinct query terms|-bounded driver collect — the static prune set
+    val probed = qb.select(col("b")).distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("b").isin(probed: _*))
+    val terms = spark.read.parquet(s"$path/terms")
+      .filter(col("b").isin(probed: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    qb.join(postings, Seq("b", "term"))
+      .join(terms, Seq("b", "term"))
+      .crossJoin(stats) // 1 row — AQE broadcasts
+      .select(col("query_id"), col("doc_id"),
+        contrib(col("tf"), col("dl"), col("dfreq"),
+          col("n_docs"), col("total_dl")).as("sc"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("sc")).as("score_scaled"))
+  }
+}

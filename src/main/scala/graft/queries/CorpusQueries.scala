@@ -86,6 +86,14 @@ object CorpusQueries extends QueryModule {
       .distinct()
   }
 
+  /** mix_curriculum phase target shares per quality bin 0..3 (0 = lowest
+    * quality quartile). Warmup is uniform; anneal is quality-heavy. Each
+    * phase sums to 1. Spelled as literals in BOTH engines (same parsed
+    * doubles). */
+  val CurriculumWarmup = Seq(0.25, 0.25, 0.25, 0.25)
+  val CurriculumMid = Seq(0.10, 0.20, 0.30, 0.40)
+  val CurriculumAnneal = Seq(0.05, 0.15, 0.30, 0.50)
+
   /** Per-training-doc contamination counts vs the eval split, from a
     * (doc_id, h) shingle index: (doc_id, n_shingles, n_contaminated).
     * The eval shingle set is benchmark-sized — AQE broadcasts it, no
@@ -210,6 +218,55 @@ object CorpusQueries extends QueryModule {
     // order, so the doubles agree bit-for-bit where an unordered SUM()
     // could differ in the last ulp. O(langs) after one corpus pass.
     "mix_temperature" -> { (s, dir) => mixTemperature(s, dir) },
+
+    // Curriculum mixture schedule — quality-binned data annealing: score
+    // every document with the hashed-linear quality model
+    // (text_quality_score's exact-integer scorer), cut the corpus into 4
+    // quality bins at the empirical score quartiles, and emit per-bin
+    // sampling rates for a 3-phase curriculum (warmup: uniform; mid:
+    // quality-tilted; anneal: quality-heavy — the "anneal on highest
+    // quality last" recipe of modern pretraining).
+    //
+    // The quartile cut needs a global score CDF, which must NOT plan as a
+    // single-partition window: scores group to |distinct scores| rows and
+    // GlobalCumsum prefix-sums the counts distributed (the doc_pack
+    // doctrine). A whole tie-group lands in ONE bin (bin = function of
+    // score alone — reproducibility over exact quartile sizes: per-doc
+    // rank tiebreaks would need a global row_number). Rates are one
+    // literal multiply + one divide of exact longs per bin, so doubles
+    // agree bit-for-bit cross-engine.
+    "mix_curriculum" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      import TextQueries.{ScoreA, ScoreDim, ScoreP, ScoreRange}
+      val wf = (t: org.apache.spark.sql.Column) =>
+        ((h60(t) % ScoreDim) * ScoreA) % ScoreP % ScoreRange - (ScoreRange / 2)
+      val scored = Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id",
+          coalesce(size($"w").cast("long"), lit(0L)).as("n_tokens"),
+          coalesce(aggregate(transform($"w", wf), lit(0L), (acc, x) => acc + x), lit(0L))
+            .as("score"))
+      val counts = scored.groupBy($"score").agg(count(lit(1)).as("c"))
+      val tot = scored.agg(count(lit(1)).as("n"), sum($"n_tokens").as("total_tok"))
+      val binMap = GlobalCumsum.runningBefore(counts, "score", "c", "cb")
+        .crossJoin(tot.select($"n")) // 1 row — AQE broadcasts
+        .select($"score", expr("CAST((cb * 4) DIV n AS BIGINT)").as("bin"))
+      val perBin = scored.join(binMap, "score")
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      val wCase = (ws: Seq[Double]) =>
+        when($"bin" === 0, lit(ws(0))).when($"bin" === 1, lit(ws(1)))
+          .when($"bin" === 2, lit(ws(2))).otherwise(lit(ws(3)))
+      val rate = (ws: Seq[Double]) =>
+        (wCase(ws) * $"total_tok".cast("double")) / $"n_tokens".cast("double")
+      perBin.crossJoin(tot.select($"total_tok"))
+        .select($"bin", $"n_docs", $"n_tokens",
+          ($"n_tokens".cast("double") / $"total_tok".cast("double")).as("share"),
+          rate(CurriculumWarmup).as("rate_warmup"),
+          rate(CurriculumMid).as("rate_mid"),
+          rate(CurriculumAnneal).as("rate_anneal"))
+    },
 
     // Incremental (daily-batch) sequence packing: the new batch continues
     // the token stream AFTER the existing corpus — shard ids and offsets
@@ -594,6 +651,39 @@ object CorpusQueries extends QueryModule {
          |  weight / sum(weight) OVER (ORDER BY lang
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mix_p
          |FROM w""".stripMargin,
+
+    "mix_curriculum" -> {
+      import TextQueries.{ScoreA, ScoreDim, ScoreP, ScoreRange}
+      val oCase = (ws: Seq[Double]) =>
+        s"(CASE bin WHEN 0 THEN ${ws(0)} WHEN 1 THEN ${ws(1)} " +
+          s"WHEN 2 THEN ${ws(2)} ELSE ${ws(3)} END)"
+      val oRate = (ws: Seq[Double]) =>
+        s"(${oCase(ws)} * CAST(total_tok AS DOUBLE)) / CAST(n_tokens AS DOUBLE)"
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(w), 0) AS BIGINT) AS n_tokens,
+         |    coalesce(CAST(list_sum(list_transform(w, t ->
+         |      ((${oH60("t")} % $ScoreDim) * $ScoreA) % $ScoreP % $ScoreRange - ${ScoreRange / 2}))
+         |      AS BIGINT), 0) AS score
+         |  FROM (SELECT doc_id, $oTokens AS w FROM documents)),
+         |counts AS (SELECT score, count(*) AS c FROM scored GROUP BY 1),
+         |cum AS (SELECT score, coalesce(sum(c) OVER (ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |        FROM counts),
+         |tot AS (SELECT count(*) AS n, sum(n_tokens) AS total_tok FROM scored),
+         |binmap AS (SELECT score, CAST((cb * 4) // n AS BIGINT) AS bin
+         |           FROM cum CROSS JOIN tot),
+         |perbin AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM scored JOIN binmap USING (score) GROUP BY 1)
+         |SELECT bin, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(total_tok AS DOUBLE) AS share,
+         |  ${oRate(CurriculumWarmup)} AS rate_warmup,
+         |  ${oRate(CurriculumMid)} AS rate_mid,
+         |  ${oRate(CurriculumAnneal)} AS rate_anneal
+         |FROM perbin CROSS JOIN tot""".stripMargin
+    },
 
     "doc_pack_incr" ->
       s"""WITH t AS (SELECT doc_id,

@@ -60,8 +60,9 @@ object RetrievalQueries extends QueryModule {
   private val TopN = 10
 
   /** Fixture query set — multi-term queries over the corpus vocabulary,
-    * spelled identically in the oracle's VALUES clause. */
-  private val fixtureQueries: Seq[(Long, String)] = Seq(
+    * spelled identically in the oracle's VALUES clause (shared with
+    * Bm25IndexSpec's probe-≡-recompute pin). */
+  private[graft] val fixtureQueries: Seq[(Long, String)] = Seq(
     0L -> "spark", 0L -> "join",
     1L -> "data", 1L -> "stream", 1L -> "filter",
     2L -> "window", 2L -> "batch")
@@ -85,17 +86,13 @@ object RetrievalQueries extends QueryModule {
     val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_dl"))
-    val idf = (($"n_docs" - $"dfreq").cast("double") + lit(0.5)) /
-      ($"dfreq".cast("double") + lit(0.5))
-    val avgdl = $"total_dl".cast("double") / $"n_docs".cast("double")
-    val tfnorm = ($"tf".cast("double") * lit(2.2)) /
-      ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast("double") / avgdl)))
     qterms.join(tf, "term")
       .join(dl, "doc_id")
       .join(dfreq, "term")
       .crossJoin(stats) // 1 row — AQE broadcasts
       .select($"query_id", $"doc_id",
-        floor(idf * tfnorm * scoreScaleLit + lit(0.5)).as("sc"))
+        graft.operators.Bm25Index.contrib($"tf", $"dl", $"dfreq",
+          $"n_docs", $"total_dl").as("sc"))
   }
 
   /** Oracle CTE block mirroring [[bm25Contrib]] byte-for-byte in op order;

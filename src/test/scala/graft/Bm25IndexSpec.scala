@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bm25Index
+import graft.queries.RetrievalQueries
+
+/** The materialized BM25 inverted index: probing it must (a) score
+  * IDENTICALLY to the from-scratch text_bm25 spelling (same shared
+  * contrib expression — equality of exact scaled longs, not a tolerance)
+  * and (b) read only the bucket partitions the query terms hash into
+  * (static pruning via the driver-collected `b IN (...)` set). */
+class Bm25IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("probe equals the from-scratch text_bm25 scores; the postings scan prunes to the probed buckets") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val path = Files.createTempDirectory("bm25idx").toString
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    try {
+      Bm25Index.build(docs, path)
+
+      // (a) score equality with the oracle-checked query on the fixture
+      val q = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+      val got = Bm25Index.probe(spark, path, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = SparkEntry.queries("text_bm25")(spark, dir)
+        // text_bm25 ranks to top-10; compare on its surviving rows, and
+        // separately require the probe's full score set to contain them
+        .select($"query_id", $"doc_id", $"score_scaled")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expected.nonEmpty, "no BM25 hits — test would be vacuous")
+      assert(expected.subsetOf(got),
+        s"probe disagrees with text_bm25: missing=${(expected -- got).take(5)}")
+      // and the probe introduces no phantom (query, doc) hits: every
+      // probe row must re-rank to the same top-10 as the query's output
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"score_scaled".desc, $"doc_id")
+      val reranked = Bm25Index.probe(spark, path, q)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(reranked == expected,
+        s"missing=${(expected -- reranked).take(5)} extra=${(reranked -- expected).take(5)}")
+
+      // (b) static bucket pruning: a single-term probe reads strictly
+      // fewer postings files than the full index holds
+      val one = Seq((0L, "spark")).toDF("query_id", "term")
+      val pruned = TestSpark.filesRead(Bm25Index.probe(spark, path, one))
+      val all = TestSpark.filesRead(spark.read.parquet(s"$path/postings"))
+      assert(pruned < all, s"no pruning: probe read $pruned of $all files")
+    } finally {
+      spark.catalog.clearCache()
+    }
+  }
+}
