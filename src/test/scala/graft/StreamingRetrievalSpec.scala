@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bm25Index
+import graft.queries.RetrievalQueries
+import graft.streaming.StreamingRetrieval
+
+/** Streamed BM25 probing must equal the batch probe bit-for-bit: the
+  * summed quantity is the exact scaled-long contribution, so window
+  * closure order / micro-batch split cannot change a score. */
+class StreamingRetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed scores equal the batch probe, split across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val path = Files.createTempDirectory("bm25s").toString
+    Bm25Index.build(
+      Tables.load(spark, dir, "documents").select($"doc_id", $"text"), path)
+    val scoring = StreamingRetrieval.scoringFrame(spark, path).cache()
+    try {
+      val ms = MemoryStream[(Long, String, Long)]
+      val queries = ms.toDF().toDF("query_id", "term", "sec")
+        .withColumn("ts", timestamp_seconds($"sec"))
+        .select($"query_id", $"term", $"ts")
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      val q = StreamingRetrieval.probe(queries, scoring)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-bm25-").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          ()
+        }
+        .start()
+      // the fixture queries arrive split across two micro-batches but
+      // inside ONE event-time window, so the windowed sum must still fuse
+      // the per-term contributions of each query; the far-future row
+      // flushes the window past the watermark
+      val fx = RetrievalQueries.fixtureQueries
+      val (first, second) = fx.splitAt(3)
+      ms.addData(first.map { case (qid, t) => (qid, t, 60L) }: _*)
+      q.processAllAvailable()
+      ms.addData(second.map { case (qid, t) => (qid, t, 70L) }: _*)
+      q.processAllAvailable()
+      ms.addData((999L, "flush", 10000000L))
+      q.processAllAvailable()
+      q.stop()
+
+      val expected = Bm25Index.probe(spark, path, fx.toDF("query_id", "term"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expected.nonEmpty, "no BM25 hits — test would be vacuous")
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally {
+      scoring.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+}
