@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeTrainer
+import graft.queries.CrossHash.tokens
+
+/** The distributed BPE trainer must learn exactly the merge list the
+  * independent single-JVM reference derives — same pairs, same order,
+  * same weighted counts — on both a hand-checkable corpus and real
+  * testdata. Determinism (count-desc, then lexicographic tiebreak) makes
+  * the comparison an equality. */
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def asTuples(ms: Seq[BpeTrainer.Merge]) =
+    ms.map(m => (m.rank, m.left, m.right, m.count))
+
+  test("hand corpus: learned merges match the reference, including the early stop") {
+    import spark.implicits._
+    // classic BPE toy: 'lo' dominates, then 'low', then the 'est' suffix
+    val docs = Seq(
+      (1L, "low low low lower lower"),
+      (2L, "newest newest widest")).toDF("doc_id", "text")
+    val got = asTuples(BpeTrainer.train(docs, 20))
+    val wc = Map("low" -> 3L, "lower" -> 2L, "newest" -> 2L, "widest" -> 1L)
+    val expected = asTuples(BpeTrainer.trainReference(wc, 20))
+    assert(got == expected, s"got=$got\nexpected=$expected")
+    assert(got.take(2).map(t => (t._2, t._3)) == Seq(("l", "o"), ("lo", "w")),
+      s"unexpected head merges: ${got.take(3)}")
+    // early stop: far fewer than 20 productive merges exist in 4 words
+    assert(got.size < 20, s"no early stop: ${got.size} merges")
+  }
+
+  test("sf0.001 documents: 12 distributed merges equal the reference on the same word counts") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val got = asTuples(BpeTrainer.train(docs, 12))
+    val wc = docs.select(explode(tokens($"text")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = asTuples(BpeTrainer.trainReference(wc, 12))
+    assert(got.size == 12, s"expected 12 merges, got ${got.size}")
+    assert(got == expected, s"got=$got\nexpected=$expected")
+  }
+}
