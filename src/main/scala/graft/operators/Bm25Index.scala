@@ -59,6 +59,50 @@ object Bm25Index {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incrementally fold a new document batch into an existing index —
+    * the daily-increment path (doc_pack_incr's doctrine applied to the
+    * index): postings for the batch APPEND as new files under the same
+    * bucket partitioning (the corpus postings are never rewritten — at
+    * 100 TB they are the overwhelming mass), while the two small sides
+    * merge: the vocabulary-sized df table re-aggregates as old ⊎ delta
+    * and the 1-row stats add. Batch doc_ids must be disjoint from the
+    * corpus (same contract as IncrementalDedup / ShingleIndex.probe).
+    * Result is EXACTLY `build(corpus ∪ batch)` — pinned in Bm25IndexSpec.
+    *
+    * Note the BM25 scores of OLD documents legitimately change after an
+    * append (df and avgdl move — that is retrieval semantics, not an
+    * index defect); what this guarantees is that probing the appended
+    * index equals probing a from-scratch rebuild. */
+  def append(batch: DataFrame, path: String, buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    graft.GraftExtensions.register(spark)
+    val tok = batch.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    tf.join(dl, "doc_id")
+      .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
+      .write.mode("append").partitionBy("b").parquet(s"$path/postings")
+    // vocabulary-sized merge: old df ⊎ batch df (read fully — this is the
+    // small side; the postings mass above is append-only)
+    val oldTerms = spark.read.parquet(s"$path/terms").select(col("term"), col("dfreq"))
+    val newTerms = oldTerms
+      .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq")))
+      .groupBy(col("term")).agg(sum(col("dfreq")).as("dfreq"))
+      .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
+      .cache()
+    newTerms.count() // materialize before overwriting the source files
+    newTerms.write.mode("overwrite").partitionBy("b").parquet(s"$path/terms")
+    newTerms.unpersist()
+    val oldStats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("total_dl")).collect()(0)
+    val delta = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")).collect()(0)
+    import spark.implicits._
+    def nz(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    Seq((nz(oldStats, 0) + nz(delta, 0), nz(oldStats, 1) + nz(delta, 1)))
+      .toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25 scores of `qterms` (query_id, term) against the index:
     * (query_id, doc_id, score_scaled), reading only the pruned buckets.
     * Equals the from-scratch text_bm25 scoring on the same corpus. */

@@ -58,4 +58,28 @@ class Bm25IndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("append(batch) equals a from-scratch rebuild of the union corpus") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    val incr = Files.createTempDirectory("bm25inc").toString
+    val full = Files.createTempDirectory("bm25full").toString
+    try {
+      Bm25Index.build(corpus, incr)
+      Bm25Index.append(batch, incr)
+      Bm25Index.build(docs, full)
+      val q = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+      def scores(path: String) = Bm25Index.probe(spark, path, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val (got, expected) = (scores(incr), scores(full))
+      assert(expected.nonEmpty, "no BM25 hits — test would be vacuous")
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally {
+      spark.catalog.clearCache()
+    }
+  }
 }
