@@ -75,6 +75,36 @@ object VectorIndex {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Filtered probe — [[probe]] restricted to an allowed-id set (the
+    * index-level form of the knn_filtered query: vector search with a
+    * metadata predicate resolved OUTSIDE the index, e.g. a lang filter on
+    * the document store). The filter semi-joins into the candidate set
+    * BEFORE ranking, so every query still returns up to k rows that all
+    * satisfy the predicate — post-filtering a top-k would return fewer
+    * whenever the filter is selective. Bucket-partition pruning is
+    * untouched: the scan cost stays |probed buckets|, and the allowed set
+    * joins as a normal (AQE-broadcastable, never mandated) side. */
+  def probeFiltered(spark: SparkSession, path: String, queries: DataFrame,
+      allowed: DataFrame, k: Int, bits: Int = 4, dim: Int = 64,
+      nprobe: Int = 1): DataFrame = {
+    val (q, probes, buckets) = queryProbes(spark, queries, bits, dim, nprobe)
+    val corpus = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(allowed.select(col(allowed.columns.head).as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("v").as("cv"), sqrt(expr("graft_dot(v, v)")).as("cnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes.join(q.select(col("query_id"), col("qv"), col("qnrm")), "query_id"))
+      .join(corpus, Seq("bucket"))
+      .withColumn("cosine",
+        expr("graft_dot(qv, cv)") / nullif(col("qnrm") * col("cnrm"), lit(0.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Query-side probe prep shared by the raw and PQ probe paths:
     * normalized query frame with bucket + margins, the (query, bucket)
     * multi-probe rows (its own bucket + the (nprobe−1) smallest-margin

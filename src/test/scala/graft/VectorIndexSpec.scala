@@ -105,6 +105,48 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("filtered probe: every hit satisfies the predicate, ranking equals the filter-then-rank spelling, pruning intact") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val path = Files.createTempDirectory("graft-vecidxf-").toString
+    val vecs = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    VectorIndex.materialize(vecs, path, bits = Bits)
+    val queries = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // the allowed set stands in for a metadata predicate resolved in the
+    // document store (knn_filtered's lang filter): here, even ids
+    val allowed = vecs.select($"vec_id").filter($"vec_id" % 2 === 0)
+    val got = VectorIndex.probeFiltered(spark, path, queries, allowed, k = 3, bits = Bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 % 2 == 0), s"unfiltered hits: ${got.filter(_._3 % 2 != 0).take(5)}")
+
+    // equality with the in-memory filter-then-rank spelling over the
+    // probed bucket's candidates
+    val planes = CrossHash.embPlanesFor(1, Bits, 64)
+    def bucketOf(v: Array[Double]): Long =
+      (0 until Bits).map { j =>
+        val dot = v.zip(planes(j)).map { case (x, p) => x * p }.sum
+        if (dot > 0) 1L << j else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    val byBucket = e.groupBy { case (_, v) => bucketOf(v) }
+    val expected = (for {
+      (qid, qv) <- e.filter(_._1 < 5)
+      mates = byBucket(bucketOf(qv)).filter(_._1 % 2 == 0)
+      ((nid, c), i) <- mates.map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.zipWithIndex.take(3)
+    } yield (qid, (i + 1).toLong, nid)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("PQ index: codes-only hot table prunes to probed buckets; exact re-ranked cosines; recall pinned vs raw probe") {
     import spark.implicits._
     GraftExtensions.register(spark)
