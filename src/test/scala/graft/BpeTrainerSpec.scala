@@ -33,6 +33,23 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got.size < 20, s"no early stop: ${got.size} merges")
   }
 
+  test("edge corpora: empty corpus, single chars, and a repeated word all terminate correctly") {
+    import spark.implicits._
+    // empty corpus: no merges, no crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(BpeTrainer.train(empty, 5).isEmpty)
+    // single-character words: no adjacent pairs exist anywhere
+    val chars = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(BpeTrainer.train(chars, 5).isEmpty)
+    // one word repeated: merges left to right until the word is a single
+    // symbol, counts all equal to the repetition count, then early stop
+    val rep = Seq((1L, "abcd abcd abcd")).toDF("doc_id", "text")
+    val got = asTuples(BpeTrainer.train(rep, 10))
+    val expected = asTuples(BpeTrainer.trainReference(Map("abcd" -> 3L), 10))
+    assert(got == expected, s"got=$got\nexpected=$expected")
+    assert(got.size == 3 && got.forall(_._4 == 3L), got)
+  }
+
   test("sf0.001 documents: 12 distributed merges equal the reference on the same word counts") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

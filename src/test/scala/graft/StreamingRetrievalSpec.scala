@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Bm25Index
 import graft.queries.RetrievalQueries
-import graft.streaming.StreamingRetrieval
+import graft.streaming.{MaintainedBm25Index, StreamingRetrieval}
 
 /** Streamed BM25 probing must equal the batch probe bit-for-bit: the
   * summed quantity is the exact scaled-long contribution, so window
@@ -64,5 +64,46 @@ class StreamingRetrievalSpec extends AnyFunSuite {
       scoring.unpersist()
       spark.catalog.clearCache()
     }
+  }
+
+  test("maintained index: streamed ingestion == batch build on the union corpus; replays skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docsDf = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val rows = docsDf.as[(Long, String)].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val idx = new MaintainedBm25Index(Files.createTempDirectory("bm25m"), spark)
+    val fx = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+    assert(idx.probe(fx).isEmpty, "probe before any commit must be empty")
+
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-bm25m-").toString)
+      .foreachBatch(idx.update _)
+      .start()
+    ms.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(idx.lastCommitted >= 1, s"expected >=2 committed batches, got ${idx.lastCommitted}")
+
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Files.createTempDirectory("bm25mf").toString
+    Bm25Index.build(docsDf, full)
+    val expected = scores(Bm25Index.probe(spark, full, fx))
+    assert(expected.nonEmpty, "no BM25 hits — test would be vacuous")
+    assert(scores(idx.probe(fx)) == expected, "maintained probe != batch build")
+
+    // a replayed batch id — even with DIFFERENT data — must be a no-op
+    idx.update(Seq((9999L, "spark spark spark spark")).toDF("doc_id", "text"), 0L)
+    assert(scores(idx.probe(fx)) == expected, "replayed batch mutated the index")
+    spark.catalog.clearCache()
   }
 }
