@@ -78,6 +78,8 @@ class EdgeCorpusSpec extends AnyFunSuite {
         n.startsWith("ev_") || n.startsWith("knn_") || n.startsWith("sim_") ||
         n.startsWith("doc_") || n.startsWith("sample_") ||
         n.startsWith("mix_") || n.startsWith("vq_") ||
+        n.startsWith("retrieve_") || n.startsWith("decontam_") ||
+        n.startsWith("emb_") ||
         n.startsWith("corpus_") || n.startsWith("pipeline_")) &&
         n != "knn_lsh" && n != "knn_ivf_kmeans").toSeq.sorted
     assert(applicable.size >= 35)
