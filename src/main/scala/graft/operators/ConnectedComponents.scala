@@ -43,6 +43,62 @@ object ConnectedComponents {
     result
   }
 
+  /** Incremental clustering — fold a new batch into an EXISTING
+    * assignment without re-clustering the corpus (the daily-increment
+    * form: yesterday's clusters persist, today's batch brings new nodes
+    * and the ShingleIndex-probe edge set touching them).
+    *
+    * Quotient-graph argument: every prior component is already connected,
+    * so contracting it to its representative preserves the union graph's
+    * connectivity — components of (prior ∪ batch) equal components of the
+    * quotient graph whose nodes are prior representatives + new ids and
+    * whose edges are the NEW edges with endpoints projected to their
+    * representative. Labels stay min-id: prior representatives ARE the
+    * min ids of their components, so the min over a quotient component is
+    * the global min. IncrementalDedupSpec-style pin: equals a full
+    * recompute on the union at every split point
+    * (ConnectedComponentsSpec).
+    *
+    * Cost: the quotient clustering is bounded by the NEW edge/node set
+    * (batch-sized); the only corpus-sized work is one relabel join of the
+    * prior assignment against the (small, AQE-broadcastable) old→new
+    * representative map — no iteration ever touches corpus rows.
+    *
+    * `newEdges` may connect new-new or new-old pairs (old-old pairs
+    * cannot appear when the corpus is unchanged — the ShingleIndex.probe
+    * contract); ids must be unique across prior and batch. */
+  def incremental(prior: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    val priorC = prior.select($"id", $"cluster").cache()
+    // project edge endpoints to prior representatives (new ids pass
+    // through); the rep map joined here is (touched ids only after AQE
+    // filters) — both joins are plain equi-joins, broadcastable when small
+    val repA = priorC.select($"id".as("a"), $"cluster".as("ra"))
+    val repB = priorC.select($"id".as("b"), $"cluster".as("rb"))
+    val qEdges = newEdges.select($"a", $"b")
+      .join(repA, Seq("a"), "left").join(repB, Seq("b"), "left")
+      .select(coalesce($"ra", $"a").as("a"), coalesce($"rb", $"b").as("b"))
+    // quotient nodes: reps touched by a new edge + all new ids (untouched
+    // prior components keep their label via the relabel join's fallback)
+    val qNodes = qEdges.select($"a".as("id"))
+      .unionByName(qEdges.select($"b".as("id")))
+      .unionByName(newNodes.select($"id"))
+      .distinct()
+    val qClusters = clusters(qNodes, qEdges)
+      .select($"id".as("rep"), $"cluster".as("newCluster"))
+    val relabeled = priorC
+      .join(qClusters.withColumnRenamed("rep", "cluster"), Seq("cluster"), "left")
+      .select($"id", coalesce($"newCluster", $"cluster").as("cluster"))
+    val fresh = newNodes.select($"id")
+      .join(qClusters.withColumnRenamed("rep", "id"), Seq("id"), "left")
+      .select($"id", coalesce($"newCluster", $"id").as("cluster"))
+    val out = relabeled.unionByName(fresh)
+    priorC.unpersist()
+    out
+  }
+
   /** Small-graph path: union-find over collected edges (edge list only —
     * never the corpus), result joined back as a broadcast map. */
   private[graft] def clustersUnionFind(nodes: DataFrame, edges: DataFrame): DataFrame = {

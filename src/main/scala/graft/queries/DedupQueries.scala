@@ -107,6 +107,30 @@ object DedupQueries extends QueryModule {
         .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
     },
 
+    // Incremental near-dup clustering — yesterday's cluster assignment
+    // extends with today's batch (doc_id % 10 == 0, the
+    // dedup_incremental split) WITHOUT re-clustering the corpus:
+    // ConnectedComponents.incremental contracts prior components to their
+    // representatives and clusters only the quotient graph (batch-bounded
+    // work + one relabel join). In production the prior assignment and
+    // the new-edge set persist (ShingleIndex.probe supplies the edges
+    // without re-shingling the corpus); here both derive in-query so the
+    // oracle can check the RESULT: the assignment must equal the
+    // from-scratch dedup_clusters output verbatim — the oracle SQL is
+    // shared, making incremental == full a driver-gate equality.
+    "dedup_clusters_incr" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = jaccardPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b")).cache()
+      val docs = Tables.load(s, dir, "documents").select($"doc_id".as("id"))
+      val prior = graft.operators.ConnectedComponents.clusters(
+        docs.filter($"id" % 10 =!= 0),
+        pairs.filter($"a" % 10 =!= 0 && $"b" % 10 =!= 0))
+      graft.operators.ConnectedComponents.incremental(
+          prior, docs.filter($"id" % 10 === 0),
+          pairs.filter($"a" % 10 === 0 || $"b" % 10 === 0))
+        .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
+    },
+
     // Cluster-representative selection — the decision stage after
     // clustering: per duplicate cluster, KEEP the highest-quality member
     // (here: most tokens; tie → lowest doc_id) instead of dedup_clusters'
@@ -543,6 +567,27 @@ object DedupQueries extends QueryModule {
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
 
       "dedup_clusters" ->
+        s"""WITH RECURSIVE $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+           |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+      // the incremental spelling must land on the IDENTICAL assignment —
+      // sharing the oracle verbatim makes incremental == full a
+      // driver-gate equality (the decontam_bloom doctrine)
+      "dedup_clusters_incr" ->
         s"""WITH RECURSIVE $oShingleCtes,
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

@@ -63,6 +63,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental(prior, batch) equals full recompute on random graphs at several split points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4; split <- Seq(10L, 15L, 20L)) {
+      val n = 30L
+      // old-old edges only below the split (the unchanged-corpus
+      // contract), plus new-new and new-old edges — chains through new
+      // nodes can merge two PRIOR components transitively
+      val edges = (1 to 40).map(_ => (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+        .filter { case (a, b) => a != b }.distinct
+      val corpusEdges = edges.filter { case (a, b) => a < split && b < split }
+      val newEdges = edges.filter { case (a, b) => a >= split || b >= split }
+      val corpusNodes = (1L until split).toDF("id")
+      val newNodes = (split to n).toDF("id")
+      val prior = ConnectedComponents.clusters(corpusNodes, corpusEdges.toDF("a", "b"))
+      val got = ConnectedComponents
+        .incremental(prior, newNodes, newEdges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = ConnectedComponents
+        .clusters((1L to n).toDF("id"), edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == full, s"trial $trial split $split:\n" +
+        s"diff=${(got.toSet diff full.toSet).take(5)} / ${(full.toSet diff got.toSet).take(5)}")
+    }
+  }
+
   test("public clusters() dispatches by edge count and matches the paths") {
     import spark.implicits._
     val n = (1L to 6L).toDF("id")
