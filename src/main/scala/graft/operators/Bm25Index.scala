@@ -105,20 +105,38 @@ object Bm25Index {
 
   /** BM25 scores of `qterms` (query_id, term) against the index:
     * (query_id, doc_id, score_scaled), reading only the pruned buckets.
-    * Equals the from-scratch text_bm25 scoring on the same corpus. */
+    * Equals the from-scratch text_bm25 scoring on the same corpus at the
+    * default `maxDfFrac = 1.0`.
+    *
+    * `maxDfFrac < 1` enables STOPWORD ELISION — the skew guard of lexical
+    * probing at scale: a stopword's posting list is corpus-sized (df ≈ N
+    * ⇒ ~N posting rows funneling through one term key of the join), while
+    * its rational idf is ≈ 0.5/N — negligible contribution for
+    * corpus-sized cost. Terms with dfreq > maxDfFrac·N are dropped from
+    * the QUERY side before the postings join (the join order below makes
+    * the elision cut the posting scan, not just the scoring), so an
+    * elided probe costs only the surviving terms' posting lists and
+    * equals the full probe over the surviving query terms — pinned in
+    * Bm25IndexSpec. */
   def probe(spark: SparkSession, path: String, qterms: DataFrame,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32, maxDfFrac: Double = 1.0): DataFrame = {
     graft.GraftExtensions.register(spark)
     val qb = qterms.withColumn("b", pmod(h60(col("term")), lit(buckets.toLong))).cache()
     // |distinct query terms|-bounded driver collect — the static prune set
     val probed = qb.select(col("b")).distinct().collect().map(_.getLong(0)).toSeq
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("b").isin(probed: _*))
-    val terms = spark.read.parquet(s"$path/terms")
+    val termsAll = spark.read.parquet(s"$path/terms")
       .filter(col("b").isin(probed: _*))
     val stats = spark.read.parquet(s"$path/stats")
-    qb.join(postings, Seq("b", "term"))
-      .join(terms, Seq("b", "term"))
+    val terms =
+      if (maxDfFrac >= 1.0) termsAll
+      else termsAll.crossJoin(stats.select(col("n_docs").as("_n")))
+        .filter(col("dfreq") <= lit(maxDfFrac) * col("_n")).drop("_n")
+    // terms (vocabulary-sized) joins BEFORE postings so df-elision prunes
+    // whole posting lists out of the scan
+    qb.join(terms, Seq("b", "term"))
+      .join(postings, Seq("b", "term"))
       .crossJoin(stats) // 1 row — AQE broadcasts
       .select(col("query_id"), col("doc_id"),
         contrib(col("tf"), col("dl"), col("dfreq"),

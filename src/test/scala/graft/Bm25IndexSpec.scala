@@ -59,6 +59,39 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("stopword elision: the df-capped probe equals the full probe over the surviving query terms") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val path = Files.createTempDirectory("bm25el").toString
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    try {
+      Bm25Index.build(docs, path)
+      val q = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+      // pick a threshold that splits the fixture terms' df values, so the
+      // elision is neither empty nor total
+      val stats = spark.read.parquet(s"$path/stats").collect()(0)
+      val n = stats.getLong(0).toDouble
+      val dfs = spark.read.parquet(s"$path/terms")
+        .join(q.select($"term").distinct(), "term")
+        .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("dfreq")).toMap
+      val cut = dfs.values.toSeq.sorted.apply(dfs.size / 2)
+      val frac = cut / n
+      val surviving = dfs.filter(_._2 <= cut).keySet
+      assert(surviving.nonEmpty && surviving.size < dfs.size,
+        s"threshold does not split the fixture terms: dfs=$dfs cut=$cut")
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = scores(Bm25Index.probe(spark, path, q, maxDfFrac = frac))
+      val expected = scores(Bm25Index.probe(spark, path,
+        q.filter($"term".isin(surviving.toSeq: _*))))
+      assert(expected.nonEmpty, "elision removed every hit — test would be vacuous")
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally {
+      spark.catalog.clearCache()
+    }
+  }
+
   test("append(batch) equals a from-scratch rebuild of the union corpus") {
     import spark.implicits._
     GraftExtensions.register(spark)
