@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Tokenizer
+import graft.queries.CorpusQueries
+
+/** The end-to-end curation RUN — what a user executes over a raw crawl to
+  * produce everything a training + retrieval stack consumes, in one job:
+  *
+  *   curate (quality → exact dedup → decontam; the pipeline_curate DAG,
+  *   same code path via CorpusQueries.curatedTrain)
+  *     ├─ training shards   PackedExport   → outDir/shards/ (hive shard=K)
+  *     ├─ lexical index     Bm25Index      → outDir/bm25/
+  *     ├─ vector index      VectorIndex    → outDir/vectors/ (kept subset)
+  *     └─ curated manifest  parquet        → outDir/curated/ (doc_id,
+  *        n_tokens — the join surface for lineage/audits)
+  *
+  * One corpus scan feeds every branch: the curated set is cached at the
+  * stage boundary (inside curatedTrain), so the scan → quality → dedup →
+  * decontam prefix runs once and each export only adds its own work
+  * (pack's GlobalCumsum, bm25's tokenize aggs, the vector semi-join).
+  * All four outputs are mutually CONSISTENT by construction — same kept
+  * set — which CurationJobSpec pins against the oracle-checked
+  * pipeline_curate query (shards ≡ its packing columns, bm25 stats count
+  * ≡ kept docs, vector ids ⊆ kept ids).
+  */
+object CurationJob {
+  final case class Result(
+      nDocsKept: Long,
+      nShards: Long,
+      curatedDir: String,
+      shardsDir: String,
+      bm25Dir: String,
+      vectorDir: String)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): Result = {
+    graft.GraftExtensions.register(spark)
+    val kept = CorpusQueries.curatedTrain(spark, sfDir, tok).cache()
+    val curatedDir = s"$outDir/curated"
+    kept.select(col("doc_id"), col("n_tokens"))
+      .write.mode("overwrite").parquet(curatedDir)
+    val shardsDir = s"$outDir/shards"
+    val nShards = PackedExport.writeShards(
+      kept.select(col("doc_id"), col("n_tokens")), shardsDir,
+      CorpusQueries.PackBudget)
+    val bm25Dir = s"$outDir/bm25"
+    Bm25Index.build(kept.select(col("doc_id"), col("text")), bm25Dir)
+    val vectorDir = s"$outDir/vectors"
+    VectorIndex.materialize(
+      Tables.load(spark, sfDir, "embeddings")
+        .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding")),
+      vectorDir)
+    val n = kept.count()
+    kept.unpersist()
+    Result(n, nShards, curatedDir, shardsDir, bm25Dir, vectorDir)
+  }
+}

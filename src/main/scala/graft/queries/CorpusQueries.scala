@@ -467,7 +467,12 @@ object CorpusQueries extends QueryModule {
         ($"w" / $"denom").as("mix_p"))
   }
 
-  private[graft] def pipelineCurate(s: SparkSession, dir: String,
+  /** The curation DAG's surviving TRAIN set (doc_id, text, n_tokens) —
+    * quality gate → exact dedup → decontamination, text retained so
+    * downstream exports (shards, retrieval indexes) can consume it.
+    * Shared by pipeline_curate (which packs it) and
+    * operators/CurationJob (which also builds the indexes). */
+  private[graft] def curatedTrain(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
@@ -491,10 +496,15 @@ object CorpusQueries extends QueryModule {
     val contaminated = contamination(sh)
       .filter($"n_contaminated".cast("double") / $"n_shingles" >= 0.5)
       .select($"doc_id")
-    val train = kept.filter($"doc_id" % EvalMod =!= 0)
+    kept.filter($"doc_id" % EvalMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"n_tokens")
+  }
+
+  private[graft] def pipelineCurate(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
     // pack the survivors
+    val train = curatedTrain(s, dir, tok).select($"doc_id", $"n_tokens")
     GlobalCumsum.runningBefore(train, "doc_id", "n_tokens", "cb")
       .select($"doc_id", $"n_tokens",
         expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),

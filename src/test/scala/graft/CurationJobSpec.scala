@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25Index, CurationJob, VectorIndex}
+import graft.queries.RetrievalQueries
+
+/** The one-job curation run must produce MUTUALLY CONSISTENT artifacts:
+  * every output derives from the same kept set, and that set is the one
+  * the oracle-checked pipeline_curate query computes. */
+class CurationJobSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shards, bm25 index, vector index and manifest all agree with pipeline_curate") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val out = Files.createTempDirectory("graft-curation-").toString
+    val res = CurationJob.run(spark, dir, out)
+
+    // the kept set IS pipeline_curate's doc set (the driver-gated DAG)
+    val packed = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(res.nDocsKept == packed.length.toLong, "manifest count != pipeline_curate")
+    val manifest = spark.read.parquet(res.curatedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(manifest == packed.map(p => (p._1, p._2)).toSet,
+      "curated manifest != pipeline_curate's (doc_id, n_tokens)")
+
+    // shard read-back equals pipeline_curate's packing columns
+    val shards = spark.read.parquet(res.shardsDir)
+      .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(shards == packed.toSet, "shard read-back != pipeline_curate packing")
+    assert(res.nShards == packed.map(_._3).max + 1, "shard count mismatch")
+
+    // bm25 index: corpus stats count the kept docs with >=1 token, and a
+    // fixture probe only ever hits kept docs
+    val stats = spark.read.parquet(s"${res.bm25Dir}/stats").collect()(0)
+    val keptIds = manifest.map(_._1)
+    assert(stats.getLong(0) == manifest.count(_._2 > 0).toLong,
+      "bm25 n_docs != kept docs with tokens")
+    val q = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+    val hits = Bm25Index.probe(spark, res.bm25Dir, q)
+      .select($"doc_id").distinct().as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(keptIds.contains),
+      "bm25 probe returned a non-kept doc")
+
+    // vector index: only kept ids were materialized
+    val vecIds = spark.read.parquet(res.vectorDir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(vecIds.nonEmpty && vecIds.subsetOf(keptIds),
+      "vector index contains a non-kept id")
+    // and it still probes (the layout is the VectorIndexSpec-pinned one)
+    val queries = spark.read.parquet(res.vectorDir)
+      .limit(3).select($"vec_id".as("query_id"),
+        $"v".cast("array<float>").as("embedding"))
+    assert(VectorIndex.probe(spark, res.vectorDir, queries, k = 2).count() > 0)
+    spark.catalog.clearCache()
+  }
+}
