@@ -304,6 +304,42 @@ object TextQueries extends QueryModule {
         .withColumn("keep", when($"score" > 0, 1L).otherwise(0L))
     },
 
+    // Bigram-rarity quality signal — the deterministic stand-in for LM
+    // perplexity scoring (the classic "KenLM filter" of web-corpus
+    // curation): score each document by the mean INVERSE relative
+    // frequency of its word bigrams against the corpus bigram table. A
+    // doc full of common bigrams (fluent text) scores low; rare-bigram
+    // soup (garbled text, wrong language, boilerplate splices) scores
+    // high. True perplexity needs log-probabilities — not
+    // correctly-rounded, so out of the cross-engine determinism rules —
+    // but mean inverse frequency ranks the same tail and stays exact:
+    // each bigram's T/cnt ratio is one IEEE divide of exact longs,
+    // snapped to a scaled long before the per-doc sum (order-independent
+    // — the text_bm25 discipline), and the mean is a final single
+    // divide. Plan: one corpus bigram pass (map-side combined), the
+    // vocabulary²-bounded frequency table joins back AQE-broadcast, and
+    // the per-doc sum shuffles (doc_id)-keyed scaled longs.
+    "text_bigram_surprise" -> { (s, dir) =>
+      import s.implicits._
+      val bg = Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id", explode(expr(
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) " +
+            "ELSE array() END")).as("bg"))
+      val cnt = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(sum($"cnt").as("t"))
+      val sc = floor(($"t".cast("double") / $"cnt".cast("double")) * lit(1.0e6) + lit(0.5))
+      bg.join(cnt, "bg")
+        .crossJoin(tot) // 1 row — AQE broadcasts
+        .select($"doc_id", sc.as("sc"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"sc").as("surprise_scaled"))
+        .select($"doc_id", $"n_bigrams", $"surprise_scaled",
+          ($"surprise_scaled".cast("double") / $"n_bigrams".cast("double"))
+            .as("mean_surprise_scaled"))
+    },
+
     // Rolling-hash document fingerprint (order-sensitive, mod-P fold).
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -451,6 +487,27 @@ object TextQueries extends QueryModule {
            |      ((${oH60("t")} % $ScoreDim) * $ScoreA) % $ScoreP % $ScoreRange - ${ScoreRange / 2}))
            |      AS BIGINT) AS score
            |  FROM (SELECT doc_id, $oTokens AS w FROM documents))""".stripMargin,
+
+      "text_bigram_surprise" ->
+        s"""WITH bg AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+           |           i -> w[i] || ' ' || w[i + 1])) AS bg
+           |  FROM (SELECT doc_id, $oTokens AS w FROM documents)),
+           |cnt AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+           |tot AS (SELECT sum(cnt) AS t FROM cnt),
+           |per AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(sc) AS BIGINT) AS surprise_scaled
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(floor((CAST(t AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+           |        AS BIGINT) AS sc
+           |    FROM bg JOIN cnt USING (bg) CROSS JOIN tot)
+           |  GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, surprise_scaled,
+           |  CAST(surprise_scaled AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+           |    AS mean_surprise_scaled
+           |FROM per""".stripMargin,
 
       "text_fingerprint" ->
         s"""SELECT doc_id,
