@@ -63,6 +63,12 @@ object CorpusQueries extends QueryModule {
     * content hash, so the count only changes file granularity. */
   val ShuffleShards = 8L
 
+  /** sample_importance feature space: hashed-unigram bucket count (the
+    * DSIR paper's hashed n-gram features) and the scaled-long snap used
+    * for both the per-feature ratio and the acceptance draw. */
+  val DsirDim = 1024L
+  val DsirScale = 1000000L
+
   /** decontam_bloom false-positive rate: FPs only cost extra candidates
     * into the exact verify join (never wrong output), so this trades
     * prefilter selectivity against bloom size (~1.2 GiB per 10⁹ distinct
@@ -135,6 +141,11 @@ object CorpusQueries extends QueryModule {
     // Deterministic length-weighted sampling: hash draw vs an integer
     // threshold, so both engines (and any rerun) keep the identical set.
     "sample_weighted" -> { (s, dir) => sampleWeighted(s, dir) },
+
+    // DSIR-shaped importance resampling (Xie et al. 2023): keep raw-corpus
+    // documents that look like a target distribution, scored by hashed
+    // unigram feature-frequency ratios (see sampleImportance scaladoc).
+    "sample_importance" -> { (s, dir) => sampleImportance(s, dir) },
 
     // Training-mixture rebalancing: per-source sampling rates that
     // equalize each source's token contribution (the data-mixing stage of
@@ -433,6 +444,61 @@ object CorpusQueries extends QueryModule {
       .select($"doc_id", $"n_tokens", $"sample_p")
   }
 
+  /** DSIR-shaped importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select raw-corpus
+    * documents that LOOK LIKE a target distribution. Both distributions
+    * are bags of hashed unigram features (DsirDim buckets, the paper's
+    * hashed n-gram feature map); the target here is the corpus' English
+    * split (`lang = 'en'`) — a production run feeds any curated seed set
+    * as the target predicate. The published weight is the log-likelihood
+    * ratio Σ_f count_f · (log p_tgt[f] − log p_raw[f]); logs are not
+    * correctly rounded across engines, so the exact form scores each
+    * feature OCCURRENCE by the add-one-smoothed relative-frequency ratio
+    * ((t_f+1)/(T+B)) / ((r_f+1)/(R+B)), cross-multiplied into one IEEE
+    * divide of exact-long products (< 2^53 through sf0.1; a 100 TB run
+    * drops the cross-engine-exactness constraint and can use the log
+    * form), snapped to a scaled long before the order-independent per-doc
+    * sum — the text_bm25/bigram discipline. Acceptance reuses
+    * sample_weighted's deterministic hash-draw: keep ⇔ draw·n < Σsc
+    * (the divide-free integer spelling of draw < mean ratio), so a doc
+    * at-or-above like-target mean (ratio ≥ 1) always keeps and the kept
+    * set is bit-reproducible across engines, reruns, and scales.
+    *
+    * Plan: one corpus tokenize pass → B-row feature table computing raw
+    * AND target counts in the same map-side-combined aggregation; the
+    * B-row ratio table joins back AQE-broadcast (never a corpus-side
+    * shuffle); the per-doc sum shuffles (doc_id, scaled-long) pairs only.
+    * The acceptance draw rides the token pass as a per-group constant
+    * (min of a constant), so nothing re-reads the corpus. */
+  private[graft] def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val tok = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        (h60(concat($"doc_id".cast("string"), lit(":"), $"text", lit("|dsir")))
+          % DsirScale).as("draw"),
+        explode(tokens($"text")).as("t"))
+      .select($"doc_id", $"lang", $"draw",
+        (h60(concat($"t", lit("|dsir"))) % DsirDim).as("f"))
+    val cnt = tok.groupBy($"f").agg(
+      count(lit(1)).as("r_cnt"),
+      count(when($"lang" === "en", 1)).as("t_cnt"))
+    val tot = cnt.agg(sum($"r_cnt").as("rt"), sum($"t_cnt").as("tt"))
+    val sc = cnt.crossJoin(tot) // 1 row — AQE broadcasts
+      .select($"f", floor(
+        ((($"t_cnt" + 1) * ($"rt" + DsirDim)).cast("double") /
+          (($"r_cnt" + 1) * ($"tt" + DsirDim)).cast("double"))
+          * lit(DsirScale.toDouble) + lit(0.5)).cast("long").as("sc"))
+    tok.join(sc, "f")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"sc").as("imp_scaled"),
+        min($"draw").as("draw"))
+      .select($"doc_id", $"n_tokens", $"imp_scaled",
+        ($"imp_scaled".cast("double") / $"n_tokens".cast("double"))
+          .as("imp_mean_scaled"),
+        when($"draw" * $"n_tokens" < $"imp_scaled", 1L).otherwise(0L).as("keep"))
+  }
+
   private[graft] def mixAllocation(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     import s.implicits._
@@ -575,6 +641,34 @@ object CorpusQueries extends QueryModule {
          |SELECT doc_id, n_tokens, sample_p FROM p
          |WHERE ${oH60("text || '|sw'")} % 1000000
          |  < CAST(floor(sample_p * 1000000.0) AS BIGINT)""".stripMargin,
+
+    "sample_importance" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    ${oH60("CAST(doc_id AS VARCHAR) || ':' || text || '|dsir'")}
+         |      % $DsirScale AS draw,
+         |    unnest($oTokens) AS t
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, draw,
+         |        ${oH60("t || '|dsir'")} % $DsirDim AS f FROM tok),
+         |cnt AS (SELECT f, count(*) AS r_cnt,
+         |          count(*) FILTER (WHERE lang = 'en') AS t_cnt
+         |        FROM f GROUP BY 1),
+         |tot AS (SELECT sum(r_cnt) AS rt, sum(t_cnt) AS tt FROM cnt),
+         |sc AS (SELECT f,
+         |    CAST(floor((CAST((t_cnt + 1) * (rt + $DsirDim) AS DOUBLE) /
+         |                CAST((r_cnt + 1) * (tt + $DsirDim) AS DOUBLE))
+         |      * ${DsirScale}.0 + 0.5) AS BIGINT) AS sc
+         |  FROM cnt CROSS JOIN tot),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(sc) AS BIGINT) AS imp_scaled, min(draw) AS draw
+         |        FROM f JOIN sc USING (f) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, imp_scaled,
+         |  CAST(imp_scaled AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    AS imp_mean_scaled,
+         |  CAST(CASE WHEN draw * n_tokens < imp_scaled THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM per""".stripMargin,
 
     "mix_allocation" ->
       s"""WITH per AS (

@@ -276,4 +276,31 @@ class CorpusSpec extends AnyFunSuite {
       assert(!ns.map(_._3).contains(q), s"query $q returned itself")
     }
   }
+
+  test("sample_importance separates like-target docs on a disjoint-vocabulary corpus") {
+    import spark.implicits._
+    // The sf corpora share one 31-token vocabulary across languages, so
+    // every feature ratio sits near 1 there (weak separation is a data
+    // property). This corpus gives the target (en) and off-target (fr)
+    // splits DISJOINT vocabularies — the regime DSIR selection is for.
+    val d = java.nio.file.Files.createTempDirectory("graft-dsir-").toString
+    val enWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val frWords = Seq("zut", "alors", "fromage", "baguette", "chateau")
+    val docs =
+      (0L until 20L).map(i => (i, (0 to 3).map(j => enWords(((i + j) % 5).toInt)).mkString(" "), "en", "web", 20L)) ++
+      (20L until 40L).map(i => (i, (0 to 3).map(j => frWords(((i + j) % 5).toInt)).mkString(" "), "fr", "web", 20L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = graft.queries.CorpusQueries.sampleImportance(spark, d)
+      .select($"doc_id", $"imp_mean_scaled", $"keep")
+      .as[(Long, Double, Long)].collect()
+    val (en, fr) = out.partition(_._1 < 20L)
+    assert(en.length == 20 && fr.length == 20)
+    // target-vocab docs score above ratio 1 (scaled 1e6) and always keep;
+    // off-target docs score far below and mostly drop
+    assert(en.forall(_._2 > 1000000.0), s"en means: ${en.map(_._2).min}")
+    assert(en.forall(_._3 == 1L))
+    assert(fr.forall(_._2 < 300000.0), s"fr means: ${fr.map(_._2).max}")
+    assert(fr.count(_._3 == 1L) <= 4, s"fr keep count: ${fr.count(_._3 == 1L)}")
+  }
 }
