@@ -43,6 +43,18 @@ object TextQueries extends QueryModule {
   val GopherMinAlphaFrac = 0.8
   val GopherMinStopHits = 2L
 
+  /** text_repetition thresholds — the Gopher repetition battery's shape
+    * (Rae et al. 2021 §A1.1 discards on duplicate-n-gram and
+    * most-frequent-gram mass). Word-count fractions rather than the
+    * paper's character-mass fractions: same signal, and integer
+    * numerators keep the oracle exact. Tuned to the synthetic corpus'
+    * observed distributions (dup2 p50≈0.03, topw p50≈0.09 / p90≈0.14) so
+    * the keep flag actually discriminates — a production run swaps in the
+    * paper's 0.2/0.15-style character-mass limits. */
+  val RepMaxDup2 = 0.10
+  val RepMaxDup3 = 0.05
+  val RepMaxTopWord = 0.12
+
   /** PII patterns — chosen from regex subsets that Java's engine and RE2
     * (DuckDB) match identically: character classes + bounded/greedy
     * quantifiers, no backrefs or lookaround, so leftmost-first greedy
@@ -228,6 +240,38 @@ object TextQueries extends QueryModule {
             $"mean_word_len".between(GopherMinMeanLen, GopherMaxMeanLen) &&
             $"frac_alpha_words" >= GopherMinAlphaFrac &&
             $"n_stop_hits" >= GopherMinStopHits, 1L).otherwise(0L))
+    },
+
+    // Gopher repetition battery (Rae et al. 2021 §A1.1): duplicate
+    // word-2/3-gram fractions and the most-frequent-word mass — the
+    // discard signals for template spam / keyword-stuffed pages that the
+    // length/stopword rules miss (text_repetition above reports the
+    // single most-repeated 3-gram; this is the multi-rule keep gate).
+    // Entirely row-local higher-order array ops (no per-doc shuffle the
+    // grouped spelling would need): counts are exact integers, each
+    // fraction one IEEE divide. Narrow map pass fused into the scan at
+    // any scale.
+    "text_gopher_rep" -> { (s, dir) =>
+      import s.implicits._
+      val g2 = expr("CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) " +
+        "ELSE array() END")
+      val g3 = shingles3("w")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id",
+          size($"w").cast("long").as("n_words"),
+          ((size(g2) - size(array_distinct(g2))).cast("double") /
+            nullif(size(g2), lit(0))).as("dup_2gram_frac"),
+          ((size(g3) - size(array_distinct(g3))).cast("double") /
+            nullif(size(g3), lit(0))).as("dup_3gram_frac"),
+          (array_max(transform(array_distinct($"w"),
+            t => size(filter($"w", x => x === t)).cast("long"))).cast("double") /
+            nullif(size($"w"), lit(0))).as("top_word_frac"))
+        .withColumn("keep",
+          when($"dup_2gram_frac" <= RepMaxDup2 &&
+            $"dup_3gram_frac" <= RepMaxDup3 &&
+            $"top_word_frac" <= RepMaxTopWord, 1L).otherwise(0L))
     },
 
     // PII detection + redaction. The corpus is synthetic word soup with
@@ -449,6 +493,28 @@ object TextQueries extends QueryModule {
            |      / nullif(len(w), 0) AS frac_alpha_words,
            |    CAST(len(list_filter(w, t -> list_contains($oStop, t))) AS BIGINT) AS n_stop_hits
            |  FROM (SELECT doc_id, $oTokens AS w FROM documents))""".stripMargin,
+
+      "text_gopher_rep" ->
+        s"""SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac, top_word_frac,
+           |  CASE WHEN dup_2gram_frac <= $RepMaxDup2
+           |        AND dup_3gram_frac <= $RepMaxDup3
+           |        AND top_word_frac <= $RepMaxTopWord
+           |       THEN 1 ELSE 0 END AS keep
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(len(w) AS BIGINT) AS n_words,
+           |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+           |      / nullif(len(g2), 0) AS dup_2gram_frac,
+           |    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+           |      / nullif(len(g3), 0) AS dup_3gram_frac,
+           |    CAST(list_max(list_transform(list_distinct(w),
+           |        t -> CAST(len(list_filter(w, x -> x = t)) AS BIGINT))) AS DOUBLE)
+           |      / nullif(len(w), 0) AS top_word_frac
+           |  FROM (
+           |    SELECT doc_id, w,
+           |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS g2,
+           |      $oShingles3 AS g3
+           |    FROM (SELECT doc_id, $oTokens AS w FROM documents)))""".stripMargin,
 
       "text_pii" -> {
         val oPii = "text" +
