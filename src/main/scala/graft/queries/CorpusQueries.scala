@@ -65,9 +65,11 @@ object CorpusQueries extends QueryModule {
 
   /** sample_importance feature space: hashed-unigram bucket count (the
     * DSIR paper's hashed n-gram features) and the scaled-long snap used
-    * for both the per-feature ratio and the acceptance draw. */
-  val DsirDim = 1024L
-  val DsirScale = 1000000L
+    * for both the per-feature ratio and the acceptance draw. Owned by
+    * [[graft.operators.DsirModel]] — the query and the materialized
+    * model must agree or probe ≡ recompute breaks. */
+  val DsirDim = graft.operators.DsirModel.Dim
+  val DsirScale = graft.operators.DsirModel.Scale
 
   /** decontam_bloom false-positive rate: FPs only cost extra candidates
     * into the exact verify join (never wrong output), so this trades
@@ -469,34 +471,16 @@ object CorpusQueries extends QueryModule {
     * B-row ratio table joins back AQE-broadcast (never a corpus-side
     * shuffle); the per-doc sum shuffles (doc_id, scaled-long) pairs only.
     * The acceptance draw rides the token pass as a per-group constant
-    * (min of a constant), so nothing re-reads the corpus. */
+    * (min of a constant), so nothing re-reads the corpus.
+    *
+    * Spelled fit-then-score through [[graft.operators.DsirModel]] — the
+    * train-once/apply-daily artifact — so the oracle-checked query IS
+    * the model path (in-corpus scoring never hits the unseen-feature
+    * fallback, so the driver gate pins score(fit(c), c) exactly). */
   private[graft] def sampleImportance(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.GraftExtensions.register(s)
-    val tok = Tables.load(s, dir, "documents")
-      .select($"doc_id", $"lang",
-        (h60(concat($"doc_id".cast("string"), lit(":"), $"text", lit("|dsir")))
-          % DsirScale).as("draw"),
-        explode(tokens($"text")).as("t"))
-      .select($"doc_id", $"lang", $"draw",
-        (h60(concat($"t", lit("|dsir"))) % DsirDim).as("f"))
-    val cnt = tok.groupBy($"f").agg(
-      count(lit(1)).as("r_cnt"),
-      count(when($"lang" === "en", 1)).as("t_cnt"))
-    val tot = cnt.agg(sum($"r_cnt").as("rt"), sum($"t_cnt").as("tt"))
-    val sc = cnt.crossJoin(tot) // 1 row — AQE broadcasts
-      .select($"f", floor(
-        ((($"t_cnt" + 1) * ($"rt" + DsirDim)).cast("double") /
-          (($"r_cnt" + 1) * ($"tt" + DsirDim)).cast("double"))
-          * lit(DsirScale.toDouble) + lit(0.5)).cast("long").as("sc"))
-    tok.join(sc, "f")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum($"sc").as("imp_scaled"),
-        min($"draw").as("draw"))
-      .select($"doc_id", $"n_tokens", $"imp_scaled",
-        ($"imp_scaled".cast("double") / $"n_tokens".cast("double"))
-          .as("imp_mean_scaled"),
-        when($"draw" * $"n_tokens" < $"imp_scaled", 1L).otherwise(0L).as("keep"))
+    import graft.operators.DsirModel
+    val docs = Tables.load(s, dir, "documents")
+    DsirModel.score(DsirModel.fit(docs, col("lang") === "en"), docs)
   }
 
   private[graft] def mixAllocation(s: SparkSession, dir: String,
