@@ -157,6 +157,38 @@ object CorpusQueries extends QueryModule {
     // O(sources) after one corpus pass.
     "mix_allocation" -> { (s, dir) => mixAllocation(s, dir) },
 
+    // Domain-balanced mixture: mix_allocation keyed by SEMANTIC domain
+    // instead of source label — the cluster-balanced sampling step of a
+    // pretraining pipeline (DoReMi-adjacent: equalize token contribution
+    // across embedding-space regions so one over-crawled topic can't
+    // dominate an epoch). Domains are dedup_semantic's deterministic
+    // hyperplane cells (2^SemBits coarse cells; production swaps in the
+    // trained k-means quantizer exercised by knn_ivf_kmeans — the
+    // allocation algebra is unchanged), so the oracle builds the
+    // identical partition and the rates verify exactly. Plan: one
+    // embeddings pass for cells, an id-keyed join to the token counts
+    // (co-locate by storing both tables id-bucketed at scale), a
+    // cells-sized agg, and a 1-row totals cross join — O(cells) output.
+    "mix_domains" -> { (s, dir) =>
+      import s.implicits._
+      val cells = DedupQueries.embVecs(s, dir).withColumn("cluster",
+        element_at(call_function("graft_lsh_bands", $"v",
+          typedlit(DedupQueries.semPlanesFor(DedupQueries.SemBits).flatten.map(_.toDouble)),
+          lit(1), lit(DedupQueries.SemBits)), 1))
+        .select($"vec_id", $"cluster")
+      val toks = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
+      val per = cells.join(toks, cells("vec_id") === toks("doc_id"))
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      val totals = per.agg(sum($"n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_cells"))
+      per.crossJoin(totals) // 1 row — AQE broadcasts
+        .withColumn("fair_share", $"total_tokens".cast("double") / $"n_cells")
+        .withColumn("sample_rate", least(lit(1.0), $"fair_share" / $"n_tokens"))
+        .select($"cluster", $"n_docs", $"n_tokens", $"fair_share", $"sample_rate")
+    },
+
     // The full curation DAG as ONE job — what a user actually runs over a
     // raw crawl: quality gate → exact dedup (keep lowest doc_id per
     // content digest) → benchmark decontamination (drop docs with ≥50%
@@ -666,6 +698,27 @@ object CorpusQueries extends QueryModule {
          |  least(CAST(1.0 AS DOUBLE),
          |    (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens) AS sample_rate
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    "mix_domains" -> {
+      val planes = DedupQueries.semPlanesFor(DedupQueries.SemBits)
+      val cellBits = (0 until DedupQueries.SemBits).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${oEmbPlaneOf(planes, j)}) > 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id, CAST($cellBits AS BIGINT) AS cluster FROM e),
+         |d AS (SELECT doc_id, CAST(len($oTokens) AS BIGINT) AS n FROM documents),
+         |per AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(n) AS BIGINT) AS n_tokens
+         |        FROM c JOIN d ON d.doc_id = c.vec_id GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |          count(*) AS n_cells FROM per)
+         |SELECT cluster, n_docs, n_tokens,
+         |  CAST(total_tokens AS DOUBLE) / n_cells AS fair_share,
+         |  least(CAST(1.0 AS DOUBLE),
+         |    (CAST(total_tokens AS DOUBLE) / n_cells) / n_tokens) AS sample_rate
+         |FROM per CROSS JOIN tot""".stripMargin
+    },
 
     "pipeline_curate" ->
       s"""WITH docs AS (SELECT doc_id, text,

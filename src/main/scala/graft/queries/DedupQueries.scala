@@ -382,7 +382,7 @@ object DedupQueries extends QueryModule {
     * are non-trivial on the 10³-vector corpora, see scaling note on
     * [[semanticVerdicts]]). */
   val SemBits = 4
-  private def semPlanesFor(bits: Int) = embPlanesFor(1, bits)
+  private[graft] def semPlanesFor(bits: Int) = embPlanesFor(1, bits)
 
   /** The banded-LSH cosine pipeline at an arbitrary (bands × bits)
     * geometry. The registered query runs the test default
@@ -425,7 +425,7 @@ object DedupQueries extends QueryModule {
 
   /** Normalized embedding vectors (shared by the LSH query and the exact
     * cross-check spelling). */
-  private def embVecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def embVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
     Tables.load(s, dir, "embeddings")

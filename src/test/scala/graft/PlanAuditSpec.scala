@@ -336,4 +336,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).length <= 2,
       s"distinct shuffle crept back into the signature build:\n$p")
   }
+
+  test("text_gopher_rep: the repetition battery is a shuffle-free map pass") {
+    // dup-n-gram fractions computed with row-local higher-order array
+    // ops — the grouped (doc_id, ngram) spelling would shuffle the whole
+    // n-gram stream; pin that it never comes back
+    val p = plan("text_gopher_rep")
+    assert(!p.contains("Exchange"), s"repetition battery shuffles:\n$p")
+  }
+
+  test("sample_importance: no mandated broadcast; corpus-side shuffles are the two aggs only") {
+    val p = plan("sample_importance")
+    // the B-row ratio table must join back without a forced hint (the
+    // dedup-broadcast doctrine: degrade to shuffle, not OOM) …
+    assert(!p.contains("broadcast"), s"forced broadcast hint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // … and the corpus side pays exactly: the feature-count agg exchange,
+    // the per-doc agg exchange, and (pre-AQE) the B-row join's exchanges —
+    // never a corpus-sized distinct or sort
+    assert(!p.contains("Sort "), s"unexpected sort:\n$p")
+  }
 }
