@@ -169,25 +169,16 @@ object CorpusQueries extends QueryModule {
     // embeddings pass for cells, an id-keyed join to the token counts
     // (co-locate by storing both tables id-bucketed at scale), a
     // cells-sized agg, and a 1-row totals cross join — O(cells) output.
-    "mix_domains" -> { (s, dir) =>
-      import s.implicits._
-      val cells = DedupQueries.embVecs(s, dir).withColumn("cluster",
-        element_at(call_function("graft_lsh_bands", $"v",
-          typedlit(DedupQueries.semPlanesFor(DedupQueries.SemBits).flatten.map(_.toDouble)),
-          lit(1), lit(DedupQueries.SemBits)), 1))
-        .select($"vec_id", $"cluster")
-      val toks = Tables.load(s, dir, "documents")
-        .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
-      val per = cells.join(toks, cells("vec_id") === toks("doc_id"))
-        .groupBy($"cluster")
-        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
-      val totals = per.agg(sum($"n_tokens").as("total_tokens"),
-        count(lit(1)).as("n_cells"))
-      per.crossJoin(totals) // 1 row — AQE broadcasts
-        .withColumn("fair_share", $"total_tokens".cast("double") / $"n_cells")
-        .withColumn("sample_rate", least(lit(1.0), $"fair_share" / $"n_tokens"))
-        .select($"cluster", $"n_docs", $"n_tokens", $"fair_share", $"sample_rate")
-    },
+    "mix_domains" -> { (s, dir) => mixDomains(s, dir) },
+
+    // The selection DAG as ONE job — the round-8 gate family composed
+    // the way a curation run actually chains them: Gopher repetition
+    // gate → DSIR importance resample → domain-balanced rate draw. Each
+    // stage only narrows; every gate is the oracle-checked operator's
+    // verbatim spelling (the queries above), so the composed kept set
+    // verifies hash-exact end-to-end. The final draw is content-hashed
+    // (sample_weighted's doctrine) against the doc's semantic-cell rate.
+    "pipeline_select" -> { (s, dir) => pipelineSelect(s, dir) },
 
     // The full curation DAG as ONE job — what a user actually runs over a
     // raw crawl: quality gate → exact dedup (keep lowest doc_id per
@@ -515,6 +506,60 @@ object CorpusQueries extends QueryModule {
     DsirModel.score(DsirModel.fit(docs, col("lang") === "en"), docs)
   }
 
+  /** (vec_id, cluster): dedup_semantic's deterministic hyperplane cells
+    * — the domain key shared by mix_domains and pipeline_select. */
+  private def semCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupQueries.embVecs(s, dir).withColumn("cluster",
+      element_at(call_function("graft_lsh_bands", $"v",
+        typedlit(DedupQueries.semPlanesFor(DedupQueries.SemBits).flatten.map(_.toDouble)),
+        lit(1), lit(DedupQueries.SemBits)), 1))
+      .select($"vec_id", $"cluster")
+  }
+
+  private[graft] def mixDomains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
+    val cells = semCells(s, dir)
+    val per = cells.join(toks, cells("vec_id") === toks("doc_id"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+    val totals = per.agg(sum($"n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_cells"))
+    per.crossJoin(totals) // 1 row — AQE broadcasts
+      .withColumn("fair_share", $"total_tokens".cast("double") / $"n_cells")
+      .withColumn("sample_rate", least(lit(1.0), $"fair_share" / $"n_tokens"))
+      .select($"cluster", $"n_docs", $"n_tokens", $"fair_share", $"sample_rate")
+  }
+
+  /** The selection DAG: repetition gate ∧ importance keep, then a
+    * content-hash draw against the doc's domain-balanced rate. Each
+    * stage is the oracle-verified operator verbatim, with its OUTPUT
+    * cached (the pipeline_curate stage-boundary pattern): uncached, the
+    * composed tree re-evaluates every branch's full lineage at each of
+    * the final join's references — 22 base-table scans and a 10×
+    * end-to-end cost for identical results. The cached frames are the
+    * small stage outputs (id lists, the 2^SemBits-row rate table), not
+    * the corpus. */
+  private[graft] def pipelineSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rep = TextQueries.queries("text_gopher_rep")(s, dir)
+      .filter($"keep" === 1L).select($"doc_id").cache()
+    val imp = sampleImportance(s, dir)
+      .filter($"keep" === 1L).select($"doc_id", $"n_tokens").cache()
+    val cells = semCells(s, dir).withColumnRenamed("vec_id", "doc_id").cache()
+    val rates = mixDomains(s, dir).select($"cluster", $"sample_rate").cache()
+    val txt = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    imp.join(rep, "doc_id")
+      .join(cells, "doc_id")
+      .join(rates, "cluster")
+      .join(txt, "doc_id")
+      .filter(h60(concat($"text", lit("|mix"))) % 1000000L <
+        floor($"sample_rate" * 1000000.0).cast("long"))
+      .select($"doc_id", $"cluster", $"n_tokens", $"sample_rate")
+  }
+
   private[graft] def mixAllocation(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     import s.implicits._
@@ -609,6 +654,62 @@ object CorpusQueries extends QueryModule {
        |FROM tr LEFT JOIN ev ON tr.h = ev.h
        |GROUP BY tr.doc_id""".stripMargin
 
+  /** (vec_id, cluster) — the oracle spelling of [[semCells]], shared by
+    * mix_domains and pipeline_select. */
+  private val oCellsSql: String = {
+    val planes = DedupQueries.semPlanesFor(DedupQueries.SemBits)
+    val cellBits = (0 until DedupQueries.SemBits).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${oEmbPlaneOf(planes, j)}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT vec_id, CAST($cellBits AS BIGINT) AS cluster
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+  }
+
+  /** Shared by mix_domains and (as a CTE) pipeline_select. */
+  private val oMixDomainsSql: String =
+    s"""WITH c AS ($oCellsSql),
+       |d AS (SELECT doc_id, CAST(len($oTokens) AS BIGINT) AS n FROM documents),
+       |per AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(n) AS BIGINT) AS n_tokens
+       |        FROM c JOIN d ON d.doc_id = c.vec_id GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |          count(*) AS n_cells FROM per)
+       |SELECT cluster, n_docs, n_tokens,
+       |  CAST(total_tokens AS DOUBLE) / n_cells AS fair_share,
+       |  least(CAST(1.0 AS DOUBLE),
+       |    (CAST(total_tokens AS DOUBLE) / n_cells) / n_tokens) AS sample_rate
+       |FROM per CROSS JOIN tot""".stripMargin
+
+  /** Shared by sample_importance and (as a CTE) pipeline_select. */
+  private val oSampleImportanceSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    ${oH60("CAST(doc_id AS VARCHAR) || ':' || text || '|dsir'")}
+       |      % $DsirScale AS draw,
+       |    unnest($oTokens) AS t
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang, draw,
+       |        ${oH60("t || '|dsir'")} % $DsirDim AS f FROM tok),
+       |cnt AS (SELECT f, count(*) AS r_cnt,
+       |          count(*) FILTER (WHERE lang = 'en') AS t_cnt
+       |        FROM f GROUP BY 1),
+       |tot AS (SELECT sum(r_cnt) AS rt, sum(t_cnt) AS tt FROM cnt),
+       |sc AS (SELECT f,
+       |    CAST(floor((CAST((t_cnt + 1) * (rt + $DsirDim) AS DOUBLE) /
+       |                CAST((r_cnt + 1) * (tt + $DsirDim) AS DOUBLE))
+       |      * ${DsirScale}.0 + 0.5) AS BIGINT) AS sc
+       |  FROM cnt CROSS JOIN tot),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |          CAST(sum(sc) AS BIGINT) AS imp_scaled, min(draw) AS draw
+       |        FROM f JOIN sc USING (f) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, imp_scaled,
+       |  CAST(imp_scaled AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS imp_mean_scaled,
+       |  CAST(CASE WHEN draw * n_tokens < imp_scaled THEN 1 ELSE 0 END
+       |    AS BIGINT) AS keep
+       |FROM per""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "decontam_bloom" -> oDecontamSql,
 
@@ -658,33 +759,7 @@ object CorpusQueries extends QueryModule {
          |WHERE ${oH60("text || '|sw'")} % 1000000
          |  < CAST(floor(sample_p * 1000000.0) AS BIGINT)""".stripMargin,
 
-    "sample_importance" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang,
-         |    ${oH60("CAST(doc_id AS VARCHAR) || ':' || text || '|dsir'")}
-         |      % $DsirScale AS draw,
-         |    unnest($oTokens) AS t
-         |  FROM documents),
-         |f AS (SELECT doc_id, lang, draw,
-         |        ${oH60("t || '|dsir'")} % $DsirDim AS f FROM tok),
-         |cnt AS (SELECT f, count(*) AS r_cnt,
-         |          count(*) FILTER (WHERE lang = 'en') AS t_cnt
-         |        FROM f GROUP BY 1),
-         |tot AS (SELECT sum(r_cnt) AS rt, sum(t_cnt) AS tt FROM cnt),
-         |sc AS (SELECT f,
-         |    CAST(floor((CAST((t_cnt + 1) * (rt + $DsirDim) AS DOUBLE) /
-         |                CAST((r_cnt + 1) * (tt + $DsirDim) AS DOUBLE))
-         |      * ${DsirScale}.0 + 0.5) AS BIGINT) AS sc
-         |  FROM cnt CROSS JOIN tot),
-         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |          CAST(sum(sc) AS BIGINT) AS imp_scaled, min(draw) AS draw
-         |        FROM f JOIN sc USING (f) GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, imp_scaled,
-         |  CAST(imp_scaled AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-         |    AS imp_mean_scaled,
-         |  CAST(CASE WHEN draw * n_tokens < imp_scaled THEN 1 ELSE 0 END
-         |    AS BIGINT) AS keep
-         |FROM per""".stripMargin,
+    "sample_importance" -> oSampleImportanceSql,
 
     "mix_allocation" ->
       s"""WITH per AS (
@@ -699,26 +774,23 @@ object CorpusQueries extends QueryModule {
          |    (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens) AS sample_rate
          |FROM per CROSS JOIN tot""".stripMargin,
 
-    "mix_domains" -> {
-      val planes = DedupQueries.semPlanesFor(DedupQueries.SemBits)
-      val cellBits = (0 until DedupQueries.SemBits).map { j =>
-        s"(CASE WHEN list_dot_product(v, ${oEmbPlaneOf(planes, j)}) > 0" +
-          s" THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id, CAST($cellBits AS BIGINT) AS cluster FROM e),
-         |d AS (SELECT doc_id, CAST(len($oTokens) AS BIGINT) AS n FROM documents),
-         |per AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
-         |          CAST(sum(n) AS BIGINT) AS n_tokens
-         |        FROM c JOIN d ON d.doc_id = c.vec_id GROUP BY 1),
-         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-         |          count(*) AS n_cells FROM per)
-         |SELECT cluster, n_docs, n_tokens,
-         |  CAST(total_tokens AS DOUBLE) / n_cells AS fair_share,
-         |  least(CAST(1.0 AS DOUBLE),
-         |    (CAST(total_tokens AS DOUBLE) / n_cells) / n_tokens) AS sample_rate
-         |FROM per CROSS JOIN tot""".stripMargin
-    },
+    "mix_domains" -> oMixDomainsSql,
+
+    "pipeline_select" ->
+      s"""WITH rep AS (SELECT doc_id
+         |  FROM (${TextQueries.oracles("text_gopher_rep")}) WHERE keep = 1),
+         |imp AS (SELECT doc_id, n_tokens
+         |  FROM ($oSampleImportanceSql) WHERE keep = 1),
+         |cells AS ($oCellsSql),
+         |dom AS ($oMixDomainsSql)
+         |SELECT i.doc_id, c.cluster, i.n_tokens, d.sample_rate
+         |FROM imp i
+         |JOIN rep ON rep.doc_id = i.doc_id
+         |JOIN cells c ON c.vec_id = i.doc_id
+         |JOIN dom d ON d.cluster = c.cluster
+         |JOIN documents t ON t.doc_id = i.doc_id
+         |WHERE ${oH60("t.text || '|mix'")} % 1000000
+         |  < CAST(floor(d.sample_rate * 1000000.0) AS BIGINT)""".stripMargin,
 
     "pipeline_curate" ->
       s"""WITH docs AS (SELECT doc_id, text,
