@@ -345,6 +345,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"repetition battery shuffles:\n$p")
   }
 
+  test("pipeline_select: the selection DAG plans no cartesian; single-partition stages are the scalar totals only") {
+    val p = plan("pipeline_select")
+    // the only nested-loop joins allowed are the 1-row totals/fallback
+    // cross joins each stage carries; a real cartesian (corpus × corpus)
+    // means a stage lost its key
+    assert(!p.contains("CartesianProduct"), p)
+    // global scalar totals (DSIR rt/tt over the B-row feature table, the
+    // domain-rate totals over the 2^SemBits-row cell table) legitimately
+    // gather ONE partial row per partition — bounded regardless of corpus
+    // size. Anything beyond those three means a corpus-sized stage
+    // funnelled into one task.
+    val nSingle = "SinglePartition".r.findAllIn(p).length
+    assert(nSingle <= 3, s"unexpected single-partition exchanges ($nSingle):\n$p")
+  }
+
   test("sample_importance: no mandated broadcast; corpus-side shuffles are the two aggs only") {
     val p = plan("sample_importance")
     // the B-row ratio table must join back without a forced hint (the
