@@ -15,17 +15,25 @@ import graft.queries.CorpusQueries
   *     ├─ training shards   PackedExport   → outDir/shards/ (hive shard=K)
   *     ├─ lexical index     Bm25Index      → outDir/bm25/
   *     ├─ vector index      VectorIndex    → outDir/vectors/ (kept subset)
-  *     └─ curated manifest  parquet        → outDir/curated/ (doc_id,
-  *        n_tokens — the join surface for lineage/audits)
+  *     ├─ curated manifest  parquet        → outDir/curated/ (doc_id,
+  *     │  n_tokens — the join surface for lineage/audits)
+  *     ├─ selection model   DsirModel      → outDir/dsir/ (fit on the
+  *     │  KEPT set with the en split as target — the model the next
+  *     │  day's batches score against, batch-side via StreamingDsir)
+  *     └─ quality weights   QualityClassifier → outDir/quality/ (trained
+  *        on kept-vs-dropped labels from the quality gate itself — the
+  *        weight array text_quality_score's production form broadcasts)
   *
   * One corpus scan feeds every branch: the curated set is cached at the
   * stage boundary (inside curatedTrain), so the scan → quality → dedup →
   * decontam prefix runs once and each export only adds its own work
-  * (pack's GlobalCumsum, bm25's tokenize aggs, the vector semi-join).
-  * All four outputs are mutually CONSISTENT by construction — same kept
-  * set — which CurationJobSpec pins against the oracle-checked
-  * pipeline_curate query (shards ≡ its packing columns, bm25 stats count
-  * ≡ kept docs, vector ids ⊆ kept ids).
+  * (pack's GlobalCumsum, bm25's tokenize aggs, the vector semi-join, the
+  * model fits over the cached set). All outputs are mutually CONSISTENT
+  * by construction — same kept set — which CurationJobSpec pins against
+  * the oracle-checked pipeline_curate query (shards ≡ its packing
+  * columns, bm25 stats count ≡ kept docs, vector ids ⊆ kept ids, DSIR
+  * model counts ≡ a direct fit of the kept set, classifier weights
+  * reload bit-identically).
   */
 object CurationJob {
   final case class Result(
@@ -34,7 +42,10 @@ object CurationJob {
       curatedDir: String,
       shardsDir: String,
       bm25Dir: String,
-      vectorDir: String)
+      vectorDir: String,
+      dsirDir: String,
+      qualityDir: String,
+      quality: QualityClassifier.Model)
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tok: Tokenizer = Tokenizer.Whitespace): Result = {
@@ -55,8 +66,32 @@ object CurationJob {
         .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("embedding")),
       vectorDir)
+    // selection model over the KEPT set (en split as target): tomorrow's
+    // batches score against this artifact instead of re-reading today's
+    // corpus (DsirModel.score / StreamingDsir)
+    val dsirDir = s"$outDir/dsir"
+    val docs = Tables.load(spark, sfDir, "documents")
+    DsirModel.write(
+      DsirModel.fit(
+        kept.select(col("doc_id"), col("text"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        col("lang") === "en"),
+      dsirDir)
+    // distill the curation verdict into the hashed-linear quality model:
+    // label every RAW doc by whether curation kept it, train the
+    // broadcast-able weight array text_quality_score's production form
+    // evaluates. Bit-reproducible, so two sites running the same job
+    // ship identical weights.
+    val qualityDir = s"$outDir/quality"
+    val labeled = docs.select(col("doc_id"), col("text"))
+      .join(kept.select(col("doc_id"), lit(1.0).as("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), coalesce(col("label"), lit(0.0)).as("label"))
+    val quality = QualityClassifier.train(
+      QualityClassifier.featurize(labeled, col("label")), iters = 10)
+    QualityClassifier.write(quality, spark, qualityDir)
     val n = kept.count()
     kept.unpersist()
-    Result(n, nShards, curatedDir, shardsDir, bm25Dir, vectorDir)
+    Result(n, nShards, curatedDir, shardsDir, bm25Dir, vectorDir,
+      dsirDir, qualityDir, quality)
   }
 }

@@ -66,11 +66,19 @@ object QualityClassifier {
 
   /** Train on `featurize` output. Fixed iterations and learning rate —
     * no early stopping, so the weight trajectory is a pure function of
-    * the corpus. */
+    * the corpus. The step normalizes by L = max features per doc (an
+    * exact integer read off the data): a doc's margin moves by
+    * ~lr·L·residual per iteration, so un-normalized GD diverges once
+    * docs carry more than ~2/lr features (it did, at 35 features/doc —
+    * residuals overflowed the scaled-long snap). lr·(L/L) < 2 is stable
+    * for any corpus. */
   def train(feats: DataFrame, iters: Int = 20, lr: Double = 0.5): Model = {
     val cached = feats.cache()
     val n = cached.count()
     if (n == 0L) { cached.unpersist(); return Model(0.0, IndexedSeq.fill(Dim.toInt)(0.0)) }
+    val maxFeats = math.max(1L,
+      cached.agg(max(size(col("feats")))).collect().head.getInt(0).toLong)
+    val lrEff = lr / maxFeats
     var bias = 0.0
     var w = IndexedSeq.fill(Dim.toInt)(0.0)
     for (_ <- 1 to iters) {
@@ -84,7 +92,7 @@ object QualityClassifier {
         .select(explode(concat(array(lit(-1L)), col("feats"))).as("f"), col("r"))
         .groupBy(col("f")).agg(sum(col("r")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val step = lr / (GradScale * n)
+      val step = lrEff / (GradScale * n)
       bias -= step * g.getOrElse(-1L, 0L)
       w = w.indices.map(i => w(i) - step * g.getOrElse(i.toLong, 0L))
     }
@@ -97,4 +105,22 @@ object QualityClassifier {
     feats.select(col("doc_id"),
       marginCol(typedlit(model.w), model.bias).as("margin"))
       .withColumn("keep", when(col("margin") > 0.5, 1L).otherwise(0L))
+
+  /** Persist / load the weight artifact ((idx, weight) rows, idx −1 =
+    * bias — Dim+1 doubles, one file). Doubles round-trip parquet
+    * exactly, so load(write(m)) == m bit for bit. */
+  def write(model: Model, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    ((-1L, model.bias) +: model.w.indices.map(i => (i.toLong, model.w(i))))
+      .toDF("idx", "weight").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path).select(col("idx"), col("weight"))
+      .as[(Long, Double)].collect().toMap
+    Model(rows(-1L), IndexedSeq.tabulate(Dim.toInt)(i => rows(i.toLong)))
+  }
 }

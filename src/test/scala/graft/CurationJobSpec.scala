@@ -59,6 +59,37 @@ class CurationJobSpec extends AnyFunSuite {
       .limit(3).select($"vec_id".as("query_id"),
         $"v".cast("array<float>").as("embedding"))
     assert(VectorIndex.probe(spark, res.vectorDir, queries, k = 2).count() > 0)
+
+    // DSIR model artifact: fit on the SAME kept set as a direct
+    // recompute — counts must agree row-for-row
+    val persisted = graft.operators.DsirModel.load(spark, res.dsirDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.operators.DsirModel.fit(
+      Tables.load(spark, dir, "documents")
+        .join(manifest.map(_._1).toSeq.toDF("doc_id"), "doc_id")
+        .select($"doc_id", $"text", $"lang"),
+      $"lang" === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(persisted == direct, "persisted DSIR model != direct fit of the kept set")
+
+    // quality weights: reload bit-identically and score every doc to a
+    // finite margin. (No separation assert here: this corpus' drops are
+    // IDENTITY-based — eval-split modulus, content-hash dedup — which no
+    // text-feature model can learn; separation on a separable corpus is
+    // QualityClassifierSpec's pin. The artifact contract is the
+    // reproducible weight array.)
+    val loaded = graft.operators.QualityClassifier.load(spark, res.qualityDir)
+    assert(loaded == res.quality, "quality weights did not round-trip")
+    assert(loaded.w.exists(_ != 0.0), "training left the zero model")
+    val labeled = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        when($"doc_id".isin(keptIds.toSeq: _*), 1.0).otherwise(0.0).as("label"))
+    val margins = graft.operators.QualityClassifier.predict(loaded,
+        graft.operators.QualityClassifier.featurize(labeled, $"label"))
+      .select($"doc_id", $"margin").as[(Long, Double)].collect()
+    assert(margins.length == labeled.count().toInt)
+    assert(margins.forall(m => !m._2.isNaN && !m._2.isInfinite),
+      "non-finite margin from the persisted model")
     spark.catalog.clearCache()
   }
 }

@@ -47,6 +47,7 @@ class QualityClassifierSpec extends AnyFunSuite {
       (label, text.split("\\s+").map(jvmFeat).distinct.sorted.toIndexedSeq)
     }
     val n = feats.length
+    val lrEff = lr / math.max(1L, feats.map(_._2.length).max)
     var bias = 0.0
     var w = IndexedSeq.fill(QualityClassifier.Dim.toInt)(0.0)
     for (_ <- 1 to iters) {
@@ -57,7 +58,7 @@ class QualityClassifierSpec extends AnyFunSuite {
         g(-1L) += r
         fs.foreach(f => g(f) += r)
       }
-      val step = lr / (QualityClassifier.GradScale * n)
+      val step = lrEff / (QualityClassifier.GradScale * n)
       bias -= step * g(-1L)
       w = w.indices.map(i => w(i) - step * g(i.toLong))
     }
