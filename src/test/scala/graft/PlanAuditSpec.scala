@@ -337,6 +337,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"distinct shuffle crept back into the signature build:\n$p")
   }
 
+  test("text_bigram_surprise: the frequency table joins back without a hint; no corpus sort") {
+    val p = plan("text_bigram_surprise")
+    // the vocabulary²-bounded bigram table must come back AQE-broadcast
+    // or shuffled as the stats decide — never a forced hint, never a
+    // corpus-side sort or cartesian
+    assert(!p.contains("broadcast"), s"forced broadcast hint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Sort "), s"unexpected sort:\n$p")
+  }
+
   test("text_gopher_rep: the repetition battery is a shuffle-free map pass") {
     // dup-n-gram fractions computed with row-local higher-order array
     // ops — the grouped (doc_id, ngram) spelling would shuffle the whole
