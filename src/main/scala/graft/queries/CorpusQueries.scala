@@ -140,6 +140,27 @@ object CorpusQueries extends QueryModule {
     // ceil((n-W)/S)+1 rows of 5 longs, no shuffle at all.
     "doc_chunk" -> { (s, dir) => docChunk(s, dir) },
 
+    // In-context pretraining packing (Shi et al. 2023): pack RELATED
+    // documents into the same training sequence by ordering the token
+    // stream on (semantic cell, doc_id) instead of doc_id alone — same
+    // GlobalCumsum prefix-sum machinery as doc_pack over a composite
+    // order key, so the packing stays distributed (no single-partition
+    // window) and the oracle is hash-exact. Production swaps the
+    // deterministic cells for trained clusters or a doc-graph traversal;
+    // the packing algebra is unchanged.
+    "doc_pack_semantic" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      val cells = semCells(s, dir).withColumnRenamed("vec_id", "doc_id")
+      val keyed = docs.join(cells, "doc_id")
+        .withColumn("ord", $"cluster" * lit(1L << 40) + $"doc_id")
+      GlobalCumsum.runningBefore(keyed, "ord", "n_tokens", "cb")
+        .select($"doc_id", $"cluster", $"n_tokens",
+          expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+          ($"cb" % PackBudget).as("shard_offset"))
+    },
+
     // Deterministic length-weighted sampling: hash draw vs an integer
     // threshold, so both engines (and any rerun) keep the identical set.
     "sample_weighted" -> { (s, dir) => sampleWeighted(s, dir) },
@@ -731,6 +752,22 @@ object CorpusQueries extends QueryModule {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM t)
          |SELECT doc_id, n_tokens,
+         |  CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |FROM c""".stripMargin,
+
+    "doc_pack_semantic" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |cl AS ($oCellsSql),
+         |k AS (SELECT doc_id, cluster, n_tokens,
+         |        cluster * ${1L << 40} + doc_id AS ord
+         |      FROM t JOIN cl ON cl.vec_id = t.doc_id),
+         |c AS (SELECT doc_id, cluster, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM k)
+         |SELECT doc_id, cluster, n_tokens,
          |  CAST(cb // $PackBudget AS BIGINT) AS shard,
          |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
          |FROM c""".stripMargin,
