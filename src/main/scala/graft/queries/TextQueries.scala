@@ -63,6 +63,11 @@ object TextQueries extends QueryModule {
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val IdRunRe = "[0-9]{9,}"
 
+  /** text_badwords blocklist fixture (the C4 gate's shape): "slow" is
+    * frequent (most docs hit), "dup" rare (~6% of docs), "error" absent —
+    * the three regimes a real blocklist mixes. */
+  val Badwords = Seq("slow", "dup", "error")
+
   /** text_heavy_hitters sketch size. The synthetic corpus has ~31 distinct
     * tokens, so k=64 keeps the SpaceSaving summary in its exact regime
     * (no evictions → err 0, hash-exact oracle); a production vocabulary
@@ -307,6 +312,24 @@ object TextQueries extends QueryModule {
         .withColumn("redacted_len", length($"redacted").cast("long"))
     },
 
+    // Blocklist (dirty-word) filter — C4's "bad words" gate (Raffel et
+    // al. 2020 dropped any page containing a blocklisted word; the list
+    // here is a fixture, the operator is the real thing): occurrence and
+    // distinct-hit counts plus the keep verdict, as one shuffle-free
+    // codegen'd projection. At 100 TB the real multi-thousand-word list
+    // still rides the task closure as a literal array (a few KB) — no
+    // join, no broadcast, no state.
+    "text_badwords" -> { (s, dir) =>
+      import s.implicits._
+      val bad = array(Badwords.map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id",
+          size(filter($"w", t => array_contains(bad, t))).cast("long").as("n_bad"),
+          size(array_intersect(array_distinct($"w"), bad)).cast("long").as("n_bad_distinct"),
+          (size(filter($"w", t => array_contains(bad, t))) === 0).as("keep"))
+    },
+
     // Corpus token frequencies via the SpaceSaving heavy-hitters sketch
     // (graft_topk, the frequency twin of ev_kmv_distinct's KMV): the
     // vocabulary-building pass of a training pipeline. An exact frequency
@@ -536,6 +559,15 @@ object TextQueries extends QueryModule {
            |  length(regexp_replace(regexp_replace(regexp_replace(pii_text,
            |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$d', '<ID>', 'g')) AS redacted_len
            |FROM (SELECT doc_id, $oPii AS pii_text FROM documents)""".stripMargin
+      },
+
+      "text_badwords" -> {
+        val oBad = Badwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""SELECT doc_id,
+           |  CAST(len(list_filter(w, t -> list_contains($oBad, t))) AS BIGINT) AS n_bad,
+           |  CAST(len(list_intersect(list_distinct(w), $oBad)) AS BIGINT) AS n_bad_distinct,
+           |  len(list_filter(w, t -> list_contains($oBad, t))) = 0 AS keep
+           |FROM (SELECT doc_id, $oTokens AS w FROM documents)""".stripMargin
       },
 
       "text_heavy_hitters" ->

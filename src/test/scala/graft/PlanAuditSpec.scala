@@ -90,7 +90,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("narrow projections (text_tokens, text_clean, mm_meta, doc_chunk) are shuffle-free single stages") {
     for (q <- Seq("text_tokens", "text_clean", "mm_meta", "doc_chunk",
-        "text_gopher_quality", "text_pii", "text_quality_score")) {
+        "text_gopher_quality", "text_pii", "text_quality_score", "text_badwords")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // formatted mode marks codegen'd nodes with a leading '*'
@@ -380,5 +380,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // the per-doc agg exchange, and (pre-AQE) the B-row join's exchanges —
     // never a corpus-sized distinct or sort
     assert(!p.contains("Sort "), s"unexpected sort:\n$p")
+  }
+
+  test("dedup_lines / dedup_span_scrub: hash-keyed joins, no forced broadcast, no pairwise join") {
+    for (q <- Seq("dedup_lines", "dedup_lines_incr", "dedup_span_scrub")) {
+      val p = plan(q)
+      // the duplicated-hash table must not be hint-forced to broadcast
+      // (data-dependent size: degrade to shuffle, not OOM) and nothing
+      // may plan pairwise — cost stays O(segments)/O(occurrences)
+      assert(!p.contains("broadcast"), s"$q forced broadcast hint:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      // joins key on the 8-byte segment/trigram hash or doc_id — raw
+      // text never partitions an exchange
+      assert("hashpartitioning\\([^)]*(text|seg|w)#".r.findFirstIn(p).isEmpty,
+        s"$q shuffles raw text:\n$p")
+    }
   }
 }
