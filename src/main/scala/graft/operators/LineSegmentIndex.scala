@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.CrossHash.{h60, tokens}
+
+/** Materialized corpus segment-hash index for the line-dedup family — the
+  * on-disk artifact `dedup_lines_incr`'s scaladoc promises ("at 100 TB the
+  * corpus segment-hash set is a maintained artifact, not a recompute"):
+  * the ShingleIndex pattern applied to CCNet-style paragraph dedup.
+  *
+  * [[materialize]] writes the distinct segment hashes BUCKETED BY `h`, so
+  * every later probe joins co-located against the bucket files — the
+  * corpus side is never re-shuffled (LineSegmentIndexSpec pins: no
+  * exchange above the index scan). [[append]] folds a daily batch in by
+  * writing only the hashes the index does not already hold — a
+  * |batch|-bounded anti-join probe plus a file append under the same
+  * bucket layout; the corpus files are never rewritten. [[probeDedup]]
+  * line-dedups a new batch against the index at probe-only cost and
+  * equals the `dedup_lines_incr` recompute verdict exactly.
+  */
+object LineSegmentIndex {
+  /** Segment width in tokens (pseudo-paragraphs — the synthetic corpus
+    * has no newlines; production swaps in split('\n'), same algebra). */
+  val LineSegTokens = 12
+
+  /** (doc_id, seg_idx, seg, h, okey) occurrence rows: non-overlapping
+    * `w`-token windows, 60-bit segment hash, and the BIGINT total-order
+    * key (doc_id·100000 + seg_idx) that min() resolves winners by —
+    * valid while seg_idx < 100000 (docs under 1.2M tokens at w=12). */
+  def segments(docs: DataFrame, w: Int = LineSegTokens,
+      carry: Seq[String] = Nil): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val extra = carry.map(col)
+    docs
+      .select(col("doc_id") +: extra :+ tokens(col("text")).as("w"): _*)
+      .select(col("doc_id") +: extra :+ posexplode(expr(
+        s"CASE WHEN size(w) >= 1 THEN transform(sequence(0, CAST((size(w)-1) DIV $w AS INT)), " +
+          s"i -> array_join(slice(w, i*$w + 1, $w), ' ')) ELSE array() END")).as(Seq("seg_idx", "seg")): _*)
+      .withColumn("h", h60(col("seg")))
+      .withColumn("okey", col("doc_id") * 100000L + col("seg_idx"))
+  }
+
+  /** Distinct segment hashes of a corpus — the in-memory form of the
+    * index (the materialized table is this, bucketed on disk). */
+  def hashSet(corpus: DataFrame): DataFrame =
+    segments(corpus).select(col("h")).distinct()
+
+  /** Rebuild (doc_id, n_segs, n_kept, dedup_text) from occurrence rows
+    * flagged with a boolean `kept` — surviving segments rejoin in
+    * seg_idx order. */
+  def reassemble(flagged: DataFrame): DataFrame =
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          x => x("seg")), " ").as("dedup_text"))
+
+  /** Write the bucketed distinct-hash index for `docs` (doc_id, text). */
+  def materialize(docs: DataFrame, name: String, buckets: Int = 32): Unit =
+    segments(docs).select(col("h")).distinct()
+      .write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
+
+  /** Fold a new batch into the index: only hashes the index does NOT
+    * already hold are written (|batch|-bounded co-located anti-join; the
+    * standing files never rewrite). The resulting hash set is EXACTLY
+    * `materialize(corpus ∪ batch)`'s — pinned in LineSegmentIndexSpec. */
+  def append(batch: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    segments(batch).select(col("h")).distinct()
+      .join(spark.table(name), Seq("h"), "left_anti")
+      .write.mode("append").bucketBy(buckets, "h").saveAsTable(name)
+  }
+
+  /** Line-dedup a new batch (doc_id, text) against the index with
+    * append-order semantics (the indexed corpus precedes the batch): a
+    * batch segment drops when its hash is in the index or an earlier
+    * batch occurrence holds it. Equals `dedup_lines_incr`'s verdicts when
+    * the index holds the same corpus — at probe cost: the index side
+    * joins co-located, only batch-sized rows shuffle. */
+  def probeDedup(spark: SparkSession, name: String, batch: DataFrame): DataFrame = {
+    val segs = segments(batch).cache()
+    val idx = spark.table(name).withColumn("in_corpus", lit(1))
+    val batchWin = segs.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("okey")).as("wkey"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("wkey"))
+    reassemble(
+      segs.join(idx, Seq("h"), "left")
+        .join(batchWin, Seq("h"), "left")
+        .withColumn("kept",
+          col("in_corpus").isNull && (col("wkey").isNull || col("okey") === col("wkey"))))
+  }
+}

@@ -482,40 +482,22 @@ object DedupQueries extends QueryModule {
   val SemBits = 4
   private[graft] def semPlanesFor(bits: Int) = embPlanesFor(1, bits)
 
-  /** dedup_lines segment width (tokens per pseudo-paragraph). A corpus
-    * knob, not an algorithm constant: production swaps the fixed window
-    * for newline segmentation, same algebra. 12 keeps multiple segments
-    * per synthetic ~10–110-token doc so cross-doc duplicate segments
-    * actually occur at test scale. */
-  val LineSegTokens = 12
+  /** dedup_lines segment width — the operator's knob (see
+    * [[graft.operators.LineSegmentIndex.LineSegTokens]]: 12 keeps
+    * multiple segments per synthetic ~10–110-token doc so cross-doc
+    * duplicate segments actually occur at test scale). */
+  val LineSegTokens: Int = graft.operators.LineSegmentIndex.LineSegTokens
 
-  /** (doc_id, seg_idx, seg, h, okey) occurrence rows for the line-dedup
-    * family: non-overlapping [[LineSegTokens]]-token windows, 60-bit
-    * segment hash, and the total-order key min() resolves winners by. */
+  /** Segment occurrence rows for the line-dedup family — the operator's
+    * builder over the documents table. */
   private def lineSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.GraftExtensions.register(s)
-    val W = LineSegTokens
-    Tables.load(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("w"))
-      .select($"doc_id", posexplode(expr(
-        s"CASE WHEN size(w) >= 1 THEN transform(sequence(0, CAST((size(w)-1) DIV $W AS INT)), " +
-          s"i -> array_join(slice(w, i*$W + 1, $W), ' ')) ELSE array() END")).as(Seq("seg_idx", "seg")))
-      .withColumn("h", h60($"seg"))
-      .withColumn("okey", $"doc_id" * 100000L + $"seg_idx")
+    graft.operators.LineSegmentIndex.segments(
+      Tables.load(s, dir, "documents").select($"doc_id", $"text"))
   }
 
-  /** Rebuild (doc_id, n_segs, n_kept, dedup_text) from flagged occurrence
-    * rows — kept segments rejoin in seg_idx order. */
-  private def reassembleLines(flagged: DataFrame): DataFrame = {
-    import flagged.sparkSession.implicits._
-    flagged.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_segs"),
-        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(when($"kept", struct($"seg_idx", $"seg")))),
-          x => x("seg")), " ").as("dedup_text"))
-  }
+  private def reassembleLines(flagged: DataFrame): DataFrame =
+    graft.operators.LineSegmentIndex.reassemble(flagged)
 
   /** The banded-LSH cosine pipeline at an arbitrary (bands × bits)
     * geometry. The registered query runs the test default

@@ -66,6 +66,41 @@ object StreamingDedup {
       .select(col("a_doc"), col("b_doc"), j.as("jaccard"))
   }
 
+  /** Streaming line (paragraph) dedup: each arriving document is rebuilt
+    * with every segment whose hash the STATIC corpus index holds removed,
+    * emitted once when its event-time window closes — the continuous twin
+    * of `LineSegmentIndex.probeDedup`'s corpus-suppression leg.
+    * Stream-vs-stream duplicate segments are out of scope for a
+    * stream-static join (the [[StatefulOps.dedupStream]] division of
+    * labor, same as the near-dup probe above); a daily
+    * `LineSegmentIndex.append` folds the day's segments in for tomorrow.
+    *
+    * Per-trigger cost: the batch's segments (narrow explode) left-join
+    * the bucketed index co-located, then re-group under the watermark —
+    * bounded by the batch, never the corpus. `docs` needs
+    * (doc_id, text, `eventTimeCol`); `index` is the distinct-hash frame
+    * ([[graft.operators.LineSegmentIndex.hashSet]] or the materialized
+    * table). */
+  def lineProbe(docs: DataFrame, index: DataFrame,
+      eventTimeCol: String = "ts", watermark: String = "10 minutes",
+      window: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val segs = graft.operators.LineSegmentIndex.segments(
+        docs.withWatermark(eventTimeCol, watermark),
+        carry = Seq(eventTimeCol))
+    segs
+      .join(index.withColumn("in_corpus", lit(1)), Seq("h"), "left")
+      .withColumn("kept", col("in_corpus").isNull)
+      .groupBy(org.apache.spark.sql.functions.window(col(eventTimeCol), window),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          x => x("seg")), " ").as("dedup_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"), col("dedup_text"))
+  }
+
   /** Static corpus cell index for SEMANTIC (embedding) streaming dedup:
     * one row per corpus vector with its hyperplane cell
     * (`queries/DedupQueries.dedup_semantic`'s deterministic coarse
