@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60, SpaceSavingTopK}
+import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60, SpaceSavingTopK, UnicodeNorm}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -54,6 +54,18 @@ object GraftExtensions {
       children => {
         require(children.length == 1, "graft_shingle60 takes exactly 1 argument")
         Shingle60(children.head)
+      }),
+    (FunctionIdentifier("graft_unorm"), UnicodeNorm.info,
+      children => {
+        require(children.length == 2, "graft_unorm takes (text, form) arguments")
+        val form = children(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.value != null =>
+            lit.value.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_unorm form must be a string literal, got $other")
+        }
+        UnicodeNorm(children.head, form)
       }),
     (FunctionIdentifier("graft_lsh_bands"), LshBands.info,
       children => {

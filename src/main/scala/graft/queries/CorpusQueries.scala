@@ -125,6 +125,41 @@ object CorpusQueries extends QueryModule {
         .withColumn("contam_frac", $"n_contaminated".cast("double") / $"n_shingles")
     },
 
+    // SEMANTIC decontamination — the third leg of the decontam trio
+    // (exact n-gram, bloom-accelerated, and now embedding-space): a
+    // training vector is contaminated when an eval-split vector in its
+    // hyperplane cell has cosine ≥ 0.4 — catching the paraphrased/
+    // near-duplicate benchmark leakage that no n-gram overlap sees.
+    // dedup_semantic's machinery with eval/train roles: the probe keys
+    // on the cell (Σ|cell_tr|·|cell_ev| cost, never all-pairs), and the
+    // eval side is benchmark-sized so AQE broadcasts it unhinted. The
+    // eval split is vec_id % EvalMod (the embedding mirror of
+    // text_decontam's doc split).
+    "decontam_semantic" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val flat: Seq[Double] =
+        DedupQueries.semPlanesFor(DedupQueries.SemBits).flatten.map(_.toDouble)
+      val e = DedupQueries.embVecs(s, dir)
+        .withColumn("cluster", element_at(call_function("graft_lsh_bands",
+          $"v", typedlit(flat), lit(1), lit(DedupQueries.SemBits)), 1))
+      val evalSide = e.filter($"vec_id" % EvalMod === 0)
+      val train = e.filter($"vec_id" % EvalMod =!= 0)
+      val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
+      val hits = train
+        .select($"cluster", $"vec_id", $"v".as("av"), $"nrm".as("anrm")).as("a")
+        .join(evalSide.select($"cluster", $"vec_id".as("vec_e"), $"v".as("bv"),
+          $"nrm".as("bnrm")).as("b"), "cluster")
+        .filter(cos >= 0.4)
+        .groupBy($"vec_id")
+        .agg(min($"vec_e").as("contam_of"), count(lit(1)).as("n_eval_dups"))
+      train.select($"vec_id", $"cluster")
+        .join(hits, Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster", $"contam_of",
+          coalesce($"n_eval_dups", lit(0L)).as("n_eval_dups"),
+          $"contam_of".isNull.as("keep"))
+    },
+
     // Concat-and-chunk sequence packing: documents stream in doc_id order
     // into fixed PackBudget-token training sequences; each doc lands at
     // (shard, shard_offset) of the concatenated token stream.
@@ -743,6 +778,32 @@ object CorpusQueries extends QueryModule {
          |      FROM documents)""".stripMargin,
 
     "text_decontam" -> oDecontamSql,
+
+    // Same cell partition as oCellsSql, same cosine arithmetic as the
+    // dedup_semantic oracle family; eval/train roles instead of
+    // batch/corpus.
+    "decontam_semantic" -> {
+      val planes = DedupQueries.semPlanesFor(DedupQueries.SemBits)
+      val cellBits = (0 until DedupQueries.SemBits).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${oEmbPlaneOf(planes, j)}) > 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |             CAST($cellBits AS BIGINT) AS cluster FROM e),
+         |ev AS (SELECT * FROM n WHERE vec_id % $EvalMod = 0),
+         |tr AS (SELECT * FROM n WHERE vec_id % $EvalMod <> 0),
+         |hits AS (
+         |  SELECT tr.vec_id, min(ev.vec_id) AS contam_of,
+         |         CAST(count(*) AS BIGINT) AS n_eval_dups
+         |  FROM tr JOIN ev ON tr.cluster = ev.cluster
+         |  WHERE list_dot_product(tr.v, ev.v)/(tr.nrm*ev.nrm) >= 0.4
+         |  GROUP BY tr.vec_id)
+         |SELECT tr.vec_id, tr.cluster, h.contam_of,
+         |  CAST(coalesce(h.n_eval_dups, 0) AS BIGINT) AS n_eval_dups,
+         |  h.contam_of IS NULL AS keep
+         |FROM tr LEFT JOIN hits h ON h.vec_id = tr.vec_id""".stripMargin
+    },
 
     "doc_pack" ->
       s"""WITH t AS (SELECT doc_id,

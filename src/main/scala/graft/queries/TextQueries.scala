@@ -312,6 +312,38 @@ object TextQueries extends QueryModule {
         .withColumn("redacted_len", length($"redacted").cast("long"))
     },
 
+    // Unicode normalization — the canonicalization pass multilingual
+    // pipelines (CCNet, mC4) run BEFORE any hashing/dedup: composed and
+    // decomposed spellings of the same text must collapse or every
+    // fingerprint downstream splits. The corpus is ASCII, so (text_pii
+    // doctrine) a deterministic fixture appends decomposed combining
+    // marks (e + U+0301), precomposed equivalents, and a non-accent
+    // special (ß, unaffected by accent-strip) — covering the
+    // normalize-changes / already-normal / strip-vs-keep regimes. NFC via
+    // the native codegen graft_unorm (Spark has no builtin; a Scala UDF
+    // would break the codegen stage); accent-strip = NFD + drop \p{Mn},
+    // which agrees with DuckDB's strip_accents on combining-mark accents
+    // (the fixture's — validated, not assumed). Shuffle-free projection.
+    "text_unicode_norm" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val fix = concat($"text",
+        // decomposed: e+COMBINING ACUTE (U+0301), u+COMBINING DIAERESIS
+        // (U+0308); \u00df (sharp s) is the non-accent control
+        when($"doc_id" % 2 === 0, lit(" cafe\u0301 menu")).otherwise(lit("")),
+        when($"doc_id" % 3 === 0, lit(" u\u0308ber stra\u00dfe")).otherwise(lit("")),
+        // precomposed U+00E9 / U+00F1 — NFC leaves these untouched
+        when($"doc_id" % 5 === 0, lit(" caf\u00e9 ni\u00f1o")).otherwise(lit("")))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", fix.as("ft"))
+        .select($"doc_id",
+          expr("graft_unorm(ft, 'NFC')").as("norm_text"),
+          regexp_replace(expr("graft_unorm(ft, 'NFD')"), "\\p{Mn}", "").as("ascii_text"),
+          (expr("graft_unorm(ft, 'NFC')") =!= $"ft").as("changed"),
+          length($"ft").cast("long").as("n_raw"),
+          length(expr("graft_unorm(ft, 'NFC')")).cast("long").as("n_norm"))
+    },
+
     // Blocklist (dirty-word) filter — C4's "bad words" gate (Raffel et
     // al. 2020 dropped any page containing a blocklisted word; the list
     // here is a fixture, the operator is the real thing): occurrence and
@@ -560,6 +592,24 @@ object TextQueries extends QueryModule {
            |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$d', '<ID>', 'g')) AS redacted_len
            |FROM (SELECT doc_id, $oPii AS pii_text FROM documents)""".stripMargin
       },
+
+      // chr() spells the identical fixture codepoints: 769 = U+0301
+      // combining acute, 776 = U+0308 combining diaeresis, 223 = ß,
+      // 233 = é, 241 = ñ. strip_accents == the Spark NFD+\p{Mn} spelling
+      // on combining-mark accents (validated for these codepoints).
+      "text_unicode_norm" ->
+        s"""WITH f AS (SELECT doc_id, text
+           |  || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) || ' menu' ELSE '' END
+           |  || CASE WHEN doc_id % 3 = 0 THEN ' u' || chr(776) || 'ber stra' || chr(223) || 'e' ELSE '' END
+           |  || CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233) || ' ni' || chr(241) || 'o' ELSE '' END AS ft
+           |  FROM documents)
+           |SELECT doc_id,
+           |  nfc_normalize(ft) AS norm_text,
+           |  strip_accents(nfc_normalize(ft)) AS ascii_text,
+           |  nfc_normalize(ft) <> ft AS changed,
+           |  CAST(length(ft) AS BIGINT) AS n_raw,
+           |  CAST(length(nfc_normalize(ft)) AS BIGINT) AS n_norm
+           |FROM f""".stripMargin,
 
       "text_badwords" -> {
         val oBad = Badwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -241,4 +241,35 @@ class CodegenSpec extends AnyFunSuite {
       .select(CrossHash.shingleHashes($"text").as("hs")).collect()
     assert(n.forall(_.isNullAt(0)))
   }
+
+  test("graft_unorm compiles; agrees with java.text.Normalizer on every form; rejects bad forms") {
+    import spark.implicits._
+    // decomposed, precomposed, mixed, ASCII, compatibility (ﬁ ligature,
+    // fullwidth A), hangul jamo composition, and the empty string
+    val samples = Seq(
+      "cafe\u0301", "caf\u00e9", "u\u0308ber stra\u00dfe", "plain ascii",
+      "\ufb01le f\uff21st", "\u1100\u1161\u11a8", "",
+      "mixed cafe\u0301 caf\u00e9 x")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = samples.toDF("id", "t")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select($"id", expr(s"graft_unorm(t, '$form')")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      samples.foreach { case (i, t) =>
+        val want = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.valueOf(form))
+        assert(got(i) == want, s"form=$form input=${t.map(_.toInt)}")
+      }
+    }
+    // NFC collapses the decomposed spelling onto the precomposed one
+    val nfc = df.select(expr("graft_unorm(t, 'NFC')").as("n")).collect().map(_.getString(0))
+    assert(nfc(0) == nfc(1))
+    // null propagates; an unknown form fails analysis, not execution
+    val nl = Seq((1L, null: String)).toDF("id", "t")
+      .select(expr("graft_unorm(t, 'NFC')")).collect()
+    assert(nl.forall(_.isNullAt(0)))
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_unorm(t, 'NFX')")).collect()
+    }
+    assert(bad.getMessage.contains("graft_unorm"))
+  }
 }

@@ -90,7 +90,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("narrow projections (text_tokens, text_clean, mm_meta, doc_chunk) are shuffle-free single stages") {
     for (q <- Seq("text_tokens", "text_clean", "mm_meta", "doc_chunk",
-        "text_gopher_quality", "text_pii", "text_quality_score", "text_badwords")) {
+        "text_gopher_quality", "text_pii", "text_quality_score", "text_badwords",
+        "text_unicode_norm")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // formatted mode marks codegen'd nodes with a leading '*'
@@ -380,6 +381,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // the per-doc agg exchange, and (pre-AQE) the B-row join's exchanges —
     // never a corpus-sized distinct or sort
     assert(!p.contains("Sort "), s"unexpected sort:\n$p")
+  }
+
+  test("decontam_semantic: the eval probe keys on the cell — no cartesian, no forced broadcast") {
+    val p = plan("decontam_semantic")
+    assert(!p.contains("broadcast"), s"forced broadcast hint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("dedup_lines / dedup_span_scrub: hash-keyed joins, no forced broadcast, no pairwise join") {
