@@ -101,10 +101,6 @@ object Multimodal {
     * ImageIO's disk-backed stream cache is disabled: decode must stay an
     * in-memory per-row operation on executors. */
   final case class ImageIoDecoder(fallback: MediaDecoder = StubDecoder) extends MediaDecoder {
-    private def sniffImage(b: Array[Byte]): Boolean =
-      (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
-        (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
-
     override def decode(a: Asset): MediaFeatures = {
       if (!sniffImage(a.media)) return fallback.decode(a)
       ImageIoDecoder.init // one-time JVM-global setting, not per-row
@@ -206,6 +202,102 @@ object Multimodal {
       } finally in.close()
     }
   }
+
+  /** Per-asset 64-bit perceptual hash row ([[perceptualHashes]]). */
+  final case class PerceptualHash(asset_id: Long, phash: Long, decoded: Boolean)
+
+  /** 64-bit average hash (aHash) of a decoded image — the standard
+    * perceptual near-dup fingerprint for media dedup: downsample to an
+    * 8×8 luma grid (area means over integer luma sums), one bit per cell
+    * set when the cell mean exceeds the global mean. Robust to re-encode
+    * and mild noise (a near-copy flips few cells), deterministic (the
+    * only float op is two IEEE divides per cell on exact integer sums —
+    * identical on every JVM). Cells with no pixels (images narrower than
+    * 8) stay 0. */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val p = img.getRGB(x, y)
+        // integer ITU-R 601 luma, scaled ×1000 (299r + 587g + 114b)
+        val luma = ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L + (p & 0xff) * 114L
+        val c = cy * 8 + cx
+        sums(c) += luma
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var totalSum = 0L
+    var totalCnt = 0L
+    var i = 0
+    while (i < 64) { totalSum += sums(i); totalCnt += cnts(i); i += 1 }
+    val mean = totalSum.toDouble / totalCnt
+    var bits = 0L
+    var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c).toDouble / cnts(c) > mean) bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
+  /** Perceptual hashes for an asset table: images (PNG/JPEG sniff, real
+    * ImageIO decode) get their aHash; everything else — and failed
+    * decodes — emits `decoded = false` so downstream dedup can exclude
+    * it (a pseudo-hash over undecodable bytes would manufacture fake
+    * near-dups). One decoder instance per partition, like
+    * [[extractFeatures]]. */
+  def perceptualHashes(assets: Dataset[Asset]): Dataset[PerceptualHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val media = if (a.media == null) Array.emptyByteArray else a.media
+        val img =
+          if (!sniffImage(media)) null
+          else {
+            ImageIoDecoder.init
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+            catch { case scala.util.control.NonFatal(_) => null }
+          }
+        if (img == null) PerceptualHash(a.asset_id, 0L, decoded = false)
+        else PerceptualHash(a.asset_id, aHash64(img), decoded = true)
+      }
+    }
+  }
+
+  /** Image near-dup pairs (asset_a < asset_b, hamming ≤ maxHamming) over
+    * the perceptual hashes — exact pigeonhole banding
+    * ([[graft.operators.HammingBands]]): 64 bits split into
+    * maxHamming + 1 bands, so banding is lossless at any threshold ≤ 63
+    * (PerceptualDedupSpec pins banded ≡ quadratic). Undecodable assets
+    * are excluded, not pseudo-hashed. Scale shape: candidates join on
+    * (band, bits) with hot buckets split above `cap` — a corpus of
+    * near-identical thumbnails stays bounded; note band width shrinks as
+    * the threshold grows (64/(maxHamming+1) bits), so bucket selectivity
+    * — and with it candidate volume — is the threshold's price. */
+  def perceptualPairs(hashes: Dataset[PerceptualHash], maxHamming: Int = 2,
+      cap: Int = 4096): DataFrame = {
+    import hashes.sparkSession.implicits._
+    graft.operators.HammingBands.pairs(
+        hashes.filter(_.decoded).toDF()
+          .select($"asset_id".as("id"), $"phash".as("fp")),
+        graft.operators.HammingBands.offsetsFor(64, maxHamming + 1), maxHamming, cap)
+      .select($"id_a".as("asset_a"), $"id_b".as("asset_b"), $"hamming")
+  }
+
+  /** PNG/JPEG magic-byte sniff (shared by [[ImageIoDecoder]] and
+    * [[perceptualHashes]]). */
+  private[multimodal] def sniffImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
 
   /** Synthesize an asset table from the `documents` table (the driver data
     * has no binary column; the media payload is the UTF-8 bytes — opaque to

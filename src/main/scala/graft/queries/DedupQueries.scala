@@ -590,33 +590,9 @@ object DedupQueries extends QueryModule {
   private[graft] def simhashBandedPairs(fps: DataFrame, cap: Int): DataFrame = {
     val s = fps.sparkSession
     import s.implicits._
-    val bandStructs = SimhashBandOffsets.map { case (b, shift, mask) =>
-      struct(lit(b).as("band"),
-        shiftright($"fp", shift).bitwiseAND(lit(mask)).as("bb"))
-    }
-    val bands = fps
-      .select($"doc_id", $"fp", explode(array(bandStructs: _*)).as("x"))
-      .select($"doc_id", $"fp", $"x.band".as("band"), $"x.bb".as("bb"))
-    val sizes = bands.groupBy($"band", $"bb").agg(count(lit(1)).as("k"))
-      .select($"band", $"bb",
-        ceil($"k".cast("double") / cap).cast("int").as("g"))
-    val tagged = bands.join(sizes, Seq("band", "bb"))
-    val probe = tagged.withColumn("t", explode(sequence(lit(0), $"g" - 1)))
-    val build = tagged.withColumn("t",
-      pmod(xxhash64($"doc_id"), $"g".cast("long")).cast("int"))
-    val hd = bit_count($"a.fp".bitwiseXOR($"b.fp"))
-    val noEarlierBand = SimhashBandOffsets.foldLeft(lit(true)) {
-      case (acc, (b, shift, mask)) =>
-        acc && !(lit(b) < $"a.band" &&
-          shiftright($"a.fp", shift).bitwiseAND(lit(mask)) ===
-            shiftright($"b.fp", shift).bitwiseAND(lit(mask)))
-    }
-    probe.as("a").join(build.as("b"),
-        $"a.band" === $"b.band" && $"a.bb" === $"b.bb" &&
-          $"a.t" === $"b.t" && $"a.doc_id" < $"b.doc_id")
-      .filter(hd <= 2 && noEarlierBand)
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        hd.cast("long").as("hamming"))
+    graft.operators.HammingBands.pairs(
+        fps.select($"doc_id".as("id"), $"fp"), SimhashBandOffsets, 2, cap)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
   }
 
   /** The quadratic simhash spelling — DedupScaleSpec asserts the banded
