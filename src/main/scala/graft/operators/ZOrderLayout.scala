@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) storage layout: cluster a table on the bit
+  * interleave of two key columns so predicates on EITHER key prune at
+  * read time — the standard multi-dimensional data-skipping layout for
+  * 100 TB fact tables (a single-column sort prunes only its own column;
+  * the z-curve keeps both keys' value ranges narrow within every row
+  * group, so parquet min/max stats skip most of the file for point or
+  * range predicates on either key).
+  *
+  * Plain open-source Spark applies min/max skipping at the parquet
+  * ROW-GROUP level (pushed filters + footer stats — no table format
+  * needed); [[write]] therefore controls the row-group size so the
+  * skipping granularity is explicit. ZOrderSpec demonstrates the effect
+  * with scan-metric row counts: the same predicate reads an order of
+  * magnitude fewer rows from the z-ordered layout than from a layout
+  * sorted by the other key alone.
+  */
+object ZOrderLayout {
+  /** Bit-interleaved z-value of two non-negative long columns: bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1 (statically unrolled
+    * — codegen folds it into one projection). Keys wider than `bitsPer`
+    * bits lose their HIGH bits' discrimination (clustering coarsens,
+    * correctness is unaffected — the z-value only orders the write);
+    * callers with wide domains (timestamps) should pre-shift to an
+    * offset, e.g. seconds since the table's min. */
+  def zValue(a: Column, b: Column, bitsPer: Int = 21): Column = {
+    require(bitsPer >= 1 && bitsPer <= 31, s"bitsPer out of range: $bitsPer")
+    (0 until bitsPer).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Quantile-bucket id (0 .. 2^bucketBits − 1) of a numeric column
+    * against precomputed boundaries: the count of boundaries ≤ value —
+    * a columnar O(B) scan of a literal array, codegen'd (B = 255 at the
+    * default 8 bits; a write-time cost, not a read-time one). */
+  private def bucketOf(c: Column, boundaries: Seq[Double]): Column =
+    size(filter(typedLit(boundaries), b => c.cast("double") >= b)).cast("long")
+
+  /** Write `df` z-clustered on (`colA`, `colB`).
+    *
+    * The keys are first normalized to RANK SPACE — each value maps to
+    * its approximate quantile bucket (2^bucketBits buckets from one
+    * `approxQuantile` pass per key) — and the z-value interleaves the
+    * bucket ids. Raw-value interleaving breaks on asymmetric key widths
+    * (measured here: a 17-bit event_id interleaved with a 14-bit
+    * user_id puts every top z-bit on event_id alone, so row groups never
+    * constrain user_id and nothing skips); rank space gives both keys
+    * equal weight at every z level regardless of domain width or skew.
+    *
+    * Files are range-partitioned on z (quantile-balanced), rows sorted
+    * within each file, row-group size bounded (the skipping granule).
+    * The z/bucket columns are dropped — the layout, not the schema,
+    * carries the clustering. */
+  def write(df: DataFrame, colA: String, colB: String, path: String,
+      files: Int = 32, bucketBits: Int = 8,
+      rowGroupBytes: Long = 8L << 20): Unit = {
+    require(files >= 1, s"files out of range: $files")
+    require(bucketBits >= 1 && bucketBits <= 16, s"bucketBits out of range: $bucketBits")
+    val b = 1 << bucketBits
+    val probs = (1 until b).map(_.toDouble / b).toArray
+    val Seq(qa, qb) = Seq(colA, colB).map { c =>
+      df.select(col(c).cast("double").as(c)).stat
+        .approxQuantile(c, probs, 0.005).toSeq
+    }
+    df.withColumn("_z",
+        zValue(bucketOf(col(colA), qa), bucketOf(col(colB), qb), bucketBits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
+}
