@@ -394,6 +394,58 @@ object DedupQueries extends QueryModule {
           array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ").as("scrub_text"))
     },
 
+    // The CLEANING pipeline as one job — the pass a raw crawl takes
+    // before curation ever sees it: blocklist gate → line-level
+    // boilerplate dedup over the survivors → duplicated-span scrub over
+    // the rebuilt text. Each stage is the oracle-checked operator's
+    // verbatim spelling applied to the previous stage's OUTPUT (the
+    // pipeline_curate composition doctrine: the composed oracle chains
+    // the stage CTEs, so the end-to-end text verifies hash-exact); note
+    // the stage-2 winner set and the stage-3 frequency table legitimately
+    // differ from the standalone queries' — they are computed on the
+    // narrowed corpus, which is the point of composing. Stage outputs
+    // cache (each feeds an aggregate AND a join-back); the corpus never
+    // joins pairwise anywhere.
+    "pipeline_clean" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val bad = array(TextQueries.Badwords.map(lit): _*)
+      val kept0 = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", tokens($"text").as("w0"))
+        .filter(size(filter($"w0", t => array_contains(bad, t))) === 0)
+        .select($"doc_id", $"text").cache()
+      val segs = graft.operators.LineSegmentIndex.segments(kept0).cache()
+      val winners = segs.groupBy($"h")
+        .agg(count(lit(1)).as("cnt"), min($"okey").as("wkey"))
+        .filter($"cnt" >= 2)
+        .select($"h", $"wkey")
+      val deduped = graft.operators.LineSegmentIndex.reassemble(
+          segs.join(winners, Seq("h"), "left")
+            .withColumn("kept", $"wkey".isNull || $"okey" === $"wkey"))
+        .cache()
+      val occ = deduped
+        .select($"doc_id", posexplode(shingleHashes($"dedup_text")).as(Seq("q", "h")))
+      val dup = occ.select($"doc_id", $"h").distinct()
+        .groupBy($"h").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2)
+        .select($"h")
+      val dupStarts = occ.join(dup, "h")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list($"q")).as("dup_starts"))
+      deduped
+        .join(dupStarts, Seq("doc_id"), "left")
+        .withColumn("w", tokens($"dedup_text"))
+        .withColumn("ds", coalesce($"dup_starts", typedLit(Array.empty[Int])))
+        .withColumn("keptIdx", expr(
+          "filter(sequence(0, size(w) - 1), i -> NOT exists(ds, q -> q >= i - 2 AND q <= i))"))
+        .select($"doc_id", $"n_segs",
+          ($"n_segs" - $"n_kept").as("n_segs_dropped"),
+          size($"w").cast("long").as("n_tokens_dedup"),
+          (size($"w") - size($"keptIdx")).cast("long").as("n_spans_removed"),
+          array_join(expr("transform(keptIdx, i -> element_at(w, i + 1))"), " ")
+            .as("clean_text"))
+    },
+
     // Semantic dedup (SemDeDup, Abbas et al. 2023): partition the embedding
     // space into coarse clusters, then dedup ONLY within a cluster — a
     // vector is dropped when a lower-id vector in the SAME cluster has
@@ -914,6 +966,57 @@ object DedupQueries extends QueryModule {
            |  coalesce(array_to_string(
            |    list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '), '') AS dedup_text
            |FROM v GROUP BY doc_id""".stripMargin,
+
+      // The stage CTE chain: blocklist filter (text_badwords' predicate),
+      // line dedup over the survivors (dedup_lines' spelling on the
+      // narrowed corpus), span scrub over the REBUILT text
+      // (dedup_span_scrub's spelling with text := dedup_text).
+      "pipeline_clean" -> {
+        val oBad = TextQueries.Badwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH base AS (SELECT doc_id, text, $oTokens AS w0 FROM documents),
+           |k0 AS (SELECT doc_id, text FROM base
+           |       WHERE len(list_filter(w0, t -> list_contains($oBad, t))) = 0),
+           |docs AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM k0),
+           |sg AS (SELECT doc_id,
+           |    [array_to_string(w[i*12+1:i*12+12], ' ')
+           |     for i in range(0, (len(w)+11)//12)] AS segs FROM docs),
+           |occ2 AS (SELECT doc_id, unnest(segs) AS seg,
+           |                unnest(range(0, len(segs))) AS seg_idx FROM sg),
+           |o2 AS (SELECT doc_id, seg_idx, seg, ${oH60("seg")} AS h,
+           |              doc_id*100000 + seg_idx AS okey FROM occ2),
+           |win AS (SELECT h, min(okey) AS wkey FROM o2
+           |        GROUP BY h HAVING count(*) >= 2),
+           |dd AS (
+           |  SELECT doc_id, count(*) AS n_segs,
+           |    CAST(sum(CASE WHEN wkey IS NULL OR okey = wkey THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |    coalesce(array_to_string(
+           |      list(seg ORDER BY seg_idx) FILTER (WHERE wkey IS NULL OR okey = wkey),
+           |      ' '), '') AS dedup_text
+           |  FROM o2 LEFT JOIN win USING (h)
+           |  GROUP BY doc_id),
+           |docs3 AS (SELECT doc_id, n_segs, n_kept,
+           |                 string_split_regex(dedup_text, '\\s+') AS w FROM dd),
+           |occ3 AS (SELECT doc_id, unnest($oShingles3) AS s,
+           |                unnest(range(1, len(w)-1)) AS i FROM docs3),
+           |o3 AS (SELECT doc_id, i - 1 AS q, ${oH60("s")} AS h FROM occ3),
+           |dup3 AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM o3)
+           |         GROUP BY h HAVING count(*) >= 2),
+           |ds3 AS (SELECT doc_id, list(q ORDER BY q) AS dstarts
+           |        FROM o3 JOIN dup3 USING (h) GROUP BY doc_id),
+           |fin AS (SELECT d.doc_id, d.n_segs, d.n_kept, d.w,
+           |               coalesce(ds3.dstarts, []) AS dsx
+           |        FROM docs3 d LEFT JOIN ds3 ON ds3.doc_id = d.doc_id),
+           |k3 AS (SELECT doc_id, n_segs, n_kept, w,
+           |    [i for i in range(0, len(w))
+           |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept
+           |  FROM fin)
+           |SELECT doc_id, n_segs,
+           |  CAST(n_segs - n_kept AS BIGINT) AS n_segs_dropped,
+           |  CAST(len(w) AS BIGINT) AS n_tokens_dedup,
+           |  CAST(len(w) - len(kept) AS BIGINT) AS n_spans_removed,
+           |  coalesce(array_to_string([w[i+1] for i in kept], ' '), '') AS clean_text
+           |FROM k3""".stripMargin
+      },
 
       // Same trigram positions as the Spark plan (oShingles3 starts at
       // 1-based i → q = i-1), same coverage rule (dup start q ∈ [i-2, i]

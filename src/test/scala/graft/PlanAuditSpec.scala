@@ -383,6 +383,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), s"unexpected sort:\n$p")
   }
 
+  test("pipeline_clean: the cleaning DAG plans no cartesian, no forced broadcast, no single-partition stage") {
+    val p = plan("pipeline_clean")
+    assert(!p.contains("SinglePartition"), s"cleaning funnels into one task:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("broadcast"), s"forced broadcast hint:\n$p")
+  }
+
   test("decontam_semantic: the eval probe keys on the cell — no cartesian, no forced broadcast") {
     val p = plan("decontam_semantic")
     assert(!p.contains("broadcast"), s"forced broadcast hint:\n$p")
