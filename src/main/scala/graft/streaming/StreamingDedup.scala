@@ -101,6 +101,55 @@ object StreamingDedup {
       .select(col("doc_id"), col("n_segs"), col("n_kept"), col("dedup_text"))
   }
 
+  /** Distinct trigram hashes of the standing corpus — the static context
+    * for [[spanScrubProbe]]. A stream doc's trigram occurrence shared
+    * with ANY corpus doc is a cross-doc duplicate (the stream doc itself
+    * is the second occurrence), so presence — not df ≥ 2 — is the probe
+    * criterion. */
+  def trigramSet(corpus: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    corpus.select(explode(shingleHashes(col("text"))).as("h")).distinct()
+  }
+
+  /** Streaming duplicated-span scrub: each arriving document is rebuilt
+    * with every token cut that sits inside a trigram the STATIC corpus
+    * contains — the continuous twin of `dedup_span_scrub`'s incremental
+    * (corpus-suppression) form, emitted once per doc when its event-time
+    * window closes. Within-stream cross-doc duplicates are out of scope
+    * for a stream-static join ([[StatefulOps.dedupStream]] doctrine);
+    * chaining this AFTER [[lineProbe]] in one query is the daily-batch
+    * `pipeline_clean`'s job — one stateful aggregate per streaming query
+    * keeps the state story trivial.
+    *
+    * posexplode_outer keeps trigram-less (< 3 token) documents flowing —
+    * they pass through unscrubbed instead of vanishing from the output.
+    * `docs` needs (doc_id, text, `eventTimeCol`); `index` is
+    * [[trigramSet]]'s frame (or its materialized table). */
+  def spanScrubProbe(docs: DataFrame, index: DataFrame,
+      eventTimeCol: String = "ts", watermark: String = "10 minutes",
+      window: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val base = docs.withWatermark(eventTimeCol, watermark)
+      .select(col("doc_id"), col(eventTimeCol).as("_ts"),
+        graft.queries.CrossHash.tokens(col("text")).as("w"),
+        shingleHashes(col("text")).as("hs"))
+      .select(col("doc_id"), col("_ts"), col("w"),
+        posexplode_outer(col("hs")).as(Seq("q", "h")))
+    base
+      .join(index.withColumn("dup", lit(1)), Seq("h"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("_ts"), window),
+        col("doc_id"))
+      .agg(first(col("w")).as("w"),
+        sort_array(collect_list(when(col("dup") === 1, col("q")))).as("ds"))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(w) - 1), i -> NOT exists(ds, q -> q >= i - 2 AND q <= i))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ")
+          .as("scrub_text"))
+  }
+
   /** Static corpus cell index for SEMANTIC (embedding) streaming dedup:
     * one row per corpus vector with its hyperplane cell
     * (`queries/DedupQueries.dedup_semantic`'s deterministic coarse

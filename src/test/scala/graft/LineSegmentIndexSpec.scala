@@ -125,4 +125,66 @@ class LineSegmentIndexSpec extends AnyFunSuite {
     // the verbatim-copy doc rebuilds to the empty string
     assert(got(12L)._2 == 0L && got(12L)._3 == "")
   }
+
+  test("streaming spanScrubProbe equals the batch corpus-suppression scrub, incl. a trigram-less doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    GraftExtensions.register(spark)
+
+    val corpus = Seq(
+      (1L, "shared run one two three tail alpha"),
+      (2L, "other words entirely here beta gamma")).toDF("doc_id", "text")
+    val tri = graft.streaming.StreamingDedup.trigramSet(corpus).cache()
+
+    // doc 10 contains corpus doc 1's "shared run one" trigram (plus the
+    // overlapping continuations); doc 11 shares nothing; doc 12 has only
+    // two tokens — no trigram, must still flow through unscrubbed
+    val streamDocs = Seq(
+      (10L, 60L, "intro shared run one two ending"),
+      (11L, 70L, "fresh content with no overlap at all"),
+      (12L, 80L, "tiny doc"))
+
+    val ms = MemoryStream[(Long, Long, String)]
+    val docsDf = ms.toDF().toDF("doc_id", "sec", "text")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, String)]
+    val q = graft.streaming.StreamingDedup.spanScrubProbe(docsDf, tri)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-ss-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        ()
+      }
+      .start()
+    streamDocs.foreach(d => ms.addData(d))
+    q.processAllAvailable()
+    ms.addData((99L, 1000000L, "watermark flush row closes windows"))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch spelling of the same contract over the same docs
+    import org.apache.spark.sql.functions._
+    val batchDf = streamDocs.map(d => (d._1, d._3)).toDF("doc_id", "text")
+    val expected = batchDf
+      .select($"doc_id", graft.queries.CrossHash.tokens($"text").as("w"),
+        posexplode_outer(graft.queries.CrossHash.shingleHashes($"text")).as(Seq("q", "h")))
+      .join(tri.withColumn("dup", lit(1)), Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(first($"w").as("w"),
+        sort_array(collect_list(when($"dup" === 1, $"q"))).as("ds"))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(w) - 1), i -> NOT exists(ds, q -> q >= i - 2 AND q <= i))"))
+      .select($"doc_id", size($"w").cast("long"),
+        (size($"w") - size($"kept")).cast("long"),
+        array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " "))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.toMap.view.filterKeys(_ != 99L).toMap == expected)
+    // doc 10 lost its shared span, doc 11 untouched, doc 12 passed whole
+    assert(got(10L)._2 > 0L)
+    assert(got(11L)._2 == 0L && got(11L)._3 == streamDocs(1)._3)
+    assert(got(12L)._2 == 0L && got(12L)._3 == "tiny doc")
+  }
 }
