@@ -48,11 +48,14 @@ object CurationJob {
       quality: QualityClassifier.Model)
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      tok: Tokenizer = Tokenizer.Whitespace): Result = {
+      tok: Tokenizer = Tokenizer.Whitespace,
+      docFilter: org.apache.spark.sql.Column = lit(true)): Result = {
     graft.GraftExtensions.register(spark)
-    val kept = CorpusQueries.curatedTrain(spark, sfDir, tok).cache()
+    val kept = CorpusQueries.curatedTrain(spark, sfDir, tok, docFilter).cache()
     val curatedDir = s"$outDir/curated"
-    kept.select(col("doc_id"), col("n_tokens"))
+    // digest third: DailyIncrement's corpus-precedes-batch exact dedup
+    // anti-joins tomorrow's batch against it (content-addressed manifest)
+    kept.select(col("doc_id"), col("n_tokens"), md5(col("text")).as("digest"))
       .write.mode("overwrite").parquet(curatedDir)
     val shardsDir = s"$outDir/shards"
     val nShards = PackedExport.writeShards(

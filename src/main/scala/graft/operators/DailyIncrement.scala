@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Tokenizer
+import graft.queries.CorpusQueries
+import graft.queries.CrossHash.shingleHashes
+
+/** The DAILY path of the curation stack: extend yesterday's
+  * [[CurationJob]] artifacts with today's document batch WITHOUT
+  * re-reading the standing corpus — the production regime at 100 TB,
+  * where the corpus is the overwhelming mass and each day adds a sliver.
+  *
+  * One batch-sized pass drives every artifact:
+  *
+  *   batch → quality gate (curatedTrain's shared spelling)
+  *         → exact dedup, corpus precedes batch: digests the curated
+  *           manifest already holds anti-join OUT (the manifest is
+  *           content-addressed for exactly this), then lowest doc_id
+  *           per digest within the batch
+  *         → decontamination (same eval-split + ≥50%-overlap rule; the
+  *           eval benchmark is a fixed external set, re-derived cheaply)
+  *     ├─ curated manifest  rows APPEND       → outDir/curated/
+  *     ├─ training shards   pack continuation → outDir/shards/ (offsets
+  *     │  start at yesterday's total tokens — doc_pack_incr's spelling;
+  *     │  the first batch rows may extend yesterday's last shard dir)
+  *     ├─ lexical index     Bm25Index.append  → outDir/bm25/
+  *     ├─ vector index      VectorIndex.append→ outDir/vectors/
+  *     └─ selection model   DsirModel.append  → outDir/dsir/
+  *
+  * Every append is pinned ≡ its from-scratch rebuild over the union
+  * corpus (DailyIncrementSpec), so running day0 + N increments lands the
+  * same artifacts as one big job — the operator-level guarantee that
+  * makes the daily path trustworthy.
+  */
+object DailyIncrement {
+  final case class Result(nBatchKept: Long, nShardsTotal: Long)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      batchFilter: Column, tok: Tokenizer = Tokenizer.Whitespace): Result = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+
+    val manifest = spark.read.parquet(s"$outDir/curated").cache()
+
+    // batch curation — each stage the day-0 rule verbatim
+    val batch = Tables.load(spark, sfDir, "documents")
+      .filter(batchFilter)
+      .select($"doc_id", $"text", tok.count($"text").as("n_tokens"))
+    val quality = CorpusQueries.qualityGate(batch)
+      .withColumn("digest", md5($"text"))
+    val newOnly = quality
+      .join(manifest.select($"digest"), Seq("digest"), "left_anti")
+    val winners = newOnly.groupBy($"digest").agg(min($"doc_id").as("doc_id"))
+    val deduped = newOnly.join(winners, Seq("digest", "doc_id")).cache()
+
+    // decontam: batch shingles vs the (re-derived) eval benchmark split
+    val evalH = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % CorpusQueries.EvalMod === 0)
+      .select(explode(shingleHashes($"text")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val contaminated = deduped
+      .select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
+      .join(evalH, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+      .filter($"n_contaminated".cast("double") / $"n_shingles" >= 0.5)
+      .select($"doc_id")
+    // EAGER localCheckpoint, not cache: the curated append below writes
+    // to a path this plan READS (the manifest anti-join), and Spark's
+    // path-based cache invalidation would silently re-evaluate `kept`
+    // against the grown manifest — every batch digest suddenly "already
+    // present", every later artifact append empty. Checkpointing cuts
+    // the lineage so the kept set is pinned no matter what the appends
+    // do to the source paths. (Batch-sized — a day's sliver, never the
+    // corpus.)
+    val kept = deduped
+      .filter($"doc_id" % CorpusQueries.EvalMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // yesterday's token total — captured BEFORE the manifest grows
+    val base = manifest.agg(coalesce(sum($"n_tokens"), lit(0L))).head.getLong(0)
+
+    // ---- artifact appends (standing files never rewrite) ----
+
+    kept.select($"doc_id", $"n_tokens", $"digest")
+      .write.mode("append").parquet(s"$outDir/curated")
+
+    val budget = CorpusQueries.PackBudget
+    if (!kept.isEmpty) {
+      GlobalCumsum.runningBefore(
+          kept.select($"doc_id", $"n_tokens"), "doc_id", "n_tokens", "cb")
+        .select($"doc_id", $"n_tokens",
+          expr(s"CAST((cb + $base) DIV $budget AS BIGINT)").as("shard"),
+          (($"cb" + base) % budget).as("shard_offset"))
+        .write.partitionBy("shard").mode("append").parquet(s"$outDir/shards")
+    }
+
+    Bm25Index.append(kept.select($"doc_id", $"text"), s"$outDir/bm25")
+
+    VectorIndex.append(
+      Tables.load(spark, sfDir, "embeddings")
+        .join(kept.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+        .select($"vec_id", $"embedding"),
+      s"$outDir/vectors")
+
+    // DSIR: read-append-write on the same path — the merged B-row table
+    // is collected to the driver (it is sketch-sized by construction)
+    // and re-created before the overwrite, so the write can never
+    // lazily consume the files it is replacing
+    val appended = DsirModel.append(
+        DsirModel.load(spark, s"$outDir/dsir"),
+        kept.select($"doc_id", $"text")
+          .join(Tables.load(spark, sfDir, "documents").select($"doc_id", $"lang"), "doc_id"),
+        $"lang" === "en")
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(appended.collect(): _*), appended.schema)
+    DsirModel.write(pinned, s"$outDir/dsir")
+
+    val n = kept.count()
+    val nShards = spark.read.parquet(s"$outDir/shards")
+      .agg(coalesce(max($"shard".cast("long")), lit(-1L))).head.getLong(0) + 1
+    manifest.unpersist(); deduped.unpersist()
+    Result(n, nShards)
+  }
+}

@@ -47,6 +47,21 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
+  /** Fold a new vector batch into an existing index: the batch lands as
+    * new files under the SAME deterministic bucket partitioning (the
+    * hyperplanes are data-independent, so old and new vectors agree on
+    * every bucket id) — standing partitions are never rewritten, and a
+    * probe of the appended index equals a probe of a from-scratch
+    * rebuild over the union. Batch vec_ids must be disjoint from the
+    * index (the Bm25Index.append contract). */
+  def append(vecs: DataFrame, path: String, bits: Int = 4, dim: Int = 64): Unit = {
+    graft.GraftExtensions.register(vecs.sparkSession)
+    vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", bucketCol(col("v"), bits, dim))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** Top-k cosine neighbors per query vector, scanning ONLY the probed
     * bucket partitions. `queries`: (query_id, embedding).
     *

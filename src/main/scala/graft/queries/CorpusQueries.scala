@@ -655,15 +655,22 @@ object CorpusQueries extends QueryModule {
     * downstream exports (shards, retrieval indexes) can consume it.
     * Shared by pipeline_curate (which packs it) and
     * operators/CurationJob (which also builds the indexes). */
+  /** The curation quality gate — shared verbatim by [[curatedTrain]] and
+    * the daily-increment path so both days apply the identical rule. */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame =
+    docs.filter(col("n_tokens") >= 5 &&
+      (regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+        nullif(length(col("text")), lit(0))) < 0.3)
+
   private[graft] def curatedTrain(s: SparkSession, dir: String,
-      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+      tok: Tokenizer = Tokenizer.Whitespace,
+      docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
+      .filter(docFilter)
       .select($"doc_id", $"text", tok.count($"text").as("n_tokens"))
     // quality gate: enough tokens, not punctuation soup
-    val quality = docs.filter($"n_tokens" >= 5 &&
-      (regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double") /
-        nullif(length($"text"), lit(0))) < 0.3)
+    val quality = qualityGate(docs)
     // exact dedup: keep the lowest doc_id per content digest.
     // `kept` feeds BOTH the shingle index and the packing input, and
     // GlobalCumsum drives multiple actions (quantile sketch, bucket

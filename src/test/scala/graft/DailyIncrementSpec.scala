@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25Index, CurationJob, DailyIncrement, DsirModel}
+
+/** The daily-increment path: day0 CurationJob over the corpus split +
+  * one DailyIncrement over the batch split must land artifacts
+  * equivalent to a from-scratch job over the union — manifest rows
+  * match the corpus-precedes-batch reference, BM25 probes agree with a
+  * fresh rebuild of the union, shard ids stay contiguous with in-budget
+  * offsets, the DSIR table equals a direct fit, and the vector index
+  * holds exactly the kept ids. */
+class DailyIncrementSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("day0 + increment == union-rebuild across every artifact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-daily-").toString
+    val fullDir = Files.createTempDirectory("graft-daily-full-").toString
+
+    val day0 = CurationJob.run(spark, sf, dir, docFilter = col("doc_id") % 10 =!= 0)
+    val incr = DailyIncrement.run(spark, sf, dir, batchFilter = col("doc_id") % 10 === 0)
+    assert(incr.nBatchKept > 0, "vacuous: no batch doc survived curation")
+
+    // ---- manifest == day0 rows + the reference batch-curation ----
+    val manifest = spark.read.parquet(s"$dir/curated")
+      .select($"doc_id", $"n_tokens", $"digest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val day0Rows = manifest.filter(_._1 % 10 != 0)
+    // reference: quality gate, anti-join day0 digests, min-id per digest
+    // within the batch, eval drop, >=50% eval-overlap drop
+    val day0Digests = day0Rows.map(_._3)
+    val docs = Tables.load(spark, sf, "documents")
+    val quality = graft.queries.CorpusQueries.qualityGate(
+        docs.filter($"doc_id" % 10 === 0)
+          .select($"doc_id", $"text",
+            size(graft.queries.CrossHash.tokens($"text")).cast("long").as("n_tokens")))
+      .withColumn("digest", md5($"text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("digest"), r.getAs[String]("text")))
+    val afterAnti = quality.filter(q => !day0Digests.contains(q._3))
+    val batchWinners = afterAnti.groupBy(_._3).values.map(_.minBy(_._1)).toSeq
+    val evalShingles = docs.filter($"doc_id" % 17 === 0)
+      .select(explode(graft.queries.CrossHash.shingleHashes($"text")).as("h"))
+      .distinct().as[Long].collect().toSet
+    def shingles(t: String): Set[Long] = {
+      val w = t.split("\\s+").toSeq
+      w.sliding(3).collect { case s if s.size == 3 =>
+        graft.functions.expressions.Md5Prefix60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s.mkString(" ")))
+      }.toSet
+    }
+    val expectedBatch = batchWinners.filter { case (id, _, _, text) =>
+      id % 17 != 0 && {
+        val sh = shingles(text)
+        sh.isEmpty || sh.count(evalShingles).toDouble / sh.size < 0.5
+      }
+    }.map(q => (q._1, q._2, q._3)).toSet
+    assert(manifest.filter(_._1 % 10 == 0) == expectedBatch)
+    assert(incr.nBatchKept == expectedBatch.size.toLong)
+
+    // ---- BM25: appended index probes == fresh rebuild over the union ----
+    val keptIds = manifest.map(_._1)
+    val unionDocs = docs.filter($"doc_id".isin(keptIds.toSeq: _*))
+      .select($"doc_id", $"text")
+    Bm25Index.build(unionDocs, s"$fullDir/bm25")
+    val q = Seq((1L, "slow"), (1L, "merge"), (1L, "join"))
+      .toDF("query_id", "term")
+    def probeRows(path: String) =
+      Bm25Index.probe(spark, path, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probeRows(s"$dir/bm25") == probeRows(s"$fullDir/bm25"),
+      "appended BM25 index diverges from the union rebuild")
+
+    // ---- shards: contiguous ids, in-budget offsets, every doc once ----
+    val shards = spark.read.parquet(s"$dir/shards")
+      .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shards.map(_._1).toSet == keptIds, "shard docs != manifest docs")
+    assert(shards.map(_._3).toSet == (0L until incr.nShardsTotal).toSet,
+      "shard ids not contiguous")
+    assert(shards.forall(s => s._4 >= 0 && s._4 < graft.queries.CorpusQueries.PackBudget))
+
+    // ---- DSIR: appended model == direct fit over the union kept set ----
+    val direct = DsirModel.fit(
+        unionDocs.join(docs.select($"doc_id", $"lang"), "doc_id"),
+        $"lang" === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = DsirModel.load(spark, s"$dir/dsir")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == direct, "appended DSIR model != direct union fit")
+
+    // ---- vectors: index ids == kept ids that have embeddings ----
+    val vecIds = spark.read.parquet(s"$dir/vectors")
+      .select($"vec_id").as[Long].collect().toSet
+    val withEmb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(vecIds == keptIds.intersect(withEmb))
+  }
+}

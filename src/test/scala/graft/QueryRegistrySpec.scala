@@ -54,4 +54,17 @@ class QueryRegistrySpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("the oracle-less (rows-only) set is exactly the documented four") {
+    // rows-only is a WEAKER driver check, reserved for operators whose
+    // semantics are not SQL-expressible (k-means / PQ codebooks / HLL
+    // sketches / stub-free media hashing — invariants pinned in suites
+    // instead). A new query missing its oracle must fail HERE, not slip
+    // into the gate as a silent weak row.
+    val documented = Set("ev_approx_stats", "knn_ivf_kmeans", "knn_ivfpq", "mm_features")
+    val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(rowsOnly == documented,
+      s"undocumented rows-only queries (add the oracle or the documented rationale): " +
+        s"${rowsOnly.diff(documented)}; stale allowlist: ${documented.diff(rowsOnly)}")
+  }
 }
