@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{ConfluentSchemaId, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60, SpaceSavingTopK, UnicodeNorm}
+import graft.functions.expressions.{ConfluentSchemaId, CountMinSketch, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60, SpaceSavingTopK, UnicodeNorm}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -54,6 +54,11 @@ object GraftExtensions {
       children => {
         require(children.length == 1, "graft_shingle60 takes exactly 1 argument")
         Shingle60(children.head)
+      }),
+    (FunctionIdentifier("graft_cms"), CountMinSketch.info,
+      children => {
+        require(children.length == 3, "graft_cms takes (col, w, d) arguments")
+        CountMinSketch(children(0), children(1), children(2))
       }),
     (FunctionIdentifier("graft_unorm"), UnicodeNorm.info,
       children => {

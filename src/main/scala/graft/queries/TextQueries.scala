@@ -68,6 +68,12 @@ object TextQueries extends QueryModule {
     * the three regimes a real blocklist mixes. */
   val Badwords = Seq("slow", "dup", "error")
 
+  /** text_cms_counts geometry: w=16 rides BELOW the ~31-token vocabulary
+    * so the oracle exercises real collisions; d=4 rows. Production sizes
+    * from the published bound (w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉). */
+  val CmsW = 16
+  val CmsD = 4
+
   /** text_heavy_hitters sketch size. The synthetic corpus has ~31 distinct
     * tokens, so k=64 keeps the SpaceSaving summary in its exact regime
     * (no evictions → err 0, hash-exact oracle); a production vocabulary
@@ -362,6 +368,37 @@ object TextQueries extends QueryModule {
           (size(filter($"w", t => array_contains(bad, t))) === 0).as("keep"))
     },
 
+    // Count-Min point-frequency estimates (Cormode & Muthukrishnan
+    // 2005) — the sketch family's third leg (KMV distinct, SpaceSaving
+    // top-k, CMS per-item frequency). One graft_cms matrix over the
+    // token stream (bounded d×w state, map-side combined, POINTWISE-ADD
+    // merge → exactly partition-independent), then every distinct token
+    // probed against it: est = min over rows of its cell, compared to
+    // the true count. CmsW=16 < the 31-token vocabulary, so collisions
+    // are REAL here — and the oracle still checks hash-exact, because
+    // the row hashes are the engine-shared h60 arithmetic and DuckDB
+    // rebuilds the identical matrix relationally (a luxury
+    // merge-order-dependent sketches can't offer).
+    "text_cms_counts" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val (w, d) = (CmsW, CmsD)
+      import graft.functions.expressions.{CountMinSketch => CMS}
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(tokens($"text")).as("t"))
+      val sketch = toks
+        .agg(call_function("graft_cms", $"t", lit(w), lit(d)).as("sk"))
+      val counts = toks.groupBy($"t").agg(count(lit(1)).as("true_cnt"))
+      val base = pmod(h60($"t"), lit(CMS.P))
+      val est = (0 until d).map { i =>
+        val j = pmod(pmod(lit(CMS.a(i)) * base + lit(CMS.b(i)), lit(CMS.P)), lit(w.toLong))
+        element_at($"sk", (lit(i * w) + j).cast("int") + 1)
+      }.reduce(least(_, _))
+      counts.crossJoin(sketch)
+        .select($"t".as("token"), $"true_cnt", est.as("cms_est"),
+          (est - $"true_cnt").as("overcount"))
+    },
+
     // Corpus token frequencies via the SpaceSaving heavy-hitters sketch
     // (graft_topk, the frequency twin of ev_kmv_distinct's KMV): the
     // vocabulary-building pass of a training pipeline. An exact frequency
@@ -618,6 +655,32 @@ object TextQueries extends QueryModule {
            |  CAST(len(list_intersect(list_distinct(w), $oBad)) AS BIGINT) AS n_bad_distinct,
            |  len(list_filter(w, t -> list_contains($oBad, t))) = 0 AS keep
            |FROM (SELECT doc_id, $oTokens AS w FROM documents)""".stripMargin
+      },
+
+      // the full CMS matrix rebuilt relationally: per (token, row) the
+      // identical h60-based cell index, cell value = Σ colliding counts,
+      // estimate = min cell over rows — bit-for-bit the sketch's answer
+      "text_cms_counts" -> {
+        import graft.functions.expressions.{CountMinSketch => CMS}
+        val (w, d) = (CmsW, CmsD)
+        val aCase = (0 until d).map(i => s"WHEN $i THEN ${CMS.a(i)}")
+          .mkString("CASE i ", " ", " END")
+        val bCase = (0 until d).map(i => s"WHEN $i THEN ${CMS.b(i)}")
+          .mkString("CASE i ", " ", " END")
+        s"""WITH toks AS (SELECT unnest($oTokens) AS t FROM documents),
+           |counts AS (SELECT t, CAST(count(*) AS BIGINT) AS true_cnt
+           |           FROM toks GROUP BY t),
+           |hs AS (SELECT t, true_cnt, i,
+           |         ((($aCase) * (${oH60("t")} % ${CMS.P}) + ($bCase))
+           |           % ${CMS.P}) % $w AS j
+           |       FROM counts CROSS JOIN (SELECT unnest(range(0, $d)) AS i)),
+           |cell AS (SELECT i, j, sum(true_cnt) AS cv FROM hs GROUP BY i, j),
+           |est AS (SELECT hs.t, min(cell.cv) AS cms_est
+           |        FROM hs JOIN cell USING (i, j) GROUP BY hs.t)
+           |SELECT counts.t AS token, counts.true_cnt,
+           |  CAST(est.cms_est AS BIGINT) AS cms_est,
+           |  CAST(est.cms_est - counts.true_cnt AS BIGINT) AS overcount
+           |FROM counts JOIN est ON est.t = counts.t""".stripMargin
       },
 
       "text_heavy_hitters" ->

@@ -383,6 +383,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), s"unexpected sort:\n$p")
   }
 
+  test("text_cms_counts: the CMS matrix aggregates map-side; the probe join is sketch-sized") {
+    val p = plan("text_cms_counts")
+    // partial ObjectHashAggregate below the exchange: the shuffle carries
+    // d×w longs per partition, never the raw token stream
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r.findFirstIn(p).isDefined, p)
+    // the probe side joins the 1-ROW sketch — a broadcast nested loop is
+    // the right plan there; a shuffled CartesianProduct is not
+    assert(!p.contains("CartesianProduct"), s"sketch join went cartesian:\n$p")
+  }
+
   test("pipeline_clean: the cleaning DAG plans no cartesian, no forced broadcast, no single-partition stage") {
     val p = plan("pipeline_clean")
     assert(!p.contains("SinglePartition"), s"cleaning funnels into one task:\n$p")
