@@ -63,6 +63,42 @@ class CmsSpec extends AnyFunSuite {
     assert(rows.exists(_._4 > 0), "no collisions — widen the vacuity check")
   }
 
+  test("graft_cms merges through the streaming state store (streamed == batch matrix)") {
+    import java.nio.file.Files
+    import java.time.Instant
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    GraftExtensions.register(spark)
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 40).map { i =>
+      (java.sql.Timestamp.from(base.plusSeconds((i % 2) * 3600L + i)), s"tok${i % 9}")
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val got = scala.collection.mutable.Map.empty[java.sql.Timestamp, Seq[Long]]
+    val sq = mem.toDF().toDF("ts", "t")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(call_function("graft_cms", $"t", lit(W), lit(D)).as("sk"))
+      .select($"w.start".as("ws"), $"sk")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-cmsckpt-").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r =>
+          got(r.getAs[java.sql.Timestamp]("ws")) = r.getAs[Seq[Long]]("sk"))
+      }
+    mem.addData(rows.take(23): _*); mem.addData(rows.drop(23): _*)
+    val run = sq.start(); run.awaitTermination()
+    val expect = rows.toDF("ts", "t")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(call_function("graft_cms", $"t", lit(W), lit(D)).as("sk"))
+      .select($"w.start".as("ws"), $"sk")
+      .as[(java.sql.Timestamp, Seq[Long])].collect().toMap
+    assert(got == expect, "streaming CMS diverged from the batch matrix")
+  }
+
   test("null items are ignored; empty input yields the zero matrix") {
     import spark.implicits._
     val withNulls = Seq(Some("x"), None, Some("x"), None).toDF("t")
