@@ -68,6 +68,41 @@ object MultimodalQueries extends QueryModule {
   // substr over hex(blob) (same bytes, hex-space slice) and the digest from
   // md5(text) (identical to Spark's md5 over the UTF-8 binary).
   def oracles: Map[String, String] = Map(
+    // The full stub-decode contract, previously rows-only: every payload
+    // here is text bytes (no PNG/JPEG magic), so ImageIoDecoder routes to
+    // StubDecoder and the features are pure byte arithmetic — and FNV-1a
+    // is a sequential integer fold DuckDB can run exactly (list_reduce
+    // with HUGEINT intermediates for the wrapping 64-bit multiply). Byte
+    // values come from ascii(); the corpus is ASCII (length ==
+    // octet_length for every doc at every SF — checked, and the length
+    // guard below makes a future non-ASCII doc fail loudly as a row-count
+    // mismatch rather than silently hash-diverge).
+    "mm_features" -> {
+      val fnv =
+        """list_reduce(
+          |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+          |      list_transform(range(1, length(t)+1),
+          |        i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS UBIGINT))),
+          |    (acc, x) -> CAST(CAST((CAST(xor(acc, x) AS HUGEINT) * 1099511628211)
+          |      % 18446744073709551616 AS UBIGINT) AS UBIGINT))""".stripMargin
+      s"""WITH d AS (SELECT doc_id AS asset_id, text AS t FROM documents
+         |           WHERE length(text) = octet_length(encode(text))),
+         |b AS (SELECT asset_id, t, CAST(length(t) AS BIGINT) AS n_bytes,
+         |        CASE WHEN length(t) >= 1 THEN ascii(substr(t, 1, 1)) ELSE 0 END AS b0,
+         |        CASE WHEN length(t) >= 2 THEN ascii(substr(t, 2, 1)) ELSE 0 END AS b1,
+         |        $fnv AS h
+         |      FROM d)
+         |SELECT asset_id, n_bytes,
+         |  CAST(CASE WHEN h > CAST(9223372036854775807 AS UBIGINT)
+         |    THEN CAST(h AS HUGEINT) - 18446744073709551616
+         |    ELSE CAST(h AS HUGEINT) END AS BIGINT) AS content_hash,
+         |  64 + (CASE WHEN n_bytes >= 1 THEN b0 % 192 ELSE 0 END) AS width,
+         |  64 + (CASE WHEN n_bytes >= 2 THEN b1 % 192 ELSE 0 END) AS height,
+         |  1 + (CASE WHEN n_bytes >= 1 THEN b0 % 8 ELSE 0 END) AS n_frames,
+         |  CAST(1 + (CASE WHEN n_bytes >= 1 THEN b0 % 8 ELSE 0 END) AS BIGINT) AS n_frame_hashes
+         |FROM b""".stripMargin
+    },
+
     "mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

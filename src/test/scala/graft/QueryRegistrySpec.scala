@@ -55,13 +55,14 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("the oracle-less (rows-only) set is exactly the documented four") {
+  test("the oracle-less (rows-only) set is exactly the documented three") {
     // rows-only is a WEAKER driver check, reserved for operators whose
     // semantics are not SQL-expressible (k-means / PQ codebooks / HLL
-    // sketches / stub-free media hashing — invariants pinned in suites
-    // instead). A new query missing its oracle must fail HERE, not slip
-    // into the gate as a silent weak row.
-    val documented = Set("ev_approx_stats", "knn_ivf_kmeans", "knn_ivfpq", "mm_features")
+    // sketches — invariants pinned in suites instead; mm_features
+    // graduated to a full oracle once its FNV fold proved expressible).
+    // A new query missing its oracle must fail HERE, not slip into the
+    // gate as a silent weak row.
+    val documented = Set("ev_approx_stats", "knn_ivf_kmeans", "knn_ivfpq")
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly == documented,
       s"undocumented rows-only queries (add the oracle or the documented rationale): " +
