@@ -193,7 +193,7 @@ object RetrievalQueries extends QueryModule {
          |  SELECT query_id, doc_id, score_scaled,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM (SELECT query_id, doc_id, sum(sc) AS score_scaled
+         |  FROM (SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS score_scaled
          |        FROM contrib GROUP BY 1, 2))
          |WHERE rnk <= $TopN""".stripMargin,
 
