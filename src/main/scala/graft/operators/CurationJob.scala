@@ -45,7 +45,8 @@ object CurationJob {
       vectorDir: String,
       dsirDir: String,
       qualityDir: String,
-      quality: QualityClassifier.Model)
+      quality: QualityClassifier.Model,
+      evalhDir: String)
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tok: Tokenizer = Tokenizer.Whitespace,

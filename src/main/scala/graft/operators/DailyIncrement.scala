@@ -91,6 +91,15 @@ object DailyIncrement {
       .write.mode("append").parquet(s"$outDir/curated")
 
     val budget = CorpusQueries.PackBudget
+    // same fail-fast as PackedExport.writeShards: an oversized doc would
+    // jump the prefix sum across whole budgets and silently skip shard
+    // ids, breaking the 0..N-1 enumeration contract the loader relies on
+    val oversized = kept.filter($"n_tokens" > budget)
+      .select($"doc_id", $"n_tokens").limit(1).collect()
+    require(oversized.isEmpty,
+      s"doc ${oversized.headOption.map(_.get(0)).orNull} has " +
+        s"${oversized.headOption.map(_.get(1)).orNull} tokens > budget $budget — " +
+        "chunk oversized docs (doc_chunk) before packing")
     if (!kept.isEmpty) {
       GlobalCumsum.runningBefore(
           kept.select($"doc_id", $"n_tokens"), "doc_id", "n_tokens", "cb")

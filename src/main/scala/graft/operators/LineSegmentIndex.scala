@@ -25,10 +25,18 @@ object LineSegmentIndex {
     * has no newlines; production swaps in split('\n'), same algebra). */
   val LineSegTokens = 12
 
+  /** Per-doc segment capacity of the packed okey: seg_idx must stay below
+    * this or okey stops being a total order (and doc_id·SegIdxLimit can
+    * overflow Long for doc_id ≥ 2⁶³/10⁵ ≈ 9.2e13 — far above any corpus).
+    * Enforced at runtime in [[segments]]: a doc over SegIdxLimit·w tokens
+    * would otherwise silently mis-rank first-occurrence winners. */
+  val SegIdxLimit = 100000L
+
   /** (doc_id, seg_idx, seg, h, okey) occurrence rows: non-overlapping
     * `w`-token windows, 60-bit segment hash, and the BIGINT total-order
     * key (doc_id·100000 + seg_idx) that min() resolves winners by —
-    * valid while seg_idx < 100000 (docs under 1.2M tokens at w=12). */
+    * guarded: a seg_idx ≥ [[SegIdxLimit]] fails the job instead of
+    * corrupting the winner order (route such docs through doc_chunk). */
   def segments(docs: DataFrame, w: Int = LineSegTokens,
       carry: Seq[String] = Nil): DataFrame = {
     graft.GraftExtensions.register(docs.sparkSession)
@@ -39,7 +47,12 @@ object LineSegmentIndex {
         s"CASE WHEN size(w) >= 1 THEN transform(sequence(0, CAST((size(w)-1) DIV $w AS INT)), " +
           s"i -> array_join(slice(w, i*$w + 1, $w), ' ')) ELSE array() END")).as(Seq("seg_idx", "seg")): _*)
       .withColumn("h", h60(col("seg")))
-      .withColumn("okey", col("doc_id") * 100000L + col("seg_idx"))
+      .withColumn("okey",
+        when(col("seg_idx") >= SegIdxLimit, raise_error(concat_ws(" ",
+          lit("LineSegmentIndex: doc"), col("doc_id"),
+          lit(s"exceeds $SegIdxLimit segments (~${SegIdxLimit * w} tokens at w=$w) — " +
+            "the packed okey would mis-rank winners; chunk oversized docs first"))))
+        .otherwise(col("doc_id") * SegIdxLimit + col("seg_idx")))
   }
 
   /** Distinct segment hashes of a corpus — the in-memory form of the

@@ -662,7 +662,14 @@ object CorpusQueries extends QueryModule {
       (regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
         nullif(length(col("text")), lit(0))) < 0.3)
 
-  private[graft] def curatedTrain(s: SparkSession, dir: String,
+  /** The quality→exact-dedup prefix of [[curatedTrain]], BEFORE the eval
+    * drop/decontam — exposed so CurationJob can derive the persisted eval
+    * shingle benchmark (outDir/evalh) from the SAME gated/deduped set the
+    * decontam stage uses (an eval doc that fails the gate or loses dedup
+    * contributes no shingles — the daily path must agree; see
+    * DailyIncrement). Cached at the stage boundary; a second call builds
+    * the identical plan and hits the same cache entry. */
+  private[graft] def curatedKept(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
       docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import s.implicits._
@@ -677,8 +684,15 @@ object CorpusQueries extends QueryModule {
     // totals, final plan) — cache the stage boundary or the whole
     // scan→quality→dedup prefix re-executes once per action
     val keep = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("doc_id"))
-    val kept = quality.join(keep, "doc_id").select($"doc_id", $"text", $"n_tokens")
+    quality.join(keep, "doc_id").select($"doc_id", $"text", $"n_tokens")
       .cache()
+  }
+
+  private[graft] def curatedTrain(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace,
+      docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    import s.implicits._
+    val kept = curatedKept(s, dir, tok, docFilter)
     // decontamination: drop the eval split and anything ≥50% eval-overlapping
     val sh = kept
       .select($"doc_id", explode(shingleHashes($"text")).as("h"))
