@@ -86,6 +86,14 @@ object CurationJob {
     // broadcast-able weight array text_quality_score's production form
     // evaluates. Bit-reproducible, so two sites running the same job
     // ship identical weights.
+    // persist the eval-shingle benchmark the decontam stage ACTUALLY
+    // checked against — derived from the gate/dedup survivors, not the
+    // raw table (curatedEvalH hits the same curatedKept cache entry).
+    // DailyIncrement loads this instead of re-deriving from raw docs,
+    // so day0 and the daily path apply the identical benchmark.
+    val evalhDir = s"$outDir/evalh"
+    CorpusQueries.curatedEvalH(spark, sfDir, tok, docFilter)
+      .write.mode("overwrite").parquet(evalhDir)
     val qualityDir = s"$outDir/quality"
     val labeled = docs.select(col("doc_id"), col("text"))
       .join(kept.select(col("doc_id"), lit(1.0).as("label")), Seq("doc_id"), "left")
@@ -95,7 +103,9 @@ object CurationJob {
     QualityClassifier.write(quality, spark, qualityDir)
     val n = kept.count()
     kept.unpersist()
+    // release the stage-boundary cache curatedTrain/curatedEvalH share
+    CorpusQueries.curatedKept(spark, sfDir, tok, docFilter).unpersist()
     Result(n, nShards, curatedDir, shardsDir, bm25Dir, vectorDir,
-      dsirDir, qualityDir, quality)
+      dsirDir, qualityDir, quality, evalhDir)
   }
 }

@@ -56,10 +56,18 @@ object DailyIncrement {
     val winners = newOnly.groupBy($"digest").agg(min($"doc_id").as("doc_id"))
     val deduped = newOnly.join(winners, Seq("digest", "doc_id")).cache()
 
-    // decontam: batch shingles vs the (re-derived) eval benchmark split
-    val evalH = Tables.load(spark, sfDir, "documents")
+    // decontam: batch shingles vs the PERSISTED eval benchmark (the
+    // set day-0's decontam actually checked — gate/dedup survivors, not
+    // raw docs) extended by today's batch eval-split survivors, which is
+    // exactly what a from-scratch union job would derive: an eval doc
+    // contributes shingles only after passing the same gate/dedup the
+    // train side passes. The new hashes append to outDir/evalh below so
+    // tomorrow's batch sees them too.
+    val evalBase = spark.read.parquet(s"$outDir/evalh")
+    val batchEvalH = deduped
       .filter($"doc_id" % CorpusQueries.EvalMod === 0)
       .select(explode(shingleHashes($"text")).as("h")).distinct()
+    val evalH = evalBase.union(batchEvalH).distinct()
       .withColumn("hit", lit(1L))
     val contaminated = deduped
       .select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()

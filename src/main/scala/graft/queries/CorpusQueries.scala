@@ -688,6 +688,21 @@ object CorpusQueries extends QueryModule {
       .cache()
   }
 
+  /** The eval-shingle benchmark the curation decontam stage checks
+    * against: distinct shingle hashes of EVAL-SPLIT docs among the
+    * gate/dedup survivors — NOT the raw table (an eval doc that fails
+    * the quality gate or loses exact dedup to a lower-id doc contributes
+    * no shingles). This is the exact set [[curatedTrain]]'s internal
+    * `contamination` sees; CurationJob persists it (outDir/evalh) so the
+    * daily path applies the identical benchmark. */
+  private[graft] def curatedEvalH(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace,
+      docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    curatedKept(s, dir, tok, docFilter)
+      .filter(col("doc_id") % EvalMod === 0)
+      .select(explode(shingleHashes(col("text"))).as("h"))
+      .distinct()
+
   private[graft] def curatedTrain(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
       docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
