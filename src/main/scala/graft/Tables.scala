@@ -15,14 +15,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // The events table carries TIMESTAMP(NANOS) which Spark's vectorized
-    // parquet reader rejects; sessions set
-    // spark.sql.legacy.parquet.nanosAsLong=true so the column arrives as
-    // raw nanos (LongType). Normalize to µs TimestampType with exact
-    // integer division (a double division would lose precision at 1.7e18).
+    // Normalize the events `ts` column to µs TimestampType (LTZ) no
+    // matter which parquet layout the generator used:
+    //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions
+    //    set spark.sql.legacy.parquet.nanosAsLong=true so the column
+    //    arrives as raw nanos (LongType). Exact integer division — a
+    //    double division would lose precision at 1.7e18.
+    //  - timestamp[us] WITHOUT the UTC-adjusted flag (pandas/pyarrow's
+    //    default for naive timestamps): Spark 4 reads TIMESTAMP_NTZ,
+    //    which unix_micros/LTZ-literal comparisons reject at analysis.
+    //    Sessions run with session tz UTC, so the cast is value-preserving.
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Bm25Index, CurationJob, DailyIncrement, DsirModel}
+import graft.queries.CorpusQueries
 
 /** The daily-increment path: day0 CurationJob over the corpus split +
   * one DailyIncrement over the batch split must land artifacts
@@ -12,10 +13,27 @@ import graft.operators.{Bm25Index, CurationJob, DailyIncrement, DsirModel}
   * match the corpus-precedes-batch reference, BM25 probes agree with a
   * fresh rebuild of the union, shard ids stay contiguous with in-budget
   * offsets, the DSIR table equals a direct fit, and the vector index
-  * holds exactly the kept ids. */
+  * holds exactly the kept ids.
+  *
+  * Decontam semantics under composition are SEQUENTIAL-UNION (see the
+  * DailyIncrement header): batch k checks against day0 ∪ eval survivors
+  * of batches 1..k, and appends its own eval survivors to the persisted
+  * outDir/evalh benchmark. A from-scratch combined rebuild additionally
+  * checks earlier batches against later eval survivors, so
+  * rebuild ⊆ daily with the difference exactly the earlier-batch docs
+  * contaminated only by later eval shingles — pinned below. */
 class DailyIncrementSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
+
+  /** Driver-side mirror of graft_shingle60 over whitespace 3-shingles. */
+  private def shingles(t: String): Set[Long] = {
+    val w = t.split("\\s+").toSeq
+    w.sliding(3).collect { case s if s.size == 3 =>
+      graft.functions.expressions.Md5Prefix60.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.mkString(" ")))
+    }.toSet
+  }
 
   test("day0 + increment == union-rebuild across every artifact") {
     import org.apache.spark.sql.functions._
@@ -37,7 +55,7 @@ class DailyIncrementSpec extends AnyFunSuite {
     // within the batch, eval drop, >=50% eval-overlap drop
     val day0Digests = day0Rows.map(_._3)
     val docs = Tables.load(spark, sf, "documents")
-    val quality = graft.queries.CorpusQueries.qualityGate(
+    val quality = CorpusQueries.qualityGate(
         docs.filter($"doc_id" % 10 === 0)
           .select($"doc_id", $"text",
             size(graft.queries.CrossHash.tokens($"text")).cast("long").as("n_tokens")))
@@ -46,24 +64,33 @@ class DailyIncrementSpec extends AnyFunSuite {
         r.getAs[String]("digest"), r.getAs[String]("text")))
     val afterAnti = quality.filter(q => !day0Digests.contains(q._3))
     val batchWinners = afterAnti.groupBy(_._3).values.map(_.minBy(_._1)).toSeq
-    val evalShingles = docs.filter($"doc_id" % 17 === 0)
-      .select(explode(graft.queries.CrossHash.shingleHashes($"text")).as("h"))
-      .distinct().as[Long].collect().toSet
-    def shingles(t: String): Set[Long] = {
-      val w = t.split("\\s+").toSeq
-      w.sliding(3).collect { case s if s.size == 3 =>
-        graft.functions.expressions.Md5Prefix60.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s.mkString(" ")))
-      }.toSet
+    // the benchmark the batch decontam must apply: day0's GATE/DEDUP
+    // SURVIVOR eval shingles (curatedEvalH — NOT the raw table: an eval
+    // doc that fails the gate or loses dedup contributes nothing) ∪ this
+    // batch's own eval-split survivors
+    val evalShingles = {
+      val e = CorpusQueries.curatedEvalH(spark, sf,
+          docFilter = col("doc_id") % 10 =!= 0)
+        .as[Long].collect().toSet
+      CorpusQueries.curatedKept(spark, sf,
+        docFilter = col("doc_id") % 10 =!= 0).unpersist()
+      e ++ batchWinners.filter(_._1 % CorpusQueries.EvalMod == 0)
+        .flatMap(q => shingles(q._4))
     }
     val expectedBatch = batchWinners.filter { case (id, _, _, text) =>
-      id % 17 != 0 && {
+      id % CorpusQueries.EvalMod != 0 && {
         val sh = shingles(text)
         sh.isEmpty || sh.count(evalShingles).toDouble / sh.size < 0.5
       }
     }.map(q => (q._1, q._2, q._3)).toSet
     assert(manifest.filter(_._1 % 10 == 0) == expectedBatch)
     assert(incr.nBatchKept == expectedBatch.size.toLong)
+
+    // ---- evalh artifact: day0 benchmark ∪ batch eval survivors ----
+    val storedEvalH = spark.read.parquet(s"$dir/evalh")
+      .distinct().as[Long].collect().toSet
+    assert(storedEvalH == evalShingles,
+      "persisted evalh != day0 survivors ∪ batch eval survivors")
 
     // ---- BM25: appended index probes == fresh rebuild over the union ----
     val keptIds = manifest.map(_._1)
@@ -85,7 +112,7 @@ class DailyIncrementSpec extends AnyFunSuite {
     assert(shards.map(_._1).toSet == keptIds, "shard docs != manifest docs")
     assert(shards.map(_._3).toSet == (0L until incr.nShardsTotal).toSet,
       "shard ids not contiguous")
-    assert(shards.forall(s => s._4 >= 0 && s._4 < graft.queries.CorpusQueries.PackBudget))
+    assert(shards.forall(s => s._4 >= 0 && s._4 < CorpusQueries.PackBudget))
 
     // ---- DSIR: appended model == direct fit over the union kept set ----
     val direct = DsirModel.fit(
@@ -104,7 +131,50 @@ class DailyIncrementSpec extends AnyFunSuite {
     assert(vecIds == keptIds.intersect(withEmb))
   }
 
-  test("increments compose: day0 + two daily batches == day0 + one combined batch") {
+  test("decontam reads the persisted evalh benchmark (seeded-hash drop)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-daily-seed-").toString
+    CurationJob.run(spark, sf, dir, docFilter = col("doc_id") % 10 =!= 0)
+
+    val docs = Tables.load(spark, sf, "documents")
+    val day0Digests = spark.read.parquet(s"$dir/curated")
+      .select($"digest").as[String].collect().toSet
+    val day0EvalH = spark.read.parquet(s"$dir/evalh")
+      .distinct().as[Long].collect().toSet
+    // a batch train doc curation WOULD keep: gate survivor, dedup winner,
+    // not eval-split, with shingles and < 50% day0-eval overlap
+    val winners = CorpusQueries.qualityGate(
+        docs.filter($"doc_id" % 10 === 0)
+          .select($"doc_id", $"text",
+            size(graft.queries.CrossHash.tokens($"text")).cast("long").as("n_tokens")))
+      .withColumn("digest", md5($"text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest"),
+        r.getAs[String]("text")))
+      .filter(w => !day0Digests.contains(w._2))
+      .groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+    val cand = winners.filter { case (id, _, text) =>
+        id % CorpusQueries.EvalMod != 0 && {
+          val sh = shingles(text)
+          sh.nonEmpty && sh.count(day0EvalH).toDouble / sh.size < 0.5
+        }
+      }.minBy(_._1)
+
+    // an EXTERNAL benchmark extension: seed every shingle of the
+    // candidate into the persisted artifact (overlap becomes 100%)
+    shingles(cand._3).toSeq.toDF("h")
+      .write.mode("append").parquet(s"$dir/evalh")
+
+    DailyIncrement.run(spark, sf, dir, batchFilter = col("doc_id") % 10 === 0)
+    val batchKept = spark.read.parquet(s"$dir/curated")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!batchKept.contains(cand._1),
+      s"doc ${cand._1} survived despite seeded evalh shingles — " +
+        "decontam is not reading the persisted benchmark")
+  }
+
+  test("increments compose: sequential-union vs one combined batch, diff pinned") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     GraftExtensions.register(spark)
@@ -121,29 +191,66 @@ class DailyIncrementSpec extends AnyFunSuite {
 
     def manifestOf(d: String) = spark.read.parquet(s"$d/curated")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-    // day-split order can only matter where the two days duplicate EACH
-    // OTHER's content under different ids — absent that (this corpus),
-    // the manifests agree exactly
-    assert(manifestOf(twoDir) == manifestOf(oneDir))
-    assert(d1.nBatchKept + d2.nBatchKept == one.nBatchKept)
-    assert(d2.nShardsTotal == one.nShardsTotal)
+    val two = manifestOf(twoDir)
+    val oneM = manifestOf(oneDir)
 
-    // shard ASSIGNMENT is arrival-order-dependent by design (day 1's
-    // docs pack before day 2's; the combined batch interleaves by
-    // doc_id) — the order-free contract is: same doc set, contiguous
-    // shard ids, offsets in budget, same total (asserted above)
-    for (d <- Seq(twoDir, oneDir)) {
+    // the persisted benchmark converges: day0 ∪ ALL batch eval survivors
+    // regardless of how the batch was split into days
+    def evalhOf(d: String) = spark.read.parquet(s"$d/evalh")
+      .distinct().as[Long].collect().toSet
+    val fullEvalH = evalhOf(oneDir)
+    assert(evalhOf(twoDir) == fullEvalH,
+      "evalh artifact diverges between split and combined runs")
+
+    // the combined rebuild checks EVERY batch doc against the full
+    // benchmark; the sequential path cannot retroactively drop day-1
+    // docs contaminated only by day-2 eval survivors. So rebuild ⊆
+    // daily, and the diff is EXACTLY the day-1 kept docs whose overlap
+    // with the full benchmark crosses 50% (day-2 docs see the full
+    // benchmark in both runs — they can never diverge).
+    assert(oneM.subsetOf(two), "combined rebuild kept a doc the daily path dropped")
+    val lateContam = two -- oneM
+    assert(lateContam.forall(_._1 % 20 == 0),
+      s"non-day-1 docs diverged: ${lateContam.filter(_._1 % 20 != 0)}")
+    val textOf = Tables.load(spark, sf, "documents")
+      .filter($"doc_id".isin(two.filter(_._1 % 20 == 0).map(_._1).toSeq: _*))
+      .select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectedLate = two.filter(t => t._1 % 20 == 0 && {
+      val sh = shingles(textOf(t._1))
+      sh.nonEmpty && sh.count(fullEvalH).toDouble / sh.size >= 0.5
+    })
+    assert(lateContam == expectedLate,
+      "daily-vs-rebuild diff != docs contaminated only by later eval survivors")
+    assert(d1.nBatchKept + d2.nBatchKept == one.nBatchKept + lateContam.size)
+
+    // shards: per-dir invariants + totals follow each dir's token mass
+    val budget = CorpusQueries.PackBudget
+    for ((d, total, m) <- Seq((twoDir, d2.nShardsTotal, two),
+        (oneDir, one.nShardsTotal, oneM))) {
       val sh = spark.read.parquet(s"$d/shards")
         .select($"doc_id", $"shard".cast("long"), $"shard_offset")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      assert(sh.map(_._1).toSet == manifestOf(d).map(_._1))
-      assert(sh.map(_._2).toSet == (0L until one.nShardsTotal).toSet)
-      assert(sh.forall(s => s._3 >= 0 && s._3 < graft.queries.CorpusQueries.PackBudget))
+      assert(sh.map(_._1).toSet == m.map(_._1))
+      assert(sh.map(_._2).toSet == (0L until total).toSet, "shard ids not contiguous")
+      assert(sh.forall(s => s._3 >= 0 && s._3 < budget))
+      val tokens = m.toSeq.map(_._2).sum
+      assert(total == (tokens + budget - 1) / budget,
+        s"$d: shard count $total != ceil($tokens / $budget)")
     }
 
-    // DSIR model: same counts table either way
+    // DSIR: each dir's model == a direct fit over its own kept set
+    val docs = Tables.load(spark, sf, "documents")
     def dsirOf(d: String) = DsirModel.load(spark, s"$d/dsir")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(dsirOf(twoDir) == dsirOf(oneDir))
+    for ((d, m) <- Seq(twoDir -> two, oneDir -> oneM)) {
+      val direct = DsirModel.fit(
+          docs.filter($"doc_id".isin(m.map(_._1).toSeq: _*))
+            .select($"doc_id", $"text")
+            .join(docs.select($"doc_id", $"lang"), "doc_id"),
+          $"lang" === "en")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(dsirOf(d) == direct, s"$d: appended DSIR model != direct fit")
+    }
   }
 }
