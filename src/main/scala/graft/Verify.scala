@@ -43,6 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of what this run ATTEMPTED: lets the compare side fail
+    // LOUD on a query whose dump is missing (= it threw above), instead
+    // of the battery silently shrinking by one dir (the round-9 failure
+    // mode). Restricted to `only` so partial dev runs don't false-alarm.
+    val attempted = if (only.isEmpty) SparkEntry.queries.keySet else only
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      attempted.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
@@ -134,11 +135,14 @@ object DedupQueries extends QueryModule {
     // Cluster-representative selection — the decision stage after
     // clustering: per duplicate cluster, KEEP the highest-quality member
     // (here: most tokens; tie → lowest doc_id) instead of dedup_clusters'
-    // blind lowest-id rule. Cost on top of clustering is two |docs|-row
-    // aggregates and one cluster-keyed join — nothing touches the corpus
-    // text again. Token counts coalesce NULL→0 so a NULL-text doc is a
-    // valid (lowest-quality) member rather than a NULL-semantics fork
-    // between engines.
+    // blind lowest-id rule. Cost on top of clustering is ONE shuffle on
+    // cluster_id: both window specs share the partitioning, so the
+    // member count, the max, and the rank-1 pick all ride the same
+    // exchange — no agg-then-join-back, which would re-execute the whole
+    // clustering lineage a second time (the r8 bench caught exactly that
+    // as a 28 s outlier). Token counts coalesce NULL→0 so a NULL-text
+    // doc is a valid (lowest-quality) member rather than a
+    // NULL-semantics fork between engines.
     "dedup_best_keep" -> { (s, dir) =>
       import s.implicits._
       val edges = jaccardPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
@@ -148,13 +152,15 @@ object DedupQueries extends QueryModule {
         .select($"id".as("doc_id"), $"cluster".as("cluster_id"))
       val tok = docs.select($"doc_id",
         coalesce(size(tokens($"text")).cast("long"), lit(0L)).as("n_tok"))
-      val j = clusters.join(tok, "doc_id")
-      val m = j.groupBy($"cluster_id")
-        .agg(count(lit(1)).as("n_members"), max($"n_tok").as("keep_tokens"))
-      m.join(j.select($"cluster_id", $"doc_id", $"n_tok"), Seq("cluster_id"))
-        .filter($"n_tok" === $"keep_tokens")
-        .groupBy($"cluster_id", $"n_members", $"keep_tokens")
-        .agg(min($"doc_id").as("keep_id"))
+      val wAll = Window.partitionBy($"cluster_id")
+      val wOrd = Window.partitionBy($"cluster_id")
+        .orderBy($"n_tok".desc, $"doc_id")
+      clusters.join(tok, "doc_id")
+        .withColumn("n_members", count(lit(1)).over(wAll))
+        .withColumn("rk", row_number().over(wOrd))
+        .filter($"rk" === 1)
+        .select($"cluster_id", $"n_members",
+          $"n_tok".as("keep_tokens"), $"doc_id".as("keep_id"))
     },
 
     // Soft dedup: keep every duplicate but down-weight it by its cluster

@@ -325,7 +325,12 @@ object SimilarityQueries extends QueryModule {
       val bucket = (0 until NBits).map { j =>
         when(expr(s"graft_dot(v, ${planeSql(j)})") > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val withB = e.withColumn("bucket", bucket)
+      // cache the bucketed corpus: both join sides derive from it, and
+      // the plane dots + norm should be computed ONCE per vector — the
+      // local[*] analog of the on-disk bucket partitioning above (at
+      // scale the bucket column is materialized by the writer, not
+      // recomputed per probe). Bench/Verify clear the cache per query.
+      val withB = e.withColumn("bucket", bucket).cache()
       val q = withB.filter($"vec_id" < NQueries)
         .select($"vec_id".as("query_id"), $"bucket".as("qbucket"), $"v".as("qv"), $"nrm".as("qnrm"))
       val c = withB.select($"vec_id".as("neighbor_id"), $"bucket", $"v".as("cv"), $"nrm".as("cnrm"))
@@ -347,7 +352,9 @@ object SimilarityQueries extends QueryModule {
       val bucket = (0 until SelfBits).map { j =>
         when(expr(s"graft_dot(v, ${planeSql(j)})") > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val withB = e.withColumn("bucket", bucket)
+      // cache: BOTH self-join sides are the full corpus, so without it
+      // the scan + norm + 4-plane bucket projection run twice end to end
+      val withB = e.withColumn("bucket", bucket).cache()
       val q = withB.select($"vec_id".as("query_id"), $"bucket", $"v".as("qv"), $"nrm".as("qnrm"))
       val c = withB.select($"vec_id".as("neighbor_id"), $"bucket".as("cbucket"), $"v".as("cv"), $"nrm".as("cnrm"))
       val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")

@@ -41,6 +41,19 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = n_weak = 0
+    # every registered query must have produced a dump dir — a query that
+    # threw inside graft.Verify leaves no dir and would otherwise vanish
+    # from this report entirely (the round-9 failure mode)
+    qpath = os.path.join(out_dir, "queries.json")
+    if os.path.exists(qpath):
+        registered = set(json.load(open(qpath)))
+        if only:
+            registered &= only
+        dumped = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
+                  if os.path.isdir(d)}
+        for name in sorted(registered - dumped):
+            print(f"[FAIL] {name}: no dump dir (query threw in graft.Verify?)")
+            n_fail += 1
     for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(d):
             continue
