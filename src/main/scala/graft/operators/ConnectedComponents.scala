@@ -36,8 +36,15 @@ object ConnectedComponents {
     val spark = nodes.sparkSession
     import spark.implicits._
     val cachedEdges = edges.select($"a", $"b").cache()
+    // size probe, not a full count: limit(N+1).count() answers "≤ N?"
+    // scanning at most N+1 rows (Spark's incremental limit execution
+    // touches partitions only until the limit fills) — at 100 TB the
+    // verified-pair set can be billions of rows, and a full count here
+    // would be a second end-to-end pass over the edge lineage before any
+    // clustering work starts
+    val small = cachedEdges.limit(DriverEdgeLimit.toInt + 1).count() <= DriverEdgeLimit
     val result =
-      if (cachedEdges.count() <= DriverEdgeLimit) clustersUnionFind(nodes, cachedEdges)
+      if (small) clustersUnionFind(nodes, cachedEdges)
       else clustersPropagate(nodes, cachedEdges, maxIter)
     cachedEdges.unpersist()
     result
