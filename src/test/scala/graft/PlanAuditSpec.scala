@@ -422,4 +422,26 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q shuffles raw text:\n$p")
     }
   }
+
+  test("dedup_best_keep: representative pick is one window pass — no agg-then-join-back on cluster_id") {
+    val p = plan("dedup_best_keep")
+    assert(p.contains("row_number"), s"window rank missing:\n$p")
+    // exactly ONE exchange partitions on cluster_id (feeding the stacked
+    // window ops); the old agg-then-join-back shape needed 2+ and
+    // re-executed the entire clustering lineage for the join's second
+    // reference — the 28 s r8 bench outlier
+    val n = "hashpartitioning\\(cluster_id".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 cluster_id exchange, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("knn_lsh: hyperplane buckets are computed once into a cached relation; both probe sides read it") {
+    val p = plan("knn_lsh")
+    // both the broadcast query side and the candidate side must scan the
+    // SAME cached bucketed corpus — the local analog of bucket-partitioned
+    // storage; without it the plane dots + norms run once per side
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 2, s"expected both sides on the cached bucketed corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
