@@ -46,6 +46,18 @@ object CorpusQueries extends QueryModule {
   /** Eval split modulus: doc_id % EvalMod == 0 is the held-out benchmark. */
   val EvalMod = 17L
 
+  /** mix_epoch_cap: repetition ceiling per source (tokens may be reused
+    * at most this many epochs) and the training budget as a RATIONAL
+    * multiple of the unique corpus (BudgetNumer/BudgetDenom = 3.5
+    * epochs) so the cap-boundary test stays in exact BIGINT arithmetic
+    * on both engines. Budget < EpochCap × corpus guarantees at least
+    * one uncapped source, so the water-fill level always exists; 3.5 is
+    * close enough to the cap that below-mean sources actually cap on
+    * the test corpus (CorpusSpec pins non-vacuity). */
+  val EpochCap = 4L
+  val BudgetNumer = 7L
+  val BudgetDenom = 2L
+
   /** Target tokens per kept document for the weighted sample: documents
     * with n_tokens ≤ target always keep; longer ones keep w.p.
     * target/n_tokens, equalizing expected token contribution per doc. */
@@ -212,6 +224,51 @@ object CorpusQueries extends QueryModule {
     // back as a 1-row cross join, so the whole allocation is
     // O(sources) after one corpus pass.
     "mix_allocation" -> { (s, dir) => mixAllocation(s, dir) },
+
+    // Data-constrained mixture allocation (the "scaling data-constrained
+    // LMs" regime): the token BUDGET exceeds the unique corpus, so
+    // sources must repeat — but value decays past a few epochs, so each
+    // source is capped at capacity = EpochCap · unique tokens and the
+    // budget WATER-FILLS: capped sources contribute all their capacity,
+    // every other source gets the common level L with
+    // Σ min(capacity, L) = budget. The cap boundary has an exact closed
+    // form on the capacity-ascending order (prefix sums: source i is
+    // capped iff cap_i·(n-i+1) + P_{i-1} < budget — capped sources are
+    // always a prefix), so the whole allocation is ONE window pass over
+    // the O(sources) table after the per-source token count: no
+    // iteration, no driver loop. The single-partition window is over
+    // sources (a handful of rows at any corpus size), not data.
+    "mix_epoch_cap" -> { (s, dir) =>
+      import s.implicits._
+      val perSource = Tables.load(s, dir, "documents")
+        .select($"source", Tokenizer.Whitespace.count($"text").as("n"))
+        .groupBy($"source")
+        .agg(sum($"n").as("n_tokens"))
+        .withColumn("capacity", $"n_tokens" * EpochCap)
+      val w = Window.orderBy($"capacity", $"source")
+      val ranked = perSource
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("p_prev",
+          coalesce(sum($"capacity").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val totals = perSource.agg(
+        count(lit(1)).as("n_sources"), sum($"n_tokens").as("total"))
+      // boundary test ×BudgetDenom keeps the 3.5-epoch budget in exact
+      // integer arithmetic (no float boundary disagreement possible)
+      val flagged = ranked.crossJoin(totals)
+        .withColumn("capped",
+          ($"capacity" * ($"n_sources" - $"i" + 1L) + $"p_prev") * BudgetDenom <
+            $"total" * BudgetNumer)
+      val level = flagged.agg(
+        ((max($"total") * BudgetNumer -
+          coalesce(sum(when($"capped", $"capacity")), lit(0L)) * BudgetDenom)
+          .cast("double") /
+          (sum(when(!$"capped", 1L)) * BudgetDenom)).as("level"))
+      flagged.crossJoin(level.select($"level"))
+        .select($"source", $"n_tokens", $"capacity",
+          when($"capped", $"capacity".cast("double")).otherwise($"level")
+            .as("alloc_tokens"))
+        .withColumn("epochs", $"alloc_tokens" / $"n_tokens")
+    },
 
     // Domain-balanced mixture: mix_allocation keyed by SEMANTIC domain
     // instead of source label — the cluster-balanced sampling step of a
@@ -907,6 +964,36 @@ object CorpusQueries extends QueryModule {
          |  least(CAST(1.0 AS DOUBLE),
          |    (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens) AS sample_rate
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    // identical prefix-sum cap-boundary algebra: BIGINT until the final
+    // level division, so the boundary test is exact on both engines
+    "mix_epoch_cap" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(sum(len($oTokens)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |cap AS (SELECT source, n_tokens, n_tokens * $EpochCap AS capacity FROM per),
+         |tot AS (SELECT count(*) AS n_sources,
+         |          CAST(sum(n_tokens) AS BIGINT) AS total FROM cap),
+         |ranked AS (SELECT source, n_tokens, capacity,
+         |    CAST(row_number() OVER (ORDER BY capacity, source) AS BIGINT) AS i,
+         |    CAST(coalesce(sum(capacity) OVER (ORDER BY capacity, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p_prev
+         |  FROM cap),
+         |flagged AS (SELECT r.*, t.total,
+         |    (r.capacity * (t.n_sources - r.i + 1) + r.p_prev) * $BudgetDenom
+         |      < t.total * $BudgetNumer AS capped
+         |  FROM ranked r CROSS JOIN tot t),
+         |lvl AS (SELECT
+         |    CAST(max(total) * $BudgetNumer
+         |        - coalesce(sum(CASE WHEN capped THEN capacity END), 0) * $BudgetDenom
+         |      AS DOUBLE)
+         |      / (sum(CASE WHEN NOT capped THEN 1 END) * $BudgetDenom) AS level
+         |  FROM flagged)
+         |SELECT source, n_tokens, capacity,
+         |  CASE WHEN capped THEN CAST(capacity AS DOUBLE) ELSE level END AS alloc_tokens,
+         |  (CASE WHEN capped THEN CAST(capacity AS DOUBLE) ELSE level END) / n_tokens
+         |    AS epochs
+         |FROM flagged CROSS JOIN lvl""".stripMargin,
 
     "mix_domains" -> oMixDomainsSql,
 

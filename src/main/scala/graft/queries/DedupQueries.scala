@@ -98,6 +98,36 @@ object DedupQueries extends QueryModule {
     // Exact n-gram Jaccard near-dup pairs (inverted-index self-join).
     "dedup_ngram_jaccard" -> { (s, dir) => jaccardPairs(s, dir) },
 
+    // Cross-split contamination audit — the leakage check a train/val/
+    // test pipeline runs AFTER near-dup detection: an eval doc whose
+    // near-duplicate sits in train inflates benchmark numbers without
+    // any exact-match leak (the same failure class decontam guards
+    // against, here INSIDE one corpus between its own splits). Composes
+    // two oracle-checked operators verbatim: jaccardPairs' verified
+    // near-dup set (candidate-bounded, never all-pairs) keyed by
+    // text_split_assign's content-hash buckets. Cost beyond the pair
+    // set is two |docs|-row id-keyed joins (AQE-broadcastable split
+    // table at test scale, co-located id-bucketed at 100 TB); output is
+    // O(split-pairs) rows. A real pipeline drops or re-splits the
+    // leaky docs listed by joining this back to the pair set.
+    "split_leakage" -> { (s, dir) =>
+      import s.implicits._
+      val splits = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          (h60(concat($"text", lit("|split"))) % 100L).as("bucket"))
+        .select($"doc_id",
+          when($"bucket" < 90, "train").when($"bucket" < 95, "validation")
+            .otherwise("test").as("split"))
+      jaccardPairs(s, dir)
+        .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+        .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+        .filter($"split_a" =!= $"split_b")
+        .groupBy($"split_a", $"split_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"doc_a").as("n_docs_a"),
+          countDistinct($"doc_b").as("n_docs_b"))
+    },
+
     // Near-dup clustering: connected components over the verified pair
     // graph; cluster_id = min doc in the component (the keeper).
     "dedup_clusters" -> { (s, dir) =>
@@ -714,6 +744,32 @@ object DedupQueries extends QueryModule {
            |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
+
+      "split_leakage" ->
+        s"""WITH $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT doc_a, doc_b
+           |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6),
+           |sp AS (SELECT doc_id,
+           |  CASE WHEN bucket < 90 THEN 'train'
+           |       WHEN bucket < 95 THEN 'validation'
+           |       ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, ${oH60("text || '|split'")} % 100 AS bucket
+           |        FROM documents))
+           |SELECT sa.split AS split_a, sb.split AS split_b,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT p.doc_a) AS BIGINT) AS n_docs_a,
+           |  CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_b
+           |FROM pairs p
+           |JOIN sp sa ON sa.doc_id = p.doc_a
+           |JOIN sp sb ON sb.doc_id = p.doc_b
+           |WHERE sa.split <> sb.split
+           |GROUP BY 1, 2""".stripMargin,
 
       "dedup_clusters" ->
         s"""WITH RECURSIVE $oShingleCtes,

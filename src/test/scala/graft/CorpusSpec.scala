@@ -303,4 +303,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(fr.forall(_._2 < 300000.0), s"fr means: ${fr.map(_._2).max}")
     assert(fr.count(_._3 == 1L) <= 4, s"fr keep count: ${fr.count(_._3 == 1L)}")
   }
+
+  test("mix_epoch_cap: the water-fill boundary BINDS — capped sources at exactly EpochCap epochs, budget conserved") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("mix_epoch_cap")(spark, dir)
+      .select($"n_tokens", $"alloc_tokens", $"epochs")
+      .as[(Long, Double, Double)].collect()
+    val cap = graft.queries.CorpusQueries.EpochCap.toDouble
+    val (capped, uncapped) = rows.partition(_._3 == cap)
+    // non-vacuous on the driver corpus: both regimes must appear, or the
+    // boundary algebra is untested (the oracle would agree trivially)
+    assert(capped.nonEmpty, "no source capped — boundary never exercised")
+    assert(uncapped.nonEmpty, "every source capped — water level untested")
+    assert(uncapped.forall(_._3 < cap), s"uncapped above the cap: $uncapped")
+    // all uncapped sources sit at ONE common level (the water level)
+    assert(uncapped.map(_._2).distinct.length == 1,
+      s"uncapped allocations differ: ${uncapped.map(_._2).distinct.toSeq}")
+    // Σ alloc == budget (BudgetNumer/BudgetDenom × unique corpus)
+    val total = rows.map(_._1).sum.toDouble
+    val budget = total * graft.queries.CorpusQueries.BudgetNumer /
+      graft.queries.CorpusQueries.BudgetDenom
+    val alloc = rows.map(_._2).sum
+    assert(math.abs(alloc - budget) / budget < 1e-9,
+      s"budget not conserved: alloc=$alloc budget=$budget")
+  }
 }
