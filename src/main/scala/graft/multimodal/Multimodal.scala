@@ -167,10 +167,6 @@ object Multimodal {
     * its real codec by magic bytes and degrades per-asset, never failing
     * the job. */
   final case class WavDecoder(fallback: MediaDecoder = StubDecoder) extends MediaDecoder {
-    private def sniffWav(b: Array[Byte]): Boolean =
-      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
-
     override def decode(a: Asset): MediaFeatures = {
       if (!sniffWav(a.media)) return fallback.decode(a)
       val in =
@@ -292,6 +288,103 @@ object Multimodal {
         graft.operators.HammingBands.offsetsFor(64, maxHamming + 1), maxHamming, cap)
       .select($"id_a".as("asset_a"), $"id_b".as("asset_b"), $"hamming")
   }
+
+  /** Per-asset 64-bit audio fingerprint row ([[audioHashes]]). */
+  final case class AudioHash(asset_id: Long, ahash: Long, decoded: Boolean)
+
+  /** 64-bit energy-contour hash of 16-bit PCM — the audio analog of
+    * [[aHash64]] for near-dup audio dedup: mean |amplitude| over 64
+    * equal time windows, one bit per window set when its mean exceeds
+    * the global mean. Amplitude-scale INVARIANT (a volume change scales
+    * every window mean and the global mean together, so no bit moves —
+    * pinned in PerceptualDedupSpec), robust to mild noise (a near-copy
+    * flips few windows), fragile to trims (windows shift — the same
+    * trade aHash makes for crops). Deterministic: integer |sample| sums;
+    * the only float ops are the per-window and global mean divides on
+    * exact integer sums. Interleaved channels fold into the same
+    * contour (a stereo copy of a mono track matches). */
+  def audioHash64(pcm: Array[Byte]): Long = {
+    val n = pcm.length / 2
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      // 16-bit little-endian signed sample
+      val s = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort
+      val w = math.min(i.toLong * 64 / n, 63L).toInt
+      sums(w) += math.abs(s.toLong)
+      cnts(w) += 1
+      i += 1
+    }
+    var totalSum = 0L
+    var totalCnt = 0L
+    var c = 0
+    while (c < 64) { totalSum += sums(c); totalCnt += cnts(c); c += 1 }
+    val mean = totalSum.toDouble / totalCnt
+    var bits = 0L
+    c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c).toDouble / cnts(c) > mean) bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
+  /** Audio fingerprints for an asset table: 16-bit signed little-endian
+    * PCM WAVs (RIFF sniff + real AudioSystem decode) get their energy
+    * contour; everything else — other sample widths, failed parses,
+    * non-audio — emits `decoded = false` so dedup can exclude it rather
+    * than manufacture fake near-dups from a wrong-width read
+    * ([[perceptualHashes]] doctrine). One decode per asset per
+    * partition; the wide binary never crosses a stage boundary. */
+  def audioHashes(assets: Dataset[Asset]): Dataset[AudioHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val media = if (a.media == null) Array.emptyByteArray else a.media
+        val pcm: Array[Byte] =
+          if (!sniffWav(media)) null
+          else {
+            val in =
+              try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(media))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (in == null) null
+            else try {
+              val fmt = in.getFormat
+              if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
+              else in.readAllBytes()
+            } catch {
+              case scala.util.control.NonFatal(_) => null
+            } finally in.close()
+          }
+        if (pcm == null || pcm.length < 2) AudioHash(a.asset_id, 0L, decoded = false)
+        else AudioHash(a.asset_id, audioHash64(pcm), decoded = true)
+      }
+    }
+  }
+
+  /** Audio near-dup pairs over the energy contours — the same exact
+    * pigeonhole banding as [[perceptualPairs]] (banded ≡ quadratic at
+    * any threshold, hot buckets split), so the 100 TB shape is
+    * identical: candidates join on (band, bits), never all-pairs. */
+  def audioPairs(hashes: Dataset[AudioHash], maxHamming: Int = 4,
+      cap: Int = 4096): DataFrame = {
+    import hashes.sparkSession.implicits._
+    graft.operators.HammingBands.pairs(
+        hashes.filter(_.decoded).toDF()
+          .select($"asset_id".as("id"), $"ahash".as("fp")),
+        graft.operators.HammingBands.offsetsFor(64, maxHamming + 1), maxHamming, cap)
+      .select($"id_a".as("asset_a"), $"id_b".as("asset_b"), $"hamming")
+  }
+
+  /** RIFF/WAVE magic-byte sniff (shared by [[WavDecoder]] and
+    * [[audioHashes]]). */
+  private[multimodal] def sniffWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
   /** PNG/JPEG magic-byte sniff (shared by [[ImageIoDecoder]] and
     * [[perceptualHashes]]). */

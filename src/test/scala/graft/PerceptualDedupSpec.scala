@@ -120,4 +120,95 @@ class PerceptualDedupSpec extends AnyFunSuite {
     assert(banded == quad,
       s"missing=${(quad -- banded).take(5)} extra=${(banded -- quad).take(5)}")
   }
+
+  // ---- audio energy-contour dedup (the audio analog of aHash) ----
+
+  /** 1 s of 16-bit mono PCM at 8 kHz shaped into 64 equal-amplitude
+    * windows from a seeded sequence (one window per audioHash64 bit).
+    * Amplitudes are EVEN so an exact half-volume copy stays integral. */
+  private def track(seed: Int, editWindow: Option[Int] = None): Array[Short] = {
+    val n = 8000
+    Array.tabulate(n) { i =>
+      val w = i * 64 / n
+      val m = (seed * 31 + w + 1) * 2654435761L
+      val base = ((((m >>> 20) ^ (m >>> 40)) & 0x3ffe) + 512).toInt
+      val amp = if (editWindow.contains(w)) 18000 else base
+      (if (i % 2 == 0) amp else -amp).toShort
+    }
+  }
+
+  private def wav(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, channels, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+      (samples.length / channels).toLong), AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioHash64: half-volume and stereo copies are bit-identical, one-window edit near, different track far") {
+    val base = track(5)
+    val h = Multimodal.audioHash64 _
+    def pcmOf(s: Array[Short]): Array[Byte] = {
+      val b = new Array[Byte](s.length * 2)
+      for (i <- s.indices) {
+        b(2 * i) = (s(i) & 0xff).toByte; b(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      }
+      b
+    }
+    val a = h(pcmOf(base))
+    // exact half volume: every |sample| halves exactly (even amplitudes),
+    // so window means and the global mean scale together — no bit moves
+    assert(h(pcmOf(base.map(s => (s / 2).toShort))) == a, "volume scaling moved the hash")
+    // stereo duplication: interleaved identical channels, same contour
+    assert(h(pcmOf(base.flatMap(s => Array(s, s)))) == a, "stereo twin moved the hash")
+    val edited = h(pcmOf(track(5, editWindow = Some(31))))
+    val hd = java.lang.Long.bitCount(a ^ edited)
+    assert(hd >= 1 && hd <= 3, s"one-window edit moved $hd bits")
+    assert(java.lang.Long.bitCount(a ^ h(pcmOf(track(9)))) > 10, "distinct track too close")
+  }
+
+  test("audioPairs: finds scaled/stereo/edited near-copies, rejects distinct tracks, excludes non-audio and non-16-bit; banded == quadratic") {
+    import spark.implicits._
+    val eightBit = { // 8-bit PCM: sniffs as WAV but must NOT pseudo-hash
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(8000f, 8, 1, false, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](800)(64)), fmt, 800L),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val assets = ((0 until 20).map(i => Asset(i.toLong, wav(track(i)), "audio/wav", "s")) ++
+      Seq(Asset(100L, wav(track(0).map(s => (s / 2).toShort)), "audio/wav", "s"),
+        Asset(101L, wav(track(0).flatMap(s => Array(s, s)), channels = 2), "audio/wav", "s"),
+        Asset(102L, wav(track(0, editWindow = Some(31))), "audio/wav", "s"),
+        Asset(103L, "not audio".getBytes("UTF-8"), "text/plain", "s"),
+        Asset(104L, eightBit, "audio/wav", "s"))).toDS()
+    val hashes = Multimodal.audioHashes(assets).cache()
+    val byId = hashes.collect().map(x => x.asset_id -> x).toMap
+    assert(!byId(103L).decoded && !byId(104L).decoded,
+      "non-audio / non-16-bit must be undecodable, not pseudo-hashed")
+    assert(byId(0L).decoded && byId(100L).decoded && byId(101L).decoded)
+
+    val pairs = Multimodal.audioPairs(hashes, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (b <- Seq(100L, 101L, 102L))
+      assert(pairs.exists { case (x, y, _) => x == 0L && y == b },
+        s"near-copy pair (0,$b) missing from $pairs")
+    assert(!pairs.exists { case (x, y, _) => x == 103L || y == 103L || x == 104L || y == 104L })
+
+    val hs = hashes.collect().filter(_.decoded)
+    val quad = (for {
+      x <- hs; y <- hs if x.asset_id < y.asset_id
+      hd = java.lang.Long.bitCount(x.ahash ^ y.ahash) if hd <= 4
+    } yield (x.asset_id, y.asset_id, hd.toLong)).toSet
+    assert(pairs == quad,
+      s"missing=${(quad -- pairs).take(5)} extra=${(pairs -- quad).take(5)}")
+  }
 }
