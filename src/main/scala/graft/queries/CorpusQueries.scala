@@ -240,34 +240,11 @@ object CorpusQueries extends QueryModule {
     // sources (a handful of rows at any corpus size), not data.
     "mix_epoch_cap" -> { (s, dir) =>
       import s.implicits._
-      val perSource = Tables.load(s, dir, "documents")
-        .select($"source", Tokenizer.Whitespace.count($"text").as("n"))
-        .groupBy($"source")
-        .agg(sum($"n").as("n_tokens"))
-        .withColumn("capacity", $"n_tokens" * EpochCap)
-      val w = Window.orderBy($"capacity", $"source")
-      val ranked = perSource
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("p_prev",
-          coalesce(sum($"capacity").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val totals = perSource.agg(
-        count(lit(1)).as("n_sources"), sum($"n_tokens").as("total"))
-      // boundary test ×BudgetDenom keeps the 3.5-epoch budget in exact
-      // integer arithmetic (no float boundary disagreement possible)
-      val flagged = ranked.crossJoin(totals)
-        .withColumn("capped",
-          ($"capacity" * ($"n_sources" - $"i" + 1L) + $"p_prev") * BudgetDenom <
-            $"total" * BudgetNumer)
-      val level = flagged.agg(
-        ((max($"total") * BudgetNumer -
-          coalesce(sum(when($"capped", $"capacity")), lit(0L)) * BudgetDenom)
-          .cast("double") /
-          (sum(when(!$"capped", 1L)) * BudgetDenom)).as("level"))
-      flagged.crossJoin(level.select($"level"))
-        .select($"source", $"n_tokens", $"capacity",
-          when($"capped", $"capacity".cast("double")).otherwise($"level")
-            .as("alloc_tokens"))
-        .withColumn("epochs", $"alloc_tokens" / $"n_tokens")
+      mixEpochCap(
+        Tables.load(s, dir, "documents")
+          .select($"source", Tokenizer.Whitespace.count($"text").as("n"))
+          .groupBy($"source")
+          .agg(sum($"n").as("n_tokens")))
     },
 
     // Domain-balanced mixture: mix_allocation keyed by SEMANTIC domain
@@ -671,6 +648,38 @@ object CorpusQueries extends QueryModule {
       .filter(h60(concat($"text", lit("|mix"))) % 1000000L <
         floor($"sample_rate" * 1000000.0).cast("long"))
       .select($"doc_id", $"cluster", $"n_tokens", $"sample_rate")
+  }
+
+  /** The mix_epoch_cap water-fill over an arbitrary (source, n_tokens)
+    * table — factored out so CorpusSpec can property-sweep the closed
+    * form against an iterative reference on random distributions. */
+  private[graft] def mixEpochCap(perSourceTokens: DataFrame): DataFrame = {
+    import perSourceTokens.sparkSession.implicits._
+    val perSource = perSourceTokens
+      .withColumn("capacity", $"n_tokens" * EpochCap)
+    val w = Window.orderBy($"capacity", $"source")
+    val ranked = perSource
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p_prev",
+        coalesce(sum($"capacity").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = perSource.agg(
+      count(lit(1)).as("n_sources"), sum($"n_tokens").as("total"))
+    // boundary test ×BudgetDenom keeps the 3.5-epoch budget in exact
+    // integer arithmetic (no float boundary disagreement possible)
+    val flagged = ranked.crossJoin(totals)
+      .withColumn("capped",
+        ($"capacity" * ($"n_sources" - $"i" + 1L) + $"p_prev") * BudgetDenom <
+          $"total" * BudgetNumer)
+    val level = flagged.agg(
+      ((max($"total") * BudgetNumer -
+        coalesce(sum(when($"capped", $"capacity")), lit(0L)) * BudgetDenom)
+        .cast("double") /
+        (sum(when(!$"capped", 1L)) * BudgetDenom)).as("level"))
+    flagged.crossJoin(level.select($"level"))
+      .select($"source", $"n_tokens", $"capacity",
+        when($"capped", $"capacity".cast("double")).otherwise($"level")
+          .as("alloc_tokens"))
+      .withColumn("epochs", $"alloc_tokens" / $"n_tokens")
   }
 
   private[graft] def mixAllocation(s: SparkSession, dir: String,

@@ -327,4 +327,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(alloc - budget) / budget < 1e-9,
       s"budget not conserved: alloc=$alloc budget=$budget")
   }
+
+  test("mix_epoch_cap closed form == iterative water-fill on seeded random distributions") {
+    import spark.implicits._
+    val C = graft.queries.CorpusQueries
+    // driver-side reference: repeatedly cap any source whose equal share
+    // of the remaining budget exceeds its capacity, until stable
+    def reference(tokens: Map[String, Long]): Map[String, Double] = {
+      val budget = tokens.values.sum.toDouble * C.BudgetNumer / C.BudgetDenom
+      var capped = Set.empty[String]
+      var stable = false
+      while (!stable) {
+        val remaining = budget - capped.toSeq.map(s => tokens(s).toDouble * C.EpochCap).sum
+        val level = remaining / (tokens.size - capped.size)
+        val newly = tokens.keySet.diff(capped)
+          .filter(s => tokens(s).toDouble * C.EpochCap < level)
+        if (newly.isEmpty) stable = true else capped ++= newly
+      }
+      val remaining = budget - capped.toSeq.map(s => tokens(s).toDouble * C.EpochCap).sum
+      val level = remaining / (tokens.size - capped.size)
+      tokens.map { case (s, n) =>
+        s -> (if (capped(s)) n.toDouble * C.EpochCap else level)
+      }
+    }
+    for (seed <- 1 to 8) {
+      val rng = new scala.util.Random(seed)
+      val n = 2 + rng.nextInt(12)
+      // heavy-tailed spread so cap boundaries land at varied depths
+      // (including none capped); duplicates exercise the (capacity,
+      // source) tie-break
+      val tokens = (0 until n).map { i =>
+        val mag = math.pow(10, 1 + rng.nextInt(4)).toLong
+        s"s$i" -> (1L + rng.nextLong(mag))
+      }.toMap
+      val out = C.mixEpochCap(tokens.toSeq.toDF("source", "n_tokens"))
+        .select($"source", $"alloc_tokens").as[(String, Double)].collect().toMap
+      val ref = reference(tokens)
+      assert(out.keySet == ref.keySet, s"seed=$seed sources differ")
+      for ((s, a) <- out) {
+        val r = ref(s)
+        assert(math.abs(a - r) <= math.max(1e-9, 1e-12 * math.abs(r)),
+          s"seed=$seed source=$s tokens=${tokens(s)}: closed=$a iterative=$r")
+      }
+    }
+  }
 }
