@@ -167,6 +167,79 @@ object StreamingDedup {
         col("bv"), typedLit(flat), lit(1), lit(bits)), 1))
   }
 
+  /** Static corpus perceptual-hash band index for streaming media dedup:
+    * one row per (band, band-bits) bucket of each corpus fingerprint —
+    * image aHashes ([[graft.multimodal.Multimodal.perceptualHashes]]) or
+    * audio energy contours ([[graft.multimodal.Multimodal.audioHashes]]),
+    * the probe is fingerprint-agnostic. At 100 TB this table lives
+    * PARTITIONED BY (band, bb) on disk so a micro-batch reads only its
+    * buckets. `hashes` needs (asset_id, fp) — pre-filter to
+    * decoded-only rows ([[graft.multimodal.Multimodal]] doctrine: an
+    * undecodable asset must not pseudo-match). */
+  def perceptualIndex(hashes: DataFrame, bands: Int = 3,
+      bits: Int = 64): DataFrame = {
+    val offsets = graft.operators.HammingBands.offsetsFor(bits, bands)
+    val bandStructs = offsets.map { case (b, shift, mask) =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), shift).bitwiseAND(lit(mask)).as("bb"))
+    }
+    hashes
+      .select(col("asset_id").as("b_asset"), col("fp").as("b_fp"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("b_asset"), col("b_fp"),
+        col("x.band").as("band"), col("x.bb").as("bb"))
+  }
+
+  /** Streaming perceptual near-dup verdicts: each arriving fingerprint's
+    * lowest-id corpus partner within `maxHamming` bits, emitted once when
+    * its event-time window closes — the continuous twin of
+    * `Multimodal.perceptualPairs`/`audioPairs` restricted to
+    * stream-vs-corpus (stream-vs-stream dups are
+    * [[StatefulOps.dedupStream]]'s job, the standing division of labor).
+    *
+    * Same exact pigeonhole guarantee as the batch path (maxHamming ≤
+    * bands − 1, so a qualifying pair matches in SOME band); a pair
+    * matching several bands is counted once via the first-matching-band
+    * filter — a row-local predicate, not a distinct shuffle. Per-trigger
+    * cost: the batch's fingerprints explode to `bands` rows and join
+    * only their (band, bb) buckets of the static index. `hashes` needs
+    * (asset_id, fp, `eventTimeCol`) with fp computed row-locally on the
+    * stream (mapPartitions decode, as in the batch hash paths). */
+  def perceptualProbe(hashes: DataFrame, index: DataFrame,
+      maxHamming: Int = 2, bands: Int = 3, bits: Int = 64,
+      eventTimeCol: String = "ts", watermark: String = "10 minutes",
+      window: String = "10 minutes"): DataFrame = {
+    val offsets = graft.operators.HammingBands.offsetsFor(bits, bands)
+    require(maxHamming <= offsets.size - 1,
+      s"pigeonhole needs > $maxHamming bands, got ${offsets.size}")
+    val bandStructs = offsets.map { case (b, shift, mask) =>
+      struct(lit(b).as("band"),
+        shiftright(col("a_fp"), shift).bitwiseAND(lit(mask)).as("bb"))
+    }
+    val probe = hashes.withWatermark(eventTimeCol, watermark)
+      .select(col("asset_id").as("a_asset"), col(eventTimeCol).as("_ts"),
+        col("fp").as("a_fp"))
+      .select(col("a_asset"), col("_ts"), col("a_fp"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("a_asset"), col("_ts"), col("a_fp"),
+        col("x.band").as("band"), col("x.bb").as("bb"))
+    val hd = bit_count(col("a_fp").bitwiseXOR(col("b_fp")))
+    val noEarlierBand = offsets.foldLeft(lit(true)) {
+      case (acc, (b, shift, mask)) =>
+        acc && !(lit(b) < col("band") &&
+          shiftright(col("a_fp"), shift).bitwiseAND(lit(mask)) ===
+            shiftright(col("b_fp"), shift).bitwiseAND(lit(mask)))
+    }
+    probe
+      .join(index, Seq("band", "bb")) // stream-static: corpus side stateless
+      .filter(hd <= maxHamming && noEarlierBand &&
+        col("a_asset") =!= col("b_asset"))
+      .groupBy(org.apache.spark.sql.functions.window(col("_ts"), window),
+        col("a_asset"))
+      .agg(min(col("b_asset")).as("dup_of"), count(lit(1)).as("n_dups"))
+      .select(col("a_asset").as("asset_id"), col("dup_of"), col("n_dups"))
+  }
+
   /** Streaming semantic near-dup verdicts: each stream vector's lowest-id
     * corpus partner with cosine ≥ threshold in its cell, emitted once when
     * the event-time window closes — the continuous twin of

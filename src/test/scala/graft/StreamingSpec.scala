@@ -515,4 +515,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == expected,
       s"stream semantic probe: got ${got.toSet} expected $expected")
   }
+
+  test("streaming perceptual probe equals the quadratic stream-vs-corpus verdicts (multi-band pair counted once)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val (bands, maxH) = (3, 2)
+    // corpus fingerprints: 0x00 base, one near it, some far; 21 is
+    // IDENTICAL to stream 107's fp — matches in EVERY band, pinning the
+    // first-matching-band dedup (must count once, not three times)
+    val corpusFps = Seq(
+      20L -> 0x0000000000000000L,
+      21L -> 0x0F0F000011110000L,
+      22L -> -1L,
+      23L -> 0x0000000000000003L)
+    val index = StreamingDedup.perceptualIndex(
+      corpusFps.toDF("asset_id", "fp"), bands).cache()
+
+    val streamFps = Seq(
+      (105L, 60L, 0x0000000000000001L), // 1 bit from 20, 2 from 23
+      (106L, 70L, 0x00FF00FF00FF00FFL), // far from everything
+      (107L, 80L, 0x0F0F000011110000L)) // identical to 21
+    val ms = MemoryStream[(Long, Long, Long)]
+    val hashes = ms.toDF().toDF("asset_id", "sec", "fp")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = StreamingDedup.perceptualProbe(hashes, index, maxH, bands)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-perc-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    ms.addData(streamFps: _*)
+    q.processAllAvailable()
+    ms.addData((199L, 1000000L, 0x0L)) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = streamFps.map { case (id, _, fp) =>
+      val partners = corpusFps.filter { case (_, bfp) =>
+        java.lang.Long.bitCount(fp ^ bfp) <= maxH }
+      id -> partners
+    }.filter(_._2.nonEmpty)
+      .map { case (id, ps) => (id, ps.map(_._1).min, ps.size.toLong) }.toSet
+    assert(expected.exists(_._1 == 107L), "identical-fp case missing — vacuous")
+    assert(got.toSet == expected,
+      s"stream perceptual probe: got ${got.toSet} expected $expected")
+  }
 }
