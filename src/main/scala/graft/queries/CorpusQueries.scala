@@ -655,8 +655,13 @@ object CorpusQueries extends QueryModule {
     * form against an iterative reference on random distributions. */
   private[graft] def mixEpochCap(perSourceTokens: DataFrame): DataFrame = {
     import perSourceTokens.sparkSession.implicits._
+    // cache the O(sources) table: it feeds FOUR references (ranked,
+    // totals, the level agg and the final projection) and its lineage is
+    // the corpus-sized per-source token count — uncached, the plan runs
+    // the corpus aggregation twice (two Window subtrees, verified)
     val perSource = perSourceTokens
       .withColumn("capacity", $"n_tokens" * EpochCap)
+      .cache()
     val w = Window.orderBy($"capacity", $"source")
     val ranked = perSource
       .withColumn("i", row_number().over(w).cast("long"))

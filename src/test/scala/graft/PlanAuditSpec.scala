@@ -435,6 +435,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mix_epoch_cap: one corpus pass — every water-fill reference reads the cached per-source table") {
+    val p = plan("mix_epoch_cap")
+    // the O(sources) table is cached; ranked/totals/level/final all read
+    // InMemoryTableScan — uncached, the corpus aggregation ran twice
+    assert(p.contains("InMemoryTableScan"), s"per-source table not cached:\n$p")
+    // the only joins are the 1-row totals/level cross joins (broadcast);
+    // nothing corpus-sized ever sorts or merge-joins
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("split_leakage: rides the pair machinery — no cartesian, no forced broadcast, split joins keyed on doc ids") {
+    val p = plan("split_leakage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("broadcast"), s"forced broadcast hint:\n$p")
+    // raw text never partitions an exchange (the dedup_lines doctrine)
+    assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty,
+      s"shuffles raw text:\n$p")
+  }
+
   test("knn_lsh: hyperplane buckets are computed once into a cached relation; both probe sides read it") {
     val p = plan("knn_lsh")
     // both the broadcast query side and the candidate side must scan the
