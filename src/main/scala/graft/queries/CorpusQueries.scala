@@ -289,27 +289,32 @@ object CorpusQueries extends QueryModule {
     // O(sources²) on a broadcast-sized table. Signature arithmetic is
     // integer mod-P, so the oracle is hash-exact.
     "corpus_overlap" -> { (s, dir) =>
+      overlapMatrix(sourceSignatures(Tables.load(s, dir, "documents")))
+    },
+
+    // Incremental overlap-matrix maintenance — the daily form: MinHash
+    // signature mins are MERGEABLE (min over the union multiset =
+    // min(min, min)), so a day's batch folds into yesterday's persisted
+    // |sources|×NumPerm signature table with one batch-sized pass and a
+    // |sources|-row least() merge — the corpus is never re-read (the
+    // dedup_*_incr / Bm25Index.append doctrine). The oracle is the FULL
+    // corpus_overlap SQL verbatim, so incremental == from-scratch is a
+    // driver-gate hash equality, not a claim. least() skips NULLs, so a
+    // source seen only in the batch (or only in the corpus) keeps its
+    // one-sided signature through the full-outer merge.
+    "corpus_overlap_incr" -> { (s, dir) =>
       import s.implicits._
-      // NO distinct before the signature agg: min over a multiset equals
-      // min over its value set, so duplicate shingles can't move any
-      // permuted minimum — dropping the usual dedup-suite distinct removes
-      // a full corpus-sized shuffle, leaving scan → partial agg → one
-      // |sources|-keyed exchange (PlanAuditSpec pins the single exchange).
-      val sh = Tables.load(s, dir, "documents")
-        .select($"source", explode(shingleHashes($"text")).as("h"))
-        .select($"source", ($"h" % P).as("x"))
-      // x < P keeps a·x + b inside i64 (a ≤ 1.7e7, P ≈ 1e9 ⇒ product ≤ 1.7e16)
-      val sigCols = permA.indices.map(i =>
-        min((lit(permA(i)) * col("x") + lit(permB(i))) % P).as(s"m$i"))
-      val sig = sh.groupBy($"source").agg(sigCols.head, sigCols.tail: _*)
-      val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-      val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-      val matches = permA.indices.map(i =>
-        when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L)).reduce(_ + _)
-      a.join(b, col("a_source") < col("b_source"))
-        .select(col("a_source").as("src_a"), col("b_source").as("src_b"),
-          matches.as("n_match"))
-        .withColumn("jaccard_est", $"n_match".cast("double") / NumPerm)
+      val docs = Tables.load(s, dir, "documents")
+      val corpusSig = sourceSignatures(docs.filter($"doc_id" % 10 =!= 0))
+      val batchSig = sourceSignatures(docs.filter($"doc_id" % 10 === 0))
+      val c = corpusSig.columns.foldLeft(corpusSig)(
+        (d, n) => if (n == "source") d else d.withColumnRenamed(n, s"c_$n"))
+      val b = batchSig.columns.foldLeft(batchSig)(
+        (d, n) => if (n == "source") d else d.withColumnRenamed(n, s"b_$n"))
+      val merged = c.join(b, Seq("source"), "full_outer")
+        .select($"source" +: permA.indices.map(i =>
+          least(col(s"c_m$i"), col(s"b_m$i")).as(s"m$i")): _*)
+      overlapMatrix(merged)
     },
 
     // Vocabulary coverage / OOV rate: corpus top-K vocabulary by frequency
@@ -648,6 +653,36 @@ object CorpusQueries extends QueryModule {
       .filter(h60(concat($"text", lit("|mix"))) % 1000000L <
         floor($"sample_rate" * 1000000.0).cast("long"))
       .select($"doc_id", $"cluster", $"n_tokens", $"sample_rate")
+  }
+
+  /** Per-source MinHash signature table (source, m0..m{NumPerm-1}) over a
+    * documents frame. NO distinct before the signature agg: min over a
+    * multiset equals min over its value set, so duplicate shingles can't
+    * move any permuted minimum — dropping the usual dedup-suite distinct
+    * removes a full corpus-sized shuffle, leaving scan → partial agg →
+    * one |sources|-keyed exchange (PlanAuditSpec pins the single
+    * exchange). x < P keeps a·x + b inside i64 (a ≤ 1.7e7, P ≈ 1e9 ⇒
+    * product ≤ 1.7e16). */
+  private def sourceSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), explode(shingleHashes(col("text"))).as("h"))
+      .select(col("source"), (col("h") % P).as("x"))
+    val sigCols = permA.indices.map(i =>
+      min((lit(permA(i)) * col("x") + lit(permB(i))) % P).as(s"m$i"))
+    sh.groupBy(col("source")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Pairwise estimated-Jaccard matrix over a signature table —
+    * O(sources²) on a broadcast-sized input. */
+  private def overlapMatrix(sig: DataFrame): DataFrame = {
+    val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val matches = permA.indices.map(i =>
+      when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L)).reduce(_ + _)
+    a.join(b, col("a_source") < col("b_source"))
+      .select(col("a_source").as("src_a"), col("b_source").as("src_b"),
+        matches.as("n_match"))
+      .withColumn("jaccard_est", col("n_match").cast("double") / NumPerm)
   }
 
   /** The mix_epoch_cap water-fill over an arbitrary (source, n_tokens)
@@ -1061,6 +1096,24 @@ object CorpusQueries extends QueryModule {
          |FROM c""".stripMargin,
 
     "corpus_overlap" -> {
+      val sigCols = permA.indices
+        .map(i => s"min((${permA(i)}*x + ${permB(i)}) % $P) AS m$i").mkString(", ")
+      val matches = permA.indices
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (SELECT source, ${oH60("sg")} % $P AS x
+         |       FROM (SELECT source, unnest($oShingles3) AS sg
+         |             FROM (SELECT source, $oTokens AS w FROM documents))),
+         |sig AS (SELECT source, $sigCols FROM sh GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST($matches AS BIGINT) AS n_match,
+         |  CAST($matches AS DOUBLE) / $NumPerm AS jaccard_est
+         |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+    },
+
+    // incremental == from-scratch (min-merge of signature mins), so the
+    // oracle is corpus_overlap's full recompute verbatim — the
+    // dedup_clusters_incr doctrine
+    "corpus_overlap_incr" -> {
       val sigCols = permA.indices
         .map(i => s"min((${permA(i)}*x + ${permB(i)}) % $P) AS m$i").mkString(", ")
       val matches = permA.indices
