@@ -29,7 +29,7 @@ import graft.queries.CrossHash
 object VectorIndex {
   /** Sign-bitmap bucket of an array<double> column over the first `bits`
     * deterministic planes for `dim` dimensions. */
-  private def bucketCol(v: Column, bits: Int, dim: Int): Column = {
+  private[graft] def bucketCol(v: Column, bits: Int, dim: Int): Column = {
     val planes = CrossHash.embPlanesFor(1, bits, dim)
     (0 until bits).map { j =>
       val plane = planes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
@@ -126,7 +126,7 @@ object VectorIndex {
     * plane flips — the classic multi-probe LSH ordering), and the distinct
     * bucket list for static partition pruning. The probe set stays
     * |queries|·nprobe rows, a bounded driver list. */
-  private def queryProbes(spark: SparkSession, queries: DataFrame,
+  private[graft] def queryProbes(spark: SparkSession, queries: DataFrame,
       bits: Int, dim: Int, nprobe: Int): (DataFrame, DataFrame, Seq[Long]) = {
     require(nprobe >= 1 && nprobe <= bits + 1,
       s"nprobe must be in [1, bits+1]: flipping one of $bits planes per extra probe")

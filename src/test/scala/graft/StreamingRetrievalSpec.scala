@@ -5,9 +5,9 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Bm25Index
+import graft.operators.{Bm25Index, VectorIndex}
 import graft.queries.RetrievalQueries
-import graft.streaming.{MaintainedBm25Index, StreamingRetrieval}
+import graft.streaming.{MaintainedBm25Index, MaintainedVectorIndex, StreamingRetrieval}
 
 /** Streamed BM25 probing must equal the batch probe bit-for-bit: the
   * summed quantity is the exact scaled-long contribution, so window
@@ -104,6 +104,51 @@ class StreamingRetrievalSpec extends AnyFunSuite {
     // a replayed batch id — even with DIFFERENT data — must be a no-op
     idx.update(Seq((9999L, "spark spark spark spark")).toDF("doc_id", "text"), 0L)
     assert(scores(idx.probe(fx)) == expected, "replayed batch mutated the index")
+    spark.catalog.clearCache()
+  }
+
+  test("maintained vector index: streamed ingestion == batch materialize+probe on the union; replays skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val vecsDf = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").filter($"embedding".isNotNull)
+    val rows = vecsDf.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val idx = new MaintainedVectorIndex(Files.createTempDirectory("vecm"), spark)
+    val queries = vecsDf.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    assert(idx.probe(queries, k = 3).isEmpty, "probe before any commit must be empty")
+
+    val ms = MemoryStream[(Long, Array[Double])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-vecm-").toString)
+      .foreachBatch(idx.update _)
+      .start()
+    ms.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(idx.lastCommitted >= 1, s"expected >=2 committed batches, got ${idx.lastCommitted}")
+
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Files.createTempDirectory("vecmf").toString
+    VectorIndex.materialize(vecsDf, full)
+    val expected = hits(VectorIndex.probe(spark, full, queries, k = 3, nprobe = 2))
+    assert(expected.nonEmpty, "no ANN hits — test would be vacuous")
+    assert(hits(idx.probe(queries, k = 3, nprobe = 2)) == expected,
+      "maintained vector probe != batch materialize+probe")
+
+    // a replayed batch id — even with DIFFERENT data — must be a no-op
+    idx.update(Seq((99999L, Array.fill(64)(1.0))).toDF("vec_id", "embedding"), 0L)
+    assert(hits(idx.probe(queries, k = 3, nprobe = 2)) == expected,
+      "replayed batch mutated the index")
     spark.catalog.clearCache()
   }
 }
