@@ -38,6 +38,12 @@ object TextQueries extends QueryModule {
     * words/doc). */
   val GopherMinWords = 50L
   val GopherMaxWords = 100000L
+
+  /** text_collocations: minimum pair count, emitted top-K, and the Dice
+    * scaling factor (score ≤ CollocScale by construction). */
+  val CollocMinCount = 5L
+  val CollocTopK = 50
+  val CollocScale = 1000000L
   val GopherMinMeanLen = 3.0
   val GopherMaxMeanLen = 10.0
   val GopherMinAlphaFrac = 0.8
@@ -476,6 +482,41 @@ object TextQueries extends QueryModule {
             .as("mean_surprise_scaled"))
     },
 
+    // Collocation mining — the corpus-analysis op behind phrase
+    // vocabularies and tokenizer merge seeding ("New York" should be one
+    // piece): top-K adjacent token pairs by DICE coefficient
+    // 2·c12/(c1+c2) with a min-count floor. Dice over PMI/word2vec-lift
+    // deliberately: it needs no corpus totals and its scaled form
+    // (2·c12·10⁶ DIV (c1+c2)) stays in exact bounded integers at ANY
+    // corpus size — a lift numerator carries c12·N and overflows i64
+    // around 10¹² tokens, and a log-PMI would fork engines on ln
+    // rounding (the bm25 doctrine). Cost: the two token aggregations
+    // (both map-side partial) + a vocabulary-sized pair join; the top-K
+    // is a TakeOrdered under a TOTAL order (score desc, w1, w2), so the
+    // cut boundary is deterministic across engines and partitionings.
+    "text_collocations" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(tokens($"text").as("w"))
+      val uni = toks.select(explode($"w").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      val big = toks.select(explode(expr(
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) " +
+            "ELSE array() END")).as("p"))
+        .select($"p.w1", $"p.w2")
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        .filter($"c12" >= CollocMinCount)
+      big
+        .join(uni.select($"t".as("w1"), $"c".as("c1")), "w1")
+        .join(uni.select($"t".as("w2"), $"c".as("c2")), "w2")
+        .withColumn("dice_scaled",
+          expr(s"CAST((2 * c12 * $CollocScale) DIV (c1 + c2) AS BIGINT)"))
+        .select($"w1", $"w2", $"c12", $"c1", $"c2", $"dice_scaled")
+        .orderBy($"dice_scaled".desc, $"w1", $"w2")
+        .limit(CollocTopK)
+    },
+
     // Rolling-hash document fingerprint (order-sensitive, mod-P fold).
     "text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -719,6 +760,20 @@ object TextQueries extends QueryModule {
            |  CAST(surprise_scaled AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
            |    AS mean_surprise_scaled
            |FROM per""".stripMargin,
+
+      "text_collocations" ->
+        s"""WITH toks AS (SELECT $oTokens AS w FROM documents),
+           |uni AS (SELECT t, count(*) AS c
+           |        FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+           |big AS (SELECT w1, w2, count(*) AS c12 FROM (
+           |    SELECT w[i] AS w1, w[i + 1] AS w2
+           |    FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks))
+           |  GROUP BY 1, 2 HAVING count(*) >= $CollocMinCount)
+           |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           |  CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+           |  CAST((2 * c12 * $CollocScale) // (u1.c + u2.c) AS BIGINT) AS dice_scaled
+           |FROM big JOIN uni u1 ON u1.t = w1 JOIN uni u2 ON u2.t = w2
+           |ORDER BY dice_scaled DESC, w1, w2 LIMIT $CollocTopK""".stripMargin,
 
       "text_fingerprint" ->
         s"""SELECT doc_id,
