@@ -124,8 +124,8 @@ object Bm25Index {
     val qb = qterms.withColumn("b", pmod(h60(col("term")), lit(buckets.toLong))).cache()
     // |distinct query terms|-bounded driver collect — the static prune set
     val probed = qb.select(col("b")).distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("b").isin(probed: _*))
+    val postings = masked(spark, path,
+      spark.read.parquet(s"$path/postings").filter(col("b").isin(probed: _*)))
     val termsAll = spark.read.parquet(s"$path/terms")
       .filter(col("b").isin(probed: _*))
     val stats = spark.read.parquet(s"$path/stats")
@@ -143,5 +143,93 @@ object Bm25Index {
           col("n_docs"), col("total_dl")).as("sc"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("sc")).as("score_scaled"))
+  }
+
+  private def tombDir(path: String) = s"$path/tombstones"
+
+  private def hasTombstones(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(path)))
+
+  /** Mask tombstoned documents out of a postings frame — the probe-time
+    * side of [[delete]]. The tombstone set is |deleted|-sized (AQE
+    * broadcasts the anti-join side); no-op when nothing was deleted. */
+  private[graft] def masked(spark: SparkSession, path: String, postings: DataFrame): DataFrame =
+    if (!hasTombstones(path)) postings
+    else postings.join(
+      spark.read.parquet(tombDir(path)).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Delete documents from the index — the right-to-be-forgotten path a
+    * training-data pipeline needs once an opt-out or takedown lands.
+    * EXACT: after delete, [[probe]] equals a from-scratch [[build]] on
+    * the remaining corpus (Bm25IndexSpec pins it). The postings mass is
+    * NOT rewritten (append-only at 100 TB); deleted rows are masked by a
+    * tombstone anti-join at probe time and physically dropped by
+    * [[vacuum]]. The two small sides update exactly at delete time from
+    * ONE postings scan restricted to the deleted ids: per-term df
+    * decrements (terms reaching df 0 drop out of the vocabulary, exactly
+    * as a rebuild would), and the 1-row stats subtract the deleted docs'
+    * counts/lengths. Already-tombstoned ids are ignored (idempotent
+    * double-delete); never-indexed ids are no-ops (they have no postings,
+    * so every delta is zero). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      buckets: Int = 32): Unit = {
+    graft.GraftExtensions.register(spark)
+    val del0 = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    val fresh = (if (hasTombstones(path))
+        del0.join(spark.read.parquet(tombDir(path)).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else del0).cache()
+    if (!fresh.isEmpty) {
+      val rows = spark.read.parquet(s"$path/postings")
+        .join(fresh, Seq("doc_id"), "left_semi").cache()
+      // vocabulary-sized df decrement; terms at df 0 leave the vocabulary
+      val deltaTerms = rows.groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+      val newTerms = spark.read.parquet(s"$path/terms")
+        .select(col("term"), col("dfreq"))
+        .join(deltaTerms, Seq("term"), "left")
+        .select(col("term"),
+          (col("dfreq") - coalesce(col("ddf"), lit(0L))).as("dfreq"))
+        .filter(col("dfreq") > 0)
+        .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
+        .cache()
+      newTerms.count() // materialize before overwriting the source files
+      newTerms.write.mode("overwrite").partitionBy("b").parquet(s"$path/terms")
+      newTerms.unpersist()
+      // stats subtract: dl is denormalized per posting row — one value
+      // per doc, so first() per doc recovers it exactly
+      val perDoc = rows.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      val delta = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .collect()(0)
+      val old = spark.read.parquet(s"$path/stats")
+        .select(col("n_docs"), col("total_dl")).collect()(0)
+      def nz(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      import spark.implicits._
+      Seq((nz(old, 0) - nz(delta, 0), nz(old, 1) - nz(delta, 1)))
+        .toDF("n_docs", "total_dl")
+        .write.mode("overwrite").parquet(s"$path/stats")
+      rows.unpersist()
+      fresh.write.mode("append").parquet(tombDir(path))
+    }
+    fresh.unpersist()
+  }
+
+  /** Physically drop tombstoned postings — the compaction that turns the
+    * probe-time mask back into a clean append-only index (EventLog
+    * .compact's discipline: rewrite once, then cheap forever). Probes
+    * before and after are identical; after vacuum the tombstone set is
+    * empty. */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    if (!hasTombstones(path)) return
+    val kept = masked(spark, path, spark.read.parquet(s"$path/postings")).cache()
+    kept.count() // materialize before overwriting the source files
+    kept.write.mode("overwrite").partitionBy("b").parquet(s"$path/postings")
+    kept.unpersist()
+    val tomb = java.nio.file.Paths.get(tombDir(path))
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(tomb)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally s.close()
   }
 }

@@ -62,6 +62,59 @@ object VectorIndex {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  // SIBLING of the index dir, not inside it: the raw layout is read at
+  // the path root (`spark.read.parquet(path)`), and a non-`bucket=`
+  // subdirectory would corrupt partition discovery
+  private def tombDir(path: String) = s"${path.stripSuffix("/")}_tombstones"
+
+  private def hasTombstones(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(path)))
+
+  /** Mask tombstoned vectors out of a candidate frame (id column
+    * `idCol`) — no-op when nothing was deleted; the tombstone set is
+    * |deleted|-sized, AQE broadcasts the anti-join. */
+  private def masked(spark: SparkSession, path: String, df: DataFrame,
+      idCol: String): DataFrame =
+    if (!hasTombstones(path)) df
+    else df.join(
+      spark.read.parquet(tombDir(path)).select(col("vec_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Delete vectors from the index — the right-to-be-forgotten path.
+    * The index is side-table-free, so a delete is just the tombstone
+    * append: every probe ([[probe]], [[probeFiltered]], [[probePq]])
+    * anti-joins the |deleted|-sized set BEFORE ranking, so a top-k after
+    * delete equals a probe of a from-scratch rebuild on the remaining
+    * vectors (VectorIndexSpec pins it) — never a post-filtered short
+    * list. Idempotent (duplicate tombstones are harmless) and a no-op
+    * for never-indexed ids. Partition mass is untouched; [[vacuum]]
+    * physically drops the rows. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    ids.select(col(ids.columns.head).as("vec_id")).distinct()
+      .write.mode("append").parquet(tombDir(path))
+  }
+
+  /** Physically drop tombstoned vectors from the raw bucketed layout —
+    * probes before and after are identical; the tombstone set is cleared.
+    * (The PQ layout's codes/raw tables stay masked-at-probe until the
+    * next [[materializePq]] — codes are derived artifacts and rebuild
+    * wholesale.) */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    if (!hasTombstones(path)) return
+    val kept = masked(spark, path,
+      spark.read.parquet(path).select(col("vec_id"), col("v"), col("bucket")),
+      "vec_id").cache()
+    kept.count() // materialize before overwriting the source files
+    kept.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    kept.unpersist()
+    val tomb = java.nio.file.Paths.get(tombDir(path))
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(tomb)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally s.close()
+  }
+
   /** Top-k cosine neighbors per query vector, scanning ONLY the probed
     * bucket partitions. `queries`: (query_id, embedding).
     *
@@ -74,8 +127,8 @@ object VectorIndex {
   def probe(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       bits: Int = 4, dim: Int = 64, nprobe: Int = 1): DataFrame = {
     val (q, probes, buckets) = queryProbes(spark, queries, bits, dim, nprobe)
-    val corpus = spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*))
+    val corpus = masked(spark, path,
+        spark.read.parquet(path).filter(col("bucket").isin(buckets: _*)), "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("bucket"),
         col("v").as("cv"), sqrt(expr("graft_dot(v, v)")).as("cnrm"))
     val w = Window.partitionBy(col("query_id"))
@@ -103,8 +156,8 @@ object VectorIndex {
       allowed: DataFrame, k: Int, bits: Int = 4, dim: Int = 64,
       nprobe: Int = 1): DataFrame = {
     val (q, probes, buckets) = queryProbes(spark, queries, bits, dim, nprobe)
-    val corpus = spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*))
+    val corpus = masked(spark, path,
+        spark.read.parquet(path).filter(col("bucket").isin(buckets: _*)), "vec_id")
       .join(allowed.select(col(allowed.columns.head).as("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("neighbor_id"), col("bucket"),
         col("v").as("cv"), sqrt(expr("graft_dot(v, v)")).as("cnrm"))
@@ -209,8 +262,11 @@ object VectorIndex {
     val q = q0.withColumn("qsc", call_function("graft_pq_scores", col("qv"),
       typedLit(PqCodebook.flatten(cb)), typedLit(PqCodebook.norms2(cb)),
       lit(mEff), lit(kEff)))
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("bucket").isin(buckets: _*))
+    // masking the codes table suffices: raw rows are only reached through
+    // the shortlist, which is drawn from the masked codes
+    val codes = masked(spark, path,
+        spark.read.parquet(s"$path/codes").filter(col("bucket").isin(buckets: _*)),
+        "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("bucket"), col("codes"))
     val adc = expr(s"aggregate(sequence(0, ${mEff - 1}), CAST(0 AS DOUBLE), (acc, j) -> " +
       s"acc + element_at(qsc, CAST(j*$kEff + element_at(codes, CAST(j+1 AS INT)) AS INT)))")

@@ -29,9 +29,13 @@ import graft.queries.CrossHash.{h60, tokens}
   * list does.
   */
 object StreamingRetrieval {
-  /** Load the denormalized static scoring frame from a built index. */
+  /** Load the denormalized static scoring frame from a built index —
+    * tombstone-masked, so a served index reflects deletes immediately
+    * (the terms/stats sides were already updated exactly at delete
+    * time). */
   def scoringFrame(spark: SparkSession, path: String): DataFrame = {
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = Bm25Index.masked(spark, path,
+        spark.read.parquet(s"$path/postings"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val terms = spark.read.parquet(s"$path/terms")
       .select(col("term"), col("dfreq"))

@@ -115,4 +115,37 @@ class Bm25IndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("delete: probe == from-scratch build on the remaining corpus; idempotent; vacuum preserves and clears") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val idx = Files.createTempDirectory("bm25del").toString
+    val ref = Files.createTempDirectory("bm25rem").toString
+    try {
+      Bm25Index.build(docs, idx)
+      Bm25Index.build(docs.filter($"doc_id" % 7 =!= 0), ref)
+      Bm25Index.delete(spark, idx, docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      val q = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+      def scores(path: String) = Bm25Index.probe(spark, path, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = scores(ref)
+      assert(expected.nonEmpty, "no BM25 hits — test would be vacuous")
+      // exact: scores of SURVIVING docs moved with the deleted df/avgdl
+      // mass exactly as the rebuild's did
+      assert(scores(idx) == expected, "deleted probe != rebuild on remaining")
+      // double-delete + a never-indexed id: both no-ops
+      Bm25Index.delete(spark, idx,
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+          .union(Seq(999999L).toDF("doc_id")))
+      assert(scores(idx) == expected, "repeated delete mutated the index")
+      // compaction: physically drops the rows, probe unchanged
+      Bm25Index.vacuum(spark, idx)
+      assert(scores(idx) == expected, "vacuum changed probe results")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/tombstones")), "tombstones not cleared")
+    } finally {
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -203,4 +203,56 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(recallVsRaw >= 0.8, f"PQ recall vs raw probe = $recallVsRaw%.2f")
     spark.catalog.clearCache()
   }
+
+  test("delete: probes equal a rebuild on the remaining vectors; PQ refills the shortlist; vacuum preserves and clears") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val idx = Files.createTempDirectory("graft-vecdel-").toString
+    val ref = Files.createTempDirectory("graft-vecrem-").toString
+    val vecs = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    VectorIndex.materialize(vecs, idx, bits = Bits)
+    VectorIndex.materialize(vecs.filter($"vec_id" % 5 =!= 0), ref, bits = Bits)
+
+    val deleted = vecs.filter($"vec_id" % 5 === 0).select($"vec_id")
+    VectorIndex.delete(spark, idx, deleted)
+    val queries = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def hits(path: String) =
+      VectorIndex.probe(spark, path, queries, k = 3, bits = Bits, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = hits(ref)
+    assert(expected.nonEmpty, "no ANN hits — test would be vacuous")
+    // ranks REFILL with the next candidates, exactly as a rebuild's would
+    assert(hits(idx) == expected, "deleted probe != rebuild on remaining")
+
+    // filtered probe composes with the mask
+    val allowed = vecs.filter($"vec_id" % 2 === 0).select($"vec_id")
+    def fhits(path: String) =
+      VectorIndex.probeFiltered(spark, path, queries, allowed, k = 3, bits = Bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fhits(idx) == fhits(ref), "filtered probe diverges after delete")
+
+    // PQ: deleted ids vanish from results and the shortlist refills to k
+    // (a rebuild retrains codebooks, so the pin is exclusion + refill,
+    // not set equality)
+    val pq = Files.createTempDirectory("graft-vecdelpq-").toString
+    VectorIndex.materializePq(vecs, pq, bits = Bits)
+    VectorIndex.delete(spark, pq, deleted)
+    val delSet = deleted.as[Long].collect().toSet
+    val pqGot = VectorIndex.probePq(spark, pq, queries, k = 3, bits = Bits, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pqGot.nonEmpty && pqGot.forall(t => !delSet(t._3)),
+      s"deleted id surfaced in PQ probe: ${pqGot.filter(t => delSet(t._3))}")
+    assert(pqGot.groupBy(_._1).values.forall(_.size == 3),
+      "PQ shortlist did not refill to k after delete")
+
+    // idempotent double-delete + never-indexed id, then vacuum
+    VectorIndex.delete(spark, idx, deleted.union(Seq(999999L).toDF("vec_id")))
+    assert(hits(idx) == expected, "repeated delete mutated the index")
+    VectorIndex.vacuum(spark, idx)
+    assert(hits(idx) == expected, "vacuum changed probe results")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${idx}_tombstones")), "tombstones not cleared")
+    spark.catalog.clearCache()
+  }
 }
