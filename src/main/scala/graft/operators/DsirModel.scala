@@ -73,6 +73,19 @@ object DsirModel {
       .groupBy(col("f"))
       .agg(sum(col("r_cnt")).as("r_cnt"), sum(col("t_cnt")).as("t_cnt"))
 
+  /** Subtract documents from the model — count algebra in reverse, so
+    * remove(fit(a ∪ b), b, isTarget) ≡ fit(a) exactly (the takedown
+    * path; DsirModelSpec pins it). Buckets whose raw count reaches 0
+    * leave the table, exactly as a refit without those docs would
+    * (t_cnt ≤ r_cnt by construction, so no separate target guard). */
+  def remove(model: DataFrame, docs: DataFrame, isTarget: Column): DataFrame =
+    model.select(col("f"), col("r_cnt"), col("t_cnt"))
+      .unionByName(fit(docs, isTarget)
+        .select(col("f"), (-col("r_cnt")).as("r_cnt"), (-col("t_cnt")).as("t_cnt")))
+      .groupBy(col("f"))
+      .agg(sum(col("r_cnt")).as("r_cnt"), sum(col("t_cnt")).as("t_cnt"))
+      .filter(col("r_cnt") > 0)
+
   /** Score a batch against a (frozen) model: (doc_id, n_tokens,
     * imp_scaled, imp_mean_scaled, keep) — the sample_importance output
     * contract. Unseen features take the smoothed zero-count ratio. */
