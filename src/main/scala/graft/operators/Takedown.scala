@@ -66,4 +66,19 @@ object Takedown {
     * surviving offsets unchanged (offset gaps remain until a repack). */
   def shards(spark: SparkSession, outDir: String): DataFrame =
     mask(spark, outDir, spark.read.parquet(s"$outDir/shards"))
+
+  /** Reclaim the offset gaps [[run]] leaves: rewrite the shards from the
+    * masked manifest — the SAME packing job day-0 ran, so shard ids
+    * renumber contiguously from the surviving token stream and every
+    * offset is gapless again. Returns the new shard count. The
+    * tombstones stay (they still mask the curated files); re-masking the
+    * repacked shards is a no-op since no removed doc survives the
+    * rewrite. This is the one corpus-manifest-sized job in the takedown
+    * path — deliberately split out so the masking stays cheap and the
+    * rewrite runs on the operator's schedule, not the request's. */
+  def repack(spark: SparkSession, outDir: String,
+      budget: Long = graft.queries.CorpusQueries.PackBudget): Long =
+    PackedExport.writeShards(
+      manifest(spark, outDir).select(col("doc_id"), col("n_tokens")),
+      s"$outDir/shards", budget)
 }

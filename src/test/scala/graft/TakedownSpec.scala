@@ -80,6 +80,24 @@ class TakedownSpec extends AnyFunSuite {
     assert(hits(s"$dir/vectors") == hits(refVec),
       "vector probe != rebuild on remaining subset")
 
+    // repack: gapless contiguous shards over exactly the surviving docs
+    val nShards = Takedown.repack(spark, dir)
+    val repacked = Takedown.shards(spark, dir)
+      .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(repacked.map(_._1).toSet == remainingIds, "repacked docs != masked manifest")
+    assert(repacked.map(_._3).toSet == (0L until nShards).toSet, "shard ids not contiguous")
+    val budget = graft.queries.CorpusQueries.PackBudget
+    assert(nShards == (repacked.map(_._2).sum + budget - 1) / budget,
+      "shard count != ceil(surviving tokens / budget)")
+    for ((_, group) <- repacked.groupBy(_._3)) {
+      val inOrder = group.sortBy(_._4)
+      // gapless: each doc starts where the previous one ended (mod budget
+      // rollover only at the shard seam, which the grouping excludes)
+      for (Array(a, b) <- inOrder.sliding(2).map(_.toArray) if inOrder.size > 1)
+        assert(b._4 == a._4 + a._2, s"offset gap in shard ${a._3}: $a -> $b")
+    }
+
     // DSIR: stored model == a direct refit over the remaining kept set
     val refit = DsirModel.fit(
         remainingDocs.join(docsTable.select($"doc_id", $"lang"), "doc_id"),
