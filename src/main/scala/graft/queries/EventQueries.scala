@@ -454,6 +454,24 @@ object EventQueries extends QueryModule {
     // Data-quality audit: referential integrity of the star schema —
     // orphan counts per foreign-key edge (anti-join aggregates; each edge
     // is one shuffle on the key, or a broadcast when the parent is a dim).
+    // Pipeline-freshness audit — the staleness monitor every ingestion
+    // SLA dashboard runs: per event type, how far its newest event lags
+    // the stream head. A type whose lag grows run over run is a stuck
+    // producer/partition. One shuffle on the (tiny) type key with partial
+    // aggregation; the stream head joins back as a 1-row cross join.
+    // Exact integer microseconds (unix_micros), no float time math.
+    "dq_freshness" -> { (s, dir) =>
+      import s.implicits._
+      val perType = Tables.load(s, dir, "events")
+        .select($"event_type", unix_micros($"ts").as("us"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), max($"us").as("latest_us"))
+      val head = perType.agg(max($"latest_us").as("head_us"))
+      perType.crossJoin(head) // 1 row — AQE broadcasts
+        .select($"event_type", $"n_events", $"latest_us",
+          ($"head_us" - $"latest_us").as("lag_us"))
+    },
+
     "dq_integrity" -> { (s, dir) =>
       import s.implicits._
       def orphans(edge: String, child: DataFrame, key: String, parent: DataFrame, pkey: String) =
@@ -886,6 +904,16 @@ object EventQueries extends QueryModule {
         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
         |FROM (SELECT vec_id, count(*) AS c FROM embeddings GROUP BY vec_id)""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS latest_us
+        |  FROM events GROUP BY event_type),
+        |head AS (SELECT max(latest_us) AS head_us FROM per)
+        |SELECT event_type, n_events, latest_us,
+        |  CAST(head_us - latest_us AS BIGINT) AS lag_us
+        |FROM per CROSS JOIN head""".stripMargin,
 
     "dq_integrity" ->
       """SELECT 'lineitem.orderkey->orders' AS fk_edge, count(*) AS n_orphans
