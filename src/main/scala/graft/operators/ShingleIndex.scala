@@ -36,6 +36,28 @@ object ShingleIndex {
       .write.mode("overwrite").saveAsTable(s"${name}_counts")
   }
 
+  /** Delete documents from the index — the right-to-be-forgotten path
+    * for the DEDUP surface, which matters beyond storage hygiene: while
+    * the removed doc's shingles remain, tomorrow's copy of that content
+    * would be silently dropped as a "duplicate" of data the pipeline
+    * promised to forget — the index would keep acting on a fingerprint
+    * of removed content. Tombstone mask (the Bm25Index.delete doctrine):
+    * the bucketed index mass is untouched, and the mask joins broadcast,
+    * so the probe's no-shuffle-above-the-index-scan property survives.
+    * After delete, [[probe]] equals a probe of an index materialized
+    * without the removed docs (ShingleIndexSpec pins it); idempotent,
+    * never-indexed ids are no-ops. */
+  def delete(spark: SparkSession, name: String, ids: DataFrame): Unit = {
+    graft.GraftExtensions.register(spark)
+    ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      .write.mode("append").saveAsTable(s"${name}_tombstones")
+  }
+
+  private def masked(spark: SparkSession, name: String, df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(s"${name}_tombstones")) df
+    else df.join(spark.table(s"${name}_tombstones").select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) between a new
     * batch (doc_id, text; ids disjoint from the corpus) and the
     * materialized index — plus within the batch itself. Equals
@@ -48,8 +70,8 @@ object ShingleIndex {
       .distinct()
       .cache()
     val bcnt = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val idx = spark.table(name)
-    val ccnt = spark.table(s"${name}_counts")
+    val idx = masked(spark, name, spark.table(name))
+    val ccnt = masked(spark, name, spark.table(s"${name}_counts"))
 
     // batch-vs-corpus: the bucketed index side never shuffles — only the
     // (small) batch repartitions to the bucket layout

@@ -50,4 +50,49 @@ class ShingleIndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("delete: probe equals an index materialized without the removed docs; index side still unshuffled") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    try {
+      ShingleIndex.materialize(corpus, "graft_shidx_del")
+      ShingleIndex.materialize(corpus.filter($"doc_id" % 3 =!= 0), "graft_shidx_rem")
+      ShingleIndex.delete(spark, "graft_shidx_del",
+        corpus.filter($"doc_id" % 3 === 0).select($"doc_id"))
+
+      def pairs(name: String) = ShingleIndex.probe(spark, name, batch, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = pairs("graft_shidx_rem")
+      assert(expected.nonEmpty, "no probe pairs — test would be vacuous")
+      // a removed doc must stop producing dedup verdicts: tomorrow's copy
+      // of its content is NEW, not a duplicate of forgotten data
+      assert(pairs("graft_shidx_del") == expected,
+        "masked probe != index rebuilt without the removed docs")
+
+      // idempotent double-delete + never-indexed id
+      ShingleIndex.delete(spark, "graft_shidx_del",
+        corpus.filter($"doc_id" % 3 === 0).select($"doc_id")
+          .union(Seq(999999L).toDF("doc_id")))
+      assert(pairs("graft_shidx_del") == expected)
+
+      // the mask must not cost the co-location: index scan still not
+      // beneath any shuffle (the tombstone side broadcasts)
+      val plan = ShingleIndex.probe(spark, "graft_shidx_del", batch, 0.6)
+        .queryExecution.sparkPlan
+      val shuffledScans = plan.collect {
+          case e: ShuffleExchangeExec => e }
+        .flatMap(_.collect { case f: FileSourceScanExec => f })
+        .filter(_.tableIdentifier.exists(_.table == "graft_shidx_del"))
+      assert(shuffledScans.isEmpty, s"mask shuffled the bucketed index:\n$plan")
+    } finally {
+      for (t <- Seq("graft_shidx_del", "graft_shidx_del_tombstones", "graft_shidx_rem"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql("DROP TABLE IF EXISTS graft_shidx_del_counts")
+      spark.sql("DROP TABLE IF EXISTS graft_shidx_rem_counts")
+      spark.catalog.clearCache()
+    }
+  }
 }
