@@ -52,11 +52,13 @@ object Bm25Index {
     tf.join(dl, "doc_id")
       .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("b").parquet(s"$path/postings")
+    val smalls = nextSmalls(path)
     tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
       .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$path/terms")
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/$smalls/terms")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").parquet(s"$path/$smalls/stats")
+    writeState(path, 0L, smalls, "postings")
   }
 
   /** Incrementally fold a new document batch into an existing index —
@@ -81,26 +83,27 @@ object Bm25Index {
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     tf.join(dl, "doc_id")
       .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
-      .write.mode("append").partitionBy("b").parquet(s"$path/postings")
-    // vocabulary-sized merge: old df ⊎ batch df (read fully — this is the
-    // small side; the postings mass above is append-only)
-    val oldTerms = spark.read.parquet(s"$path/terms").select(col("term"), col("dfreq"))
-    val newTerms = oldTerms
+      .write.mode("append").partitionBy("b").parquet(postingsPath(path))
+    // vocabulary-sized merge: old df ⊎ batch df, written to a FRESH
+    // snapshot dir and committed by pointer swap — the plan reads the old
+    // snapshot and never overwrites it (no cache-to-dodge-the-overwrite)
+    val (epoch, _, postingsRel) = currentState(path)
+    val oldTerms = spark.read.parquet(termsPath(path)).select(col("term"), col("dfreq"))
+    val smalls = nextSmalls(path)
+    oldTerms
       .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq")))
       .groupBy(col("term")).agg(sum(col("dfreq")).as("dfreq"))
       .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
-      .cache()
-    newTerms.count() // materialize before overwriting the source files
-    newTerms.write.mode("overwrite").partitionBy("b").parquet(s"$path/terms")
-    newTerms.unpersist()
-    val oldStats = spark.read.parquet(s"$path/stats")
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/$smalls/terms")
+    val oldStats = spark.read.parquet(statsPath(path))
       .select(col("n_docs"), col("total_dl")).collect()(0)
     val delta = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")).collect()(0)
     import spark.implicits._
     def nz(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
     Seq((nz(oldStats, 0) + nz(delta, 0), nz(oldStats, 1) + nz(delta, 1)))
       .toDF("n_docs", "total_dl")
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").parquet(s"$path/$smalls/stats")
+    writeState(path, epoch, smalls, postingsRel)
   }
 
   /** BM25 scores of `qterms` (query_id, term) against the index:
@@ -125,10 +128,10 @@ object Bm25Index {
     // |distinct query terms|-bounded driver collect — the static prune set
     val probed = qb.select(col("b")).distinct().collect().map(_.getLong(0)).toSeq
     val postings = masked(spark, path,
-      spark.read.parquet(s"$path/postings").filter(col("b").isin(probed: _*)))
-    val termsAll = spark.read.parquet(s"$path/terms")
+      spark.read.parquet(postingsPath(path)).filter(col("b").isin(probed: _*)))
+    val termsAll = spark.read.parquet(termsPath(path))
       .filter(col("b").isin(probed: _*))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = spark.read.parquet(statsPath(path))
     val terms =
       if (maxDfFrac >= 1.0) termsAll
       else termsAll.crossJoin(stats.select(col("n_docs").as("_n")))
@@ -150,6 +153,71 @@ object Bm25Index {
   private def hasTombstones(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(path)))
 
+  // ---------------------------------------------------------------------
+  // Small-side versioning: terms/stats live in immutable snapshot dirs
+  // (`smalls/<n>/{terms,stats}`) selected by a pointer file `_current`,
+  // swapped with an atomic rename. Every rewrite of the vocabulary-sized
+  // side therefore writes to a FRESH directory and commits by pointer
+  // swap — no plan ever overwrites the files it is reading (the
+  // read-path-you-write hazard cache()+count() only papered over: a lost
+  // cached block would silently recompute from half-overwritten files),
+  // and a crash mid-write leaves the previous snapshot intact. The
+  // pointer also records the tombstone EPOCH the snapshot reflects, which
+  // makes [[delete]] crash-recoverable: tombstones (the commit record)
+  // append FIRST, and [[applyPending]] rolls the snapshot forward to the
+  // newest epoch — a retry after a crash between the two steps finishes
+  // the df/stats update instead of skipping it (the round-10 advisory's
+  // lost-delete window) or applying it twice.
+  private def pointerFile(path: String) = java.nio.file.Paths.get(s"$path/_current")
+
+  /** (applied tombstone epoch, smalls snapshot rel-dir, postings rel-dir).
+    * Falls back to the flat legacy layout when no pointer exists. */
+  private def currentState(path: String): (Long, String, String) = {
+    val p = pointerFile(path)
+    if (!java.nio.file.Files.exists(p)) (0L, "", "postings")
+    else {
+      val Array(e, s, g) = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim.split("\t")
+      (e.toLong, s, g)
+    }
+  }
+
+  private def writeState(path: String, epoch: Long, smalls: String,
+      postings: String): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$path/_current.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.write(tmp, s"$epoch\t$smalls\t$postings".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, pointerFile(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def smallsDir(path: String): String = currentState(path)._2 match {
+    case "" => path // legacy flat layout: terms/stats directly under path
+    case s => s"$path/$s"
+  }
+
+  private[graft] def postingsPath(path: String): String =
+    s"$path/${currentState(path)._3}"
+
+  private[graft] def termsPath(path: String): String = s"${smallsDir(path)}/terms"
+  private[graft] def statsPath(path: String): String = s"${smallsDir(path)}/stats"
+
+  /** Next unused snapshot id under smalls/ (monotone counter). */
+  private def nextSmalls(path: String): String = {
+    val d = java.nio.file.Paths.get(s"$path/smalls")
+    val n = if (!java.nio.file.Files.exists(d)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala
+          .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+          .map(_.toLong).foldLeft(-1L)(math.max) + 1L
+        finally s.close()
+      }
+    s"smalls/$n"
+  }
+
   /** Mask tombstoned documents out of a postings frame — the probe-time
     * side of [[delete]]. The tombstone set is |deleted|-sized (AQE
     * broadcasts the anti-join side); no-op when nothing was deleted. */
@@ -165,71 +233,109 @@ object Bm25Index {
     * the remaining corpus (Bm25IndexSpec pins it). The postings mass is
     * NOT rewritten (append-only at 100 TB); deleted rows are masked by a
     * tombstone anti-join at probe time and physically dropped by
-    * [[vacuum]]. The two small sides update exactly at delete time from
-    * ONE postings scan restricted to the deleted ids: per-term df
-    * decrements (terms reaching df 0 drop out of the vocabulary, exactly
-    * as a rebuild would), and the 1-row stats subtract the deleted docs'
+    * [[vacuum]]. The two small sides update exactly from ONE postings
+    * scan restricted to the deleted ids: per-term df decrements (terms
+    * reaching df 0 drop out of the vocabulary, exactly as a rebuild
+    * would), and the 1-row stats subtract the deleted docs'
     * counts/lengths. Already-tombstoned ids are ignored (idempotent
     * double-delete); never-indexed ids are no-ops (they have no postings,
-    * so every delta is zero). */
+    * so every delta is zero).
+    *
+    * CRASH-SAFE: the epoch-stamped tombstone append is the commit record
+    * and lands FIRST (probe masking is correct from that moment); the
+    * small-side update is [[applyPending]]'s pointer-swapped roll-forward
+    * to the newest epoch. A retry after a crash between the two steps
+    * finishes the df/stats update (it reruns the same pure recompute from
+    * postings ∩ pending tombstones) instead of skipping it behind the
+    * fresh-guard or applying it twice. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       buckets: Int = 32): Unit = {
     graft.GraftExtensions.register(spark)
+    applyPending(spark, path, buckets) // roll forward any crashed delete
     val del0 = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    // EAGER pin: the fresh-guard plan reads the tombstone dir the append
+    // below grows — checkpoint cuts the lineage (request-sized rows)
     val fresh = (if (hasTombstones(path))
         del0.join(spark.read.parquet(tombDir(path)).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
-      else del0).cache()
+      else del0).localCheckpoint(true)
     if (!fresh.isEmpty) {
-      val rows = spark.read.parquet(s"$path/postings")
-        .join(fresh, Seq("doc_id"), "left_semi").cache()
-      // vocabulary-sized df decrement; terms at df 0 leave the vocabulary
-      val deltaTerms = rows.groupBy(col("term")).agg(count(lit(1)).as("ddf"))
-      val newTerms = spark.read.parquet(s"$path/terms")
-        .select(col("term"), col("dfreq"))
-        .join(deltaTerms, Seq("term"), "left")
-        .select(col("term"),
-          (col("dfreq") - coalesce(col("ddf"), lit(0L))).as("dfreq"))
-        .filter(col("dfreq") > 0)
-        .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
-        .cache()
-      newTerms.count() // materialize before overwriting the source files
-      newTerms.write.mode("overwrite").partitionBy("b").parquet(s"$path/terms")
-      newTerms.unpersist()
-      // stats subtract: dl is denormalized per posting row — one value
-      // per doc, so first() per doc recovers it exactly
-      val perDoc = rows.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      val delta = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-        .collect()(0)
-      val old = spark.read.parquet(s"$path/stats")
-        .select(col("n_docs"), col("total_dl")).collect()(0)
-      def nz(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
-      import spark.implicits._
-      Seq((nz(old, 0) - nz(delta, 0), nz(old, 1) - nz(delta, 1)))
-        .toDF("n_docs", "total_dl")
-        .write.mode("overwrite").parquet(s"$path/stats")
-      rows.unpersist()
-      fresh.write.mode("append").parquet(tombDir(path))
+      val epoch = currentState(path)._1 + 1
+      fresh.withColumn("epoch", lit(epoch)).write.mode("append").parquet(tombDir(path))
+      applyPending(spark, path, buckets)
     }
-    fresh.unpersist()
+  }
+
+  /** Roll the terms/stats snapshot forward to the newest tombstone epoch
+    * — the apply half of [[delete]]'s commit-then-apply protocol. A pure
+    * recompute from (current snapshot, postings ∩ pending-epoch ids),
+    * committed by one atomic pointer swap, so it is idempotent under
+    * crash/retry: either the pointer moved (nothing pending) or it
+    * didn't (the whole recompute reruns). No-op when current. */
+  def applyPending(spark: SparkSession, path: String, buckets: Int = 32): Unit = {
+    if (!hasTombstones(path)) return
+    val (applied, _, postingsRel) = currentState(path)
+    val tomb = spark.read.parquet(tombDir(path))
+    val pendRows = tomb.filter(col("epoch") > applied)
+      .select(col("doc_id"), col("epoch"))
+    val maxPending = pendRows.agg(max(col("epoch"))).collect()(0)
+    if (maxPending.isNullAt(0)) return
+    val pend = pendRows.select(col("doc_id")).distinct()
+    val rows = spark.read.parquet(postingsPath(path))
+      .join(pend, Seq("doc_id"), "left_semi").cache()
+    // vocabulary-sized df decrement; terms at df 0 leave the vocabulary
+    val deltaTerms = rows.groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+    val smalls = nextSmalls(path)
+    spark.read.parquet(termsPath(path))
+      .select(col("term"), col("dfreq"))
+      .join(deltaTerms, Seq("term"), "left")
+      .select(col("term"),
+        (col("dfreq") - coalesce(col("ddf"), lit(0L))).as("dfreq"))
+      .filter(col("dfreq") > 0)
+      .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/$smalls/terms")
+    // stats subtract: dl is denormalized per posting row — one value
+    // per doc, so first() per doc recovers it exactly
+    val perDoc = rows.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+    val delta = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .collect()(0)
+    val old = spark.read.parquet(statsPath(path))
+      .select(col("n_docs"), col("total_dl")).collect()(0)
+    def nz(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    import spark.implicits._
+    Seq((nz(old, 0) - nz(delta, 0), nz(old, 1) - nz(delta, 1)))
+      .toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$path/$smalls/stats")
+    rows.unpersist()
+    writeState(path, maxPending.getLong(0), smalls, postingsRel)
   }
 
   /** Physically drop tombstoned postings — the compaction that turns the
     * probe-time mask back into a clean append-only index (EventLog
     * .compact's discipline: rewrite once, then cheap forever). Probes
     * before and after are identical; after vacuum the tombstone set is
-    * empty. */
+    * empty. The masked rewrite reads the CURRENT postings dir and writes
+    * a fresh one committed by pointer swap — never an in-place overwrite
+    * of the files its own plan reads. */
   def vacuum(spark: SparkSession, path: String): Unit = {
     if (!hasTombstones(path)) return
-    val kept = masked(spark, path, spark.read.parquet(s"$path/postings")).cache()
-    kept.count() // materialize before overwriting the source files
-    kept.write.mode("overwrite").partitionBy("b").parquet(s"$path/postings")
-    kept.unpersist()
-    val tomb = java.nio.file.Paths.get(tombDir(path))
-    import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.walk(tomb)
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.delete)
-    finally s.close()
+    applyPending(spark, path)
+    val (epoch, smallsRel, postingsRel) = currentState(path)
+    val newRel = s"postings_e$epoch"
+    if (newRel != postingsRel) {
+      masked(spark, path, spark.read.parquet(postingsPath(path)))
+        .write.mode("overwrite").partitionBy("b").parquet(s"$path/$newRel")
+      writeState(path, epoch, smallsRel, newRel)
+    }
+    def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+    rmTree(java.nio.file.Paths.get(tombDir(path)))
+    if (postingsRel != newRel) // GC the superseded postings dir
+      rmTree(java.nio.file.Paths.get(s"$path/$postingsRel"))
   }
 }

@@ -71,20 +71,53 @@ object LineSegmentIndex {
           array_sort(collect_list(when(col("kept"), struct(col("seg_idx"), col("seg"))))),
           x => x("seg")), " ").as("dedup_text"))
 
-  /** Write the bucketed distinct-hash index for `docs` (doc_id, text). */
+  /** Write the bucketed index for `docs` (doc_id, text): DISTINCT
+    * (doc_id, h) pairs, bucketed by `h`. The doc attribution is what
+    * makes [[delete]] exact — with a bare hash set, forgetting a doc
+    * would either leave its hashes suppressing future copies of removed
+    * content forever, or over-forget hashes it shared with surviving
+    * docs. Probes project the (tombstone-masked) distinct `h` set; the
+    * bucket layout keeps that projection co-located. */
   def materialize(docs: DataFrame, name: String, buckets: Int = 32): Unit =
-    segments(docs).select(col("h")).distinct()
+    segments(docs).select(col("doc_id"), col("h")).distinct()
       .write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
 
-  /** Fold a new batch into the index: only hashes the index does NOT
-    * already hold are written (|batch|-bounded co-located anti-join; the
-    * standing files never rewrite). The resulting hash set is EXACTLY
-    * `materialize(corpus ∪ batch)`'s — pinned in LineSegmentIndexSpec. */
-  def append(batch: DataFrame, name: String, buckets: Int = 32): Unit = {
-    val spark = batch.sparkSession
-    segments(batch).select(col("h")).distinct()
-      .join(spark.table(name), Seq("h"), "left_anti")
+  /** Fold a new batch into the index: the batch's distinct (doc_id, h)
+    * pairs append under the same bucket layout (|batch|-bounded; the
+    * standing files never rewrite; batch doc_ids disjoint from the
+    * corpus — the ShingleIndex.probe contract). The resulting hash SET
+    * is EXACTLY `materialize(corpus ∪ batch)`'s — pinned in
+    * LineSegmentIndexSpec. Every batch occurrence is recorded (not just
+    * first-seen hashes) so a later [[delete]] of any doc stays exact. */
+  def append(batch: DataFrame, name: String, buckets: Int = 32): Unit =
+    segments(batch).select(col("doc_id"), col("h")).distinct()
       .write.mode("append").bucketBy(buckets, "h").saveAsTable(name)
+
+  /** Delete documents from the index — the right-to-be-forgotten path
+    * for the LINE-dedup surface (the ShingleIndex.delete doctrine):
+    * tombstone-masked, so the bucketed index mass is untouched and the
+    * probe-side hash set becomes exactly the surviving docs' — a hash
+    * survives iff some non-deleted doc still holds it. After delete,
+    * [[probeDedup]] equals a probe of an index materialized without the
+    * removed docs (TakedownSpec pins it); idempotent, never-indexed ids
+    * are no-ops. */
+  def delete(spark: SparkSession, name: String, ids: DataFrame): Unit = {
+    graft.GraftExtensions.register(spark)
+    ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      .write.mode("append").saveAsTable(s"${name}_tombstones")
+  }
+
+  /** The index's surviving distinct hash set: tombstone-masked pairs
+    * projected to `h`. The mask joins broadcast (|deleted|-sized) and
+    * the distinct aggregates within the bucket layout, so the index is
+    * still never re-shuffled in a probe. */
+  private def maskedHashes(spark: SparkSession, name: String): DataFrame = {
+    val pairs =
+      if (!spark.catalog.tableExists(s"${name}_tombstones")) spark.table(name)
+      else spark.table(name).join(
+        spark.table(s"${name}_tombstones").select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    pairs.select(col("h")).distinct()
   }
 
   /** Line-dedup a new batch (doc_id, text) against the index with
@@ -95,7 +128,7 @@ object LineSegmentIndex {
     * joins co-located, only batch-sized rows shuffle. */
   def probeDedup(spark: SparkSession, name: String, batch: DataFrame): DataFrame = {
     val segs = segments(batch).cache()
-    val idx = spark.table(name).withColumn("in_corpus", lit(1))
+    val idx = maskedHashes(spark, name).withColumn("in_corpus", lit(1))
     val batchWin = segs.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"), min(col("okey")).as("wkey"))
       .filter(col("cnt") >= 2)

@@ -101,12 +101,17 @@ object VectorIndex {
     * wholesale.) */
   def vacuum(spark: SparkSession, path: String): Unit = {
     if (!hasTombstones(path)) return
+    // EAGER localCheckpoint, not cache: the rewrite overwrites the very
+    // files this plan reads, and a lost cached block would silently
+    // recompute from the half-overwritten layout — checkpointing cuts
+    // the lineage and fails loud instead (the DailyIncrement discipline;
+    // Bm25Index.vacuum avoids the hazard structurally via its pointer-
+    // swapped postings dirs, which this path-root hive layout can't use
+    // without breaking partition discovery).
     val kept = masked(spark, path,
       spark.read.parquet(path).select(col("vec_id"), col("v"), col("bucket")),
-      "vec_id").cache()
-    kept.count() // materialize before overwriting the source files
+      "vec_id").localCheckpoint(true)
     kept.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    kept.unpersist()
     val tomb = java.nio.file.Paths.get(tombDir(path))
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(tomb)

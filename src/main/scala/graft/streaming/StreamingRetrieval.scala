@@ -35,11 +35,11 @@ object StreamingRetrieval {
     * time). */
   def scoringFrame(spark: SparkSession, path: String): DataFrame = {
     val postings = Bm25Index.masked(spark, path,
-        spark.read.parquet(s"$path/postings"))
+        spark.read.parquet(Bm25Index.postingsPath(path)))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-    val terms = spark.read.parquet(s"$path/terms")
+    val terms = spark.read.parquet(Bm25Index.termsPath(path))
       .select(col("term"), col("dfreq"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = spark.read.parquet(Bm25Index.statsPath(path))
     postings.join(terms, "term").crossJoin(stats)
   }
 

@@ -52,7 +52,7 @@ class Bm25IndexSpec extends AnyFunSuite {
       // fewer postings files than the full index holds
       val one = Seq((0L, "spark")).toDF("query_id", "term")
       val pruned = TestSpark.filesRead(Bm25Index.probe(spark, path, one))
-      val all = TestSpark.filesRead(spark.read.parquet(s"$path/postings"))
+      val all = TestSpark.filesRead(spark.read.parquet(Bm25Index.postingsPath(path)))
       assert(pruned < all, s"no pruning: probe read $pruned of $all files")
     } finally {
       spark.catalog.clearCache()
@@ -69,9 +69,9 @@ class Bm25IndexSpec extends AnyFunSuite {
       val q = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
       // pick a threshold that splits the fixture terms' df values, so the
       // elision is neither empty nor total
-      val stats = spark.read.parquet(s"$path/stats").collect()(0)
+      val stats = spark.read.parquet(Bm25Index.statsPath(path)).collect()(0)
       val n = stats.getLong(0).toDouble
-      val dfs = spark.read.parquet(s"$path/terms")
+      val dfs = spark.read.parquet(Bm25Index.termsPath(path))
         .join(q.select($"term").distinct(), "term")
         .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("dfreq")).toMap
       val cut = dfs.values.toSeq.sorted.apply(dfs.size / 2)

@@ -39,7 +39,7 @@ class CurationJobSpec extends AnyFunSuite {
 
     // bm25 index: corpus stats count the kept docs with >=1 token, and a
     // fixture probe only ever hits kept docs
-    val stats = spark.read.parquet(s"${res.bm25Dir}/stats").collect()(0)
+    val stats = spark.read.parquet(graft.operators.Bm25Index.statsPath(res.bm25Dir)).collect()(0)
     val keptIds = manifest.map(_._1)
     assert(stats.getLong(0) == manifest.count(_._2 > 0).toLong,
       "bm25 n_docs != kept docs with tokens")

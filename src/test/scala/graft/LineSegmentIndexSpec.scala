@@ -59,8 +59,11 @@ class LineSegmentIndexSpec extends AnyFunSuite {
       LineSegmentIndex.materialize(a, "graft_lineidx_inc")
       LineSegmentIndex.append(b, "graft_lineidx_inc")
       LineSegmentIndex.materialize(docs, "graft_lineidx_full")
-      val inc = spark.table("graft_lineidx_inc").collect().map(_.getLong(0)).toSet
-      val full = spark.table("graft_lineidx_full").collect().map(_.getLong(0)).toSet
+      def pairs(t: String) = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (inc, full) = (pairs("graft_lineidx_inc"), pairs("graft_lineidx_full"))
+      // full (doc_id, h) attribution matches the from-scratch rebuild —
+      // set equality on the pairs implies it on the projected hash set
       assert(inc == full,
         s"missing=${(full -- inc).take(5)} extra=${(inc -- full).take(5)}")
       // and nothing duplicated by the append (files hold a distinct set)
