@@ -62,6 +62,11 @@ object CurationJob {
     val nShards = PackedExport.writeShards(
       kept.select(col("doc_id"), col("n_tokens")), shardsDir,
       CorpusQueries.PackBudget)
+    // persist the pack base (day-0 token total): DailyIncrement continues
+    // packing from this artifact, and Takedown.repack rewinds it — see
+    // PackedExport.writeBase for why it can't be derived from the manifest
+    PackedExport.writeBase(spark,  s"$outDir/packbase",
+      kept.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0))
     val bm25Dir = s"$outDir/bm25"
     Bm25Index.build(kept.select(col("doc_id"), col("text")), bm25Dir)
     val vectorDir = s"$outDir/vectors"

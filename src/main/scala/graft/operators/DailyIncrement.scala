@@ -66,7 +66,12 @@ object DailyIncrement {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
 
-    val manifest = spark.read.parquet(s"$outDir/curated").cache()
+    // the manifest and eval benchmark are read TOMBSTONE-MASKED (through
+    // Takedown's readers): a taken-down doc must neither make a future
+    // re-submission of its content "already present" (exact-dedup
+    // anti-join) nor "contaminated" (evalh) — the pipeline would be
+    // acting on fingerprints of forgotten data (round-10 advisory)
+    val manifest = Takedown.manifest(spark, outDir).cache()
 
     // batch curation — each stage the day-0 rule verbatim
     val batch = Tables.load(spark, sfDir, "documents")
@@ -86,16 +91,17 @@ object DailyIncrement {
     // contributes shingles only after passing the same gate/dedup the
     // train side passes. The new hashes append to outDir/evalh below so
     // tomorrow's batch sees them too.
-    val evalBase = spark.read.parquet(s"$outDir/evalh")
+    val evalBase = Takedown.evalh(spark, outDir)
     // EAGER localCheckpoint: this plan's lineage (via `deduped`'s
     // anti-join) reads outDir/curated, which the appends below grow, and
     // the rows are themselves appended to outDir/evalh — pin them first
-    // (same read-path-you-write hazard documented for `kept`).
+    // (same read-path-you-write hazard documented for `kept`). Kept as
+    // (doc_id, h) pairs so a later takedown can forget them exactly.
     val batchEvalH = deduped
       .filter($"doc_id" % CorpusQueries.EvalMod === 0)
-      .select(explode(shingleHashes($"text")).as("h")).distinct()
+      .select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
       .localCheckpoint(true)
-    val evalH = evalBase.union(batchEvalH).distinct()
+    val evalH = evalBase.select($"h").union(batchEvalH.select($"h")).distinct()
       .withColumn("hit", lit(1L))
     val contaminated = deduped
       .select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
@@ -118,8 +124,16 @@ object DailyIncrement {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
-    // yesterday's token total — captured BEFORE the manifest grows
-    val base = manifest.agg(coalesce(sum($"n_tokens"), lit(0L))).head.getLong(0)
+    // yesterday's pack continuation point — the persisted pack base, NOT
+    // the manifest sum: after a takedown the masked manifest undercounts
+    // the gapped shards, and after a repack the raw manifest OVERcounts
+    // the renumbered ones; only the artifact both Takedown.repack and
+    // this job maintain lands the next batch exactly at the shard end
+    // (legacy trees without the artifact fall back to the raw sum —
+    // correct until the first takedown/repack). Captured BEFORE appends.
+    val base = PackedExport.readBase(spark, s"$outDir/packbase").getOrElse(
+      spark.read.parquet(s"$outDir/curated")
+        .agg(coalesce(sum($"n_tokens"), lit(0L))).head.getLong(0))
 
     // ---- artifact appends (standing files never rewrite) ----
 
@@ -151,6 +165,10 @@ object DailyIncrement {
           (($"cb" + base) % budget).as("shard_offset"))
         .write.partitionBy("shard").mode("append").parquet(s"$outDir/shards")
     }
+    // advance the pack base to the new shard end (kept is checkpointed,
+    // so the sum is pinned against the appends above)
+    PackedExport.writeBase(spark, s"$outDir/packbase",
+      base + kept.agg(coalesce(sum($"n_tokens"), lit(0L))).head.getLong(0))
 
     Bm25Index.append(kept.select($"doc_id", $"text"), s"$outDir/bm25")
 

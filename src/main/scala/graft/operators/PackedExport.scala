@@ -57,4 +57,26 @@ object PackedExport {
     spark.read.parquet(outDir)
       .agg(max(col("shard").cast("long"))).collect()(0).getLong(0) + 1
   }
+
+  /** The persisted PACK BASE — the token offset the NEXT increment's
+    * packing continues from. Kept as its own 1-row artifact (not derived
+    * from the curated manifest) so takedown + repack compose with the
+    * daily path: after a repack renumbers shards from the SURVIVING token
+    * stream, the raw manifest sum still includes removed docs' tokens and
+    * would start the next batch past the repacked end, silently skipping
+    * shard ids — the exact gapless 0..N-1 enumeration the loader
+    * fail-fasts to protect. Writers: CurationJob (day 0 total),
+    * DailyIncrement (base + batch tokens), Takedown.repack (surviving
+    * total). */
+  def writeBase(spark: org.apache.spark.sql.SparkSession, dir: String,
+      base: Long): Unit = {
+    import spark.implicits._
+    Seq(base).toDF("pack_base").coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** None when the artifact predates the pack-base discipline — callers
+    * fall back to the raw manifest sum (correct until the first repack). */
+  def readBase(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Long] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) None
+    else Some(spark.read.parquet(dir).collect()(0).getLong(0))
 }

@@ -17,11 +17,31 @@ import org.apache.spark.sql.functions._
   *   │   keeps token-offset gaps where removed docs sat, preserving the
   *   │   0..N-1 shard enumeration contract; a later repack
   *   │   (PackedExport over [[manifest]]) reclaims the space)
+  *   ├─ eval benchmark     same tombstone mask   → [[evalh]] reader
+  *   │   (a forgotten eval doc's shingles stop marking future
+  *   │   submissions of that content as "contaminated")
   *   ├─ lexical index      [[Bm25Index.delete]]  (df/stats update
   *   │   exactly — probe ≡ rebuild on the remaining corpus)
   *   ├─ vector index       [[VectorIndex.delete]] (mask before ranking)
+  *   ├─ dedup surfaces     [[ShingleIndex.delete]] / [[LineSegmentIndex
+  *   │   .delete]] for every index named by the caller — without this, a
+  *   │   forgotten doc's shingle/segment hashes keep suppressing future
+  *   │   legitimate copies of that content as "duplicates of forgotten
+  *   │   data"
   *   └─ selection model    [[DsirModel.remove]]  (count subtraction —
   *       ≡ a refit without the docs)
+  *
+  * IDEMPOTENT: incoming ids are anti-joined against the existing
+  * takedown tombstones first, so a retry (or a re-run after a partial
+  * failure) re-processes only not-yet-committed docs — the non-idempotent
+  * model subtraction can never be applied twice for the same doc. The
+  * tombstone append is therefore the COMMIT record and lands LAST; every
+  * earlier leg is individually idempotent (the index deletes carry their
+  * own guards), so a crash mid-run re-executes them harmlessly on retry.
+  * Residual window: a crash between the model write and the tombstone
+  * append double-subtracts on retry — unclosable without a persisted
+  * replay log of the removed docs' text, which a right-to-be-forgotten
+  * path must not keep; the window is one driver-side 1-file append.
   *
   * The tombstone mask is |removed|-sized and AQE-broadcasts into every
   * reader join; nothing corpus-sized rewrites (the Bm25Index.delete
@@ -35,21 +55,36 @@ object Takedown {
   private def tombDir(outDir: String) = s"$outDir/takedown_tombstones"
 
   def run(spark: SparkSession, outDir: String, ids: DataFrame,
-      docs: DataFrame, isTarget: Column): Unit = {
+      docs: DataFrame, isTarget: Column,
+      shingleIndexes: Seq[String] = Nil,
+      lineSegmentIndexes: Seq[String] = Nil): Unit = {
     graft.GraftExtensions.register(spark)
-    ids.select(col(ids.columns.head).as("doc_id")).distinct()
-      .write.mode("append").parquet(tombDir(outDir))
-    Bm25Index.delete(spark, s"$outDir/bm25",
-      ids.select(col(ids.columns.head).as("doc_id")))
+    val req = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    // idempotency guard (round-10 advisory): only not-yet-tombstoned docs
+    // act. EAGER pin — the plan reads the tombstone dir the commit below
+    // grows (request-sized rows, the DailyIncrement discipline).
+    val fresh = (if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(outDir)))) req
+      else req.join(
+        spark.read.parquet(tombDir(outDir)).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")).localCheckpoint(true)
+    if (fresh.isEmpty) return
+    Bm25Index.delete(spark, s"$outDir/bm25", fresh)
     VectorIndex.delete(spark, s"$outDir/vectors",
-      ids.select(col(ids.columns.head).as("vec_id")))
+      fresh.select(col("doc_id").as("vec_id")))
+    shingleIndexes.foreach(n => ShingleIndex.delete(spark, n, fresh))
+    lineSegmentIndexes.foreach(n => LineSegmentIndex.delete(spark, n, fresh))
     // read-subtract-write on the model path: pin the B-row result on the
-    // driver before the overwrite (the DailyIncrement DSIR discipline)
+    // driver before the overwrite (the DailyIncrement DSIR discipline);
+    // only the FRESH docs subtract, so a re-run can't corrupt the counts
+    val freshDocs = docs.join(fresh, Seq("doc_id"), "left_semi")
     val removed = DsirModel.remove(
-      DsirModel.load(spark, s"$outDir/dsir"), docs, isTarget)
+      DsirModel.load(spark, s"$outDir/dsir"), freshDocs, isTarget)
     val pinned = spark.createDataFrame(
       java.util.Arrays.asList(removed.collect(): _*), removed.schema)
     DsirModel.write(pinned, s"$outDir/dsir")
+    // commit record — last, so a retry after any crash above re-runs the
+    // (idempotent) legs instead of skipping them
+    fresh.write.mode("append").parquet(tombDir(outDir))
   }
 
   private def mask(spark: SparkSession, outDir: String, df: DataFrame): DataFrame =
@@ -67,18 +102,32 @@ object Takedown {
   def shards(spark: SparkSession, outDir: String): DataFrame =
     mask(spark, outDir, spark.read.parquet(s"$outDir/shards"))
 
+  /** The persisted eval-shingle benchmark minus every taken-down eval
+    * doc's pairs — DailyIncrement decontaminates through THIS reader, so
+    * the pipeline stops acting on fingerprints of forgotten content. */
+  def evalh(spark: SparkSession, outDir: String): DataFrame =
+    mask(spark, outDir, spark.read.parquet(s"$outDir/evalh"))
+
   /** Reclaim the offset gaps [[run]] leaves: rewrite the shards from the
     * masked manifest — the SAME packing job day-0 ran, so shard ids
     * renumber contiguously from the surviving token stream and every
     * offset is gapless again. Returns the new shard count. The
     * tombstones stay (they still mask the curated files); re-masking the
     * repacked shards is a no-op since no removed doc survives the
-    * rewrite. This is the one corpus-manifest-sized job in the takedown
-    * path — deliberately split out so the masking stays cheap and the
-    * rewrite runs on the operator's schedule, not the request's. */
+    * rewrite. The pack base rewinds to the surviving token total so the
+    * NEXT DailyIncrement continues exactly at the repacked end — without
+    * this the raw manifest sum would skip shard ids (the gapless-
+    * enumeration break the round-10 advisory flagged). This is the one
+    * corpus-manifest-sized job in the takedown path — deliberately split
+    * out so the masking stays cheap and the rewrite runs on the
+    * operator's schedule, not the request's. */
   def repack(spark: SparkSession, outDir: String,
-      budget: Long = graft.queries.CorpusQueries.PackBudget): Long =
-    PackedExport.writeShards(
-      manifest(spark, outDir).select(col("doc_id"), col("n_tokens")),
-      s"$outDir/shards", budget)
+      budget: Long = graft.queries.CorpusQueries.PackBudget): Long = {
+    val surviving = manifest(spark, outDir)
+      .select(col("doc_id"), col("n_tokens"))
+    val n = PackedExport.writeShards(surviving, s"$outDir/shards", budget)
+    PackedExport.writeBase(spark, s"$outDir/packbase",
+      surviving.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0))
+    n
+  }
 }

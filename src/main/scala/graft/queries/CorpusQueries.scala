@@ -466,8 +466,12 @@ object CorpusQueries extends QueryModule {
       val bf =
         if (nEval == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
         else evalH.stat.bloomFilter("h", nEval, BloomFpp)
-      val bfB = s.sparkContext.broadcast(bf)
-      val might = udf((h: Long) => bfB.value.mightContainLong(h))
+      // codegen membership test (graft_bloom_contains) — not a Scala UDF:
+      // the probe runs inside the corpus scan's WholeStageCodegen stage
+      // with no per-row serde boundary (CodegenSpec pins it)
+      val bfBytes = graft.functions.expressions.BloomContains.serialize(bf)
+      val might = (h: org.apache.spark.sql.Column) =>
+        call_function("graft_bloom_contains", lit(bfBytes), h)
       val train = sh.filter($"doc_id" % EvalMod =!= 0)
       val totals = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
       val hits = train.filter(might($"h"))
@@ -806,7 +810,10 @@ object CorpusQueries extends QueryModule {
       docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame =
     curatedKept(s, dir, tok, docFilter)
       .filter(col("doc_id") % EvalMod === 0)
-      .select(explode(shingleHashes(col("text"))).as("h"))
+      // (doc_id, h) pairs, not a bare hash set: the attribution is what
+      // lets a takedown forget an eval doc's fingerprint exactly (mask on
+      // doc_id) — readers project .select("h").distinct()
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
       .distinct()
 
   private[graft] def curatedTrain(s: SparkSession, dir: String,

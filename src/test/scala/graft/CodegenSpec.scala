@@ -272,4 +272,35 @@ class CodegenSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("graft_unorm"))
   }
+
+  test("graft_bloom_contains compiles; agrees with BloomFilter.mightContainLong; no ScalaUDF in decontam_bloom") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    import spark.implicits._
+    val members = (1L to 200L).map(_ * 7919L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(members.size.toLong, 0.01)
+    members.foreach(bf.putLong)
+    val bytes = graft.functions.expressions.BloomContains.serialize(bf)
+    val probe = (members ++ (1L to 200L).map(_ * 7919L + 1L)).toDF("h")
+    val got = probe
+      .select($"h", call_function("graft_bloom_contains", lit(bytes), $"h").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // exact agreement with the driver-side filter (no FPs possible to
+    // disagree on — both sides consult the same bit array)
+    (members ++ (1L to 200L).map(_ * 7919L + 1L)).foreach { h =>
+      assert(got(h) == bf.mightContainLong(h), s"h=$h")
+    }
+    assert(members.forall(got(_)), "a member hashed out of its own filter")
+    // null propagates
+    val nl = Seq(Option.empty[java.lang.Long]).toDF("h")
+      .select(call_function("graft_bloom_contains", lit(bytes), $"h")).collect()
+    assert(nl.forall(_.isNullAt(0)))
+    // and the registered decontam_bloom plan carries NO Scala UDF — the
+    // membership probe rides the corpus scan's codegen stage
+    val plan = SparkEntry.queries("decontam_bloom")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val udfs = plan.collectWithSubqueries { case p => p.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u }) }.flatten
+    assert(udfs.isEmpty, s"ScalaUDF survives in decontam_bloom: $udfs")
+    spark.catalog.clearCache()
+  }
 }

@@ -71,7 +71,7 @@ class DailyIncrementSpec extends AnyFunSuite {
     val evalShingles = {
       val e = CorpusQueries.curatedEvalH(spark, sf,
           docFilter = col("doc_id") % 10 =!= 0)
-        .as[Long].collect().toSet
+        .select($"h").as[Long].collect().toSet
       CorpusQueries.curatedKept(spark, sf,
         docFilter = col("doc_id") % 10 =!= 0).unpersist()
       e ++ batchWinners.filter(_._1 % CorpusQueries.EvalMod == 0)
@@ -88,7 +88,7 @@ class DailyIncrementSpec extends AnyFunSuite {
 
     // ---- evalh artifact: day0 benchmark ∪ batch eval survivors ----
     val storedEvalH = spark.read.parquet(s"$dir/evalh")
-      .distinct().as[Long].collect().toSet
+      .select($"h").distinct().as[Long].collect().toSet
     assert(storedEvalH == evalShingles,
       "persisted evalh != day0 survivors ∪ batch eval survivors")
 
@@ -142,7 +142,7 @@ class DailyIncrementSpec extends AnyFunSuite {
     val day0Digests = spark.read.parquet(s"$dir/curated")
       .select($"digest").as[String].collect().toSet
     val day0EvalH = spark.read.parquet(s"$dir/evalh")
-      .distinct().as[Long].collect().toSet
+      .select($"h").distinct().as[Long].collect().toSet
     // a batch train doc curation WOULD keep: gate survivor, dedup winner,
     // not eval-split, with shingles and < 50% day0-eval overlap
     val winners = CorpusQueries.qualityGate(
@@ -162,8 +162,9 @@ class DailyIncrementSpec extends AnyFunSuite {
       }.minBy(_._1)
 
     // an EXTERNAL benchmark extension: seed every shingle of the
-    // candidate into the persisted artifact (overlap becomes 100%)
-    shingles(cand._3).toSeq.toDF("h")
+    // candidate into the persisted artifact (overlap becomes 100%);
+    // the synthetic -1 attribution marks an out-of-corpus source
+    shingles(cand._3).toSeq.map(h => (-1L, h)).toDF("doc_id", "h")
       .write.mode("append").parquet(s"$dir/evalh")
 
     DailyIncrement.run(spark, sf, dir, batchFilter = col("doc_id") % 10 === 0)
@@ -197,7 +198,7 @@ class DailyIncrementSpec extends AnyFunSuite {
     // the persisted benchmark converges: day0 ∪ ALL batch eval survivors
     // regardless of how the batch was split into days
     def evalhOf(d: String) = spark.read.parquet(s"$d/evalh")
-      .distinct().as[Long].collect().toSet
+      .select($"h").distinct().as[Long].collect().toSet
     val fullEvalH = evalhOf(oneDir)
     assert(evalhOf(twoDir) == fullEvalH,
       "evalh artifact diverges between split and combined runs")
@@ -252,5 +253,59 @@ class DailyIncrementSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(dsirOf(d) == direct, s"$d: appended DSIR model != direct fit")
     }
+  }
+
+  test("a GATE-FAILING eval doc contributes no benchmark shingles — day0 and daily path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val M = CorpusQueries.EvalMod // 17
+    // Synthetic corpus discriminating survivor-derived evalh from a
+    // raw-eval-docs spelling:
+    //  - doc 17 (eval) has 4 tokens -> FAILS the quality gate (n>=5);
+    //    doc 101 duplicates its shingles at 2/3 overlap (>=50%) and MUST
+    //    survive — it would be dropped if evalh read raw eval docs;
+    //  - doc 34 (eval) PASSES the gate; doc 102 overlaps it 4/5 and MUST
+    //    be dropped — proves the pin is not vacuously green.
+    val day0 = Seq(
+      (17L, "alpha beta gamma delta", "en", "webA", 22L),
+      (34L, "one two three four five six", "en", "webA", 27L),
+      (1L, "filler words for a perfectly ordinary document here", "en", "webB", 51L),
+      (2L, "another unremarkable training document with plain text", "en", "webB", 54L))
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon", "en", "webC", 30L),
+      (102L, "one two three four five six seven", "en", "webC", 33L),
+      // batch-side replica of the same distinction: eval doc 170 fails
+      // the gate; 171 overlaps it and must survive the SAME batch
+      (170L, "pea quay rho sig", "en", "webC", 16L),
+      (171L, "pea quay rho sig tau", "en", "webC", 20L))
+    assert(170L % M == 0 && 34L % M == 0 && 17L % M == 0)
+    val synth = Files.createTempDirectory("graft-synth-sf-").toString
+    (day0 ++ batch).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((1L, Array.fill(64)(0.1f), 0), (2L, Array.fill(64)(0.2f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+
+    val dir = Files.createTempDirectory("graft-evalgate-").toString
+    CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100)
+    val day0EvalH = spark.read.parquet(s"$dir/evalh")
+      .select($"doc_id", $"h").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(day0EvalH.map(_._1) == Set(34L),
+      s"evalh attribution != gate-surviving eval docs: ${day0EvalH.map(_._1)}")
+    assert(day0EvalH.map(_._2) == shingles("one two three four five six"),
+      "evalh != the surviving eval doc's shingles")
+
+    DailyIncrement.run(spark, synth, dir, batchFilter = col("doc_id") >= 100)
+    val kept = spark.read.parquet(s"$dir/curated")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(101L),
+      "doc 101 dropped: a gate-failing eval doc's shingles leaked into the benchmark")
+    assert(kept.contains(171L),
+      "doc 171 dropped: the daily path let a gate-failing batch eval doc contaminate")
+    assert(!kept.contains(102L),
+      "doc 102 survived: the pin is vacuous — gate-passing eval overlap not enforced")
+    assert(!kept.exists(id => id % M == 0), "an eval-split doc reached the train manifest")
+    spark.catalog.clearCache()
   }
 }

@@ -4,8 +4,9 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bm25Index, CurationJob, DsirModel, Takedown, VectorIndex}
-import graft.queries.RetrievalQueries
+import graft.operators.{Bm25Index, CurationJob, DailyIncrement, DsirModel,
+  LineSegmentIndex, ShingleIndex, Takedown, VectorIndex}
+import graft.queries.{CorpusQueries, RetrievalQueries}
 
 /** End-to-end takedown: after Takedown.run, every artifact a consumer
   * reads must behave as if the removed documents had never been kept —
@@ -22,21 +23,58 @@ class TakedownSpec extends AnyFunSuite {
     GraftExtensions.register(spark)
     val dir = Files.createTempDirectory("graft-takedown-").toString
 
-    CurationJob.run(spark, sf, dir)
+    // day0 over the % 10 != 0 split so the repack-composition leg below
+    // has genuinely new batch docs to increment with
+    CurationJob.run(spark, sf, dir, docFilter = col("doc_id") % 10 =!= 0)
     val before = spark.read.parquet(s"$dir/curated")
       .select($"doc_id", $"n_tokens", $"digest")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     val shardsBefore = spark.read.parquet(s"$dir/shards")
       .select($"doc_id", $"shard".cast("long"), $"shard_offset")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val evalhBefore = spark.read.parquet(s"$dir/evalh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val removedIds = before.map(_._1).filter(_ % 13 == 0)
     assert(removedIds.nonEmpty, "no kept doc matches the takedown set — vacuous")
     val docsTable = Tables.load(spark, sf, "documents")
+    for (t <- Seq("graft_tk_shidx", "graft_tk_shidx_tombstones",
+        "graft_tk_shidx_counts", "graft_tk_shidx_ref", "graft_tk_shidx_ref_counts",
+        "graft_tk_lineidx", "graft_tk_lineidx_tombstones", "graft_tk_lineidx_ref"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    // dedup surfaces over the kept corpus — takedown must forget these
+    // too. One removed doc's text is swapped for a verbatim copy of a
+    // batch doc so the before/after probes CANNOT be vacuously equal:
+    // pre-takedown the copy suppresses the batch doc as a duplicate of
+    // (what will become) forgotten data.
+    val dupBatchDoc = docsTable.filter($"doc_id" % 10 === 0)
+      .orderBy($"doc_id").select($"doc_id", $"text").limit(1)
+      .collect()(0)
+    val synthId = removedIds.min
+    val idxCorpus = docsTable
+      .filter($"doc_id".isin(before.map(_._1).toSeq: _*))
+      .select($"doc_id",
+        when($"doc_id" === synthId, lit(dupBatchDoc.getString(1)))
+          .otherwise($"text").as("text"))
+    ShingleIndex.materialize(idxCorpus, "graft_tk_shidx")
+    LineSegmentIndex.materialize(idxCorpus, "graft_tk_lineidx")
+    val probeBatch = docsTable.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text")
+    def shPairs(name: String) = ShingleIndex.probe(spark, name, probeBatch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lineRows(name: String) = LineSegmentIndex.probeDedup(spark, name, probeBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val shPre = shPairs("graft_tk_shidx")
+    val linePre = lineRows("graft_tk_lineidx")
+    assert(shPre.exists(p => p._1 == synthId || p._2 == synthId),
+      "vacuous: the planted duplicate never paired in the shingle probe")
+
     val payload = docsTable
       .filter($"doc_id".isin(removedIds.toSeq: _*))
       .select($"doc_id", $"text", $"lang")
-    Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en")
+    Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en",
+      shingleIndexes = Seq("graft_tk_shidx"),
+      lineSegmentIndexes = Seq("graft_tk_lineidx"))
 
     // manifest: exactly the original minus the removed ids
     val after = Takedown.manifest(spark, dir)
@@ -80,6 +118,31 @@ class TakedownSpec extends AnyFunSuite {
     assert(hits(s"$dir/vectors") == hits(refVec),
       "vector probe != rebuild on remaining subset")
 
+    // evalh: the masked reader holds exactly the surviving docs' pairs —
+    // a forgotten eval doc's shingles stop marking future content
+    val evalhAfter = Takedown.evalh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(evalhAfter == evalhBefore.filterNot(p => removedIds(p._1)),
+      "evalh reader != stored pairs minus removed eval docs")
+
+    // dedup surfaces: probes == probes of indexes materialized WITHOUT
+    // the removed docs (the ShingleIndex.delete contract, now reached
+    // from Takedown.run), and no pair involves forgotten data
+    val remainingIdx = idxCorpus.filter(!$"doc_id".isin(removedIds.toSeq: _*))
+    ShingleIndex.materialize(remainingIdx, "graft_tk_shidx_ref")
+    LineSegmentIndex.materialize(remainingIdx, "graft_tk_lineidx_ref")
+    val shPost = shPairs("graft_tk_shidx")
+    assert(shPost == shPairs("graft_tk_shidx_ref"),
+      "shingle probe after takedown != rebuild without the removed docs")
+    assert(!shPost.exists(p => removedIds(p._1) || removedIds(p._2)),
+      "a forgotten doc still pairs in the shingle probe")
+    assert(shPost != shPre, "vacuous: shingle probe unchanged by the takedown")
+    val linePost = lineRows("graft_tk_lineidx")
+    assert(linePost == lineRows("graft_tk_lineidx_ref"),
+      "line-segment probe after takedown != rebuild without the removed docs")
+    assert(linePost != linePre,
+      "vacuous: the planted duplicate's suppression never lifted")
+
     // repack: gapless contiguous shards over exactly the surviving docs
     val nShards = Takedown.repack(spark, dir)
     val repacked = Takedown.shards(spark, dir)
@@ -106,6 +169,48 @@ class TakedownSpec extends AnyFunSuite {
     val stored = DsirModel.load(spark, s"$dir/dsir")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(stored == refit, "model after remove != refit without the docs")
+
+    // IDEMPOTENT: a verbatim re-run (an operator retry, or a rerun after
+    // a partial failure) is a no-op — in particular the non-idempotent
+    // model subtraction is never applied twice (round-10 advisory)
+    Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en",
+      shingleIndexes = Seq("graft_tk_shidx"),
+      lineSegmentIndexes = Seq("graft_tk_lineidx"))
+    val rerun = DsirModel.load(spark, s"$dir/dsir")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rerun == refit, "re-running the takedown subtracted the model twice")
+    assert(shPairs("graft_tk_shidx") == shPost,
+      "re-running the takedown changed the shingle probe")
+
+    // REPACK + DAILY COMPOSE: repack rewound the pack base to the
+    // surviving token total, so the next increment lands gapless at the
+    // repacked end — with the raw manifest sum it would skip shard ids
+    // (round-10 advisory)
+    val incr = DailyIncrement.run(spark, sf, dir,
+      batchFilter = $"doc_id" % 10 === 0)
+    assert(incr.nBatchKept > 0, "vacuous: no batch doc survived curation")
+    val finalShards = Takedown.shards(spark, dir)
+      .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val manifestFinal = Takedown.manifest(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalShards.map(_._1).toSet == manifestFinal,
+      "post-increment shards != masked manifest")
+    assert(finalShards.map(_._3).toSet == (0L until incr.nShardsTotal).toSet,
+      "shard ids skipped after repack + increment — pack base not maintained")
+    assert(incr.nShardsTotal ==
+      (finalShards.map(_._2).sum + budget - 1) / budget,
+      "shard count != ceil(total surviving+batch tokens / budget)")
+    for ((_, group) <- finalShards.groupBy(_._3)) {
+      val inOrder = group.sortBy(_._4)
+      for (Array(a, b) <- inOrder.sliding(2).map(_.toArray) if inOrder.size > 1)
+        assert(b._4 == a._4 + a._2, s"offset gap in shard ${a._3}: $a -> $b")
+    }
+
+    for (t <- Seq("graft_tk_shidx", "graft_tk_shidx_tombstones",
+        "graft_tk_shidx_counts", "graft_tk_shidx_ref", "graft_tk_shidx_ref_counts",
+        "graft_tk_lineidx", "graft_tk_lineidx_tombstones", "graft_tk_lineidx_ref"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.catalog.clearCache()
   }
 
