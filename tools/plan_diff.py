@@ -32,8 +32,12 @@ def skeleton(path):
                 if not line.strip():
                     break
                 # drop node ids and codegen-stage ids: "Sort (6)" -> "Sort",
-                # "WholeStageCodegen (2)" -> "WholeStageCodegen"
-                lines.append(re.sub(r"\s*\(\d+\)\s*$", "", line.rstrip()))
+                # "WholeStageCodegen (2)" -> "WholeStageCodegen"; drop AQE
+                # runtime statistics ("ShuffleQueryStage (26), Statistics(
+                # sizeInBytes=238.5 KiB, rowCount=...)") — row counts move
+                # with every testdata regen and are not plan shape
+                stripped = re.sub(r",\s*Statistics\(.*$", "", line.rstrip())
+                lines.append(re.sub(r"\s*\(\d+\)\s*$", "", stripped))
     return "\n".join(lines)
 
 
