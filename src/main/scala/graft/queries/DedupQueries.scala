@@ -57,11 +57,40 @@ object DedupQueries extends QueryModule {
       .distinct()
   }
 
+  /** Shingle df-ceiling elision — the exact-shingle paths' skew guard at
+    * scale (the Bm25Index.probe maxDfFrac / HammingBands hot-bucket
+    * doctrine applied to dedup): a boilerplate shingle present in df ≈ N
+    * docs makes the inverted-index self-join bucket df² pairs (10¹² at
+    * 10⁶ docs) while carrying ~zero dedup signal — two docs sharing ONLY
+    * boilerplate are not near-duplicates. Dropping shingles with
+    * df > maxDfFrac·N bounds every join bucket at (maxDfFrac·N)² and
+    * every df-join fan-out at maxDfFrac·N, and the result is EXACTLY the
+    * full computation over the surviving-shingle corpus (every per-doc
+    * count recomputed over survivors — DedupScaleSpec pins elided ≡ full
+    * and the bucket bound). Default 1.0 = no elision, the oracle-checked
+    * exact baseline. */
+  /** Shingles present in more than maxDfFrac of all docs — tiny by
+    * construction (boilerplate), so the elision anti-join broadcasts.
+    * `sh` must be DISTINCT (doc_id, h) pairs so df is a true document
+    * frequency. */
+  private def hotShingles(sh: DataFrame, maxDfFrac: Double): DataFrame = {
+    val nDocs = sh.select(col("doc_id")).distinct().count()
+    sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(maxDfFrac) * lit(nDocs.toDouble))
+      .select(col("h"))
+  }
+
+  private def dfCeiled(sh: DataFrame, maxDfFrac: Double): DataFrame =
+    if (maxDfFrac >= 1.0) sh
+    else sh.join(hotShingles(sh, maxDfFrac), Seq("h"), "left_anti")
+
   /** Exact word-3-gram Jaccard pairs ≥ 0.6 (shared by the pair query and
-    * the clustering query). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    * the clustering query). `maxDfFrac < 1` elides boilerplate shingles
+    * before the self-join — see [[dfCeiled]]. */
+  private[graft] def jaccardPairs(s: SparkSession, dir: String,
+      maxDfFrac: Double = 1.0): DataFrame = {
     import s.implicits._
-    val sh = shingleSet(s, dir).cache()
+    val sh = dfCeiled(shingleSet(s, dir), maxDfFrac).cache()
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
@@ -78,6 +107,67 @@ object DedupQueries extends QueryModule {
       .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .filter(j >= 0.6)
       .select($"doc_a", $"doc_b", j.as("jaccard"))
+  }
+
+  /** dedup_spans' spelling with the [[dfCeiled]] elision knob: occurrences
+    * of over-ceiling shingles drop from BOTH the span total and the dup
+    * accounting — exactly the full query over the surviving-shingle
+    * corpus (DedupScaleSpec pins it). The default is the exact oracle
+    * baseline. The elision bounds the occ⋈df join's per-key fan-out at
+    * maxDfFrac·N rows (a df ≈ N boilerplate shingle funnels its whole
+    * occurrence list through one reducer otherwise — AQE skew-split
+    * handles the shuffle, the ceiling removes the work itself). */
+  private[graft] def dedupSpans(s: SparkSession, dir: String,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val occAll = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(shingleHashes($"text")).as("h"))
+    val occ = if (maxDfFrac >= 1.0) occAll
+      else occAll.join(hotShingles(occAll.distinct(), maxDfFrac), Seq("h"), "left_anti")
+    val docFreq = occ.distinct()
+      .groupBy($"h").agg(count(lit(1)).as("nd"))
+    occ.join(docFreq, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio", $"n_dup_spans".cast("double") / $"n_spans")
+  }
+
+  /** dedup_span_scrub's spelling with the [[dfCeiled]] elision knob: an
+    * over-ceiling trigram neither counts as a dup start nor scrubs its
+    * tokens — the full query over the surviving-shingle corpus
+    * (DedupScaleSpec pins elided ≡ full-on-survivors). Default = the
+    * exact oracle baseline. */
+  private[graft] def spanScrub(s: SparkSession, dir: String,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val occAll = Tables.load(s, dir, "documents")
+      .select($"doc_id", posexplode(shingleHashes($"text")).as(Seq("q", "h")))
+    val occ = if (maxDfFrac >= 1.0) occAll
+      else occAll.join(
+        hotShingles(occAll.select($"doc_id", $"h").distinct(), maxDfFrac),
+        Seq("h"), "left_anti")
+    // distinct on (doc_id, h) — NOT the position — so an intra-doc
+    // repeated trigram counts once and nd is a true document frequency
+    val dup = occ.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2)
+      .select($"h")
+    val dupStarts = occ.join(dup, "h")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"q")).as("dup_starts"))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("w"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("ds", coalesce($"dup_starts", typedLit(Array.empty[Int])))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(w) - 1), i -> NOT exists(ds, q -> q >= i - 2 AND q <= i))"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        (size($"w") - size($"kept")).cast("long").as("n_removed"),
+        array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ").as("scrub_text"))
   }
 
   private val oShingleCtes =
@@ -318,19 +408,7 @@ object DedupQueries extends QueryModule {
     // the same 8-byte hash — no raw shingle text ever shuffles, nothing
     // is forced to broadcast (AQE decides from runtime stats), and there
     // is no pairwise join anywhere: cost is O(occurrences), not O(n²).
-    "dedup_spans" -> { (s, dir) =>
-      import s.implicits._
-      graft.GraftExtensions.register(s)
-      val occ = Tables.load(s, dir, "documents")
-        .select($"doc_id", explode(shingleHashes($"text")).as("h"))
-      val docFreq = occ.distinct()
-        .groupBy($"h").agg(count(lit(1)).as("nd"))
-      occ.join(docFreq, "h")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
-        .withColumn("dup_ratio", $"n_dup_spans".cast("double") / $"n_spans")
-    },
+    "dedup_spans" -> { (s, dir) => dedupSpans(s, dir) },
 
     // Line-level (paragraph) dedup, CCNet/RefinedWeb-style: hash each
     // normalized paragraph, drop every occurrence except the globally
@@ -404,31 +482,7 @@ object DedupQueries extends QueryModule {
     // real corpus), and the dup-start lists shuffle per doc_id. The final
     // scrub is a row-local array pass: O(L·d) per doc for d dup starts —
     // d is bounded by doc length, and the corpus never joins pairwise.
-    "dedup_span_scrub" -> { (s, dir) =>
-      import s.implicits._
-      graft.GraftExtensions.register(s)
-      val occ = Tables.load(s, dir, "documents")
-        .select($"doc_id", posexplode(shingleHashes($"text")).as(Seq("q", "h")))
-      // distinct on (doc_id, h) — NOT the position — so an intra-doc
-      // repeated trigram counts once and nd is a true document frequency
-      val dup = occ.select($"doc_id", $"h").distinct()
-        .groupBy($"h").agg(count(lit(1)).as("nd"))
-        .filter($"nd" >= 2)
-        .select($"h")
-      val dupStarts = occ.join(dup, "h")
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_list($"q")).as("dup_starts"))
-      Tables.load(s, dir, "documents")
-        .select($"doc_id", tokens($"text").as("w"))
-        .join(dupStarts, Seq("doc_id"), "left")
-        .withColumn("ds", coalesce($"dup_starts", typedLit(Array.empty[Int])))
-        .withColumn("kept", expr(
-          "filter(sequence(0, size(w) - 1), i -> NOT exists(ds, q -> q >= i - 2 AND q <= i))"))
-        .select($"doc_id",
-          size($"w").cast("long").as("n_tokens"),
-          (size($"w") - size($"kept")).cast("long").as("n_removed"),
-          array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ").as("scrub_text"))
-    },
+    "dedup_span_scrub" -> { (s, dir) => spanScrub(s, dir) },
 
     // The CLEANING pipeline as one job — the pass a raw crawl takes
     // before curation ever sees it: blocklist gate → line-level

@@ -499,10 +499,20 @@ final class EventLog(val root: Path, spark: SparkSession) {
     vacuum(topic, graceMs)
   }
 
-  /** Ordered driver-side materialization (tests / small replays only). */
-  def typedRead(topic: String): Seq[(Cursor, Event)] =
-    read(topic).orderBy(col("lsn"), col("id")).collect().toSeq
+  /** Ordered driver-side materialization — a test/small-replay
+    * convenience, NOT a query path. HARD-CAPPED at `maxRows` (the collect
+    * itself is limit-bounded, so a mistaken call on a production-sized
+    * topic fails loud instead of materializing it on the driver —
+    * round-10 review); use [[scan]]/[[scanRange]]/[[drainRange]] for real
+    * reads. Raise the cap only for replays known to be bounded. */
+  def typedRead(topic: String, maxRows: Int = 100000): Seq[(Cursor, Event)] = {
+    val rows = read(topic).orderBy(col("lsn"), col("id")).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"typedRead('$topic') exceeds $maxRows rows — driver-side helper only; " +
+        "use scan()/scanRange() for production reads")
+    rows.toSeq
       .map(r => (Cursor(r.getAs[Long]("lsn"), r.getAs[Long]("id")), EventLogSchema.toEvent(r)))
+  }
 }
 
 object EventLog {

@@ -32,6 +32,103 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** Driver-side mirror of graft_shingle60 (whitespace 3-grams, WITH
+    * multiplicity — positions preserved). */
+  private def shingleList(t: String): Seq[Long] = {
+    // split("\\s+", -1) == Spark's split(): leading/trailing empties kept
+    val w = t.split("\\s+", -1).toSeq
+    w.sliding(3).collect { case s if s.size == 3 =>
+      graft.functions.expressions.Md5Prefix60.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.mkString(" ")))
+    }.toSeq
+  }
+
+  private def corpusTexts: Map[Long, String] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  /** Pick a df ceiling that elides the highest-df shingle(s) but keeps
+    * everything below — guarantees the elision pins can't pass vacuously.
+    * Returns (frac, survivingShingleSetsByDoc). */
+  private def elisionFixture(texts: Map[Long, String]):
+      (Double, Map[Long, Set[Long]], Set[Long]) = {
+    val sets = texts.map { case (id, t) => id -> shingleList(t).toSet }
+    val df = sets.values.toSeq.flatten.groupBy(identity).map { case (h, o) => h -> o.size }
+    val maxDf = df.values.max
+    assert(maxDf >= 2, "no shared shingle at all — fixture broken")
+    val frac = (maxDf - 0.5) / texts.size
+    val hot = df.filter(_._2 > frac * texts.size).keySet
+    assert(hot.nonEmpty, "ceiling elided nothing — vacuous")
+    (frac, sets.map { case (id, s) => id -> (s -- hot) }, hot)
+  }
+
+  test("df-ceiled jaccard pairs == the quadratic computation over surviving shingles") {
+    val texts = corpusTexts
+    val (frac, surv, hot) = elisionFixture(texts)
+    val ids = surv.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.size).iterator
+      a = surv(ids(i)); b = surv(ids(j))
+      inter = (a & b).size
+      union = a.size + b.size - inter
+      if union > 0 && inter.toDouble / union >= 0.6
+    } yield (ids(i), ids(j))).toSet
+    val got = DedupQueries.jaccardPairs(spark, dir, frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the bucket bound the elision exists for: no surviving shingle's df
+    // exceeds the ceiling, so no self-join bucket can exceed (frac·N)²
+    val maxSurvDf = surv.values.toSeq.flatten.groupBy(identity)
+      .map(_._2.size).foldLeft(0)(math.max)
+    assert(maxSurvDf <= frac * texts.size,
+      s"surviving df $maxSurvDf exceeds ceiling ${frac * texts.size}")
+    // and the default remains the exact baseline (same plan as the oracle)
+    val full = DedupQueries.jaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+    spark.catalog.clearCache()
+  }
+
+  test("df-ceiled dedup_spans == the full spelling over surviving-shingle occurrences") {
+    val texts = corpusTexts
+    val (frac, _, hot) = elisionFixture(texts)
+    val occ = texts.map { case (id, t) => id -> shingleList(t).filterNot(hot) }
+    val docsPerH = occ.toSeq.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (h, o) => h -> o.map(_._2).distinct.size }
+    val expected = occ.collect { case (id, hs) if hs.nonEmpty =>
+      (id, hs.size.toLong, hs.count(h => docsPerH(h) >= 2).toLong)
+    }.toSet
+    val got = DedupQueries.dedupSpans(spark, dir, frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    spark.catalog.clearCache()
+  }
+
+  test("df-ceiled dedup_span_scrub == the full scrub over surviving dup trigrams") {
+    val texts = corpusTexts
+    val (frac, _, hot) = elisionFixture(texts)
+    val occ = texts.map { case (id, t) =>
+      id -> shingleList(t).zipWithIndex.filterNot(p => hot(p._1)) }
+    val docsPerH = occ.toSeq.flatMap { case (id, hs) => hs.map(_._1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (h, o) => h -> o.map(_._2).distinct.size }
+    val expected = texts.map { case (id, t) =>
+      val w = t.split("\\s+", -1).toSeq
+      val dupStarts = occ(id).collect { case (h, q) if docsPerH(h) >= 2 => q }.toSet
+      val kept = w.indices.filterNot(i => dupStarts.exists(q => q >= i - 2 && q <= i))
+      (id, w.size.toLong, (w.size - kept.size).toLong, kept.map(w).mkString(" "))
+    }.toSet
+    val got = DedupQueries.spanScrub(spark, dir, frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(2)} extra=${(got -- expected).take(2)}")
+    spark.catalog.clearCache()
+  }
+
   test("pigeonhole banding is exact on random fingerprints (seeded property sweep)") {
     // the corpus test above exercises one fingerprint distribution; the
     // pigeonhole claim (hamming ≤ 2 ⇒ some band of 11+11+10 bits
