@@ -111,13 +111,24 @@ object LineSegmentIndex {
     * projected to `h`. The mask joins broadcast (|deleted|-sized) and
     * the distinct aggregates within the bucket layout, so the index is
     * still never re-shuffled in a probe. */
-  private def maskedHashes(spark: SparkSession, name: String): DataFrame = {
-    val pairs =
-      if (!spark.catalog.tableExists(s"${name}_tombstones")) spark.table(name)
-      else spark.table(name).join(
-        spark.table(s"${name}_tombstones").select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-    pairs.select(col("h")).distinct()
+  private def maskedPairs(spark: SparkSession, name: String): DataFrame =
+    if (!spark.catalog.tableExists(s"${name}_tombstones")) spark.table(name)
+    else spark.table(name).join(
+      spark.table(s"${name}_tombstones").select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  private def maskedHashes(spark: SparkSession, name: String): DataFrame =
+    maskedPairs(spark, name).select(col("h")).distinct()
+
+  /** Physically drop tombstoned docs' pairs and the tombstone table —
+    * completes [[delete]]'s right-to-be-forgotten on disk (the
+    * ShingleIndex.vacuum discipline verbatim: checkpoint-pinned in-place
+    * rewrite, probes identical before/after). */
+  def vacuum(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_tombstones")) return
+    val kept = maskedPairs(spark, name).localCheckpoint(true)
+    kept.write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
+    spark.sql(s"DROP TABLE ${name}_tombstones")
   }
 
   /** Line-dedup a new batch (doc_id, text) against the index with

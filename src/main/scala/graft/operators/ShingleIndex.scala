@@ -58,6 +58,26 @@ object ShingleIndex {
     else df.join(spark.table(s"${name}_tombstones").select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Physically drop tombstoned docs' pairs and the tombstones themselves
+    * — the compaction that completes [[delete]]'s right-to-be-forgotten
+    * (a mask hides removed ids from probes; their bytes — and the
+    * tombstone list naming them — remain on disk until this runs). Probes
+    * before and after are identical. EAGER localCheckpoint pins the
+    * surviving pairs before the in-place table overwrite (catalog tables
+    * can't pointer-swap like Bm25Index's dirs; the checkpoint cuts the
+    * read-path-you-write lineage and fails loud on block loss). Corpus-
+    * index-sized — run on the operator's schedule (the Bm25Index.vacuum
+    * discipline). */
+  def vacuum(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_tombstones")) return
+    val kept = masked(spark, name, spark.table(name)).localCheckpoint(true)
+    kept.write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
+    spark.table(name)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").saveAsTable(s"${name}_counts")
+    spark.sql(s"DROP TABLE ${name}_tombstones")
+  }
+
   /** Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) between a new
     * batch (doc_id, text; ids disjoint from the corpus) and the
     * materialized index — plus within the batch itself. Equals

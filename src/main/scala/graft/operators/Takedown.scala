@@ -130,4 +130,40 @@ object Takedown {
       surviving.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0))
     n
   }
+
+  /** PHYSICAL erasure — [[run]] masks, but the removed ids' bytes remain
+    * in the standing files (curated/shard rows, index postings, every
+    * tombstone list naming them) until this runs. scrub() finishes
+    * right-to-be-forgotten on disk: the curated manifest and eval
+    * benchmark rewrite minus the tombstoned docs (checkpoint-pinned —
+    * each plan reads the path it then overwrites), the shards [[repack]]
+    * from the clean manifest (pack base rewound), every index compacts
+    * ([[Bm25Index.vacuum]] / [[VectorIndex.vacuum]] / [[ShingleIndex
+    * .vacuum]] / [[LineSegmentIndex.vacuum]]), and the takedown
+    * tombstones themselves are deleted last — afterwards no artifact
+    * names a removed doc, and every reader behaves exactly as before the
+    * scrub (TakedownSpec pins both). Corpus-manifest-sized like repack:
+    * the REQUEST path stays the |removed|-sized [[run]]; erasure runs on
+    * the operator's schedule (e.g. the jurisdiction's completion
+    * deadline), amortized over many requests. */
+  def scrub(spark: SparkSession, outDir: String,
+      shingleIndexes: Seq[String] = Nil,
+      lineSegmentIndexes: Seq[String] = Nil): Unit = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(outDir)))) return
+    val cleanManifest = manifest(spark, outDir).localCheckpoint(true)
+    cleanManifest.write.mode("overwrite").parquet(s"$outDir/curated")
+    val cleanEval = evalh(spark, outDir).localCheckpoint(true)
+    cleanEval.write.mode("overwrite").parquet(s"$outDir/evalh")
+    repack(spark, outDir)
+    Bm25Index.vacuum(spark, s"$outDir/bm25")
+    VectorIndex.vacuum(spark, s"$outDir/vectors")
+    shingleIndexes.foreach(n => ShingleIndex.vacuum(spark, n))
+    lineSegmentIndexes.foreach(n => LineSegmentIndex.vacuum(spark, n))
+    val tomb = java.nio.file.Paths.get(tombDir(outDir))
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(tomb)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally s.close()
+  }
 }

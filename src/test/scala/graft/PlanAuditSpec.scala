@@ -194,10 +194,14 @@ class PlanAuditSpec extends AnyFunSuite {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
     assert(hints.isEmpty, s"decontam_bloom mandates join strategies: $hints")
-    // the bloom membership UDF must appear as a Filter in the plan (the
-    // prefilter shrinks candidates before the verify join's exchange)
+    // the bloom membership test must appear as a codegen
+    // graft_bloom_contains filter (the prefilter shrinks candidates
+    // before the verify join's exchange) — and NEVER as a ScalaUDF,
+    // which would put a serde boundary on every corpus shingle
     val p = plan("decontam_bloom")
-    assert(p.contains("UDF"), s"bloom membership filter not in plan:\n$p")
+    assert(p.contains("graft_bloom_contains"),
+      s"bloom membership filter not in plan:\n$p")
+    assert(!p.contains("UDF"), s"ScalaUDF back in the bloom path:\n$p")
   }
 
   test("text_heavy_hitters: the sketch aggregates map-side (no token-space shuffle)") {

@@ -207,6 +207,41 @@ class TakedownSpec extends AnyFunSuite {
         assert(b._4 == a._4 + a._2, s"offset gap in shard ${a._3}: $a -> $b")
     }
 
+    // SCRUB: physical erasure — every reader unchanged, and no standing
+    // artifact (nor any tombstone list) retains a removed doc id
+    val preBm = scores(s"$dir/bm25")
+    val preVec = hits(s"$dir/vectors")
+    val preLine = lineRows("graft_tk_lineidx")
+    Takedown.scrub(spark, dir, Seq("graft_tk_shidx"), Seq("graft_tk_lineidx"))
+    assert(scores(s"$dir/bm25") == preBm, "bm25 probe changed across scrub")
+    assert(hits(s"$dir/vectors") == preVec, "vector probe changed across scrub")
+    assert(shPairs("graft_tk_shidx") == shPost, "shingle probe changed across scrub")
+    assert(lineRows("graft_tk_lineidx") == preLine, "line probe changed across scrub")
+    def idsOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).distinct().collect().map(_.getLong(0)).toSet
+    val surfaces = Seq(
+      "curated" -> idsOf(spark.read.parquet(s"$dir/curated"), "doc_id"),
+      "shards" -> idsOf(spark.read.parquet(s"$dir/shards"), "doc_id"),
+      "evalh" -> idsOf(spark.read.parquet(s"$dir/evalh"), "doc_id"),
+      "bm25 postings" -> idsOf(
+        spark.read.parquet(graft.operators.Bm25Index.postingsPath(s"$dir/bm25")), "doc_id"),
+      "vectors" -> idsOf(spark.read.parquet(s"$dir/vectors"), "vec_id"),
+      "shingle index" -> idsOf(spark.table("graft_tk_shidx"), "doc_id"),
+      "shingle counts" -> idsOf(spark.table("graft_tk_shidx_counts"), "doc_id"),
+      "line index" -> idsOf(spark.table("graft_tk_lineidx"), "doc_id"))
+    for ((name, ids) <- surfaces)
+      assert(ids.intersect(removedIds).isEmpty,
+        s"$name still holds removed ids: ${ids.intersect(removedIds).take(5)}")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/takedown_tombstones")),
+      "takedown tombstones survived the scrub")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/bm25/tombstones")),
+      "bm25 tombstones survived the scrub")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/vectors_tombstones")),
+      "vector tombstones survived the scrub")
+    assert(!spark.catalog.tableExists("graft_tk_shidx_tombstones") &&
+      !spark.catalog.tableExists("graft_tk_lineidx_tombstones"),
+      "index tombstone tables survived the scrub")
+
     for (t <- Seq("graft_tk_shidx", "graft_tk_shidx_tombstones",
         "graft_tk_shidx_counts", "graft_tk_shidx_ref", "graft_tk_shidx_ref_counts",
         "graft_tk_lineidx", "graft_tk_lineidx_tombstones", "graft_tk_lineidx_ref"))
