@@ -148,4 +148,41 @@ class Bm25IndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("a CRASHED delete (tombstones committed, small side stale) rolls forward on the next entry") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val path = Files.createTempDirectory("bm25crash").toString
+    val ref = Files.createTempDirectory("bm25crashref").toString
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    try {
+      Bm25Index.build(docs, path)
+      val nAll = spark.read.parquet(Bm25Index.statsPath(path)).collect()(0).getLong(0)
+      // simulate the crash window of delete(): the epoch-1 tombstone
+      // commit record lands, the process dies before applyPending
+      val d1 = docs.filter($"doc_id" % 7 === 0).select($"doc_id").distinct()
+      d1.withColumn("epoch", lit(1L))
+        .write.mode("append").parquet(s"$path/tombstones")
+      // stale by construction: stats still count every doc (non-vacuous)
+      assert(spark.read.parquet(Bm25Index.statsPath(path)).collect()(0).getLong(0) == nAll,
+        "small side moved without applyPending — crash simulation broken")
+      // the RETRY path: any later delete rolls the pending epoch forward
+      // before its own work (as would an explicit applyPending call)
+      val d2 = docs.filter($"doc_id" % 11 === 0).select($"doc_id").distinct()
+      Bm25Index.delete(spark, path, d2)
+      val remaining = docs.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 11 =!= 0)
+      Bm25Index.build(remaining, ref)
+      val q = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+      def scores(p: String) = Bm25Index.probe(spark, p, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(scores(ref).nonEmpty, "no BM25 hits — vacuous")
+      assert(scores(path) == scores(ref),
+        "crashed delete not rolled forward: probe != rebuild on the remaining corpus")
+      // and the stats now reflect BOTH epochs exactly
+      val nRemaining = remaining.count()
+      assert(spark.read.parquet(Bm25Index.statsPath(path)).collect()(0).getLong(0) == nRemaining)
+    } finally {
+      spark.catalog.clearCache()
+    }
+  }
 }

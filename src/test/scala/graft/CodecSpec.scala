@@ -154,4 +154,13 @@ class CodecSpec extends AnyFunSuite {
     assert(cat.schemaById(7).getFullName == "graft.test.TestPayload")
     assert(cat.idFor("graft.test.TestPayload") == 7)
   }
+
+  test("RegistryConformance skips cleanly when no registry is configured") {
+    // the PgConformance/KafkaConformance discipline: env-gated, safe to
+    // wire into any CI — without SCHEMA_REGISTRY_URL it prints a skip
+    // notice and exits normally
+    assert(!sys.env.contains(graft.tools.RegistryConformance.UrlEnv),
+      "test environment unexpectedly configures a schema registry")
+    graft.tools.RegistryConformance.main(Array.empty) // must not throw
+  }
 }
