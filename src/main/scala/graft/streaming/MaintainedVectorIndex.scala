@@ -37,8 +37,54 @@ final class MaintainedVectorIndex(path: Path, spark: SparkSession,
     bits: Int = 4, dim: Int = 64) {
   private val proj = new EosProjection(path.resolve("eos"))
   private def vecsDir = path.resolve("vectors")
+  private def tombDir = path.resolve("tombstones")
 
   def lastCommitted: Long = proj.lastCommitted
+
+  /** Delete vectors from the maintained index — the right-to-be-
+    * forgotten path works on the STREAMING artifact too because this
+    * index is side-table-free (the VectorIndex.delete argument): a
+    * tombstone mask before ranking is EXACT, no committed per-batch
+    * state needs rewriting, so the delete never competes with the
+    * stream's EOS batch sequence. Idempotent; never-indexed ids are
+    * no-ops. (Contrast [[MaintainedBm25Index]]: BM25 scores depend on
+    * global df/avgdl, and its committed side tables advance only with
+    * stream batch ids — an out-of-band small-side commit would collide
+    * with the next real batch's id and break replay-skip. Takedowns on
+    * the lexical path go through the batch [[graft.operators.Bm25Index
+    * .delete]] on the served index, or a quiesce-and-rebuild.) */
+  def delete(ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).as("vec_id")).distinct()
+      .write.mode("append").parquet(tombDir.toString)
+
+  private def maskedCorpus(df: DataFrame): DataFrame =
+    if (!Files.exists(tombDir)) df
+    else df.join(
+      spark.read.parquet(tombDir.toString).select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+
+  /** Physically drop tombstoned vectors: a full masked rewrite under the
+    * same (batch, bucket) partitioning — surviving rows keep their batch
+    * ids, so the `batch <= lastCommitted` probe gating is untouched, and
+    * a partition whose every row was tombstoned disappears entirely
+    * (dynamic per-partition overwrite would silently leave such
+    * partitions' old files in place). EAGER localCheckpoint pins the
+    * surviving rows before the overwrite (the VectorIndex.vacuum
+    * discipline). */
+  def vacuum(): Unit = {
+    if (!Files.exists(tombDir)) return
+    val kept = maskedCorpus(spark.read.parquet(vecsDir.toString)
+        .select(col("vec_id"), col("v"), col("batch"), col("bucket")))
+      .localCheckpoint(true)
+    kept.write.mode("overwrite")
+      .partitionBy("batch", "bucket")
+      .parquet(vecsDir.toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(tombDir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
 
   /** foreachBatch body — attach via `writeStream.foreachBatch(idx.update _)`.
     * `batch` needs columns (vec_id, embedding). */
@@ -70,8 +116,8 @@ final class MaintainedVectorIndex(path: Path, spark: SparkSession,
         lit(0L).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
     val (q, probes, buckets) =
       VectorIndex.queryProbes(spark, queries, bits, dim, nprobe)
-    val corpus = spark.read.parquet(vecsDir.toString)
-      .filter(col("batch") <= last && col("bucket").isin(buckets: _*))
+    val corpus = maskedCorpus(spark.read.parquet(vecsDir.toString)
+        .filter(col("batch") <= last && col("bucket").isin(buckets: _*)))
       .select(col("vec_id").as("neighbor_id"), col("bucket"),
         col("v").as("cv"), sqrt(expr("graft_dot(v, v)")).as("cnrm"))
     val w = Window.partitionBy(col("query_id"))

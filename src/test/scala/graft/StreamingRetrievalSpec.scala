@@ -119,7 +119,8 @@ class StreamingRetrievalSpec extends AnyFunSuite {
       .as[(Long, Array[Double])].collect()
     val (first, second) = rows.splitAt(rows.length / 2)
 
-    val idx = new MaintainedVectorIndex(Files.createTempDirectory("vecm"), spark)
+    val idxPath = Files.createTempDirectory("vecm")
+    val idx = new MaintainedVectorIndex(idxPath, spark)
     val queries = vecsDf.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding")
     assert(idx.probe(queries, k = 3).isEmpty, "probe before any commit must be empty")
@@ -149,6 +150,29 @@ class StreamingRetrievalSpec extends AnyFunSuite {
     idx.update(Seq((99999L, Array.fill(64)(1.0))).toDF("vec_id", "embedding"), 0L)
     assert(hits(idx.probe(queries, k = 3, nprobe = 2)) == expected,
       "replayed batch mutated the index")
+
+    // delete on the STREAMING artifact: exact (side-table-free mask) —
+    // probe == a batch materialize+probe on the remaining vectors; and
+    // vacuum physically erases without changing any probe
+    val removed = rows.map(_._1).filter(_ % 5 == 3).toSet
+    assert(removed.nonEmpty, "takedown set empty — vacuous")
+    idx.delete(removed.toSeq.toDF("vec_id"))
+    val remainingIdx = Files.createTempDirectory("vecmr").toString
+    VectorIndex.materialize(vecsDf.filter(!$"vec_id".isin(removed.toSeq: _*)), remainingIdx)
+    val afterDelete = hits(idx.probe(queries, k = 3, nprobe = 2))
+    assert(afterDelete ==
+      hits(VectorIndex.probe(spark, remainingIdx, queries, k = 3, nprobe = 2)),
+      "maintained probe after delete != rebuild on remaining vectors")
+    assert(afterDelete != expected, "vacuous: delete changed no probe result")
+    idx.vacuum()
+    assert(hits(idx.probe(queries, k = 3, nprobe = 2)) == afterDelete,
+      "vacuum changed the probe")
+    val survivors = spark.read.parquet(idxPath.resolve("vectors").toString)
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    assert(survivors.intersect(removed).isEmpty,
+      "vacuum left removed vec_ids on disk")
+    assert(!Files.exists(idxPath.resolve("tombstones")),
+      "tombstones survived the vacuum")
     spark.catalog.clearCache()
   }
 }
