@@ -36,6 +36,26 @@ object ShingleIndex {
       .write.mode("overwrite").saveAsTable(s"${name}_counts")
   }
 
+  /** Fold a new batch into the index — the daily path (the
+    * LineSegmentIndex.append / Bm25Index.append doctrine): the batch's
+    * distinct (doc_id, h) pairs append under the same bucket layout and
+    * the counts side merges batch-sized; the standing bucket files never
+    * rewrite. Batch doc_ids must be disjoint from the corpus (the
+    * [[probe]] contract). After append, probing a NEWER batch equals
+    * probing an index materialized over corpus ∪ batch —
+    * ShingleIndexSpec pins it. */
+  def append(batch: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    graft.GraftExtensions.register(spark)
+    val pairs = batch
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct().cache()
+    pairs.write.mode("append").bucketBy(buckets, "h").saveAsTable(name)
+    pairs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("append").saveAsTable(s"${name}_counts")
+    pairs.unpersist()
+  }
+
   /** Delete documents from the index — the right-to-be-forgotten path
     * for the DEDUP surface, which matters beyond storage hygiene: while
     * the removed doc's shingles remain, tomorrow's copy of that content

@@ -95,4 +95,42 @@ class ShingleIndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("append folds a day in: probing a newer batch == probing materialize(corpus ∪ day1)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 200)
+    val day1 = docs.filter($"doc_id" >= 200 && $"doc_id" < 350)
+    val day2 = docs.filter($"doc_id" >= 350)
+    try {
+      ShingleIndex.materialize(corpus, "graft_shidx_inc")
+      ShingleIndex.append(day1, "graft_shidx_inc")
+      ShingleIndex.materialize(docs.filter($"doc_id" < 350), "graft_shidx_incf")
+      def pairs(name: String) = ShingleIndex.probe(spark, name, day2, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = pairs("graft_shidx_incf")
+      assert(expected.nonEmpty, "no probe pairs — test would be vacuous")
+      assert(pairs("graft_shidx_inc") == expected,
+        "appended index != from-scratch rebuild over the union")
+      // vacuum after a delete on the appended index keeps probes intact
+      // and physically drops the removed docs' pairs
+      val gone = corpus.filter($"doc_id" % 4 === 0).select($"doc_id")
+      ShingleIndex.delete(spark, "graft_shidx_inc", gone)
+      val masked = pairs("graft_shidx_inc")
+      ShingleIndex.vacuum(spark, "graft_shidx_inc")
+      assert(pairs("graft_shidx_inc") == masked, "vacuum changed the probe")
+      val goneIds = gone.as[Long].collect().toSet
+      val left = spark.table("graft_shidx_inc")
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      assert(left.intersect(goneIds).isEmpty, "vacuum left removed ids in the index")
+      assert(!spark.catalog.tableExists("graft_shidx_inc_tombstones"),
+        "tombstone table survived the vacuum")
+    } finally {
+      for (t <- Seq("graft_shidx_inc", "graft_shidx_inc_counts",
+          "graft_shidx_inc_tombstones", "graft_shidx_incf", "graft_shidx_incf_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.clearCache()
+    }
+  }
 }
