@@ -190,6 +190,26 @@ object Bm25Index {
     java.nio.file.Files.move(tmp, pointerFile(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC superseded snapshots once the swap is durable — without this,
+    // every append/delete would leave its predecessor dir forever. Safe
+    // under the single-active-writer contract (G6): index mutations are
+    // operator-scheduled, and a crash between swap and GC just leaves
+    // orphans for the next swap to collect.
+    val root = java.nio.file.Paths.get(s"$path/smalls")
+    if (java.nio.file.Files.exists(root)) {
+      val keep = smalls.stripPrefix("smalls/")
+      import scala.jdk.CollectionConverters._
+      val dirs = java.nio.file.Files.list(root)
+      try dirs.iterator().asScala.toList
+        .filter(d => d.getFileName.toString != keep)
+        .foreach { d =>
+          val files = java.nio.file.Files.walk(d)
+          try files.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+          finally files.close()
+        }
+      finally dirs.close()
+    }
   }
 
   private def smallsDir(path: String): String = currentState(path)._2 match {
