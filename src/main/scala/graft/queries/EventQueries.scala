@@ -472,6 +472,38 @@ object EventQueries extends QueryModule {
           ($"head_us" - $"latest_us").as("lag_us"))
     },
 
+    // Data-quality audit: COMPLETENESS — per audited column, how many
+    // rows are null or blank-after-trim (the ingestion-contract check a
+    // pipeline runs before trusting a field for filtering/joins). One
+    // pass per table: every column audits inside the same partial
+    // aggregate, so the whole report costs one scan per table and a
+    // |columns|-row result — no shuffle of row data at any scale.
+    "dq_completeness" -> { (s, dir) =>
+      import s.implicits._
+      def audit(table: String,
+          checks: (String, org.apache.spark.sql.Column)*): DataFrame = {
+        val df = Tables.load(s, dir, table)
+        val aggs = count(lit(1)).as("n_rows") +:
+          checks.map { case (c, bad) => sum(when(bad, 1L).otherwise(0L)).as(s"_$c") }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        checks.map { case (c, _) =>
+          row.select(lit(table).as("table_name"), lit(c).as("column_name"),
+            $"n_rows", col(s"_$c").as("n_missing"),
+            (col(s"_$c").cast("double") / $"n_rows").as("missing_frac"))
+        }.reduce(_.unionAll(_))
+      }
+      audit("events",
+          "event_type" -> ($"event_type".isNull || trim($"event_type") === ""),
+          "props" -> ($"props".isNull || trim($"props") === ""),
+          "value" -> $"value".isNull)
+        .unionAll(audit("documents",
+          "text" -> ($"text".isNull || trim($"text") === ""),
+          "lang" -> ($"lang".isNull || trim($"lang") === ""),
+          "source" -> ($"source".isNull || trim($"source") === "")))
+        .unionAll(audit("embeddings",
+          "embedding" -> ($"embedding".isNull || size($"embedding") === 0)))
+    },
+
     "dq_integrity" -> { (s, dir) =>
       import s.implicits._
       def orphans(edge: String, child: DataFrame, key: String, parent: DataFrame, pkey: String) =
@@ -914,6 +946,29 @@ object EventQueries extends QueryModule {
         |SELECT event_type, n_events, latest_us,
         |  CAST(head_us - latest_us AS BIGINT) AS lag_us
         |FROM per CROSS JOIN head""".stripMargin,
+
+    "dq_completeness" ->
+      """WITH ev AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type IS NULL OR trim(event_type) = '' THEN 1 ELSE 0 END) AS BIGINT) AS m_type,
+        |    CAST(sum(CASE WHEN props IS NULL OR trim(props) = '' THEN 1 ELSE 0 END) AS BIGINT) AS m_props,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_value
+        |  FROM events),
+        |dc AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS m_text,
+        |    CAST(sum(CASE WHEN lang IS NULL OR trim(lang) = '' THEN 1 ELSE 0 END) AS BIGINT) AS m_lang,
+        |    CAST(sum(CASE WHEN source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END) AS BIGINT) AS m_source
+        |  FROM documents),
+        |em AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_emb
+        |  FROM embeddings)
+        |SELECT 'events' AS table_name, 'event_type' AS column_name, n AS n_rows,
+        |  m_type AS n_missing, CAST(m_type AS DOUBLE) / n AS missing_frac FROM ev
+        |UNION ALL SELECT 'events', 'props', n, m_props, CAST(m_props AS DOUBLE) / n FROM ev
+        |UNION ALL SELECT 'events', 'value', n, m_value, CAST(m_value AS DOUBLE) / n FROM ev
+        |UNION ALL SELECT 'documents', 'text', n, m_text, CAST(m_text AS DOUBLE) / n FROM dc
+        |UNION ALL SELECT 'documents', 'lang', n, m_lang, CAST(m_lang AS DOUBLE) / n FROM dc
+        |UNION ALL SELECT 'documents', 'source', n, m_source, CAST(m_source AS DOUBLE) / n FROM dc
+        |UNION ALL SELECT 'embeddings', 'embedding', n, m_emb, CAST(m_emb AS DOUBLE) / n FROM em""".stripMargin,
 
     "dq_integrity" ->
       """SELECT 'lineitem.orderkey->orders' AS fk_edge, count(*) AS n_orphans
