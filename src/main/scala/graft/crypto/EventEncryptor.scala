@@ -66,6 +66,19 @@ final class EventEncryptor(keys: KeyProvider) extends Serializable {
         keys.aead(new String(kid, UTF_8)).decrypt(data, ad)
     }
 
+  /** E2 variant for crypto-SHREDDED reads: `None` when the event's key
+    * has been destroyed ([[KeyDestroyedException]]) — the caller redacts
+    * or drops the event, the append-only log untouched. Unencrypted
+    * passthrough and tamper behave EXACTLY like [[decrypt]]: a corrupted
+    * ciphertext still fails loud (G8), never silently redacts. */
+  def decryptOrRedact(
+      data: Array[Byte],
+      eventKey: Array[Byte],
+      timestampMillis: Long,
+      metadata: Map[String, Array[Byte]]): Option[Array[Byte]] =
+    try Some(decrypt(data, eventKey, timestampMillis, metadata))
+    catch { case _: KeyDestroyedException => None }
+
   /** E3: embed the key id into metadata for storage/transport. */
   def withKeyId(metadata: Map[String, Array[Byte]], keyUri: String): Map[String, Array[Byte]] =
     metadata + (Event.MetadataKeyId -> keyUri.getBytes(UTF_8))
@@ -145,20 +158,48 @@ trait KeyProvider extends Serializable {
   def aead(keyUri: String): AeadPrimitive
 }
 
+/** Raised when a key URI's material has been DESTROYED (crypto-shredding)
+  * — deliberately distinct from tamper/wrong-AD failures, so readers can
+  * redact shredded events while still failing loud on corruption. */
+final class KeyDestroyedException(val keyUri: String)
+  extends GeneralSecurityException(s"key destroyed: $keyUri")
+
+/** Key destruction — the event-log leg of right-to-be-forgotten: an
+  * append-only log cannot rewrite history (G1/G2), so per-subject
+  * encryption + key destruction IS the deletion mechanism (crypto-
+  * shredding): once the key is gone, every event encrypted under it is
+  * permanently unreadable ciphertext, with no log rewrite. The analytics
+  * artifacts' counterpart is [[graft.operators.Takedown]]. A production
+  * KMS provider maps this to the KMS's schedule-destroy API. */
+trait DestroyableKeys {
+  def destroy(keyUri: String): Unit
+}
+
 /** Test/standalone KMS: per-URI AES-256 keys generated on first use
   * (mirrors the reference's test KMS, EncryptedPostgresEventStoreIT.java:
   * 66-74). JVM-wide store so driver and executors (one JVM in local mode)
   * resolve identical keys; production injects a real KMS-backed provider. */
-final class InMemoryKms extends KeyProvider {
+final class InMemoryKms extends KeyProvider with DestroyableKeys {
   // memoized per URI: aead() runs once per ROW on the decrypt path, and a
-  // fresh primitive per call would rebuild the key schedule every row
+  // fresh primitive per call would rebuild the key schedule every row.
+  // The destroyed-set check precedes the memo so a shredded URI can never
+  // serve a cached primitive.
   @transient private lazy val cache = new ConcurrentHashMap[String, AeadPrimitive]()
-  override def aead(keyUri: String): AeadPrimitive =
+  override def aead(keyUri: String): AeadPrimitive = {
+    if (InMemoryKms.isDestroyed(keyUri)) throw new KeyDestroyedException(keyUri)
     cache.computeIfAbsent(keyUri, uri => new AesGcmAead(InMemoryKms.keyFor(uri)))
+  }
+
+  /** Crypto-shred: drop the key material and pin the URI destroyed —
+    * later resolution throws [[KeyDestroyedException]] instead of
+    * regenerating a fresh (useless but confusing) key. JVM-wide, like
+    * the keyset store itself. */
+  override def destroy(keyUri: String): Unit = InMemoryKms.markDestroyed(keyUri)
 }
 
 object InMemoryKms {
   private val keysets = new ConcurrentHashMap[String, Array[Byte]]()
+  private val destroyed = ConcurrentHashMap.newKeySet[String]()
   private val rng = new SecureRandom()
 
   private def keyFor(uri: String): Array[Byte] =
@@ -168,6 +209,13 @@ object InMemoryKms {
       k
     })
 
+  private[crypto] def isDestroyed(uri: String): Boolean = destroyed.contains(uri)
+
+  private[crypto] def markDestroyed(uri: String): Unit = {
+    destroyed.add(uri)
+    keysets.remove(uri)
+  }
+
   /** Forget all keys (tests: wrong-key scenarios). */
-  def reset(): Unit = keysets.clear()
+  def reset(): Unit = { keysets.clear(); destroyed.clear() }
 }

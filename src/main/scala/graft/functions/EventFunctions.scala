@@ -82,6 +82,19 @@ object EventFunctions {
     u(data, key, (unix_millis(timestamp)), metaMap)
   }
 
+  /** Shred-aware columnar decrypt: NULL payload for events whose key was
+    * DESTROYED (crypto-shredding — callers `.filter(col.isNotNull)` to
+    * drop redacted events); tamper under a live key still fails loud,
+    * exactly like [[decryptPayload]]. */
+  def decryptSurviving(encryptor: EventEncryptor)(
+      data: Column, key: Column, timestamp: Column, metaMap: Column): Column = {
+    val u = udf { (d: Array[Byte], k: Array[Byte], tsMillis: Long, m: Map[String, Array[Byte]]) =>
+      encryptor.decryptOrRedact(d, k, tsMillis,
+        if (m == null) Map.empty[String, Array[Byte]] else m).orNull
+    }
+    u(data, key, (unix_millis(timestamp)), metaMap)
+  }
+
   /** T7: full record→event enrichment over a subscribe stream: decoded
     * metadata + transport fields (ReactorKafkaEventTransformer.java:128-145).
     * The output metadata map carries the STORED entries only; `id` and

@@ -45,7 +45,11 @@ import org.apache.spark.sql.functions._
   *
   * The tombstone mask is |removed|-sized and AQE-broadcasts into every
   * reader join; nothing corpus-sized rewrites (the Bm25Index.delete
-  * doctrine). `docs` is the takedown payload (doc_id, text + whatever
+  * doctrine). The EVENT-LOG leg of the same obligation is
+  * crypto-shredding ([[graft.crypto.DestroyableKeys]]): the append-only
+  * log never rewrites, so per-subject keys are destroyed and readers
+  * redact ([[graft.store.GraftEventStore.readSurviving]]).
+  * `docs` is the takedown payload (doc_id, text + whatever
   * `isTarget` reads) — a takedown request names concrete documents, and
   * the model subtraction needs their text; ids with no payload row are
   * masked from the manifest/shards/indexes but cannot be subtracted

@@ -144,6 +144,32 @@ final class GraftEventStore(
       (e, ConfluentAvro.deserialize(plain, catalog))
     }
   }
+
+  /** [[readEvents]] minus crypto-SHREDDED events: an event whose key was
+    * destroyed ([[graft.crypto.DestroyableKeys]] — the append-only log's
+    * right-to-be-forgotten) is silently dropped, exactly as if it had
+    * never been kept. Everything else is readEvents verbatim — including
+    * fail-loud on TAMPERED ciphertext under a live key: only the
+    * distinguished key-destroyed signal redacts (never a decrypt error),
+    * so corruption cannot masquerade as a takedown. Same strict `limit`
+    * contract (the bound applies to the scanned tail, pre-redaction). */
+  def readSurviving(topic: String, after: Cursor = Cursor.zero,
+      limit: Int = GraftEventStore.DefaultReadLimit): Seq[(Event, GenericRecord)] = {
+    val probe = if (limit == Int.MaxValue) limit else limit + 1
+    val rows = log.scan(topic, after, probe).collect()
+    if (rows.length > limit)
+      throw new IllegalStateException(
+        s"readSurviving($topic) tail exceeds limit=$limit rows — raise the limit " +
+          "explicitly or use the columnar consume paths (transformTopic / EventFunctions.enrich)")
+    rows.toSeq.flatMap { r =>
+      val e = EventLogSchema.toEvent(r)
+      val plain = encryptor match {
+        case Some(enc) => enc.decryptOrRedact(e.payload, e.key, e.timestamp.toEpochMilli, e.metadata)
+        case None => Some(e.payload)
+      }
+      plain.map(p => (e, ConfluentAvro.deserialize(p, catalog)))
+    }
+  }
 }
 
 object GraftEventStore {

@@ -317,4 +317,49 @@ class StoreSpec extends AnyFunSuite {
     assert(decoded.map(_.getAs[String]("payload_json")).toSeq ==
       (1 to n).map(i => s"""{"text": "enc $i"}"""))
   }
+
+  test("crypto-shredding: destroying a subject's key forgets its events without touching the log") {
+    import graft.crypto.KeyDestroyedException
+    val kms = new InMemoryKms
+    val log = EventLog(Files.createTempDirectory("graft-shred-").toString, spark)
+    val store = new GraftEventStore(log, catalog, Some(new EventEncryptor(kms)))
+    val (uriA, uriB) = ("test-kms://shred/subject-a", "test-kms://shred/subject-b")
+    val t = Instant.parse("2024-06-01T00:00:00Z")
+    store.save("shred_events", "a1".getBytes(UTF_8), rec("a first"), t, Map.empty, Some(uriA))
+    store.save("shred_events", "b1".getBytes(UTF_8), rec("b first"), t, Map.empty, Some(uriB))
+    store.save("shred_events", "p1".getBytes(UTF_8), rec("plain"), t) // unencrypted passthrough
+    store.save("shred_events", "a2".getBytes(UTF_8), rec("a second"), t, Map.empty, Some(uriA))
+
+    kms.destroy(uriA) // the right-to-be-forgotten request for subject A
+
+    // surviving read: A's events are gone as if never kept; B + plaintext
+    // remain; the log itself is untouched (4 rows still stored)
+    val left = store.readSurviving("shred_events")
+    assert(left.map(_._2.get("text").toString).toSet == Set("b first", "plain"))
+    assert(store.log.typedRead("shred_events").size == 4, "the log must not rewrite")
+    // the strict read fails loud on the shredded event (no silent skip)
+    val ex = intercept[KeyDestroyedException](store.readEvents("shred_events"))
+    assert(ex.keyUri == uriA)
+    // columnar: decryptSurviving nulls exactly A's payloads
+    val df = store.log.read("shred_events")
+      .withColumn("meta", EventFunctions.decodeMetadata(org.apache.spark.sql.functions.col("metadata")))
+      .withColumn("plain", EventFunctions.decryptSurviving(new EventEncryptor(kms))(
+        org.apache.spark.sql.functions.col("data"),
+        org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.col("timestamp"),
+        org.apache.spark.sql.functions.col("meta")))
+    assert(df.filter("plain IS NULL").count() == 2L)
+    assert(df.filter("plain IS NOT NULL").count() == 2L)
+    // tamper under the LIVE key still fails loud — corruption can never
+    // masquerade as a takedown
+    val b = store.log.typedRead("shred_events").map(_._2)
+      .filter(e => new String(e.key, UTF_8) == "b1").head
+    val tampered = b.payload.clone(); tampered(tampered.length - 1) = (tampered.last ^ 1).toByte
+    intercept[java.security.GeneralSecurityException] {
+      new EventEncryptor(kms).decrypt(tampered, b.key, b.timestamp.toEpochMilli, b.metadata)
+    }
+    // no InMemoryKms.reset() here: the destroyed-set is JVM-wide and a
+    // reset could race a concurrently-running suite's encrypt/decrypt;
+    // the shred URIs are test-unique, so leaving them destroyed is inert
+  }
 }
