@@ -74,4 +74,34 @@ object Tokenizer {
       n
     }
   }
+
+  /** TRAINED-vocabulary counter — the full loop of the BPE story: learn
+    * the merge table with [[graft.operators.BpeTrainer.train]], then
+    * budget packs/mixtures in the pieces that tokenizer actually
+    * produces. Per word (whitespace token): characters → the learned
+    * merges in rank order via the trainer's own columnar fold
+    * ([[graft.operators.BpeTrainer.applyMerges]]), counted — so the
+    * count is EXACTLY |trainer segmentation| (TokenizerSpec pins it
+    * against BpeTrainer.segmentReference). Pure expressions (nested
+    * higher-order folds — no UDF); expression depth is one fold per
+    * merge, hence the [[Learned.MaxMerges]] cap: beyond it, swap in a
+    * dedicated native Expression behind this same seam. */
+  final case class Learned(merges: Seq[graft.operators.BpeTrainer.Merge])
+      extends Tokenizer {
+    require(merges.size <= Learned.MaxMerges,
+      s"Learned tokenizer caps at ${Learned.MaxMerges} merges " +
+        s"(expression depth grows per merge); got ${merges.size}")
+    val name = s"bpe-${merges.size}"
+    def count(text: Column): Column =
+      aggregate(
+        filter(graft.queries.CrossHash.tokens(text), w => w =!= ""),
+        lit(0L),
+        (acc, w) => acc + size(graft.operators.BpeTrainer.applyMerges(
+          filter(split(w, ""), s => s =!= ""), merges)).cast("long"))
+  }
+
+  object Learned {
+    /** Expression-depth budget (one fold per merge). */
+    val MaxMerges = 32
+  }
 }

@@ -72,18 +72,7 @@ object BpeTrainer {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, n)
-        // leftmost-first non-overlapping rewrite of (l, r) → l||r as a
-        // fold: if the running result ends with l and the next symbol is
-        // r, replace the tail — the replaced token (l||r) can't re-merge
-        // this round because the fold compares against l, not l||r
-        val lLit = lit(l)
-        val rLit = lit(r)
-        val merged = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lLit && x === rLit,
-            concat(slice(acc, lit(1), size(acc) - 1), array(concat(lLit, rLit))))
-            .otherwise(concat(acc, array(x))))
+        val merged = mergeFold(col("syms"), l, r)
         val prev = syms
         syms = prev.select(col("cnt"), merged.as("syms")).cache()
         if ((rank + 1) % CheckpointEvery == 0) syms = syms.localCheckpoint()
@@ -94,6 +83,52 @@ object BpeTrainer {
     }
     syms.unpersist()
     merges.result()
+  }
+
+  /** Leftmost-first non-overlapping rewrite of (l, r) → l||r as a fold:
+    * if the running result ends with l and the next symbol is r, replace
+    * the tail — the replaced token (l||r) can't re-merge this round
+    * because the fold compares against l, not l||r. Shared by the
+    * training loop and [[applyMerges]] (the apply-time twin), so a
+    * tokenizer built on the learned table segments EXACTLY as the
+    * trainer did. */
+  private def mergeFold(syms: org.apache.spark.sql.Column, l: String, r: String) = {
+    val lLit = lit(l)
+    val rLit = lit(r)
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lLit && x === rLit,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(lLit, rLit))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Apply a learned merge table to a symbol-array column in rank order —
+    * the USE side of the trainer (graft.functions.Tokenizer.Learned
+    * counts pieces with it). One fold expression per merge: expression
+    * depth grows linearly with the table, so keep applied tables small
+    * (Tokenizer.Learned caps at [[graft.functions.Tokenizer.Learned
+    * .MaxMerges]]); a production-size vocabulary swaps in a dedicated
+    * Expression behind the same seam. */
+  def applyMerges(syms: org.apache.spark.sql.Column, merges: Seq[Merge]): org.apache.spark.sql.Column =
+    merges.sortBy(_.rank).foldLeft(syms)((s, m) => mergeFold(s, m.left, m.right))
+
+  /** Single-JVM reference segmentation of one word under a merge table
+    * (rank order, leftmost-first non-overlapping per round) — the spec
+    * oracle for [[applyMerges]]. */
+  def segmentReference(word: String, merges: Seq[Merge]): Vector[String] = {
+    var s = word.toVector.map(_.toString)
+    for (m <- merges.sortBy(_.rank)) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == m.left && s(i + 1) == m.right) {
+          out += m.left + m.right; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      s = out.result()
+    }
+    s
   }
 
   /** Independent single-JVM reference (the spec's oracle): same algorithm

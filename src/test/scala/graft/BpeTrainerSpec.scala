@@ -63,4 +63,35 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got.size == 12, s"expected 12 merges, got ${got.size}")
     assert(got == expected, s"got=$got\nexpected=$expected")
   }
+
+  test("Tokenizer.Learned counts trained pieces: columnar == per-word reference segmentation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val merges = BpeTrainer.train(docs, 12)
+    assert(merges.nonEmpty, "no merges learned — vacuous")
+    val tok = graft.functions.Tokenizer.Learned(merges)
+    val got = docs.limit(50)
+      .select($"doc_id", tok.count($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.limit(50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts) {
+      val expected = text.split("\\s+").filter(_.nonEmpty)
+        .map(w => BpeTrainer.segmentReference(w, merges).size.toLong).sum
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, want $expected")
+    }
+    // a learned merge genuinely compresses: fewer pieces than characters
+    // for at least one doc (the merges fired)
+    val chars = texts.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).map(_.length.toLong).sum }
+    assert(texts.keys.exists(id => got(id) < chars(id)),
+      "no merge ever fired — Learned degenerated to character counting")
+    // the cap is enforced, not silently truncated
+    val over = (0 until graft.functions.Tokenizer.Learned.MaxMerges + 1)
+      .map(i => BpeTrainer.Merge(i, s"x$i", "y", 2L))
+    intercept[IllegalArgumentException](graft.functions.Tokenizer.Learned(over))
+    spark.catalog.clearCache()
+  }
 }
