@@ -48,11 +48,9 @@ final class MaintainedVectorIndex(path: Path, spark: SparkSession,
     * state needs rewriting, so the delete never competes with the
     * stream's EOS batch sequence. Idempotent; never-indexed ids are
     * no-ops. (Contrast [[MaintainedBm25Index]]: BM25 scores depend on
-    * global df/avgdl, and its committed side tables advance only with
-    * stream batch ids — an out-of-band small-side commit would collide
-    * with the next real batch's id and break replay-skip. Takedowns on
-    * the lexical path go through the batch [[graft.operators.Bm25Index
-    * .delete]] on the served index, or a quiesce-and-rebuild.) */
+    * global df/avgdl, so its deletes cannot be out-of-band — they ride
+    * the stream itself as `op = 'del'` rows, committing the side-table
+    * decrement atomically with the batch marker.) */
   def delete(ids: DataFrame): Unit =
     ids.select(col(ids.columns.head).as("vec_id")).distinct()
       .write.mode("append").parquet(tombDir.toString)

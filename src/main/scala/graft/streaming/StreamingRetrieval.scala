@@ -95,12 +95,54 @@ final class MaintainedBm25Index(path: Path, spark: SparkSession, buckets: Int = 
       spark.read.parquet(path.resolve(s"eos/batch-$id/terms").toString),
       spark.read.parquet(path.resolve(s"eos/batch-$id/stats").toString)))
 
+  /** CUMULATIVE tombstone set as of committed batch `id` — rides the same
+    * per-batch snapshot dir as terms/stats, so a delete commits
+    * atomically with the side-table decrement it implies (the small-side
+    * discipline deletes could not get out-of-band: an external commit
+    * would collide with the stream's batch-id sequence). Batches written
+    * before the delete surface existed have no tombstone file → empty. */
+  private def tombstones(id: Long): Option[DataFrame] = {
+    val p = path.resolve(s"eos/batch-$id/tombstones")
+    if (id < 0 || !Files.exists(p)) None
+    else Some(spark.read.parquet(p.toString))
+  }
+
   /** foreachBatch body — attach via `writeStream.foreachBatch(idx.update _)`.
-    * `batch` needs columns (doc_id, text). */
+    * `batch` needs columns (doc_id, text) and optionally `op`
+    * ('add' | 'del'): STREAM-CARRIED takedowns. A del row removes a
+    * previously-committed doc exactly (per-term df decrement from one
+    * id-restricted postings scan, stats subtract, cumulative tombstone
+    * mask — the Bm25Index.delete algebra riding the EOS commit), so
+    * [[probe]] equals a from-scratch build on the remaining corpus.
+    * Already-deleted and never-indexed ids are no-ops; a doc_id may not
+    * appear as add and del in the SAME batch (fail-fast — the ordering
+    * inside one batch is undefined). Replays skip whole (G4). */
   def update(batch: DataFrame, batchId: Long): Unit =
     proj.foreachBatch { (df, id, stage) =>
       graft.GraftExtensions.register(spark)
-      val tok = df.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val hasOp = df.columns.contains("op")
+      val adds = if (hasOp) df.filter(col("op") === "add") else df
+      val delsReq = if (hasOp) df.filter(col("op") === "del")
+          .select(col("doc_id")).distinct()
+        else df.select(col("doc_id")).limit(0)
+      if (hasOp) {
+        require(adds.join(delsReq, Seq("doc_id"), "left_semi").isEmpty,
+          "a doc_id appears as both add and del in one batch — " +
+            "intra-batch ordering is undefined; split the request across batches")
+        val badOp = df.filter(!col("op").isin("add", "del")).limit(1).collect()
+        require(badOp.isEmpty, s"unknown op '${badOp.headOption.map(_.getAs[String]("op"))
+          .getOrElse("")}' — ops are 'add' | 'del'")
+      }
+      val prev = proj.lastCommitted
+      val prevTombs = tombstones(prev)
+      // fresh guard: already-tombstoned ids are no-ops (idempotent
+      // re-request; the REPLAY case never reaches here — G4 skips it)
+      val dels = (prevTombs match {
+        case None => delsReq
+        case Some(t) => delsReq.join(t, Seq("doc_id"), "left_anti")
+      }).cache()
+
+      val tok = adds.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache()
       val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       tf.join(dl, "doc_id")
@@ -110,9 +152,22 @@ final class MaintainedBm25Index(path: Path, spark: SparkSession, buckets: Int = 
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch", "b")
         .parquet(postingsDir.toString)
+      // del decrements: one scan of the COMMITTED postings restricted to
+      // the freshly-deleted ids (dl is denormalized per posting row)
+      val delRows =
+        if (!Files.exists(postingsDir)) dels.limit(0)
+          .select(lit("").as("term"), lit(0L).as("doc_id"), lit(0L).as("tf"), lit(0L).as("dl"))
+        else spark.read.parquet(postingsDir.toString)
+          .filter(col("batch") <= prev)
+          .join(dels, Seq("doc_id"), "left_semi")
+          .select(col("term"), col("doc_id"), col("tf"), col("dl")).cache()
+      val delTerms = delRows.groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+      val delPerDoc = delRows.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      val delStats = delPerDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
       val deltaTerms = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
       val deltaStats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      val (terms, stats) = sides(proj.lastCommitted) match {
+      val (terms, stats) = sides(prev) match {
         case None => (deltaTerms, deltaStats)
         case Some((pt, ps)) =>
           (pt.unionByName(deltaTerms).groupBy(col("term"))
@@ -120,11 +175,25 @@ final class MaintainedBm25Index(path: Path, spark: SparkSession, buckets: Int = 
            ps.unionByName(deltaStats)
              .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl")))
       }
-      terms.write.parquet(stage.resolve("terms").toString)
-      stats.select(coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(col("total_dl"), lit(0L)).as("total_dl"))
+      // terms at df 0 leave the vocabulary, exactly as a rebuild would
+      terms.join(delTerms, Seq("term"), "left")
+        .select(col("term"),
+          (col("dfreq") - coalesce(col("ddf"), lit(0L))).as("dfreq"))
+        .filter(col("dfreq") > 0)
+        .write.parquet(stage.resolve("terms").toString)
+      stats.crossJoin(delStats.select(
+          coalesce(col("n_docs"), lit(0L)).as("dn"),
+          coalesce(col("total_dl"), lit(0L)).as("ddl")))
+        .select(
+          (coalesce(col("n_docs"), lit(0L)) - col("dn")).as("n_docs"),
+          (coalesce(col("total_dl"), lit(0L)) - col("ddl")).as("total_dl"))
         .write.parquet(stage.resolve("stats").toString)
-      tf.unpersist()
+      // cumulative tombstones: prev ∪ this batch's fresh dels
+      (prevTombs match {
+        case None => dels
+        case Some(t) => t.select(col("doc_id")).unionByName(dels).distinct()
+      }).write.parquet(stage.resolve("tombstones").toString)
+      tf.unpersist(); dels.unpersist()
       ()
     }(batch, batchId)
 
@@ -141,8 +210,15 @@ final class MaintainedBm25Index(path: Path, spark: SparkSession, buckets: Int = 
       val qb = qterms.withColumn("b", pmod(h60(col("term")), lit(buckets.toLong))).cache()
       val probed = qb.select(col("b")).distinct().collect().map(_.getLong(0)).toSeq
       val (terms, stats) = sides(last).get
-      val postings = spark.read.parquet(postingsDir.toString)
+      val committed = spark.read.parquet(postingsDir.toString)
         .filter(col("batch") <= last && col("b").isin(probed: _*))
+      // stream-carried deletes mask before scoring (|deleted|-sized set,
+      // AQE broadcasts); the df/stats sides were decremented exactly at
+      // the delete batch's commit
+      val postings = tombstones(last) match {
+        case None => committed
+        case Some(t) => committed.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      }
       qb.join(postings, Seq("b", "term"))
         .join(terms, "term")
         .crossJoin(stats) // 1 row — AQE broadcasts

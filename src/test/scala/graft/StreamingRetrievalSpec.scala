@@ -104,6 +104,32 @@ class StreamingRetrievalSpec extends AnyFunSuite {
     // a replayed batch id — even with DIFFERENT data — must be a no-op
     idx.update(Seq((9999L, "spark spark spark spark")).toDF("doc_id", "text"), 0L)
     assert(scores(idx.probe(fx)) == expected, "replayed batch mutated the index")
+
+    // STREAM-CARRIED takedown: a del batch removes docs exactly — probe
+    // equals a from-scratch build on the remaining corpus (df/avgdl
+    // updated, not just rows masked), and a replay of the del batch or a
+    // re-request of the same ids are no-ops
+    val removed = rows.map(_._1).filter(_ % 9 == 4).toSet
+    assert(removed.nonEmpty, "takedown set empty — vacuous")
+    val nextId = idx.lastCommitted + 1
+    idx.update(removed.toSeq.map(id => (id, "", "del")).toDF("doc_id", "text", "op"), nextId)
+    val remainingIdx = Files.createTempDirectory("bm25mr").toString
+    Bm25Index.build(docsDf.filter(!$"doc_id".isin(removed.toSeq: _*)), remainingIdx)
+    val afterDel = scores(idx.probe(fx))
+    assert(afterDel == scores(Bm25Index.probe(spark, remainingIdx, fx)),
+      "maintained probe after stream-del != rebuild on remaining corpus")
+    assert(afterDel != expected, "vacuous: the del batch changed no score")
+    idx.update(removed.toSeq.map(id => (id, "", "del")).toDF("doc_id", "text", "op"), nextId)
+    assert(scores(idx.probe(fx)) == afterDel, "replayed del batch mutated the index")
+    idx.update(removed.toSeq.take(1).map(id => (id, "", "del")).toDF("doc_id", "text", "op"),
+      nextId + 1)
+    assert(scores(idx.probe(fx)) == afterDel, "re-requested del id decremented twice")
+    // mixed batches still work after deletes, and add+del of one id in
+    // one batch fails fast
+    intercept[IllegalArgumentException] {
+      idx.update(Seq((1L, "x y", "add"), (1L, "", "del")).toDF("doc_id", "text", "op"),
+        nextId + 2)
+    }
     spark.catalog.clearCache()
   }
 
