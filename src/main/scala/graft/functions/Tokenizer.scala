@@ -84,8 +84,9 @@ object Tokenizer {
     * count is EXACTLY |trainer segmentation| (TokenizerSpec pins it
     * against BpeTrainer.segmentReference). Pure expressions (nested
     * higher-order folds — no UDF); expression depth is one fold per
-    * merge, hence the [[Learned.MaxMerges]] cap: beyond it, swap in a
-    * dedicated native Expression behind this same seam. */
+    * merge, hence the [[Learned.MaxMerges]] cap: beyond it, use
+    * [[LearnedNative]] (the `graft_bpe_count` native expression, same
+    * segmentation contract, no cap). */
   final case class Learned(merges: Seq[graft.operators.BpeTrainer.Merge])
       extends Tokenizer {
     require(merges.size <= Learned.MaxMerges,
@@ -103,5 +104,25 @@ object Tokenizer {
   object Learned {
     /** Expression-depth budget (one fold per merge). */
     val MaxMerges = 32
+  }
+
+  /** Production-size trained counter — same segmentation contract as
+    * [[Learned]] (BpeTrainerSpec pins columnar equality on shared
+    * tables and against the reference segmentation beyond the fold cap)
+    * but via the native `graft_bpe_count` expression
+    * ([[graft.functions.expressions.BpePieceCount]]): the merge table
+    * rides the codegen reference array instead of the expression tree,
+    * so a 30k-merge vocabulary costs the same plan as a toy one and no
+    * MaxMerges cap applies. Requires [[graft.GraftExtensions.register]]
+    * on the session (every query-registry path does this), like the
+    * other `graft_*` natives. */
+  final case class LearnedNative(merges: Seq[graft.operators.BpeTrainer.Merge])
+      extends Tokenizer {
+    private val sorted = merges.sortBy(_.rank)
+    val name = s"bpe-native-${merges.size}"
+    def count(text: Column): Column =
+      call_function("graft_bpe_count", text,
+        lit(sorted.map(_.left).toArray),
+        lit(sorted.map(_.right).toArray))
   }
 }

@@ -94,4 +94,41 @@ class BpeTrainerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](graft.functions.Tokenizer.Learned(over))
     spark.catalog.clearCache()
   }
+
+  test("Tokenizer.LearnedNative matches the reference segmentation BEYOND the fold cap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    // train a production-shaped table (5x the fold cap) on the single-JVM
+    // reference — pinned equal to the distributed trainer elsewhere — so
+    // the spec stays fast while the table is genuinely deep
+    val wc = docs.select(explode(tokens($"text")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = BpeTrainer.trainReference(wc, 160)
+    assert(merges.size > graft.functions.Tokenizer.Learned.MaxMerges,
+      s"corpus too small to exceed the fold cap (${merges.size} merges) — vacuous")
+    val tok = graft.functions.Tokenizer.LearnedNative(merges)
+    val got = docs.limit(60)
+      .select($"doc_id", tok.count($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.limit(60)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts) {
+      val expected = text.split("\\s+").filter(_.nonEmpty)
+        .map(w => BpeTrainer.segmentReference(w, merges).size.toLong).sum
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, want $expected")
+    }
+    // the deep tail fired: counts strictly below the 32-merge segmentation
+    // for at least one doc, so the uncapped table is doing real work
+    val tok32 = graft.functions.Tokenizer.Learned(merges.take(32))
+    val got32 = docs.limit(60)
+      .select($"doc_id", tok32.count($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(texts.keys.exists(id => got(id) < got32(id)),
+      "merges beyond the fold cap never fired — the deep table is vacuous here")
+  }
 }

@@ -303,4 +303,46 @@ class CodegenSpec extends AnyFunSuite {
     assert(udfs.isEmpty, s"ScalaUDF survives in decontam_bloom: $udfs")
     spark.catalog.clearCache()
   }
+
+  test("graft_bpe_count compiles; value-identical to the nested-fold Learned spelling") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer.Merge
+    // a merge table exercising chained merges (lo→low), repeats (aa) and
+    // multi-char unicode symbols
+    val merges = Seq(
+      Merge(0, "l", "o", 9L), Merge(1, "lo", "w", 8L), Merge(2, "e", "s", 7L),
+      Merge(3, "es", "t", 6L), Merge(4, "a", "a", 5L), Merge(5, "的", "是", 4L))
+    val rnd = new scala.util.Random(20260814L)
+    val atoms = Vector("low", "lowest", "aaaa", "aaa", "的是", "x", "naïve",
+      "est", "wow", "", " ", "\t")
+    val randomDocs = Vector.fill(200) {
+      Vector.fill(rnd.nextInt(10))(atoms(rnd.nextInt(atoms.length)))
+        .mkString(" ")
+    }
+    val docs = (Seq("", " ", "low lower lowest", "aaaa aaa 的是 的的是",
+      "a\tb\nc  d") ++ randomDocs ++
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select($"text").as[String].collect().take(100))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").cache()
+    val fold = graft.functions.Tokenizer.Learned(merges)
+    val native = graft.functions.Tokenizer.LearnedNative(merges)
+    val rows = docs.select($"doc_id",
+        fold.count($"text").as("f"), native.count($"text").as("n"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: fold=${r.getLong(1)} native=${r.getLong(2)}"))
+    // null propagates (the fold spelling yields null via aggregate(null))
+    val nl = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(native.count($"text")).collect()
+    assert(nl.forall(_.isNullAt(0)))
+    // mismatched table lengths fail loud, not silently truncate
+    val bad = intercept[Exception] {
+      Seq((1L, "x")).toDF("doc_id", "text")
+        .select(call_function("graft_bpe_count", $"text",
+          lit(Array("a", "b")), lit(Array("c")))).collect()
+    }
+    assert(bad.getMessage.contains("differ in length"), bad.getMessage)
+    spark.catalog.clearCache()
+  }
 }
