@@ -96,9 +96,7 @@ object VectorIndex {
 
   /** Physically drop tombstoned vectors from the raw bucketed layout —
     * probes before and after are identical; the tombstone set is cleared.
-    * (The PQ layout's codes/raw tables stay masked-at-probe until the
-    * next [[materializePq]] — codes are derived artifacts and rebuild
-    * wholesale.) */
+    * (For the PQ layout use [[vacuumPq]].) */
   def vacuum(spark: SparkSession, path: String): Unit = {
     if (!hasTombstones(path)) return
     // EAGER localCheckpoint, not cache: the rewrite overwrites the very
@@ -112,6 +110,32 @@ object VectorIndex {
       spark.read.parquet(path).select(col("vec_id"), col("v"), col("bucket")),
       "vec_id").localCheckpoint(true)
     kept.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    clearTombstones(path)
+  }
+
+  /** PQ-layout twin of [[vacuum]]: physically drop tombstoned vectors
+    * from BOTH derived tables — `codes` (bucket-partitioned, rewritten
+    * under the same layout) and `raw` (the shortlist re-rank side) — then
+    * clear the tombstone set. The codebook is untouched: it is a trained
+    * quantizer, not per-vector state, so the vacuumed index's ADC scores
+    * (and therefore [[probePq]] results) are identical before and after
+    * (VectorIndexSpec pins it); only a re-[[materializePq]] retrains.
+    * Same read-path-you-write discipline as [[vacuum]]. */
+  def vacuumPq(spark: SparkSession, path: String): Unit = {
+    if (!hasTombstones(path)) return
+    val keptCodes = masked(spark, path,
+      spark.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("codes"), col("bucket")),
+      "vec_id").localCheckpoint(true)
+    keptCodes.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    val keptRaw = masked(spark, path,
+      spark.read.parquet(s"$path/raw").select(col("vec_id"), col("v")),
+      "vec_id").localCheckpoint(true)
+    keptRaw.write.mode("overwrite").parquet(s"$path/raw")
+    clearTombstones(path)
+  }
+
+  private def clearTombstones(path: String): Unit = {
     val tomb = java.nio.file.Paths.get(tombDir(path))
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(tomb)

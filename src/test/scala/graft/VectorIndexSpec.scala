@@ -253,6 +253,21 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(hits(idx) == expected, "vacuum changed probe results")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"${idx}_tombstones")), "tombstones not cleared")
+
+    // PQ vacuum: probes identical across it (codebook untouched ⇒ exact
+    // ADC-score equality, not just exclusion), tombstones cleared, and the
+    // removed ids physically absent from BOTH derived tables
+    VectorIndex.vacuumPq(spark, pq)
+    val pqAfter = VectorIndex.probePq(spark, pq, queries, k = 3, bits = Bits, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pqAfter == pqGot, "vacuumPq changed PQ probe results")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${pq}_tombstones")), "PQ tombstones not cleared")
+    val codeIds = spark.read.parquet(s"$pq/codes").select($"vec_id").as[Long].collect().toSet
+    val rawIds = spark.read.parquet(s"$pq/raw").select($"vec_id").as[Long].collect().toSet
+    assert(codeIds.intersect(delSet).isEmpty, "removed ids survive in codes")
+    assert(rawIds.intersect(delSet).isEmpty, "removed ids survive in raw")
+    assert(codeIds == rawIds && codeIds.nonEmpty, "codes/raw id sets diverged")
     spark.catalog.clearCache()
   }
 }
