@@ -504,6 +504,37 @@ object EventQueries extends QueryModule {
           "embedding" -> ($"embedding".isNull || size($"embedding") === 0)))
     },
 
+    // Data-quality audit: distribution DRIFT — per event type, the share
+    // shift between the stream's first and second half (split at the
+    // midpoint timestamp), the monitor that catches a producer whose mix
+    // changes silently (a type surging or dying between windows skews
+    // any model trained on the blend). Shares are exact integer ppm
+    // (n·10⁶ DIV total — the Dice/collocation discipline: bounded exact
+    // longs at ANY corpus size, no float division), so the drift column
+    // is hash-exact cross-engine. One partial-agg shuffle on the type
+    // key + two 1-row scalar aggregates (midpoint, window totals) that
+    // join back broadcast — the dq_freshness cost shape. An empty second
+    // window (all events share one timestamp) yields NULL ppm_b/drift,
+    // never a divide-by-zero abort.
+    "dq_drift" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_type", unix_micros($"ts").as("us"))
+      val bounds = ev.agg(expr("min(us) + (max(us) - min(us)) DIV 2").as("mid"))
+      val per = ev.crossJoin(bounds) // 1 row — AQE broadcasts
+        .groupBy($"event_type")
+        .agg(
+          sum(when($"us" > $"mid", 0L).otherwise(1L)).as("n_a"),
+          sum(when($"us" > $"mid", 1L).otherwise(0L)).as("n_b"))
+      val tot = per.agg(sum($"n_a").as("ta"), sum($"n_b").as("tb"))
+      per.crossJoin(tot) // 1 row — AQE broadcasts
+        .select($"event_type", $"n_a", $"n_b",
+          expr("(n_a * 1000000) DIV ta").as("ppm_a"),
+          expr("CASE WHEN tb = 0 THEN NULL ELSE (n_b * 1000000) DIV tb END").as("ppm_b"),
+          expr("CASE WHEN tb = 0 THEN NULL ELSE abs((n_b * 1000000) DIV tb - (n_a * 1000000) DIV ta) END")
+            .as("drift_ppm"))
+    },
+
     "dq_integrity" -> { (s, dir) =>
       import s.implicits._
       def orphans(edge: String, child: DataFrame, key: String, parent: DataFrame, pkey: String) =
@@ -969,6 +1000,23 @@ object EventQueries extends QueryModule {
         |UNION ALL SELECT 'documents', 'lang', n, m_lang, CAST(m_lang AS DOUBLE) / n FROM dc
         |UNION ALL SELECT 'documents', 'source', n, m_source, CAST(m_source AS DOUBLE) / n FROM dc
         |UNION ALL SELECT 'embeddings', 'embedding', n, m_emb, CAST(m_emb AS DOUBLE) / n FROM em""".stripMargin,
+
+    "dq_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+        |per AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN us > mid THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM ev CROSS JOIN b GROUP BY event_type),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM per)
+        |SELECT event_type, n_a, n_b,
+        |  CAST((n_a * 1000000) // ta AS BIGINT) AS ppm_a,
+        |  CAST(CASE WHEN tb = 0 THEN NULL ELSE (n_b * 1000000) // tb END AS BIGINT) AS ppm_b,
+        |  CAST(CASE WHEN tb = 0 THEN NULL
+        |       ELSE abs((n_b * 1000000) // tb - (n_a * 1000000) // ta) END AS BIGINT) AS drift_ppm
+        |FROM per CROSS JOIN tot""".stripMargin,
 
     "dq_integrity" ->
       """SELECT 'lineitem.orderkey->orders' AS fk_edge, count(*) AS n_orphans

@@ -97,15 +97,40 @@ object SimilarityQueries extends QueryModule {
         $"cosine".as("cosine"))
   }
 
+  /** Exact brute-force top-K — the knn_brute leg, shared with knn_eval
+    * (where it is the ground truth). */
+  private def bruteTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    topk(broadcast(q).join(c, $"query_id" =!= $"neighbor_id"))
+  }
+
+  /** Hyperplane-LSH bucketed top-K — the knn_lsh leg, shared with
+    * knn_eval (where it is the evaluated run). */
+  private def lshTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val bucket = (0 until NBits).map { j =>
+      when(expr(s"graft_dot(v, ${planeSql(j)})") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // cache the bucketed corpus: both join sides derive from it, and
+    // the plane dots + norm should be computed ONCE per vector — the
+    // local[*] analog of the on-disk bucket partitioning (at scale the
+    // bucket column is materialized by the writer, not recomputed per
+    // probe). Bench/Verify clear the cache per query.
+    val withB = e.withColumn("bucket", bucket).cache()
+    val q = withB.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"bucket".as("qbucket"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val c = withB.select($"vec_id".as("neighbor_id"), $"bucket", $"v".as("cv"), $"nrm".as("cnrm"))
+    topk(broadcast(q).join(c,
+      $"qbucket" === $"bucket" && $"query_id" =!= $"neighbor_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_brute" -> { (s, dir) =>
-      import s.implicits._
-      val e = vecs(s, dir)
-      val q = e.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-      val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-      topk(broadcast(q).join(c, $"query_id" =!= $"neighbor_id"))
-    },
+    "knn_brute" -> { (s, dir) => bruteTopk(s, dir) },
 
     // Filtered vector search — exact top-k restricted to candidates that
     // satisfy a metadata predicate held in a DIFFERENT table (documents:
@@ -319,23 +344,31 @@ object SimilarityQueries extends QueryModule {
     // products; probe only the query's bucket. The bucket column is what
     // a 100 TB corpus is partitioned/bucketed by on disk, so a probe is a
     // partition-pruned scan; recall tunes with NBits/multi-probe.
-    "knn_lsh" -> { (s, dir) =>
+    "knn_lsh" -> { (s, dir) => lshTopk(s, dir) },
+
+    // ANN index QUALITY audit — recall@K and reciprocal rank of the LSH
+    // probe against the exact brute-force truth, the acceptance gate a
+    // production index ships behind (SimilaritySpec pins recall bounds in
+    // suites; this is the same measurement as a standing, oracle-checked
+    // query). Both legs are the registered operators verbatim (composed
+    // CTE oracle, the pipeline_curate discipline); the eval itself is
+    // rank-list-sized: |queries|·K rows into one left join + one groupBy.
+    // Metrics are exact integer ppm (n·10⁶ DIV d — the Dice discipline),
+    // so an inherently-ratio score stays hash-exact cross-engine; a query
+    // with no retrieved truth gets rr_ppm 0, never a null divide.
+    "knn_eval" -> { (s, dir) =>
       import s.implicits._
-      val e = vecs(s, dir)
-      val bucket = (0 until NBits).map { j =>
-        when(expr(s"graft_dot(v, ${planeSql(j)})") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      // cache the bucketed corpus: both join sides derive from it, and
-      // the plane dots + norm should be computed ONCE per vector — the
-      // local[*] analog of the on-disk bucket partitioning above (at
-      // scale the bucket column is materialized by the writer, not
-      // recomputed per probe). Bench/Verify clear the cache per query.
-      val withB = e.withColumn("bucket", bucket).cache()
-      val q = withB.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("query_id"), $"bucket".as("qbucket"), $"v".as("qv"), $"nrm".as("qnrm"))
-      val c = withB.select($"vec_id".as("neighbor_id"), $"bucket", $"v".as("cv"), $"nrm".as("cnrm"))
-      topk(broadcast(q).join(c,
-        $"qbucket" === $"bucket" && $"query_id" =!= $"neighbor_id"))
+      val truth = bruteTopk(s, dir).select($"query_id", $"neighbor_id")
+      val run = lshTopk(s, dir)
+        .select($"query_id", $"neighbor_id", $"rnk".as("rnk_r"))
+      truth.join(run, Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when($"rnk_r".isNotNull, 1L).otherwise(0L)).as("n_hit"),
+          min($"rnk_r").as("first_hit"))
+        .select($"query_id", $"n_truth", $"n_hit",
+          expr("(n_hit * 1000000) DIV n_truth").as("recall_ppm"),
+          expr("coalesce(1000000 DIV first_hit, CAST(0 AS BIGINT))").as("rr_ppm"))
     },
 
     // Semantic-dedup candidate stage (the SemDeDup shape): EVERY vector's
@@ -501,6 +534,44 @@ object SimilarityQueries extends QueryModule {
            |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
            |      FROM pairs)
            |WHERE rnk <= $K""".stripMargin,
+      // composed oracle: the knn_brute and knn_lsh CTE chains verbatim,
+      // then the rank-list join + ppm arithmetic
+      "knn_eval" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+           |        $bucketExpr AS bucket FROM e),
+           |tpairs AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
+           |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+           |truth AS (
+           |  SELECT query_id, neighbor_id
+           |  FROM (SELECT query_id, neighbor_id,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |        FROM tpairs)
+           |  WHERE rnk <= $K),
+           |rpairs AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cosine
+           |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+           |    AND c.bucket = q.bucket),
+           |run AS (
+           |  SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+           |  FROM (SELECT query_id, neighbor_id,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+           |        FROM rpairs)
+           |  WHERE rnk <= $K),
+           |agg AS (
+           |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+           |    CAST(sum(CASE WHEN r.rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |    min(r.rnk) AS first_hit
+           |  FROM truth t LEFT JOIN run r
+           |    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+           |  GROUP BY t.query_id)
+           |SELECT query_id, n_truth, n_hit,
+           |  CAST((n_hit * 1000000) // n_truth AS BIGINT) AS recall_ppm,
+           |  CAST(coalesce(1000000 // first_hit, 0) AS BIGINT) AS rr_ppm
+           |FROM agg""".stripMargin,
       "knn_self_topk" -> {
         val selfBucket = (0 until SelfBits).map { j =>
           s"(CASE WHEN list_dot_product(v, ${oPlane(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
