@@ -113,6 +113,25 @@ object BpeTrainer {
   def applyMerges(syms: org.apache.spark.sql.Column, merges: Seq[Merge]): org.apache.spark.sql.Column =
     merges.sortBy(_.rank).foldLeft(syms)((s, m) => mergeFold(s, m.left, m.right))
 
+  /** Persist a learned merge table — the tokenizer ARTIFACT: train once
+    * on the curated corpus, freeze, and budget every later pack/chunk in
+    * its pieces ([[graft.functions.Tokenizer.LearnedNative]]). Frozen BY
+    * DESIGN: BPE merges are not incrementally mergeable — retraining on
+    * grown data changes the segmentation of already-packed shards — so
+    * the daily path loads day-0's table instead of extending it (the
+    * production discipline: tokenizers version with the model, not the
+    * data). A |merges|-row parquet table, rank-ordered on load. */
+  def save(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF().write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge table in rank order ([[save]]'s inverse). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Merge].collect().toSeq.sortBy(_.rank)
+  }
+
   /** Single-JVM reference segmentation of one word under a merge table
     * (rank order, leftmost-first non-overlapping per round) — the spec
     * oracle for [[applyMerges]]. */

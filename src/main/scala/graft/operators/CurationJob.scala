@@ -20,9 +20,12 @@ import graft.queries.CorpusQueries
   *     ├─ selection model   DsirModel      → outDir/dsir/ (fit on the
   *     │  KEPT set with the en split as target — the model the next
   *     │  day's batches score against, batch-side via StreamingDsir)
-  *     └─ quality weights   QualityClassifier → outDir/quality/ (trained
-  *        on kept-vs-dropped labels from the quality gate itself — the
-  *        weight array text_quality_score's production form broadcasts)
+  *     ├─ quality weights   QualityClassifier → outDir/quality/ (trained
+  *     │  on kept-vs-dropped labels from the quality gate itself — the
+  *     │  weight array text_quality_score's production form broadcasts)
+  *     └─ tokenizer         BpeTrainer     → outDir/tokenizer/ (BPE merge
+  *        table trained on the kept corpus, frozen at day 0; loadTokenizer
+  *        rebuilds the pack-budget counter from it)
   *
   * One corpus scan feeds every branch: the curated set is cached at the
   * stage boundary (inside curatedTrain), so the scan → quality → dedup →
@@ -46,11 +49,21 @@ object CurationJob {
       dsirDir: String,
       qualityDir: String,
       quality: QualityClassifier.Model,
-      evalhDir: String)
+      evalhDir: String,
+      tokenizerDir: String)
+
+  /** Load the run's trained tokenizer (the outDir/tokenizer artifact) as
+    * a pack-budget counter — [[graft.functions.Tokenizer.LearnedNative]]
+    * over the frozen merge table. Day-0 frozen by design (see
+    * [[BpeTrainer.save]]): a later increment budgets in the SAME pieces
+    * the shards were packed with. */
+  def loadTokenizer(spark: SparkSession, outDir: String): Tokenizer =
+    Tokenizer.LearnedNative(BpeTrainer.load(spark, s"$outDir/tokenizer"))
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
-      docFilter: org.apache.spark.sql.Column = lit(true)): Result = {
+      docFilter: org.apache.spark.sql.Column = lit(true),
+      tokenizerMerges: Int = 8): Result = {
     graft.GraftExtensions.register(spark)
     val kept = CorpusQueries.curatedTrain(spark, sfDir, tok, docFilter).cache()
     val curatedDir = s"$outDir/curated"
@@ -106,11 +119,20 @@ object CurationJob {
     val quality = QualityClassifier.train(
       QualityClassifier.featurize(labeled, col("label")), iters = 10)
     QualityClassifier.write(quality, spark, qualityDir)
+    // tokenizer artifact: BPE merges trained on the KEPT corpus (a model
+    // trains on curated text, so its tokenizer does too), frozen at day 0
+    // (BpeTrainer.save documents why the daily path never retrains).
+    // Deterministic training ⇒ two sites running the same job ship the
+    // identical merge table, like the quality weights.
+    val tokenizerDir = s"$outDir/tokenizer"
+    BpeTrainer.save(spark,
+      BpeTrainer.train(kept.select(col("doc_id"), col("text")), tokenizerMerges),
+      tokenizerDir)
     val n = kept.count()
     kept.unpersist()
     // release the stage-boundary cache curatedTrain/curatedEvalH share
     CorpusQueries.curatedKept(spark, sfDir, tok, docFilter).unpersist()
     Result(n, nShards, curatedDir, shardsDir, bm25Dir, vectorDir,
-      dsirDir, qualityDir, quality, evalhDir)
+      dsirDir, qualityDir, quality, evalhDir, tokenizerDir)
   }
 }

@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   *   └─ selection model    [[DsirModel.remove]]  (count subtraction —
   *       ≡ a refit without the docs)
   *
+  * Out of scope BY DESIGN: the quality weights and the tokenizer merge
+  * table are trained AGGREGATE models (a weight array / pair-frequency
+  * ranks), not per-document state — neither admits an exact per-doc
+  * subtraction (gradient descent and BPE merges are not reversible the
+  * way DsirModel's counts are). Where a jurisdiction requires it, the
+  * remedy is a retrain on the masked manifest during [[scrub]]'s
+  * scheduled window, same as any model trained on since-removed data.
+  *
   * IDEMPOTENT: incoming ids are anti-joined against the existing
   * takedown tombstones first, so a retry (or a re-run after a partial
   * failure) re-processes only not-yet-committed docs — the non-idempotent

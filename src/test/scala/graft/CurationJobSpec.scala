@@ -90,6 +90,28 @@ class CurationJobSpec extends AnyFunSuite {
     assert(margins.length == labeled.count().toInt)
     assert(margins.forall(m => !m._2.isNaN && !m._2.isInfinite),
       "non-finite margin from the persisted model")
+
+    // tokenizer artifact: the persisted merge table round-trips in rank
+    // order and equals a deterministic retrain on the same kept set (the
+    // two-sites-ship-identical-artifacts contract); the loadTokenizer
+    // counter segments exactly as the single-JVM reference
+    val mergesLoaded = graft.operators.BpeTrainer.load(spark, res.tokenizerDir)
+    assert(mergesLoaded.nonEmpty && mergesLoaded.map(_.rank) == mergesLoaded.indices,
+      "tokenizer merge table empty or out of rank order")
+    val keptDocs = Tables.load(spark, dir, "documents")
+      .join(manifest.map(_._1).toSeq.toDF("doc_id"), "doc_id")
+      .select($"doc_id", $"text")
+    val retrained = graft.operators.BpeTrainer.train(keptDocs, 8)
+    assert(mergesLoaded == retrained, "persisted tokenizer != deterministic retrain")
+    val tokCounts = keptDocs.limit(20)
+      .select($"doc_id", CurationJob.loadTokenizer(spark, out).count($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keptDocs.limit(20).collect().foreach { r =>
+      val want = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .map(w => graft.operators.BpeTrainer.segmentReference(w, mergesLoaded).size.toLong).sum
+      assert(tokCounts(r.getLong(0)) == want,
+        s"loadTokenizer count diverges from reference segmentation for doc ${r.getLong(0)}")
+    }
     spark.catalog.clearCache()
   }
 }
