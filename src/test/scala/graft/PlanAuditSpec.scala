@@ -468,4 +468,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans >= 2, s"expected both sides on the cached bucketed corpus:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("doc_pack under the native learned tokenizer: plan shape is tokenizer-agnostic, no UDF boundary") {
+    import org.apache.spark.sql.execution.FormattedMode
+    // the seam's contract at scale: swapping the counter changes ONE
+    // projection expression, never the exchange structure — a 30k-merge
+    // production vocabulary packs with the same plan as whitespace
+    val merges = graft.operators.BpeTrainer.trainReference(
+      Map("lowest" -> 3L, "lower" -> 2L, "low" -> 4L), 40)
+    assert(merges.nonEmpty)
+    val native = graft.functions.Tokenizer.LearnedNative(merges)
+    val pWs = graft.queries.CorpusQueries
+      .docPack(spark, dir, graft.functions.Tokenizer.Whitespace)
+      .queryExecution.explainString(FormattedMode)
+    val pNat = graft.queries.CorpusQueries.docPack(spark, dir, native)
+      .queryExecution.explainString(FormattedMode)
+    def exchanges(p: String) = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges(pNat) == exchanges(pWs),
+      s"learned tokenizer changed the exchange structure:\nws:\n$pWs\nnative:\n$pNat")
+    assert(pNat.contains("graft_bpe_count"), pNat)
+    assert(!pNat.contains("ScalaUDF"), s"UDF boundary in the learned-tokenizer pack:\n$pNat")
+    // and no single-partition funnel appeared (the GlobalCumsum guarantee
+    // holds under either counter)
+    assert(!pNat.contains("SinglePartition"), pNat)
+  }
 }
