@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -57,12 +57,72 @@ import graft.queries.CrossHash.shingleHashes
   *     only digest surface the daily path retains, and the effect is
   *     strictly conservative (at most extra shingles in the benchmark —
   *     never an under-drop of contaminated train docs).
-  */
-object DailyIncrement {
+  */object DailyIncrement {
   final case class Result(nBatchKept: Long, nShardsTotal: Long)
+
+  /** Staging area of the in-flight increment (sibling-style underscore
+    * dir inside the tree; never read as an artifact). */
+  private def pendingDir(outDir: String) = s"$outDir/_increment_pending"
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       batchFilter: Column, tok: Tokenizer = Tokenizer.Whitespace): Result = {
+    import spark.implicits._
+    runBatch(spark,
+      Tables.load(spark, sfDir, "documents")
+        .filter(batchFilter)
+        .select($"doc_id", $"text", $"lang"),
+      Tables.load(spark, sfDir, "embeddings")
+        .select($"vec_id", $"embedding"),
+      outDir, tok)
+  }
+
+  /** The batch-DataFrame form of [[run]] — `batchDocs` is today's
+    * document sliver (doc_id, text, lang), `embeddings` the vector side
+    * keyed by vec_id (= doc_id).
+    *
+    * CRASH-SAFE in three phases (the Bm25Index pending-delete
+    * discipline applied to the increment):
+    *
+    *  1. COMPUTE + STAGE — the kept set, its eval-survivor shingles,
+    *     its embeddings and the captured pack base are written to
+    *     `_increment_pending/` and sealed with a `_staged` marker.
+    *     A crash before the marker loses nothing: no standing artifact
+    *     was touched, and the next run wipes the un-sealed remnants and
+    *     recomputes identically (the manifest is unchanged).
+    *  2. APPLY — [[applyPending]] executes the seven artifact appends
+    *     from the STAGED data (never from live lineage), dropping a
+    *     per-artifact `.done` marker after each. A crash mid-apply
+    *     leaves a sealed staging dir; the next [[runBatch]] (or an
+    *     explicit [[recover]]) rolls the remaining appends forward —
+    *     without this, a crash between the manifest append and the
+    *     index appends would leave the tree PERMANENTLY drifted
+    *     (manifest docs the indexes never see), violating every
+    *     append-equals-rebuild pin.
+    *  3. COMMIT — the staging dir is deleted; the tree is quiescent.
+    *
+    * The residual atomicity unit is one Spark parquet job commit per
+    * artifact (same as every standing append in the repo). Replaying an
+    * already-committed batch stays a no-op through the content-addressed
+    * manifest: every digest anti-joins out, the staged kept set is
+    * empty, and the appends write nothing. */
+  def runBatch(spark: SparkSession, batchDocs: DataFrame, embeddings: DataFrame,
+      outDir: String, tok: Tokenizer = Tokenizer.Whitespace): Result = {
+    import spark.implicits._
+    // finish any crashed predecessor before reading the tree it half-wrote
+    recover(spark, outDir)
+    val n = stage(spark, batchDocs, embeddings, outDir, tok)
+    // ---- phases 2+3: apply from staging, then commit ----
+    applyPending(spark, outDir)
+    val nShards = spark.read.parquet(s"$outDir/shards")
+      .agg(coalesce(max($"shard".cast("long")), lit(-1L))).head.getLong(0) + 1
+    Result(n, nShards)
+  }
+
+  /** Phase 1 of [[runBatch]] (compute + stage + seal) — package-private
+    * so the crash-safety spec can drive the phases separately. Returns
+    * the staged kept-doc count. */
+  private[graft] def stage(spark: SparkSession, batchDocs: DataFrame,
+      embeddings: DataFrame, outDir: String, tok: Tokenizer): Long = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
 
@@ -74,8 +134,7 @@ object DailyIncrement {
     val manifest = Takedown.manifest(spark, outDir).cache()
 
     // batch curation — each stage the day-0 rule verbatim
-    val batch = Tables.load(spark, sfDir, "documents")
-      .filter(batchFilter)
+    val batch = batchDocs
       .select($"doc_id", $"text", tok.count($"text").as("n_tokens"))
     val quality = CorpusQueries.qualityGate(batch)
       .withColumn("digest", md5($"text"))
@@ -89,18 +148,14 @@ object DailyIncrement {
     // raw docs) extended by today's batch eval-split survivors, which is
     // exactly what a from-scratch union job would derive: an eval doc
     // contributes shingles only after passing the same gate/dedup the
-    // train side passes. The new hashes append to outDir/evalh below so
-    // tomorrow's batch sees them too.
+    // train side passes. The new hashes land in staging below and append
+    // to outDir/evalh during apply. Kept as (doc_id, h) pairs so a later
+    // takedown can forget them exactly.
     val evalBase = Takedown.evalh(spark, outDir)
-    // EAGER localCheckpoint: this plan's lineage (via `deduped`'s
-    // anti-join) reads outDir/curated, which the appends below grow, and
-    // the rows are themselves appended to outDir/evalh — pin them first
-    // (same read-path-you-write hazard documented for `kept`). Kept as
-    // (doc_id, h) pairs so a later takedown can forget them exactly.
     val batchEvalH = deduped
       .filter($"doc_id" % CorpusQueries.EvalMod === 0)
       .select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
-      .localCheckpoint(true)
+      .cache()
     val evalH = evalBase.select($"h").union(batchEvalH.select($"h")).distinct()
       .withColumn("hit", lit(1L))
     val contaminated = deduped
@@ -111,18 +166,9 @@ object DailyIncrement {
         sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
       .filter($"n_contaminated".cast("double") / $"n_shingles" >= 0.5)
       .select($"doc_id")
-    // EAGER localCheckpoint, not cache: the curated append below writes
-    // to a path this plan READS (the manifest anti-join), and Spark's
-    // path-based cache invalidation would silently re-evaluate `kept`
-    // against the grown manifest — every batch digest suddenly "already
-    // present", every later artifact append empty. Checkpointing cuts
-    // the lineage so the kept set is pinned no matter what the appends
-    // do to the source paths. (Batch-sized — a day's sliver, never the
-    // corpus.)
     val kept = deduped
       .filter($"doc_id" % CorpusQueries.EvalMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
 
     // yesterday's pack continuation point — the persisted pack base, NOT
     // the manifest sum: after a takedown the masked manifest undercounts
@@ -130,71 +176,139 @@ object DailyIncrement {
     // the renumbered ones; only the artifact both Takedown.repack and
     // this job maintain lands the next batch exactly at the shard end
     // (legacy trees without the artifact fall back to the raw sum —
-    // correct until the first takedown/repack). Captured BEFORE appends.
+    // correct until the first takedown/repack). Captured BEFORE appends
+    // and STAGED with the kept set, so a recovery packs from the same
+    // base the crashed run computed.
     val base = PackedExport.readBase(spark, s"$outDir/packbase").getOrElse(
       spark.read.parquet(s"$outDir/curated")
         .agg(coalesce(sum($"n_tokens"), lit(0L))).head.getLong(0))
 
-    // ---- artifact appends (standing files never rewrite) ----
+    // ---- phase 1: stage (no standing artifact touched yet) ----
+    val pend = pendingDir(outDir)
+    deleteRecursively(pend) // un-sealed remnants of a crashed compute
+    // every append below reads THIS parquet, not live lineage — the
+    // durable form of the old localCheckpoint pin against the
+    // read-path-you-write hazard (appends grow outDir/curated, which
+    // kept's lineage reads)
+    kept.select($"doc_id", $"text", $"n_tokens", $"digest")
+      .join(batchDocs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"text", $"lang", $"n_tokens", $"digest")
+      .write.parquet(s"$pend/kept")
+    batchEvalH.write.parquet(s"$pend/evalh")
+    val keptStaged = spark.read.parquet(s"$pend/kept")
+    embeddings
+      .join(keptStaged.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+      .select($"vec_id", $"embedding")
+      .write.parquet(s"$pend/vectors")
+    Seq(base).toDF("pack_base").coalesce(1).write.parquet(s"$pend/base")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(pend, "_staged"))
 
-    kept.select($"doc_id", $"n_tokens", $"digest")
-      .write.mode("append").parquet(s"$outDir/curated")
+    val n = keptStaged.count()
+    manifest.unpersist(); deduped.unpersist(); batchEvalH.unpersist()
+    n
+  }
 
+  /** Finish a crashed increment: execute every not-yet-done artifact
+    * append from the sealed staging dir, then clear it. Idempotent and a
+    * no-op on a quiescent tree — safe to call any time (runBatch calls
+    * it first; an operator can call it explicitly after a crash). */
+  def recover(spark: SparkSession, outDir: String): Unit =
+    applyPending(spark, outDir)
+
+  /** Phase 2+3 of the protocol: the seven artifact appends from staged
+    * data, a `.done` marker after each (an append never executes twice),
+    * staging cleared last. `failAfter` is the spec's crash-injection
+    * seam — production callers never pass it. */
+  private[graft] def applyPending(spark: SparkSession, outDir: String,
+      failAfter: Option[String] = None): Unit = {
+    import spark.implicits._
+    val pend = pendingDir(outDir)
+    val isSealed = java.nio.file.Files.exists(java.nio.file.Paths.get(pend, "_staged"))
+    if (!isSealed) { deleteRecursively(pend); return }
+
+    val kept = spark.read.parquet(s"$pend/kept") // doc_id, text, lang, n_tokens, digest
+    val base = spark.read.parquet(s"$pend/base").head.getLong(0)
+
+    def step(name: String)(body: => Unit): Unit = {
+      val marker = java.nio.file.Paths.get(pend, s"$name.done")
+      if (!java.nio.file.Files.exists(marker)) {
+        body
+        java.nio.file.Files.createFile(marker)
+      }
+      if (failAfter.contains(name))
+        throw new IllegalStateException(s"injected crash after $name append")
+    }
+
+    step("curated") {
+      kept.select($"doc_id", $"n_tokens", $"digest")
+        .write.mode("append").parquet(s"$outDir/curated")
+    }
     // extend the persisted benchmark: tomorrow's batch must check against
     // today's eval survivors too (benchmark at batch k = day0 ∪ eval
     // survivors of batches 1..k — the sequential-union semantics the
     // header documents). Cross-batch duplicate hashes are fine: every
     // read side goes through .distinct().
-    batchEvalH.write.mode("append").parquet(s"$outDir/evalh")
-
-    val budget = CorpusQueries.PackBudget
-    // same fail-fast as PackedExport.writeShards: an oversized doc would
-    // jump the prefix sum across whole budgets and silently skip shard
-    // ids, breaking the 0..N-1 enumeration contract the loader relies on
-    val oversized = kept.filter($"n_tokens" > budget)
-      .select($"doc_id", $"n_tokens").limit(1).collect()
-    require(oversized.isEmpty,
-      s"doc ${oversized.headOption.map(_.get(0)).orNull} has " +
-        s"${oversized.headOption.map(_.get(1)).orNull} tokens > budget $budget — " +
-        "chunk oversized docs (doc_chunk) before packing")
-    if (!kept.isEmpty) {
-      GlobalCumsum.runningBefore(
-          kept.select($"doc_id", $"n_tokens"), "doc_id", "n_tokens", "cb")
-        .select($"doc_id", $"n_tokens",
-          expr(s"CAST((cb + $base) DIV $budget AS BIGINT)").as("shard"),
-          (($"cb" + base) % budget).as("shard_offset"))
-        .write.partitionBy("shard").mode("append").parquet(s"$outDir/shards")
+    step("evalh") {
+      spark.read.parquet(s"$pend/evalh")
+        .write.mode("append").parquet(s"$outDir/evalh")
     }
-    // advance the pack base to the new shard end (kept is checkpointed,
-    // so the sum is pinned against the appends above)
-    PackedExport.writeBase(spark, s"$outDir/packbase",
-      base + kept.agg(coalesce(sum($"n_tokens"), lit(0L))).head.getLong(0))
-
-    Bm25Index.append(kept.select($"doc_id", $"text"), s"$outDir/bm25")
-
-    VectorIndex.append(
-      Tables.load(spark, sfDir, "embeddings")
-        .join(kept.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
-        .select($"vec_id", $"embedding"),
-      s"$outDir/vectors")
-
-    // DSIR: read-append-write on the same path — the merged B-row table
-    // is collected to the driver (it is sketch-sized by construction)
-    // and re-created before the overwrite, so the write can never
-    // lazily consume the files it is replacing
-    val appended = DsirModel.append(
+    step("shards") {
+      val budget = CorpusQueries.PackBudget
+      // same fail-fast as PackedExport.writeShards: an oversized doc
+      // would jump the prefix sum across whole budgets and silently skip
+      // shard ids, breaking the 0..N-1 enumeration contract
+      val oversized = kept.filter($"n_tokens" > budget)
+        .select($"doc_id", $"n_tokens").limit(1).collect()
+      require(oversized.isEmpty,
+        s"doc ${oversized.headOption.map(_.get(0)).orNull} has " +
+          s"${oversized.headOption.map(_.get(1)).orNull} tokens > budget $budget — " +
+          "chunk oversized docs (doc_chunk) before packing")
+      if (!kept.isEmpty) {
+        GlobalCumsum.runningBefore(
+            kept.select($"doc_id", $"n_tokens"), "doc_id", "n_tokens", "cb")
+          .select($"doc_id", $"n_tokens",
+            expr(s"CAST((cb + $base) DIV $budget AS BIGINT)").as("shard"),
+            (($"cb" + base) % budget).as("shard_offset"))
+          .write.partitionBy("shard").mode("append").parquet(s"$outDir/shards")
+      }
+    }
+    step("packbase") {
+      PackedExport.writeBase(spark, s"$outDir/packbase",
+        base + kept.agg(coalesce(sum($"n_tokens"), lit(0L))).head.getLong(0))
+    }
+    step("bm25") {
+      Bm25Index.append(kept.select($"doc_id", $"text"), s"$outDir/bm25")
+    }
+    step("vectors") {
+      VectorIndex.append(
+        spark.read.parquet(s"$pend/vectors")
+          .select($"vec_id", $"embedding"),
+        s"$outDir/vectors")
+    }
+    step("dsir") {
+      // read-append-write on the same path — the merged B-row table is
+      // collected to the driver (it is sketch-sized by construction) and
+      // re-created before the overwrite, so the write can never lazily
+      // consume the files it is replacing
+      val appended = DsirModel.append(
         DsirModel.load(spark, s"$outDir/dsir"),
-        kept.select($"doc_id", $"text")
-          .join(Tables.load(spark, sfDir, "documents").select($"doc_id", $"lang"), "doc_id"),
+        kept.select($"doc_id", $"text", $"lang"),
         $"lang" === "en")
-    val pinned = spark.createDataFrame(
-      java.util.Arrays.asList(appended.collect(): _*), appended.schema)
-    DsirModel.write(pinned, s"$outDir/dsir")
+      val pinned = spark.createDataFrame(
+        java.util.Arrays.asList(appended.collect(): _*), appended.schema)
+      DsirModel.write(pinned, s"$outDir/dsir")
+    }
 
-    val n = kept.count()
-    val nShards = spark.read.parquet(s"$outDir/shards")
-      .agg(coalesce(max($"shard".cast("long")), lit(-1L))).head.getLong(0) + 1
-    manifest.unpersist(); deduped.unpersist()
-    Result(n, nShards)
+    deleteRecursively(pend)
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally s.close()
   }
 }

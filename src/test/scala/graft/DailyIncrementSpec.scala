@@ -308,4 +308,79 @@ class DailyIncrementSpec extends AnyFunSuite {
     assert(!kept.exists(id => id % M == 0), "an eval-split doc reached the train manifest")
     spark.catalog.clearCache()
   }
+
+  test("a crashed increment rolls forward: recover() lands the identical tree; no append runs twice") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val crashDir = Files.createTempDirectory("graft-daily-crash-").toString
+    val cleanDir = Files.createTempDirectory("graft-daily-ref-").toString
+    CurationJob.run(spark, sf, crashDir, docFilter = col("doc_id") % 10 =!= 0)
+    CurationJob.run(spark, sf, cleanDir, docFilter = col("doc_id") % 10 =!= 0)
+    val clean = DailyIncrement.run(spark, sf, cleanDir, batchFilter = col("doc_id") % 10 === 0)
+    assert(clean.nBatchKept > 0, "vacuous: no batch doc survived")
+
+    // stage the same batch on the crash tree, then die mid-apply — right
+    // after the manifest append, the worst spot: without roll-forward
+    // the manifest would hold docs no index ever sees, permanently
+    val batch = Tables.load(spark, sf, "documents")
+      .filter($"doc_id" % 10 === 0).select($"doc_id", $"text", $"lang")
+    val embs = Tables.load(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val staged = DailyIncrement.stage(spark, batch, embs, crashDir,
+      graft.functions.Tokenizer.Whitespace)
+    assert(staged == clean.nBatchKept, "staged kept set != clean run's")
+    val boom = intercept[IllegalStateException] {
+      DailyIncrement.applyPending(spark, crashDir, failAfter = Some("curated"))
+    }
+    assert(boom.getMessage.contains("injected"))
+    // the drift the crash creates: manifest grew, bm25 stats did not
+    val manifestN = spark.read.parquet(s"$crashDir/curated").count()
+    val cleanManifestN = spark.read.parquet(s"$cleanDir/curated").count()
+    assert(manifestN == cleanManifestN, "curated append itself incomplete")
+    def bm25Docs(d: String) = spark.read
+      .parquet(graft.operators.Bm25Index.statsPath(s"$d/bm25")).collect()(0).getLong(0)
+    assert(bm25Docs(crashDir) < bm25Docs(cleanDir),
+      "test premise broken: bm25 already appended before the injected crash")
+
+    // roll forward, then every artifact must equal the clean tree's
+    DailyIncrement.recover(spark, crashDir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$crashDir/_increment_pending")), "staging not cleared")
+    def rows(d: String, sub: String, cols: Seq[String]) =
+      spark.read.parquet(s"$d/$sub").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(rows(crashDir, "curated", Seq("doc_id", "n_tokens", "digest")) ==
+      rows(cleanDir, "curated", Seq("doc_id", "n_tokens", "digest")), "curated diverged")
+    assert(rows(crashDir, "evalh", Seq("doc_id", "h")) ==
+      rows(cleanDir, "evalh", Seq("doc_id", "h")), "evalh diverged")
+    assert(rows(crashDir, "shards", Seq("doc_id", "n_tokens", "shard", "shard_offset")) ==
+      rows(cleanDir, "shards", Seq("doc_id", "n_tokens", "shard", "shard_offset")),
+      "shards diverged")
+    assert(graft.operators.PackedExport.readBase(spark, s"$crashDir/packbase") ==
+      graft.operators.PackedExport.readBase(spark, s"$cleanDir/packbase"), "pack base diverged")
+    assert(bm25Docs(crashDir) == bm25Docs(cleanDir), "bm25 stats diverged")
+    val q = Seq((1L, "slow"), (1L, "merge"), (1L, "join")).toDF("query_id", "term")
+    def probe(d: String) = Bm25Index.probe(spark, s"$d/bm25", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(crashDir) == probe(cleanDir), "bm25 probe diverged")
+    assert(rows(crashDir, "vectors", Seq("vec_id")) ==
+      rows(cleanDir, "vectors", Seq("vec_id")), "vector index diverged")
+    assert(DsirModel.load(spark, s"$crashDir/dsir")
+        .collect().map(_.toSeq).toSet ==
+      DsirModel.load(spark, s"$cleanDir/dsir").collect().map(_.toSeq).toSet,
+      "dsir model diverged — an append ran twice or not at all")
+
+    // recover on a quiescent tree is a no-op; a replayed batch is a no-op
+    DailyIncrement.recover(spark, crashDir)
+    val replay = DailyIncrement.run(spark, sf, crashDir, batchFilter = col("doc_id") % 10 === 0)
+    assert(replay.nBatchKept == 0, "replayed batch re-kept docs")
+    assert(rows(crashDir, "curated", Seq("doc_id", "n_tokens", "digest")) ==
+      rows(cleanDir, "curated", Seq("doc_id", "n_tokens", "digest")),
+      "replay mutated the manifest")
+    assert(DsirModel.load(spark, s"$crashDir/dsir")
+        .collect().map(_.toSeq).toSet ==
+      DsirModel.load(spark, s"$cleanDir/dsir").collect().map(_.toSeq).toSet,
+      "replay mutated the dsir model")
+    spark.catalog.clearCache()
+  }
 }
