@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenizer
+import graft.operators.DailyIncrement
+
+/** Continuous ingestion of the curation tree: a DOCUMENT stream extends
+  * [[graft.operators.CurationJob]]'s artifacts micro-batch by
+  * micro-batch — the streaming form of [[DailyIncrement]] (crawl output
+  * lands as a feed, not a nightly drop).
+  *
+  * Exactly-once from two mechanisms the batch operator already carries,
+  * with no batch-id machinery here:
+  *
+  *  - a CRASHED batch (foreachBatch died mid-append) is a sealed
+  *    `_increment_pending` staging dir; the next trigger's
+  *    `DailyIncrement.runBatch` rolls it forward before touching the
+  *    tree (the staged-increment protocol), so no artifact can drift;
+  *  - a REPLAYED batch (Structured Streaming's at-least-once redelivery)
+  *    anti-joins the content-addressed manifest and keeps nothing — all
+  *    seven appends write zero rows.
+  *
+  * StreamingIncrementSpec pins streamed splits ≡ the same splits run as
+  * batch DailyIncrements (every artifact), and replayed batches as
+  * no-ops. Per-trigger cost is batch-sized (the DailyIncrement
+  * contract): the standing corpus is never re-read.
+  *
+  * `docs` needs (doc_id, text, lang); `embeddings` is the static vector
+  * side (vec_id, embedding). Returns the foreachBatch body to attach:
+  * {{{
+  *   docs.writeStream
+  *     .foreachBatch(StreamingIncrement.apply(spark, embeddings, outDir))
+  *     .start()
+  * }}}
+  */
+object StreamingIncrement {
+  def apply(spark: SparkSession, embeddings: DataFrame, outDir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      // pin the batch before runBatch's appends mutate paths its own
+      // staging plan reads (the read-path-you-write discipline);
+      // batch-sized rows
+      val pinned = batch.localCheckpoint(true)
+      if (!pinned.isEmpty) {
+        DailyIncrement.runBatch(spark,
+          pinned.select(col("doc_id"), col("text"), col("lang")),
+          embeddings, outDir, tok)
+        ()
+      }
+    }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25Index, CurationJob, DailyIncrement, DsirModel}
+import graft.streaming.StreamingIncrement
+
+/** Continuous ingestion: a document stream driven through
+  * StreamingIncrement must land the same curation tree as the SAME
+  * splits run as batch DailyIncrements, artifact for artifact, and the
+  * at-least-once hazards of foreachBatch — a replayed batch — must be
+  * no-ops (the content-addressed manifest + staged-increment protocol
+  * doing double duty as streaming EOS). */
+class StreamingIncrementSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streamed document batches == batch DailyIncrements; a replayed batch is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sDir = Files.createTempDirectory("graft-sinc-").toString
+    val bDir = Files.createTempDirectory("graft-binc-").toString
+
+    CurationJob.run(spark, sf, sDir, docFilter = col("doc_id") % 10 =!= 0)
+    CurationJob.run(spark, sf, bDir, docFilter = col("doc_id") % 10 =!= 0)
+
+    // batch reference: the batch split (doc_id % 10 == 0) lands as two
+    // sequential DailyIncrements — the order the stream will replay
+    val r1 = DailyIncrement.run(spark, sf, bDir,
+      batchFilter = col("doc_id") % 20 === 0)
+    val r2 = DailyIncrement.run(spark, sf, bDir,
+      batchFilter = col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    assert(r1.nBatchKept > 0 && r2.nBatchKept > 0, "vacuous: an empty batch")
+
+    // streamed: the SAME splits as micro-batches
+    val docsTable = Tables.load(spark, sf, "documents")
+    def rowsOf(filter: org.apache.spark.sql.Column) = docsTable.filter(filter)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSeq
+    val embs = Tables.load(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "text", "lang").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-sinc-").toString)
+      .foreachBatch(StreamingIncrement(spark, embs, sDir))
+      .start()
+    ms.addData(rowsOf(col("doc_id") % 20 === 0): _*)
+    q.processAllAvailable()
+    ms.addData(rowsOf(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // ---- every artifact equals the batch tree's ----
+    def rows(d: String, sub: String, cols: Seq[String]) =
+      spark.read.parquet(s"$d/$sub").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(rows(sDir, "curated", Seq("doc_id", "n_tokens", "digest")) ==
+      rows(bDir, "curated", Seq("doc_id", "n_tokens", "digest")), "curated diverged")
+    assert(rows(sDir, "evalh", Seq("doc_id", "h")) ==
+      rows(bDir, "evalh", Seq("doc_id", "h")), "evalh diverged")
+    assert(rows(sDir, "shards", Seq("doc_id", "n_tokens", "shard", "shard_offset")) ==
+      rows(bDir, "shards", Seq("doc_id", "n_tokens", "shard", "shard_offset")),
+      "shards diverged")
+    assert(graft.operators.PackedExport.readBase(spark, s"$sDir/packbase") ==
+      graft.operators.PackedExport.readBase(spark, s"$bDir/packbase"), "pack base diverged")
+    val fq = Seq((1L, "slow"), (1L, "merge"), (1L, "join")).toDF("query_id", "term")
+    def probe(d: String) = Bm25Index.probe(spark, s"$d/bm25", fq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(sDir) == probe(bDir), "bm25 probe diverged")
+    assert(rows(sDir, "vectors", Seq("vec_id")) ==
+      rows(bDir, "vectors", Seq("vec_id")), "vector index diverged")
+    def dsir(d: String) = DsirModel.load(spark, s"$d/dsir")
+      .collect().map(_.toSeq).toSet
+    assert(dsir(sDir) == dsir(bDir), "dsir model diverged")
+
+    // a full batch REPLAY (crash-restart at-least-once delivery): every
+    // digest is already in the manifest, so nothing appends anywhere
+    StreamingIncrement(spark, embs, sDir)(
+      rowsOf(col("doc_id") % 20 === 0).toDF("doc_id", "text", "lang"), 0L)
+    assert(rows(sDir, "curated", Seq("doc_id", "n_tokens", "digest")) ==
+      rows(bDir, "curated", Seq("doc_id", "n_tokens", "digest")),
+      "replay mutated the manifest")
+    assert(dsir(sDir) == dsir(bDir), "replay mutated the dsir model")
+    assert(graft.operators.PackedExport.readBase(spark, s"$sDir/packbase") ==
+      graft.operators.PackedExport.readBase(spark, s"$bDir/packbase"),
+      "replay advanced the pack base")
+    spark.catalog.clearCache()
+  }
+}
