@@ -202,6 +202,47 @@ object VectorIndex {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Index ACCEPTANCE gate — recall@k and reciprocal rank of [[probe]]
+    * against an exact brute-force scan of the same (tombstone-masked)
+    * index contents: the operator form of the oracle-checked knn_eval
+    * query, run against the artifact a deployment actually serves, so a
+    * bits/nprobe choice is validated on the index itself before probes
+    * go live. Metrics are exact integer ppm (n·10⁶ DIV d), per query:
+    * (query_id, n_truth, n_hit, recall_ppm, rr_ppm). The truth leg costs
+    * one full index scan — an eval-cadence job, never the serving path;
+    * the run leg is the pruned production probe. Queries matching a
+    * corpus vec_id are excluded from their own truth/run lists (the
+    * knn_eval convention). */
+  def evaluate(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, nprobe: Int = 1): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val q = queries
+      .select(col("query_id"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qnrm", sqrt(expr("graft_dot(qv, qv)")))
+    val corpus = masked(spark, path,
+        spark.read.parquet(path).select(col("vec_id"), col("v")), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        sqrt(expr("graft_dot(v, v)")).as("cnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val truth = broadcast(q).join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        expr("graft_dot(qv, cv)") / nullif(col("qnrm") * col("cnrm"), lit(0.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val run = probe(spark, path, queries, k, bits, dim, nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("rnk_r"))
+    truth.join(run, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("rnk_r").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        min(col("rnk_r")).as("first_hit"))
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        expr("(n_hit * 1000000) DIV n_truth").as("recall_ppm"),
+        expr("coalesce(1000000 DIV first_hit, CAST(0 AS BIGINT))").as("rr_ppm"))
+  }
+
   /** Query-side probe prep shared by the raw and PQ probe paths:
     * normalized query frame with bucket + margins, the (query, bucket)
     * multi-probe rows (its own bucket + the (nprobe−1) smallest-margin

@@ -95,6 +95,37 @@ class BpeTrainerSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("graft_bpe_count property sweep: seeded random merge tables equal the fold spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // adversarial tables: duplicate pairs, self-merges (a,a), chained
+    // merges, merges over never-produced symbols, multi-char unicode —
+    // arbitrary tables, not just trained ones: the expression's contract
+    // is table-order application, whatever the table
+    val rnd = new scala.util.Random(20260814L)
+    val symbols = Vector("a", "b", "c", "ab", "bc", "aa", "的", "é")
+    val textAtoms = Vector("a", "b", "c", "ab", "abc", "aab", "aaab", "bca",
+      "的的", "café", "", " ")
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(graft.functions.Tokenizer.Learned.MaxMerges)
+      val merges = (0 until n).map(i => BpeTrainer.Merge(i,
+        symbols(rnd.nextInt(symbols.length)), symbols(rnd.nextInt(symbols.length)), 2L))
+      val texts = Vector.fill(40)(
+        Vector.fill(rnd.nextInt(6))(textAtoms(rnd.nextInt(textAtoms.length)))
+          .mkString(" "))
+      val fold = graft.functions.Tokenizer.Learned(merges)
+      val native = graft.functions.Tokenizer.LearnedNative(merges)
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select($"id", fold.count($"text").as("f"), native.count($"text").as("n"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"trial $trial id ${r.getLong(0)}: fold=${r.getLong(1)} native=${r.getLong(2)} " +
+          s"table=${merges.map(m => (m.left, m.right))}"))
+    }
+  }
+
   test("Tokenizer.LearnedNative matches the reference segmentation BEYOND the fold cap") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -270,4 +270,62 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(codeIds == rawIds && codeIds.nonEmpty, "codes/raw id sets diverged")
     spark.catalog.clearCache()
   }
+
+  test("evaluate: metrics equal a driver-side recall/MRR computation; multi-probe never hurts; masked eval == rebuilt eval") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val path = Files.createTempDirectory("graft-veceval-").toString
+    val vecs = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    VectorIndex.materialize(vecs, path, bits = Bits)
+    val queries = vecs.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val k = 3
+
+    def metrics(p: String, nprobe: Int) =
+      VectorIndex.evaluate(spark, p, queries, k, bits = Bits, nprobe = nprobe)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+
+    val got = metrics(path, 1)
+    // driver-side reference from the probe and an exact truth scan
+    val run = VectorIndex.probe(spark, path, queries, k, bits = Bits)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(t => t._2 -> t._3).toMap }
+    val all = vecs.select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (qid <- got.keys) {
+      val qv = all(qid)
+      val truth = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      val hits = run.getOrElse(qid, Map.empty)
+      val nHit = truth.count(hits.contains)
+      val firstHit = truth.filter(hits.contains).map(hits).sorted.headOption
+      val (nT, nH, recall, rr) = got(qid)
+      assert(nT == truth.size.toLong && nH == nHit.toLong, s"q$qid counts")
+      assert(recall == nHit.toLong * 1000000L / truth.size, s"q$qid recall")
+      assert(rr == firstHit.map(1000000L / _).getOrElse(0L), s"q$qid rr")
+    }
+    // multi-probe recall is monotone non-decreasing per query
+    val multi = metrics(path, 3)
+    assert(got.keys.forall(q => multi(q)._3 >= got(q)._3),
+      "multi-probe lowered recall for a query")
+
+    // eval of a masked (deleted) index == eval of a rebuilt-remaining one
+    val refp = Files.createTempDirectory("graft-vecevalr-").toString
+    VectorIndex.materialize(vecs.filter($"vec_id" % 7 =!= 0), refp, bits = Bits)
+    VectorIndex.delete(spark, path, vecs.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    val evalQueries = queries.filter($"query_id" % 7 =!= 0)
+    val maskedEval = VectorIndex.evaluate(spark, path, evalQueries, k, bits = Bits)
+      .collect().map(_.toSeq).toSet
+    val rebuiltEval = VectorIndex.evaluate(spark, refp, evalQueries, k, bits = Bits)
+      .collect().map(_.toSeq).toSet
+    assert(maskedEval == rebuiltEval, "masked eval != rebuilt-remaining eval")
+    spark.catalog.clearCache()
+  }
 }
