@@ -74,7 +74,16 @@ object Bm25Index {
     * Note the BM25 scores of OLD documents legitimately change after an
     * append (df and avgdl move — that is retrieval semantics, not an
     * index defect); what this guarantees is that probing the appended
-    * index equals probing a from-scratch rebuild. */
+    * index equals probing a from-scratch rebuild.
+    *
+    * Atomicity: TWO commits — the postings append, then the smalls
+    * snapshot pointer swap. A crash between them leaves batch postings
+    * visible with pre-batch df/stats, and RE-RUNNING append would
+    * double-append those postings; the remedy is a rebuild from the
+    * source manifest (smalls are vocabulary-sized; postings rewrite on
+    * the operator's schedule). A caller needing a crash-safe per-batch
+    * commit uses [[graft.streaming.MaintainedBm25Index]], whose
+    * batch-partitioned postings + gated readers make replays no-ops. */
   def append(batch: DataFrame, path: String, buckets: Int = 32): Unit = {
     val spark = batch.sparkSession
     graft.GraftExtensions.register(spark)
