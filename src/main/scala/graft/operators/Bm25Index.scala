@@ -43,22 +43,27 @@ object Bm25Index {
     floor(idf * tfnorm * lit(1.0e9) + lit(0.5))
   }
 
-  /** Tokenize `docs` (doc_id, text) once and write the bucketed index. */
+  /** Tokenize `docs` (doc_id, text) once and write the bucketed index.
+    * Postings are partitioned by (batch, b): the day-0 corpus is
+    * batch 0, each [[append]] adds a batch level — pruning on `b` is
+    * untouched (the bucket filter prunes across every batch dir), and
+    * the batch level is what makes appends single-commit (see append). */
   def build(docs: DataFrame, path: String, buckets: Int = 32): Unit = {
     graft.GraftExtensions.register(docs.sparkSession)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     tf.join(dl, "doc_id")
+      .withColumn("batch", lit(0L))
       .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
-      .write.mode("overwrite").partitionBy("b").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("batch", "b").parquet(s"$path/postings")
     val smalls = nextSmalls(path)
     tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
       .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("b").parquet(s"$path/$smalls/terms")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
       .write.mode("overwrite").parquet(s"$path/$smalls/stats")
-    writeState(path, 0L, smalls, "postings")
+    writeState(path, 0L, smalls, "postings", 0L)
   }
 
   /** Incrementally fold a new document batch into an existing index —
@@ -76,27 +81,48 @@ object Bm25Index {
     * index defect); what this guarantees is that probing the appended
     * index equals probing a from-scratch rebuild.
     *
-    * Atomicity: TWO commits — the postings append, then the smalls
-    * snapshot pointer swap. A crash between them leaves batch postings
-    * visible with pre-batch df/stats, and RE-RUNNING append would
-    * double-append those postings; the remedy is a rebuild from the
-    * source manifest (smalls are vocabulary-sized; postings rewrite on
-    * the operator's schedule). A caller needing a crash-safe per-batch
-    * commit uses [[graft.streaming.MaintainedBm25Index]], whose
-    * batch-partitioned postings + gated readers make replays no-ops. */
-  def append(batch: DataFrame, path: String, buckets: Int = 32): Unit = {
+    * SINGLE-COMMIT under crash/retry (the MaintainedBm25Index
+    * discipline brought into the batch index): the batch's postings
+    * land in their own `batch=<lastBatch+1>` partition via dynamic
+    * partition overwrite — a retry replaces a crashed attempt's partial
+    * files instead of duplicating them — and every reader gates on the
+    * pointer's committed lastBatch, so nothing is visible until the
+    * SAME atomic pointer swap that publishes the merged df/stats
+    * snapshot. A crash anywhere inside append leaves the index exactly
+    * at its pre-append state, and re-running the append is the normal
+    * path (Bm25IndexSpec pins crashed-append invisibility + retry
+    * equality). Legacy unbatched trees (pointer without a batch field)
+    * keep the old append-then-swap behavior. */
+  def append(batch: DataFrame, path: String, buckets: Int = 32): Unit =
+    append(batch, path, buckets, failBeforeCommit = false)
+
+  /** `failBeforeCommit` is the spec's crash-injection seam: throw after
+    * every write but BEFORE the pointer swap — the widest possible
+    * crash window. Production callers never pass it. */
+  private[graft] def append(batch: DataFrame, path: String, buckets: Int,
+      failBeforeCommit: Boolean): Unit = {
     val spark = batch.sparkSession
     graft.GraftExtensions.register(spark)
+    val (epoch, _, postingsRel, lastBatch) = currentState(path)
     val tok = batch.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    tf.join(dl, "doc_id")
+    val rows = tf.join(dl, "doc_id")
       .withColumn("b", pmod(h60(col("term")), lit(buckets.toLong)))
-      .write.mode("append").partitionBy("b").parquet(postingsPath(path))
+    if (lastBatch < 0) {
+      // legacy unbatched layout: plain file append (pre-batch trees only)
+      rows.write.mode("append").partitionBy("b").parquet(postingsPath(path))
+    } else {
+      // own batch partition + dynamic overwrite: a retry of a crashed
+      // attempt REPLACES its partial files; readers can't see the batch
+      // until the pointer swap below commits lastBatch
+      rows.withColumn("batch", lit(lastBatch + 1))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "b").parquet(s"$path/$postingsRel")
+    }
     // vocabulary-sized merge: old df ⊎ batch df, written to a FRESH
     // snapshot dir and committed by pointer swap — the plan reads the old
     // snapshot and never overwrites it (no cache-to-dodge-the-overwrite)
-    val (epoch, _, postingsRel) = currentState(path)
     val oldTerms = spark.read.parquet(termsPath(path)).select(col("term"), col("dfreq"))
     val smalls = nextSmalls(path)
     oldTerms
@@ -112,7 +138,9 @@ object Bm25Index {
     Seq((nz(oldStats, 0) + nz(delta, 0), nz(oldStats, 1) + nz(delta, 1)))
       .toDF("n_docs", "total_dl")
       .write.mode("overwrite").parquet(s"$path/$smalls/stats")
-    writeState(path, epoch, smalls, postingsRel)
+    if (failBeforeCommit)
+      throw new IllegalStateException("injected crash before the append commit")
+    writeState(path, epoch, smalls, postingsRel, math.max(lastBatch + 1, 0L))
   }
 
   /** BM25 scores of `qterms` (query_id, term) against the index:
@@ -137,7 +165,7 @@ object Bm25Index {
     // |distinct query terms|-bounded driver collect — the static prune set
     val probed = qb.select(col("b")).distinct().collect().map(_.getLong(0)).toSeq
     val postings = masked(spark, path,
-      spark.read.parquet(postingsPath(path)).filter(col("b").isin(probed: _*)))
+      postingsDf(spark, path).filter(col("b").isin(probed: _*)))
     val termsAll = spark.read.parquet(termsPath(path))
       .filter(col("b").isin(probed: _*))
     val stats = spark.read.parquet(statsPath(path))
@@ -179,23 +207,29 @@ object Bm25Index {
   // lost-delete window) or applying it twice.
   private def pointerFile(path: String) = java.nio.file.Paths.get(s"$path/_current")
 
-  /** (applied tombstone epoch, smalls snapshot rel-dir, postings rel-dir).
-    * Falls back to the flat legacy layout when no pointer exists. */
-  private def currentState(path: String): (Long, String, String) = {
+  /** (applied tombstone epoch, smalls snapshot rel-dir, postings rel-dir,
+    * last COMMITTED postings batch). `lastBatch` gates readers over the
+    * batch-partitioned postings layout: rows with `batch > lastBatch`
+    * are an in-flight (crashed) append and stay invisible until the
+    * pointer swap commits them. −1 marks a legacy unbatched layout (no
+    * batch column; no gating). Falls back to the flat legacy layout when
+    * no pointer exists. */
+  private def currentState(path: String): (Long, String, String, Long) = {
     val p = pointerFile(path)
-    if (!java.nio.file.Files.exists(p)) (0L, "", "postings")
+    if (!java.nio.file.Files.exists(p)) (0L, "", "postings", -1L)
     else {
-      val Array(e, s, g) = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val f = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         .trim.split("\t")
-      (e.toLong, s, g)
+      (f(0).toLong, f(1), f(2), if (f.length > 3) f(3).toLong else -1L)
     }
   }
 
   private def writeState(path: String, epoch: Long, smalls: String,
-      postings: String): Unit = {
+      postings: String, lastBatch: Long): Unit = {
     val tmp = java.nio.file.Paths.get(s"$path/_current.tmp")
     java.nio.file.Files.createDirectories(tmp.getParent)
-    java.nio.file.Files.write(tmp, s"$epoch\t$smalls\t$postings".getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp,
+      s"$epoch\t$smalls\t$postings\t$lastBatch".getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, pointerFile(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -228,6 +262,18 @@ object Bm25Index {
 
   private[graft] def postingsPath(path: String): String =
     s"$path/${currentState(path)._3}"
+
+  /** The COMMITTED postings frame — the one reader every probe/scan/
+    * rewrite must use: on the batch-partitioned layout it gates on the
+    * pointer's lastBatch (an in-flight append's partition stays
+    * invisible) and drops the batch column so downstream schemas are
+    * layout-agnostic; legacy unbatched trees read as-is. */
+  private[graft] def postingsDf(spark: SparkSession, path: String): DataFrame = {
+    val (_, _, rel, lastBatch) = currentState(path)
+    val df = spark.read.parquet(s"$path/$rel")
+    if (lastBatch < 0) df
+    else df.filter(col("batch") <= lastBatch).drop("batch")
+  }
 
   private[graft] def termsPath(path: String): String = s"${smallsDir(path)}/terms"
   private[graft] def statsPath(path: String): String = s"${smallsDir(path)}/stats"
@@ -303,14 +349,14 @@ object Bm25Index {
     * didn't (the whole recompute reruns). No-op when current. */
   def applyPending(spark: SparkSession, path: String, buckets: Int = 32): Unit = {
     if (!hasTombstones(path)) return
-    val (applied, _, postingsRel) = currentState(path)
+    val (applied, _, postingsRel, lastBatch) = currentState(path)
     val tomb = spark.read.parquet(tombDir(path))
     val pendRows = tomb.filter(col("epoch") > applied)
       .select(col("doc_id"), col("epoch"))
     val maxPending = pendRows.agg(max(col("epoch"))).collect()(0)
     if (maxPending.isNullAt(0)) return
     val pend = pendRows.select(col("doc_id")).distinct()
-    val rows = spark.read.parquet(postingsPath(path))
+    val rows = postingsDf(spark, path)
       .join(pend, Seq("doc_id"), "left_semi").cache()
     // vocabulary-sized df decrement; terms at df 0 leave the vocabulary
     val deltaTerms = rows.groupBy(col("term")).agg(count(lit(1)).as("ddf"))
@@ -336,7 +382,7 @@ object Bm25Index {
       .toDF("n_docs", "total_dl")
       .write.mode("overwrite").parquet(s"$path/$smalls/stats")
     rows.unpersist()
-    writeState(path, maxPending.getLong(0), smalls, postingsRel)
+    writeState(path, maxPending.getLong(0), smalls, postingsRel, lastBatch)
   }
 
   /** Physically drop tombstoned postings — the compaction that turns the
@@ -349,12 +395,14 @@ object Bm25Index {
   def vacuum(spark: SparkSession, path: String): Unit = {
     if (!hasTombstones(path)) return
     applyPending(spark, path)
-    val (epoch, smallsRel, postingsRel) = currentState(path)
+    val (epoch, smallsRel, postingsRel, _) = currentState(path)
     val newRel = s"postings_e$epoch"
     if (newRel != postingsRel) {
-      masked(spark, path, spark.read.parquet(postingsPath(path)))
-        .write.mode("overwrite").partitionBy("b").parquet(s"$path/$newRel")
-      writeState(path, epoch, smallsRel, newRel)
+      // the rewrite compacts every committed batch back into batch 0
+      masked(spark, path, postingsDf(spark, path))
+        .withColumn("batch", lit(0L))
+        .write.mode("overwrite").partitionBy("batch", "b").parquet(s"$path/$newRel")
+      writeState(path, epoch, smallsRel, newRel, 0L)
     }
     def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._

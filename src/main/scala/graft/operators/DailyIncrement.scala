@@ -100,17 +100,12 @@ import graft.queries.CrossHash.shingleHashes
     *     append-equals-rebuild pin.
     *  3. COMMIT — the staging dir is deleted; the tree is quiescent.
     *
-    * The residual atomicity unit is one Spark job commit per marker
-    * step. Six of the seven steps are a single job; the exception is
-    * the bm25 step, where [[Bm25Index.append]] is itself two commits
-    * (postings append, then the smalls pointer swap) — a crash INSIDE
-    * it is the one spot a retry would double-append postings, so the
-    * remedy there is a rebuild of that index from the masked manifest
-    * (Bm25Index.build — vocabulary-sized smalls, corpus-sized postings,
-    * on the operator's schedule). Continuous ingestion that cannot
-    * afford that window routes the lexical index through
-    * [[graft.streaming.MaintainedBm25Index]], whose per-batch partition
-    * overwrite + gated readers close it by construction.
+    * The residual atomicity unit is one commit per marker step: six of
+    * the seven steps are a single Spark job, and the bm25 step is
+    * single-commit internally too ([[Bm25Index.append]]'s
+    * batch-partitioned postings + pointer-swap — a crash inside it
+    * rolls back to the pre-append index and the marker-driven retry is
+    * the normal path).
     *
     * Replaying an already-committed batch stays a no-op through the
     * content-addressed manifest: every digest anti-joins out, the

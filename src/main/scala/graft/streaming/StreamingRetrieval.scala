@@ -35,7 +35,7 @@ object StreamingRetrieval {
     * time). */
   def scoringFrame(spark: SparkSession, path: String): DataFrame = {
     val postings = Bm25Index.masked(spark, path,
-        spark.read.parquet(Bm25Index.postingsPath(path)))
+        Bm25Index.postingsDf(spark, path))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val terms = spark.read.parquet(Bm25Index.termsPath(path))
       .select(col("term"), col("dfreq"))

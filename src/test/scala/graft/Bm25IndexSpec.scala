@@ -116,6 +116,42 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a CRASHED append is invisible (index == pre-append) and the retry equals the rebuild") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    val incr = Files.createTempDirectory("bm25crash").toString
+    val full = Files.createTempDirectory("bm25crashfull").toString
+    try {
+      Bm25Index.build(corpus, incr)
+      Bm25Index.build(docs, full)
+      val q = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+      def scores(path: String) = Bm25Index.probe(spark, path, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val preAppend = scores(incr)
+      // crash at the widest window: every write done, pointer not swapped
+      val boom = intercept[IllegalStateException] {
+        Bm25Index.append(batch, incr, 32, failBeforeCommit = true)
+      }
+      assert(boom.getMessage.contains("injected"))
+      // the half-appended batch is INVISIBLE: probe, stats and df all
+      // still read the pre-append state (readers gate on lastBatch)
+      assert(scores(incr) == preAppend, "crashed append leaked into probes")
+      assert(spark.read.parquet(Bm25Index.statsPath(incr)).collect()(0).getLong(0) ==
+        corpus.count(), "crashed append leaked into stats")
+      // the retry is the NORMAL append — and must equal the union rebuild
+      // (dynamic partition overwrite replaced the crashed attempt's files,
+      // so nothing double-counts)
+      Bm25Index.append(batch, incr)
+      assert(scores(incr) == scores(full),
+        "retried append after crash != from-scratch union rebuild")
+    } finally {
+      spark.catalog.clearCache()
+    }
+  }
+
   test("delete: probe == from-scratch build on the remaining corpus; idempotent; vacuum preserves and clears") {
     import spark.implicits._
     GraftExtensions.register(spark)
