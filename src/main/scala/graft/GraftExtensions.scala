@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.expressions.{BloomContains, BpePieceCount, ConfluentSchemaId, CountMinSketch, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60, SpaceSavingTopK, UnicodeNorm}
+import graft.functions.expressions.{BloomContains, BpePieceCount, BpeSegment, ConfluentSchemaId, CountMinSketch, DecodeMetadata, DotProduct, KmvMinima, LshBands, Md5Prefix60, PqScores, Shingle60, SpaceSavingTopK, UnicodeNorm}
 
 /** Catalyst extension point: registers graft's native expressions so SQL and
   * DataFrame plans can call them (`SELECT graft_dot(a, b)`).
@@ -105,6 +105,12 @@ object GraftExtensions {
         require(children.length == 3,
           "graft_bpe_count takes exactly 3 arguments: (text, lefts, rights)")
         BpePieceCount(children(0), children(1), children(2))
+      }),
+    (FunctionIdentifier("graft_bpe_segment"), BpeSegment.info,
+      children => {
+        require(children.length == 3,
+          "graft_bpe_segment takes exactly 3 arguments: (text, lefts, rights)")
+        BpeSegment(children(0), children(1), children(2))
       }))
 
   /** Idempotent on-session registration (functions + optimizer rule; the

@@ -71,7 +71,7 @@ case class BpePieceCount(child: Expression, leftsExpr: Expression, rightsExpr: E
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_bpe_count"
 
-  @transient private lazy val table: BpeTable = {
+  @transient private[expressions] lazy val builtTable: BpeTable = {
     def strings(e: Expression, name: String): Array[String] = {
       val arr = e.eval(null).asInstanceOf[ArrayData]
       require(arr != null, s"graft_bpe_count: $name table literal is null")
@@ -95,13 +95,13 @@ case class BpePieceCount(child: Expression, leftsExpr: Expression, rightsExpr: E
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
     if (t == null) null
-    else BpePieceCount.count(t.asInstanceOf[UTF8String], table)
+    else BpePieceCount.count(t.asInstanceOf[UTF8String], builtTable)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the PREBUILT table rides the reference array — the array children are
     // plan-time literals and must never be (re-)evaluated per row
-    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    val ref = ctx.addReferenceObj("bpeTable", builtTable, classOf[BpeTable].getName)
     val childGen = child.genCode(ctx)
     ev.copy(code = code"""
       ${childGen.code}
@@ -154,10 +154,36 @@ object BpePieceCount {
     total
   }
 
-  /** Segment one word (s[start, end)) and return its surviving-symbol
-    * count: code-point symbols, then each merge in table order applied as
-    * one leftmost-first non-overlapping pass (segmentReference's loop). */
-  private def countWord(s: String, start: Int, end: Int, table: BpeTable): Long = {
+  /** All pieces of a whole text, word by word in order (whitespace
+    * dropped) — the segmentation [[count]] counts, materialized for the
+    * graft_bpe_segment expression. */
+  def segment(text: UTF8String, table: BpeTable): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val len = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val (syms, n) = segmentWord(s, start, i, table)
+        var j = 0
+        while (j < n) { out += UTF8String.fromString(syms(j)); j += 1 }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private def countWord(s: String, start: Int, end: Int, table: BpeTable): Long =
+    segmentWord(s, start, end, table)._2.toLong
+
+  /** Segment one word (s[start, end)): code-point symbols, then each
+    * merge in table order applied as one leftmost-first non-overlapping
+    * pass (segmentReference's loop). Returns the working array and the
+    * live piece count (entries beyond it are stale). */
+  private def segmentWord(s: String, start: Int, end: Int,
+      table: BpeTable): (Array[String], Int) = {
     // code-point symbols (matches Spark's split(w, ''))
     val syms = new Array[String](end - start)
     var n = 0
@@ -169,7 +195,7 @@ object BpePieceCount {
       n += 1
       i += w
     }
-    if (n < 2 || table.lefts.length == 0) return n.toLong
+    if (n < 2 || table.lefts.length == 0) return (syms, n)
 
     // symbol superset present in the word: prunes inapplicable merges to
     // two hash probes each; stale entries (consumed symbols) only cost a
@@ -199,6 +225,59 @@ object BpePieceCount {
       }
       m += 1
     }
-    n.toLong
+    (syms, n)
   }
+}
+
+/** Piece SEGMENTATION under a trained merge table —
+  * `graft_bpe_segment(text, lefts, rights)` → array<string> of the
+  * pieces [[BpePieceCount]] counts, word by word in text order. The
+  * materialized form feeds piece-level corpus work: the vocabulary
+  * artifact ([[graft.operators.BpeTrainer.vocabulary]]), piece-frequency
+  * stats, OOV-under-tokenizer analysis. Same table/null/whitespace
+  * semantics as the count twin (size(graft_bpe_segment(..)) ==
+  * graft_bpe_count(..) is pinned in the property sweep). */
+case class BpeSegment(child: Expression, leftsExpr: Expression, rightsExpr: Expression)
+    extends Expression {
+
+  // identical input contract to the count twin
+  private val asCount = BpePieceCount(child, leftsExpr, rightsExpr)
+
+  override def children: Seq[Expression] = Seq(child, leftsExpr, rightsExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult = asCount.checkInputDataTypes()
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_segment"
+
+  @transient private lazy val table: BpeTable = asCount.builtTable
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else BpePieceCount.segment(t.asInstanceOf[UTF8String], table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      $arrCls ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expressions.BpePieceCount.segment(${childGen.value}, $ref);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BpeSegment =
+    copy(child = newChildren(0), leftsExpr = newChildren(1), rightsExpr = newChildren(2))
+}
+
+object BpeSegment {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[BpeSegment].getName, "graft_bpe_segment")
 }

@@ -132,6 +132,23 @@ object BpeTrainer {
     spark.read.parquet(path).as[Merge].collect().toSeq.sortBy(_.rank)
   }
 
+  /** Piece vocabulary of `docs` (doc_id, text) under a merge table:
+    * (piece, cnt) — the vocab-file artifact next to the merges (a
+    * trainer ships merges.txt AND vocab.json; this is the second half).
+    * One pass via the native `graft_bpe_segment` expression + one
+    * map-side-combined aggregation; the result is Zipf-small
+    * (vocabulary-sized), like the trainer's word table. Pinned against
+    * per-word [[segmentReference]] counting in BpeTrainerSpec. */
+  def vocabulary(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val sorted = merges.sortBy(_.rank)
+    docs.filter(col("text").isNotNull)
+      .select(explode(call_function("graft_bpe_segment", col("text"),
+        lit(sorted.map(_.left).toArray), lit(sorted.map(_.right).toArray)))
+        .as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Single-JVM reference segmentation of one word under a merge table
     * (rank order, leftmost-first non-overlapping per round) — the spec
     * oracle for [[applyMerges]]. */

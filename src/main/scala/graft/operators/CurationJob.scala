@@ -25,7 +25,9 @@ import graft.queries.CorpusQueries
   *     │  weight array text_quality_score's production form broadcasts)
   *     └─ tokenizer         BpeTrainer     → outDir/tokenizer/ (BPE merge
   *        table trained on the kept corpus, frozen at day 0; loadTokenizer
-  *        rebuilds the pack-budget counter from it)
+  *        rebuilds the pack-budget counter from it) + outDir/
+  *        tokenizer_vocab/ (piece frequencies under the frozen table —
+  *        the vocab.json half of the artifact)
   *
   * One corpus scan feeds every branch: the curated set is cached at the
   * stage boundary (inside curatedTrain), so the scan → quality → dedup →
@@ -125,9 +127,13 @@ object CurationJob {
     // Deterministic training ⇒ two sites running the same job ship the
     // identical merge table, like the quality weights.
     val tokenizerDir = s"$outDir/tokenizer"
-    BpeTrainer.save(spark,
-      BpeTrainer.train(kept.select(col("doc_id"), col("text")), tokenizerMerges),
-      tokenizerDir)
+    val learnedMerges =
+      BpeTrainer.train(kept.select(col("doc_id"), col("text")), tokenizerMerges)
+    BpeTrainer.save(spark, learnedMerges, tokenizerDir)
+    // the vocab half of the artifact (merges.txt + vocab.json analog):
+    // piece frequencies of the kept corpus under the frozen table
+    BpeTrainer.vocabulary(kept.select(col("doc_id"), col("text")), learnedMerges)
+      .write.mode("overwrite").parquet(s"$outDir/tokenizer_vocab")
     val n = kept.count()
     kept.unpersist()
     // release the stage-boundary cache curatedTrain/curatedEvalH share

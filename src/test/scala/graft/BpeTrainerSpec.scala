@@ -116,14 +116,52 @@ class BpeTrainerSpec extends AnyFunSuite {
           .mkString(" "))
       val fold = graft.functions.Tokenizer.Learned(merges)
       val native = graft.functions.Tokenizer.LearnedNative(merges)
+      val lefts = merges.map(_.left).toArray
+      val rights = merges.map(_.right).toArray
       val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("id", "text")
-        .select($"id", fold.count($"text").as("f"), native.count($"text").as("n"))
+        .select($"id", fold.count($"text").as("f"), native.count($"text").as("n"),
+          // the segment twin: same piece count, and LOSSLESS — pieces
+          // concatenate back to the text minus whitespace
+          size(call_function("graft_bpe_segment", $"text",
+            lit(lefts), lit(rights))).cast("long").as("sn"),
+          array_join(call_function("graft_bpe_segment", $"text",
+            lit(lefts), lit(rights)), "").as("joined"),
+          regexp_replace($"text", "\\s+", "").as("nows"))
         .collect()
-      rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
-        s"trial $trial id ${r.getLong(0)}: fold=${r.getLong(1)} native=${r.getLong(2)} " +
-          s"table=${merges.map(m => (m.left, m.right))}"))
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"trial $trial id ${r.getLong(0)}: fold=${r.getLong(1)} native=${r.getLong(2)} " +
+            s"table=${merges.map(m => (m.left, m.right))}")
+        assert(r.getLong(2) == r.getLong(3),
+          s"trial $trial id ${r.getLong(0)}: count=${r.getLong(2)} segment-size=${r.getLong(3)}")
+        assert(r.getString(4) == r.getString(5),
+          s"trial $trial id ${r.getLong(0)}: segmentation lost characters")
+      }
     }
+  }
+
+  test("vocabulary: piece counts equal per-word reference segmentation over the corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val merges = BpeTrainer.train(docs, 12)
+    val got = BpeTrainer.vocabulary(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = scala.collection.mutable.Map.empty[String, Long]
+    docs.as[(Long, String)].collect().foreach { case (_, text) =>
+      text.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        BpeTrainer.segmentReference(w, merges).foreach { p =>
+          want(p) = want.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    assert(got == want.toMap, s"vocab mismatch: got=${got.size} want=${want.size} " +
+      s"diff=${(got.keySet.diff(want.keySet) ++ want.keySet.diff(got.keySet)).take(5)}")
+    // merged pieces genuinely appear (not a character vocabulary)
+    assert(got.keys.exists(_.length > 1), "no multi-char piece — merges never fired")
   }
 
   test("Tokenizer.LearnedNative matches the reference segmentation BEYOND the fold cap") {

@@ -332,10 +332,22 @@ class CodegenSpec extends AnyFunSuite {
       .collect()
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
       s"doc ${r.getLong(0)}: fold=${r.getLong(1)} native=${r.getLong(2)}"))
+    // the segment twin compiles too and agrees with the count
+    val lefts = merges.map(_.left).toArray
+    val rights = merges.map(_.right).toArray
+    val seg = docs.select($"doc_id",
+        native.count($"text").as("n"),
+        size(call_function("graft_bpe_segment", $"text",
+          lit(lefts), lit(rights))).cast("long").as("sn"))
+      .collect()
+    seg.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: count=${r.getLong(1)} segment-size=${r.getLong(2)}"))
     // null propagates (the fold spelling yields null via aggregate(null))
     val nl = Seq((1L, null: String)).toDF("doc_id", "text")
-      .select(native.count($"text")).collect()
-    assert(nl.forall(_.isNullAt(0)))
+      .select(native.count($"text"),
+        call_function("graft_bpe_segment", $"text", lit(lefts), lit(rights)))
+      .collect()
+    assert(nl.forall(r => r.isNullAt(0) && r.isNullAt(1)))
     // mismatched table lengths fail loud, not silently truncate
     val bad = intercept[Exception] {
       Seq((1L, "x")).toDF("doc_id", "text")

@@ -103,6 +103,16 @@ class CurationJobSpec extends AnyFunSuite {
       .select($"doc_id", $"text")
     val retrained = graft.operators.BpeTrainer.train(keptDocs, 8)
     assert(mergesLoaded == retrained, "persisted tokenizer != deterministic retrain")
+    // the vocab half: piece totals = the kept corpus' token mass under
+    // the frozen table, and every piece re-derives from the merges
+    val vocab = spark.read.parquet(s"$out/tokenizer_vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab.nonEmpty && vocab.values.forall(_ > 0))
+    val totalPieces = keptDocs
+      .select(CurationJob.loadTokenizer(spark, out).count($"text").as("n"))
+      .agg(sum($"n")).collect()(0).getLong(0)
+    assert(vocab.values.sum == totalPieces,
+      "vocab mass != corpus piece count under the same tokenizer")
     val tokCounts = keptDocs.limit(20)
       .select($"doc_id", CurationJob.loadTokenizer(spark, out).count($"text").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
