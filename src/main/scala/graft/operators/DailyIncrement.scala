@@ -31,7 +31,8 @@ import graft.queries.CrossHash.shingleHashes
   *     │  the first batch rows may extend yesterday's last shard dir)
   *     ├─ lexical index     Bm25Index.append  → outDir/bm25/
   *     ├─ vector index      VectorIndex.append→ outDir/vectors/
-  *     └─ selection model   DsirModel.append  → outDir/dsir/
+  *     ├─ selection model   DsirModel.append  → outDir/dsir/
+  *     └─ tokenizer vocab   exact piece-count fold → outDir/tokenizer_vocab/
   *
   * Every append is pinned ≡ its from-scratch rebuild over the union
   * corpus (DailyIncrementSpec), so running day0 + N increments lands the
@@ -57,7 +58,8 @@ import graft.queries.CrossHash.shingleHashes
   *     only digest surface the daily path retains, and the effect is
   *     strictly conservative (at most extra shingles in the benchmark —
   *     never an under-drop of contaminated train docs).
-  */object DailyIncrement {
+  */
+object DailyIncrement {
   final case class Result(nBatchKept: Long, nShardsTotal: Long)
 
   /** Staging area of the in-flight increment (sibling-style underscore
@@ -89,7 +91,7 @@ import graft.queries.CrossHash.shingleHashes
     *     A crash before the marker loses nothing: no standing artifact
     *     was touched, and the next run wipes the un-sealed remnants and
     *     recomputes identically (the manifest is unchanged).
-    *  2. APPLY — [[applyPending]] executes the seven artifact appends
+    *  2. APPLY — [[applyPending]] executes the artifact appends
     *     from the STAGED data (never from live lineage), dropping a
     *     per-artifact `.done` marker after each. A crash mid-apply
     *     leaves a sealed staging dir; the next [[runBatch]] (or an
@@ -100,8 +102,8 @@ import graft.queries.CrossHash.shingleHashes
     *     append-equals-rebuild pin.
     *  3. COMMIT — the staging dir is deleted; the tree is quiescent.
     *
-    * The residual atomicity unit is one commit per marker step: six of
-    * the seven steps are a single Spark job, and the bm25 step is
+    * The residual atomicity unit is one commit per marker step: every
+    * step but one is a single Spark job, and the bm25 step is
     * single-commit internally too ([[Bm25Index.append]]'s
     * batch-partitioned postings + pointer-swap — a crash inside it
     * rolls back to the pre-append index and the marker-driven retry is
@@ -220,7 +222,7 @@ import graft.queries.CrossHash.shingleHashes
   def recover(spark: SparkSession, outDir: String): Unit =
     applyPending(spark, outDir)
 
-  /** Phase 2+3 of the protocol: the seven artifact appends from staged
+  /** Phase 2+3 of the protocol: the artifact appends from staged
     * data, a `.done` marker after each (an append never executes twice),
     * staging cleared last. `failAfter` is the spec's crash-injection
     * seam — production callers never pass it. */
@@ -302,6 +304,27 @@ import graft.queries.CrossHash.shingleHashes
       val pinned = spark.createDataFrame(
         java.util.Arrays.asList(appended.collect(): _*), appended.schema)
       DsirModel.write(pinned, s"$outDir/dsir")
+    }
+    step("tokvocab") {
+      // the tokenizer vocab is a MAINTAINED count table: the merge table
+      // is frozen at day 0 (BpeTrainer.save's rationale), but piece
+      // frequencies are mergeable, so each batch's pieces under the
+      // frozen table fold in — the vocab always equals
+      // BpeTrainer.vocabulary(all kept docs, day-0 merges), and
+      // Takedown.run subtracts from the same table exactly. Same
+      // collect-recreate-overwrite pin as the dsir step
+      // (vocabulary-sized).
+      val vocabDir = s"$outDir/tokenizer_vocab"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(vocabDir))) {
+        val merges = BpeTrainer.load(spark, s"$outDir/tokenizer")
+        val merged = spark.read.parquet(vocabDir).select($"piece", $"cnt")
+          .unionByName(
+            BpeTrainer.vocabulary(kept.select($"doc_id", $"text"), merges))
+          .groupBy($"piece").agg(sum($"cnt").as("cnt"))
+        val vocabPinned = spark.createDataFrame(
+          java.util.Arrays.asList(merged.collect(): _*), merged.schema)
+        vocabPinned.write.mode("overwrite").parquet(vocabDir)
+      }
     }
 
     deleteRecursively(pend)

@@ -28,16 +28,18 @@ import org.apache.spark.sql.functions._
   *   │   forgotten doc's shingle/segment hashes keep suppressing future
   *   │   legitimate copies of that content as "duplicates of forgotten
   *   │   data"
-  *   └─ selection model    [[DsirModel.remove]]  (count subtraction —
-  *       ≡ a refit without the docs)
+  *   ├─ selection model    [[DsirModel.remove]]  (count subtraction —
+  *   │   ≡ a refit without the docs)
+  *   └─ tokenizer vocab    exact piece-count subtraction (count-shaped
+  *       like the model; restricted to manifest-kept docs)
   *
-  * Out of scope BY DESIGN: the quality weights and the tokenizer merge
-  * table are trained AGGREGATE models (a weight array / pair-frequency
+  * Out of scope BY DESIGN: the quality weights and the tokenizer MERGE
+  * TABLE are trained AGGREGATE models (a weight array / pair-frequency
   * ranks), not per-document state — neither admits an exact per-doc
   * subtraction (gradient descent and BPE merges are not reversible the
-  * way DsirModel's counts are). Where a jurisdiction requires it, the
-  * remedy is a retrain on the masked manifest during [[scrub]]'s
-  * scheduled window, same as any model trained on since-removed data.
+  * way count tables are). Where a jurisdiction requires it, the remedy
+  * is a retrain on the masked manifest during [[scrub]]'s scheduled
+  * window, same as any model trained on since-removed data.
   *
   * IDEMPOTENT: incoming ids are anti-joined against the existing
   * takedown tombstones first, so a retry (or a re-run after a partial
@@ -94,6 +96,31 @@ object Takedown {
     val pinned = spark.createDataFrame(
       java.util.Arrays.asList(removed.collect(): _*), removed.schema)
     DsirModel.write(pinned, s"$outDir/dsir")
+    // tokenizer VOCAB: piece frequencies are count-shaped like the DSIR
+    // model, so this half of the tokenizer artifact subtracts EXACTLY
+    // (the merge table itself is trained weights — out of scope, see
+    // header). Restricted to docs the manifest actually KEPT: a
+    // never-kept doc contributed no pieces, and subtracting it would
+    // corrupt the counts. Same read-collect-recreate-overwrite pin as
+    // the model path (vocabulary-sized).
+    val vocabDir = s"$outDir/tokenizer_vocab"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(vocabDir))) {
+      val merges = BpeTrainer.load(spark, s"$outDir/tokenizer")
+      val keptFresh = freshDocs.join(
+        spark.read.parquet(s"$outDir/curated").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val delta = BpeTrainer.vocabulary(
+          keptFresh.select(col("doc_id"), col("text")), merges)
+        .select(col("piece"), col("cnt").as("dcnt"))
+      val newVocab = spark.read.parquet(vocabDir)
+        .join(delta, Seq("piece"), "left")
+        .select(col("piece"),
+          (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0)
+      val vocabPinned = spark.createDataFrame(
+        java.util.Arrays.asList(newVocab.collect(): _*), newVocab.schema)
+      vocabPinned.write.mode("overwrite").parquet(vocabDir)
+    }
     // commit record — last, so a retry after any crash above re-runs the
     // (idempotent) legs instead of skipping them
     fresh.write.mode("append").parquet(tombDir(outDir))

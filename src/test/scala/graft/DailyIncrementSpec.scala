@@ -129,6 +129,16 @@ class DailyIncrementSpec extends AnyFunSuite {
     val withEmb = Tables.load(spark, sf, "embeddings")
       .select($"vec_id").as[Long].collect().toSet
     assert(vecIds == keptIds.intersect(withEmb))
+
+    // ---- tokenizer vocab: maintained count table == a recompute over
+    // the union kept docs under the frozen day-0 merges ----
+    val tokMerges = graft.operators.BpeTrainer.load(spark, s"$dir/tokenizer")
+    val vocabGot = spark.read.parquet(s"$dir/tokenizer_vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabWant = graft.operators.BpeTrainer
+      .vocabulary(unionDocs.select($"doc_id", $"text"), tokMerges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocabGot == vocabWant, "maintained vocab != union recompute")
   }
 
   test("decontam reads the persisted evalh benchmark (seeded-hash drop)") {
@@ -369,6 +379,9 @@ class DailyIncrementSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet ==
       DsirModel.load(spark, s"$cleanDir/dsir").collect().map(_.toSeq).toSet,
       "dsir model diverged — an append ran twice or not at all")
+    assert(rows(crashDir, "tokenizer_vocab", Seq("piece", "cnt")) ==
+      rows(cleanDir, "tokenizer_vocab", Seq("piece", "cnt")),
+      "tokenizer vocab diverged — the fold ran twice or not at all")
 
     // recover on a quiescent tree is a no-op; a replayed batch is a no-op
     DailyIncrement.recover(spark, crashDir)

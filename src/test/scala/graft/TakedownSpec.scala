@@ -182,6 +182,18 @@ class TakedownSpec extends AnyFunSuite {
     assert(shPairs("graft_tk_shidx") == shPost,
       "re-running the takedown changed the shingle probe")
 
+    // tokenizer vocab: the count half of the tokenizer artifact subtracts
+    // EXACTLY — equals a recompute over the remaining kept docs under the
+    // frozen day-0 merges; the verbatim re-run above proved it is not
+    // subtracted twice (this reads the post-rerun table)
+    val tokMerges = graft.operators.BpeTrainer.load(spark, s"$dir/tokenizer")
+    val vocabWant = graft.operators.BpeTrainer.vocabulary(remainingDocs, tokMerges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabGot = spark.read.parquet(s"$dir/tokenizer_vocab")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocabGot == vocabWant,
+      "vocab after takedown != recompute on the remaining kept docs")
+
     // REPACK + DAILY COMPOSE: repack rewound the pack base to the
     // surviving token total, so the next increment lands gapless at the
     // repacked end — with the raw manifest sum it would skip shard ids
