@@ -441,8 +441,109 @@ object SimilarityQueries extends QueryModule {
           (expr("graft_dot(v, dq)") /
             nullif(sqrt(expr("graft_dot(v, v)")) * sqrt(expr("graft_dot(dq, dq)")), lit(0.0)))
             .as("recon_cosine"))
+    },
+
+    // Deterministic scaled-long k-means (graft.operators.IntegerKMeans):
+    // the clustering assignment itself, HASH-EXACT against a DuckDB
+    // re-derivation. The floating-point k-means behind knn_ivf_kmeans is
+    // rows-only by nature (float sums are order-dependent); this is the
+    // engineering answer — quantize to longs, seed from the k lowest ids,
+    // and every Lloyd step becomes order-independent integer algebra, so
+    // the full (vec_id → cluster, d2) map is bit-identical on any engine
+    // and any partitioning (IntKMeansSpec pins the invariance). Scale:
+    // assignment is map-only (centroids are codegen array literals), the
+    // update shuffles only k·d partial sums per task.
+    "emb_kmeans_int" -> { (s, dir) =>
+      val pts = intPts(s, dir).cache()
+      val cents = graft.operators.IntegerKMeans.fit(pts, IntK, IntIters)
+      graft.operators.IntegerKMeans.assign(pts, cents)
+    },
+
+    // IVF probe over the integer quantizer — the full ANN index path
+    // (train coarse quantizer → assign cells → multi-probe nprobe cells →
+    // exact re-rank) as ONE hash-exact query: integer L2 ranks with
+    // deterministic (d2, neighbor_id) tie-breaks, so unlike knn_ivf_kmeans
+    // the probe result itself oracle-checks. Scale shape: the corpus-side
+    // cells never shuffle (cells = map-only assign over the scan; at 10⁸
+    // vectors the cluster column is the on-disk partition key and the
+    // probe is a partition-pruned scan); the |queries|·nprobe probe rows
+    // broadcast into the join; only the candidate set (|queries| cells)
+    // reaches the top-k window.
+    "knn_ivf_int" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.IntegerKMeans
+      val pts = intPts(s, dir).cache()
+      val cents = IntegerKMeans.fit(pts, IntK, IntIters)
+      if (cents.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq("query_id", "neighbor_id", "d2", "rnk")
+            .map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.LongType))))
+      else {
+        val cells = IntegerKMeans.assign(pts, cents, keep = Seq("qv"))
+        val qp = IntegerKMeans.probe(pts.filter($"vec_id" < NQueries), cents, IntProbe)
+          .select($"vec_id".as("query_id"), $"qv".as("qqv"), $"cluster")
+        val d2 = aggregate(
+          zip_with($"qqv", $"qv", (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val w = Window.partitionBy($"query_id").orderBy($"d2", $"neighbor_id")
+        cells.join(broadcast(qp), Seq("cluster"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"), d2.as("d2"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= K)
+      }
     }
   )
+
+  /** Integer-k-means geometry: k seed/centroid count, Lloyd iterations,
+    * IVF cells probed per query. Constants are shared verbatim with the
+    * oracle CTE generator below — the two sides must describe the same
+    * algorithm or the hash check is meaningless. */
+  private val IntK = 8
+  private val IntIters = 2
+  private val IntProbe = 2
+
+  /** Quantized corpus for the integer-k-means pair; NULL embeddings
+    * (failed encoder outputs) drop here, mirrored by the oracle's
+    * `WHERE embedding IS NOT NULL`. */
+  private def intPts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IntegerKMeans.quantize(
+        Tables.load(s, dir, "embeddings").filter(col("embedding").isNotNull))
+      .filter(col("qv").isNotNull)
+
+  /** The k-means CTE chain shared by both integer oracles: quantize →
+    * seed → (assign → update) × IntIters → final assign. Mirrors
+    * [[graft.operators.IntegerKMeans]] step for step — every value is a
+    * BIGINT (or an exact double division < 2^53), so the chain is
+    * bit-identical to the Spark side by construction. */
+  private def intKmeansCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |      FROM embeddings WHERE embedding IS NOT NULL),
+              |pts AS (SELECT vec_id, unnest(range(len(v))) AS dim,
+              |               CAST(floor(unnest(v) * ${graft.operators.IntegerKMeans.Scale}) AS BIGINT) AS q
+              |        FROM e),
+              |c0 AS (SELECT vec_id AS cid, dim, q AS c FROM pts WHERE vec_id < $IntK)""".stripMargin
+    for (i <- 1 to IntIters) {
+      sb ++= s""",
+                |a$i AS (
+                |  SELECT p.vec_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS d2
+                |  FROM pts p JOIN c${i - 1} c USING (dim) GROUP BY p.vec_id, c.cid
+                |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) = 1),
+                |c$i AS (
+                |  SELECT a.cid, p.dim,
+                |         CAST(floor(CAST(SUM(p.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+                |  FROM a$i a JOIN pts p USING (vec_id) GROUP BY a.cid, p.dim)""".stripMargin
+    }
+    sb ++= s""",
+              |afinal AS (
+              |  SELECT p.vec_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS d2
+              |  FROM pts p JOIN c$IntIters c USING (dim) GROUP BY p.vec_id, c.cid
+              |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+              |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) = 1)""".stripMargin
+    sb.result()
+  }
 
   /** SQL literal for hyperplane j (shared by Spark expr and oracle). */
   private def planeSql(j: Int): String =
@@ -611,6 +712,30 @@ object SimilarityQueries extends QueryModule {
           |SELECT vec_id, scale,
           |  list_dot_product(v, dq) /
           |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))) AS recon_cosine
-          |FROM d""".stripMargin)
+          |FROM d""".stripMargin,
+
+      "emb_kmeans_int" ->
+        s"""WITH $intKmeansCtes
+           |SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2 FROM afinal""".stripMargin,
+
+      "knn_ivf_int" ->
+        s"""WITH $intKmeansCtes,
+           |qprobe AS (
+           |  SELECT p.vec_id AS query_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS cd2
+           |  FROM pts p JOIN c$IntIters c USING (dim)
+           |  WHERE p.vec_id < $NQueries GROUP BY p.vec_id, c.cid
+           |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) <= $IntProbe),
+           |cand AS (
+           |  SELECT qp.query_id, a.vec_id AS neighbor_id
+           |  FROM qprobe qp JOIN afinal a ON a.cid = qp.cid AND a.vec_id <> qp.query_id),
+           |cd AS (
+           |  SELECT c.query_id, c.neighbor_id, SUM((p1.q - p2.q)*(p1.q - p2.q)) AS d2
+           |  FROM cand c JOIN pts p1 ON p1.vec_id = c.query_id
+           |              JOIN pts p2 ON p2.vec_id = c.neighbor_id AND p2.dim = p1.dim
+           |  GROUP BY c.query_id, c.neighbor_id)
+           |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS BIGINT) AS rnk
+           |FROM cd QUALIFY rnk <= $K""".stripMargin)
   }
 }

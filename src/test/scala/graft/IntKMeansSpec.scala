@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IntegerKMeans
+
+/** Pins for the deterministic scaled-long k-means (IntegerKMeans) and the
+  * two hash-exact queries built on it (emb_kmeans_int / knn_ivf_int).
+  *
+  * The operator's whole reason to exist is CROSS-ENGINE, CROSS-RUN
+  * bit-exactness — so the pins here are determinism pins: the assignment
+  * must be invariant under partitioning (integer sums commute), the
+  * assignment must equal a driver-side brute-force argmin over the same
+  * centroids (no drift between the codegen path and the definition), and
+  * the degrade rules (empty corpus, n < k, NULL vectors) must mirror what
+  * the oracle's CTE chain does naturally. The Spark ≡ DuckDB half of the
+  * contract is the driver's hash check; tools/local_verify.py runs the
+  * same comparison locally.
+  */
+class IntKMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pts = IntegerKMeans.quantize(
+    Tables.load(spark, sf, "embeddings").filter(col("embedding").isNotNull))
+
+  test("assignment is invariant under input partitioning (integer algebra commutes)") {
+    val p1 = pts.repartition(1)
+    val p7 = pts.repartition(7)
+    val c1 = IntegerKMeans.fit(p1, 8, 2)
+    val c7 = IntegerKMeans.fit(p7, 8, 2)
+    assert(c1.map(_._1) == c7.map(_._1))
+    c1.zip(c7).foreach { case ((_, a), (_, b)) => assert(a.toSeq == b.toSeq) }
+    val a1 = IntegerKMeans.assign(p1, c1).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a7 = IntegerKMeans.assign(p7, c7).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a1.toSeq == a7.toSeq)
+  }
+
+  test("assign equals the brute-force argmin over the same centroids") {
+    val p = pts.cache()
+    val cents = IntegerKMeans.fit(p, 8, 2)
+    val byId = p.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val got = IntegerKMeans.assign(p, cents).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == byId.keySet)
+    byId.foreach { case (id, qv) =>
+      val best = cents.map { case (cid, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min // lexicographic (d2, cid) — the documented tie-break
+      assert(got(id) == ((best._2, best._1)), s"vec $id")
+    }
+    p.unpersist()
+  }
+
+  test("Lloyd update step: centroids equal floor(mean) of their members") {
+    val p = pts.cache()
+    val c0 = IntegerKMeans.fit(p, 8, 0) // seeds only
+    val c1 = IntegerKMeans.fit(p, 8, 1) // one update
+    val members = IntegerKMeans.assign(p, c0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byId = p.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val expect = members.groupBy(_._2).map { case (cid, ms) =>
+      val vs = ms.map(m => byId(m._1))
+      cid -> Array.tabulate(vs.head.length) { d =>
+        math.floor(vs.map(_(d)).sum.toDouble / vs.length).toLong
+      }
+    }
+    assert(c1.map(_._1).toSet == expect.keySet)
+    c1.foreach { case (cid, cv) => assert(cv.toSeq == expect(cid).toSeq, s"cid $cid") }
+    p.unpersist()
+  }
+
+  test("degrades: empty corpus, fewer points than k, NULL embeddings") {
+    import spark.implicits._
+    val empty = IntegerKMeans.quantize(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    assert(IntegerKMeans.fit(empty, 8, 2).isEmpty)
+    assert(IntegerKMeans.assign(empty, Nil).count() == 0)
+    assert(IntegerKMeans.probe(empty, Nil, 2).count() == 0)
+
+    val three = IntegerKMeans.quantize(Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding"))
+    val cents = IntegerKMeans.fit(three, 8, 2)
+    assert(cents.nonEmpty && cents.size <= 3)
+    val a = IntegerKMeans.assign(three, cents)
+    assert(a.count() == 3)
+
+    // NULL embedding rows are the caller's filter (the queries drop them
+    // before quantize); quantize itself propagates the null through
+    val withNull = Seq((0L, Array(1f, 2f)), (1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val q = IntegerKMeans.quantize(withNull)
+    assert(q.filter(col("qv").isNull).count() == 1)
+  }
+
+  test("emb_kmeans_int / knn_ivf_int: shape, keys, and determinism across runs") {
+    val km1 = SparkEntry.queries("emb_kmeans_int")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val km2 = SparkEntry.queries("emb_kmeans_int")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(km1 == km2)
+    assert(km1.size == 500 && km1.map(_._2).distinct.size > 1)
+
+    val ivf = SparkEntry.queries("knn_ivf_int")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivf.forall(r => r._4 >= 1 && r._4 <= 10))
+    assert(ivf.forall(r => r._1 != r._2))
+    val perQ = ivf.groupBy(_._1)
+    assert(perQ.keySet == (0L until 10L).toSet)
+    // ranks are dense 1..n and ordered by (d2, neighbor_id)
+    perQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.size).toSeq)
+      assert(sorted.map(r => (r._3, r._2)).toSeq == sorted.map(r => (r._3, r._2)).sortBy(identity).toSeq)
+    }
+  }
+
+  test("plan pins: assignment is map-only; the IVF probe broadcasts the query side") {
+    val p = pts
+    val cents = IntegerKMeans.fit(p, 8, 2)
+    val aPlan = IntegerKMeans.assign(p, cents).queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"),
+      s"assignment must not shuffle — centroids are literals:\n$aPlan")
+    val ivfPlan = SparkEntry.queries("knn_ivf_int")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("BroadcastHashJoin") || ivfPlan.contains("BroadcastNestedLoop"),
+      s"probe join must broadcast the |queries|·nprobe side:\n$ivfPlan")
+    assert(!ivfPlan.contains("SortMergeJoin"),
+      s"corpus cells must never sort-merge against the tiny probe side:\n$ivfPlan")
+  }
+}
