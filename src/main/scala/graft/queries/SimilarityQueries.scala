@@ -492,8 +492,135 @@ object SimilarityQueries extends QueryModule {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($"rnk" <= K)
       }
+    },
+
+    // Product quantization with asymmetric-distance ranking, HASH-EXACT —
+    // the integer twin of knn_ivfpq (which is rows-only: its float
+    // codebooks are k-means-trained). Per-subspace codebooks come from
+    // the SAME integer Lloyd fit as emb_kmeans_int (M subspaces of d/M
+    // dims each), codes are row-local argmins, and the ADC pass is a
+    // broadcast of the |queries|×(M·Kc) distance-table rows against the
+    // corpus codes — per neighbor the approximate distance is M table
+    // lookups, no arithmetic on the vector at all (the whole point of PQ:
+    // at 10⁸ vectors the scan touches M bytes per vector, not 4·d). The
+    // top-`PqIntShortlist` ADC shortlist re-ranks EXACTLY (integer L2
+    // over the full vectors, |queries|·S rows), so ranks, distances and
+    // tie-breaks are all deterministic integers — the full top-k
+    // hash-matches the DuckDB re-derivation. Requires dim divisible by
+    // PqIntM (both testdata geometries are: 64 and the edge corpus' 4).
+    "knn_pq_int" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.IntegerKMeans
+      val pts = intPts(s, dir).cache()
+      val dTotRow = pts.select(size($"qv")).limit(1).collect()
+      if (dTotRow.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq("query_id", "neighbor_id", "d2", "rnk")
+            .map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.LongType))))
+      else {
+        // narrow-corpus degrade (edge fixtures have 4 dims): at least one
+        // dim per subspace, unused trailing subspaces drop — mirrored by
+        // the oracle's max(1, d//M) dsub and its `dim < dsub·M` filter
+        val dTot = dTotRow(0).getInt(0)
+        val dSub = math.max(1, dTot / PqIntM)
+        val mCnt = math.min(PqIntM, dTot / dSub)
+        // codebooks train on the bounded id-prefix sample, collected once
+        // (the PqCodebook doctrine — at 10⁸ vectors the sample determines
+        // the centroids as well as the corpus would, without iters full
+        // scans); the oracle's training CTEs carry the same vec_id <
+        // PqIntTrainN filter, so sampled-fit results stay hash-exact
+        val sample = pts.filter($"vec_id" < PqIntTrainN).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        val cents = IntegerKMeans.fitSubLocal(sample, mCnt, dSub, PqIntKc, PqIntIters)
+        // codes: one map-only pass, all M argmins in one nested-HOF
+        // expression (subCodes — see its scaladoc for why not unrolled)
+        val coded = pts.select($"vec_id", IntegerKMeans.subCodes(cents, dSub).as("codes"))
+        // per-query ADC table: M·Kc integer distances, built on the driver
+        // from the (bounded) query prefix of the same sample
+        val qd = sample.filter(_._1 < NQueries).map { case (qid, qv) =>
+          val tab = Array.fill(mCnt * PqIntKc)(0L)
+          for (m <- 0 until mCnt; (cid, cv) <- cents(m)) {
+            var d = 0L
+            var i = 0
+            while (i < dSub) { val x = qv(m * dSub + i) - cv(i); d += x * x; i += 1 }
+            tab(m * PqIntKc + cid.toInt) = d
+          }
+          (qid, tab.toSeq, qv.toSeq)
+        }.toSeq
+        val qdf = qd.toDF("query_id", "qdtab", "qqv")
+        val adc = expr(s"""aggregate(transform(sequence(0, ${mCnt - 1}),
+          m -> element_at(qdtab, CAST(m * $PqIntKc + element_at(codes, m + 1) + 1 AS INT))),
+          0L, (a, x) -> a + x)""")
+        val sw = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+        val short = coded.crossJoin(broadcast(qdf))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"qqv", $"vec_id".as("neighbor_id"), adc.as("adc"))
+          .withColumn("srnk", row_number().over(sw))
+          .filter($"srnk" <= PqIntShortlist)
+          .select($"query_id", $"qqv", $"neighbor_id")
+        val d2 = aggregate(zip_with($"qqv", $"qv", (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val w = Window.partitionBy($"query_id").orderBy($"d2", $"neighbor_id")
+        pts.join(broadcast(short), $"vec_id" === $"neighbor_id")
+          .select($"query_id", $"neighbor_id", d2.as("d2"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= K)
+      }
     }
   )
+
+  /** Integer-PQ geometry: M subspaces, Kc centroids per subspace, ADC
+    * shortlist size — shared verbatim with the oracle generator. Same
+    * M/Kc as the float knn_ivfpq (8 subspaces × 16 centroids = a 16⁸
+    * effective codebook; the 4×8 first cut measured mean recall@10 of
+    * 0.33 — too coarse a quantizer loses true neighbors BEFORE the exact
+    * re-rank can save them, exactly the Kc/M-vs-recall trade the float
+    * path's scaladoc documents). */
+  private val PqIntM = 8
+  private val PqIntKc = 16
+  private val PqIntShortlist = 80
+  private val PqIntIters = 4
+  private val PqIntTrainN = 512
+
+  /** The subspace-k-means CTE chain for the PQ oracle: the emb_kmeans_int
+    * chain with the subspace index `m` threaded through every step (one
+    * chain trains all M codebooks — `m` is just another grouping key). */
+  private def pqIntCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |      FROM embeddings WHERE embedding IS NOT NULL),
+              |pts AS (SELECT vec_id, unnest(range(len(v))) AS dim,
+              |               CAST(floor(unnest(v) * ${graft.operators.IntegerKMeans.Scale}) AS BIGINT) AS q
+              |        FROM e),
+              |g AS (SELECT CAST(greatest(1, (max(dim) + 1) // $PqIntM) AS BIGINT) AS dsub FROM pts),
+              |sp AS (SELECT vec_id, dim // (SELECT dsub FROM g) AS m,
+              |              dim % (SELECT dsub FROM g) AS sd, q
+              |       FROM pts WHERE dim < (SELECT dsub FROM g) * $PqIntM),
+              |pc0 AS (SELECT m, vec_id AS cid, sd, q AS c FROM sp WHERE vec_id < $PqIntKc)""".stripMargin
+    for (i <- 1 to PqIntIters) {
+      sb ++= s""",
+                |pa$i AS (
+                |  SELECT p.m, p.vec_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS d2
+                |  FROM sp p JOIN pc${i - 1} c ON c.m = p.m AND c.sd = p.sd
+                |  WHERE p.vec_id < $PqIntTrainN
+                |  GROUP BY p.m, p.vec_id, c.cid
+                |  QUALIFY row_number() OVER (PARTITION BY p.m, p.vec_id
+                |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) = 1),
+                |pc$i AS (
+                |  SELECT a.m, a.cid, p.sd,
+                |         CAST(floor(CAST(SUM(p.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+                |  FROM pa$i a JOIN sp p ON p.m = a.m AND p.vec_id = a.vec_id
+                |  GROUP BY a.m, a.cid, p.sd)""".stripMargin
+    }
+    sb ++= s""",
+              |codes AS (
+              |  SELECT p.m, p.vec_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS d2
+              |  FROM sp p JOIN pc$PqIntIters c ON c.m = p.m AND c.sd = p.sd
+              |  GROUP BY p.m, p.vec_id, c.cid
+              |  QUALIFY row_number() OVER (PARTITION BY p.m, p.vec_id
+              |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) = 1)""".stripMargin
+    sb.result()
+  }
 
   /** Integer-k-means geometry: k seed/centroid count, Lloyd iterations,
     * IVF cells probed per query. Constants are shared verbatim with the
@@ -736,6 +863,31 @@ object SimilarityQueries extends QueryModule {
            |  GROUP BY c.query_id, c.neighbor_id)
            |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
            |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS BIGINT) AS rnk
-           |FROM cd QUALIFY rnk <= $K""".stripMargin)
+           |FROM cd QUALIFY rnk <= $K""".stripMargin,
+
+      "knn_pq_int" ->
+        s"""WITH $pqIntCtes,
+           |qdist AS (
+           |  SELECT p.vec_id AS query_id, c.m, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS dist
+           |  FROM sp p JOIN pc$PqIntIters c ON c.m = p.m AND c.sd = p.sd
+           |  WHERE p.vec_id < $NQueries
+           |  GROUP BY p.vec_id, c.m, c.cid),
+           |adc AS (
+           |  SELECT q.query_id, n.vec_id AS neighbor_id, SUM(q.dist) AS adc
+           |  FROM codes n JOIN qdist q ON q.m = n.m AND q.cid = n.cid
+           |    AND n.vec_id <> q.query_id
+           |  GROUP BY q.query_id, n.vec_id),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM adc
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc, neighbor_id) <= $PqIntShortlist),
+           |scd AS (
+           |  SELECT s.query_id, s.neighbor_id, SUM((p1.q - p2.q)*(p1.q - p2.q)) AS d2
+           |  FROM short s JOIN pts p1 ON p1.vec_id = s.query_id
+           |               JOIN pts p2 ON p2.vec_id = s.neighbor_id AND p2.dim = p1.dim
+           |  GROUP BY s.query_id, s.neighbor_id)
+           |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS BIGINT) AS rnk
+           |FROM scd QUALIFY rnk <= $K""".stripMargin)
   }
 }

@@ -117,6 +117,45 @@ class IntKMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("fitSub (distributed) ≡ fitSubLocal (driver) on the same training set") {
+    // at sf0.001 the id-prefix sample is the whole corpus, so the
+    // distributed subspace fit and the driver-side one must agree
+    // centroid-for-centroid — the pin that keeps the sampled production
+    // path and the distributed API the same algorithm
+    val p = pts.cache()
+    val all = p.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dist = IntegerKMeans.fitSub(p, 8, 8, 16, 3)
+    val local = IntegerKMeans.fitSubLocal(all, 8, 8, 16, 3)
+    assert(dist.size == local.size)
+    dist.zip(local).foreach { case (dm, lm) =>
+      assert(dm.map(_._1) == lm.map(_._1))
+      dm.zip(lm).foreach { case ((_, a), (_, b)) => assert(a.toSeq == b.toSeq) }
+    }
+    p.unpersist()
+  }
+
+  test("knn_pq_int: shortlist ranks are exact integer L2; ADC recall@10 vs brute force") {
+    val byId = pts.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val got = SparkEntry.queries("knn_pq_int")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // emitted d2 is the true integer distance (re-rank is exact)
+    got.foreach { case (q, n, d, _) => assert(d == d2(byId(q), byId(n)), s"($q,$n)") }
+    // ADC is approximate, but the codebooks are trained on this very
+    // corpus — recall@10 against the exact integer top-10 must clear the
+    // same 0.7 bar SimilaritySpec pins for the LSH probe
+    val recalls = (0L until 10L).map { q =>
+      val truth = byId.keys.filter(_ != q).toSeq
+        .map(n => (d2(byId(q), byId(n)), n)).sorted.take(10).map(_._2).toSet
+      val mine = got.filter(_._1 == q).map(_._2).toSet
+      mine.intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean ADC recall@10 $mean (per-query: $recalls)")
+  }
+
   test("plan pins: assignment is map-only; the IVF probe broadcasts the query side") {
     val p = pts
     val cents = IntegerKMeans.fit(p, 8, 2)
@@ -129,5 +168,13 @@ class IntKMeansSpec extends AnyFunSuite {
       s"probe join must broadcast the |queries|·nprobe side:\n$ivfPlan")
     assert(!ivfPlan.contains("SortMergeJoin"),
       s"corpus cells must never sort-merge against the tiny probe side:\n$ivfPlan")
+    // PQ: the ADC scan is corpus × broadcast-queries (table lookups only);
+    // nothing in the plan may sort-merge or shuffle the corpus for the join
+    val pqPlan = SparkEntry.queries("knn_pq_int")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pqPlan.contains("BroadcastNestedLoopJoin") || pqPlan.contains("BroadcastHashJoin"),
+      s"ADC pass must broadcast the query/distance-table side:\n$pqPlan")
+    assert(!pqPlan.contains("SortMergeJoin"),
+      s"PQ path must not sort-merge the corpus:\n$pqPlan")
   }
 }
