@@ -109,6 +109,34 @@ object DedupQueries extends QueryModule {
       .select($"doc_a", $"doc_b", j.as("jaccard"))
   }
 
+  /** Exact containment pairs ≥ 0.9 (dedup_containment's spelling, with
+    * the same [[dfCeiled]] elision knob as [[jaccardPairs]]). */
+  private[graft] def containmentPairs(s: SparkSession, dir: String,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    import s.implicits._
+    val sh = dfCeiled(shingleSet(s, dir), maxDfFrac).cache()
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // |A∩B| is symmetric: generate each unordered pair ONCE (the a<b
+    // half, same join cost as jaccardPairs) and mirror the counts into
+    // both orientations afterwards. The ≠-join spelling walks every
+    // index bucket twice — at test scale the shingle-index build
+    // dominates either way (measured 2.0 vs 1.9 s at sf0.1), but the
+    // Σdf² pair-generation term is the one that grows at 100 TB, and
+    // this halves it
+    val half = sh.as("a").join(sh.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("x"), $"b.doc_id".as("y"))
+      .agg(count(lit(1)).as("inter"))
+    val inter = half.select($"x".as("doc_in"), $"y".as("doc_out"), $"inter")
+      .unionByName(half.select($"y".as("doc_in"), $"x".as("doc_out"), $"inter"))
+    val c = $"inter".cast("double") / $"nin"
+    // counts join: same no-mandatory-broadcast rationale as jaccardPairs
+    inter
+      .join(cnt.select($"doc_id".as("doc_in"), $"n".as("nin")), "doc_in")
+      .filter(c >= 0.9)
+      .select($"doc_in", $"doc_out", c.as("containment"))
+  }
+
   /** dedup_spans' spelling with the [[dfCeiled]] elision knob: occurrences
     * of over-ceiling shingles drop from BOTH the span total and the dup
     * accounting — exactly the full query over the surviving-shingle
@@ -187,6 +215,20 @@ object DedupQueries extends QueryModule {
 
     // Exact n-gram Jaccard near-dup pairs (inverted-index self-join).
     "dedup_ngram_jaccard" -> { (s, dir) => jaccardPairs(s, dir) },
+
+    // ASYMMETRIC containment pairs — the duplication class Jaccard
+    // structurally misses: a short doc wholly embedded in a long one
+    // (a quoted article inside a forum dump, boilerplate-wrapped
+    // re-posts, an eval benchmark pasted into a training page) has
+    // |A∩B|/|A∪B| ≈ |A|/|B| → arbitrarily low, while containment
+    // |A∩B|/|A| is 1.0. Emits ordered (doc_in ⊆-ish doc_out) pairs at
+    // containment ≥ 0.9 — near-identical twins appear in both
+    // directions, a strict subset only as (small, large). Same scale
+    // shape as dedup_ngram_jaccard (inverted-index join, df-ceiling knob
+    // against boilerplate shingles, per-doc counts joined without a
+    // mandatory broadcast); the only delta is the ≠ join predicate
+    // (ordered pairs) and dividing by ONE side's shingle count.
+    "dedup_containment" -> { (s, dir) => containmentPairs(s, dir) },
 
     // Cross-split contamination audit — the leakage check a train/val/
     // test pipeline runs AFTER near-dup detection: an eval doc whose
@@ -798,6 +840,16 @@ object DedupQueries extends QueryModule {
            |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
+
+      "dedup_containment" ->
+        s"""WITH $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_in, doc_out, CAST(i AS DOUBLE)/ci.n AS containment
+           |FROM inter JOIN cnt ci ON ci.doc_id = doc_in
+           |WHERE CAST(i AS DOUBLE)/ci.n >= 0.9""".stripMargin,
 
       "split_leakage" ->
         s"""WITH $oShingleCtes,

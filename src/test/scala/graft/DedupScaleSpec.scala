@@ -93,6 +93,29 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("df-ceiled containment pairs == the quadratic computation over surviving shingles") {
+    val texts = corpusTexts
+    val (frac, surv, _) = elisionFixture(texts)
+    val ids = surv.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.iterator; j <- ids.iterator if i != j
+      a = surv(i); b = surv(j)
+      inter = (a & b).size
+      if a.nonEmpty && inter.toDouble / a.size >= 0.9
+    } yield (i, j)).toSet
+    val got = DedupQueries.containmentPairs(spark, dir, frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // default = the exact oracle baseline
+    val full = DedupQueries.containmentPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(SparkEntry.queries("dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+    assert(full.nonEmpty) // non-vacuous at sf0.001
+    spark.catalog.clearCache()
+  }
+
   test("df-ceiled dedup_spans == the full spelling over surviving-shingle occurrences") {
     val texts = corpusTexts
     val (frac, _, hot) = elisionFixture(texts)
