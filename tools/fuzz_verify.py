@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Randomized conformance sweep (dev tooling, like local_verify.py).
 
-Usage: python3 tools/fuzz_verify.py <seed> [outBase]
+Usage: python3 tools/fuzz_verify.py <seed> [outBase] [--skew]
 
 Generates a seed-parameterized synthetic corpus with the STANDARD testdata
 schema and shapes (dense 0-based ids, 64-dim float32 embeddings, the five
@@ -16,6 +16,14 @@ must hold on ANY schema-valid corpus, so a seed that fails here is a real
 cross-engine semantics bug (ties, rounding, null handling) the fixed data
 happened not to exercise. The 3 documented rows-only keys report [weak],
 as in the driver's gate.
+
+--skew additionally makes the corpus ADVERSARIALLY HOT: a boilerplate
+prefix in 30% of docs (hot shingle buckets — the df-ceiling scenario), a
+user owning 60% of events with same-microsecond tie storms, one
+orderkey/partkey carrying half of lineitem, and massed exact-duplicate
+monetary values. This drives the AQE-skew and window paths while the
+oracle still checks every row: any rank emitted without a full
+deterministic tie-break surfaces here as a hash mismatch.
 """
 import os
 import random
@@ -39,14 +47,17 @@ FR = "le la les et un une de du avec pour est sont pas aussi dans".split()
 ES = "el la los las y un una de del con para es son no tambien".split()
 
 
-def gen_docs(rng, n=250):
+def gen_docs(rng, n=250, skew=False):
     rows = []
     texts = []
+    boiler = "terms of service apply all rights reserved"
     for i in range(n):
         lang = rng.choices(["en", "de", "fr", "es", "zh"], [70, 10, 8, 7, 5])[0]
         words = {"en": VOCAB, "de": DE, "fr": FR, "es": ES, "zh": ZH}[lang]
         ln = rng.randint(2, 60)
         t = " ".join(rng.choice(words) for _ in range(ln))
+        if skew and rng.random() < 0.3:
+            t = boiler + " " + t   # hot shingles: df ~ 0.3N
         texts.append((t, lang))
     # structured duplication on the tail ids, all pair types the dedup
     # battery distinguishes
@@ -76,22 +87,31 @@ def gen_embeddings(rng, n=300, dim=64, k=8):
     return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
 
 
-def gen_events(rng, n=2000):
+def gen_events(rng, n=2000, skew=False):
     types = ["signup", "click", "purchase", "error", "view"]
     rows = []
     t0 = pd.Timestamp("2024-01-01")
+    hot_ts = t0 + pd.Timedelta(days=3)
     for i in range(n):
         ts = t0 + pd.Timedelta(seconds=rng.randrange(30 * 24 * 3600),
                                microseconds=rng.randrange(1000000))
+        uid = rng.randrange(40)
+        val = round(rng.uniform(0, 100), 2)
+        if skew:
+            if rng.random() < 0.6:
+                uid = 0            # hot user: 60% of the stream
+            if rng.random() < 0.2:
+                ts = hot_ts        # same-microsecond tie storm
+            if rng.random() < 0.3:
+                val = 42.0         # massed exact-duplicate values
         props = "{}" if rng.random() < 0.3 else '{"k": %d}' % rng.randrange(100)
-        rows.append((i, ts, rng.randrange(40), rng.choice(types),
-                     round(rng.uniform(0, 100), 2), props))
+        rows.append((i, ts, uid, rng.choice(types), val, props))
     rows.sort(key=lambda r: r[1])
     rows = [(i,) + r[1:] for i, r in enumerate(rows)]
     return pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
 
 
-def gen_tpch(rng):
+def gen_tpch(rng, skew=False):
     regions = pd.DataFrame([(i, f"REGION{i}") for i in range(5)],
                            columns=["r_regionkey", "r_name"])
     nations = pd.DataFrame([(i, f"NATION{i}", i % 5) for i in range(25)],
@@ -125,10 +145,17 @@ def gen_tpch(rng):
     li_rows = []
     for o in range(600):
         for ln in range(1, rng.randrange(1, 6) + 1):
+            okey, pkey = o, rng.randrange(100)
+            price = round(rng.uniform(1000, 100000), 2)
+            if skew:
+                if rng.random() < 0.5:
+                    okey, pkey = 0, 0   # one order/part carries half the table
+                if rng.random() < 0.3:
+                    price = 5000.0      # massed duplicate monetary value
             li_rows.append((
-                o, rng.randrange(100), rng.randrange(20), ln,
+                okey, pkey, rng.randrange(20), ln,
                 float(rng.randrange(1, 51)),
-                round(rng.uniform(1000, 100000), 2),
+                price,
                 round(rng.uniform(0, 0.1), 2), round(rng.uniform(0, 0.08), 2),
                 rng.choice("NAR"), rng.choice("OF"),
                 d0 + pd.Timedelta(days=rng.randrange(2500))))
@@ -164,13 +191,15 @@ CASTS = {
 
 
 def main():
-    seed = int(sys.argv[1])
-    base = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/fuzz_{seed}"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv
+    seed = int(args[0])
+    base = args[1] if len(args) > 1 else f"/tmp/fuzz_{seed}{'_skew' if skew else ''}"
     data_dir, out_dir = f"{base}/data", f"{base}/out"
     os.makedirs(data_dir, exist_ok=True)
     rng = random.Random(seed)
-    frames = dict(documents=gen_docs(rng), embeddings=gen_embeddings(rng),
-                  events=gen_events(rng), **gen_tpch(rng))
+    frames = dict(documents=gen_docs(rng, skew=skew), embeddings=gen_embeddings(rng),
+                  events=gen_events(rng, skew=skew), **gen_tpch(rng, skew=skew))
     con = duckdb.connect()
     for name, df in frames.items():
         con.register("t", df)
