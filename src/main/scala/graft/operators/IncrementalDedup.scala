@@ -78,4 +78,40 @@ object IncrementalDedup {
       .filter(j >= threshold)
       .select($"doc_a", $"doc_b", j.as("jaccard"))
   }
+
+  /** Incremental CONTAINMENT pairs — DedupQueries.dedup_containment's
+    * ordered |A∩B|/|A| ≥ threshold relation, restricted to pairs that
+    * involve at least one NEW document, at [[newPairs]]' probe-only cost
+    * (the batch probes the corpus index; the corpus never self-joins).
+    * Intersections are symmetric, so the probe computes each unordered
+    * pair once (the same new-vs-new double-count halving as newPairs) and
+    * mirrors into both orientations before the one-sided count division —
+    * a (corpus_doc ⊆ new_doc) pair is found by the new doc's probe, so
+    * both directions are complete. Output (doc_in, doc_out, containment),
+    * exactly the full recompute's rows for pairs touching the batch
+    * (IncrementalDedupSpec pins the equality). */
+  def newContainment(corpus: DataFrame, batch: DataFrame, threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val all = corpus.withColumn("_bnew", lit(false))
+      .union(batch.withColumn("_bnew", lit(true)))
+    val cnt = all.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = batch.as("a").join(all.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+      .select(
+        least($"a.doc_id", $"b.doc_id").as("x"),
+        greatest($"a.doc_id", $"b.doc_id").as("y"),
+        $"b._bnew".as("bn"))
+      .groupBy($"x", $"y")
+      .agg(count(lit(1)).as("i2"), max($"bn").as("bn"))
+      .select($"x", $"y",
+        when($"bn", ($"i2" / 2).cast("long")).otherwise($"i2").as("inter"))
+    val both = inter.select($"x".as("doc_in"), $"y".as("doc_out"), $"inter")
+      .unionByName(inter.select($"y".as("doc_in"), $"x".as("doc_out"), $"inter"))
+    val c = $"inter".cast("double") / $"nin"
+    // one count join: only the IN side's shingle count enters containment
+    both.join(cnt.select($"doc_id".as("doc_in"), $"n".as("nin")), "doc_in")
+      .filter(c >= threshold)
+      .select($"doc_in", $"doc_out", c.as("containment"))
+  }
 }

@@ -420,6 +420,19 @@ object DedupQueries extends QueryModule {
         sh.filter($"doc_id" % 10 =!= 0), sh.filter($"doc_id" % 10 === 0), 0.6)
     },
 
+    // Incremental containment: the dedup_containment relation restricted
+    // to pairs involving a new-batch doc, at probe-only cost (the
+    // dedup_incremental split and doctrine — corpus never self-joins; a
+    // corpus doc swallowed BY a new doc is still found, via the new doc's
+    // probe + orientation mirroring). Oracle = the full containment SQL
+    // with the batch-membership disjunction.
+    "dedup_containment_incr" -> { (s, dir) =>
+      import s.implicits._
+      val sh = shingleSet(s, dir).cache()
+      graft.operators.IncrementalDedup.newContainment(
+        sh.filter($"doc_id" % 10 =!= 0), sh.filter($"doc_id" % 10 === 0), 0.9)
+    },
+
     // 32-bit SimHash fingerprints; near-dups at hamming distance <= 2.
     // Pigeonhole banding (exact — see simhashFingerprints scaladoc) with a
     // hot-bucket split + first-matching-band dedup (simhashBandedPairs).
@@ -850,6 +863,17 @@ object DedupQueries extends QueryModule {
            |SELECT doc_in, doc_out, CAST(i AS DOUBLE)/ci.n AS containment
            |FROM inter JOIN cnt ci ON ci.doc_id = doc_in
            |WHERE CAST(i AS DOUBLE)/ci.n >= 0.9""".stripMargin,
+
+      "dedup_containment_incr" ->
+        s"""WITH $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_in, doc_out, CAST(i AS DOUBLE)/ci.n AS containment
+           |FROM inter JOIN cnt ci ON ci.doc_id = doc_in
+           |WHERE CAST(i AS DOUBLE)/ci.n >= 0.9
+           |  AND (doc_in % 10 = 0 OR doc_out % 10 = 0)""".stripMargin,
 
       "split_leakage" ->
         s"""WITH $oShingleCtes,

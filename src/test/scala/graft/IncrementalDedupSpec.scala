@@ -58,4 +58,39 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // at least one split must exercise the probe-the-corpus path
     assert(crossTested, "no split produced a new-vs-corpus pair")
   }
+
+  private def fullContainment(sh: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_in"), $"b.doc_id".as("doc_out"))
+      .agg(count(lit(1)).as("inter"))
+    val c = $"inter".cast("double") / $"nin"
+    inter.join(cnt.select($"doc_id".as("doc_in"), $"n".as("nin")), "doc_in")
+      .filter(c >= threshold)
+      .select($"doc_in", $"doc_out", c.as("containment"))
+  }
+
+  test("incremental containment == full ordered containment involving a new doc, at every split") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = shingles(docs).cache()
+    val all = fullContainment(sh, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(all.nonEmpty, "no containment pairs — vacuous")
+    var swallowedOld = false
+    for (splitId <- Seq(10L, 100L, 250L, 460L)) {
+      val expected = all.filter { case (i, o, _) => i >= splitId || o >= splitId }
+      val got = IncrementalDedup.newContainment(
+          sh.filter($"doc_id" < splitId), sh.filter($"doc_id" >= splitId), 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"split=$splitId missing=${(expected -- got).take(3)} " +
+        s"extra=${(got -- expected).take(3)}")
+      // the direction the one-sided probe could plausibly lose: an OLD
+      // doc contained IN a new one (found only via the new doc's probe)
+      swallowedOld ||= expected.exists { case (i, o, _) => i < splitId && o >= splitId }
+    }
+    assert(swallowedOld, "no split exercised the corpus-doc-inside-new-doc direction")
+  }
 }
