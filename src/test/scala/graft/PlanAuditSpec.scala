@@ -134,7 +134,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // dedup_incremental's candidate set is |batch| × fan-out — unbounded
     // in absolute terms, so a mandated broadcast there is an executor OOM
     // at 100 TB (the r6 judge's top scale-killer finding)
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_incremental")) {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_incremental",
+        "dedup_containment", "dedup_containment_incr")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val hints = df.queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
