@@ -90,6 +90,24 @@ object IntIvfIndex {
       .filter(col("rnk") <= k)
   }
 
+  /** Daily fold: assign a NEW batch against the FROZEN centroid table
+    * and append into the cluster partitions — the standing files never
+    * rewrite, and because integer assignment is a pure function of the
+    * (persisted) centroids, probe-after-append equals a probe of an
+    * index materialized over corpus ∪ batch with the same centroids
+    * EXACTLY (spec-pinned; contrast the float-LSH index, where only the
+    * bucketing function is frozen). Batch ids must be disjoint from the
+    * corpus (the ShingleIndex.append contract). The quantizer does NOT
+    * refit — cell balance drifts as the distribution does, and the
+    * remedy is a scheduled re-[[materialize]], not a silent refit that
+    * would re-home every standing row. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val cents = loadCentroids(spark, dir)
+    require(cents.nonEmpty, s"$dir has no centroid table — materialize first")
+    IntegerKMeans.assign(batch, cents, keep = Seq("qv"))
+      .write.partitionBy("cluster").mode("append").parquet(dir)
+  }
+
   /** Tombstone-mask removal: idempotent, |removed|-sized append; probes
     * behave as if the index were rebuilt without the ids. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {

@@ -62,6 +62,21 @@ class IntIvfIndexSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("append(batch) ≡ materialize over corpus ∪ batch with the same centroids") {
+    val dirA = Files.createTempDirectory("graft-ivf-").toString
+    val dirB = Files.createTempDirectory("graft-ivf-").toString
+    val p = pts.cache()
+    val corpus = p.filter(col("vec_id") % 10 =!= 0)
+    val batch = p.filter(col("vec_id") % 10 === 0)
+    val cents = IntIvfIndex.materialize(corpus, dirA, k = 8, iters = 2)
+    IntIvfIndex.append(spark, dirA, batch)
+    IntIvfIndex.materialize(p, dirB, k = 8, iters = 2, cents = Some(cents))
+    val queries = p.filter(col("vec_id") < 10)
+    assert(probeRows(dirA, queries) == probeRows(dirB, queries))
+    assert(probeRows(dirA, queries).nonEmpty)
+    p.unpersist()
+  }
+
   test("delete: probe ≡ index materialized without the docs; vacuum erases physically, probes unchanged") {
     import spark.implicits._
     val dirA = Files.createTempDirectory("graft-ivf-").toString
