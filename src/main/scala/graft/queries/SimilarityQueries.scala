@@ -459,6 +459,48 @@ object SimilarityQueries extends QueryModule {
       graft.operators.IntegerKMeans.assign(pts, cents)
     },
 
+    // Embedding-space anomaly audit: the OutK vectors farthest from their
+    // own cluster centroid — where failed encoder outputs, mislabeled
+    // modalities, and distribution-shift stragglers surface (a vector
+    // near no centroid fits no cell; an IVF probe will rank it badly and
+    // a curation pass should quarantine it). Deterministic end to end:
+    // integer d2, (d2 desc, vec_id) tie-break. Same map-only assignment
+    // pass as emb_kmeans_int; the top-N is one bounded window.
+    "emb_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val pts = intPts(s, dir).cache()
+      val cents = graft.operators.IntegerKMeans.fit(pts, IntK, IntIters)
+      // orderBy+limit → TakeOrderedAndProject (distributed partial
+      // top-N); the rank window then runs over OutK rows, never the
+      // corpus — no single-partition corpus window anywhere
+      val top = graft.operators.IntegerKMeans.assign(pts, cents)
+        .orderBy($"d2".desc, $"vec_id").limit(OutK)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy($"d2".desc, $"vec_id")).cast("long"))
+        .select($"rnk", $"vec_id", $"cluster", $"d2")
+    },
+
+    // Cluster-health audit: per-cell population and integer distance
+    // spread — the IVF balance check (a fat cell slows every probe that
+    // touches it, an empty cell wastes a centroid; mean in-cell d2 is
+    // the compactness/drift signal that schedules a re-fit). One
+    // partial-agg shuffle of k rows; sums are exact integers, the one
+    // mean division is a single IEEE op (the emb_centroid doctrine).
+    "emb_cluster_stats" -> { (s, dir) =>
+      import s.implicits._
+      val pts = intPts(s, dir).cache()
+      val cents = graft.operators.IntegerKMeans.fit(pts, IntK, IntIters)
+      graft.operators.IntegerKMeans.assign(pts, cents)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"d2").as("sum_d2"),
+          min($"d2").as("min_d2"),
+          max($"d2").as("max_d2"))
+        .select($"cluster", $"n_vecs", $"sum_d2",
+          ($"sum_d2".cast("double") / $"n_vecs").as("mean_d2"),
+          $"min_d2", $"max_d2")
+    },
+
     // IVF probe over the integer quantizer — the full ANN index path
     // (train coarse quantizer → assign cells → multi-probe nprobe cells →
     // exact re-rank) as ONE hash-exact query: integer L2 ranks with
@@ -629,6 +671,7 @@ object SimilarityQueries extends QueryModule {
   private val IntK = 8
   private val IntIters = 2
   private val IntProbe = 2
+  private val OutK = 20
 
   /** Quantized corpus for the integer-k-means pair; NULL embeddings
     * (failed encoder outputs) drop here, mirrored by the oracle's
@@ -844,6 +887,22 @@ object SimilarityQueries extends QueryModule {
       "emb_kmeans_int" ->
         s"""WITH $intKmeansCtes
            |SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2 FROM afinal""".stripMargin,
+
+      "emb_outliers" ->
+        s"""WITH $intKmeansCtes
+           |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2
+           |FROM (SELECT vec_id, cid, d2,
+           |        row_number() OVER (ORDER BY d2 DESC, vec_id) AS rnk FROM afinal)
+           |WHERE rnk <= $OutK""".stripMargin,
+
+      "emb_cluster_stats" ->
+        s"""WITH $intKmeansCtes
+           |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+           |       CAST(sum(d2) AS BIGINT) AS sum_d2,
+           |       CAST(sum(d2) AS DOUBLE) / count(*) AS mean_d2,
+           |       CAST(min(d2) AS BIGINT) AS min_d2,
+           |       CAST(max(d2) AS BIGINT) AS max_d2
+           |FROM afinal GROUP BY cid""".stripMargin,
 
       "knn_ivf_int" ->
         s"""WITH $intKmeansCtes,

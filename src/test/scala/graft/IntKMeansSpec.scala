@@ -168,6 +168,12 @@ class IntKMeansSpec extends AnyFunSuite {
       s"probe join must broadcast the |queries|·nprobe side:\n$ivfPlan")
     assert(!ivfPlan.contains("SortMergeJoin"),
       s"corpus cells must never sort-merge against the tiny probe side:\n$ivfPlan")
+    // outlier top-N: the corpus ranks via a distributed partial top-N
+    // (TakeOrderedAndProject), never a corpus-wide single-partition window
+    val outPlan = SparkEntry.queries("emb_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(outPlan.contains("TakeOrderedAndProject"),
+      s"emb_outliers must use a distributed partial top-N:\n$outPlan")
     // PQ: the ADC scan is corpus × broadcast-queries (table lookups only);
     // nothing in the plan may sort-merge or shuffle the corpus for the join
     val pqPlan = SparkEntry.queries("knn_pq_int")(spark, sf)
