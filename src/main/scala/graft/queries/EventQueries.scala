@@ -35,6 +35,12 @@ import graft.{QueryModule, Tables}
 object EventQueries extends QueryModule {
   private val dec2 = DecimalType(18, 2)
 
+  /** dq_kanon privacy threshold: a quasi-identifier combination carried
+    * by fewer than this many distinct users is reported as a
+    * re-identification risk (k=5 is the conventional floor; production
+    * picks per-jurisdiction values). */
+  private val KAnonK = 5
+
   /** ev_kmv_distinct sketch size and the h60 hash space — aliases of the
     * [[graft.operators.MergeableStats]] constants (the oracle SQL
     * interpolates them, so the query and the streaming StatsView share one
@@ -645,6 +651,33 @@ object EventQueries extends QueryModule {
         .select($"event_id",
           get_json_object($"props", "$.k").cast("long").as("k"))
         .filter($"k" >= 50)
+    },
+
+    // k-anonymity audit over event quasi-identifiers — the re-
+    // identification check a privacy review runs before events feed
+    // analytics or training: treating (event_type, props.k) as the
+    // quasi-identifier tuple, any combination carried by fewer than
+    // KAnonK distinct users can single someone out. Emits a per-type
+    // SUMMARY (the dq_* audit shape — non-vacuous on a healthy corpus,
+    // so the hash check always bites): combination count, the smallest
+    // user population behind any combination, and how many combinations
+    // fall below the k=KAnonK floor — the suppression/generalization
+    // worklist size. Completes the privacy battery alongside text_pii
+    // (content), crypto-shredding (storage), and Takedown (artifacts).
+    // Scale: one (qid, user) distinct-count shuffle, then a |types|-row
+    // rollup — both map-side combinable.
+    "dq_kanon" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_type",
+          coalesce(get_json_object($"props", "$.k").cast("long"), lit(-1L)).as("k"),
+          $"user_id")
+        .groupBy($"event_type", $"k")
+        .agg(countDistinct($"user_id").as("nu"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_combos"),
+          min($"nu").as("min_users"),
+          sum(when($"nu" < KAnonK, 1L).otherwise(0L)).as("n_risky"))
     }
   )
 
@@ -1034,6 +1067,19 @@ object EventQueries extends QueryModule {
     "ev_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events
-        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin,
+
+    "dq_kanon" ->
+      s"""WITH q AS (
+         |  SELECT event_type,
+         |    coalesce(CAST(json_extract_string(props, '$$.k') AS BIGINT), -1) AS k,
+         |    user_id
+         |  FROM events),
+         |g AS (SELECT event_type, k, count(DISTINCT user_id) AS nu
+         |      FROM q GROUP BY event_type, k)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_combos,
+         |  CAST(min(nu) AS BIGINT) AS min_users,
+         |  CAST(sum(CASE WHEN nu < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_risky
+         |FROM g GROUP BY event_type""".stripMargin
   )
 }
