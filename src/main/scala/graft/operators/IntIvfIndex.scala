@@ -34,6 +34,7 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 object IntIvfIndex {
   private def centDir(dir: String) = s"$dir/_centroids"
   private def tombDir(dir: String) = s"$dir/_tombstones"
+  private def pqDir(dir: String) = s"$dir/_pq"
 
   /** Fit (or accept) centroids, assign, and write the partitioned index.
     * Returns the centroid table it wrote. */
@@ -90,6 +91,123 @@ object IntIvfIndex {
       .filter(col("rnk") <= k)
   }
 
+  /** Materialize the IVFADC layout (the `knn_ivfadc_int` algebra on
+    * disk — [[IvfAdc]]): each cluster partition stores, per vector, both
+    * the full `qv` AND the M-byte-shaped residual-PQ `codes` column, so
+    * [[probeAdc]]'s candidate pass can read ONLY (vec_id, codes) —
+    * parquet column pruning makes the ADC scan touch M longs per
+    * neighbor instead of d, on top of the partition pruning, which is
+    * the entire storage argument of IVFADC at 10⁸+ vectors. Codebooks
+    * train on the RESIDUALS of the bounded `vec_id < trainN` id-prefix
+    * sample against the final coarse centroids (deterministic — frozen
+    * `cents` + a prefix-disjoint batch reproduce them exactly, the
+    * append ≡ rebuild precondition) and persist under `_pq` (hidden
+    * like `_centroids`): one geometry row (m = −1, carrying dsub/kc)
+    * plus one row per (m, cid) centroid. */
+  def materializeAdc(pts: DataFrame, dir: String, k: Int, iters: Int,
+      mMax: Int, kc: Int, pqIters: Int, trainN: Long,
+      cents: Option[Seq[(Long, Array[Long])]] = None): Seq[(Long, Array[Long])] = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val cs = cents.getOrElse(IntegerKMeans.fit(pts, k, iters))
+    if (cs.isEmpty) return materialize(pts, dir, k, iters, cents)
+    val dTot = cs.head._2.length
+    val dSub = math.max(1, dTot / mMax)
+    val mCnt = math.min(mMax, dTot / dSub)
+    val sample = pts.filter(col("vec_id") < trainN)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cb = IntegerKMeans.fitSubLocal(
+      IvfAdc.residualSample(sample, cs), mCnt, dSub, kc, pqIters)
+    // one MAP-ONLY encode pass: assign + residual + M argmins, all from
+    // literals — the corpus never shuffles on the way into its partitions
+    IntegerKMeans.assign(pts, cs, keep = Seq("qv"))
+      .select(col("vec_id"), col("qv"), col("cluster"),
+        IntegerKMeans.subCodes(cb, dSub, IvfAdc.residualCol(cs)).as("codes"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    cs.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(centDir(dir))
+    writePq(spark, dir, cb, dSub, kc)
+    cs
+  }
+
+  private def writePq(spark: SparkSession, dir: String,
+      cb: IndexedSeq[Seq[(Long, Array[Long])]], dSub: Int, kc: Int): Unit = {
+    import spark.implicits._
+    val rows = (-1L, -1L, Seq(dSub.toLong, kc.toLong)) +:
+      cb.zipWithIndex.flatMap { case (cents, m) =>
+        cents.map { case (cid, cv) => (m.toLong, cid, cv.toSeq) }
+      }
+    rows.toDF("m", "cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(pqDir(dir))
+  }
+
+  /** The persisted residual codebooks + geometry — KB-sized by design. */
+  def loadPq(spark: SparkSession, dir: String)
+      : (IndexedSeq[Seq[(Long, Array[Long])]], Int, Int) = {
+    val rows = spark.read.parquet(pqDir(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val geom = rows.find(_._1 == -1L)
+      .getOrElse(sys.error(s"$dir/_pq has no geometry row — not an ADC index"))
+    val (dSub, kc) = (geom._3(0).toInt, geom._3(1).toInt)
+    val byM = rows.filter(_._1 >= 0).groupBy(_._1)
+    val mCnt = if (byM.isEmpty) 0 else byM.keys.max.toInt + 1
+    val cb = (0 until mCnt).map { m =>
+      byM.getOrElse(m.toLong, Array.empty).map(r => (r._2, r._3)).sortBy(_._1).toSeq
+    }
+    (cb, dSub, kc)
+  }
+
+  /** IVFADC probe: partition-pruned candidate scan reading ONLY
+    * (vec_id, codes), ADC ranking against per-(query, cell) broadcast
+    * distance tables, exact integer re-rank of the per-query shortlist.
+    * `queries` (vec_id, qv) is a bounded set by contract (the knn_pq_int
+    * qdtab doctrine — its ADC tables collect to the driver). Equals the
+    * in-memory `knn_ivfadc_int` algebra on the same centroids/codebooks
+    * (IntIvfAdcSpec pins it); tombstoned ids never appear. */
+  def probeAdc(spark: SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int, k: Int, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val cents = loadCentroids(spark, dir)
+    if (cents.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq("query_id", "neighbor_id", "d2", "rnk")
+          .map(StructField(_, LongType))))
+    val (cb, dSub, kc) = loadPq(spark, dir)
+    val mCnt = cb.length
+    val qrows = queries.select(col("vec_id").cast("long"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val qdf = IvfAdc.queryAdcRows(qrows, cents, cb, dSub, kc, nprobe)
+      .toDF("query_id", "cluster", "qdtab", "qqv")
+    val cells = qdf.select(col("cluster")).distinct().collect().map(_.getLong(0))
+    // candidate pass: column-pruned to (vec_id, codes) — never reads qv
+    val coded = masked(spark, dir,
+      spark.read.parquet(dir).filter(col("cluster").isin(cells: _*))
+        .select(col("vec_id"), col("cluster"), col("codes")))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val short = coded.join(broadcast(qdf), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qqv"), col("vec_id").as("neighbor_id"),
+        IvfAdc.adcExpr(mCnt, kc).as("adc"))
+      .withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= shortlist)
+      .select(col("query_id"), col("qqv"), col("neighbor_id"))
+    // re-rank: the SAME pruned cells, now reading (vec_id, qv), gated by
+    // the broadcast shortlist — |queries|·shortlist rows see a vector
+    val vecs = spark.read.parquet(dir).filter(col("cluster").isin(cells: _*))
+      .select(col("vec_id"), col("qv"))
+    val d2 = aggregate(zip_with(col("qqv"), col("qv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    vecs.join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Daily fold: assign a NEW batch against the FROZEN centroid table
     * and append into the cluster partitions — the standing files never
     * rewrite, and because integer assignment is a pure function of the
@@ -104,8 +222,16 @@ object IntIvfIndex {
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"$dir has no centroid table — materialize first")
-    IntegerKMeans.assign(batch, cents, keep = Seq("qv"))
-      .write.partitionBy("cluster").mode("append").parquet(dir)
+    val assigned = IntegerKMeans.assign(batch, cents, keep = Seq("qv"))
+    // ADC index: encode with the FROZEN codebooks — like the frozen
+    // centroids, a pure function of persisted state, so append ≡ rebuild
+    // stays exact as long as the batch ids sit outside the training prefix
+    val rows = if (java.nio.file.Files.exists(java.nio.file.Paths.get(pqDir(dir)))) {
+      val (cb, dSub, _) = loadPq(spark, dir)
+      assigned.select(col("vec_id"), col("qv"), col("cluster"),
+        IntegerKMeans.subCodes(cb, dSub, IvfAdc.residualCol(cents)).as("codes"))
+    } else assigned
+    rows.write.partitionBy("cluster").mode("append").parquet(dir)
   }
 
   /** Tombstone-mask removal: idempotent, |removed|-sized append; probes
@@ -131,13 +257,20 @@ object IntIvfIndex {
   def vacuum(spark: SparkSession, dir: String): Unit = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(dir)))) return
     val cents = loadCentroids(spark, dir)
+    // capture the (KB-sized) hidden artifacts the full-dir overwrite
+    // removes; `codes` survives via the data columns themselves
+    val hasPq = java.nio.file.Files.exists(java.nio.file.Paths.get(pqDir(dir)))
+    val pq = if (hasPq) Some(loadPq(spark, dir)) else None
+    val dataCols = spark.read.parquet(dir).columns
+      .filter(_ != "cluster").map(col) :+ col("cluster")
     val kept = masked(spark, dir, spark.read.parquet(dir))
-      .select(col("vec_id"), col("qv"), col("cluster"))
+      .select(dataCols: _*)
       .localCheckpoint(true)
     kept.write.partitionBy("cluster").mode("overwrite").parquet(dir)
     import spark.implicits._
     cents.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(centDir(dir))
+    pq.foreach { case (cb, dSub, kc) => writePq(spark, dir, cb, dSub, kc) }
   }
 }

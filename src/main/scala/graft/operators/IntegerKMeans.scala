@@ -123,14 +123,20 @@ object IntegerKMeans {
     * at sf0.1 after the switch); row-at-a-time eval cost is the same
     * (HOFs don't codegen either way). Returns array<long>, codes(m) =
     * nearest cid in subspace m. */
-  def subCodes(cents: IndexedSeq[Seq[(Long, Array[Long])]], dSub: Int): org.apache.spark.sql.Column = {
+  def subCodes(cents: IndexedSeq[Seq[(Long, Array[Long])]], dSub: Int): org.apache.spark.sql.Column =
+    subCodes(cents, dSub, col("qv"))
+
+  /** [[subCodes]] over an arbitrary vector column — the residual-PQ path
+    * ([[IvfAdc]]) encodes `qv − centroid(cluster)` instead of `qv`. */
+  def subCodes(cents: IndexedSeq[Seq[(Long, Array[Long])]], dSub: Int,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val centsLit = typedLit(cents.map(_.map { case (cid, cv) => (cid, cv.toSeq) }).toSeq)
     transform(centsLit, (cm, m) =>
       aggregate(cm,
         named_struct(lit("d2"), lit(Long.MaxValue), lit("cid"), lit(Long.MaxValue)),
         (best, c) => least(best, named_struct(
           lit("d2"), aggregate(
-            zip_with(slice(col("qv"), m * dSub + 1, lit(dSub)), c.getField("_2"),
+            zip_with(slice(v, m * dSub + 1, lit(dSub)), c.getField("_2"),
               (a, b) => (a - b) * (a - b)),
             lit(0L), (acc, x) => acc + x),
           lit("cid"), c.getField("_1"))),

@@ -608,6 +608,66 @@ object SimilarityQueries extends QueryModule {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($"rnk" <= K)
       }
+    },
+
+    // IVFADC, HASH-EXACT — the full billion-scale ANN layout as one query
+    // (Jégou et al. 2011 §IV; the FAISS IndexIVFPQ architecture): coarse
+    // IVF quantizer → RESIDUAL product quantization (codes encode
+    // qv − centroid(cell), spending the M×Kc codebook budget on the
+    // within-cell geometry) → nprobe cell probe → ADC ranking (M table
+    // lookups per candidate, tables built per (query, cell) because
+    // residuals are cell-relative) → exact integer re-rank of the
+    // shortlist. Everything is the scaled-long algebra, so unlike any
+    // float IVFPQ the whole chain — cells, codes, ADC scores, final ranks
+    // — re-derives bit-identically in DuckDB. Scale shape: the encode pass
+    // is MAP-ONLY (centroids and codebooks ride as literals: assign,
+    // residual, and all M argmins are row-local — this is
+    // IntIvfIndex.materializeAdc's write path); the probe touches only
+    // nprobe cells and reads M longs per candidate, not the vector
+    // (IntIvfIndex.probeAdc pins the column-pruned scan); only the
+    // |queries|·shortlist re-rank rows ever see full vectors.
+    "knn_ivfadc_int" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{IntegerKMeans, IvfAdc}
+      val pts = intPts(s, dir).cache()
+      val cents = IntegerKMeans.fit(pts, IntK, IntIters)
+      if (cents.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq("query_id", "neighbor_id", "d2", "rnk")
+            .map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.LongType))))
+      else {
+        val dTot = cents.head._2.length
+        val dSub = math.max(1, dTot / PqIntM)
+        val mCnt = math.min(PqIntM, dTot / dSub)
+        // codebooks train on the RESIDUALS of the bounded id-prefix sample
+        // (PqCodebook doctrine); the oracle's rc chain carries the same
+        // vec_id < PqIntTrainN filter over the same residual CTE
+        val sample = pts.filter($"vec_id" < PqIntTrainN).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        val cb = IntegerKMeans.fitSubLocal(
+          IvfAdc.residualSample(sample, cents), mCnt, dSub, PqIntKc, PqIntIters)
+        val coded = IntegerKMeans.assign(pts, cents, keep = Seq("qv"))
+          .select($"vec_id", $"cluster",
+            IntegerKMeans.subCodes(cb, dSub, IvfAdc.residualCol(cents)).as("codes"))
+        val qdf = IvfAdc.queryAdcRows(
+            sample.filter(_._1 < NQueries).toSeq, cents, cb, dSub, PqIntKc, IntProbe)
+          .toDF("query_id", "cluster", "qdtab", "qqv")
+        val sw = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+        val short = coded.join(broadcast(qdf), Seq("cluster"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"qqv", $"vec_id".as("neighbor_id"),
+            IvfAdc.adcExpr(mCnt, PqIntKc).as("adc"))
+          .withColumn("srnk", row_number().over(sw))
+          .filter($"srnk" <= PqIntShortlist)
+          .select($"query_id", $"qqv", $"neighbor_id")
+        val d2 = aggregate(zip_with($"qqv", $"qv", (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val w = Window.partitionBy($"query_id").orderBy($"d2", $"neighbor_id")
+        pts.join(broadcast(short), $"vec_id" === $"neighbor_id")
+          .select($"query_id", $"neighbor_id", d2.as("d2"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= K)
+      }
     }
   )
 
@@ -658,6 +718,48 @@ object SimilarityQueries extends QueryModule {
               |codes AS (
               |  SELECT p.m, p.vec_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS d2
               |  FROM sp p JOIN pc$PqIntIters c ON c.m = p.m AND c.sd = p.sd
+              |  GROUP BY p.m, p.vec_id, c.cid
+              |  QUALIFY row_number() OVER (PARTITION BY p.m, p.vec_id
+              |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) = 1)""".stripMargin
+    sb.result()
+  }
+
+  /** The residual-PQ CTE chain for the IVFADC oracle: `intKmeansCtes`'s
+    * coarse chain feeds a residual table (q − final-centroid per dim),
+    * and the `pqIntCtes` subspace-k-means chain runs VERBATIM over that
+    * residual table instead of the raw points — seed/assign/update/codes
+    * step for step [[graft.operators.IvfAdc]] + `fitSubLocal` over
+    * `residualSample`. */
+  private def ivfAdcCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""g AS (SELECT CAST(greatest(1, (max(dim) + 1) // $PqIntM) AS BIGINT) AS dsub FROM pts),
+              |res AS (
+              |  SELECT p.vec_id, a.cid AS acid, p.dim, p.q - c.c AS q
+              |  FROM pts p JOIN afinal a ON a.vec_id = p.vec_id
+              |             JOIN c$IntIters c ON c.cid = a.cid AND c.dim = p.dim),
+              |rsp AS (SELECT vec_id, dim // (SELECT dsub FROM g) AS m,
+              |               dim % (SELECT dsub FROM g) AS sd, q
+              |        FROM res WHERE dim < (SELECT dsub FROM g) * $PqIntM),
+              |rc0 AS (SELECT m, vec_id AS cid, sd, q AS c FROM rsp WHERE vec_id < $PqIntKc)""".stripMargin
+    for (i <- 1 to PqIntIters) {
+      sb ++= s""",
+                |rpa$i AS (
+                |  SELECT p.m, p.vec_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS d2
+                |  FROM rsp p JOIN rc${i - 1} c ON c.m = p.m AND c.sd = p.sd
+                |  WHERE p.vec_id < $PqIntTrainN
+                |  GROUP BY p.m, p.vec_id, c.cid
+                |  QUALIFY row_number() OVER (PARTITION BY p.m, p.vec_id
+                |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) = 1),
+                |rc$i AS (
+                |  SELECT a.m, a.cid, p.sd,
+                |         CAST(floor(CAST(SUM(p.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+                |  FROM rpa$i a JOIN rsp p ON p.m = a.m AND p.vec_id = a.vec_id
+                |  GROUP BY a.m, a.cid, p.sd)""".stripMargin
+    }
+    sb ++= s""",
+              |rcodes AS (
+              |  SELECT p.m, p.vec_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS d2
+              |  FROM rsp p JOIN rc$PqIntIters c ON c.m = p.m AND c.sd = p.sd
               |  GROUP BY p.m, p.vec_id, c.cid
               |  QUALIFY row_number() OVER (PARTITION BY p.m, p.vec_id
               |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) = 1)""".stripMargin
@@ -947,6 +1049,48 @@ object SimilarityQueries extends QueryModule {
            |  GROUP BY s.query_id, s.neighbor_id)
            |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
            |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS BIGINT) AS rnk
-           |FROM scd QUALIFY rnk <= $K""".stripMargin)
+           |FROM scd QUALIFY rnk <= $K""".stripMargin,
+
+      // coarse chain + residual-PQ chain + the IVFADC probe: per-(query,
+      // probed-cell) ADC tables over the residual codebooks, candidates
+      // restricted to probed cells, shortlist → exact re-rank
+      "knn_ivfadc_int" ->
+        s"""WITH $intKmeansCtes,
+           |$ivfAdcCtes,
+           |qprobe AS (
+           |  SELECT p.vec_id AS query_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS cd2
+           |  FROM pts p JOIN c$IntIters c USING (dim)
+           |  WHERE p.vec_id < $NQueries GROUP BY p.vec_id, c.cid
+           |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) <= $IntProbe),
+           |qres AS (
+           |  SELECT qp.query_id, qp.cid AS pcid, p.dim, p.q - c.c AS q
+           |  FROM qprobe qp JOIN pts p ON p.vec_id = qp.query_id
+           |                 JOIN c$IntIters c ON c.cid = qp.cid AND c.dim = p.dim),
+           |qrsp AS (SELECT query_id, pcid, dim // (SELECT dsub FROM g) AS m,
+           |                dim % (SELECT dsub FROM g) AS sd, q
+           |         FROM qres WHERE dim < (SELECT dsub FROM g) * $PqIntM),
+           |qdist AS (
+           |  SELECT p.query_id, p.pcid, c.m, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS dist
+           |  FROM qrsp p JOIN rc$PqIntIters c ON c.m = p.m AND c.sd = p.sd
+           |  GROUP BY p.query_id, p.pcid, c.m, c.cid),
+           |iadc AS (
+           |  SELECT q.query_id, n.vec_id AS neighbor_id, SUM(q.dist) AS adc
+           |  FROM rcodes n JOIN afinal na ON na.vec_id = n.vec_id
+           |    JOIN qdist q ON q.pcid = na.cid AND q.m = n.m AND q.cid = n.cid
+           |  WHERE n.vec_id <> q.query_id
+           |  GROUP BY q.query_id, n.vec_id),
+           |ishort AS (
+           |  SELECT query_id, neighbor_id FROM iadc
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc, neighbor_id) <= $PqIntShortlist),
+           |iscd AS (
+           |  SELECT s.query_id, s.neighbor_id, SUM((p1.q - p2.q)*(p1.q - p2.q)) AS d2
+           |  FROM ishort s JOIN pts p1 ON p1.vec_id = s.query_id
+           |                JOIN pts p2 ON p2.vec_id = s.neighbor_id AND p2.dim = p1.dim
+           |  GROUP BY s.query_id, s.neighbor_id)
+           |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS BIGINT) AS rnk
+           |FROM iscd QUALIFY rnk <= $K""".stripMargin)
   }
 }
