@@ -595,6 +595,46 @@ object EventQueries extends QueryModule {
             .as("est_users"))
     },
 
+    // KMV SET ALGEBRA — union / intersection distinct-user estimates for
+    // every event-type pair FROM THE SKETCHES ALONE (Beyer et al., "On
+    // Synopses for Distinct-Value Estimation Under Multiset Operations",
+    // SIGMOD 2007): the k smallest of minsA ∪ minsB are exactly the KMV
+    // sketch of A ∪ B (no corpus re-scan — the union estimator reuses the
+    // (k−1)·M/h₍ₖ₎ form), and the fraction of those k that appear in BOTH
+    // input sketches estimates |A∩B|/|A∪B|, giving the intersection
+    // estimate ρ·Û without ever materializing the intersection. This is
+    // the sketch-algebra answer to "how many users do checkout and refund
+    // share?" at 100 TB: one corpus pass builds |types|×k longs, the
+    // pairwise pass is O(types²) on KB-sized rows, and — because KMV
+    // minima are deterministic integers and each estimator is a single
+    // IEEE expression — the whole thing stays HASH-EXACT cross-engine,
+    // which no HLL set operation can offer. inter_cnt is the raw overlap
+    // count so the oracle pins the integer core, not just the floats.
+    "ev_kmv_setops" -> { (s, dir) =>
+      import s.implicits._
+      val k = KmvK
+      val mins = Tables.load(s, dir, "events")
+        .select($"event_type", CrossHash.h60($"user_id".cast("string")).as("h"))
+        .groupBy($"event_type")
+        .agg(call_function("graft_kmv", $"h", lit(k)).as("mins"))
+        // an all-NULL-user type has an empty sketch — no set algebra to
+        // do (the oracle's h IS NOT NULL chain drops the type the same way)
+        .filter(size($"mins") >= 1)
+      val a = mins.select($"event_type".as("type_a"), $"mins".as("ma"))
+      val b = mins.select($"event_type".as("type_b"), $"mins".as("mb"))
+      val kth = when(size($"mg") >= 1, element_at($"mg", size($"mg")))
+      a.join(b, $"type_a" < $"type_b")
+        .withColumn("mg", slice(array_sort(array_union($"ma", $"mb")), 1, k))
+        .withColumn("union_n", size($"mg").cast("long"))
+        .withColumn("est_union",
+          when($"union_n" < k, $"union_n".cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(HashSpace).cast("double") / kth))
+        .withColumn("inter_cnt",
+          size(array_intersect($"mg", array_intersect($"ma", $"mb"))).cast("long"))
+        .select($"type_a", $"type_b", $"union_n", $"est_union", $"inter_cnt",
+          ($"inter_cnt" * $"est_union" / lit(k.toDouble)).as("est_inter"))
+    },
+
     // Incremental materialized-view maintenance: a per-type stats view
     // (count / decimal sum / min / max / KMV distinct sketch) refreshed by
     // MERGING yesterday's state with a delta aggregate — never rescanning
@@ -721,6 +761,36 @@ object EventQueries extends QueryModule {
          |       ELSE ${(KmvK - 1).toDouble} * CAST($HashSpace AS DOUBLE) / s.kmv_kth
          |  END AS est_users
          |FROM t LEFT JOIN s ON t.event_type = s.event_type""".stripMargin,
+
+    // the per-type sketch chain of ev_kmv_distinct, then pure list
+    // algebra per pair — mirrors the Spark array_union/array_intersect
+    // path op for op
+    "ev_kmv_setops" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${CrossHash.oH60("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM h WHERE h IS NOT NULL),
+         |m AS (SELECT event_type, list(h ORDER BY h) AS mins
+         |  FROM r WHERE rk <= $KmvK GROUP BY event_type),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.mins AS ma, b.mins AS mb
+         |  FROM m a JOIN m b ON a.event_type < b.event_type),
+         |g AS (SELECT type_a, type_b, ma, mb,
+         |    list_sort(list_distinct(list_concat(ma, mb)))[1:$KmvK] AS mg FROM p),
+         |x AS (SELECT type_a, type_b,
+         |    CAST(len(mg) AS BIGINT) AS union_n,
+         |    mg[len(mg)] AS kth,
+         |    CAST(len(list_intersect(mg, list_intersect(ma, mb))) AS BIGINT) AS inter_cnt
+         |  FROM g),
+         |y AS (SELECT type_a, type_b, union_n, inter_cnt,
+         |    CASE WHEN union_n < $KmvK THEN CAST(union_n AS DOUBLE)
+         |         ELSE ${(KmvK - 1).toDouble} * CAST($HashSpace AS DOUBLE) / kth
+         |    END AS est_union
+         |  FROM x)
+         |SELECT type_a, type_b, union_n, est_union, inter_cnt,
+         |  inter_cnt * est_union / ${KmvK.toDouble} AS est_inter
+         |FROM y""".stripMargin,
 
     "ev_keyset_scan" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -136,6 +136,49 @@ class ScaleOpsSpec extends AnyFunSuite {
       "minima must be ascending and distinct")
   }
 
+  test("ev_kmv_setops: sketch union IS the union's sketch; estimates within sketch error of exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val events = Tables.load(spark, dir, "events")
+    graft.GraftExtensions.register(spark)
+    val k = graft.queries.EventQueries.KmvK
+    // exact per-pair union / intersection distinct-user counts
+    val users = events.select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect().groupBy(_._1).map { case (t, r) => t -> r.map(_._2).toSet }
+    val est = SparkEntry.queries("ev_kmv_setops")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    val pairs = for (a <- users.keys; b <- users.keys if a < b) yield (a, b)
+    assert(est.keySet == pairs.toSet)
+    for (((a, b), (unionN, estU, interCnt, estI)) <- est) {
+      val exU = (users(a) ++ users(b)).size
+      val exI = (users(a) & users(b)).size
+      assert(unionN >= 1 && unionN <= k && interCnt <= unionN)
+      if (unionN < k) assert(estU == exU.toDouble, s"$a×$b: undersized union sketch must be exact")
+      else assert(math.abs(estU - exU) / exU <= 0.51,
+        s"$a×$b union: $estU vs $exU") // 4σ at k=64, the ev_kmv_distinct envelope
+      // intersection: ρ has its own binomial noise on top — loose envelope,
+      // but it must not be degenerate when the true overlap is substantial
+      if (exI > 0 && unionN == k)
+        assert(math.abs(estI - exI) / exI <= 1.0, s"$a×$b inter: $estI vs $exI")
+    }
+    // THE set-algebra identity the query rests on: the k smallest of
+    // minsA ∪ minsB equal the KMV sketch computed from the unioned rows
+    val mins = events
+      .select($"event_type", graft.queries.CrossHash.h60($"user_id".cast("string")).as("h"))
+      .groupBy($"event_type")
+      .agg(call_function("graft_kmv", $"h", lit(k)).as("mins"))
+      .as[(String, Seq[Long])].collect().toMap
+    val (ta, tb) = (mins.keys.min, mins.keys.max)
+    val merged = (mins(ta) ++ mins(tb)).distinct.sorted.take(k)
+    val direct = events.filter($"event_type".isin(ta, tb))
+      .select(graft.queries.CrossHash.h60($"user_id".cast("string")).as("h"))
+      .agg(call_function("graft_kmv", $"h", lit(k)).as("mins"))
+      .as[Seq[Long]].collect().head
+    assert(merged == direct, "sketch-of-union must equal union-of-sketches")
+  }
+
   test("ev_quantile_sample: hash-sample quantiles land within rank tolerance of the exact ones") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
