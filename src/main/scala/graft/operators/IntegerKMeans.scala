@@ -232,8 +232,10 @@ object IntegerKMeans {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
     var i = 0
     while (i < iters && cents.nonEmpty) {
-      val sums = assign(pts, cents)
-        .join(pts, "vec_id")
+      // keep=qv instead of a join-back: the update pass stays MAP-ONLY
+      // over the corpus scan (no vec_id shuffle), partial-aggregating to
+      // ≤ k·d rows per task before the one tiny exchange
+      val sums = assign(pts, cents, keep = Seq("qv"))
         .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "q")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
