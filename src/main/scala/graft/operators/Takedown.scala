@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *   ├─ lexical index      [[Bm25Index.delete]]  (df/stats update
   *   │   exactly — probe ≡ rebuild on the remaining corpus)
   *   ├─ vector index       [[VectorIndex.delete]] (mask before ranking)
+  *   ├─ int-IVF/ADC ANN    [[IntIvfIndex.delete]] for every index named
+  *   │   by the caller (vec_id = doc_id; same tombstone doctrine)
   *   ├─ dedup surfaces     [[ShingleIndex.delete]] / [[LineSegmentIndex
   *   │   .delete]] for every index named by the caller — without this, a
   *   │   forgotten doc's shingle/segment hashes keep suppressing future
@@ -71,7 +73,8 @@ object Takedown {
   def run(spark: SparkSession, outDir: String, ids: DataFrame,
       docs: DataFrame, isTarget: Column,
       shingleIndexes: Seq[String] = Nil,
-      lineSegmentIndexes: Seq[String] = Nil): Unit = {
+      lineSegmentIndexes: Seq[String] = Nil,
+      intIvfIndexes: Seq[String] = Nil): Unit = {
     graft.GraftExtensions.register(spark)
     val req = ids.select(col(ids.columns.head).as("doc_id")).distinct()
     // idempotency guard (round-10 advisory): only not-yet-tombstoned docs
@@ -87,6 +90,10 @@ object Takedown {
       fresh.select(col("doc_id").as("vec_id")))
     shingleIndexes.foreach(n => ShingleIndex.delete(spark, n, fresh))
     lineSegmentIndexes.foreach(n => LineSegmentIndex.delete(spark, n, fresh))
+    // integer-IVF/ADC ANN artifacts keyed by vec_id = doc_id (idempotent
+    // tombstone appends, like the vector index — probes mask immediately)
+    intIvfIndexes.foreach(n => IntIvfIndex.delete(spark, n,
+      fresh.select(col("doc_id").as("vec_id"))))
     // read-subtract-write on the model path: pin the B-row result on the
     // driver before the overwrite (the DailyIncrement DSIR discipline);
     // only the FRESH docs subtract, so a re-run can't corrupt the counts
@@ -187,7 +194,8 @@ object Takedown {
     * deadline), amortized over many requests. */
   def scrub(spark: SparkSession, outDir: String,
       shingleIndexes: Seq[String] = Nil,
-      lineSegmentIndexes: Seq[String] = Nil): Unit = {
+      lineSegmentIndexes: Seq[String] = Nil,
+      intIvfIndexes: Seq[String] = Nil): Unit = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(outDir)))) return
     val cleanManifest = manifest(spark, outDir).localCheckpoint(true)
     cleanManifest.write.mode("overwrite").parquet(s"$outDir/curated")
@@ -198,6 +206,7 @@ object Takedown {
     VectorIndex.vacuum(spark, s"$outDir/vectors")
     shingleIndexes.foreach(n => ShingleIndex.vacuum(spark, n))
     lineSegmentIndexes.foreach(n => LineSegmentIndex.vacuum(spark, n))
+    intIvfIndexes.foreach(n => IntIvfIndex.vacuum(spark, n))
     val tomb = java.nio.file.Paths.get(tombDir(outDir))
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(tomb)

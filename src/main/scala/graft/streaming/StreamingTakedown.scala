@@ -36,7 +36,8 @@ import graft.operators.Takedown
 object StreamingTakedown {
   def apply(spark: SparkSession, outDir: String, isTarget: Column,
       shingleIndexes: Seq[String] = Nil,
-      lineSegmentIndexes: Seq[String] = Nil): (DataFrame, Long) => Unit =
+      lineSegmentIndexes: Seq[String] = Nil,
+      intIvfIndexes: Seq[String] = Nil): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => {
       // pin the batch before Takedown.run mutates the artifacts its own
       // plans read (the DailyIncrement read-path-you-write discipline);
@@ -44,6 +45,6 @@ object StreamingTakedown {
       val pinned = batch.localCheckpoint(true)
       if (!pinned.isEmpty)
         Takedown.run(spark, outDir, pinned.select(col("doc_id")), pinned,
-          isTarget, shingleIndexes, lineSegmentIndexes)
+          isTarget, shingleIndexes, lineSegmentIndexes, intIvfIndexes)
     }
 }

@@ -69,12 +69,29 @@ class TakedownSpec extends AnyFunSuite {
     assert(shPre.exists(p => p._1 == synthId || p._2 == synthId),
       "vacuous: the planted duplicate never paired in the shingle probe")
 
+    // int-IVF/ADC ANN artifact over the kept docs' embeddings (vec_id =
+    // doc_id) — the newest index surface the takedown contract covers.
+    // trainN = 8 keeps the codebook training prefix disjoint from the
+    // removed ids (all ≥ 13), the delete ≡ rebuild-without precondition.
+    val emb0 = Tables.load(spark, sf, "embeddings")
+    val ivfDir = Files.createTempDirectory("graft-takedown-ivf-").toString
+    val keptVecs = graft.operators.IntegerKMeans.quantize(
+      emb0.join(spark.createDataset(before.map(_._1).toSeq).toDF("vec_id"),
+        Seq("vec_id"), "left_semi"))
+    val ivfCents = graft.operators.IntIvfIndex.materializeAdc(keptVecs, ivfDir,
+      k = 8, iters = 2, mMax = 8, kc = 16, pqIters = 4, trainN = 8)
+    val ivfQueries = keptVecs.filter($"vec_id" < 12)
+    def ivfHits(p: String) = graft.operators.IntIvfIndex
+      .probeAdc(spark, p, ivfQueries, nprobe = 2, k = 5, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
     val payload = docsTable
       .filter($"doc_id".isin(removedIds.toSeq: _*))
       .select($"doc_id", $"text", $"lang")
     Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en",
       shingleIndexes = Seq("graft_tk_shidx"),
-      lineSegmentIndexes = Seq("graft_tk_lineidx"))
+      lineSegmentIndexes = Seq("graft_tk_lineidx"),
+      intIvfIndexes = Seq(ivfDir))
 
     // manifest: exactly the original minus the removed ids
     val after = Takedown.manifest(spark, dir)
@@ -117,6 +134,21 @@ class TakedownSpec extends AnyFunSuite {
     assert(hits(refVec).nonEmpty, "no ANN hits — vacuous")
     assert(hits(s"$dir/vectors") == hits(refVec),
       "vector probe != rebuild on remaining subset")
+
+    // int-IVF/ADC: probeAdc == a fresh materializeAdc on the remaining
+    // subset under the FROZEN coarse centroids (quantization artifacts
+    // mask on delete, they never retrain)
+    val refIvf = Files.createTempDirectory("graft-takedown-ivfref-").toString
+    graft.operators.IntIvfIndex.materializeAdc(
+      keptVecs.filter(!$"vec_id".isin(removedIds.toSeq: _*)), refIvf,
+      k = 8, iters = 2, mMax = 8, kc = 16, pqIters = 4, trainN = 8,
+      cents = Some(ivfCents))
+    val ivfPost = ivfHits(ivfDir)
+    assert(ivfHits(refIvf).nonEmpty, "no ADC hits — vacuous")
+    assert(ivfPost == ivfHits(refIvf),
+      "ADC probe after takedown != rebuild without the removed docs")
+    assert(!ivfPost.exists(r => removedIds(r._2)),
+      "a forgotten doc still surfaces as an ADC neighbor")
 
     // evalh: the masked reader holds exactly the surviving docs' pairs —
     // a forgotten eval doc's shingles stop marking future content
@@ -224,11 +256,13 @@ class TakedownSpec extends AnyFunSuite {
     val preBm = scores(s"$dir/bm25")
     val preVec = hits(s"$dir/vectors")
     val preLine = lineRows("graft_tk_lineidx")
-    Takedown.scrub(spark, dir, Seq("graft_tk_shidx"), Seq("graft_tk_lineidx"))
+    Takedown.scrub(spark, dir, Seq("graft_tk_shidx"), Seq("graft_tk_lineidx"),
+      intIvfIndexes = Seq(ivfDir))
     assert(scores(s"$dir/bm25") == preBm, "bm25 probe changed across scrub")
     assert(hits(s"$dir/vectors") == preVec, "vector probe changed across scrub")
     assert(shPairs("graft_tk_shidx") == shPost, "shingle probe changed across scrub")
     assert(lineRows("graft_tk_lineidx") == preLine, "line probe changed across scrub")
+    assert(ivfHits(ivfDir) == ivfPost, "ADC probe changed across scrub")
     def idsOf(df: org.apache.spark.sql.DataFrame, c: String) =
       df.select(col(c)).distinct().collect().map(_.getLong(0)).toSet
     val surfaces = Seq(
@@ -240,7 +274,8 @@ class TakedownSpec extends AnyFunSuite {
       "vectors" -> idsOf(spark.read.parquet(s"$dir/vectors"), "vec_id"),
       "shingle index" -> idsOf(spark.table("graft_tk_shidx"), "doc_id"),
       "shingle counts" -> idsOf(spark.table("graft_tk_shidx_counts"), "doc_id"),
-      "line index" -> idsOf(spark.table("graft_tk_lineidx"), "doc_id"))
+      "line index" -> idsOf(spark.table("graft_tk_lineidx"), "doc_id"),
+      "int-ivf index" -> idsOf(spark.read.parquet(ivfDir), "vec_id"))
     for ((name, ids) <- surfaces)
       assert(ids.intersect(removedIds).isEmpty,
         s"$name still holds removed ids: ${ids.intersect(removedIds).take(5)}")
@@ -250,6 +285,8 @@ class TakedownSpec extends AnyFunSuite {
       "bm25 tombstones survived the scrub")
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/vectors_tombstones")),
       "vector tombstones survived the scrub")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$ivfDir/_tombstones")),
+      "int-ivf tombstones survived the scrub")
     assert(!spark.catalog.tableExists("graft_tk_shidx_tombstones") &&
       !spark.catalog.tableExists("graft_tk_lineidx_tombstones"),
       "index tombstone tables survived the scrub")
