@@ -668,8 +668,80 @@ object SimilarityQueries extends QueryModule {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($"rnk" <= K)
       }
+    },
+
+    // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998),
+    // HASH-EXACT — the greedy diversity step every retrieval stack needs
+    // between "top-k by relevance" and "what the user/model actually
+    // sees": pick argmax λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s), k times.
+    // All algebra is scaled-long (rel/sim are integer dot products of the
+    // quantized vectors; λ = 0.7 as the exact rational 7/10, so the
+    // objective is 7·rel − 3·maxsim in longs) with (score desc, id asc)
+    // tie-breaks — the whole greedy trace re-derives bit-identically in
+    // DuckDB as a recursive CTE. Spark shape: candidate generation is the
+    // knn_brute broadcast pass bounded to MmrN per query; the greedy
+    // itself — inherently sequential in k — runs as ONE nested-HOF
+    // expression over each query's collected candidate array (N·(d+2)
+    // longs, the bounded-artifact doctrine), so after the single top-N
+    // exchange the whole selection is embarrassingly parallel per query:
+    // no iteration-per-step joins, no driver loop, no extra shuffle at
+    // any corpus scale.
+    "retrieve_mmr" -> { (s, dir) =>
+      import s.implicits._
+      val pts = intPts(s, dir).cache()
+      val q = pts.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"qv".as("qqv"))
+      val rel = aggregate(zip_with($"qqv", $"qv", (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val cw = Window.partitionBy($"query_id").orderBy($"rel".desc, $"id")
+      pts.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("id"), rel.as("rel"), $"qv")
+        .withColumn("crnk", row_number().over(cw))
+        .filter($"crnk" <= MmrN)
+        .groupBy($"query_id")
+        .agg(sort_array(collect_list(
+          struct((-$"rel").as("nr"), $"id", $"rel", $"qv"))).as("cands"))
+        .withColumn("sel", expr(mmrGreedySql))
+        .select($"query_id", posexplode($"sel").as(Seq("pos", "s")))
+        .select($"query_id", ($"pos" + 1).cast("long").as("rnk"),
+          $"s.id".as("doc_id"), $"s.rel".as("rel"))
     }
   )
+
+  /** MMR geometry: picks per query, candidate-pool size, and λ = 0.7 as
+    * the exact rational MmrLamNum/(MmrLamNum+MmrLamDen) — shared verbatim
+    * with the recursive-CTE oracle. */
+  private val MmrK = 5
+  private val MmrN = 20
+  private val MmrLamNum = 7
+  private val MmrLamDen = 3
+
+  /** The greedy MMR selection as one SQL expression over the per-query
+    * `cands` array (sorted rel-desc/id-asc structs of (nr, id, rel, qv)):
+    * aggregate over k−1 steps, each appending the argmax of
+    * 7·rel − 3·maxsim-to-selected (argmax = array_min over (−score, id)
+    * structs — the deterministic (score desc, id asc) tie-break). The
+    * pick expression repeats per projected field (SQL lambdas have no
+    * let-binding); at N=20, k=5 the re-evaluation is noise. */
+  private def mmrGreedySql: String = {
+    val pick =
+      s"""array_min(transform(
+         |  filter(cands, c -> NOT exists(S, s -> s.id = c.id)),
+         |  c -> named_struct(
+         |    'ns', -($MmrLamNum * c.rel - $MmrLamDen *
+         |        aggregate(S, -4611686018427387904L, (m, s2) ->
+         |          greatest(m, aggregate(zip_with(c.qv, s2.qv, (x, y) -> x * y),
+         |            0L, (a2, x2) -> a2 + x2)))),
+         |    'id', c.id, 'rel', c.rel, 'qv', c.qv)))""".stripMargin
+    s"""aggregate(
+       |  sequence(1, ${MmrK - 1}),
+       |  array(named_struct('id', element_at(cands, 1).id,
+       |        'rel', element_at(cands, 1).rel, 'qv', element_at(cands, 1).qv)),
+       |  (S, step) -> if(size(S) >= size(cands), S,
+       |    concat(S, array(named_struct(
+       |      'id', ($pick).id, 'rel', ($pick).rel, 'qv', ($pick).qv)))))""".stripMargin
+  }
 
   /** Integer-PQ geometry: M subspaces, Kc centroids per subspace, ADC
     * shortlist size — shared verbatim with the oracle generator. Same
@@ -1091,6 +1163,49 @@ object SimilarityQueries extends QueryModule {
            |  GROUP BY s.query_id, s.neighbor_id)
            |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
            |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS BIGINT) AS rnk
-           |FROM iscd QUALIFY rnk <= $K""".stripMargin)
+           |FROM iscd QUALIFY rnk <= $K""".stripMargin,
+
+      // the greedy MMR trace as a recursive CTE: the working table per
+      // iteration is the previous step's (query, selected-list) rows;
+      // each recursive step joins the unselected candidates against the
+      // in-pool sim matrix, aggregates maxsim over the selected list, and
+      // keeps the per-query argmax — exactly the Spark HOF's step
+      "retrieve_mmr" ->
+        s"""WITH RECURSIVE
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |      FROM embeddings WHERE embedding IS NOT NULL),
+           |pts AS (SELECT vec_id, unnest(range(len(v))) AS dim,
+           |               CAST(floor(unnest(v) * ${graft.operators.IntegerKMeans.Scale}) AS BIGINT) AS q
+           |        FROM e),
+           |rel0 AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS id, SUM(q.q * c.q) AS rel
+           |  FROM pts q JOIN pts c ON c.dim = q.dim AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < $NQueries
+           |  GROUP BY 1, 2),
+           |cand AS (SELECT query_id, id, rel FROM rel0
+           |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) <= $MmrN),
+           |sims AS (
+           |  SELECT a.query_id, a.id AS ia, b.id AS ib, SUM(p1.q * p2.q) AS sim
+           |  FROM cand a JOIN cand b ON b.query_id = a.query_id AND b.id <> a.id
+           |    JOIN pts p1 ON p1.vec_id = a.id
+           |    JOIN pts p2 ON p2.vec_id = b.id AND p2.dim = p1.dim
+           |  GROUP BY 1, 2, 3),
+           |sel AS (
+           |  (SELECT query_id, 1 AS step, id, [id] AS sel_ids, rel
+           |   FROM cand
+           |   QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) = 1)
+           |  UNION ALL
+           |  (SELECT s.query_id, s.step + 1, c.id, list_append(s.sel_ids, c.id), c.rel
+           |   FROM sel s
+           |   JOIN cand c ON c.query_id = s.query_id AND NOT list_contains(s.sel_ids, c.id)
+           |   JOIN sims m ON m.query_id = s.query_id AND m.ia = c.id
+           |     AND list_contains(s.sel_ids, m.ib)
+           |   WHERE s.step < $MmrK
+           |   GROUP BY s.query_id, s.step, s.sel_ids, c.id, c.rel
+           |   QUALIFY row_number() OVER (PARTITION BY s.query_id
+           |     ORDER BY $MmrLamNum*c.rel - $MmrLamDen*max(m.sim) DESC, c.id) = 1))
+           |SELECT query_id, CAST(step AS BIGINT) AS rnk, id AS doc_id,
+           |       CAST(rel AS BIGINT) AS rel
+           |FROM sel""".stripMargin)
   }
 }

@@ -71,4 +71,49 @@ class SimilaritySpec extends AnyFunSuite {
     // deterministic, so the floor is a regression pin, not a flaky bound
     assert(recall >= 0.6, f"recall@10 = $recall%.2f")
   }
+
+  test("retrieve_mmr: valid greedy trace, diversity actually binds, one exchange after candidates") {
+    import org.apache.spark.sql.functions._
+    val df = queries.SimilarityQueries.queries("retrieve_mmr")(spark, dir)
+    val rows = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rel")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    // integer relevance order per query from the exact dot products
+    val pts = graft.operators.IntegerKMeans.quantize(
+      Tables.load(spark, dir, "embeddings").filter(col("embedding").isNotNull)).cache()
+    val q = pts.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val rel = aggregate(zip_with(col("qqv"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val relRows = pts.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("id"), rel.as("rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var diverged = false
+    for ((qid, picks) <- byQ) {
+      val ordered = picks.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to picks.length), s"dense rnk for query $qid")
+      assert(ordered.map(_._3).distinct.length == picks.length, s"duplicate pick for $qid")
+      // first pick IS the relevance argmax (ties to lowest id)
+      val best = relRows.filter(_._1._1 == qid).toSeq.map { case ((_, id), r) => (-r, id) }.min
+      assert(ordered.head._3 == best._2, s"first MMR pick != argmax rel for $qid")
+      assert(ordered.head._4 == -best._1)
+      // rel column carries the true dot product for every pick
+      ordered.foreach { case (_, _, id, r) => assert(relRows((qid, id)) == r) }
+      // diversity must bind somewhere: picks 2..k not the pure rel order
+      val topByRel = relRows.filter(_._1._1 == qid).toSeq
+        .map { case ((_, id), r) => (-r, id) }.sorted.take(picks.length).map(_._2)
+      if (ordered.map(_._3).toSeq != topByRel) diverged = true
+    }
+    assert(diverged, "vacuous: MMR equals pure relevance ranking on every query")
+    // one shuffle: the window and the groupBy share the query_id hash
+    // partitioning, and the greedy itself is a projection — so the whole
+    // selection costs the candidate top-N exchange and nothing more
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0) // AQE echoes the pre-AQE plan below
+    val nEx = "(?m)^[^\\n]*\\bExchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx <= 1, s"MMR plan re-shuffles after the candidate pass:\n$p")
+    spark.catalog.clearCache()
+  }
 }
