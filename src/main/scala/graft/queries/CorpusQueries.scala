@@ -280,6 +280,44 @@ object CorpusQueries extends QueryModule {
     // window — no stage re-reads the input.
     "pipeline_curate" -> { (s, dir) => pipelineCurate(s, dir) },
 
+    // Per-document FATE TRACE through the curation DAG — the operability
+    // query behind every "why did doc X disappear from the training
+    // set?" ticket a 100 TB pipeline fields: ONE row per corpus doc with
+    // the stage that ended it (gate_failed → dup → eval_split →
+    // contaminated → kept, in DAG order), the exact-dedup winner it lost
+    // to, its decontam fraction, and its packed shard location when it
+    // survived everything. Composes the SAME stage algebra the pipeline
+    // runs (qualityGate / curatedKept / contamination / pipelineCurate —
+    // one definition, so the audit can never drift from the pipeline),
+    // joined back to the full corpus with request-shaped left joins; the
+    // oracle replays the stage CTEs and the verdict CASE verbatim.
+    "pipeline_audit" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
+      val quality = qualityGate(docs)
+      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
+      val dups = quality.select($"doc_id", md5($"text").as("ch"))
+        .join(win, "ch").select($"doc_id", $"keep_id")
+      val kept = curatedKept(s, dir)
+      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
+      val contam = contamination(sh)
+        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val packed = pipelineCurate(s, dir).select($"doc_id", $"shard", $"shard_offset")
+      docs.select($"doc_id", $"n_tokens")
+        .join(dups, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(packed, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          when($"keep_id".isNull, lit("gate_failed"))
+            .when($"keep_id" =!= $"doc_id", lit("dup"))
+            .when($"doc_id" % EvalMod === 0, lit("eval_split"))
+            .when($"contam_frac" >= 0.5, lit("contaminated"))
+            .otherwise(lit("kept")).as("fate"),
+          when($"keep_id" =!= $"doc_id", $"keep_id").as("dup_of"),
+          $"contam_frac", $"shard", $"shard_offset")
+    },
+
     // Cross-source overlap matrix from per-source MinHash signatures —
     // the corpus-mixing / cross-source-contamination signal ("how much of
     // src7 is already in src3?"). Exact pairwise intersection of shingle
@@ -1101,6 +1139,54 @@ object CorpusQueries extends QueryModule {
          |  CAST(cb // $PackBudget AS BIGINT) AS shard,
          |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
          |FROM c""".stripMargin,
+
+    // pipeline_curate's stage CTEs replayed, joined back to every corpus
+    // doc with the DAG-ordered verdict CASE
+    "pipeline_audit" ->
+      s"""WITH docs AS (SELECT doc_id, text,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |quality AS (SELECT * FROM docs WHERE n_tokens >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keepw AS (SELECT md5(text) AS ch, min(doc_id) AS keep_id
+         |          FROM quality GROUP BY md5(text)),
+         |dups AS (SELECT q.doc_id, k.keep_id
+         |         FROM quality q JOIN keepw k ON md5(q.text) = k.ch),
+         |kept AS (SELECT q.doc_id, q.text, q.n_tokens
+         |         FROM quality q JOIN dups d ON q.doc_id = d.doc_id
+         |           AND d.keep_id = q.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg
+         |             FROM (SELECT doc_id, $oTokens AS w FROM kept))),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contam AS (
+         |  SELECT tr.doc_id,
+         |    CAST(CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |      / count(*) AS contam_frac
+         |  FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |  LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id),
+         |train AS (SELECT doc_id, n_tokens FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam WHERE contam_frac >= 0.5)),
+         |c AS (SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM train),
+         |packed AS (SELECT doc_id,
+         |    CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |    CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |  FROM c)
+         |SELECT d.doc_id, d.n_tokens,
+         |  CASE WHEN du.keep_id IS NULL THEN 'gate_failed'
+         |       WHEN du.keep_id <> d.doc_id THEN 'dup'
+         |       WHEN d.doc_id % $EvalMod = 0 THEN 'eval_split'
+         |       WHEN ct.contam_frac >= 0.5 THEN 'contaminated'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN du.keep_id <> d.doc_id THEN du.keep_id END AS dup_of,
+         |  ct.contam_frac, p.shard, p.shard_offset
+         |FROM docs d LEFT JOIN dups du ON du.doc_id = d.doc_id
+         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |  LEFT JOIN packed p ON p.doc_id = d.doc_id""".stripMargin,
 
     "corpus_overlap" -> {
       val sigCols = permA.indices
