@@ -132,7 +132,7 @@ object IntIvfIndex {
     cs
   }
 
-  private def writePq(spark: SparkSession, dir: String,
+  private[graft] def writePq(spark: SparkSession, dir: String,
       cb: IndexedSeq[Seq[(Long, Array[Long])]], dSub: Int, kc: Int): Unit = {
     import spark.implicits._
     val rows = (-1L, -1L, Seq(dSub.toLong, kc.toLong)) +:
@@ -168,13 +168,31 @@ object IntIvfIndex {
     * (IntIvfAdcSpec pins it); tombstoned ids never appear. */
   def probeAdc(spark: SparkSession, dir: String, queries: DataFrame,
       nprobe: Int, k: Int, shortlist: Int): DataFrame = {
-    import spark.implicits._
     val cents = loadCentroids(spark, dir)
     if (cents.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq("query_id", "neighbor_id", "d2", "rnk")
           .map(StructField(_, LongType))))
     val (cb, dSub, kc) = loadPq(spark, dir)
+    probeAdcCore(spark, cents, cb, dSub, kc, queries, nprobe, k, shortlist,
+      cells => masked(spark, dir,
+        spark.read.parquet(dir).filter(col("cluster").isin(cells: _*))))
+  }
+
+  /** The ADC probe over any cell-pruned corpus reader — shared by the
+    * static [[probeAdc]] and the streaming
+    * [[graft.streaming.MaintainedIntIvfIndex]] (batch-gated reader), so
+    * the two artifacts answer with one algebra. `scan(cells)` must
+    * return (vec_id, cluster, codes, qv) rows of exactly those cells;
+    * the candidate pass projects (vec_id, cluster, codes) — the
+    * projection pushes through the reader to the parquet scan, keeping
+    * the never-reads-qv column-pruning claim. */
+  private[graft] def probeAdcCore(spark: SparkSession,
+      cents: Seq[(Long, Array[Long])],
+      cb: IndexedSeq[Seq[(Long, Array[Long])]], dSub: Int, kc: Int,
+      queries: DataFrame, nprobe: Int, k: Int, shortlist: Int,
+      scan: Seq[Long] => DataFrame): DataFrame = {
+    import spark.implicits._
     val mCnt = cb.length
     val qrows = queries.select(col("vec_id").cast("long"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
@@ -182,9 +200,7 @@ object IntIvfIndex {
       .toDF("query_id", "cluster", "qdtab", "qqv")
     val cells = qdf.select(col("cluster")).distinct().collect().map(_.getLong(0))
     // candidate pass: column-pruned to (vec_id, codes) — never reads qv
-    val coded = masked(spark, dir,
-      spark.read.parquet(dir).filter(col("cluster").isin(cells: _*))
-        .select(col("vec_id"), col("cluster"), col("codes")))
+    val coded = scan(cells).select(col("vec_id"), col("cluster"), col("codes"))
     val sw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
     val short = coded.join(broadcast(qdf), Seq("cluster"))
@@ -196,8 +212,7 @@ object IntIvfIndex {
       .select(col("query_id"), col("qqv"), col("neighbor_id"))
     // re-rank: the SAME pruned cells, now reading (vec_id, qv), gated by
     // the broadcast shortlist — |queries|·shortlist rows see a vector
-    val vecs = spark.read.parquet(dir).filter(col("cluster").isin(cells: _*))
-      .select(col("vec_id"), col("qv"))
+    val vecs = scan(cells).select(col("vec_id"), col("qv"))
     val d2 = aggregate(zip_with(col("qqv"), col("qv"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
     val w = org.apache.spark.sql.expressions.Window

@@ -5,9 +5,10 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bm25Index, VectorIndex}
+import graft.operators.{Bm25Index, IntIvfIndex, IntegerKMeans, VectorIndex}
 import graft.queries.RetrievalQueries
-import graft.streaming.{MaintainedBm25Index, MaintainedVectorIndex, StreamingRetrieval}
+import graft.streaming.{MaintainedBm25Index, MaintainedIntIvfIndex,
+  MaintainedVectorIndex, StreamingRetrieval}
 
 /** Streamed BM25 probing must equal the batch probe bit-for-bit: the
   * summed quantity is the exact scaled-long contribution, so window
@@ -199,6 +200,85 @@ class StreamingRetrievalSpec extends AnyFunSuite {
       "vacuum left removed vec_ids on disk")
     assert(!Files.exists(idxPath.resolve("tombstones")),
       "tombstones survived the vacuum")
+    spark.catalog.clearCache()
+  }
+
+  test("maintained IVFADC index: streamed == batch materializeAdc+probeAdc EXACTLY; replays skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val vecsDf = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").filter($"embedding".isNotNull)
+    val pts = IntegerKMeans.quantize(vecsDf).cache()
+    val rows = vecsDf.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val idxPath = Files.createTempDirectory("ivfm")
+    val idx = new MaintainedIntIvfIndex(idxPath, spark)
+    // quantizers frozen at bootstrap — BOTH centroids and codebooks, so
+    // streamed == batch is exact, not just per-bucket-function
+    val bootCents = idx.bootstrap(pts, k = 8, iters = 2,
+      mMax = 8, kc = 16, pqIters = 4, trainN = 64)
+    val queries = vecsDf.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    assert(idx.probeAdc(queries, 2, 5, 40).isEmpty, "probe before any commit must be empty")
+
+    val ms = MemoryStream[(Long, Array[Double])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-ivfm-").toString)
+      .foreachBatch(idx.update _)
+      .start()
+    ms.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(idx.lastCommitted >= 1, s"expected >=2 committed batches, got ${idx.lastCommitted}")
+
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val qpts = pts.filter($"vec_id" < 5)
+    val full = Files.createTempDirectory("ivfmf").toString
+    IntIvfIndex.materializeAdc(pts, full, k = 8, iters = 2,
+      mMax = 8, kc = 16, pqIters = 4, trainN = 64, cents = Some(bootCents))
+    val expected = hits(IntIvfIndex.probeAdc(spark, full, qpts, 2, 5, 40))
+    assert(expected.nonEmpty, "no ADC hits — test would be vacuous")
+    assert(hits(idx.probeAdc(queries, 2, 5, 40)) == expected,
+      "maintained ADC probe != batch materializeAdc+probeAdc on the union")
+
+    // a replayed batch id — even with DIFFERENT data — must be a no-op
+    idx.update(Seq((99999L, Array.fill(64)(1.0))).toDF("vec_id", "embedding"), 0L)
+    assert(hits(idx.probeAdc(queries, 2, 5, 40)) == expected,
+      "replayed batch mutated the index")
+
+    // out-of-band delete: exact mask (frozen quantizers depend on no
+    // per-batch state); removed ids sit outside the trainN=64 prefix so
+    // the rebuilt-without reference trains the same codebooks
+    val removed = rows.map(_._1).filter(id => id >= 64 && id % 5 == 3).toSet
+    assert(removed.nonEmpty, "takedown set empty — vacuous")
+    idx.delete(removed.toSeq.toDF("vec_id"))
+    val remainingIdx = Files.createTempDirectory("ivfmr").toString
+    IntIvfIndex.materializeAdc(pts.filter(!$"vec_id".isin(removed.toSeq: _*)),
+      remainingIdx, k = 8, iters = 2, mMax = 8, kc = 16, pqIters = 4,
+      trainN = 64, cents = Some(bootCents))
+    val afterDelete = hits(idx.probeAdc(queries, 2, 5, 40))
+    assert(afterDelete ==
+      hits(IntIvfIndex.probeAdc(spark, remainingIdx, qpts, 2, 5, 40)),
+      "maintained ADC probe after delete != rebuild on remaining vectors")
+    assert(afterDelete != expected, "vacuous: delete changed no probe result")
+    idx.vacuum()
+    assert(hits(idx.probeAdc(queries, 2, 5, 40)) == afterDelete,
+      "vacuum changed the probe")
+    val survivors = spark.read.parquet(idxPath.resolve("vectors").toString)
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    assert(survivors.intersect(removed).isEmpty,
+      "vacuum left removed vec_ids on disk")
+    assert(!Files.exists(idxPath.resolve("tombstones")),
+      "tombstones survived the vacuum")
+    pts.unpersist()
     spark.catalog.clearCache()
   }
 }
