@@ -71,7 +71,11 @@ object CurationJob {
     val curatedDir = s"$outDir/curated"
     // digest third: DailyIncrement's corpus-precedes-batch exact dedup
     // anti-joins tomorrow's batch against it (content-addressed manifest)
+    // added_batch LAST (positional readers see 0..2 unchanged): batch 0
+    // is day 0; each DailyIncrement stamps its own id — the provenance
+    // column behind the as-of readers (DailyIncrement.manifestAsOf)
     kept.select(col("doc_id"), col("n_tokens"), md5(col("text")).as("digest"))
+      .withColumn("added_batch", lit(0L))
       .write.mode("overwrite").parquet(curatedDir)
     val shardsDir = s"$outDir/shards"
     val nShards = PackedExport.writeShards(
@@ -113,6 +117,7 @@ object CurationJob {
     // so day0 and the daily path apply the identical benchmark.
     val evalhDir = s"$outDir/evalh"
     CorpusQueries.curatedEvalH(spark, sfDir, tok, docFilter)
+      .withColumn("added_batch", lit(0L))
       .write.mode("overwrite").parquet(evalhDir)
     val qualityDir = s"$outDir/quality"
     val labeled = docs.select(col("doc_id"), col("text"))

@@ -208,11 +208,68 @@ object DailyIncrement {
       .select($"vec_id", $"embedding")
       .write.parquet(s"$pend/vectors")
     Seq(base).toDF("pack_base").coalesce(1).write.parquet(s"$pend/base")
+    // this increment's batch id, staged so every apply step (and any
+    // crash-recovery retry) stamps the SAME value — derived at apply
+    // time it would drift once the curated step commits
+    Seq(nextBatchNo(spark, outDir)).toDF("batch_no").coalesce(1)
+      .write.parquet(s"$pend/batchno")
     java.nio.file.Files.createFile(java.nio.file.Paths.get(pend, "_staged"))
 
     val n = keptStaged.count()
     manifest.unpersist(); deduped.unpersist(); batchEvalH.unpersist()
     n
+  }
+
+  /** The next unused batch id: max committed `added_batch` + 1. Day-0
+    * trees from before the provenance column read as batch 0. */
+  private def nextBatchNo(spark: SparkSession, outDir: String): Long = {
+    val cur = spark.read.parquet(s"$outDir/curated")
+    val base = if (cur.columns.contains("added_batch"))
+      cur.agg(coalesce(max(col("added_batch")), lit(0L))).head.getLong(0)
+    else 0L
+    base + 1
+  }
+
+  private def provCol(df: org.apache.spark.sql.DataFrame) =
+    if (df.columns.contains("added_batch")) coalesce(col("added_batch"), lit(0L))
+    else lit(0L)
+
+  /** Committed batch ids, ascending (0 = day 0) — the as-of axis. */
+  def batches(spark: SparkSession, outDir: String): Seq[Long] = {
+    import spark.implicits._
+    val cur = spark.read.parquet(s"$outDir/curated")
+    cur.select(provCol(cur).as("b")).distinct().as[Long].collect().sorted.toSeq
+  }
+
+  /** TIME TRAVEL over the curation tree: the curated manifest exactly as
+    * a trainer saw it after batch `n` committed — reproducibility's
+    * core object ("which documents was the run trained on?"), answered
+    * from the standing artifacts with one metadata filter, no snapshot
+    * copies. Reads THROUGH [[Takedown.manifest]], so a document the
+    * pipeline has since been ordered to forget is absent from EVERY
+    * historical view — time travel must not resurrect forgotten data,
+    * and after a [[Takedown.scrub]] the history is physically rewritten
+    * (the one deliberate deviation from bit-exact historical replay,
+    * documented there). */
+  def manifestAsOf(spark: SparkSession, outDir: String, n: Long): org.apache.spark.sql.DataFrame = {
+    val m = Takedown.manifest(spark, outDir)
+    m.filter(provCol(m) <= n)
+  }
+
+  /** The training shards as of batch `n`: the shard rows of exactly the
+    * [[manifestAsOf]] documents. Placement (shard id / offset) reflects
+    * any later [[Takedown.repack]] — the doc SET is historical, the
+    * packing is current (erasure rewrites placement by design). */
+  def shardsAsOf(spark: SparkSession, outDir: String, n: Long): org.apache.spark.sql.DataFrame =
+    Takedown.shards(spark, outDir)
+      .join(manifestAsOf(spark, outDir, n).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+
+  /** The eval-shingle benchmark as of batch `n` — what the decontam
+    * stage actually checked against at that point in the tree's life. */
+  def evalhAsOf(spark: SparkSession, outDir: String, n: Long): org.apache.spark.sql.DataFrame = {
+    val e = Takedown.evalh(spark, outDir)
+    e.filter(provCol(e) <= n)
   }
 
   /** Finish a crashed increment: execute every not-yet-done artifact
@@ -235,6 +292,13 @@ object DailyIncrement {
 
     val kept = spark.read.parquet(s"$pend/kept") // doc_id, text, lang, n_tokens, digest
     val base = spark.read.parquet(s"$pend/base").head.getLong(0)
+    // staged batch id; a pre-provenance staging dir (no batchno file)
+    // derives it here — safe because the derivation is idempotent until
+    // the curated step commits, which is the first stamped write
+    val batchNo =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$pend/batchno")))
+        spark.read.parquet(s"$pend/batchno").head.getLong(0)
+      else nextBatchNo(spark, outDir)
 
     def step(name: String)(body: => Unit): Unit = {
       val marker = java.nio.file.Paths.get(pend, s"$name.done")
@@ -248,6 +312,7 @@ object DailyIncrement {
 
     step("curated") {
       kept.select($"doc_id", $"n_tokens", $"digest")
+        .withColumn("added_batch", lit(batchNo))
         .write.mode("append").parquet(s"$outDir/curated")
     }
     // extend the persisted benchmark: tomorrow's batch must check against
@@ -257,6 +322,7 @@ object DailyIncrement {
     // read side goes through .distinct().
     step("evalh") {
       spark.read.parquet(s"$pend/evalh")
+        .withColumn("added_batch", lit(batchNo))
         .write.mode("append").parquet(s"$outDir/evalh")
     }
     step("shards") {

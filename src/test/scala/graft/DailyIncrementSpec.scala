@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bm25Index, CurationJob, DailyIncrement, DsirModel}
+import graft.operators.{Bm25Index, CurationJob, DailyIncrement, DsirModel, Takedown}
 import graft.queries.CorpusQueries
 
 /** The daily-increment path: day0 CurationJob over the corpus split +
@@ -394,6 +394,69 @@ class DailyIncrementSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet ==
       DsirModel.load(spark, s"$cleanDir/dsir").collect().map(_.toSeq).toSet,
       "replay mutated the dsir model")
+    spark.catalog.clearCache()
+  }
+
+  test("as-of readers: every historical manifest/shards/evalh view equals the live snapshot taken then; takedown purges history") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-asof-").toString
+
+    def manifestNow = Takedown.manifest(spark, dir)
+      .select($"doc_id", $"n_tokens", $"digest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def shardsNow = Takedown.shards(spark, dir)
+      .select($"doc_id", $"shard".cast("long"), $"shard_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def evalhNow = Takedown.evalh(spark, dir)
+      .select($"doc_id", $"h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    CurationJob.run(spark, sf, dir, docFilter = col("doc_id") % 10 =!= 0)
+    val snaps = scala.collection.mutable.ArrayBuffer(
+      (manifestNow, shardsNow, evalhNow))
+    val r1 = DailyIncrement.run(spark, sf, dir,
+      batchFilter = col("doc_id") % 20 === 0)
+    snaps += ((manifestNow, shardsNow, evalhNow))
+    val r2 = DailyIncrement.run(spark, sf, dir,
+      batchFilter = col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    snaps += ((manifestNow, shardsNow, evalhNow))
+    assert(r1.nBatchKept > 0 && r2.nBatchKept > 0, "vacuous: a batch kept nothing")
+    assert(DailyIncrement.batches(spark, dir) == Seq(0L, 1L, 2L))
+
+    for (n <- 0 to 2) {
+      val (m, sh, ev) = snaps(n)
+      assert(DailyIncrement.manifestAsOf(spark, dir, n)
+        .select($"doc_id", $"n_tokens", $"digest")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == m,
+        s"manifestAsOf($n) != snapshot after batch $n")
+      assert(DailyIncrement.shardsAsOf(spark, dir, n)
+        .select($"doc_id", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == sh,
+        s"shardsAsOf($n) != snapshot after batch $n")
+      assert(DailyIncrement.evalhAsOf(spark, dir, n)
+        .select($"doc_id", $"h")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == ev,
+        s"evalhAsOf($n) != snapshot after batch $n")
+    }
+    // the views are genuinely different epochs
+    assert(snaps(0)._1 != snaps(1)._1 && snaps(1)._1 != snaps(2)._1)
+
+    // right-to-be-forgotten beats time travel: after a takedown of one
+    // day-0 doc and one batch-1 doc, NO historical view contains them
+    val m1 = snaps(1)._1.map(_._1)
+    val removed = Seq(snaps(0)._1.map(_._1).min,
+      (m1 -- snaps(0)._1.map(_._1)).min)
+    val payload = Tables.load(spark, sf, "documents")
+      .filter($"doc_id".isin(removed: _*)).select($"doc_id", $"text", $"lang")
+    Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en")
+    for (n <- 0 to 2) {
+      val ids = DailyIncrement.manifestAsOf(spark, dir, n)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(removed.forall(!ids.contains(_)),
+        s"time travel resurrected a forgotten doc at batch $n")
+    }
     spark.catalog.clearCache()
   }
 }
