@@ -216,6 +216,44 @@ object DedupQueries extends QueryModule {
     // Exact n-gram Jaccard near-dup pairs (inverted-index self-join).
     "dedup_ngram_jaccard" -> { (s, dir) => jaccardPairs(s, dir) },
 
+    // PageRank centrality over the near-dup graph, HASH-EXACT — the
+    // link-analysis complement to dedup_best_keep's quality rule for
+    // canonical-document selection: in a duplication neighborhood
+    // (mirror farms, quote chains, boilerplate families), the doc most
+    // linked-to by near-duplicates is the natural representative, and
+    // centrality also grades how "templated" a doc is for mixing
+    // decisions. Entirely scaled-long (Page et al. 1999 with d = 0.85
+    // as the rational 85/100: pr' = (15·Q)÷100 + (85·Σ pr÷deg)÷100 on a
+    // 10¹² total mass, every ÷ an integer floor), fixed PrIters
+    // iterations, so the whole trace re-derives bit-identically in
+    // DuckDB as an unrolled CTE chain. Scale shape: nodes partition by
+    // doc_id, each iteration shuffles only EDGE-sized contribution rows
+    // (near-dup pairs are candidate-bounded by construction) plus the
+    // |docs| teleport join — never text, never shingles; iteration
+    // count is a constant, the textbook power-method bound.
+    "dedup_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id").cache()
+      val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .cache()
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val q = PrMass / docs.count()
+      val tele = (15L * q) / 100L
+      var pr = docs.select($"doc_id", lit(q).as("pr"))
+      for (_ <- 1 to PrIters) {
+        val contrib = pr.join(deg, pr("doc_id") === deg("src"))
+          .select($"src", expr("pr div deg").as("c"))
+        val inSum = edges.join(contrib, "src")
+          .groupBy($"dst").agg(sum($"c").as("s"))
+        pr = docs.join(inSum.select($"dst".as("doc_id"), $"s"), Seq("doc_id"), "left")
+          .select($"doc_id",
+            (lit(tele) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+      }
+      pr
+    },
+
     // ASYMMETRIC containment pairs — the duplication class Jaccard
     // structurally misses: a short doc wholly embedded in a long one
     // (a quoted article inside a forum dump, boilerplate-wrapped
@@ -677,6 +715,11 @@ object DedupQueries extends QueryModule {
     * are non-trivial on the 10³-vector corpora, see scaling note on
     * [[semanticVerdicts]]). */
   val SemBits = 4
+
+  /** dedup_pagerank: total scaled probability mass and power-method
+    * iteration count — shared verbatim with the unrolled oracle CTEs. */
+  private val PrMass = 1000000000000L
+  private val PrIters = 3
   private[graft] def semPlanesFor(bits: Int) = embPlanesFor(1, bits)
 
   /** dedup_lines segment width — the operator's knob (see
@@ -853,6 +896,36 @@ object DedupQueries extends QueryModule {
            |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
            |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
+
+      "dedup_pagerank" -> {
+        val iterCtes = (1 to PrIters).map { i =>
+          s"""pr$i AS (
+             |  SELECT d.doc_id,
+             |    (15 * ($PrMass // (SELECT n FROM nn))) // 100
+             |      + (85 * coalesce(s.s, 0)) // 100 AS pr
+             |  FROM documents d LEFT JOIN (
+             |    SELECT e.dst AS doc_id, SUM(p.pr // g.deg) AS s
+             |    FROM edges e JOIN pr${i - 1} p ON p.doc_id = e.src
+             |                 JOIN deg g ON g.src = e.src
+             |    GROUP BY e.dst) s ON s.doc_id = d.doc_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |jp AS (
+           |  SELECT doc_a, doc_b
+           |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+           |          UNION ALL SELECT doc_b, doc_a FROM jp),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |pr0 AS (SELECT doc_id, $PrMass // (SELECT n FROM nn) AS pr FROM documents),
+           |$iterCtes
+           |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM pr$PrIters""".stripMargin
+      },
 
       "dedup_containment" ->
         s"""WITH $oShingleCtes,

@@ -338,4 +338,24 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall = ${lsh.size}/${exact.size}")
     spark.catalog.clearCache()
   }
+
+  test("dedup_pagerank: near-dup members outrank isolated docs; teleport floor exact; mass bounded") {
+    import org.apache.spark.sql.functions._
+    val pr = queries.DedupQueries.queries("dedup_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val linked = queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(linked.nonEmpty, "no near-dup edges — vacuous")
+    val n = pr.size
+    val q = 1000000000000L / n
+    val tele = (15L * q) / 100L
+    // isolated docs sit exactly at the teleport floor; every doc inside
+    // a duplication neighborhood accumulates link mass above it
+    for ((id, v) <- pr)
+      if (!linked(id)) assert(v == tele, s"isolated doc $id off the teleport floor: $v")
+      else assert(v > tele, s"linked doc $id did not accumulate centrality: $v")
+    // floors only ever LOSE mass: total stays under the initial 10^12
+    assert(pr.values.map(BigInt(_)).sum <= BigInt(1000000000000L))
+    spark.catalog.clearCache()
+  }
 }
