@@ -635,6 +635,39 @@ object EventQueries extends QueryModule {
           ($"inter_cnt" * $"est_union" / lit(k.toDouble)).as("est_inter"))
     },
 
+    // Sliding-window distinct estimation FROM PER-DAY SKETCHES — the
+    // production pattern behind every "distinct users, trailing N days"
+    // dashboard at 100 TB: one corpus pass builds a k-long KMV sketch
+    // per day, and ANY window is answered by merging the member days'
+    // sketches (the k smallest of the union of per-day minima ARE the
+    // window's KMV sketch — the ev_kmv_setops mergeability argument
+    // along the time axis), never re-scanning events. The oracle
+    // computes each window's sketch FROM SCRATCH over the raw rows, so
+    // the hash equality is the merge ≡ recompute proof (the
+    // ev_stats_incr doctrine); |days|×k longs of state total.
+    "ev_kmv_sliding" -> { (s, dir) =>
+      import s.implicits._
+      val k = KmvK
+      val perDay = Tables.load(s, dir, "events")
+        .select(to_date($"ts".cast("timestamp")).as("day"),
+          CrossHash.h60($"user_id".cast("string")).as("h"))
+        .groupBy($"day")
+        .agg(call_function("graft_kmv", $"h", lit(k)).as("mins"))
+      val windows = perDay.as("a").join(perDay.as("b"),
+          $"b.day" >= date_sub($"a.day", 2) && $"b.day" <= $"a.day")
+        .select($"a.day".as("day"), explode($"b.mins").as("h"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"day").orderBy($"h")
+      windows.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+        .groupBy($"day")
+        .agg(count(lit(1)).as("kmv_n"), max($"h").as("kmv_kth"))
+        .select($"day", $"kmv_n", $"kmv_kth",
+          when($"kmv_n" < k, $"kmv_n".cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(HashSpace).cast("double") / $"kmv_kth")
+            .as("est_users"))
+    },
+
     // Incremental materialized-view maintenance: a per-type stats view
     // (count / decimal sum / min / max / KMV distinct sketch) refreshed by
     // MERGING yesterday's state with a delta aggregate — never rescanning
@@ -791,6 +824,25 @@ object EventQueries extends QueryModule {
          |SELECT type_a, type_b, union_n, est_union, inter_cnt,
          |  inter_cnt * est_union / ${KmvK.toDouble} AS est_inter
          |FROM y""".stripMargin,
+
+    // from-scratch per-window recompute — hash equality vs the Spark
+    // sketch-merge path proves merge ≡ recompute (see the query comment)
+    "ev_kmv_sliding" ->
+      s"""WITH h AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    ${CrossHash.oH60("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |hh AS (SELECT day, h FROM h WHERE h IS NOT NULL),
+         |days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+         |win AS (SELECT DISTINCT d.day, x.h
+         |        FROM days d JOIN hh x ON x.day BETWEEN d.day - 2 AND d.day),
+         |r AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rk FROM win),
+         |s AS (SELECT day, CAST(count(*) AS BIGINT) AS kmv_n, max(h) AS kmv_kth
+         |      FROM r WHERE rk <= $KmvK GROUP BY day)
+         |SELECT day, kmv_n, kmv_kth,
+         |  CASE WHEN kmv_n < $KmvK THEN CAST(kmv_n AS DOUBLE)
+         |       ELSE ${(KmvK - 1).toDouble} * CAST($HashSpace AS DOUBLE) / kmv_kth
+         |  END AS est_users
+         |FROM s""".stripMargin,
 
     "ev_keyset_scan" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
