@@ -41,6 +41,10 @@ object EventQueries extends QueryModule {
     * picks per-jurisdiction values). */
   private val KAnonK = 5
 
+  /** layout_zorder: bits per interleaved dimension — shared with the
+    * oracle's interleave-expression generator. */
+  private val ZBits = 8
+
   /** ev_kmv_distinct sketch size and the h60 hash space — aliases of the
     * [[graft.operators.MergeableStats]] constants (the oracle SQL
     * interpolates them, so the query and the streaming StatsView share one
@@ -635,6 +639,28 @@ object EventQueries extends QueryModule {
           ($"inter_cnt" * $"est_union" / lit(k.toDouble)).as("est_inter"))
     },
 
+    // Z-ORDER layout key (Morton interleave of min-max-bucketed
+    // user_id × event-time) — the multi-dimensional clustering key
+    // behind [[graft.operators.ZOrderLayout]]: sorting by it gives
+    // every output file a narrow min/max envelope on BOTH dimensions,
+    // so file/row-group pruning works for filters on either (the
+    // Delta/Iceberg Z-ORDER BY operation). ZOrderSpec measures the
+    // pruning claim against a time-sorted layout; THIS query pins the
+    // key algebra itself cross-engine — all integer (exact-divisible
+    // floored scaling + shift/and interleave), so the full z-value
+    // column hash-matches DuckDB bit for bit.
+    "layout_zorder" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.ZOrderLayout
+      val e = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id".cast("long").as("a"),
+          unix_micros($"ts").as("b"))
+      val r = e.agg(min($"a"), max($"a"), min($"b"), max($"b")).head()
+      e.select($"event_id", ZOrderLayout.zval(
+        $"a", r.getLong(0), r.getLong(1),
+        $"b", r.getLong(2), r.getLong(3), ZBits).as("zval"))
+    },
+
     // Sliding-window distinct estimation FROM PER-DAY SKETCHES — the
     // production pattern behind every "distinct users, trailing N days"
     // dashboard at 100 TB: one corpus pass builds a k-long KMV sketch
@@ -824,6 +850,24 @@ object EventQueries extends QueryModule {
          |SELECT type_a, type_b, union_n, est_union, inter_cnt,
          |  inter_cnt * est_union / ${KmvK.toDouble} AS est_inter
          |FROM y""".stripMargin,
+
+    // the same bucket-and-interleave arithmetic in SQL bit ops
+    "layout_zorder" -> {
+      val inter = (0 until ZBits).map { j =>
+        s"(((ba >> $j) & 1) << ${2 * j + 1}) + (((bb >> $j) & 1) << ${2 * j})"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS a,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS b FROM events),
+         |st AS (SELECT min(a) AS amin, max(a) AS amax,
+         |              min(b) AS bmin, max(b) AS bmax FROM e),
+         |bk AS (SELECT event_id,
+         |    ((a - (SELECT amin FROM st)) * ${1L << ZBits})
+         |      // ((SELECT amax - amin + 1 FROM st)) AS ba,
+         |    ((b - (SELECT bmin FROM st)) * ${1L << ZBits})
+         |      // ((SELECT bmax - bmin + 1 FROM st)) AS bb
+         |  FROM e)
+         |SELECT event_id, CAST($inter AS BIGINT) AS zval FROM bk""".stripMargin
+    },
 
     // from-scratch per-window recompute — hash equality vs the Spark
     // sketch-merge path proves merge ≡ recompute (see the query comment)
