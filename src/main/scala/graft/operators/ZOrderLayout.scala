@@ -1,79 +1,105 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Z-order (Morton-curve) data layout — the multi-dimensional clustering
-  * every lakehouse table format reaches for (Delta/Iceberg `Z-ORDER BY`)
-  * when queries filter on MORE THAN ONE column: a sort can cluster one
-  * dimension perfectly and leaves every other dimension scattered across
-  * all files; interleaving the dimensions' bits into one sort key gives
-  * every file a NARROW min/max envelope on EVERY participating column,
-  * so file- and row-group-level min/max pruning works for filters on any
-  * of them. At 100 TB this is the difference between "point query on
-  * user_id touches every file the ts-sorted table has" and "touches
-  * O(1/files) of them" — ZOrderSpec pins exactly that envelope-overlap
-  * ratio against a time-sorted layout of the same rows.
+/** Z-order (Morton-curve) storage layout: cluster a table on the bit
+  * interleave of two key columns so predicates on EITHER key prune at
+  * read time — the standard multi-dimensional data-skipping layout for
+  * 100 TB fact tables (a single-column sort prunes only its own column;
+  * the z-curve keeps both keys' value ranges narrow within every row
+  * group, so parquet min/max stats skip most of the file for point or
+  * range predicates on either key).
   *
-  * All integer algebra, deterministic and engine-exact: each dimension
-  * min-max-scales to `bits` buckets with one floored multiply-divide
-  * (`(x − min)·2^bits ÷ (max − min + 1)` — exact in longs), and the
-  * z-value interleaves the bucket bits (dimension 0 on odd positions).
-  * The battery query `layout_zorder` hash-checks the full z-value
-  * column against a DuckDB re-derivation. */
+  * Plain open-source Spark applies min/max skipping at the parquet
+  * ROW-GROUP level (pushed filters + footer stats — no table format
+  * needed); [[write]] therefore controls the row-group size so the
+  * skipping granularity is explicit. ZOrderSpec demonstrates the effect
+  * with scan-metric row counts: the same predicate reads an order of
+  * magnitude fewer rows from the z-ordered layout than from a layout
+  * sorted by the other key alone.
+  */
 object ZOrderLayout {
-  /** The scaled bucket of one dimension: (x − min)·2^bits ÷ (range+1),
-    * integer-exact: Column `/` is DOUBLE division, whose rounding can
-    * disagree with an engine's integer floor at quotient boundaries —
-    * so the remainder is subtracted first, making the numerator exactly
-    * divisible and the double quotient exact (needs (x−min)·2^bits
-    * < 2^53, comfortably true for bucketed dimensions). */
-  def bucket(x: Column, min: Long, max: Long, bits: Int): Column = {
+  /** Bit-interleaved z-value of two non-negative long columns: bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1 (statically unrolled
+    * — codegen folds it into one projection). Keys wider than `bitsPer`
+    * bits lose their HIGH bits' discrimination (clustering coarsens,
+    * correctness is unaffected — the z-value only orders the write);
+    * callers with wide domains (timestamps) should pre-shift to an
+    * offset, e.g. seconds since the table's min. */
+  def zValue(a: Column, b: Column, bitsPer: Int = 21): Column = {
+    require(bitsPer >= 1 && bitsPer <= 31, s"bitsPer out of range: $bitsPer")
+    (0 until bitsPer).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Quantile-bucket id (0 .. 2^bucketBits − 1) of a numeric column
+    * against precomputed boundaries: the count of boundaries ≤ value —
+    * a columnar O(B) scan of a literal array, codegen'd (B = 255 at the
+    * default 8 bits; a write-time cost, not a read-time one). */
+  private def bucketOf(c: Column, boundaries: Seq[Double]): Column =
+    size(filter(typedLit(boundaries), b => c.cast("double") >= b)).cast("long")
+
+  /** Write `df` z-clustered on (`colA`, `colB`).
+    *
+    * The keys are first normalized to RANK SPACE — each value maps to
+    * its approximate quantile bucket (2^bucketBits buckets from one
+    * `approxQuantile` pass per key) — and the z-value interleaves the
+    * bucket ids. Raw-value interleaving breaks on asymmetric key widths
+    * (measured here: a 17-bit event_id interleaved with a 14-bit
+    * user_id puts every top z-bit on event_id alone, so row groups never
+    * constrain user_id and nothing skips); rank space gives both keys
+    * equal weight at every z level regardless of domain width or skew.
+    *
+    * Files are range-partitioned on z (quantile-balanced), rows sorted
+    * within each file, row-group size bounded (the skipping granule).
+    * The z/bucket columns are dropped — the layout, not the schema,
+    * carries the clustering. */
+  def write(df: DataFrame, colA: String, colB: String, path: String,
+      files: Int = 32, bucketBits: Int = 8,
+      rowGroupBytes: Long = 8L << 20): Unit = {
+    require(files >= 1, s"files out of range: $files")
+    require(bucketBits >= 1 && bucketBits <= 16, s"bucketBits out of range: $bucketBits")
+    val b = 1 << bucketBits
+    val probs = (1 until b).map(_.toDouble / b).toArray
+    val Seq(qa, qb) = Seq(colA, colB).map { c =>
+      df.select(col(c).cast("double").as(c)).stat
+        .approxQuantile(c, probs, 0.005).toSeq
+    }
+    df.withColumn("_z",
+        zValue(bucketOf(col(colA), qa), bucketOf(col(colB), qb), bucketBits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
+
+  /** MIN-MAX bucket: (x − min)·2^bits ÷ (range+1), integer-exact — the
+    * ORACLE-EXACT normalization behind the `layout_zorder` battery
+    * query. [[write]]'s rank-space buckets cluster better under skew
+    * but approxQuantile boundaries are not cross-engine re-derivable;
+    * this floored linear scaling is, so the full z column hash-checks
+    * against DuckDB bit for bit. Column `/` is DOUBLE division, whose
+    * rounding can disagree with an engine's integer floor at quotient
+    * boundaries — subtracting the remainder first makes the numerator
+    * exactly divisible and the double quotient exact (needs
+    * (x−min)·2^bits < 2^53, comfortably true for bucketed domains). */
+  def minMaxBucket(x: Column, min: Long, max: Long, bits: Int): Column = {
     val p = (x - lit(min)) * lit(1L << bits)
     val q = lit(max - min + 1)
     ((p - p % q) / q).cast("long")
   }
 
-  /** Morton interleave of two bucket columns (already in [0, 2^bits)):
-    * bit j of `a` lands at position 2j+1, of `b` at 2j — plain shift/and
-    * arithmetic, whole-stage-codegen-friendly. */
-  def interleave(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { j =>
-      (shiftleft(shiftrightunsigned(a, j) % 2, 2 * j + 1)) +
-        (shiftleft(shiftrightunsigned(b, j) % 2, 2 * j))
-    }.reduce(_ + _)
-
-  /** The z-value of (a, b) under the given min/max envelopes. */
-  def zval(a: Column, aMin: Long, aMax: Long,
+  /** The oracle-exact z-value of (a, b) under min-max envelopes — `a`'s
+    * bucket bits on ODD positions (the layout_zorder oracle's layout:
+    * [[zValue]] puts its FIRST argument on even positions, so `b` rides
+    * first). */
+  def minMaxZval(a: Column, aMin: Long, aMax: Long,
       b: Column, bMin: Long, bMax: Long, bits: Int): Column =
-    interleave(bucket(a, aMin, aMax, bits).cast("long"),
-      bucket(b, bMin, bMax, bits).cast("long"), bits)
-
-  /** Write `df` z-ordered on two long columns: one stats pass for the
-    * envelopes, then range-partition by z-value into `files` output
-    * files, sorted within each — every file gets a contiguous z-range,
-    * i.e. a narrow rectangle in (a, b) space. Returns the envelopes
-    * (persist them beside the data if readers need to recompute z). */
-  def write(df: DataFrame, colA: String, colB: String, dir: String,
-      bits: Int = 8, files: Int = 16): (Long, Long, Long, Long) = {
-    val r = df.agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB)))
-      .head()
-    val (aMin, aMax, bMin, bMax) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    df.withColumn("zval",
-        zval(col(colA), aMin, aMax, col(colB), bMin, bMax, bits))
-      .repartitionByRange(files, col("zval"))
-      .sortWithinPartitions(col("zval"))
-      .write.mode("overwrite").parquet(dir)
-    (aMin, aMax, bMin, bMax)
-  }
-
-  /** Per-file min/max envelope of a column — the pruning statistic a
-    * format's manifest keeps; used by ZOrderSpec to measure how many
-    * files a point filter could skip. */
-  def fileEnvelopes(spark: SparkSession, dir: String, c: String): DataFrame =
-    spark.read.parquet(dir)
-      .select(input_file_name().as("file"), col(c))
-      .groupBy(col("file"))
-      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+    zValue(minMaxBucket(b, bMin, bMax, bits),
+      minMaxBucket(a, aMin, aMax, bits), bits)
 }

@@ -656,7 +656,7 @@ object EventQueries extends QueryModule {
         .select($"event_id", $"user_id".cast("long").as("a"),
           unix_micros($"ts").as("b"))
       val r = e.agg(min($"a"), max($"a"), min($"b"), max($"b")).head()
-      e.select($"event_id", ZOrderLayout.zval(
+      e.select($"event_id", ZOrderLayout.minMaxZval(
         $"a", r.getLong(0), r.getLong(1),
         $"b", r.getLong(2), r.getLong(3), ZBits).as("zval"))
     },

@@ -2,59 +2,90 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ZOrderLayout
 
-/** The Z-order layout must EARN its key: against a time-sorted layout
-  * of the same rows into the same number of files, a user_id point
-  * filter must be answerable from a small fraction of the z-ordered
-  * files (narrow per-file min/max envelopes on the NON-time dimension),
-  * while the time-sorted layout's files each span nearly every user.
-  * The key algebra itself is oracle-checked by `layout_zorder`. */
+/** Z-order layout: the interleave must be the textbook Morton code, and
+  * the written layout must actually SKIP — the same secondary-key
+  * predicate reads far fewer rows from the z-clustered files than from a
+  * primary-key-sorted layout (parquet row-group min/max pruning, measured
+  * via scan metrics — results themselves must be identical). */
 class ZOrderSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
 
-  test("point filters on the interleaved dimension prune z-ordered files; time-sort doesn't") {
+  test("zValue is the reference Morton interleave; locality beats single-key order") {
     import spark.implicits._
-    val e = Tables.load(spark, sf, "events")
-      .select($"event_id", $"user_id".cast("long").as("a"),
-        unix_micros($"ts").as("b"))
-      .cache()
-    val zDir = Files.createTempDirectory("graft-zorder-").toString
-    val tDir = Files.createTempDirectory("graft-tsort-").toString
-    val files = 16
-    ZOrderLayout.write(e, "a", "b", zDir, bits = 8, files = files)
-    e.repartitionByRange(files, $"b").sortWithinPartitions($"b")
-      .write.mode("overwrite").parquet(tDir)
+    def refMorton(a: Long, b: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits)
+        z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val pts = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select($"a", $"b", ZOrderLayout.zValue($"a", $"b", 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) == refMorton(a, b, 6), s"($a,$b)")
+    }
+    // z-adjacent points stay close in BOTH dims (curve locality): walking
+    // the curve, coordinates move by at most a quadrant boundary jump —
+    // pin the median step distance is tiny
+    val byZ = got.toSeq.sortBy(_._2).map(_._1)
+    val steps = byZ.sliding(2).map { case Seq((a1, b1), (a2, b2)) =>
+      math.abs(a1 - a2) + math.abs(b1 - b2)
+    }.toSeq.sorted
+    assert(steps(steps.size / 2) <= 3, s"median z-step distance ${steps(steps.size / 2)}")
+  }
 
-    // identical content, different clustering
-    def ids(d: String) = spark.read.parquet(d)
-      .select($"event_id").collect().map(_.getLong(0)).toSet
-    assert(ids(zDir) == ids(tDir) && ids(zDir).nonEmpty)
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numOutputRows").value).sum
+  }
 
-    def envs(d: String) = ZOrderLayout.fileEnvelopes(spark, d, "a")
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
-    val (zEnv, tEnv) = (envs(zDir), envs(tDir))
-    assert(zEnv.length >= files / 2 && tEnv.length >= files / 2,
-      "layouts produced too few files for the comparison to mean anything")
+  test("secondary-key predicates read far fewer rows from the z-ordered layout (row-group skipping)") {
+    import spark.implicits._
+    val events = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val dir = Files.createTempDirectory("graft-zorder-").toString
 
-    // a manifest prunes file f for `a = u` iff u outside [lo, hi] —
-    // average over every user how many files survive pruning
-    val users = e.select($"a").distinct().collect().map(_.getLong(0))
-    def avgOverlap(env: Array[(Long, Long)]) =
-      users.map(u => env.count { case (lo, hi) => lo <= u && u <= hi }).sum
-        .toDouble / users.length
-    val (zo, to) = (avgOverlap(zEnv), avgOverlap(tEnv))
-    // time-sorted files each span ~all users (events arrive interleaved
-    // across users), so overlap ≈ |files|; the z-order curve gives each
-    // file a narrow user envelope — require at least a 2× pruning win
-    assert(to > tEnv.length * 0.8,
-      s"baseline unexpectedly clustered on users (overlap $to of ${tEnv.length})")
-    assert(zo <= to / 2.0,
-      s"z-order pruning win < 2x: z=$zo vs t=$to files touched on average")
-    e.unpersist()
+    // linear: the common default — sorted by the primary key only
+    events.repartitionByRange(4, $"event_id")
+      .sortWithinPartitions("event_id")
+      .write.option("parquet.block.size", 64L << 10).parquet(s"$dir/linear")
+    // z-ordered on (event_id, user_id)
+    ZOrderLayout.write(events, "event_id", "user_id", s"$dir/zorder",
+      files = 4, rowGroupBytes = 64L << 10)
+
+    val linear = spark.read.parquet(s"$dir/linear")
+    val zord = spark.read.parquet(s"$dir/zorder")
+
+    // a selective predicate on the SECONDARY key
+    val uid = events.select($"user_id").limit(1).collect().head.getLong(0)
+    val lRows = scanRows(linear.filter($"user_id" === uid))
+    val zRows = scanRows(zord.filter($"user_id" === uid))
+    // identical answers...
+    val lGot = linear.filter($"user_id" === uid).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val zGot = zord.filter($"user_id" === uid).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lGot == zGot && zGot.nonEmpty)
+    // ...but the z layout skips most row groups where the linear one
+    // reads nearly everything (user rows spread uniformly over event_id)
+    assert(zRows * 2 < lRows,
+      s"z-order skipped nothing: z=$zRows linear=$lRows")
+
+    // and the PRIMARY key still prunes on the z layout (both keys share
+    // the clustering): an event_id range reads a fraction of the table
+    val (lo, hi) = (1000L, 2000L)
+    val zRange = scanRows(zord.filter($"event_id".between(lo, hi)))
+    val total = events.count()
+    assert(zRange < total / 2,
+      s"event_id range read $zRange of $total rows from the z layout")
   }
 }
