@@ -254,6 +254,34 @@ object DedupQueries extends QueryModule {
       pr
     },
 
+    // WHERE does the duplication come from — the source-pair duplication
+    // matrix every corpus intake review wants before deciding which feed
+    // to cut: near-dup pairs (the dedup_ngram_jaccard relation) roll up
+    // to ordered (src_a ≤ src_b) source pairs with the pair count and
+    // the duplicated-token mass on each side. Within-source rows
+    // (src_a = src_b) expose internal duplication (re-crawls, mirrors);
+    // cross-source rows expose feeds copying each other. O(sources²)
+    // output from the candidate-bounded pair relation — the corpus is
+    // never rescanned beyond the shingle pass the pairs already need.
+    "corpus_dup_sources" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          graft.functions.Tokenizer.Whitespace.count($"text").as("n_tok"))
+      val pairs = jaccardPairs(s, dir)
+        .join(docs.select($"doc_id".as("doc_a"), $"source".as("sa"),
+          $"n_tok".as("ta")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"source".as("sb"),
+          $"n_tok".as("tb")), "doc_b")
+      pairs.select(
+          least($"sa", $"sb").as("src_a"), greatest($"sa", $"sb").as("src_b"),
+          when($"sa" <= $"sb", $"ta").otherwise($"tb").as("tok_a"),
+          when($"sa" <= $"sb", $"tb").otherwise($"ta").as("tok_b"))
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"tok_a").as("dup_tokens_a"), sum($"tok_b").as("dup_tokens_b"))
+    },
+
     // ASYMMETRIC containment pairs — the duplication class Jaccard
     // structurally misses: a short doc wholly embedded in a long one
     // (a quoted article inside a forum dump, boilerplate-wrapped
@@ -926,6 +954,30 @@ object DedupQueries extends QueryModule {
            |$iterCtes
            |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM pr$PrIters""".stripMargin
       },
+
+      "corpus_dup_sources" ->
+        s"""WITH $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |jp AS (
+           |  SELECT doc_a, doc_b
+           |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6),
+           |d AS (SELECT doc_id, source, CAST(len($oTokens) AS BIGINT) AS n_tok
+           |      FROM documents),
+           |p AS (
+           |  SELECT least(da.source, db.source) AS src_a,
+           |         greatest(da.source, db.source) AS src_b,
+           |         CASE WHEN da.source <= db.source THEN da.n_tok ELSE db.n_tok END AS tok_a,
+           |         CASE WHEN da.source <= db.source THEN db.n_tok ELSE da.n_tok END AS tok_b
+           |  FROM jp JOIN d da ON da.doc_id = jp.doc_a
+           |          JOIN d db ON db.doc_id = jp.doc_b)
+           |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(tok_a) AS BIGINT) AS dup_tokens_a,
+           |  CAST(sum(tok_b) AS BIGINT) AS dup_tokens_b
+           |FROM p GROUP BY src_a, src_b""".stripMargin,
 
       "dedup_containment" ->
         s"""WITH $oShingleCtes,

@@ -205,6 +205,28 @@ object TextQueries extends QueryModule {
           (max($"c").cast("double") / sum($"c")).as("rep_ratio"))
     },
 
+    // Per-document NOVELTY — what fraction of a doc's shingles appear
+    // here FIRST (by doc_id ingestion order)? The redundancy curve a
+    // corpus intake tracks: a feed whose novelty collapses is re-sending
+    // content already held, and curriculum schedules (mix_curriculum)
+    // can upweight high-novelty slices. One shingle pass + one
+    // first-occurrence aggregate (min doc_id per hash — 8-byte rows),
+    // joined back shingle-keyed; no pairwise work at all, so this is
+    // the cheap standing audit next to the pairwise dedup relations.
+    "text_novelty" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(shingleHashes($"text")).as("h"))
+        .distinct()
+      val first = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          ($"n_novel".cast("double") / $"n_shingles").as("novelty_frac"))
+    },
+
     // Corpus bigram document frequencies (top-20, deterministic tiebreak).
     "text_ngram_freq" -> { (s, dir) =>
       import s.implicits._
@@ -600,6 +622,18 @@ object TextQueries extends QueryModule {
            |    FROM (SELECT doc_id, $oTokens AS w FROM documents))
            |  GROUP BY doc_id, sh)
            |GROUP BY doc_id""".stripMargin,
+
+      "text_novelty" ->
+        s"""WITH sh AS (SELECT DISTINCT doc_id, ${CrossHash.oH60("s")} AS h
+           |  FROM (SELECT doc_id, unnest($oShingles3) AS s
+           |        FROM (SELECT doc_id, $oTokens AS w FROM documents))),
+           |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+           |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  CAST(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           |    / count(*) AS novelty_frac
+           |FROM sh JOIN f ON f.h = sh.h
+           |GROUP BY sh.doc_id""".stripMargin,
 
       "text_ngram_freq" ->
         s"""SELECT bigram, count(*) AS df FROM (

@@ -493,4 +493,33 @@ class PlanAuditSpec extends AnyFunSuite {
     // holds under either counter)
     assert(!pNat.contains("SinglePartition"), pNat)
   }
+
+  test("layout_zorder: the key projection is a zero-exchange codegen'd map pass") {
+    val p = plan("layout_zorder")
+    // after the (driver-side) stats row, the z-value is pure row-local
+    // arithmetic — at 100 TB this is one scan, no shuffle of any kind
+    assert(!p.contains("Exchange"), s"layout_zorder shuffles:\n$p")
+    assert(p.contains("* Project"), s"z key not codegen'd:\n$p")
+  }
+
+  test("ev_kmv_setops: one corpus aggregate, pair algebra on sketch-sized rows (no cartesian blowup on events)") {
+    val p = plan("ev_kmv_setops")
+    // the self-join runs on the |types|-row sketch table — a broadcast
+    // nested-loop over KB-sized sides is fine; what must NOT happen is
+    // events joining events. The events scan appears exactly once.
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length <= 2, p)
+    assert("graft_kmv".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("dedup_pagerank: no single-partition funnel, no cartesian — iterations are edge-keyed exchanges") {
+    val p = plan("dedup_pagerank")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipeline_audit: stage joins stay keyed (no cartesian), raw text never a partitioning key") {
+    val p = plan("pipeline_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, p)
+  }
 }
