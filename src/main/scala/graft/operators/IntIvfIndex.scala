@@ -166,17 +166,30 @@ object IntIvfIndex {
     * qdtab doctrine — its ADC tables collect to the driver). Equals the
     * in-memory `knn_ivfadc_int` algebra on the same centroids/codebooks
     * (IntIvfAdcSpec pins it); tombstoned ids never appear. */
+  /** `allowed` (optional, one id column) PRE-FILTERS the candidates —
+    * the production selector pattern (FAISS IDSelector / payload
+    * filters): the mask applies before the ADC shortlist so every slot
+    * is spent on an eligible vector. Because cells/codes/ADC tables are
+    * per-row functions of the frozen quantizers, the filtered probe
+    * equals a probe of an index materialized on only the allowed subset
+    * (IntIvfAdcSpec pins it). */
   def probeAdc(spark: SparkSession, dir: String, queries: DataFrame,
-      nprobe: Int, k: Int, shortlist: Int): DataFrame = {
+      nprobe: Int, k: Int, shortlist: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cents = loadCentroids(spark, dir)
     if (cents.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq("query_id", "neighbor_id", "d2", "rnk")
           .map(StructField(_, LongType))))
     val (cb, dSub, kc) = loadPq(spark, dir)
+    val allow = allowed.map(a =>
+      a.select(col(a.columns.head).cast("long").as("vec_id")).distinct())
     probeAdcCore(spark, cents, cb, dSub, kc, queries, nprobe, k, shortlist,
-      cells => masked(spark, dir,
-        spark.read.parquet(dir).filter(col("cluster").isin(cells: _*))))
+      cells => {
+        val scan = masked(spark, dir,
+          spark.read.parquet(dir).filter(col("cluster").isin(cells: _*)))
+        allow.fold(scan)(a => scan.join(a, Seq("vec_id"), "left_semi"))
+      })
   }
 
   /** The ADC probe over any cell-pruned corpus reader — shared by the

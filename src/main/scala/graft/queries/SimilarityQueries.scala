@@ -626,48 +626,25 @@ object SimilarityQueries extends QueryModule {
     // nprobe cells and reads M longs per candidate, not the vector
     // (IntIvfIndex.probeAdc pins the column-pruned scan); only the
     // |queries|·shortlist re-rank rows ever see full vectors.
-    "knn_ivfadc_int" -> { (s, dir) =>
+    "knn_ivfadc_int" -> { (s, dir) => ivfAdcInt(s, dir, None) },
+
+    // knn_ivfadc_int with a metadata PRE-FILTER on the candidates — the
+    // production "selector" pattern (FAISS IDSelector / vector-DB
+    // payload filters): the allowed-id mask applies BEFORE the ADC
+    // shortlist, so every shortlist slot is spent on an eligible vector
+    // (post-filtering would silently return < k once a query's
+    // neighborhood is mostly filtered out). Because cells, codes and
+    // ADC tables are all per-row functions of the frozen quantizers,
+    // the filtered probe equals a probe of an index built on ONLY the
+    // allowed subset — IntIvfAdcSpec pins that equality on the
+    // materialized artifact; here the oracle restricts the candidate
+    // CTE by the same lang subquery, hash-exact.
+    "knn_ivfadc_filtered" -> { (s, dir) =>
       import s.implicits._
-      import graft.operators.{IntegerKMeans, IvfAdc}
-      val pts = intPts(s, dir).cache()
-      val cents = IntegerKMeans.fit(pts, IntK, IntIters)
-      if (cents.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq("query_id", "neighbor_id", "d2", "rnk")
-            .map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.LongType))))
-      else {
-        val dTot = cents.head._2.length
-        val dSub = math.max(1, dTot / PqIntM)
-        val mCnt = math.min(PqIntM, dTot / dSub)
-        // codebooks train on the RESIDUALS of the bounded id-prefix sample
-        // (PqCodebook doctrine); the oracle's rc chain carries the same
-        // vec_id < PqIntTrainN filter over the same residual CTE
-        val sample = pts.filter($"vec_id" < PqIntTrainN).collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        val cb = IntegerKMeans.fitSubLocal(
-          IvfAdc.residualSample(sample, cents), mCnt, dSub, PqIntKc, PqIntIters)
-        val coded = IntegerKMeans.assign(pts, cents, keep = Seq("qv"))
-          .select($"vec_id", $"cluster",
-            IntegerKMeans.subCodes(cb, dSub, IvfAdc.residualCol(cents)).as("codes"))
-        val qdf = IvfAdc.queryAdcRows(
-            sample.filter(_._1 < NQueries).toSeq, cents, cb, dSub, PqIntKc, IntProbe)
-          .toDF("query_id", "cluster", "qdtab", "qqv")
-        val sw = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
-        val short = coded.join(broadcast(qdf), Seq("cluster"))
-          .filter($"vec_id" =!= $"query_id")
-          .select($"query_id", $"qqv", $"vec_id".as("neighbor_id"),
-            IvfAdc.adcExpr(mCnt, PqIntKc).as("adc"))
-          .withColumn("srnk", row_number().over(sw))
-          .filter($"srnk" <= PqIntShortlist)
-          .select($"query_id", $"qqv", $"neighbor_id")
-        val d2 = aggregate(zip_with($"qqv", $"qv", (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        val w = Window.partitionBy($"query_id").orderBy($"d2", $"neighbor_id")
-        pts.join(broadcast(short), $"vec_id" === $"neighbor_id")
-          .select($"query_id", $"neighbor_id", d2.as("d2"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter($"rnk" <= K)
-      }
+      val allowed = Tables.load(s, dir, "documents")
+        .filter($"lang".isin("en", "de"))
+        .select($"doc_id".cast("long").as("vec_id"))
+      ivfAdcInt(s, dir, Some(allowed))
     },
 
     // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998),
@@ -708,6 +685,57 @@ object SimilarityQueries extends QueryModule {
           $"s.id".as("doc_id"), $"s.rel".as("rel"))
     }
   )
+
+  /** The shared IVFADC top-k body (see the knn_ivfadc_int entry's
+    * comment for the algebra): `allowed` pre-filters the CANDIDATE side
+    * before the ADC shortlist (queries are never filtered — the
+    * knn_filtered convention). */
+  private def ivfAdcInt(s: SparkSession, dir: String,
+      allowed: Option[DataFrame]): DataFrame = {
+    import s.implicits._
+    import graft.operators.{IntegerKMeans, IvfAdc}
+    val pts = intPts(s, dir).cache()
+    val cents = IntegerKMeans.fit(pts, IntK, IntIters)
+    if (cents.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq("query_id", "neighbor_id", "d2", "rnk")
+          .map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.LongType))))
+    else {
+      val dTot = cents.head._2.length
+      val dSub = math.max(1, dTot / PqIntM)
+      val mCnt = math.min(PqIntM, dTot / dSub)
+      // codebooks train on the RESIDUALS of the bounded id-prefix sample
+      // (PqCodebook doctrine); the oracle's rc chain carries the same
+      // vec_id < PqIntTrainN filter over the same residual CTE
+      val sample = pts.filter($"vec_id" < PqIntTrainN).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      val cb = IntegerKMeans.fitSubLocal(
+        IvfAdc.residualSample(sample, cents), mCnt, dSub, PqIntKc, PqIntIters)
+      val codedAll = IntegerKMeans.assign(pts, cents, keep = Seq("qv"))
+        .select($"vec_id", $"cluster",
+          IntegerKMeans.subCodes(cb, dSub, IvfAdc.residualCol(cents)).as("codes"))
+      val coded = allowed.fold(codedAll)(a =>
+        codedAll.join(a, Seq("vec_id"), "left_semi"))
+      val qdf = IvfAdc.queryAdcRows(
+          sample.filter(_._1 < NQueries).toSeq, cents, cb, dSub, PqIntKc, IntProbe)
+        .toDF("query_id", "cluster", "qdtab", "qqv")
+      val sw = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+      val short = coded.join(broadcast(qdf), Seq("cluster"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"qqv", $"vec_id".as("neighbor_id"),
+          IvfAdc.adcExpr(mCnt, PqIntKc).as("adc"))
+        .withColumn("srnk", row_number().over(sw))
+        .filter($"srnk" <= PqIntShortlist)
+        .select($"query_id", $"qqv", $"neighbor_id")
+      val d2 = aggregate(zip_with($"qqv", $"qv", (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy($"query_id").orderBy($"d2", $"neighbor_id")
+      pts.join(broadcast(short), $"vec_id" === $"neighbor_id")
+        .select($"query_id", $"neighbor_id", d2.as("d2"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= K)
+    }
+  }
 
   /** MMR geometry: picks per query, candidate-pool size, and λ = 0.7 as
     * the exact rational MmrLamNum/(MmrLamNum+MmrLamDen) — shared verbatim
@@ -1126,45 +1154,13 @@ object SimilarityQueries extends QueryModule {
       // coarse chain + residual-PQ chain + the IVFADC probe: per-(query,
       // probed-cell) ADC tables over the residual codebooks, candidates
       // restricted to probed cells, shortlist → exact re-rank
-      "knn_ivfadc_int" ->
-        s"""WITH $intKmeansCtes,
-           |$ivfAdcCtes,
-           |qprobe AS (
-           |  SELECT p.vec_id AS query_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS cd2
-           |  FROM pts p JOIN c$IntIters c USING (dim)
-           |  WHERE p.vec_id < $NQueries GROUP BY p.vec_id, c.cid
-           |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
-           |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) <= $IntProbe),
-           |qres AS (
-           |  SELECT qp.query_id, qp.cid AS pcid, p.dim, p.q - c.c AS q
-           |  FROM qprobe qp JOIN pts p ON p.vec_id = qp.query_id
-           |                 JOIN c$IntIters c ON c.cid = qp.cid AND c.dim = p.dim),
-           |qrsp AS (SELECT query_id, pcid, dim // (SELECT dsub FROM g) AS m,
-           |                dim % (SELECT dsub FROM g) AS sd, q
-           |         FROM qres WHERE dim < (SELECT dsub FROM g) * $PqIntM),
-           |qdist AS (
-           |  SELECT p.query_id, p.pcid, c.m, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS dist
-           |  FROM qrsp p JOIN rc$PqIntIters c ON c.m = p.m AND c.sd = p.sd
-           |  GROUP BY p.query_id, p.pcid, c.m, c.cid),
-           |iadc AS (
-           |  SELECT q.query_id, n.vec_id AS neighbor_id, SUM(q.dist) AS adc
-           |  FROM rcodes n JOIN afinal na ON na.vec_id = n.vec_id
-           |    JOIN qdist q ON q.pcid = na.cid AND q.m = n.m AND q.cid = n.cid
-           |  WHERE n.vec_id <> q.query_id
-           |  GROUP BY q.query_id, n.vec_id),
-           |ishort AS (
-           |  SELECT query_id, neighbor_id FROM iadc
-           |  QUALIFY row_number() OVER (PARTITION BY query_id
-           |    ORDER BY adc, neighbor_id) <= $PqIntShortlist),
-           |iscd AS (
-           |  SELECT s.query_id, s.neighbor_id, SUM((p1.q - p2.q)*(p1.q - p2.q)) AS d2
-           |  FROM ishort s JOIN pts p1 ON p1.vec_id = s.query_id
-           |                JOIN pts p2 ON p2.vec_id = s.neighbor_id AND p2.dim = p1.dim
-           |  GROUP BY s.query_id, s.neighbor_id)
-           |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
-           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS BIGINT) AS rnk
-           |FROM iscd QUALIFY rnk <= $K""".stripMargin,
+      "knn_ivfadc_int" -> ivfAdcOracle(""),
 
+      // same chain, candidate CTE additionally restricted by the lang
+      // selector — the pre-filter applies before the shortlist, exactly
+      // as the Spark side's semi-join does
+      "knn_ivfadc_filtered" -> ivfAdcOracle(
+        "AND n.vec_id IN (SELECT doc_id FROM documents WHERE lang IN ('en', 'de'))"),
       // the greedy MMR trace as a recursive CTE: the working table per
       // iteration is the previous step's (query, selected-list) rows;
       // each recursive step joins the unselected candidates against the
@@ -1208,4 +1204,45 @@ object SimilarityQueries extends QueryModule {
            |       CAST(rel AS BIGINT) AS rel
            |FROM sel""".stripMargin)
   }
+
+  /** The IVFADC oracle chain; `candRestrict` narrows the candidate CTE
+    * (the knn_ivfadc_filtered lang selector) before the shortlist. */
+  private def ivfAdcOracle(candRestrict: String): String =
+    s"""WITH $intKmeansCtes,
+       |$ivfAdcCtes,
+       |qprobe AS (
+       |  SELECT p.vec_id AS query_id, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS cd2
+       |  FROM pts p JOIN c$IntIters c USING (dim)
+       |  WHERE p.vec_id < $NQueries GROUP BY p.vec_id, c.cid
+       |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.cid) <= $IntProbe),
+       |qres AS (
+       |  SELECT qp.query_id, qp.cid AS pcid, p.dim, p.q - c.c AS q
+       |  FROM qprobe qp JOIN pts p ON p.vec_id = qp.query_id
+       |                 JOIN c$IntIters c ON c.cid = qp.cid AND c.dim = p.dim),
+       |qrsp AS (SELECT query_id, pcid, dim // (SELECT dsub FROM g) AS m,
+       |                dim % (SELECT dsub FROM g) AS sd, q
+       |         FROM qres WHERE dim < (SELECT dsub FROM g) * $PqIntM),
+       |qdist AS (
+       |  SELECT p.query_id, p.pcid, c.m, c.cid, SUM((p.q - c.c)*(p.q - c.c)) AS dist
+       |  FROM qrsp p JOIN rc$PqIntIters c ON c.m = p.m AND c.sd = p.sd
+       |  GROUP BY p.query_id, p.pcid, c.m, c.cid),
+       |iadc AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id, SUM(q.dist) AS adc
+       |  FROM rcodes n JOIN afinal na ON na.vec_id = n.vec_id
+       |    JOIN qdist q ON q.pcid = na.cid AND q.m = n.m AND q.cid = n.cid
+       |  WHERE n.vec_id <> q.query_id $candRestrict
+       |  GROUP BY q.query_id, n.vec_id),
+       |ishort AS (
+       |  SELECT query_id, neighbor_id FROM iadc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id) <= $PqIntShortlist),
+       |iscd AS (
+       |  SELECT s.query_id, s.neighbor_id, SUM((p1.q - p2.q)*(p1.q - p2.q)) AS d2
+       |  FROM ishort s JOIN pts p1 ON p1.vec_id = s.query_id
+       |                JOIN pts p2 ON p2.vec_id = s.neighbor_id AND p2.dim = p1.dim
+       |  GROUP BY s.query_id, s.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS BIGINT) AS rnk
+       |FROM iscd QUALIFY rnk <= $K""".stripMargin
 }

@@ -124,8 +124,8 @@ final class MaintainedIntIvfIndex(path: Path, spark: SparkSession) {
     * [[IntIvfIndex.probeAdc]] algebra over the batch-gated, cell-pruned,
     * tombstone-masked reader. Empty before the first commit. `queries`:
     * (query_id, embedding). */
-  def probeAdc(queries: DataFrame, nprobe: Int, k: Int,
-      shortlist: Int): DataFrame = {
+  def probeAdc(queries: DataFrame, nprobe: Int, k: Int, shortlist: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(spark)
     val last = proj.lastCommitted
     if (last < 0 || !Files.exists(vecsDir))
@@ -135,9 +135,14 @@ final class MaintainedIntIvfIndex(path: Path, spark: SparkSession) {
     val (cb, dSub, kc) = IntIvfIndex.loadPq(spark, artDir)
     val qpts = IntegerKMeans.quantize(
       queries.select(col("query_id").as("vec_id"), col("embedding")))
+    val allow = allowed.map(a =>
+      a.select(col(a.columns.head).cast("long").as("vec_id")).distinct())
     IntIvfIndex.probeAdcCore(spark, cents, cb, dSub, kc, qpts,
       nprobe, k, shortlist,
-      cells => maskedCorpus(spark.read.parquet(vecsDir.toString)
-        .filter(col("batch") <= last && col("cluster").isin(cells: _*))))
+      cells => {
+        val scan = maskedCorpus(spark.read.parquet(vecsDir.toString)
+          .filter(col("batch") <= last && col("cluster").isin(cells: _*)))
+        allow.fold(scan)(a => scan.join(a, Seq("vec_id"), "left_semi"))
+      })
   }
 }

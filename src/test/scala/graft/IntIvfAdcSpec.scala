@@ -67,6 +67,32 @@ class IntIvfAdcSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("filtered probeAdc (allowed selector) ≡ probe of an index built on only the allowed subset") {
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("graft-ivfadc-").toString
+    val dirB = Files.createTempDirectory("graft-ivfadc-").toString
+    val p = pts.cache()
+    // allowed set holds the whole training prefix, so the subset index
+    // trains the identical codebooks (the delete-pin precondition)
+    val cents = IntIvfIndex.materializeAdc(p, dirA, k = 8, iters = 2,
+      mMax = 8, kc = 16, pqIters = 4, trainN = 64)
+    val allowed = p.filter($"vec_id" < 64 || $"vec_id" % 3 === 0).select($"vec_id")
+    IntIvfIndex.materializeAdc(p.join(allowed, Seq("vec_id"), "left_semi"), dirB,
+      k = 8, iters = 2, mMax = 8, kc = 16, pqIters = 4, trainN = 64,
+      cents = Some(cents))
+    val queries = p.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val filtered = rows(IntIvfIndex.probeAdc(spark, dirA, queries, 2, 10, 80,
+      allowed = Some(allowed)))
+    val subset = rows(IntIvfIndex.probeAdc(spark, dirB, queries, 2, 10, 80))
+    assert(filtered == subset)
+    assert(filtered.nonEmpty)
+    // the selector BINDS: unfiltered probe differs
+    assert(filtered != probeRows(dirA, queries), "vacuous: filter excluded nothing")
+    p.unpersist()
+  }
+
   test("append(batch) ≡ materializeAdc over corpus ∪ batch (frozen centroids, prefix-disjoint batch)") {
     val dirA = Files.createTempDirectory("graft-ivfadc-").toString
     val dirB = Files.createTempDirectory("graft-ivfadc-").toString
