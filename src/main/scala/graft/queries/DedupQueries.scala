@@ -254,6 +254,82 @@ object DedupQueries extends QueryModule {
       pr
     },
 
+    // SORTED-NEIGHBORHOOD candidates (Hernández & Stolfo, SIGMOD 1995
+    // merge/purge) — the THIRD candidate-generation family next to the
+    // inverted-index join (dedup_ngram_jaccard) and LSH banding
+    // (dedup_minhash_lsh): sort the corpus on a normalized key and
+    // compare only docs within a rank window of w. Classic record-
+    // linkage blocking — O(N·w) candidates regardless of shingle/df
+    // structure, strong where duplicates agree on their PREFIX (form
+    // records, re-posts with appended footers) even when a hot shingle
+    // would blow up the inverted index. Candidates then verify with the
+    // same exact Jaccard ≥ 0.6 as the other families.
+    //
+    // The global sort RANK is computed WITHOUT a global window: a
+    // 2-char-prefix count table collects to the driver (≤ alphabet²
+    // rows), cumulative offsets ride back as a map literal, and rank =
+    // offset(prefix) + per-prefix row_number — exact, and the only
+    // windows run per prefix group (the standard SNM sort-skew caveat:
+    // a corpus where most docs share a prefix concentrates one group;
+    // remedy is a longer offset prefix). Window pairing is a bucketed
+    // self-join (rank DIV w, adjacent buckets) — never a cross join.
+    "dedup_sorted_neighborhood" -> { (s, dir) =>
+      import s.implicits._
+      // NULL text sorts as the empty key (coalesce BEFORE lower/substr,
+      // mirrored in the oracle — DuckDB would otherwise sort NULLs last
+      // and every rank below would shift)
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", concat(
+          rpad(substring(lower(coalesce($"text", lit(""))), 1, SnmKeyLen),
+            SnmKeyLen, " "),
+          lpad($"doc_id".cast("string"), 10, "0")).as("skey"))
+      val counts = docs.groupBy(substring($"skey", 1, 2).as("pfx"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      // empty corpus: no prefixes → an empty map literal has no inferable
+      // type; short-circuit to the empty pair set
+      if (counts.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("doc_b",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType))))
+      else {
+        val offsets = {
+          var acc = 0L
+          counts.map { case (p, n) => val o = (p, acc); acc += n; o }
+        }.toMap
+        val w = Window.partitionBy(substring($"skey", 1, 2)).orderBy($"skey")
+        val ranked = docs.select($"doc_id",
+          (element_at(typedlit(offsets), substring($"skey", 1, 2)) +
+            row_number().over(w) - 1).as("rk"))
+        val a = ranked.select($"doc_id".as("ida"), $"rk".as("ra"),
+          expr(s"rk div $SnmW").as("ba"))
+        val b = ranked.select($"doc_id".as("idb"), $"rk".as("rb"),
+          expr(s"rk div $SnmW").as("bb"))
+        val cand = a.join(b,
+            ($"bb" === $"ba" || $"bb" === $"ba" + 1) &&
+              $"rb" > $"ra" && $"rb" <= $"ra" + SnmW)
+          .select($"ida", $"idb")
+        val sh = shingleSet(s, dir).cache()
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.select($"doc_id".as("ida"), $"h"), "ida")
+          .join(sh.select($"doc_id".as("idb"), $"h"), Seq("idb", "h"))
+          .groupBy($"ida", $"idb").agg(count(lit(1)).as("i"))
+        val j = $"i".cast("double") / ($"na" + $"nb" - $"i")
+        inter
+          .join(cnt.select($"doc_id".as("ida"), $"n".as("na")), "ida")
+          .join(cnt.select($"doc_id".as("idb"), $"n".as("nb")), "idb")
+          .filter(j >= 0.6)
+          .select(least($"ida", $"idb").as("doc_a"),
+            greatest($"ida", $"idb").as("doc_b"), j.as("jaccard"))
+      }
+    },
+
     // WHERE does the duplication come from — the source-pair duplication
     // matrix every corpus intake review wants before deciding which feed
     // to cut: near-dup pairs (the dedup_ngram_jaccard relation) roll up
@@ -748,6 +824,11 @@ object DedupQueries extends QueryModule {
     * iteration count — shared verbatim with the unrolled oracle CTEs. */
   private val PrMass = 1000000000000L
   private val PrIters = 3
+
+  /** dedup_sorted_neighborhood: normalized-key prefix length and the
+    * rank-window size — shared verbatim with the oracle. */
+  private val SnmKeyLen = 16
+  private val SnmW = 5
   private[graft] def semPlanesFor(bits: Int) = embPlanesFor(1, bits)
 
   /** dedup_lines segment width — the operator's knob (see
@@ -954,6 +1035,26 @@ object DedupQueries extends QueryModule {
            |$iterCtes
            |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM pr$PrIters""".stripMargin
       },
+
+      "dedup_sorted_neighborhood" ->
+        s"""WITH $oShingleCtes,
+           |sk AS (SELECT doc_id,
+           |    rpad(substr(lower(coalesce(text, '')), 1, $SnmKeyLen), $SnmKeyLen, ' ')
+           |      || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS skey
+           |  FROM documents),
+           |r AS (SELECT doc_id, row_number() OVER (ORDER BY skey) - 1 AS rk FROM sk),
+           |candp AS (
+           |  SELECT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + $SnmW),
+           |inter AS (
+           |  SELECT c.ida, c.idb, count(*) AS i
+           |  FROM candp c JOIN sh x ON x.doc_id = c.ida
+           |               JOIN sh y ON y.doc_id = c.idb AND y.h = x.h
+           |  GROUP BY 1, 2)
+           |SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+           |  CAST(i AS DOUBLE)/(ca.n + cb.n - i) AS jaccard
+           |FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb
+           |WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6""".stripMargin,
 
       "corpus_dup_sources" ->
         s"""WITH $oShingleCtes,
