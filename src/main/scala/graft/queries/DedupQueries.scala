@@ -239,7 +239,9 @@ object DedupQueries extends QueryModule {
         .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .cache()
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val q = PrMass / docs.count()
+      // empty corpus: no nodes, no mass to spread (guards the Q = M/N div)
+      val n = docs.count()
+      val q = if (n == 0) 0L else PrMass / n
       val tele = (15L * q) / 100L
       var pr = docs.select($"doc_id", lit(q).as("pr"))
       for (_ <- 1 to PrIters) {

@@ -656,9 +656,13 @@ object EventQueries extends QueryModule {
         .select($"event_id", $"user_id".cast("long").as("a"),
           unix_micros($"ts").as("b"))
       val r = e.agg(min($"a"), max($"a"), min($"b"), max($"b")).head()
-      e.select($"event_id", ZOrderLayout.minMaxZval(
-        $"a", r.getLong(0), r.getLong(1),
-        $"b", r.getLong(2), r.getLong(3), ZBits).as("zval"))
+      // empty table: the stats row is all NULLs — zval of nothing is nothing
+      if (r.isNullAt(0))
+        e.select($"event_id", lit(0L).as("zval")).limit(0)
+      else
+        e.select($"event_id", ZOrderLayout.minMaxZval(
+          $"a", r.getLong(0), r.getLong(1),
+          $"b", r.getLong(2), r.getLong(3), ZBits).as("zval"))
     },
 
     // Sliding-window distinct estimation FROM PER-DAY SKETCHES — the
