@@ -98,6 +98,36 @@ object ShingleIndex {
     spark.sql(s"DROP TABLE ${name}_tombstones")
   }
 
+  /** Per-batch-doc NOVELTY against the standing corpus — the
+    * text_novelty audit at PROBE-ONLY cost: a batch doc's shingle is
+    * novel iff no doc with a lower id (corpus OR batch) carries it, so
+    * the probe needs each matching hash's MINIMUM corpus id, which the
+    * co-located bucket join delivers without touching corpus text.
+    * Tombstone-masked like [[probe]] (a forgotten doc stops claiming
+    * first-occurrence). Returns (doc_id, n_shingles, n_novel,
+    * novelty_frac) for the batch docs — equal to the full corpus-wide
+    * `text_novelty` restricted to them (ShingleIndexSpec pins it). */
+  def noveltyProbe(spark: SparkSession, name: String, batch: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val bsh = batch
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct().cache()
+    val bmin = bsh.groupBy(col("h")).agg(min(col("doc_id")).as("bm"))
+    // corpus min id per BATCH hash only: the bucketed index side never
+    // shuffles; matching postings group to |batch hashes| rows
+    val cmin = masked(spark, name, spark.table(name))
+      .join(bmin.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("cm"))
+    val firsts = bmin.join(cmin, Seq("h"), "left")
+      .select(col("h"), least(coalesce(col("cm"), col("bm")), col("bm")).as("first_doc"))
+    bsh.join(firsts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac"))
+  }
+
   /** Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) between a new
     * batch (doc_id, text; ids disjoint from the corpus) and the
     * materialized index — plus within the batch itself. Equals

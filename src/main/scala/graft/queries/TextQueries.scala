@@ -227,6 +227,34 @@ object TextQueries extends QueryModule {
           ($"n_novel".cast("double") / $"n_shingles").as("novelty_frac"))
     },
 
+    // text_novelty for a DAILY BATCH at probe-only cost (the
+    // ShingleIndex.noveltyProbe algebra, in-query split form): a batch
+    // doc's shingle is novel iff no lower-id doc — standing corpus or
+    // same batch — carries it, so the probe needs only each matching
+    // hash's minimum corpus id from the bucketed shingle index, never
+    // the corpus text. Oracle = the full corpus-wide text_novelty
+    // restricted to the batch docs, so the hash equality proves
+    // incremental ≡ full (the dedup_incremental doctrine).
+    "text_novelty_incr" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(shingleHashes($"text")).as("h"))
+        .distinct().cache()
+      val csh = sh.filter($"doc_id" % 10 =!= 0)
+      val bsh = sh.filter($"doc_id" % 10 === 0)
+      val bmin = bsh.groupBy($"h").agg(min($"doc_id").as("bm"))
+      val cmin = csh.join(bmin.select($"h"), Seq("h"), "left_semi")
+        .groupBy($"h").agg(min($"doc_id").as("cm"))
+      val firsts = bmin.join(cmin, Seq("h"), "left")
+        .select($"h", least(coalesce($"cm", $"bm"), $"bm").as("first_doc"))
+      bsh.join(firsts, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          ($"n_novel".cast("double") / $"n_shingles").as("novelty_frac"))
+    },
+
     // Corpus bigram document frequencies (top-20, deterministic tiebreak).
     "text_ngram_freq" -> { (s, dir) =>
       import s.implicits._
@@ -633,6 +661,22 @@ object TextQueries extends QueryModule {
            |  CAST(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
            |    / count(*) AS novelty_frac
            |FROM sh JOIN f ON f.h = sh.h
+           |GROUP BY sh.doc_id""".stripMargin,
+
+      // the FULL corpus-wide novelty, restricted to the batch split —
+      // hash equality vs the probe-only Spark path is the incremental ≡
+      // full proof
+      "text_novelty_incr" ->
+        s"""WITH sh AS (SELECT DISTINCT doc_id, ${CrossHash.oH60("s")} AS h
+           |  FROM (SELECT doc_id, unnest($oShingles3) AS s
+           |        FROM (SELECT doc_id, $oTokens AS w FROM documents))),
+           |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+           |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  CAST(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           |    / count(*) AS novelty_frac
+           |FROM sh JOIN f ON f.h = sh.h
+           |WHERE sh.doc_id % 10 = 0
            |GROUP BY sh.doc_id""".stripMargin,
 
       "text_ngram_freq" ->

@@ -339,6 +339,37 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup_sorted_neighborhood: prefix-offset distributed rank == global sort rank; no global window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the query's correctness rests on the offset-table rank equalling a
+    // global ORDER BY rank — pin it directly on the same key spelling
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", concat(
+        rpad(substring(lower(coalesce($"text", lit(""))), 1, 16), 16, " "),
+        lpad($"doc_id".cast("string"), 10, "0")).as("skey"))
+    val globalRank = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._2).zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    val counts = docs.groupBy(substring($"skey", 1, 2).as("pfx"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      counts.map { case (p, n) => val o = (p, acc); acc += n; o }
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring($"skey", 1, 2)).orderBy($"skey")
+    val ranked = docs.select($"doc_id",
+      (element_at(typedlit(offsets), substring($"skey", 1, 2)) +
+        row_number().over(w) - 1).as("rk"))
+    val got = ranked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == globalRank, "distributed rank diverged from the global sort")
+    // and the plan never funnels to one partition
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), s"global-window funnel:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("dedup_pagerank: near-dup members outrank isolated docs; teleport floor exact; mass bounded") {
     import org.apache.spark.sql.functions._
     val pr = queries.DedupQueries.queries("dedup_pagerank")(spark, dir)

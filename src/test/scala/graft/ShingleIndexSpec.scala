@@ -133,4 +133,44 @@ class ShingleIndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("noveltyProbe == corpus-wide text_novelty restricted to the batch; masked after delete") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    for (t <- Seq("graft_shidx_nov", "graft_shidx_nov_counts", "graft_shidx_nov_tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    ShingleIndex.materialize(corpus, "graft_shidx_nov")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = rows(ShingleIndex.noveltyProbe(spark, "graft_shidx_nov", batch))
+    // reference: the oracle-checked corpus-wide query, batch rows only
+    val full = rows(SparkEntry.queries("text_novelty")(spark, dir)
+      .filter($"doc_id" % 10 === 0))
+    assert(got == full)
+    assert(got.nonEmpty && got.exists(_._4 < 1.0),
+      "vacuous: no batch doc shares any shingle with the corpus")
+    // forgetting a corpus doc releases its first-occurrence claims: probe
+    // equals the novelty computed against the remaining corpus
+    val removedIds = corpus.select($"doc_id").limit(5).collect().map(_.getLong(0))
+    ShingleIndex.delete(spark, "graft_shidx_nov", removedIds.toSeq.toDF("doc_id"))
+    val sh = docs.filter(!$"doc_id".isin(removedIds.toSeq: _*))
+      .select($"doc_id", explode(graft.queries.CrossHash.shingleHashes($"text")).as("h"))
+      .distinct()
+    val firsts = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    val want = rows(sh.filter($"doc_id" % 10 === 0).join(firsts, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        ($"n_novel".cast("double") / $"n_shingles").as("novelty_frac")))
+    assert(rows(ShingleIndex.noveltyProbe(spark, "graft_shidx_nov", batch)) == want,
+      "novelty probe did not respect the tombstone mask")
+    for (t <- Seq("graft_shidx_nov", "graft_shidx_nov_counts", "graft_shidx_nov_tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.catalog.clearCache()
+  }
 }
