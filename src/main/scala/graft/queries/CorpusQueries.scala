@@ -225,6 +225,39 @@ object CorpusQueries extends QueryModule {
     // O(sources) after one corpus pass.
     "mix_allocation" -> { (s, dir) => mixAllocation(s, dir) },
 
+    // NOVELTY-WEIGHTED mixture shares — the text_novelty audit folded
+    // into the mixing family: a feed that mostly re-sends content the
+    // corpus already holds (low first-occurrence share) should not keep
+    // its token-proportional share of the training mix. Per source:
+    // aggregate first-occurrence counts over the one shingle pass, then
+    // novelty_ppm = novel·10⁶ ÷ shingles (integer floor) and the
+    // mixture weight w_ppm = the source's share of all novel shingles —
+    // every number an exact integer, so the whole reweighting
+    // hash-checks cross-engine. O(sources) output; composes with
+    // mix_allocation/mix_temperature the way mix_domains does.
+    "mix_novelty" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val sh = docs.select($"doc_id", explode(shingleHashes($"text")).as("h"))
+        .distinct()
+      val firsts = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+      val perDoc = sh.join(firsts, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("ns"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("nn"))
+      val perSrc = docs.select($"doc_id", $"source")
+        .join(perDoc, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"ns").as("n_shingles"), sum($"nn").as("n_novel"))
+      val totalNovel = perSrc.agg(coalesce(sum($"n_novel"), lit(0L)))
+        .head.getLong(0)
+      perSrc.select($"source", $"n_docs", $"n_shingles", $"n_novel",
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"),
+        (if (totalNovel == 0L) lit(0L)
+         else expr(s"(n_novel * 1000000) div $totalNovel")).as("w_ppm"))
+    },
+
     // Data-constrained mixture allocation (the "scaling data-constrained
     // LMs" regime): the token BUDGET exceeds the unique corpus, so
     // sources must repeat — but value decays past a few epochs, so each
@@ -1058,6 +1091,25 @@ object CorpusQueries extends QueryModule {
          |  least(CAST(1.0 AS DOUBLE),
          |    (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens) AS sample_rate
          |FROM per CROSS JOIN tot""".stripMargin,
+
+    "mix_novelty" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, ${oH60("s")} AS h
+         |  FROM (SELECT doc_id, unnest($oShingles3) AS s
+         |        FROM (SELECT doc_id, $oTokens AS w FROM documents))),
+         |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h),
+         |pd AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |  FROM sh JOIN f ON f.h = sh.h GROUP BY sh.doc_id),
+         |ps AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pd.ns) AS BIGINT) AS n_shingles,
+         |    CAST(sum(pd.nn) AS BIGINT) AS n_novel
+         |  FROM documents d JOIN pd ON pd.doc_id = d.doc_id GROUP BY d.source),
+         |t AS (SELECT coalesce(sum(n_novel), 0) AS tn FROM ps)
+         |SELECT source, n_docs, n_shingles, n_novel,
+         |  CAST((n_novel * 1000000) // n_shingles AS BIGINT) AS novelty_ppm,
+         |  CAST(CASE WHEN (SELECT tn FROM t) = 0 THEN 0
+         |       ELSE (n_novel * 1000000) // (SELECT tn FROM t) END AS BIGINT) AS w_ppm
+         |FROM ps""".stripMargin,
 
     // identical prefix-sum cap-boundary algebra: BIGINT until the final
     // level division, so the boundary test is exact on both engines
