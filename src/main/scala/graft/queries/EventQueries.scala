@@ -470,6 +470,24 @@ object EventQueries extends QueryModule {
     // producer/partition. One shuffle on the (tiny) type key with partial
     // aggregation; the stream head joins back as a 1-row cross join.
     // Exact integer microseconds (unix_micros), no float time math.
+    // Ingest VOLUME anomaly audit: per day, today's event count against
+    // the trailing-7-day total as an exact ppm ratio (n·7·10⁶ ÷ trail —
+    // one integer floor, no float time math), the signal a pipeline
+    // pages on when a feed doubles or silently halves. Day self-join on
+    // the O(days) table only — the corpus aggregates once.
+    "dq_volume" -> { (s, dir) =>
+      import s.implicits._
+      val perDay = Tables.load(s, dir, "events")
+        .groupBy(to_date($"ts".cast("timestamp")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      perDay.as("a").join(perDay.as("b"),
+          $"b.day" >= date_sub($"a.day", 6) && $"b.day" <= $"a.day")
+        .groupBy($"a.day".as("day"), $"a.n_events".as("n_events"))
+        .agg(sum($"b.n_events").as("trail7"))
+        .select($"day", $"n_events", $"trail7",
+          expr("(n_events * 7 * 1000000) div trail7").as("ratio_ppm"))
+    },
+
     "dq_freshness" -> { (s, dir) =>
       import s.implicits._
       val perType = Tables.load(s, dir, "events")
@@ -1170,6 +1188,15 @@ object EventQueries extends QueryModule {
         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
         |FROM (SELECT vec_id, count(*) AS c FROM embeddings GROUP BY vec_id)""".stripMargin,
+
+    "dq_volume" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT a.day, a.n_events, CAST(sum(b.n_events) AS BIGINT) AS trail7,
+        |  CAST((a.n_events * 7 * 1000000) // sum(b.n_events) AS BIGINT) AS ratio_ppm
+        |FROM d a JOIN d b ON b.day BETWEEN a.day - 6 AND a.day
+        |GROUP BY a.day, a.n_events""".stripMargin,
 
     "dq_freshness" ->
       """WITH per AS (

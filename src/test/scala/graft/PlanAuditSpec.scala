@@ -522,4 +522,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, p)
   }
+
+  test("novelty family and SNM: hash-keyed shuffles only — no cartesian, no text keys, no single partition") {
+    for (q <- Seq("text_novelty", "text_novelty_incr", "mix_novelty",
+        "corpus_dup_sources", "dedup_sorted_neighborhood")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, s"$q:\n$p")
+    }
+  }
 }
