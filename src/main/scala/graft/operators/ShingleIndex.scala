@@ -43,7 +43,18 @@ object ShingleIndex {
     * rewrite. Batch doc_ids must be disjoint from the corpus (the
     * [[probe]] contract). After append, probing a NEWER batch equals
     * probing an index materialized over corpus ∪ batch —
-    * ShingleIndexSpec pins it. */
+    * ShingleIndexSpec pins it.
+    *
+    * ATOMICITY WINDOW (documented, not closed): the two table appends
+    * commit independently — each job's own file-commit protocol is
+    * atomic, but a crash BETWEEN them leaves pairs without counts, and
+    * a blind re-run of the whole append duplicates the pairs rows
+    * (duplicate (doc_id, h) rows double [[probe]]'s intersection
+    * counts). Callers needing crash-safe daily folds should drive this
+    * from an idempotent batch protocol (the DailyIncrement staged
+    * .done-marker discipline, or Bm25Index.append's batch-partitioned
+    * single-commit layout — the remedy if this index ever joins a
+    * marker-less streaming path). */
   def append(batch: DataFrame, name: String, buckets: Int = 32): Unit = {
     val spark = batch.sparkSession
     graft.GraftExtensions.register(spark)
