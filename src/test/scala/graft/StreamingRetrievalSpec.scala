@@ -254,6 +254,16 @@ class StreamingRetrievalSpec extends AnyFunSuite {
     assert(hits(idx.probeAdc(queries, 2, 5, 40)) == expected,
       "replayed batch mutated the index")
 
+    // the allowed selector behaves identically on the streaming artifact:
+    // filtered streaming probe == filtered static probe over the union
+    val allowed = rows.map(_._1).filter(_ % 2 == 0).toSeq.toDF("vec_id")
+    val fStream = hits(idx.probeAdc(queries, 2, 5, 40, allowed = Some(allowed)))
+    val fStatic = hits(IntIvfIndex.probeAdc(spark, full, qpts, 2, 5, 40,
+      allowed = Some(allowed)))
+    assert(fStream == fStatic, "filtered streaming probe != filtered static probe")
+    assert(fStream.nonEmpty && fStream != expected,
+      "vacuous: the selector excluded nothing")
+
     // out-of-band delete: exact mask (frozen quantizers depend on no
     // per-batch state); removed ids sit outside the trainN=64 prefix so
     // the rebuilt-without reference trains the same codebooks
