@@ -220,14 +220,29 @@ object DailyIncrement {
     n
   }
 
-  /** The next unused batch id: max committed `added_batch` + 1. Day-0
-    * trees from before the provenance column read as batch 0. */
-  private def nextBatchNo(spark: SparkSession, outDir: String): Long = {
+  /** Max committed `added_batch` over the curated manifest. Day-0 trees
+    * from before the provenance column read as batch 0. */
+  private def maxAddedBatch(spark: SparkSession, outDir: String): Long = {
     val cur = spark.read.parquet(s"$outDir/curated")
-    val base = if (cur.columns.contains("added_batch"))
+    if (cur.columns.contains("added_batch"))
       cur.agg(coalesce(max(col("added_batch")), lit(0L))).head.getLong(0)
     else 0L
-    base + 1
+  }
+
+  /** The next unused batch id: one past the LARGER of the committed
+    * manifest's max `added_batch` and the persisted monotonic counter
+    * (`outDir/batchctr`, maintained by [[applyPending]]'s batchctr step).
+    * The counter is what makes ids never-reused: if every doc of the
+    * newest batch is taken down and [[Takedown.scrub]] physically removes
+    * its rows (a poisoned daily feed), max(added_batch) DROPS — deriving
+    * from it alone would reuse the scrubbed id and silently merge the
+    * next increment's docs into the scrubbed batch's historical epoch in
+    * every as-of view. Legacy trees without the artifact fall back to the
+    * manifest max (correct until the first whole-batch scrub; the first
+    * increment after this code writes the counter). */
+  private def nextBatchNo(spark: SparkSession, outDir: String): Long = {
+    val counter = PackedExport.readBase(spark, s"$outDir/batchctr").getOrElse(0L)
+    math.max(maxAddedBatch(spark, outDir), counter) + 1
   }
 
   private def provCol(df: org.apache.spark.sql.DataFrame) =
@@ -293,11 +308,18 @@ object DailyIncrement {
     val kept = spark.read.parquet(s"$pend/kept") // doc_id, text, lang, n_tokens, digest
     val base = spark.read.parquet(s"$pend/base").head.getLong(0)
     // staged batch id; a pre-provenance staging dir (no batchno file)
-    // derives it here — safe because the derivation is idempotent until
-    // the curated step commits, which is the first stamped write
+    // derives it here. If the crash happened AFTER the curated step
+    // committed, the appended rows already read as the CURRENT max epoch
+    // (batch 0 on a pre-provenance tree) — deriving max+1 for the
+    // remaining steps would stamp evalh/shards with a DIFFERENT epoch
+    // than the manifest rows, permanently splitting the increment across
+    // two as-of views; stamp the committed epoch instead. Before the
+    // curated commit the derivation is free to pick the next id.
     val batchNo =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$pend/batchno")))
         spark.read.parquet(s"$pend/batchno").head.getLong(0)
+      else if (java.nio.file.Files.exists(java.nio.file.Paths.get(pend, "curated.done")))
+        maxAddedBatch(spark, outDir)
       else nextBatchNo(spark, outDir)
 
     def step(name: String)(body: => Unit): Unit = {
@@ -314,6 +336,13 @@ object DailyIncrement {
       kept.select($"doc_id", $"n_tokens", $"digest")
         .withColumn("added_batch", lit(batchNo))
         .write.mode("append").parquet(s"$outDir/curated")
+    }
+    // the monotonic batch counter (nextBatchNo's scrub-proof source):
+    // advances to the id just used, never backwards — a later
+    // whole-batch Takedown.scrub can drop max(added_batch) but not this
+    step("batchctr") {
+      val prev = PackedExport.readBase(spark, s"$outDir/batchctr").getOrElse(0L)
+      PackedExport.writeBase(spark, s"$outDir/batchctr", math.max(prev, batchNo))
     }
     // extend the persisted benchmark: tomorrow's batch must check against
     // today's eval survivors too (benchmark at batch k = day0 ∪ eval

@@ -83,15 +83,26 @@ object ZOrderLayout {
     * query. [[write]]'s rank-space buckets cluster better under skew
     * but approxQuantile boundaries are not cross-engine re-derivable;
     * this floored linear scaling is, so the full z column hash-checks
-    * against DuckDB bit for bit. Column `/` is DOUBLE division, whose
-    * rounding can disagree with an engine's integer floor at quotient
-    * boundaries — subtracting the remainder first makes the numerator
-    * exactly divisible and the double quotient exact (needs
-    * (x−min)·2^bits < 2^53, comfortably true for bucketed domains). */
+    * against DuckDB bit for bit.
+    *
+    * The floor division is LONG-exact for the whole long domain the
+    * numerator can reach (no 2^53 double precondition — a micros-grained
+    * key spanning years stays exact): Column `/` is double division, so
+    * the double quotient is floored and then corrected by one exact
+    * integer-remainder step. The double estimate is within ±1 of the true
+    * quotient (numerator ≤ 2^62 by the `require`, quotient ≤ 2^bits, so
+    * the relative rounding error is ≪ 1), which one correction step
+    * repairs — all built-in codegen expressions, no UDF. */
   def minMaxBucket(x: Column, min: Long, max: Long, bits: Int): Column = {
+    val q = max - min + 1
+    require(q >= 1, s"empty domain: min=$min max=$max")
+    require(q <= (Long.MaxValue >> (bits + 1)),
+      s"domain width $q would overflow the scaled numerator at bits=$bits")
     val p = (x - lit(min)) * lit(1L << bits)
-    val q = lit(max - min + 1)
-    ((p - p % q) / q).cast("long")
+    val approx = floor(p.cast("double") / lit(q.toDouble)).cast("long")
+    val r = p - approx * lit(q)
+    approx + when(r >= q, lit(1L)).otherwise(lit(0L)) -
+      when(r < 0, lit(1L)).otherwise(lit(0L))
   }
 
   /** The oracle-exact z-value of (a, b) under min-max envelopes — `a`'s

@@ -459,4 +459,43 @@ class DailyIncrementSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("a fully-scrubbed newest batch never donates its id: the next increment opens a FRESH epoch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-batchctr-").toString
+
+    CurationJob.run(spark, sf, dir, docFilter = col("doc_id") % 10 =!= 0)
+    val day0Ids = Takedown.manifest(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val r1 = DailyIncrement.run(spark, sf, dir,
+      batchFilter = col("doc_id") % 20 === 0)
+    assert(r1.nBatchKept > 0, "vacuous: batch 1 kept nothing")
+    val batch1Ids = Takedown.manifest(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet -- day0Ids
+
+    // poisoned daily feed: EVERY batch-1 doc is taken down and scrubbed —
+    // max(added_batch) over curated drops back to 0
+    val payload = Tables.load(spark, sf, "documents")
+      .filter($"doc_id".isin(batch1Ids.toSeq: _*))
+      .select($"doc_id", $"text", $"lang")
+    Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en")
+    Takedown.scrub(spark, dir)
+    assert(DailyIncrement.batches(spark, dir) == Seq(0L),
+      "scrub left batch-1 rows behind — test setup broken")
+
+    // the next increment must NOT reuse the scrubbed id 1: as-of views of
+    // the scrubbed epoch would silently absorb the new docs into history
+    val r2 = DailyIncrement.run(spark, sf, dir,
+      batchFilter = col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    assert(r2.nBatchKept > 0, "vacuous: batch 2 kept nothing")
+    assert(DailyIncrement.batches(spark, dir) == Seq(0L, 2L),
+      s"scrubbed batch id was reused: ${DailyIncrement.batches(spark, dir)}")
+    // the historical view of the scrubbed epoch holds exactly day 0
+    assert(DailyIncrement.manifestAsOf(spark, dir, 1)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet == day0Ids,
+      "the scrubbed epoch's as-of view absorbed post-scrub docs")
+    spark.catalog.clearCache()
+  }
 }

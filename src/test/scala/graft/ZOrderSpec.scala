@@ -41,6 +41,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(steps(steps.size / 2) <= 3, s"median z-step distance ${steps(steps.size / 2)}")
   }
 
+  test("minMaxBucket is integer-exact on domains far beyond double precision (multi-year micros spans)") {
+    import spark.implicits._
+    // a 10-year micros-grained event-time domain: (x-min)*2^bits reaches
+    // ~2^63 territory where the old exact-divisible double trick silently
+    // floored to k-1 (the numerator exceeds 2^53); every value must match
+    // BigInt floor division bit for bit, boundaries included
+    val min = 1700000000000000L                 // ~2023 in unix micros
+    val max = min + 315L * 24 * 3600 * 1000000L * 10 // ~10 years later
+    val bits = 8
+    val q = BigInt(max) - BigInt(min) + 1
+    val rnd = new scala.util.Random(12)
+    val xs = (Seq(min, max, min + 1, max - 1) ++
+      // values straddling exact bucket boundaries — the failure site
+      (0 until (1 << bits) by 7).flatMap { k =>
+        val edge = (q * k / (1 << bits)) + min
+        Seq(edge.toLong - 1, edge.toLong, edge.toLong + 1)
+      } ++
+      Seq.fill(500)(min + (rnd.nextDouble() * (max - min)).toLong))
+      .filter(x => x >= min && x <= max).distinct
+    val got = xs.toDF("x")
+      .select($"x", ZOrderLayout.minMaxBucket($"x", min, max, bits).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val want = ((BigInt(x) - min) * (1 << bits) / q).toLong
+      assert(got(x) == want, s"x=$x got=${got(x)} want=$want")
+    }
+  }
+
   private def scanRows(df: DataFrame): Long = {
     df.collect()
     df.queryExecution.executedPlan
