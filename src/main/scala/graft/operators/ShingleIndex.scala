@@ -9,62 +9,160 @@ import graft.queries.CrossHash.shingleHashes
   * dedup scaladoc promises ("at 100 TB the corpus shingle index is written
   * bucketed by `h`, so the probe is a co-located join").
   *
-  * [[materialize]] writes two tables:
-  *  - `<name>`: distinct (doc_id, h) BUCKETED BY h — a probe joining on
-  *    `h` co-locates against the bucket files, so the corpus index is
-  *    never re-shuffled (ShingleIndexSpec pins: no exchange above the
-  *    index scan in the probe plan);
-  *  - `<name>_counts`: (doc_id, n) per-doc shingle counts, derived from
-  *    the index itself (no second shingle pass over the text).
+  * [[materialize]] writes two catalog tables, both PARTITIONED BY `batch`
+  * (the append-commit axis) with the pairs side additionally BUCKETED BY
+  * `h`:
+  *  - `<name>`: distinct (doc_id, h, batch) — a probe joining on `h`
+  *    co-locates against the bucket files, so the corpus index is never
+  *    re-shuffled (ShingleIndexSpec pins: no exchange above the index
+  *    scan in the probe plan; the hive partition level does not disturb
+  *    the bucketed-scan property);
+  *  - `<name>_counts`: (doc_id, n, batch) per-doc shingle counts, derived
+  *    from the batch's pairs (no second shingle pass over the text).
+  *    Batch doc ids are disjoint (the [[probe]] contract), so per-batch
+  *    count partitions union to the corpus counts with no merge step.
   *
-  * [[probe]] then deduplicates a NEW batch against the corpus WITHOUT
-  * touching the corpus text: batch-vs-corpus candidates come from the
-  * co-located bucket join (only the batch side shuffles), batch-vs-batch
-  * from a |batch|-bounded self-join — the IncrementalDedup pair set
+  * SINGLE-COMMIT appends (the Bm25Index.append discipline — this closes
+  * the round-11 "ATOMICITY WINDOW" carried by the previous two-job
+  * append): each [[append]] writes BOTH tables' rows into their own
+  * `batch=<lastBatch+1>` partitions, then commits by atomically swapping
+  * the `_current` pointer at the pairs table's location. Readers gate on
+  * the committed lastBatch, so a crash anywhere inside append leaves the
+  * index exactly at its pre-append state (the partial partitions are
+  * invisible), and a retry first clears the uncommitted partition dirs —
+  * a blind re-run can no longer duplicate (doc_id, h) rows and double
+  * [[probe]]'s intersection counts. ShingleIndexSpec pins crashed-append
+  * invisibility + retry ≡ rebuild (the Bm25IndexSpec crash-window shape).
+  *
+  * [[probe]] deduplicates a NEW batch against the corpus WITHOUT touching
+  * the corpus text: batch-vs-corpus candidates come from the co-located
+  * bucket join (only the batch side shuffles), batch-vs-batch from a
+  * |batch|-bounded self-join — the IncrementalDedup pair set
   * (ShingleIndexSpec pins the equality), at probe-only cost.
   */
 object ShingleIndex {
-  /** Write the bucketed index tables for `docs` (doc_id, text). */
+  // ---------------------------------------------------------------------
+  // Commit pointer: `_current` at the pairs table's location (underscore
+  // prefix — invisible to Spark's file index), holding the last COMMITTED
+  // batch id, swapped by atomic rename (the Bm25Index pointer shape).
+  // Missing pointer (a crashed from-scratch materialize/vacuum, whose
+  // in-place rewrite is already covered by the checkpoint pin) falls back
+  // to everything-visible — exactly the pre-pointer semantics; the
+  // pointer's job is gating APPENDS, which always run under one.
+
+  private def tableLocation(spark: SparkSession, table: String): java.nio.file.Path = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Location")
+      .select(col("data_type")).head.getString(0)
+    java.nio.file.Paths.get(new java.net.URI(loc))
+  }
+
+  private def pointerPath(spark: SparkSession, name: String) =
+    tableLocation(spark, name).resolve("_current")
+
+  private def readLastBatch(spark: SparkSession, name: String): Option[Long] = {
+    val p = pointerPath(spark, name)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  private def writeLastBatch(spark: SparkSession, name: String, b: Long): Unit = {
+    val p = pointerPath(spark, name)
+    val tmp = p.resolveSibling("_current.tmp")
+    java.nio.file.Files.write(tmp, b.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Physically drop an UNCOMMITTED batch partition (a crashed append's
+    * leftovers — invisible to gated readers, removed before the retry
+    * rewrites it). */
+  private def dropUncommitted(spark: SparkSession, table: String, b: Long): Unit = {
+    val dir = tableLocation(spark, table).resolve(s"batch=$b")
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally s.close()
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** The COMMITTED pairs frame (doc_id, h) — batch-gated, batch dropped
+    * so downstream algebra is layout-agnostic. NOT tombstone-masked;
+    * probes go through [[masked]]. */
+  private[graft] def pairs(spark: SparkSession, name: String): DataFrame = {
+    val t = spark.table(name)
+    readLastBatch(spark, name) match {
+      case Some(last) => t.filter(col("batch") <= last).drop("batch")
+      case None => t.drop("batch")
+    }
+  }
+
+  /** The COMMITTED counts frame (doc_id, n) — gated by the SAME pointer
+    * as [[pairs]] (one commit covers both tables). */
+  private[graft] def counts(spark: SparkSession, name: String): DataFrame = {
+    val t = spark.table(s"${name}_counts")
+    readLastBatch(spark, name) match {
+      case Some(last) => t.filter(col("batch") <= last).drop("batch")
+      case None => t.drop("batch")
+    }
+  }
+
+  private def writeBatch(df: DataFrame, name: String, buckets: Int,
+      batchNo: Long, overwrite: Boolean): Unit = {
+    val pairs = df
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct().cache()
+    val mode = if (overwrite) "overwrite" else "append"
+    pairs.withColumn("batch", lit(batchNo))
+      .write.mode(mode).partitionBy("batch").bucketBy(buckets, "h")
+      .saveAsTable(name)
+    pairs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .withColumn("batch", lit(batchNo))
+      .write.mode(mode).partitionBy("batch").saveAsTable(s"${name}_counts")
+    pairs.unpersist()
+  }
+
+  /** Write the bucketed index tables for `docs` (doc_id, text) as batch 0
+    * and commit the pointer. */
   def materialize(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     graft.GraftExtensions.register(spark)
-    docs.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
-      .distinct()
-      .write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
-    spark.table(name)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").saveAsTable(s"${name}_counts")
+    writeBatch(docs, name, buckets, batchNo = 0L, overwrite = true)
+    writeLastBatch(spark, name, 0L)
   }
 
-  /** Fold a new batch into the index — the daily path (the
-    * LineSegmentIndex.append / Bm25Index.append doctrine): the batch's
-    * distinct (doc_id, h) pairs append under the same bucket layout and
-    * the counts side merges batch-sized; the standing bucket files never
-    * rewrite. Batch doc_ids must be disjoint from the corpus (the
-    * [[probe]] contract). After append, probing a NEWER batch equals
-    * probing an index materialized over corpus ∪ batch —
-    * ShingleIndexSpec pins it.
-    *
-    * ATOMICITY WINDOW (documented, not closed): the two table appends
-    * commit independently — each job's own file-commit protocol is
-    * atomic, but a crash BETWEEN them leaves pairs without counts, and
-    * a blind re-run of the whole append duplicates the pairs rows
-    * (duplicate (doc_id, h) rows double [[probe]]'s intersection
-    * counts). Callers needing crash-safe daily folds should drive this
-    * from an idempotent batch protocol (the DailyIncrement staged
-    * .done-marker discipline, or Bm25Index.append's batch-partitioned
-    * single-commit layout — the remedy if this index ever joins a
-    * marker-less streaming path). */
-  def append(batch: DataFrame, name: String, buckets: Int = 32): Unit = {
+  /** Fold a new batch into the index — the daily path: the batch's
+    * distinct (doc_id, h) pairs and its per-doc counts land in their own
+    * `batch` partitions under the standing bucket layout (the corpus
+    * partitions never rewrite), and ONE atomic pointer swap commits both.
+    * Crash-safe: see the header — nothing is visible until the swap, and
+    * the retry clears the crashed attempt's partition dirs first. Batch
+    * doc_ids must be disjoint from the corpus (the [[probe]] contract).
+    * After append, probing a NEWER batch equals probing an index
+    * materialized over corpus ∪ batch — ShingleIndexSpec pins it. */
+  def append(batch: DataFrame, name: String, buckets: Int = 32): Unit =
+    append(batch, name, buckets, failBeforeCommit = false)
+
+  /** `failBeforeCommit` is the spec's crash-injection seam: throw after
+    * both partition writes but BEFORE the pointer swap — the widest
+    * possible crash window. Production callers never pass it. */
+  private[graft] def append(batch: DataFrame, name: String, buckets: Int,
+      failBeforeCommit: Boolean): Unit = {
     val spark = batch.sparkSession
     graft.GraftExtensions.register(spark)
-    val pairs = batch
-      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
-      .distinct().cache()
-    pairs.write.mode("append").bucketBy(buckets, "h").saveAsTable(name)
-    pairs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .write.mode("append").saveAsTable(s"${name}_counts")
-    pairs.unpersist()
+    val last = readLastBatch(spark, name).getOrElse(
+      spark.table(name).agg(coalesce(max(col("batch")), lit(0L))).head.getLong(0))
+    val next = last + 1
+    dropUncommitted(spark, name, next)
+    dropUncommitted(spark, s"${name}_counts", next)
+    writeBatch(batch, name, buckets, batchNo = next, overwrite = false)
+    if (failBeforeCommit)
+      throw new IllegalStateException("injected crash before the append commit")
+    writeLastBatch(spark, name, next)
   }
 
   /** Delete documents from the index — the right-to-be-forgotten path
@@ -95,17 +193,26 @@ object ShingleIndex {
     * tombstone list naming them — remain on disk until this runs). Probes
     * before and after are identical. EAGER localCheckpoint pins the
     * surviving pairs before the in-place table overwrite (catalog tables
-    * can't pointer-swap like Bm25Index's dirs; the checkpoint cuts the
-    * read-path-you-write lineage and fails loud on block loss). Corpus-
-    * index-sized — run on the operator's schedule (the Bm25Index.vacuum
-    * discipline). */
+    * can't pointer-swap a whole-table rewrite; the checkpoint cuts the
+    * read-path-you-write lineage and fails loud on block loss). All
+    * committed batches compact back into batch 0. Crash-safe up to
+    * re-run: the rewrite drops the pointer with the table dir
+    * (everything-visible fallback) and the tombstone tables drop LAST, so
+    * a crash between the pairs rewrite and the counts rewrite leaves
+    * stale counts rows still masked by the surviving tombstones — probes
+    * are unchanged through every window. Corpus-index-sized — run on the
+    * operator's schedule (the Bm25Index.vacuum discipline). */
   def vacuum(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
     if (!spark.catalog.tableExists(s"${name}_tombstones")) return
-    val kept = masked(spark, name, spark.table(name)).localCheckpoint(true)
-    kept.write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
+    val kept = masked(spark, name, pairs(spark, name)).localCheckpoint(true)
+    kept.withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch").bucketBy(buckets, "h")
+      .saveAsTable(name)
     spark.table(name)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").saveAsTable(s"${name}_counts")
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch").saveAsTable(s"${name}_counts")
+    writeLastBatch(spark, name, 0L)
     spark.sql(s"DROP TABLE ${name}_tombstones")
   }
 
@@ -120,13 +227,21 @@ object ShingleIndex {
     * `text_novelty` restricted to them (ShingleIndexSpec pins it). */
   def noveltyProbe(spark: SparkSession, name: String, batch: DataFrame): DataFrame = {
     graft.GraftExtensions.register(spark)
+    noveltyFrames(masked(spark, name, pairs(spark, name)), batch)
+  }
+
+  /** The novelty algebra over an arbitrary committed index frame —
+    * shared by the catalog-table probe above and the streaming
+    * [[graft.streaming.MaintainedShingleIndex]]. `idx` is the corpus
+    * (doc_id, h) pair frame (already masked/gated by the caller). */
+  private[graft] def noveltyFrames(idx: DataFrame, batch: DataFrame): DataFrame = {
     val bsh = batch
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
       .distinct().cache()
     val bmin = bsh.groupBy(col("h")).agg(min(col("doc_id")).as("bm"))
     // corpus min id per BATCH hash only: the bucketed index side never
     // shuffles; matching postings group to |batch hashes| rows
-    val cmin = masked(spark, name, spark.table(name))
+    val cmin = idx
       .join(bmin.select(col("h")), Seq("h"), "left_semi")
       .groupBy(col("h")).agg(min(col("doc_id")).as("cm"))
     val firsts = bmin.join(cmin, Seq("h"), "left")
@@ -146,13 +261,21 @@ object ShingleIndex {
   def probe(spark: SparkSession, name: String, batch: DataFrame,
       threshold: Double): DataFrame = {
     graft.GraftExtensions.register(spark)
+    probeFrames(masked(spark, name, pairs(spark, name)),
+      masked(spark, name, counts(spark, name)), batch, threshold)
+  }
+
+  /** The jaccard-probe algebra over arbitrary committed index frames —
+    * shared by the catalog-table probe above and the streaming
+    * [[graft.streaming.MaintainedShingleIndex]]. `idx`/`ccnt` are the
+    * corpus pair/count frames (already masked/gated by the caller). */
+  private[graft] def probeFrames(idx: DataFrame, ccnt: DataFrame,
+      batch: DataFrame, threshold: Double): DataFrame = {
     val bsh = batch
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
       .distinct()
       .cache()
     val bcnt = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val idx = masked(spark, name, spark.table(name))
-    val ccnt = masked(spark, name, spark.table(s"${name}_counts"))
 
     // batch-vs-corpus: the bucketed index side never shuffles — only the
     // (small) batch repartitions to the bucket layout
@@ -183,5 +306,55 @@ object ShingleIndex {
         least(col("bdoc"), col("cdoc")).as("doc_a"),
         greatest(col("bdoc"), col("cdoc")).as("doc_b"),
         j.as("jaccard"))
+  }
+
+  /** CONTAINMENT pairs (doc_in, doc_out, |in∩out|/|in| ≥ threshold) for
+    * every pair touching a new batch, probed against the materialized
+    * index — `IncrementalDedup.newContainment`'s relation at index cost:
+    * the corpus text is never re-shingled (the pairs come from the
+    * bucketed index scan, co-located like [[probe]]) and the corpus
+    * per-doc counts come from the precomputed counts table (batch-bounded
+    * candidates broadcast against it, never the reverse). Both
+    * orientations of each unordered pair are emitted — a corpus doc
+    * swallowed BY a batch doc is found via the batch doc's probe.
+    * ShingleIndexSpec pins equality with newContainment on the same
+    * split. */
+  def containmentProbe(spark: SparkSession, name: String, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val idx = masked(spark, name, pairs(spark, name))
+    val ccnt = masked(spark, name, counts(spark, name))
+    val bsh = batch
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct()
+      .cache()
+    val bcnt = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+    // each unordered pair ONCE: batch×corpus from the co-located bucket
+    // join, batch×batch from the |batch|-bounded half self-join
+    val cross = bsh.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("bdoc"), col("b.doc_id").as("cdoc"))
+      .agg(count(lit(1)).as("inter")).cache()
+    val self = bsh.as("a").join(bsh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("bdoc"), col("b.doc_id").as("cdoc"))
+      .agg(count(lit(1)).as("inter"))
+
+    val c = col("inter").cast("double") / col("nin")
+    // corpus-doc-contained orientation: candidates broadcast against the
+    // corpus counts table (the probeFrames discipline)
+    val corpusIn = ccnt.select(col("doc_id").as("doc_in"), col("n").as("nin"))
+      .join(broadcast(cross.select(col("cdoc").as("doc_in"),
+        col("bdoc").as("doc_out"), col("inter"))), "doc_in")
+    // batch-doc-contained orientations: batch-sized count join
+    val batchIn = cross.select(col("bdoc").as("doc_in"), col("cdoc").as("doc_out"), col("inter"))
+      .unionByName(self.select(col("bdoc").as("doc_in"), col("cdoc").as("doc_out"), col("inter")))
+      .unionByName(self.select(col("cdoc").as("doc_in"), col("bdoc").as("doc_out"), col("inter")))
+      .join(bcnt.select(col("doc_id").as("doc_in"), col("n").as("nin")), "doc_in")
+    corpusIn.select(col("doc_in"), col("doc_out"), col("inter"), col("nin"))
+      .unionByName(batchIn.select(col("doc_in"), col("doc_out"), col("inter"), col("nin")))
+      .filter(c >= threshold)
+      .select(col("doc_in"), col("doc_out"), c.as("containment"))
   }
 }

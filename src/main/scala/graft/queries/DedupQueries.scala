@@ -577,6 +577,27 @@ object DedupQueries extends QueryModule {
         sh.filter($"doc_id" % 10 =!= 0), sh.filter($"doc_id" % 10 === 0), 0.9)
     },
 
+    // The SAME relation probed against the MATERIALIZED shingle index —
+    // the production spelling of incremental containment (the
+    // knn_ivfadc gate-vs-index pairing applied to dedup): the corpus
+    // text is shingled once at materialize time, the probe reads the
+    // bucketed index co-located (ShingleIndexSpec pins the index side
+    // never shuffles) and the corpus counts come from the precomputed
+    // counts table. Shares dedup_containment_incr's oracle SQL — the
+    // driver gate makes index probe ≡ from-scratch recompute an
+    // equality, not an approximation.
+    "dedup_containment_idx" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      for (t <- Seq("graft_q_cont_idx", "graft_q_cont_idx_counts",
+          "graft_q_cont_idx_tombstones"))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.operators.ShingleIndex.materialize(
+        docs.filter($"doc_id" % 10 =!= 0), "graft_q_cont_idx")
+      graft.operators.ShingleIndex.containmentProbe(
+        s, "graft_q_cont_idx", docs.filter($"doc_id" % 10 === 0), 0.9)
+    },
+
     // 32-bit SimHash fingerprints; near-dups at hamming distance <= 2.
     // Pigeonhole banding (exact — see simhashFingerprints scaladoc) with a
     // hot-bucket split + first-matching-band dedup (simhashBandedPairs).
@@ -1093,6 +1114,18 @@ object DedupQueries extends QueryModule {
            |WHERE CAST(i AS DOUBLE)/ci.n >= 0.9""".stripMargin,
 
       "dedup_containment_incr" ->
+        s"""WITH $oShingleCtes,
+           |inter AS (
+           |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_in, doc_out, CAST(i AS DOUBLE)/ci.n AS containment
+           |FROM inter JOIN cnt ci ON ci.doc_id = doc_in
+           |WHERE CAST(i AS DOUBLE)/ci.n >= 0.9
+           |  AND (doc_in % 10 = 0 OR doc_out % 10 = 0)""".stripMargin,
+
+      // the index-probed spelling answers the SAME question — shared SQL
+      "dedup_containment_idx" ->
         s"""WITH $oShingleCtes,
            |inter AS (
            |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, count(*) AS i

@@ -134,6 +134,80 @@ class ShingleIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a crashed append is invisible; the retry lands exactly the rebuild (no doubled intersections)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 200)
+    val day1 = docs.filter($"doc_id" >= 200 && $"doc_id" < 350)
+    val day2 = docs.filter($"doc_id" >= 350)
+    try {
+      ShingleIndex.materialize(corpus, "graft_shidx_crash")
+      def pairs() = ShingleIndex.probe(spark, "graft_shidx_crash", day2, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val preAppend = pairs()
+
+      // crash in the WIDEST window: both partition writes done, pointer
+      // swap not reached — the round-11 two-job append would now be
+      // half-committed (pairs without counts)
+      intercept[IllegalStateException] {
+        ShingleIndex.append(day1, "graft_shidx_crash", 32, failBeforeCommit = true)
+      }
+      assert(pairs() == preAppend,
+        "a crashed append changed probe results — partial partitions are visible")
+
+      // the blind retry is the normal path: under the old layout it
+      // duplicated (doc_id, h) rows and DOUBLED probe intersections
+      ShingleIndex.append(day1, "graft_shidx_crash")
+      ShingleIndex.materialize(docs.filter($"doc_id" < 350), "graft_shidx_crashf")
+      def p(name: String) = ShingleIndex.probe(spark, name, day2, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = p("graft_shidx_crashf")
+      assert(want.nonEmpty, "no probe pairs — test would be vacuous")
+      assert(p("graft_shidx_crash") == want,
+        "crash + retry != from-scratch rebuild over the union")
+    } finally {
+      for (t <- Seq("graft_shidx_crash", "graft_shidx_crash_counts",
+          "graft_shidx_crashf", "graft_shidx_crashf_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("containmentProbe == IncrementalDedup.newContainment; index side unshuffled") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    try {
+      ShingleIndex.materialize(corpus, "graft_shidx_cont")
+      val probe = ShingleIndex.containmentProbe(spark, "graft_shidx_cont", batch, 0.9)
+
+      def sh(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
+      val expected = IncrementalDedup.newContainment(sh(corpus), sh(batch), 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(expected.nonEmpty, "no containment pairs — test would be vacuous")
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+      // the production property: the index scan feeds its join co-located
+      val plan = probe.queryExecution.sparkPlan
+      val shuffledScans = plan.collect { case e: ShuffleExchangeExec => e }
+        .flatMap(_.collect { case f: FileSourceScanExec => f })
+        .filter(_.tableIdentifier.exists(_.table == "graft_shidx_cont"))
+      assert(shuffledScans.isEmpty,
+        s"the bucketed index was shuffled:\n${probe.queryExecution.executedPlan}")
+    } finally {
+      for (t <- Seq("graft_shidx_cont", "graft_shidx_cont_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("noveltyProbe == corpus-wide text_novelty restricted to the batch; masked after delete") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
