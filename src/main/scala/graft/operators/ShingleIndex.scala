@@ -126,11 +126,33 @@ object ShingleIndex {
     pairs.unpersist()
   }
 
+  /** Remove a managed-table location ORPHANED by a dead session: with the
+    * default in-memory catalog the table registration dies with the JVM
+    * while its warehouse dir survives, and the next CREATE fails with
+    * LOCATION_ALREADY_EXISTS. Only fires when the catalog does NOT know
+    * the table (a registered table's dir is never touched). */
+  private def clearOrphanLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val root = if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
+        else java.nio.file.Paths.get(wh)
+      val dir = root.resolve(table.toLowerCase(java.util.Locale.ROOT))
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally s.close()
+      }
+    }
+
   /** Write the bucketed index tables for `docs` (doc_id, text) as batch 0
     * and commit the pointer. */
   def materialize(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     graft.GraftExtensions.register(spark)
+    clearOrphanLocation(spark, name)
+    clearOrphanLocation(spark, s"${name}_counts")
     writeBatch(docs, name, buckets, batchNo = 0L, overwrite = true)
     writeLastBatch(spark, name, 0L)
   }
@@ -178,6 +200,7 @@ object ShingleIndex {
     * never-indexed ids are no-ops. */
   def delete(spark: SparkSession, name: String, ids: DataFrame): Unit = {
     graft.GraftExtensions.register(spark)
+    clearOrphanLocation(spark, s"${name}_tombstones")
     ids.select(col(ids.columns.head).as("doc_id")).distinct()
       .write.mode("append").saveAsTable(s"${name}_tombstones")
   }
@@ -322,8 +345,15 @@ object ShingleIndex {
   def containmentProbe(spark: SparkSession, name: String, batch: DataFrame,
       threshold: Double): DataFrame = {
     graft.GraftExtensions.register(spark)
-    val idx = masked(spark, name, pairs(spark, name))
-    val ccnt = masked(spark, name, counts(spark, name))
+    containmentFrames(masked(spark, name, pairs(spark, name)),
+      masked(spark, name, counts(spark, name)), batch, threshold)
+  }
+
+  /** The containment algebra over arbitrary committed index frames —
+    * shared by the catalog-table probe above and the streaming
+    * [[graft.streaming.MaintainedShingleIndex]]. */
+  private[graft] def containmentFrames(idx: DataFrame, ccnt: DataFrame,
+      batch: DataFrame, threshold: Double): DataFrame = {
     val bsh = batch
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
       .distinct()

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ShingleIndex
+import graft.streaming.MaintainedShingleIndex
+
+/** The continuously-maintained shingle index: streamed ingestion must
+  * land EXACTLY the batch [[ShingleIndex]] state (probe and novelty
+  * equalities vs a from-scratch materialize on the union corpus),
+  * replayed batch ids must be no-ops, and stream-carried `op='del'` rows
+  * must equal a batch delete — the StreamingRetrievalSpec three-pin shape
+  * on the dedup surface. */
+class MaintainedShingleIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed ingestion == batch materialize on the union; replays and stream-dels exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val corpus = docs.filter($"doc_id" < 350)
+    val probeBatch = docs.filter($"doc_id" >= 350).cache()
+    val rows = corpus.as[(Long, String)].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val idx = new MaintainedShingleIndex(Files.createTempDirectory("shidxm"), spark)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def novSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // before any commit: only within-probe-batch pairs (empty corpus)
+    val selfOnly = pairSet(idx.probe(probeBatch, 0.6))
+
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-shidxm-").toString)
+      .foreachBatch(idx.update _)
+      .start()
+    ms.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(idx.lastCommitted >= 1, s"expected >=2 committed batches, got ${idx.lastCommitted}")
+
+    try {
+      ShingleIndex.materialize(corpus, "graft_shidxm_ref")
+      val wantPairs = pairSet(ShingleIndex.probe(spark, "graft_shidxm_ref", probeBatch, 0.6))
+      assert(wantPairs.nonEmpty && wantPairs != selfOnly,
+        "vacuous: no batch-vs-corpus pair in the probe")
+      assert(pairSet(idx.probe(probeBatch, 0.6)) == wantPairs,
+        "maintained probe != batch materialize on the union")
+      val wantNov = novSet(ShingleIndex.noveltyProbe(spark, "graft_shidxm_ref", probeBatch))
+      assert(pairSet(idx.probe(probeBatch, 0.6)) == wantPairs)
+      assert(novSet(idx.noveltyProbe(probeBatch)) == wantNov,
+        "maintained novelty != batch materialize on the union")
+      val wantCont = pairSet(
+        ShingleIndex.containmentProbe(spark, "graft_shidxm_ref", probeBatch, 0.9))
+      assert(pairSet(idx.containmentProbe(probeBatch, 0.9)) == wantCont,
+        "maintained containment != batch materialize on the union")
+
+      // a replayed batch id — even with DIFFERENT data — must be a no-op
+      idx.update(Seq((999999L, "spark spark spark spark spark")).toDF("doc_id", "text"), 0L)
+      assert(pairSet(idx.probe(probeBatch, 0.6)) == wantPairs,
+        "replayed batch mutated the index")
+
+      // STREAM-CARRIED takedown: del rows remove committed docs exactly —
+      // probes equal a batch index materialized without them, so
+      // right-to-be-forgotten never pauses ingestion
+      val removed = rows.map(_._1).filter(_ % 7 == 3).toSeq
+      assert(removed.nonEmpty, "takedown set empty — vacuous")
+      val nextId = idx.lastCommitted + 1
+      idx.update(removed.map(id => (id, "", "del")).toDF("doc_id", "text", "op"), nextId)
+      ShingleIndex.materialize(corpus.filter(!$"doc_id".isin(removed: _*)), "graft_shidxm_rem")
+      val afterDel = pairSet(idx.probe(probeBatch, 0.6))
+      assert(afterDel == pairSet(
+        ShingleIndex.probe(spark, "graft_shidxm_rem", probeBatch, 0.6)),
+        "maintained probe after stream-del != rebuild on remaining corpus")
+      assert(afterDel != wantPairs, "vacuous: the del batch changed no pair")
+      assert(novSet(idx.noveltyProbe(probeBatch)) == novSet(
+        ShingleIndex.noveltyProbe(spark, "graft_shidxm_rem", probeBatch)),
+        "novelty after stream-del did not release first-occurrence claims")
+
+      // del replay and re-request are no-ops
+      idx.update(removed.map(id => (id, "", "del")).toDF("doc_id", "text", "op"), nextId)
+      assert(pairSet(idx.probe(probeBatch, 0.6)) == afterDel,
+        "replayed del batch mutated the index")
+      idx.update(removed.take(1).map(id => (id, "", "del")).toDF("doc_id", "text", "op"),
+        nextId + 1)
+      assert(pairSet(idx.probe(probeBatch, 0.6)) == afterDel,
+        "re-requested del id changed the index")
+
+      // add+del of one id in one batch fails fast
+      intercept[IllegalArgumentException] {
+        idx.update(Seq((1L, "x y z w", "add"), (1L, "", "del")).toDF("doc_id", "text", "op"),
+          nextId + 2)
+      }
+    } finally {
+      for (t <- Seq("graft_shidxm_ref", "graft_shidxm_ref_counts",
+          "graft_shidxm_rem", "graft_shidxm_rem_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.clearCache()
+    }
+  }
+}
