@@ -267,30 +267,21 @@ object DedupQueries extends QueryModule {
     // would blow up the inverted index. Candidates then verify with the
     // same exact Jaccard ≥ 0.6 as the other families.
     //
-    // The global sort RANK is computed WITHOUT a global window: a
-    // 2-char-prefix count table collects to the driver (≤ alphabet²
-    // rows), cumulative offsets ride back as a map literal, and rank =
-    // offset(prefix) + per-prefix row_number — exact, and the only
-    // windows run per prefix group (the standard SNM sort-skew caveat:
-    // a corpus where most docs share a prefix concentrates one group;
-    // remedy is a longer offset prefix). Window pairing is a bucketed
-    // self-join (rank DIV w, adjacent buckets) — never a cross join.
+    // The global sort RANK is computed WITHOUT a global window: an
+    // ADAPTIVE prefix count table collects to the driver (2-char
+    // prefixes, any group over [[SnmPrefixCap]] recursively extended —
+    // see snmOffsets — so a boilerplate prefix shared by 30% of the
+    // corpus can't concentrate a corpus-fraction sort in one task),
+    // cumulative offsets ride back as map literals, and rank =
+    // offset(group) + per-group row_number — exact. Window pairing is a
+    // bucketed self-join (rank DIV w, adjacent buckets) — never a cross
+    // join.
     "dedup_sorted_neighborhood" -> { (s, dir) =>
       import s.implicits._
-      // NULL text sorts as the empty key (coalesce BEFORE lower/substr,
-      // mirrored in the oracle — DuckDB would otherwise sort NULLs last
-      // and every rank below would shift)
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", concat(
-          rpad(substring(lower(coalesce($"text", lit(""))), 1, SnmKeyLen),
-            SnmKeyLen, " "),
-          lpad($"doc_id".cast("string"), 10, "0")).as("skey"))
-      val counts = docs.groupBy(substring($"skey", 1, 2).as("pfx"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val docs = snmKeyed(s, dir)
       // empty corpus: no prefixes → an empty map literal has no inferable
       // type; short-circuit to the empty pair set
-      if (counts.isEmpty)
+      if (docs.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_a",
@@ -300,14 +291,7 @@ object DedupQueries extends QueryModule {
             org.apache.spark.sql.types.StructField("jaccard",
               org.apache.spark.sql.types.DoubleType))))
       else {
-        val offsets = {
-          var acc = 0L
-          counts.map { case (p, n) => val o = (p, acc); acc += n; o }
-        }.toMap
-        val w = Window.partitionBy(substring($"skey", 1, 2)).orderBy($"skey")
-        val ranked = docs.select($"doc_id",
-          (element_at(typedlit(offsets), substring($"skey", 1, 2)) +
-            row_number().over(w) - 1).as("rk"))
+        val ranked = snmRank(docs, SnmPrefixCap)
         val a = ranked.select($"doc_id".as("ida"), $"rk".as("ra"),
           expr(s"rk div $SnmW").as("ba"))
         val b = ranked.select($"doc_id".as("idb"), $"rk".as("rb"),
@@ -852,6 +836,102 @@ object DedupQueries extends QueryModule {
     * rank-window size — shared verbatim with the oracle. */
   private val SnmKeyLen = 16
   private val SnmW = 5
+
+  /** Cap on rows per SNM rank-window partition: any prefix group whose
+    * count exceeds it is recursively split to a longer prefix before the
+    * offsets are built (the adaptive remedy to the classic SNM sort-skew
+    * caveat — a corpus where 30% of docs share a boilerplate prefix would
+    * otherwise concentrate a corpus-fraction-sized sort in ONE task). 1M
+    * rows is a comfortably in-memory single-partition sort; the split
+    * terminates unconditionally because the key carries a unique zero-
+    * padded doc_id suffix, so full-length prefixes have count 1. */
+  private[graft] val SnmPrefixCap = 1000000L
+
+  /** UTF-8 binary string order — Spark (UTF8String.compareTo) and the
+    * DuckDB oracle both ORDER BY the encoded bytes unsigned, while Java
+    * String order compares UTF-16 code units; the two diverge for
+    * supplementary-plane chars vs U+E000..U+FFFF, which would shift
+    * prefix-group offsets against the oracle's global rank. Every
+    * driver-side sort of key prefixes MUST use this order. */
+  private[graft] val Utf8Order: Ordering[String] =
+    (a: String, b: String) => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The SNM sort key: first [[SnmKeyLen]] chars of the lowercased text
+    * (NULL as empty — mirrored in the oracle, which would otherwise sort
+    * NULLs last), space-padded, with a zero-padded doc_id suffix making
+    * every key distinct (ties would make the rank nondeterministic). */
+  private[graft] def snmKeyed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", concat(
+        rpad(substring(lower(coalesce($"text", lit(""))), 1, SnmKeyLen),
+          SnmKeyLen, " "),
+        lpad($"doc_id".cast("string"), 10, "0")).as("skey"))
+  }
+
+  /** Adaptive prefix partition of the skey space for the distributed SNM
+    * rank: starts from 2-char prefixes and recursively extends any prefix
+    * whose row count exceeds `cap` by two more chars (only the oversized
+    * subtrees rescan, filtered by parent prefix), until every group fits.
+    * Returns (prefix, count, offset) — a PREFIX-FREE cover of the corpus
+    * (a split parent is replaced by its children, so no final prefix
+    * prefixes another), sorted by [[Utf8Order]], with cumulative offsets.
+    * Prefix-freeness is what makes the byte-order sort of the prefixes
+    * agree with the key order of the rows they cover, so
+    * offset(grp) + rank-within-grp equals the global ORDER BY skey rank
+    * (DedupScaleSpec pins it, including under a forced-small cap on a
+    * skewed corpus). Driver-bounded: ≤ |oversized parents|·alphabet² rows
+    * collect per level, ≤ (keyLen/2) levels. */
+  private[graft] def snmOffsets(docs: DataFrame, cap: Long): Seq[(String, Long, Long)] = {
+    require(cap >= 1, s"SNM prefix cap must be positive: $cap")
+    val keyLen = SnmKeyLen + 10
+    val finals = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var level = 2
+    var parents: Set[String] = null // null = whole corpus (first level)
+    var done = false
+    while (!done) {
+      val base = if (parents == null) docs
+        else docs.filter(substring(col("skey"), 1, level - 2).isInCollection(parents))
+      val cnts = base.groupBy(substring(col("skey"), 1, level).as("pfx"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val (over, ok) = cnts.partition(_._2 > cap)
+      finals ++= ok
+      if (over.isEmpty || level >= keyLen) { finals ++= over; done = true }
+      else { parents = over.map(_._1).toSet; level += 2 }
+    }
+    val sorted = finals.sortBy(_._1)(Utf8Order)
+    var acc = 0L
+    sorted.map { case (p, n) => val r = (p, n, acc); acc += n; r }.toSeq
+  }
+
+  /** Distributed global rank of the SNM keys WITHOUT a global window:
+    * (doc_id, rk) where rk equals `row_number() OVER (ORDER BY skey) - 1`.
+    * Rows resolve their adaptive prefix group via per-length map literals
+    * (longest first — the cover is prefix-free so exactly one matches),
+    * rank within the group under a per-group window (every group ≤ cap
+    * rows by construction), and add the group's precomputed offset. The
+    * corpus must be non-empty (the caller short-circuits). */
+  private[graft] def snmRank(docs: DataFrame, cap: Long): DataFrame = {
+    val offs = snmOffsets(docs, cap)
+    // prefix length in CODE POINTS, not Java chars: Spark's substring
+    // counts code points, so a prefix holding a surrogate pair must be
+    // re-extracted at its code-point length or the map lookup misses
+    def cpLen(p: String) = p.codePointCount(0, p.length)
+    val lens = offs.map(o => cpLen(o._1)).distinct.sorted(Ordering[Int].reverse)
+    val grp = coalesce(lens.map { len =>
+      val m = offs.collect { case (p, _, _) if cpLen(p) == len => (p, p) }.toMap
+      element_at(typedlit(m), substring(col("skey"), 1, len))
+    }: _*)
+    val offMap = offs.map { case (p, _, o) => (p, o) }.toMap
+    val w = Window.partitionBy(col("grp")).orderBy(col("skey"))
+    docs.withColumn("grp", grp)
+      .select(col("doc_id"),
+        (element_at(typedlit(offMap), col("grp")) +
+          row_number().over(w) - 1).as("rk"))
+  }
   private[graft] def semPlanesFor(bits: Int) = embPlanesFor(1, bits)
 
   /** dedup_lines segment width — the operator's knob (see

@@ -340,33 +340,77 @@ class DedupScaleSpec extends AnyFunSuite {
   }
 
   test("dedup_sorted_neighborhood: prefix-offset distributed rank == global sort rank; no global window") {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
     // the query's correctness rests on the offset-table rank equalling a
-    // global ORDER BY rank — pin it directly on the same key spelling
-    val docs = Tables.load(spark, dir, "documents")
-      .select($"doc_id", concat(
-        rpad(substring(lower(coalesce($"text", lit(""))), 1, 16), 16, " "),
-        lpad($"doc_id".cast("string"), 10, "0")).as("skey"))
+    // global ORDER BY rank — pin the production helpers directly
+    val docs = DedupQueries.snmKeyed(spark, dir)
     val globalRank = docs.collect().map(r => (r.getLong(0), r.getString(1)))
-      .sortBy(_._2).zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
-    val counts = docs.groupBy(substring($"skey", 1, 2).as("pfx"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      counts.map { case (p, n) => val o = (p, acc); acc += n; o }
-    }.toMap
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(substring($"skey", 1, 2)).orderBy($"skey")
-    val ranked = docs.select($"doc_id",
-      (element_at(typedlit(offsets), substring($"skey", 1, 2)) +
-        row_number().over(w) - 1).as("rk"))
+      .sortBy(_._2)(DedupQueries.Utf8Order).zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    val ranked = DedupQueries.snmRank(docs, DedupQueries.SnmPrefixCap)
     val got = ranked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == globalRank, "distributed rank diverged from the global sort")
     // and the plan never funnels to one partition
     val p = ranked.queryExecution.executedPlan.toString
     assert(!p.contains("SinglePartition"), s"global-window funnel:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("SNM adaptive prefixes: skewed boilerplate corpus splits past the hot prefix; rank stays exact under a forced-small cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the r11 scale-killer shape: 30% of the corpus shares a boilerplate
+    // prefix LONGER than the 2-char offset granularity — a fixed-prefix
+    // rank would sort all of it in one window task. Force a cap of 40 so
+    // the split must actually recurse at test scale.
+    val n = 600
+    val rows = (0 until n).map { i =>
+      val text = if (i % 10 < 3) s"terms of service apply: item $i"
+        else s"doc ${i % 7} body $i"
+      (i.toLong, text)
+    }
+    val docsRaw = rows.toDF("doc_id", "text")
+    val keyed = docsRaw.select($"doc_id", concat(
+      rpad(substring(lower(coalesce($"text", lit(""))), 1, 16), 16, " "),
+      lpad($"doc_id".cast("string"), 10, "0")).as("skey"))
+    val cap = 40L
+    val offs = DedupQueries.snmOffsets(keyed, cap)
+    // every group fits under the cap — no window partition can exceed it
+    assert(offs.forall(_._2 <= cap),
+      s"oversized groups survived: ${offs.filter(_._2 > cap).take(5)}")
+    // the hot prefix actually recursed past 2 chars (the split engaged)
+    assert(offs.exists(_._1.length > 2), "no prefix was extended — the skew guard never fired")
+    // counts cover the corpus exactly once (prefix-free cover, no overlap)
+    assert(offs.map(_._2).sum == n.toLong)
+    // and the distributed rank still equals the global UTF-8 sort rank
+    val globalRank = keyed.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._2)(DedupQueries.Utf8Order).zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    val got = DedupQueries.snmRank(keyed, cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == globalRank, "skew-split rank diverged from the global sort")
+    spark.catalog.clearCache()
+  }
+
+  test("SNM prefix order is UTF-8 binary, not UTF-16: supplementary-plane vs private-use prefixes rank like Spark/DuckDB") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // U+E000 (private use, 3 UTF-8 bytes, one UTF-16 unit 0xE000) sorts
+    // AFTER U+10000 (supplementary, 4 UTF-8 bytes, surrogate pair
+    // starting 0xD800) in UTF-8 byte order but BEFORE it in Java String
+    // order — a Java-ordered offset table shifts every rank in between.
+    val texts = Seq(" private use", "𐀀 supplementary",
+      "ascii doc", "zz tail", " second", "𐀀 second")
+    val keyed = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select($"doc_id", concat(
+        rpad(substring(lower(coalesce($"text", lit(""))), 1, 16), 16, " "),
+        lpad($"doc_id".cast("string"), 10, "0")).as("skey"))
+    // Spark's own ORDER BY is the ground truth the oracle agrees with
+    val sparkOrder = keyed.orderBy($"skey").collect().map(_.getLong(0)).toSeq
+    val got = DedupQueries.snmRank(keyed, 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sortBy(_._1).map(_._2).toSeq
+    assert(got == sparkOrder,
+      s"rank order diverged from Spark's ORDER BY: got=$got want=$sparkOrder")
     spark.catalog.clearCache()
   }
 
