@@ -63,7 +63,7 @@ object Bench {
       val best = passes.minBy(_.map(_._2).sum)
       legKeys.map(k => k -> best.collectFirst { case (`k`, v) => v }.get) :+
         ("pipeline_ingest_replicate_consume" -> best.map(_._2).sum)
-    } else Nil)
+    } else Nil) ++ (if (only.isEmpty) annBench(spark, sfDir) else Nil)
     // Plan artifacts ride every bench run (outside the timed region): one
     // formatted physical plan per query under target/plans/, so a
     // cross-round perf drift (like r5→r6's broad ~27%) is attributable by
@@ -148,6 +148,60 @@ object Bench {
         .getOrElse(renderOf(byTime.take(1), results, sfTag)(trim(1)))
     }
     Seq(compact(2), compact(1), sparse).find(_.length <= limit).getOrElse(sparse)
+  }
+
+  /** Amortized ANN serving path: materialize the IntIvfIndex ADC layout
+    * ONCE (the production shape), then time the probe legs alone — the
+    * self-contained knn_ivfadc_* battery gates re-train coarse + PQ
+    * quantizers per execution by design (that's what makes them
+    * oracle-checkable), so without these keys the headline ANN number is
+    * dominated by training cost and a probe regression is invisible.
+    * `ann_index_build` is the once-per-corpus amortized cost;
+    * `ann_probe_adc` / `ann_probe_adc_filtered` are the serving keys.
+    * Geometry matches the battery (coarse 8×2, residual-PQ 8×16×4 on
+    * id-prefix 512, nprobe 2, shortlist 80, k 10, queries = vec_id<10),
+    * so probe rows equal the registered knn_ivfadc_int /
+    * knn_ivfadc_filtered queries — IntIvfAdcSpec pins both equalities
+    * on the materialized artifact. Probes are min-of-3 like the battery
+    * keys; empty probe output ABORTS (a broken probe must not bench as
+    * fast). */
+  private def annBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ann-")
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      val pts = operators.IntegerKMeans.quantize(
+          Tables.load(spark, sfDir, "embeddings").filter(col("embedding").isNotNull))
+        .filter(col("qv").isNotNull).cache()
+      pts.count()
+      val dir = tmp.resolve("ivfadc").toString
+      val tBuild = timed { operators.IntIvfIndex.materializeAdc(pts, dir,
+        k = 8, iters = 2, mMax = 8, kc = 16, pqIters = 4, trainN = 512) }
+      val queries = pts.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("qv")).cache()
+      queries.count()
+      val allowed = Tables.load(spark, sfDir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .select(col("doc_id").cast("long").as("vec_id"))
+      def probeLeg(allow: Option[org.apache.spark.sql.DataFrame]): Double =
+        (1 to 3).map { _ =>
+          timed {
+            val n = operators.IntIvfIndex
+              .probeAdc(spark, dir, queries, nprobe = 2, k = 10,
+                shortlist = 80, allowed = allow).count()
+            require(n > 0, "ANN probe returned no rows")
+          }
+        }.min
+      val tProbe = probeLeg(None)
+      val tFiltered = probeLeg(Some(allowed))
+      pts.unpersist(); queries.unpersist()
+      Seq("ann_index_build" -> tBuild, "ann_probe_adc" -> tProbe,
+        "ann_probe_adc_filtered" -> tFiltered)
+    } catch {
+      case e: Throwable => throw new RuntimeException("ANN bench failed", e)
+    }
   }
 
   /** Core event-store path end to end: ingest the events table into the

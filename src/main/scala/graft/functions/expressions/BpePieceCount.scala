@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(|table|) set probes + O(s) work per merge that actually fires —
   * independent of corpus size, zero shuffle, no UDF serde boundary.
   *
-  * Measured (tools/BpeBench, sf0.1 documents, min of 3): the 32-merge
+  * Measured (test-scope tools/BpeBench, sf0.1 documents, min of 3): the 32-merge
   * fold spelling sums piece counts in 27.7 s; this expression does the
   * same table in 0.16 s (~170×), and an 89-merge table — beyond what
   * the fold can compile at all — in 0.19 s. The fold's cost is the
