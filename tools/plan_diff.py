@@ -1,19 +1,29 @@
 #!/usr/bin/env python3
 """Round-over-round physical-plan drift adjudicator (dev tooling).
 
-Usage: python3 tools/plan_diff.py <plansDirA> <plansDirB>
+Usage: python3 tools/plan_diff.py <plansA> <plansB>
+       python3 tools/plan_diff.py --snapshot <plansDir> <out.json>
 
-Compares two `target/plans/` dumps (one per bench run) by plan SHAPE:
-expression ids (#123), file paths and statistics vary run to run, so each
-plan is normalized to its operator-tree skeleton (the indented node names
-of the `== Physical Plan ==` header block) before hashing. Output: one
-line per query whose skeleton changed, plus added/removed queries.
+Compares two plan surfaces (each either a `target/plans/` dump or a
+`--snapshot` JSON of one) by plan SHAPE: expression ids (#123), file paths
+and statistics vary run to run, so each plan is normalized to its
+operator-tree skeleton (the indented node names of the `== Physical Plan ==`
+header block) before hashing. Output: one line per query whose skeleton
+changed, plus added/removed queries.
+
+`--snapshot` writes {query: sha256(skeleton)} — small enough to COMMIT per
+round (PLANS_r{N}.json), which is what makes the cross-round diff possible
+at all: target/plans is overwritten by every bench run, so without a
+committed snapshot a later round has nothing to adjudicate its movers
+against (the r11→r12 lesson).
 
 This is the adjudication rule from the round-7 drift finding: identical
 skeletons + uniform timing inflation => session noise; a skeleton delta
 => a real plan regression with the culprit visible in the two files.
 Exit 0 when nothing changed, 1 otherwise.
 """
+import hashlib
+import json
 import os
 import re
 import sys
@@ -41,12 +51,28 @@ def skeleton(path):
     return "\n".join(lines)
 
 
+def sha(text):
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
+
+
+def surface(path):
+    """{query: skeleton-hash} from a plans dir or a snapshot JSON."""
+    if path.endswith(".json"):
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+    return {f[:-4]: sha(skeleton(os.path.join(path, f)))
+            for f in os.listdir(path) if f.endswith(".txt")}
+
+
 def main():
-    a_dir, b_dir = sys.argv[1], sys.argv[2]
-    a = {f[:-4]: skeleton(os.path.join(a_dir, f))
-         for f in os.listdir(a_dir) if f.endswith(".txt")}
-    b = {f[:-4]: skeleton(os.path.join(b_dir, f))
-         for f in os.listdir(b_dir) if f.endswith(".txt")}
+    if sys.argv[1] == "--snapshot":
+        plans_dir, out = sys.argv[2], sys.argv[3]
+        with open(out, "w", encoding="utf-8") as f:
+            json.dump(surface(plans_dir), f, indent=0, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {out}: {len(surface(plans_dir))} plan skeleton hashes")
+        return
+    a, b = surface(sys.argv[1]), surface(sys.argv[2])
     changed = sorted(q for q in a.keys() & b.keys() if a[q] != b[q])
     added = sorted(b.keys() - a.keys())
     removed = sorted(a.keys() - b.keys())
