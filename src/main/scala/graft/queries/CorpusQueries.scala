@@ -128,6 +128,42 @@ object CorpusQueries extends QueryModule {
         sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
   }
 
+  /** decontam_runs report threshold: a (train, eval) pair appears when
+    * its longest contiguous shared token run reaches this many tokens
+    * (= MinRunTokens − 2 consecutive trigram starts), and n_runs counts
+    * maximal runs at or above it. Production uses 50 (the Lee et al.
+    * cut); 5 keeps the gate non-vacuous on the short synthetic docs. */
+  val MinRunTokens = 5L
+
+  /** decontam_runs' spelling with the df-ceiling elision knob (the
+    * dedupSpans pattern): an over-ceiling shingle joins on neither side.
+    * Default 1.0 = the exact oracle baseline. */
+  private[graft] def decontamRuns(s: SparkSession, dir: String,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val occAll = Tables.load(s, dir, "documents")
+      .select($"doc_id", posexplode(shingleHashes($"text")).as(Seq("q", "h")))
+    val occ = if (maxDfFrac >= 1.0) occAll
+      else occAll.join(DedupQueries.hotShingles(
+        occAll.select($"doc_id", $"h").distinct(), maxDfFrac),
+        Seq("h"), "left_anti")
+    val tr = occ.filter($"doc_id" % EvalMod =!= 0)
+      .select($"doc_id".as("t_doc"), $"q".as("qt"), $"h")
+    val ev = occ.filter($"doc_id" % EvalMod === 0)
+      .select($"doc_id".as("e_doc"), $"q".as("qe"), $"h")
+    val j = tr.join(ev, "h")
+      .select($"t_doc", $"e_doc", ($"qt" - $"qe").as("diag"), $"qe")
+    val iw = Window.partitionBy($"t_doc", $"e_doc", $"diag").orderBy($"qe")
+    val runs = j.withColumn("isl", $"qe" - row_number().over(iw))
+      .groupBy($"t_doc", $"e_doc", $"diag", $"isl")
+      .agg((count(lit(1)) + 2).as("run_tokens"))
+    runs.groupBy($"e_doc", $"t_doc")
+      .agg(max($"run_tokens").as("max_run_tokens"),
+        sum(when($"run_tokens" >= MinRunTokens, 1L).otherwise(0L)).as("n_runs"))
+      .filter($"max_run_tokens" >= MinRunTokens)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: per training doc, how many of its
     // 3-gram shingles appear anywhere in the eval split.
@@ -136,6 +172,35 @@ object CorpusQueries extends QueryModule {
       contamination(shingleSet(s, dir))
         .withColumn("contam_frac", $"n_contaminated".cast("double") / $"n_shingles")
     },
+
+    // Longest contiguous train↔eval overlap RUNS — the Lee et al. 2022
+    // measurement behind "no 50-token span shared with the benchmark"
+    // (Deduplicating Training Data Makes Language Models Better, §4).
+    // text_decontam flags ANY shared trigram; this reports, per
+    // (eval doc, training doc) pair, the longest contiguous matching
+    // token run and how many maximal runs reach [[MinRunTokens]] — the
+    // evidence a contamination review actually reads (one boilerplate
+    // trigram and a verbatim 40-token quote both "contaminate"; only
+    // one matters).
+    //
+    // Diagonal algebra: positioned trigram occurrences join on the
+    // 8-byte shingle hash; each match lies on diagonal qt − qe, and
+    // consecutive eval positions within one (t_doc, e_doc, diag) group
+    // form maximal islands (island id = qe − row_number, the standard
+    // gaps-and-islands trick — all integer, so the chain re-derives
+    // bit-identically in DuckDB). An island of L trigram starts covers
+    // L + 2 contiguous tokens, and the per-pair max over diagonals IS
+    // the longest common contiguous token substring (DedupScaleSpec
+    // pins the equality against a brute-force reference).
+    //
+    // Scale shape: the eval side is benchmark-sized (AQE broadcasts
+    // it); join cost is O(matching hash pairs), df-ceiled by the same
+    // maxDfFrac knob as the other exact-shingle paths (default 1.0 =
+    // the exact oracle baseline; DedupScaleSpec pins elided ≡ the
+    // reference over surviving shingles); the island window partitions on
+    // (t_doc, e_doc, diag) — per-pair match counts, never
+    // corpus-sized. No pairwise doc join anywhere.
+    "decontam_runs" -> { (s, dir) => decontamRuns(s, dir) },
 
     // SEMANTIC decontamination — the third leg of the decontam trio
     // (exact n-gram, bloom-accelerated, and now embedding-space): a
@@ -998,6 +1063,32 @@ object CorpusQueries extends QueryModule {
          |      FROM documents)""".stripMargin,
 
     "text_decontam" -> oDecontamSql,
+
+    // The same positioned-occurrence chain: zipped unnest pairs each
+    // shingle with its 0-based start (matching Spark's posexplode),
+    // islands group on (pair, diagonal, qe − row_number), runs of L
+    // starts cover L+2 tokens.
+    "decontam_runs" ->
+      s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+         |sg AS (SELECT doc_id, $oShingles3 AS ss FROM docs),
+         |occ AS (SELECT doc_id, unnest(ss) AS s,
+         |               unnest(range(0, len(ss))) AS q FROM sg),
+         |o2 AS (SELECT doc_id, q, ${oH60("s")} AS h FROM occ),
+         |j AS (SELECT t.doc_id AS t_doc, e.doc_id AS e_doc,
+         |             t.q - e.q AS diag, e.q AS qe
+         |      FROM o2 t JOIN o2 e ON t.h = e.h
+         |      WHERE t.doc_id % $EvalMod <> 0 AND e.doc_id % $EvalMod = 0),
+         |isl AS (SELECT t_doc, e_doc, diag, qe,
+         |          qe - row_number() OVER (
+         |            PARTITION BY t_doc, e_doc, diag ORDER BY qe) AS isl
+         |        FROM j),
+         |runs AS (SELECT t_doc, e_doc, count(*) + 2 AS run_tokens
+         |         FROM isl GROUP BY t_doc, e_doc, diag, isl)
+         |SELECT e_doc, t_doc, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+         |  CAST(sum(CASE WHEN run_tokens >= $MinRunTokens THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_runs
+         |FROM runs GROUP BY e_doc, t_doc
+         |HAVING max(run_tokens) >= $MinRunTokens""".stripMargin,
 
     // Same cell partition as oCellsSql, same cosine arithmetic as the
     // dedup_semantic oracle family; eval/train roles instead of

@@ -73,7 +73,7 @@ object DedupQueries extends QueryModule {
     * construction (boilerplate), so the elision anti-join broadcasts.
     * `sh` must be DISTINCT (doc_id, h) pairs so df is a true document
     * frequency. */
-  private def hotShingles(sh: DataFrame, maxDfFrac: Double): DataFrame = {
+  private[graft] def hotShingles(sh: DataFrame, maxDfFrac: Double): DataFrame = {
     val nDocs = sh.select(col("doc_id")).distinct().count()
     sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > lit(maxDfFrac) * lit(nDocs.toDouble))

@@ -152,6 +152,53 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** Independent single-JVM reference for decontam_runs: per (train,
+    * eval) pair, group positioned trigram-hash matches by diagonal,
+    * find maximal consecutive-qe islands, report (max island + 2,
+    * count of islands reaching MinRunTokens). */
+  private def overlapRunsRef(occ: Map[Long, Seq[(Long, Int)]]): Set[(Long, Long, Long, Long)] = {
+    val minRun = graft.queries.CorpusQueries.MinRunTokens
+    val evalIds = occ.keySet.filter(_ % graft.queries.CorpusQueries.EvalMod == 0)
+    val trainIds = occ.keySet -- evalIds
+    (for {
+      t <- trainIds.iterator; e <- evalIds.iterator
+      byH = occ(e).groupBy(_._1)
+      matches = occ(t).flatMap { case (h, qt) =>
+        byH.getOrElse(h, Nil).map { case (_, qe) => (qt - qe, qe) } }
+      if matches.nonEmpty
+    } yield {
+      val runLens = matches.groupBy(_._1).values.flatMap { diag =>
+        val qs = diag.map(_._2).distinct.sorted
+        // maximal islands of consecutive qe
+        qs.foldLeft(List.empty[(Int, Int)]) { // (start, len) accumulator
+          case ((s, l) :: rest, q) if q == s + l => (s, l + 1) :: rest
+          case (acc, q) => (q, 1) :: acc
+        }.map(_._2 + 2L)
+      }
+      (e, t, runLens.max, runLens.count(_ >= minRun).toLong)
+    }).filter(_._3 >= minRun).toSet
+  }
+
+  test("decontam_runs == brute-force longest-common-run reference; df-ceiled == reference over surviving shingles") {
+    val texts = corpusTexts
+    val occ = texts.map { case (id, t) => id -> shingleList(t).zipWithIndex }
+    val expected = overlapRunsRef(occ)
+    val got = SparkEntry.queries("decontam_runs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "no overlap runs at all — vacuous gate")
+    assert(expected.exists(_._3 > graft.queries.CorpusQueries.MinRunTokens),
+      "every run at the threshold — max_run_tokens never discriminates")
+    // elision: an over-ceiling shingle joins on neither side
+    val (frac, _, hot) = elisionFixture(texts)
+    val occElided = occ.map { case (id, hs) => id -> hs.filterNot(p => hot(p._1)) }
+    val gotElided = graft.queries.CorpusQueries.decontamRuns(spark, dir, frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotElided == overlapRunsRef(occElided))
+    spark.catalog.clearCache()
+  }
+
   test("pigeonhole banding is exact on random fingerprints (seeded property sweep)") {
     // the corpus test above exercises one fingerprint distribution; the
     // pigeonhole claim (hamming ≤ 2 ⇒ some band of 11+11+10 bits
