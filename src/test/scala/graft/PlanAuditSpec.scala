@@ -523,6 +523,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("decontam_runs: islands window partitions on (pair, diag) — no cartesian, no single partition, no text keys") {
+    val p = plan("decontam_runs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, p)
+    // the island rank is a per-(pair, diagonal) window, never global
+    assert("partitionspec=\\[t_doc|\\[t_doc".r.findFirstIn(p).isDefined ||
+      p.contains("t_doc"), p)
+  }
+
   test("novelty family and SNM: hash-keyed shuffles only — no cartesian, no text keys, no single partition") {
     for (q <- Seq("text_novelty", "text_novelty_incr", "mix_novelty",
         "corpus_dup_sources", "dedup_sorted_neighborhood")) {
