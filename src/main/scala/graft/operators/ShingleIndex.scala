@@ -45,71 +45,21 @@ object ShingleIndex {
   // Commit pointer: `_current` at the pairs table's location (underscore
   // prefix — invisible to Spark's file index), holding the last COMMITTED
   // batch id, swapped by atomic rename (the Bm25Index pointer shape).
-  // Missing pointer (a crashed from-scratch materialize/vacuum, whose
-  // in-place rewrite is already covered by the checkpoint pin) falls back
-  // to everything-visible — exactly the pre-pointer semantics; the
-  // pointer's job is gating APPENDS, which always run under one.
+  // Primitives shared with OverlapIndex via [[CatalogCommit]].
 
-  private def tableLocation(spark: SparkSession, table: String): java.nio.file.Path = {
-    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
-      .filter(col("col_name") === "Location")
-      .select(col("data_type")).head.getString(0)
-    java.nio.file.Paths.get(new java.net.URI(loc))
-  }
-
-  private def pointerPath(spark: SparkSession, name: String) =
-    tableLocation(spark, name).resolve("_current")
-
-  private def readLastBatch(spark: SparkSession, name: String): Option[Long] = {
-    val p = pointerPath(spark, name)
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
-  }
-
-  private def writeLastBatch(spark: SparkSession, name: String, b: Long): Unit = {
-    val p = pointerPath(spark, name)
-    val tmp = p.resolveSibling("_current.tmp")
-    java.nio.file.Files.write(tmp, b.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Physically drop an UNCOMMITTED batch partition (a crashed append's
-    * leftovers — invisible to gated readers, removed before the retry
-    * rewrites it). */
-  private def dropUncommitted(spark: SparkSession, table: String, b: Long): Unit = {
-    val dir = tableLocation(spark, table).resolve(s"batch=$b")
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.walk(dir)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally s.close()
-      spark.catalog.refreshTable(table)
-    }
-  }
+  import CatalogCommit.{readLastBatch, writeLastBatch, dropUncommitted,
+    clearOrphanLocation}
 
   /** The COMMITTED pairs frame (doc_id, h) — batch-gated, batch dropped
     * so downstream algebra is layout-agnostic. NOT tombstone-masked;
     * probes go through [[masked]]. */
-  private[graft] def pairs(spark: SparkSession, name: String): DataFrame = {
-    val t = spark.table(name)
-    readLastBatch(spark, name) match {
-      case Some(last) => t.filter(col("batch") <= last).drop("batch")
-      case None => t.drop("batch")
-    }
-  }
+  private[graft] def pairs(spark: SparkSession, name: String): DataFrame =
+    CatalogCommit.committed(spark, name, name)
 
   /** The COMMITTED counts frame (doc_id, n) — gated by the SAME pointer
     * as [[pairs]] (one commit covers both tables). */
-  private[graft] def counts(spark: SparkSession, name: String): DataFrame = {
-    val t = spark.table(s"${name}_counts")
-    readLastBatch(spark, name) match {
-      case Some(last) => t.filter(col("batch") <= last).drop("batch")
-      case None => t.drop("batch")
-    }
-  }
+  private[graft] def counts(spark: SparkSession, name: String): DataFrame =
+    CatalogCommit.committed(spark, s"${name}_counts", name)
 
   private def writeBatch(df: DataFrame, name: String, buckets: Int,
       batchNo: Long, overwrite: Boolean): Unit = {
@@ -125,26 +75,6 @@ object ShingleIndex {
       .write.mode(mode).partitionBy("batch").saveAsTable(s"${name}_counts")
     pairs.unpersist()
   }
-
-  /** Remove a managed-table location ORPHANED by a dead session: with the
-    * default in-memory catalog the table registration dies with the JVM
-    * while its warehouse dir survives, and the next CREATE fails with
-    * LOCATION_ALREADY_EXISTS. Only fires when the catalog does NOT know
-    * the table (a registered table's dir is never touched). */
-  private def clearOrphanLocation(spark: SparkSession, table: String): Unit =
-    if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val root = if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
-        else java.nio.file.Paths.get(wh)
-      val dir = root.resolve(table.toLowerCase(java.util.Locale.ROOT))
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(dir)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-        finally s.close()
-      }
-    }
 
   /** Write the bucketed index tables for `docs` (doc_id, text) as batch 0
     * and commit the pointer. */
@@ -200,15 +130,11 @@ object ShingleIndex {
     * never-indexed ids are no-ops. */
   def delete(spark: SparkSession, name: String, ids: DataFrame): Unit = {
     graft.GraftExtensions.register(spark)
-    clearOrphanLocation(spark, s"${name}_tombstones")
-    ids.select(col(ids.columns.head).as("doc_id")).distinct()
-      .write.mode("append").saveAsTable(s"${name}_tombstones")
+    CatalogCommit.appendTombstones(spark, name, ids)
   }
 
   private def masked(spark: SparkSession, name: String, df: DataFrame): DataFrame =
-    if (!spark.catalog.tableExists(s"${name}_tombstones")) df
-    else df.join(spark.table(s"${name}_tombstones").select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
+    CatalogCommit.maskedByTombstones(spark, name, df)
 
   /** Physically drop tombstoned docs' pairs and the tombstones themselves
     * — the compaction that completes [[delete]]'s right-to-be-forgotten

@@ -74,7 +74,8 @@ object Takedown {
       docs: DataFrame, isTarget: Column,
       shingleIndexes: Seq[String] = Nil,
       lineSegmentIndexes: Seq[String] = Nil,
-      intIvfIndexes: Seq[String] = Nil): Unit = {
+      intIvfIndexes: Seq[String] = Nil,
+      overlapIndexes: Seq[String] = Nil): Unit = {
     graft.GraftExtensions.register(spark)
     val req = ids.select(col(ids.columns.head).as("doc_id")).distinct()
     // idempotency guard (round-10 advisory): only not-yet-tombstoned docs
@@ -90,6 +91,9 @@ object Takedown {
       fresh.select(col("doc_id").as("vec_id")))
     shingleIndexes.foreach(n => ShingleIndex.delete(spark, n, fresh))
     lineSegmentIndexes.foreach(n => LineSegmentIndex.delete(spark, n, fresh))
+    // positioned overlap-run index: a forgotten doc must stop flagging
+    // verbatim runs against future benchmarks (same mask doctrine)
+    overlapIndexes.foreach(n => OverlapIndex.delete(spark, n, fresh))
     // integer-IVF/ADC ANN artifacts keyed by vec_id = doc_id (idempotent
     // tombstone appends, like the vector index — probes mask immediately)
     intIvfIndexes.foreach(n => IntIvfIndex.delete(spark, n,
@@ -195,7 +199,8 @@ object Takedown {
   def scrub(spark: SparkSession, outDir: String,
       shingleIndexes: Seq[String] = Nil,
       lineSegmentIndexes: Seq[String] = Nil,
-      intIvfIndexes: Seq[String] = Nil): Unit = {
+      intIvfIndexes: Seq[String] = Nil,
+      overlapIndexes: Seq[String] = Nil): Unit = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(outDir)))) return
     val cleanManifest = manifest(spark, outDir).localCheckpoint(true)
     cleanManifest.write.mode("overwrite").parquet(s"$outDir/curated")
@@ -207,6 +212,7 @@ object Takedown {
     shingleIndexes.foreach(n => ShingleIndex.vacuum(spark, n))
     lineSegmentIndexes.foreach(n => LineSegmentIndex.vacuum(spark, n))
     intIvfIndexes.foreach(n => IntIvfIndex.vacuum(spark, n))
+    overlapIndexes.foreach(n => OverlapIndex.vacuum(spark, n))
     val tomb = java.nio.file.Paths.get(tombDir(outDir))
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(tomb)

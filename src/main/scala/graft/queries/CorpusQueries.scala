@@ -148,20 +148,9 @@ object CorpusQueries extends QueryModule {
       else occAll.join(DedupQueries.hotShingles(
         occAll.select($"doc_id", $"h").distinct(), maxDfFrac),
         Seq("h"), "left_anti")
-    val tr = occ.filter($"doc_id" % EvalMod =!= 0)
-      .select($"doc_id".as("t_doc"), $"q".as("qt"), $"h")
-    val ev = occ.filter($"doc_id" % EvalMod === 0)
-      .select($"doc_id".as("e_doc"), $"q".as("qe"), $"h")
-    val j = tr.join(ev, "h")
-      .select($"t_doc", $"e_doc", ($"qt" - $"qe").as("diag"), $"qe")
-    val iw = Window.partitionBy($"t_doc", $"e_doc", $"diag").orderBy($"qe")
-    val runs = j.withColumn("isl", $"qe" - row_number().over(iw))
-      .groupBy($"t_doc", $"e_doc", $"diag", $"isl")
-      .agg((count(lit(1)) + 2).as("run_tokens"))
-    runs.groupBy($"e_doc", $"t_doc")
-      .agg(max($"run_tokens").as("max_run_tokens"),
-        sum(when($"run_tokens" >= MinRunTokens, 1L).otherwise(0L)).as("n_runs"))
-      .filter($"max_run_tokens" >= MinRunTokens)
+    graft.operators.OverlapIndex.runsFrames(
+      occ.filter($"doc_id" % EvalMod =!= 0),
+      occ.filter($"doc_id" % EvalMod === 0), MinRunTokens)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,6 +190,26 @@ object CorpusQueries extends QueryModule {
     // (t_doc, e_doc, diag) — per-pair match counts, never
     // corpus-sized. No pairwise doc join anywhere.
     "decontam_runs" -> { (s, dir) => decontamRuns(s, dir) },
+
+    // The SAME relation probed against the MATERIALIZED positioned
+    // shingle index (operators/OverlapIndex) — the production spelling:
+    // "a new benchmark was adopted; which standing training docs share
+    // long verbatim runs with it?" costs a full corpus re-shingle per
+    // benchmark revision without the index, a bucket-pruned probe with
+    // it. Shares decontam_runs' oracle SQL, so the driver gate makes
+    // index probe ≡ from-scratch recompute an equality (the
+    // dedup_containment_idx / knn_ivfadc gate-vs-index pairing).
+    "decontam_runs_idx" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      s.sql("DROP TABLE IF EXISTS graft_q_runs_idx")
+      s.sql("DROP TABLE IF EXISTS graft_q_runs_idx_tombstones")
+      graft.operators.OverlapIndex.materialize(
+        docs.filter($"doc_id" % EvalMod =!= 0), "graft_q_runs_idx")
+      graft.operators.OverlapIndex.runsProbe(
+        s, "graft_q_runs_idx", docs.filter($"doc_id" % EvalMod === 0),
+        MinRunTokens)
+    },
 
     // SEMANTIC decontamination — the third leg of the decontam trio
     // (exact n-gram, bloom-accelerated, and now embedding-space): a
@@ -982,6 +991,32 @@ object CorpusQueries extends QueryModule {
   /** Shared by text_decontam and decontam_bloom: the bloom prefilter is
     * output-invariant (exact verify removes its false positives), so both
     * queries verify against the identical exact SQL. */
+  /** The positioned-occurrence run chain shared by decontam_runs and its
+    * index-probe twin: zipped unnest pairs each shingle with its 0-based
+    * start (matching Spark's posexplode), islands group on (pair,
+    * diagonal, qe − row_number), runs of L starts cover L+2 tokens. */
+  private val oRunsSql =
+    s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+       |sg AS (SELECT doc_id, $oShingles3 AS ss FROM docs),
+       |occ AS (SELECT doc_id, unnest(ss) AS s,
+       |               unnest(range(0, len(ss))) AS q FROM sg),
+       |o2 AS (SELECT doc_id, q, ${oH60("s")} AS h FROM occ),
+       |j AS (SELECT t.doc_id AS t_doc, e.doc_id AS e_doc,
+       |             t.q - e.q AS diag, e.q AS qe
+       |      FROM o2 t JOIN o2 e ON t.h = e.h
+       |      WHERE t.doc_id % $EvalMod <> 0 AND e.doc_id % $EvalMod = 0),
+       |isl AS (SELECT t_doc, e_doc, diag, qe,
+       |          qe - row_number() OVER (
+       |            PARTITION BY t_doc, e_doc, diag ORDER BY qe) AS isl
+       |        FROM j),
+       |runs AS (SELECT t_doc, e_doc, count(*) + 2 AS run_tokens
+       |         FROM isl GROUP BY t_doc, e_doc, diag, isl)
+       |SELECT e_doc, t_doc, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+       |  CAST(sum(CASE WHEN run_tokens >= $MinRunTokens THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_runs
+       |FROM runs GROUP BY e_doc, t_doc
+       |HAVING max(run_tokens) >= $MinRunTokens""".stripMargin
+
   private val oDecontamSql =
     s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
@@ -1064,31 +1099,11 @@ object CorpusQueries extends QueryModule {
 
     "text_decontam" -> oDecontamSql,
 
-    // The same positioned-occurrence chain: zipped unnest pairs each
-    // shingle with its 0-based start (matching Spark's posexplode),
-    // islands group on (pair, diagonal, qe − row_number), runs of L
-    // starts cover L+2 tokens.
-    "decontam_runs" ->
-      s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
-         |sg AS (SELECT doc_id, $oShingles3 AS ss FROM docs),
-         |occ AS (SELECT doc_id, unnest(ss) AS s,
-         |               unnest(range(0, len(ss))) AS q FROM sg),
-         |o2 AS (SELECT doc_id, q, ${oH60("s")} AS h FROM occ),
-         |j AS (SELECT t.doc_id AS t_doc, e.doc_id AS e_doc,
-         |             t.q - e.q AS diag, e.q AS qe
-         |      FROM o2 t JOIN o2 e ON t.h = e.h
-         |      WHERE t.doc_id % $EvalMod <> 0 AND e.doc_id % $EvalMod = 0),
-         |isl AS (SELECT t_doc, e_doc, diag, qe,
-         |          qe - row_number() OVER (
-         |            PARTITION BY t_doc, e_doc, diag ORDER BY qe) AS isl
-         |        FROM j),
-         |runs AS (SELECT t_doc, e_doc, count(*) + 2 AS run_tokens
-         |         FROM isl GROUP BY t_doc, e_doc, diag, isl)
-         |SELECT e_doc, t_doc, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
-         |  CAST(sum(CASE WHEN run_tokens >= $MinRunTokens THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_runs
-         |FROM runs GROUP BY e_doc, t_doc
-         |HAVING max(run_tokens) >= $MinRunTokens""".stripMargin,
+    "decontam_runs" -> oRunsSql,
+
+    // the driver gate makes index probe ≡ from-scratch recompute an
+    // equality
+    "decontam_runs_idx" -> oRunsSql,
 
     // Same cell partition as oCellsSql, same cosine arithmetic as the
     // dedup_semantic oracle family; eval/train roles instead of

@@ -40,7 +40,8 @@ class TakedownSpec extends AnyFunSuite {
     val docsTable = Tables.load(spark, sf, "documents")
     for (t <- Seq("graft_tk_shidx", "graft_tk_shidx_tombstones",
         "graft_tk_shidx_counts", "graft_tk_shidx_ref", "graft_tk_shidx_ref_counts",
-        "graft_tk_lineidx", "graft_tk_lineidx_tombstones", "graft_tk_lineidx_ref"))
+        "graft_tk_lineidx", "graft_tk_lineidx_tombstones", "graft_tk_lineidx_ref",
+        "graft_tk_ovidx", "graft_tk_ovidx_tombstones", "graft_tk_ovidx_ref"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
     // dedup surfaces over the kept corpus — takedown must forget these
     // too. One removed doc's text is swapped for a verbatim copy of a
@@ -58,16 +59,23 @@ class TakedownSpec extends AnyFunSuite {
           .otherwise($"text").as("text"))
     ShingleIndex.materialize(idxCorpus, "graft_tk_shidx")
     LineSegmentIndex.materialize(idxCorpus, "graft_tk_lineidx")
+    graft.operators.OverlapIndex.materialize(idxCorpus, "graft_tk_ovidx")
     val probeBatch = docsTable.filter($"doc_id" % 10 === 0)
       .select($"doc_id", $"text")
     def shPairs(name: String) = ShingleIndex.probe(spark, name, probeBatch, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def lineRows(name: String) = LineSegmentIndex.probeDedup(spark, name, probeBatch)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def ovRuns(name: String) = graft.operators.OverlapIndex
+      .runsProbe(spark, name, probeBatch, graft.queries.CorpusQueries.MinRunTokens)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val shPre = shPairs("graft_tk_shidx")
     val linePre = lineRows("graft_tk_lineidx")
+    val ovPre = ovRuns("graft_tk_ovidx")
     assert(shPre.exists(p => p._1 == synthId || p._2 == synthId),
       "vacuous: the planted duplicate never paired in the shingle probe")
+    assert(ovPre.exists(_._2 == synthId),
+      "vacuous: the planted verbatim copy never surfaced as an overlap run")
 
     // int-IVF/ADC ANN artifact over the kept docs' embeddings (vec_id =
     // doc_id) — the newest index surface the takedown contract covers.
@@ -91,7 +99,8 @@ class TakedownSpec extends AnyFunSuite {
     Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en",
       shingleIndexes = Seq("graft_tk_shidx"),
       lineSegmentIndexes = Seq("graft_tk_lineidx"),
-      intIvfIndexes = Seq(ivfDir))
+      intIvfIndexes = Seq(ivfDir),
+      overlapIndexes = Seq("graft_tk_ovidx"))
 
     // manifest: exactly the original minus the removed ids
     val after = Takedown.manifest(spark, dir)
@@ -174,6 +183,15 @@ class TakedownSpec extends AnyFunSuite {
       "line-segment probe after takedown != rebuild without the removed docs")
     assert(linePost != linePre,
       "vacuous: the planted duplicate's suppression never lifted")
+    // overlap-run surface: a forgotten doc must stop flagging verbatim
+    // runs (OverlapIndex.delete, reached from Takedown.run)
+    graft.operators.OverlapIndex.materialize(remainingIdx, "graft_tk_ovidx_ref")
+    val ovPost = ovRuns("graft_tk_ovidx")
+    assert(ovPost == ovRuns("graft_tk_ovidx_ref"),
+      "overlap-run probe after takedown != rebuild without the removed docs")
+    assert(!ovPost.exists(r => removedIds(r._2)),
+      "a forgotten doc still flags overlap runs")
+    assert(ovPost != ovPre, "vacuous: overlap probe unchanged by the takedown")
 
     // repack: gapless contiguous shards over exactly the surviving docs
     val nShards = Takedown.repack(spark, dir)
@@ -257,12 +275,13 @@ class TakedownSpec extends AnyFunSuite {
     val preVec = hits(s"$dir/vectors")
     val preLine = lineRows("graft_tk_lineidx")
     Takedown.scrub(spark, dir, Seq("graft_tk_shidx"), Seq("graft_tk_lineidx"),
-      intIvfIndexes = Seq(ivfDir))
+      intIvfIndexes = Seq(ivfDir), overlapIndexes = Seq("graft_tk_ovidx"))
     assert(scores(s"$dir/bm25") == preBm, "bm25 probe changed across scrub")
     assert(hits(s"$dir/vectors") == preVec, "vector probe changed across scrub")
     assert(shPairs("graft_tk_shidx") == shPost, "shingle probe changed across scrub")
     assert(lineRows("graft_tk_lineidx") == preLine, "line probe changed across scrub")
     assert(ivfHits(ivfDir) == ivfPost, "ADC probe changed across scrub")
+    assert(ovRuns("graft_tk_ovidx") == ovPost, "overlap probe changed across scrub")
     def idsOf(df: org.apache.spark.sql.DataFrame, c: String) =
       df.select(col(c)).distinct().collect().map(_.getLong(0)).toSet
     val surfaces = Seq(
@@ -275,7 +294,8 @@ class TakedownSpec extends AnyFunSuite {
       "shingle index" -> idsOf(spark.table("graft_tk_shidx"), "doc_id"),
       "shingle counts" -> idsOf(spark.table("graft_tk_shidx_counts"), "doc_id"),
       "line index" -> idsOf(spark.table("graft_tk_lineidx"), "doc_id"),
-      "int-ivf index" -> idsOf(spark.read.parquet(ivfDir), "vec_id"))
+      "int-ivf index" -> idsOf(spark.read.parquet(ivfDir), "vec_id"),
+      "overlap index" -> idsOf(spark.table("graft_tk_ovidx"), "doc_id"))
     for ((name, ids) <- surfaces)
       assert(ids.intersect(removedIds).isEmpty,
         s"$name still holds removed ids: ${ids.intersect(removedIds).take(5)}")
@@ -288,12 +308,14 @@ class TakedownSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$ivfDir/_tombstones")),
       "int-ivf tombstones survived the scrub")
     assert(!spark.catalog.tableExists("graft_tk_shidx_tombstones") &&
-      !spark.catalog.tableExists("graft_tk_lineidx_tombstones"),
+      !spark.catalog.tableExists("graft_tk_lineidx_tombstones") &&
+      !spark.catalog.tableExists("graft_tk_ovidx_tombstones"),
       "index tombstone tables survived the scrub")
 
     for (t <- Seq("graft_tk_shidx", "graft_tk_shidx_tombstones",
         "graft_tk_shidx_counts", "graft_tk_shidx_ref", "graft_tk_shidx_ref_counts",
-        "graft_tk_lineidx", "graft_tk_lineidx_tombstones", "graft_tk_lineidx_ref"))
+        "graft_tk_lineidx", "graft_tk_lineidx_tombstones", "graft_tk_lineidx_ref",
+        "graft_tk_ovidx", "graft_tk_ovidx_tombstones", "graft_tk_ovidx_ref"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.catalog.clearCache()
   }
