@@ -207,8 +207,19 @@ object Bench {
         "ann_probe_adc_filtered" -> tFiltered)
     } catch {
       case e: Throwable => throw new RuntimeException("ANN bench failed", e)
-    }
+    } finally deleteRecursively(tmp)
   }
+
+  /** Each bench stage builds index/log artifacts under its own temp dir —
+    * delete them after the stage or every run leaks index-sized bytes. */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
 
   /** Core event-store path end to end: ingest the events table into the
     * native log (encode + (lsn,id) allocation), replicate it to the
@@ -239,6 +250,6 @@ object Bench {
     } catch {
       // fail the bench, loudly — a broken pipeline must not bench as "fast"
       case e: Throwable => throw new RuntimeException("pipeline bench failed", e)
-    }
+    } finally deleteRecursively(tmp)
   }
 }

@@ -77,6 +77,18 @@ private[operators] object CatalogCommit {
     finally s.close()
   }
 
+  /** Fail-loud pointer contract for PROBE paths: the only legitimate
+    * pointer-less state is a crashed from-scratch materialize/vacuum —
+    * mid-rewrite data a probe must never silently read (the
+    * everything-visible fallback in [[committed]] exists for
+    * materialize-internal reads, not for serving). Probes require the
+    * pointer and tell the operator to rebuild. */
+  def requireCommitted(spark: SparkSession, name: String): Unit =
+    require(readLastBatch(spark, name).nonEmpty,
+      s"index '$name' has no _current commit pointer — a crashed " +
+        "from-scratch materialize/vacuum is the only state that leaves " +
+        "this; re-run materialize() before probing")
+
   /** The committed frame of a batch-partitioned table: batch-gated on
     * the pointer, `batch` dropped so downstream algebra is
     * layout-agnostic. NOT tombstone-masked. */

@@ -131,6 +131,7 @@ object OverlapIndex {
   def runsProbe(spark: SparkSession, name: String, evalDocs: DataFrame,
       minRun: Long): DataFrame = {
     graft.GraftExtensions.register(spark)
+    CatalogCommit.requireCommitted(spark, name)
     runsFrames(masked(spark, name, occurrences(spark, name)),
       positioned(evalDocs), minRun)
   }

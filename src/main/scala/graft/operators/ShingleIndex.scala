@@ -176,6 +176,7 @@ object ShingleIndex {
     * `text_novelty` restricted to them (ShingleIndexSpec pins it). */
   def noveltyProbe(spark: SparkSession, name: String, batch: DataFrame): DataFrame = {
     graft.GraftExtensions.register(spark)
+    CatalogCommit.requireCommitted(spark, name)
     noveltyFrames(masked(spark, name, pairs(spark, name)), batch)
   }
 
@@ -210,6 +211,7 @@ object ShingleIndex {
   def probe(spark: SparkSession, name: String, batch: DataFrame,
       threshold: Double): DataFrame = {
     graft.GraftExtensions.register(spark)
+    CatalogCommit.requireCommitted(spark, name)
     probeFrames(masked(spark, name, pairs(spark, name)),
       masked(spark, name, counts(spark, name)), batch, threshold)
   }
@@ -271,6 +273,7 @@ object ShingleIndex {
   def containmentProbe(spark: SparkSession, name: String, batch: DataFrame,
       threshold: Double): DataFrame = {
     graft.GraftExtensions.register(spark)
+    CatalogCommit.requireCommitted(spark, name)
     containmentFrames(masked(spark, name, pairs(spark, name)),
       masked(spark, name, counts(spark, name)), batch, threshold)
   }

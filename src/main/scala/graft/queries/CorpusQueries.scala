@@ -988,9 +988,6 @@ object CorpusQueries extends QueryModule {
         ($"cb" % PackBudget).as("shard_offset"))
   }
 
-  /** Shared by text_decontam and decontam_bloom: the bloom prefilter is
-    * output-invariant (exact verify removes its false positives), so both
-    * queries verify against the identical exact SQL. */
   /** The positioned-occurrence run chain shared by decontam_runs and its
     * index-probe twin: zipped unnest pairs each shingle with its 0-based
     * start (matching Spark's posexplode), islands group on (pair,
@@ -1017,6 +1014,9 @@ object CorpusQueries extends QueryModule {
        |FROM runs GROUP BY e_doc, t_doc
        |HAVING max(run_tokens) >= $MinRunTokens""".stripMargin
 
+  /** Shared by text_decontam and decontam_bloom: the bloom prefilter is
+    * output-invariant (exact verify removes its false positives), so both
+    * queries verify against the identical exact SQL. */
   private val oDecontamSql =
     s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h

@@ -52,6 +52,32 @@ class OverlapIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a missing _current pointer fails the probe loud (never silently reads mid-rewrite data)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val train = docs.filter($"doc_id" % CorpusQueries.EvalMod =!= 0 && $"doc_id" < 200)
+    val evalD = docs.filter($"doc_id" % CorpusQueries.EvalMod === 0)
+    try {
+      OverlapIndex.materialize(train, "graft_ovidx_ptr")
+      // sanity: probes work with the pointer in place
+      OverlapIndex.runsProbe(spark, "graft_ovidx_ptr", evalD,
+        CorpusQueries.MinRunTokens).count()
+      // simulate a crashed from-scratch materialize: the pointer is gone
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_ovidx_ptr")
+        .filter($"col_name" === "Location").select($"data_type").head.getString(0)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(new java.net.URI(loc)).resolve("_current"))
+      val e = intercept[IllegalArgumentException] {
+        OverlapIndex.runsProbe(spark, "graft_ovidx_ptr", evalD,
+          CorpusQueries.MinRunTokens)
+      }
+      assert(e.getMessage.contains("_current"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ovidx_ptr")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("a crashed append is invisible; the retry lands exactly the rebuild") {
     import spark.implicits._
     GraftExtensions.register(spark)

@@ -528,9 +528,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SinglePartition"), p)
     assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, p)
-    // the island rank is a per-(pair, diagonal) window, never global
-    assert("partitionspec=\\[t_doc|\\[t_doc".r.findFirstIn(p).isDefined ||
-      p.contains("t_doc"), p)
+    // the island rank is a per-(pair, diagonal) window, never global: the
+    // window's required exchange hash-partitions on (t_doc, e_doc, diag)
+    // together — a global or pair-only window would show a different spec
+    assert("hashpartitioning\\(t_doc#\\d+L?, e_doc#\\d+L?, diag#\\d+"
+      .r.findFirstIn(p).isDefined, p)
   }
 
   test("novelty family and SNM: hash-keyed shuffles only — no cartesian, no text keys, no single partition") {

@@ -51,6 +51,34 @@ class ShingleIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a missing _current pointer fails every probe loud (never silently reads mid-rewrite data)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    try {
+      ShingleIndex.materialize(corpus, "graft_shidx_ptr")
+      ShingleIndex.probe(spark, "graft_shidx_ptr", batch, 0.6).count()
+      // simulate a crashed from-scratch materialize: the pointer is gone
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_shidx_ptr")
+        .filter($"col_name" === "Location").select($"data_type").head.getString(0)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(new java.net.URI(loc)).resolve("_current"))
+      for (p <- Seq(
+          () => ShingleIndex.probe(spark, "graft_shidx_ptr", batch, 0.6),
+          () => ShingleIndex.containmentProbe(spark, "graft_shidx_ptr", batch, 0.9),
+          () => ShingleIndex.noveltyProbe(spark, "graft_shidx_ptr", batch))) {
+        val e = intercept[IllegalArgumentException](p())
+        assert(e.getMessage.contains("_current"), e.getMessage)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_shidx_ptr")
+      spark.sql("DROP TABLE IF EXISTS graft_shidx_ptr_counts")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("delete: probe equals an index materialized without the removed docs; index side still unshuffled") {
     import spark.implicits._
     GraftExtensions.register(spark)

@@ -67,10 +67,11 @@ def surface(path):
 def main():
     if sys.argv[1] == "--snapshot":
         plans_dir, out = sys.argv[2], sys.argv[3]
+        s = surface(plans_dir)
         with open(out, "w", encoding="utf-8") as f:
-            json.dump(surface(plans_dir), f, indent=0, sort_keys=True)
+            json.dump(s, f, indent=0, sort_keys=True)
             f.write("\n")
-        print(f"wrote {out}: {len(surface(plans_dir))} plan skeleton hashes")
+        print(f"wrote {out}: {len(s)} plan skeleton hashes")
         return
     a, b = surface(sys.argv[1]), surface(sys.argv[2])
     changed = sorted(q for q in a.keys() & b.keys() if a[q] != b[q])
