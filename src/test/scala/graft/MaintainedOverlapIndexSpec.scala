@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.OverlapIndex
+import graft.queries.CorpusQueries
+import graft.streaming.MaintainedOverlapIndex
+
+/** The continuously-maintained positioned (overlap-run) index: streamed
+  * ingestion must land EXACTLY the batch [[OverlapIndex]] state (runsProbe
+  * equality vs a from-scratch materialize on the union corpus), replayed
+  * batch ids must be no-ops, and stream-carried `op='del'` rows must equal
+  * a batch delete — the MaintainedShingleIndexSpec three-pin shape on the
+  * run-decontamination surface. */
+class MaintainedOverlapIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed ingestion == batch materialize on the union; replays and stream-dels exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val corpus = docs.filter($"doc_id" % CorpusQueries.EvalMod =!= 0)
+    val evalDocs = docs.filter($"doc_id" % CorpusQueries.EvalMod === 0).cache()
+    val rows = corpus.as[(Long, String)].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val idx = new MaintainedOverlapIndex(Files.createTempDirectory("ovidxm"), spark)
+    def runsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // before any commit: the standing corpus is empty → no runs
+    assert(runsOf(idx.runsProbe(evalDocs, CorpusQueries.MinRunTokens)).isEmpty)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-ovidxm-").toString)
+      .foreachBatch(idx.update _)
+      .start()
+    ms.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(idx.lastCommitted >= 1, s"expected >=2 committed batches, got ${idx.lastCommitted}")
+
+    try {
+      OverlapIndex.materialize(corpus, "graft_ovidxm_ref")
+      val want = runsOf(OverlapIndex.runsProbe(spark, "graft_ovidxm_ref",
+        evalDocs, CorpusQueries.MinRunTokens))
+      assert(want.nonEmpty, "vacuous: no overlap run in the probe")
+      assert(runsOf(idx.runsProbe(evalDocs, CorpusQueries.MinRunTokens)) == want,
+        "maintained runsProbe != batch materialize on the union")
+
+      // a replayed batch id — even with DIFFERENT data — must be a no-op
+      idx.update(Seq((999999L, "spark spark spark spark spark")).toDF("doc_id", "text"), 0L)
+      assert(runsOf(idx.runsProbe(evalDocs, CorpusQueries.MinRunTokens)) == want,
+        "replayed batch mutated the index")
+
+      // STREAM-CARRIED takedown: a forgotten doc must stop flagging runs
+      // exactly — probes equal a batch index materialized without it
+      val removed = want.map(_._2).toSeq // t_docs currently flagging runs
+      assert(removed.nonEmpty, "takedown set empty — vacuous")
+      val nextId = idx.lastCommitted + 1
+      idx.update(removed.map(id => (id, "", "del")).toDF("doc_id", "text", "op"), nextId)
+      OverlapIndex.materialize(corpus.filter(!$"doc_id".isin(removed: _*)),
+        "graft_ovidxm_rem")
+      val afterDel = runsOf(idx.runsProbe(evalDocs, CorpusQueries.MinRunTokens))
+      assert(afterDel == runsOf(OverlapIndex.runsProbe(spark, "graft_ovidxm_rem",
+        evalDocs, CorpusQueries.MinRunTokens)),
+        "maintained runsProbe after stream-del != rebuild on remaining corpus")
+      assert(afterDel != want, "vacuous: the del batch changed no run")
+
+      // del replay and re-request are no-ops
+      idx.update(removed.map(id => (id, "", "del")).toDF("doc_id", "text", "op"), nextId)
+      assert(runsOf(idx.runsProbe(evalDocs, CorpusQueries.MinRunTokens)) == afterDel,
+        "replayed del batch mutated the index")
+      idx.update(removed.take(1).map(id => (id, "", "del")).toDF("doc_id", "text", "op"),
+        nextId + 1)
+      assert(runsOf(idx.runsProbe(evalDocs, CorpusQueries.MinRunTokens)) == afterDel,
+        "re-requested del id changed the index")
+
+      // add+del of one id in one batch fails fast
+      intercept[IllegalArgumentException] {
+        idx.update(Seq((1L, "x y z w", "add"), (1L, "", "del")).toDF("doc_id", "text", "op"),
+          nextId + 2)
+      }
+    } finally {
+      for (t <- Seq("graft_ovidxm_ref", "graft_ovidxm_rem"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.clearCache()
+    }
+  }
+}
