@@ -62,12 +62,35 @@ object CurationJob {
   def loadTokenizer(spark: SparkSession, outDir: String): Tokenizer =
     Tokenizer.LearnedNative(BpeTrainer.load(spark, s"$outDir/tokenizer"))
 
+  /** `nearDupIndex` switches the optional NEAR-DUP stage on: after the
+    * decontam stage, documents that are near-duplicates (exact word-3-gram
+    * jaccard ≥ `nearDupThreshold`) of a surviving lower-id doc also drop
+    * (lowest-id-wins clustering — the pipeline_curate_neardup algebra),
+    * AND the named [[ShingleIndex]] materializes over the PRE-near-dup
+    * survivors so DailyIncrement's batch gate can probe the same graph a
+    * from-scratch rebuild would build (a batch doc near-duplicating a
+    * day-0 doc that itself LOST the day-0 near-dup verdict must still
+    * drop — indexing only keepers would miss that edge).
+    *
+    * `overlapIndex` names an [[OverlapIndex]] to materialize over the
+    * FINAL kept set — the standing positioned-shingle artifact
+    * DailyIncrement extends per batch, so "a new benchmark was adopted —
+    * which standing docs share ≥N-token runs with it?" stays probe-cost
+    * on the daily tree. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
       docFilter: org.apache.spark.sql.Column = lit(true),
-      tokenizerMerges: Int = 8): Result = {
+      tokenizerMerges: Int = 8,
+      nearDupIndex: Option[String] = None,
+      nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
+      overlapIndex: Option[String] = None): Result = {
     graft.GraftExtensions.register(spark)
-    val kept = CorpusQueries.curatedTrain(spark, sfDir, tok, docFilter).cache()
+    val preNearDup = CorpusQueries.curatedTrain(spark, sfDir, tok, docFilter).cache()
+    val kept = nearDupIndex match {
+      case None => preNearDup
+      case Some(_) =>
+        CorpusQueries.nearDupSurvivors(preNearDup, nearDupThreshold).cache()
+    }
     val curatedDir = s"$outDir/curated"
     // digest third: DailyIncrement's corpus-precedes-batch exact dedup
     // anti-joins tomorrow's batch against it (content-addressed manifest)
@@ -139,8 +162,15 @@ object CurationJob {
     // piece frequencies of the kept corpus under the frozen table
     BpeTrainer.vocabulary(kept.select(col("doc_id"), col("text")), learnedMerges)
       .write.mode("overwrite").parquet(s"$outDir/tokenizer_vocab")
+    // the standing dedup index over PRE-near-dup survivors (see the run
+    // scaladoc for why keepers-only would under-drop future batches) and
+    // the positioned overlap artifact over the final kept set
+    nearDupIndex.foreach(t =>
+      ShingleIndex.materialize(preNearDup.select(col("doc_id"), col("text")), t))
+    overlapIndex.foreach(t =>
+      OverlapIndex.materialize(kept.select(col("doc_id"), col("text")), t))
     val n = kept.count()
-    kept.unpersist()
+    kept.unpersist(); preNearDup.unpersist()
     // release the stage-boundary cache curatedTrain/curatedEvalH share
     CorpusQueries.curatedKept(spark, sfDir, tok, docFilter).unpersist()
     Result(n, nShards, curatedDir, shardsDir, bm25Dir, vectorDir,

@@ -67,7 +67,10 @@ object DailyIncrement {
   private def pendingDir(outDir: String) = s"$outDir/_increment_pending"
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      batchFilter: Column, tok: Tokenizer = Tokenizer.Whitespace): Result = {
+      batchFilter: Column, tok: Tokenizer = Tokenizer.Whitespace,
+      nearDupIndex: Option[String] = None,
+      nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
+      overlapIndex: Option[String] = None): Result = {
     import spark.implicits._
     runBatch(spark,
       Tables.load(spark, sfDir, "documents")
@@ -75,7 +78,7 @@ object DailyIncrement {
         .select($"doc_id", $"text", $"lang"),
       Tables.load(spark, sfDir, "embeddings")
         .select($"vec_id", $"embedding"),
-      outDir, tok)
+      outDir, tok, nearDupIndex, nearDupThreshold, overlapIndex)
   }
 
   /** The batch-DataFrame form of [[run]] — `batchDocs` is today's
@@ -113,11 +116,15 @@ object DailyIncrement {
     * content-addressed manifest: every digest anti-joins out, the
     * staged kept set is empty, and the appends write nothing. */
   def runBatch(spark: SparkSession, batchDocs: DataFrame, embeddings: DataFrame,
-      outDir: String, tok: Tokenizer = Tokenizer.Whitespace): Result = {
+      outDir: String, tok: Tokenizer = Tokenizer.Whitespace,
+      nearDupIndex: Option[String] = None,
+      nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
+      overlapIndex: Option[String] = None): Result = {
     import spark.implicits._
     // finish any crashed predecessor before reading the tree it half-wrote
     recover(spark, outDir)
-    val n = stage(spark, batchDocs, embeddings, outDir, tok)
+    val n = stage(spark, batchDocs, embeddings, outDir, tok,
+      nearDupIndex, nearDupThreshold, overlapIndex)
     // ---- phases 2+3: apply from staging, then commit ----
     applyPending(spark, outDir)
     val nShards = spark.read.parquet(s"$outDir/shards")
@@ -129,7 +136,10 @@ object DailyIncrement {
     * so the crash-safety spec can drive the phases separately. Returns
     * the staged kept-doc count. */
   private[graft] def stage(spark: SparkSession, batchDocs: DataFrame,
-      embeddings: DataFrame, outDir: String, tok: Tokenizer): Long = {
+      embeddings: DataFrame, outDir: String, tok: Tokenizer,
+      nearDupIndex: Option[String] = None,
+      nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
+      overlapIndex: Option[String] = None): Long = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
 
@@ -177,6 +187,58 @@ object DailyIncrement {
       .filter($"doc_id" % CorpusQueries.EvalMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
+    // ---- optional NEAR-DUP gate: the pipeline_curate_neardup verdict at
+    // |batch| cost against the standing PRE-near-dup shingle index (the
+    // graph a from-scratch rebuild would build — CurationJob indexes
+    // decontam survivors, not just keepers, so a batch doc duplicating a
+    // day-0 near-dup LOSER still drops). Batch ids sit above every
+    // indexed id (append-only daily feed contract, guarded below), so a
+    // cluster touching the corpus always resolves to a corpus keeper:
+    // drop every corpus-linked batch component whole, and keep only each
+    // unlinked component's min id (the dedup_clusters verdict). The
+    // components run on the |batch|-bounded batch-batch edge set. ----
+    val (finalKept, ndPairs): (DataFrame, Option[DataFrame]) = nearDupIndex match {
+      case None => (kept, None)
+      case Some(table) =>
+        // re-delivered ids are no-ops: a near-dup LOSER is absent from the
+        // content-addressed manifest (only keepers land there), so the
+        // digest anti-join above cannot catch its replay — but it IS in
+        // the index, and re-probing/re-appending it would double its
+        // (doc_id, h) rows and every intersection count. Ids are unique
+        // and monotone (the append-only feed contract), so index
+        // membership ⇔ already processed. Tombstone-MASKED: a taken-down
+        // id is fully forgotten and its content reprocessable (the masked
+        // manifest's doctrine).
+        val indexedIds = CatalogCommit.maskedByTombstones(spark, table,
+          ShingleIndex.counts(spark, table)).select($"doc_id")
+        val freshKept = kept.join(indexedIds, Seq("doc_id"), "left_anti")
+        val maxIndexed = indexedIds.agg(max($"doc_id")).head
+        val minBatch = freshKept.agg(min($"doc_id")).head
+        require(maxIndexed.isNullAt(0) || minBatch.isNullAt(0) ||
+          minBatch.getLong(0) > maxIndexed.getLong(0),
+          s"batch doc ids must exceed every id indexed in '$table' " +
+            "(append-only daily feed contract) — lowest batch id " +
+            s"${minBatch.get(0)} <= max indexed id ${maxIndexed.get(0)}")
+        val pairs = ShingleIndex.probe(spark, table,
+          freshKept.select($"doc_id", $"text"), nearDupThreshold).cache()
+        val batchIds = freshKept.select($"doc_id".as("id"))
+        // probe emits doc_a < doc_b; corpus ids < batch ids, so a pair's
+        // doc_a side decides corpus-vs-batch
+        val edges = pairs
+          .join(batchIds.select($"id".as("doc_a")), Seq("doc_a"), "left_semi")
+          .select($"doc_a".as("a"), $"doc_b".as("b"))
+        val corpusLinked = pairs
+          .join(batchIds.select($"id".as("doc_a")), Seq("doc_a"), "left_anti")
+          .select($"doc_b".as("id")).distinct()
+        val comp = ConnectedComponents.clusters(batchIds, edges)
+        val linkedClusters = comp.join(corpusLinked, Seq("id"), "left_semi")
+          .select($"cluster").distinct()
+        val keepers = comp.filter($"id" === $"cluster")
+          .join(linkedClusters, Seq("cluster"), "left_anti")
+          .select($"id".as("doc_id"))
+        (freshKept.join(keepers, Seq("doc_id"), "left_semi"), Some(pairs))
+    }
+
     // yesterday's pack continuation point — the persisted pack base, NOT
     // the manifest sum: after a takedown the masked manifest undercounts
     // the gapped shards, and after a repack the raw manifest OVERcounts
@@ -197,10 +259,39 @@ object DailyIncrement {
     // durable form of the old localCheckpoint pin against the
     // read-path-you-write hazard (appends grow outDir/curated, which
     // kept's lineage reads)
-    kept.select($"doc_id", $"text", $"n_tokens", $"digest")
+    finalKept.select($"doc_id", $"text", $"n_tokens", $"digest")
       .join(batchDocs.select($"doc_id", $"lang"), Seq("doc_id"))
       .select($"doc_id", $"text", $"lang", $"n_tokens", $"digest")
       .write.parquet(s"$pend/kept")
+    // the dedup index's append set is the PRE-near-dup decontam survivors
+    // (the rebuild graph — see the gate above), minus re-delivered ids
+    // (already indexed); staged separately from the manifest-bound kept set
+    nearDupIndex.foreach { table =>
+      kept
+        .join(CatalogCommit.maskedByTombstones(spark, table,
+          ShingleIndex.counts(spark, table)).select($"doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"text").write.parquet(s"$pend/shingle_batch")
+    }
+    // index-append options + their staged TARGET batch ids: the apply
+    // steps must be idempotent under marker-driven retries, and "the next
+    // batch id" derived at apply time would drift once the index commits
+    // (the batchno lesson applied to the index appends — appendAs no-ops
+    // when the pointer already reached the staged target)
+    val optLines = Seq(
+      nearDupIndex.map(t => s"neardup_table=$t"),
+      nearDupIndex.map { t =>
+        CatalogCommit.requireCommitted(spark, t)
+        s"shingle_target=${CatalogCommit.readLastBatch(spark, t).get + 1}"
+      },
+      overlapIndex.map(t => s"overlap_table=$t"),
+      overlapIndex.map { t =>
+        CatalogCommit.requireCommitted(spark, t)
+        s"overlap_target=${CatalogCommit.readLastBatch(spark, t).get + 1}"
+      }).flatten
+    if (optLines.nonEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(pend, "opts"), optLines.mkString("\n"))
     batchEvalH.write.parquet(s"$pend/evalh")
     val keptStaged = spark.read.parquet(s"$pend/kept")
     embeddings
@@ -217,6 +308,7 @@ object DailyIncrement {
 
     val n = keptStaged.count()
     manifest.unpersist(); deduped.unpersist(); batchEvalH.unpersist()
+    ndPairs.foreach(_.unpersist())
     n
   }
 
@@ -399,6 +491,31 @@ object DailyIncrement {
       val pinned = spark.createDataFrame(
         java.util.Arrays.asList(appended.collect(): _*), appended.schema)
       DsirModel.write(pinned, s"$outDir/dsir")
+    }
+    // staged index-append options (absent on trees run without them and
+    // on legacy staging dirs). appendAs is idempotent against the staged
+    // target — a crash between an index's internal pointer commit and the
+    // step marker retries as a no-op instead of appending twice.
+    val opts: Map[String, String] = {
+      val p = java.nio.file.Paths.get(pend, "opts")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else java.nio.file.Files.readString(p).linesIterator
+        .filter(_.contains("=")).map { l =>
+          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+    }
+    opts.get("neardup_table").foreach { t =>
+      step("shingleidx") {
+        ShingleIndex.appendAs(
+          spark.read.parquet(s"$pend/shingle_batch").select($"doc_id", $"text"),
+          t, opts("shingle_target").toLong)
+      }
+    }
+    opts.get("overlap_table").foreach { t =>
+      step("overlapidx") {
+        OverlapIndex.appendAs(kept.select($"doc_id", $"text"), t,
+          opts("overlap_target").toLong)
+      }
     }
     step("tokvocab") {
       // the tokenizer vocab is a MAINTAINED count table: the merge table

@@ -82,6 +82,24 @@ object OverlapIndex {
   def append(batch: DataFrame, name: String, buckets: Int = 32): Unit =
     append(batch, name, buckets, failBeforeCommit = false)
 
+  /** [[append]] with an EXPLICIT target batch id — idempotent under
+    * marker-driven retries (the ShingleIndex.appendAs contract verbatim;
+    * see its scaladoc). */
+  def appendAs(batch: DataFrame, name: String, target: Long,
+      buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    graft.GraftExtensions.register(spark)
+    val last = readLastBatch(spark, name).getOrElse(
+      spark.table(name).agg(coalesce(max(col("batch")), lit(0L))).head.getLong(0))
+    if (last >= target) return // already committed — the retry is a no-op
+    require(last == target - 1,
+      s"appendAs($target) on '$name' at committed batch $last — appends are " +
+        "serialized; a gap means the staged target is stale")
+    dropUncommitted(spark, name, target)
+    writeBatch(batch, name, buckets, batchNo = target, overwrite = false)
+    writeLastBatch(spark, name, target)
+  }
+
   /** `failBeforeCommit` is the spec's crash-injection seam (the
     * ShingleIndex shape). Production callers never pass it. */
   private[graft] def append(batch: DataFrame, name: String, buckets: Int,

@@ -99,6 +99,29 @@ object ShingleIndex {
   def append(batch: DataFrame, name: String, buckets: Int = 32): Unit =
     append(batch, name, buckets, failBeforeCommit = false)
 
+  /** [[append]] with an EXPLICIT target batch id — the idempotent form a
+    * marker-driven retry protocol needs (DailyIncrement's apply steps):
+    * plain append called twice appends twice, but a retry that staged
+    * `target` before the crash must be a no-op when the pointer shows the
+    * append already committed (the crash landed between the index's
+    * internal commit and the caller's step marker). Serialized-writer
+    * contract: `target` past the immediate next batch fails loud. */
+  def appendAs(batch: DataFrame, name: String, target: Long,
+      buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    graft.GraftExtensions.register(spark)
+    val last = readLastBatch(spark, name).getOrElse(
+      spark.table(name).agg(coalesce(max(col("batch")), lit(0L))).head.getLong(0))
+    if (last >= target) return // already committed — the retry is a no-op
+    require(last == target - 1,
+      s"appendAs($target) on '$name' at committed batch $last — appends are " +
+        "serialized; a gap means the staged target is stale")
+    dropUncommitted(spark, name, target)
+    dropUncommitted(spark, s"${name}_counts", target)
+    writeBatch(batch, name, buckets, batchNo = target, overwrite = false)
+    writeLastBatch(spark, name, target)
+  }
+
   /** `failBeforeCommit` is the spec's crash-injection seam: throw after
     * both partition writes but BEFORE the pointer swap — the widest
     * possible crash window. Production callers never pass it. */

@@ -387,6 +387,28 @@ object CorpusQueries extends QueryModule {
     // window — no stage re-reads the input.
     "pipeline_curate" -> { (s, dir) => pipelineCurate(s, dir) },
 
+    // pipeline_curate with the optional NEAR-DUP stage on — the
+    // production curation DAG at full strength: after the exact-digest
+    // dedup and decontam stages, docs that are near-duplicates (exact
+    // word-3-gram jaccard ≥ 0.6) of a surviving lower-id doc also drop
+    // (lowest-id-wins over the verified pair graph — the dedup_clusters
+    // verdict algebra as a stage), and the thinner survivor set packs.
+    // Cost on top of pipeline_curate is the candidate-bounded shingle
+    // self-join over SURVIVORS (boilerplate already gate-dropped) + the
+    // doubling-contraction components loop; the pair relation is the
+    // oracle-checked dedup_ngram_jaccard algebra restricted to the
+    // survivor set. CurationJob (day 0) and DailyIncrement (batch gate,
+    // probe-fed at |batch| cost) run the same verdict.
+    "pipeline_curate_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val nd = nearDupSurvivors(curatedTrain(s, dir))
+        .select($"doc_id", $"n_tokens")
+      GlobalCumsum.runningBefore(nd, "doc_id", "n_tokens", "cb")
+        .select($"doc_id", $"n_tokens",
+          expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+          ($"cb" % PackBudget).as("shard_offset"))
+    },
+
     // Per-document FATE TRACE through the curation DAG — the operability
     // query behind every "why did doc X disappear from the training
     // set?" ticket a 100 TB pipeline fields: ONE row per corpus doc with
@@ -961,6 +983,27 @@ object CorpusQueries extends QueryModule {
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
       .distinct()
 
+  /** Near-dup gate threshold for the curation DAG's optional fourth
+    * stage (exact word-3-gram jaccard — dedup_ngram_jaccard's cut). */
+  val NearDupThreshold = 0.6
+
+  /** The near-dup gate verdict over a train-survivor frame (doc_id,
+    * text, ...): the subset surviving lowest-id-wins clustering of the
+    * exact jaccard ≥ threshold pair graph — the dedup_clusters algebra
+    * as a CURATION STAGE (pairs among survivors, keeper = component
+    * min). Shared by pipeline_curate_neardup, CurationJob's day-0
+    * near-dup stage, and (probe-fed) DailyIncrement's batch gate. */
+  private[graft] def nearDupSurvivors(train: DataFrame,
+      threshold: Double = NearDupThreshold): DataFrame = {
+    val edges = DedupQueries.jaccardPairsFrames(train, threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val keepers = graft.operators.ConnectedComponents
+      .clusters(train.select(col("doc_id").as("id")), edges)
+      .filter(col("id") === col("cluster"))
+      .select(col("id").as("doc_id"))
+    train.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
   private[graft] def curatedTrain(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
       docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
@@ -1293,6 +1336,62 @@ object CorpusQueries extends QueryModule {
          |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM train)
+         |SELECT doc_id, n_tokens,
+         |  CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |FROM c""".stripMargin,
+
+    // pipeline_curate's stage CTEs + the near-dup stage: exact jaccard
+    // pairs among the train survivors, recursive-CTE connected
+    // components (the dedup_clusters oracle shape), keeper = component
+    // min, then the identical packing window over the thinner set
+    "pipeline_curate_neardup" ->
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, text,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |quality AS (SELECT * FROM docs WHERE n_tokens >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+         |kept AS (SELECT q.doc_id, q.text, q.n_tokens
+         |         FROM quality q JOIN keep k ON q.doc_id = k.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg
+         |             FROM (SELECT doc_id, $oTokens AS w FROM kept))),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT tr.doc_id,
+         |      CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) AS frac
+         |    FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |    LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+         |  WHERE frac >= 0.5),
+         |train AS (SELECT doc_id, n_tokens FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |tsh AS (SELECT s.doc_id, s.h FROM sh s
+         |        JOIN train t ON t.doc_id = s.doc_id),
+         |tcnt AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM tsh a JOIN tsh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN tcnt ca ON ca.doc_id = doc_a
+         |    JOIN tcnt cb ON cb.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $NearDupThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM train
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |nd AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
+         |c AS (SELECT t.doc_id, t.n_tokens,
+         |    coalesce(sum(t.n_tokens) OVER (ORDER BY t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM train t JOIN nd ON nd.doc_id = t.doc_id)
          |SELECT doc_id, n_tokens,
          |  CAST(cb // $PackBudget AS BIGINT) AS shard,
          |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset

@@ -88,9 +88,25 @@ object DedupQueries extends QueryModule {
     * the clustering query). `maxDfFrac < 1` elides boilerplate shingles
     * before the self-join — see [[dfCeiled]]. */
   private[graft] def jaccardPairs(s: SparkSession, dir: String,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0): DataFrame =
+    jaccardOfShingles(s, dfCeiled(shingleSet(s, dir), maxDfFrac).cache(), 0.6)
+
+  /** [[jaccardPairs]] over an arbitrary (doc_id, text) frame — the
+    * curation DAG's near-dup stage runs this on the decontam survivors
+    * (CorpusQueries.nearDupSurvivors) rather than the raw table. */
+  private[graft] def jaccardPairsFrames(docs: DataFrame,
+      threshold: Double): DataFrame =
+    jaccardOfShingles(docs.sparkSession,
+      docs.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+        .distinct().cache(),
+      threshold)
+
+  /** The exact-jaccard pair algebra over a DISTINCT (doc_id, h) shingle
+    * frame (callers cache it — both the inter self-join and the count
+    * agg consume it). */
+  private def jaccardOfShingles(s: SparkSession, sh: DataFrame,
+      threshold: Double): DataFrame = {
     import s.implicits._
-    val sh = dfCeiled(shingleSet(s, dir), maxDfFrac).cache()
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
@@ -105,7 +121,7 @@ object DedupQueries extends QueryModule {
     inter
       .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .filter(j >= 0.6)
+      .filter(j >= threshold)
       .select($"doc_a", $"doc_b", j.as("jaccard"))
   }
 

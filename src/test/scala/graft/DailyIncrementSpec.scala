@@ -319,6 +319,222 @@ class DailyIncrementSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("near-dup gate + maintained shingle/overlap indexes: day0 + increments == union rebuild") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // Synthetic corpus with the near-dup geometry pinned (30-word docs,
+    // 28 word-3-shingles; a 4-word suffix swap lands j = 24/32 = 0.75, a
+    // 4-word mid-zone swap j = 22/34 ≈ 0.647, both changes together
+    // j = 18/38 ≈ 0.474 — straddling the 0.6 threshold):
+    //  - d11 near-dups d10 (0.75): day0 keeps 10, drops 11 — but 11 stays
+    //    in the PRE-near-dup index;
+    //  - b101 near-dups ONLY d11 (0.647 vs 11, 0.474 vs 10): it must drop,
+    //    which only an index holding the day-0 near-dup LOSER can see;
+    //  - b100 near-dups d10; b106 near-dups ONLY b100: the corpus-linked
+    //    batch component {100,106} drops whole (rebuild keeper is d10);
+    //  - b103/b104 near-dup each other only: unlinked component, keep 103;
+    //  - batch2: b200 near-dups b103 (batch-1 keeper), b201 near-dups
+    //    ONLY b104 (batch-1 loser, in the index) — both drop;
+    //  - d12, d13, b105, b202 unique — kept.
+    def zone(base: Seq[String], from: Int, p: String): Seq[String] =
+      base.zipWithIndex.map { case (w, i) =>
+        if (i >= from - 1 && i <= from + 2) s"$p$i" else w }
+    val P = (1 to 26).map(i => s"p$i")
+    val U = (1 to 26).map(i => s"u$i")
+    def t(ws: Seq[String]) = ws.mkString(" ")
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val qS = Seq("q27", "q28", "q29", "q30")
+    val rS = Seq("r27", "r28", "r29", "r30")
+    val sS = Seq("s27", "s28", "s29", "s30")
+    val tS = Seq("ta27", "ta28", "ta29", "ta30")
+    val day0 = Seq(
+      (10L, t(P ++ qS)), (11L, t(P ++ rS)), (12L, uniq("v")), (13L, uniq("w")))
+    val batch1 = Seq(
+      (100L, t(zone(P, 10, "e") ++ qS)), (101L, t(zone(P, 10, "c") ++ rS)),
+      (103L, t(U ++ sS)), (104L, t(U ++ tS)), (105L, uniq("x")),
+      (106L, t(zone(zone(P, 10, "e"), 18, "f") ++ qS)))
+    val batch2 = Seq(
+      (200L, t(zone(U, 10, "g") ++ sS)), (201L, t(zone(U, 10, "h") ++ tS)),
+      (202L, uniq("y")))
+    val all = day0 ++ batch1 ++ batch2
+    assert(all.forall(_._1 % CorpusQueries.EvalMod != 0), "test ids hit the eval split")
+    val synth = Files.createTempDirectory("graft-nd-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+
+    val dir = Files.createTempDirectory("graft-nd-daily-").toString
+    val fullDir = Files.createTempDirectory("graft-nd-full-").toString
+    val tables = Seq("graft_nd_daily", "graft_nd_daily_counts", "graft_nd_full",
+      "graft_nd_full_counts", "graft_ov_daily", "graft_ov_full")
+    try {
+      CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100,
+        nearDupIndex = Some("graft_nd_daily"), overlapIndex = Some("graft_ov_daily"))
+      def manifestIds(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(manifestIds(dir) == Set(10L, 12L, 13L),
+        s"day0 near-dup stage verdict wrong: ${manifestIds(dir)}")
+
+      val inc1 = DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 100 && col("doc_id") < 200,
+        nearDupIndex = Some("graft_nd_daily"), overlapIndex = Some("graft_ov_daily"))
+      assert(inc1.nBatchKept == 2,
+        s"batch1 expected keepers {103,105}, kept ${inc1.nBatchKept}")
+      assert(manifestIds(dir) == Set(10L, 12L, 13L, 103L, 105L), manifestIds(dir).toString)
+
+      val inc2 = DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 200,
+        nearDupIndex = Some("graft_nd_daily"), overlapIndex = Some("graft_ov_daily"))
+      assert(inc2.nBatchKept == 1,
+        s"batch2 expected keeper {202}, kept ${inc2.nBatchKept}")
+      assert(manifestIds(dir) == Set(10L, 12L, 13L, 103L, 105L, 202L))
+
+      // ---- union rebuild with the near-dup stage on: identical manifest ----
+      CurationJob.run(spark, synth, fullDir, docFilter = lit(true),
+        nearDupIndex = Some("graft_nd_full"), overlapIndex = Some("graft_ov_full"))
+      def manifestRows(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id", $"n_tokens", $"digest")
+        .collect().map(_.toSeq).toSet
+      assert(manifestIds(fullDir) == manifestIds(dir),
+        s"rebuild=${manifestIds(fullDir)} daily=${manifestIds(dir)}")
+      assert(manifestRows(fullDir) == manifestRows(dir))
+
+      // ---- the maintained dedup index == the rebuild's (probe equality
+      // on a fresh doc pairing across the near-dup geometry) ----
+      val probeDoc = Seq((9000L, t(P ++ Seq("q27", "q28", "q29", "z30"))))
+        .toDF("doc_id", "text")
+      def pairSet(table: String) =
+        graft.operators.ShingleIndex.probe(spark, table, probeDoc, 0.6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairSet("graft_nd_daily").nonEmpty, "vacuous index probe")
+      assert(pairSet("graft_nd_daily") == pairSet("graft_nd_full"),
+        "maintained shingle index != union rebuild's")
+
+      // ---- the maintained overlap index == the rebuild's (runsProbe
+      // equality on an eval doc quoting 10 verbatim words of kept d12) ----
+      val evalProbe = Seq((9001L,
+        ((5 to 14).map(i => s"v$i") ++ Seq("zz1", "zz2", "zz3")).mkString(" ")))
+        .toDF("doc_id", "text")
+      def runSet(table: String) =
+        graft.operators.OverlapIndex.runsProbe(spark, table, evalProbe, 5L)
+          .collect().map(_.toSeq).toSet
+      assert(runSet("graft_ov_daily").nonEmpty, "vacuous overlap probe")
+      assert(runSet("graft_ov_daily") == runSet("graft_ov_full"),
+        "maintained overlap index != union rebuild's")
+      // only MANIFEST docs flag runs (d11 is indexed for dedup, not overlap)
+      assert(runSet("graft_ov_daily").forall(r =>
+        manifestIds(dir).contains(r(1).asInstanceOf[Long])))
+
+      // ---- appendAs retry semantics: re-running an already-committed
+      // target is a no-op (the crash-after-internal-commit window) ----
+      val before = spark.table("graft_ov_daily").count()
+      graft.operators.OverlapIndex.appendAs(
+        Seq((202L, uniq("y"))).toDF("doc_id", "text"), "graft_ov_daily", 2L)
+      assert(spark.table("graft_ov_daily").count() == before,
+        "appendAs re-applied an already-committed target")
+      graft.operators.ShingleIndex.appendAs(
+        Seq((202L, uniq("y"))).toDF("doc_id", "text"), "graft_nd_daily", 2L)
+      assert(pairSet("graft_nd_daily") == pairSet("graft_nd_full"),
+        "shingle appendAs re-applied an already-committed target")
+      // a gapped target fails loud (stale staging)
+      intercept[IllegalArgumentException] {
+        graft.operators.OverlapIndex.appendAs(
+          Seq((300L, uniq("zq"))).toDF("doc_id", "text"), "graft_ov_daily", 9L)
+      }
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("near-dup increment crash rolls forward through the index steps: no append lost or doubled") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // same corpus shape as the pin above, day0 + one batch
+    val P = (1 to 26).map(i => s"p$i")
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (10L, (P ++ Seq("q27", "q28", "q29", "q30")).mkString(" ")),
+      (11L, (P ++ Seq("r27", "r28", "r29", "r30")).mkString(" ")),
+      (12L, uniq("v")),
+      (100L, (P.zipWithIndex.map { case (w, i) =>
+        if (i >= 9 && i <= 12) s"e$i" else w } ++
+        Seq("q27", "q28", "q29", "q30")).mkString(" ")),
+      (105L, uniq("x")))
+    val synth = Files.createTempDirectory("graft-ndcrash-sf-").toString
+    docs.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val crashDir = Files.createTempDirectory("graft-ndcrash-").toString
+    val cleanDir = Files.createTempDirectory("graft-ndclean-").toString
+    val tables = Seq("graft_ndc", "graft_ndc_counts", "graft_ovc",
+      "graft_ndr", "graft_ndr_counts", "graft_ovr")
+    try {
+      CurationJob.run(spark, synth, crashDir, docFilter = col("doc_id") < 100,
+        nearDupIndex = Some("graft_ndc"), overlapIndex = Some("graft_ovc"))
+      CurationJob.run(spark, synth, cleanDir, docFilter = col("doc_id") < 100,
+        nearDupIndex = Some("graft_ndr"), overlapIndex = Some("graft_ovr"))
+      val clean = DailyIncrement.run(spark, synth, cleanDir,
+        batchFilter = col("doc_id") >= 100,
+        nearDupIndex = Some("graft_ndr"), overlapIndex = Some("graft_ovr"))
+      assert(clean.nBatchKept == 1, "expected only 105 to survive the batch")
+
+      val batch = spark.read.parquet(s"$synth/documents.parquet")
+        .filter($"doc_id" >= 100).select($"doc_id", $"text", $"lang")
+      val embs = spark.read.parquet(s"$synth/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      DailyIncrement.stage(spark, batch, embs, crashDir,
+        graft.functions.Tokenizer.Whitespace,
+        nearDupIndex = Some("graft_ndc"), overlapIndex = Some("graft_ovc"))
+      // die right after the dedup-index append committed — the overlap
+      // append and staging cleanup have NOT run
+      val boom = intercept[IllegalStateException] {
+        DailyIncrement.applyPending(spark, crashDir, failAfter = Some("shingleidx"))
+      }
+      assert(boom.getMessage.contains("injected"))
+      DailyIncrement.recover(spark, crashDir)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$crashDir/_increment_pending")), "staging not cleared")
+
+      def ids(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids(crashDir) == ids(cleanDir), "manifest diverged after recover")
+      val probeDoc = Seq((9000L, (P ++ Seq("q27", "q28", "q29", "z30")).mkString(" ")))
+        .toDF("doc_id", "text")
+      def pairSet(t: String) = graft.operators.ShingleIndex
+        .probe(spark, t, probeDoc, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairSet("graft_ndc") == pairSet("graft_ndr"),
+        "dedup index diverged — the shingle append ran twice or not at all")
+      val evalProbe = Seq((9001L,
+        ((5 to 14).map(i => s"v$i") ++ Seq("zz1", "zz2")).mkString(" ")))
+        .toDF("doc_id", "text")
+      def runSet(t: String) = graft.operators.OverlapIndex
+        .runsProbe(spark, t, evalProbe, 5L).collect().map(_.toSeq).toSet
+      assert(runSet("graft_ovc").nonEmpty, "vacuous overlap probe")
+      assert(runSet("graft_ovc") == runSet("graft_ovr"),
+        "overlap index diverged — the append was lost in the crash window")
+
+      // a replayed batch is a no-op across manifest AND indexes
+      val replay = DailyIncrement.run(spark, synth, crashDir,
+        batchFilter = col("doc_id") >= 100,
+        nearDupIndex = Some("graft_ndc"), overlapIndex = Some("graft_ovc"))
+      assert(replay.nBatchKept == 0, "replayed batch re-kept docs")
+      assert(pairSet("graft_ndc") == pairSet("graft_ndr"), "replay mutated the dedup index")
+      assert(runSet("graft_ovc") == runSet("graft_ovr"), "replay mutated the overlap index")
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("a crashed increment rolls forward: recover() lands the identical tree; no append runs twice") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
