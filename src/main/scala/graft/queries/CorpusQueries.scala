@@ -399,14 +399,42 @@ object CorpusQueries extends QueryModule {
     // oracle-checked dedup_ngram_jaccard algebra restricted to the
     // survivor set. CurationJob (day 0) and DailyIncrement (batch gate,
     // probe-fed at |batch| cost) run the same verdict.
-    "pipeline_curate_neardup" -> { (s, dir) =>
+    "pipeline_curate_neardup" -> { (s, dir) => pipelineCurateNearDup(s, dir) },
+
+    // pipeline_audit with the near-dup stage in the fate order — the
+    // operability trace for the full-strength DAG: 'neardup' lands
+    // between 'contaminated' and 'kept', dup_of reports the cluster
+    // keeper the doc lost to (the exact-dedup winner for 'dup' rows),
+    // and shard placement comes from the thinner near-dup packing.
+    "pipeline_audit_neardup" -> { (s, dir) =>
       import s.implicits._
-      val nd = nearDupSurvivors(curatedTrain(s, dir))
-        .select($"doc_id", $"n_tokens")
-      GlobalCumsum.runningBefore(nd, "doc_id", "n_tokens", "cb")
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
+      val quality = qualityGate(docs)
+      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
+      val dups = quality.select($"doc_id", md5($"text").as("ch"))
+        .join(win, "ch").select($"doc_id", $"keep_id")
+      val kept = curatedKept(s, dir)
+      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
+      val contam = contamination(sh)
+        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val clusters = nearDupClusters(curatedTrain(s, dir))
+      val packed = pipelineCurateNearDup(s, dir).select($"doc_id", $"shard", $"shard_offset")
+      docs.select($"doc_id", $"n_tokens")
+        .join(dups, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(clusters, Seq("doc_id"), "left")
+        .join(packed, Seq("doc_id"), "left")
         .select($"doc_id", $"n_tokens",
-          expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
-          ($"cb" % PackBudget).as("shard_offset"))
+          when($"keep_id".isNull, lit("gate_failed"))
+            .when($"keep_id" =!= $"doc_id", lit("dup"))
+            .when($"doc_id" % EvalMod === 0, lit("eval_split"))
+            .when($"contam_frac" >= 0.5, lit("contaminated"))
+            .when($"cluster" =!= $"doc_id", lit("neardup"))
+            .otherwise(lit("kept")).as("fate"),
+          when($"keep_id" =!= $"doc_id", $"keep_id")
+            .when($"cluster" =!= $"doc_id", $"cluster").as("dup_of"),
+          $"contam_frac", $"shard", $"shard_offset")
     },
 
     // Per-document FATE TRACE through the curation DAG — the operability
@@ -994,14 +1022,22 @@ object CorpusQueries extends QueryModule {
     * min). Shared by pipeline_curate_neardup, CurationJob's day-0
     * near-dup stage, and (probe-fed) DailyIncrement's batch gate. */
   private[graft] def nearDupSurvivors(train: DataFrame,
+      threshold: Double = NearDupThreshold): DataFrame =
+    train.join(
+      nearDupClusters(train, threshold).filter(col("cluster") === col("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** The stage's full cluster assignment (doc_id, cluster = keeper id) —
+    * [[nearDupSurvivors]] keeps the cluster == doc_id rows; the fate
+    * trace (pipeline_audit_neardup) reports the keeper as dup_of. */
+  private[graft] def nearDupClusters(train: DataFrame,
       threshold: Double = NearDupThreshold): DataFrame = {
     val edges = DedupQueries.jaccardPairsFrames(train, threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val keepers = graft.operators.ConnectedComponents
+    graft.operators.ConnectedComponents
       .clusters(train.select(col("doc_id").as("id")), edges)
-      .filter(col("id") === col("cluster"))
-      .select(col("id").as("doc_id"))
-    train.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("id").as("doc_id"), col("cluster"))
   }
 
   private[graft] def curatedTrain(s: SparkSession, dir: String,
@@ -1026,6 +1062,21 @@ object CorpusQueries extends QueryModule {
     // pack the survivors
     val train = curatedTrain(s, dir, tok).select($"doc_id", $"n_tokens")
     GlobalCumsum.runningBefore(train, "doc_id", "n_tokens", "cb")
+      .select($"doc_id", $"n_tokens",
+        expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+        ($"cb" % PackBudget).as("shard_offset"))
+  }
+
+  /** [[pipelineCurate]] with the near-dup stage on — shared by the
+    * registered query and the pipeline_audit_neardup fate trace (one
+    * packing definition, so the audit's shard columns can never drift
+    * from the query's). */
+  private[graft] def pipelineCurateNearDup(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import s.implicits._
+    val nd = nearDupSurvivors(curatedTrain(s, dir, tok))
+      .select($"doc_id", $"n_tokens")
+    GlobalCumsum.runningBefore(nd, "doc_id", "n_tokens", "cb")
       .select($"doc_id", $"n_tokens",
         expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
         ($"cb" % PackBudget).as("shard_offset"))
@@ -1396,6 +1447,77 @@ object CorpusQueries extends QueryModule {
          |  CAST(cb // $PackBudget AS BIGINT) AS shard,
          |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
          |FROM c""".stripMargin,
+
+    // pipeline_audit's CTEs + the near-dup cluster assignment (recursive
+    // reach over the train-survivor pair graph) with 'neardup' in the
+    // DAG-ordered verdict CASE and the thinner packing's shard columns
+    "pipeline_audit_neardup" ->
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, text,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |quality AS (SELECT * FROM docs WHERE n_tokens >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keepw AS (SELECT md5(text) AS ch, min(doc_id) AS keep_id
+         |          FROM quality GROUP BY md5(text)),
+         |dups AS (SELECT q.doc_id, k.keep_id
+         |         FROM quality q JOIN keepw k ON md5(q.text) = k.ch),
+         |kept AS (SELECT q.doc_id, q.text, q.n_tokens
+         |         FROM quality q JOIN dups d ON q.doc_id = d.doc_id
+         |           AND d.keep_id = q.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg
+         |             FROM (SELECT doc_id, $oTokens AS w FROM kept))),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contam AS (
+         |  SELECT tr.doc_id,
+         |    CAST(CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |      / count(*) AS contam_frac
+         |  FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |  LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id),
+         |train AS (SELECT doc_id, n_tokens FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam WHERE contam_frac >= 0.5)),
+         |tsh AS (SELECT s.doc_id, s.h FROM sh s
+         |        JOIN train t ON t.doc_id = s.doc_id),
+         |tcnt AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM tsh a JOIN tsh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN tcnt ca ON ca.doc_id = doc_a
+         |    JOIN tcnt cb ON cb.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $NearDupThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM train
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |c AS (SELECT t.doc_id, t.n_tokens,
+         |    coalesce(sum(t.n_tokens) OVER (ORDER BY t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM train t JOIN cl ON cl.doc_id = t.doc_id AND cl.cluster = t.doc_id),
+         |packed AS (SELECT doc_id,
+         |    CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |    CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |  FROM c)
+         |SELECT d.doc_id, d.n_tokens,
+         |  CASE WHEN du.keep_id IS NULL THEN 'gate_failed'
+         |       WHEN du.keep_id <> d.doc_id THEN 'dup'
+         |       WHEN d.doc_id % $EvalMod = 0 THEN 'eval_split'
+         |       WHEN ct.contam_frac >= 0.5 THEN 'contaminated'
+         |       WHEN cl.cluster <> d.doc_id THEN 'neardup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN du.keep_id <> d.doc_id THEN du.keep_id
+         |       WHEN cl.cluster <> d.doc_id THEN cl.cluster END AS dup_of,
+         |  ct.contam_frac, p.shard, p.shard_offset
+         |FROM docs d LEFT JOIN dups du ON du.doc_id = d.doc_id
+         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |  LEFT JOIN packed p ON p.doc_id = d.doc_id""".stripMargin,
 
     // pipeline_curate's stage CTEs replayed, joined back to every corpus
     // doc with the DAG-ordered verdict CASE
