@@ -279,7 +279,15 @@ object Bench {
         "overlap_index_build" -> tOvBuild, "runs_probe" -> tOvProbe)
     } catch {
       case e: Throwable => throw new RuntimeException("index bench failed", e)
-    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // the probes' internal shingle caches share logical plans with the
+      // registered _idx queries — left behind, they memoize into the
+      // post-bench plan dump and spuriously change those skeletons
+      // (observed r13: dedup_containment_idx flagged by plan_diff with
+      // identical code)
+      spark.catalog.clearCache()
+    }
   }
 
   /** Core event-store path end to end: ingest the events table into the
