@@ -112,10 +112,13 @@ object Bench {
 
   /** Leg-breakdown keys: informational sub-timings of the combined
     * pipeline key — excluded from the headline total so the pipeline isn't
-    * double-counted against earlier rounds' totals. */
+    * double-counted against earlier rounds' totals. An EXPLICIT set, not
+    * a prefix test: the old `startsWith("pipeline_")` spelling silently
+    * dropped the pipeline_audit/select/clean BATTERY queries (and would
+    * have dropped the r13 *_neardup pair) from every round's headline
+    * total — ~2 s of real per-round work the totals never counted. */
   private[graft] def isLegKey(k: String): Boolean =
-    k.startsWith("pipeline_") && k != "pipeline_ingest_replicate_consume" &&
-      k != "pipeline_curate"
+    k == "pipeline_ingest" || k == "pipeline_replicate" || k == "pipeline_consume"
 
   private def renderOf(rs: Seq[(String, Double)], all: Seq[(String, Double)],
       sfTag: String)(fmt: Double => String): String = {

@@ -418,8 +418,12 @@ object CorpusQueries extends QueryModule {
       val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
       val contam = contamination(sh)
         .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
-      val clusters = nearDupClusters(curatedTrain(s, dir))
-      val packed = pipelineCurateNearDup(s, dir).select($"doc_id", $"shard", $"shard_offset")
+      val train = curatedTrain(s, dir)
+      // cached: the assignment feeds BOTH the fate column and the
+      // packing, and the components loop must not run twice
+      val clusters = nearDupClusters(train).cache()
+      val packed = packNearDupKeepers(train, clusters)
+        .select($"doc_id", $"shard", $"shard_offset")
       docs.select($"doc_id", $"n_tokens")
         .join(dups, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
@@ -1067,19 +1071,28 @@ object CorpusQueries extends QueryModule {
         ($"cb" % PackBudget).as("shard_offset"))
   }
 
-  /** [[pipelineCurate]] with the near-dup stage on — shared by the
-    * registered query and the pipeline_audit_neardup fate trace (one
-    * packing definition, so the audit's shard columns can never drift
-    * from the query's). */
+  /** The near-dup packing from a PRECOMPUTED cluster assignment — the
+    * shared tail of [[pipelineCurateNearDup]] and pipeline_audit_neardup
+    * (one packing definition so the audit's shard columns can never
+    * drift from the query's, and the audit's CACHED cluster table feeds
+    * both its fate column and this packing, so the iterative
+    * ConnectedComponents loop runs ONCE per query, not twice). */
+  private def packNearDupKeepers(train: DataFrame, clusters: DataFrame): DataFrame = {
+    val nd = train
+      .join(clusters.filter(col("cluster") === col("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"))
+    GlobalCumsum.runningBefore(nd, "doc_id", "n_tokens", "cb")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+        (col("cb") % PackBudget).as("shard_offset"))
+  }
+
+  /** [[pipelineCurate]] with the near-dup stage on. */
   private[graft] def pipelineCurateNearDup(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    import s.implicits._
-    val nd = nearDupSurvivors(curatedTrain(s, dir, tok))
-      .select($"doc_id", $"n_tokens")
-    GlobalCumsum.runningBefore(nd, "doc_id", "n_tokens", "cb")
-      .select($"doc_id", $"n_tokens",
-        expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
-        ($"cb" % PackBudget).as("shard_offset"))
+    val train = curatedTrain(s, dir, tok)
+    packNearDupKeepers(train, nearDupClusters(train))
   }
 
   /** The positioned-occurrence run chain shared by decontam_runs and its

@@ -535,6 +535,15 @@ class PlanAuditSpec extends AnyFunSuite {
       .r.findFirstIn(p).isDefined, p)
   }
 
+  test("near-dup pipeline queries: no cartesian, no text-keyed exchange, no single-partition funnel") {
+    for (q <- Seq("pipeline_curate_neardup", "pipeline_audit_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, s"$q:\n$p")
+    }
+  }
+
   test("novelty family and SNM: hash-keyed shuffles only — no cartesian, no text keys, no single partition") {
     for (q <- Seq("text_novelty", "text_novelty_incr", "mix_novelty",
         "corpus_dup_sources", "dedup_sorted_neighborhood")) {
