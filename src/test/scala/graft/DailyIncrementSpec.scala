@@ -535,6 +535,82 @@ class DailyIncrementSpec extends AnyFunSuite {
     }
   }
 
+  test("takedown composes with the near-dup gate: forgotten content re-submits cleanly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // day0: A (doc 10) and B (doc 11) — orthogonal bases, so no day-0
+    // near-dup pair — plus a unique keeper (12). Both 10 and 11 are then
+    // taken down. The batch re-submits their content under new ids:
+    // 100 near-duplicates A, 101 is an EXACT copy of B. On a control
+    // tree without the takedown both drop (near-dup probe hit / digest
+    // anti-join); on the takedown tree both MUST survive — a pipeline
+    // still dropping re-submissions of forgotten content is acting on
+    // fingerprints it promised to erase.
+    val P = (1 to 26).map(i => s"p$i")
+    val U = (1 to 26).map(i => s"u$i")
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val aText = (P ++ Seq("q27", "q28", "q29", "q30")).mkString(" ")
+    val bText = (U ++ Seq("s27", "s28", "s29", "s30")).mkString(" ")
+    val aNear = (P.zipWithIndex.map { case (w, i) =>
+      if (i >= 9 && i <= 12) s"e$i" else w } ++
+      Seq("q27", "q28", "q29", "q30")).mkString(" ")
+    val docs = Seq(
+      (10L, aText), (11L, bText), (12L, uniq("v")),
+      (100L, aNear), (101L, bText))
+    val synth = Files.createTempDirectory("graft-tknd-sf-").toString
+    docs.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-tknd-").toString
+    val ctl = Files.createTempDirectory("graft-tknd-ctl-").toString
+    val tables = Seq("graft_tknd", "graft_tknd_counts", "graft_tkov",
+      "graft_tknd_c", "graft_tknd_c_counts", "graft_tkov_c",
+      "graft_tknd_tombstones", "graft_tkov_tombstones")
+    try {
+      CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100,
+        nearDupIndex = Some("graft_tknd"), overlapIndex = Some("graft_tkov"))
+      CurationJob.run(spark, synth, ctl, docFilter = col("doc_id") < 100,
+        nearDupIndex = Some("graft_tknd_c"), overlapIndex = Some("graft_tkov_c"))
+
+      val payload = Seq((10L, aText, "en"), (11L, bText, "en"))
+        .toDF("doc_id", "text", "lang")
+      Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en",
+        shingleIndexes = Seq("graft_tknd"), overlapIndexes = Seq("graft_tkov"))
+
+      // forgotten docs stop flagging overlap runs immediately
+      val aQuote = Seq((9001L, ((3 to 12).map(i => s"p$i") ++ Seq("zz1", "zz2"))
+        .mkString(" "))).toDF("doc_id", "text")
+      assert(graft.operators.OverlapIndex
+        .runsProbe(spark, "graft_tkov", aQuote, 5L).isEmpty,
+        "a taken-down doc still flags verbatim runs")
+
+      def keptBatch(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id").as[Long].collect().toSet.filter(_ >= 100)
+      DailyIncrement.run(spark, synth, ctl, batchFilter = col("doc_id") >= 100,
+        nearDupIndex = Some("graft_tknd_c"), overlapIndex = Some("graft_tkov_c"))
+      assert(keptBatch(ctl) == Set.empty[Long],
+        s"control premise broken — without the takedown both re-submissions " +
+          s"should drop, kept ${keptBatch(ctl)}")
+      DailyIncrement.run(spark, synth, dir, batchFilter = col("doc_id") >= 100,
+        nearDupIndex = Some("graft_tknd"), overlapIndex = Some("graft_tkov"))
+      assert(keptBatch(dir) == Set(100L, 101L),
+        s"re-submitted forgotten content was dropped: kept ${keptBatch(dir)} — " +
+          "the near-dup gate or digest anti-join is reading unmasked state")
+
+      // the new keeper (100) now owns the overlap fingerprint, not doc 10
+      val flagged = graft.operators.OverlapIndex
+        .runsProbe(spark, "graft_tkov", aQuote, 5L)
+        .select($"t_doc").as[Long].collect().toSet
+      assert(flagged == Set(100L), s"expected the re-submission to flag, got $flagged")
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("a crashed increment rolls forward: recover() lands the identical tree; no append runs twice") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
