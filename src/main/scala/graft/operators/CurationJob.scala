@@ -165,10 +165,17 @@ object CurationJob {
     // the standing dedup index over PRE-near-dup survivors (see the run
     // scaladoc for why keepers-only would under-drop future batches) and
     // the positioned overlap artifact over the final kept set
-    nearDupIndex.foreach(t =>
-      ShingleIndex.materialize(preNearDup.select(col("doc_id"), col("text")), t))
-    overlapIndex.foreach(t =>
-      OverlapIndex.materialize(kept.select(col("doc_id"), col("text")), t))
+    nearDupIndex.foreach { t =>
+      ShingleIndex.materialize(preNearDup.select(col("doc_id"), col("text")), t)
+      // record under the tree so Takedown reaches this index WITHOUT the
+      // caller remembering its name — a forgotten parameter would leave
+      // the dedup surface acting on fingerprints of forgotten content
+      Takedown.recordIndex(outDir, "shingle", t)
+    }
+    overlapIndex.foreach { t =>
+      OverlapIndex.materialize(kept.select(col("doc_id"), col("text")), t)
+      Takedown.recordIndex(outDir, "overlap", t)
+    }
     val n = kept.count()
     kept.unpersist(); preNearDup.unpersist()
     // release the stage-boundary cache curatedTrain/curatedEvalH share

@@ -70,6 +70,40 @@ import org.apache.spark.sql.functions._
 object Takedown {
   private def tombDir(outDir: String) = s"$outDir/takedown_tombstones"
 
+  // -------------------------------------------------------------------
+  // Tree-recorded index registry (`outDir/indexes`, `kind=name` lines):
+  // CurationJob records the dedup/overlap catalog tables it materialized
+  // so a takedown reaches them WITHOUT the caller remembering to pass
+  // their names — a forgotten parameter here is exactly the failure the
+  // whole surface exists to prevent (an index silently acting on
+  // fingerprints of forgotten content). Explicit params still work and
+  // union with the recorded set.
+
+  private def indexFile(outDir: String) = java.nio.file.Paths.get(s"$outDir/indexes")
+
+  /** Record an index table under the tree (idempotent; kind ∈
+    * {shingle, overlap, line, intivf}). */
+  def recordIndex(outDir: String, kind: String, name: String): Unit = {
+    val p = indexFile(outDir)
+    val line = s"$kind=$name"
+    val existing = if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).linesIterator.toSeq else Seq.empty
+    if (!existing.contains(line))
+      java.nio.file.Files.writeString(p, (existing :+ line).mkString("\n"))
+  }
+
+  /** The tree-recorded index names of one kind. */
+  private[graft] def recordedIndexes(outDir: String, kind: String): Seq[String] = {
+    val p = indexFile(outDir)
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.readString(p).linesIterator
+      .filter(_.startsWith(s"$kind=")).map(_.drop(kind.length + 1)).toSeq
+  }
+
+  private def withRecorded(outDir: String, kind: String,
+      explicit: Seq[String]): Seq[String] =
+    (explicit ++ recordedIndexes(outDir, kind)).distinct
+
   def run(spark: SparkSession, outDir: String, ids: DataFrame,
       docs: DataFrame, isTarget: Column,
       shingleIndexes: Seq[String] = Nil,
@@ -89,15 +123,19 @@ object Takedown {
     Bm25Index.delete(spark, s"$outDir/bm25", fresh)
     VectorIndex.delete(spark, s"$outDir/vectors",
       fresh.select(col("doc_id").as("vec_id")))
-    shingleIndexes.foreach(n => ShingleIndex.delete(spark, n, fresh))
-    lineSegmentIndexes.foreach(n => LineSegmentIndex.delete(spark, n, fresh))
+    withRecorded(outDir, "shingle", shingleIndexes)
+      .foreach(n => ShingleIndex.delete(spark, n, fresh))
+    withRecorded(outDir, "line", lineSegmentIndexes)
+      .foreach(n => LineSegmentIndex.delete(spark, n, fresh))
     // positioned overlap-run index: a forgotten doc must stop flagging
     // verbatim runs against future benchmarks (same mask doctrine)
-    overlapIndexes.foreach(n => OverlapIndex.delete(spark, n, fresh))
+    withRecorded(outDir, "overlap", overlapIndexes)
+      .foreach(n => OverlapIndex.delete(spark, n, fresh))
     // integer-IVF/ADC ANN artifacts keyed by vec_id = doc_id (idempotent
     // tombstone appends, like the vector index — probes mask immediately)
-    intIvfIndexes.foreach(n => IntIvfIndex.delete(spark, n,
-      fresh.select(col("doc_id").as("vec_id"))))
+    withRecorded(outDir, "intivf", intIvfIndexes)
+      .foreach(n => IntIvfIndex.delete(spark, n,
+        fresh.select(col("doc_id").as("vec_id"))))
     // read-subtract-write on the model path: pin the B-row result on the
     // driver before the overwrite (the DailyIncrement DSIR discipline);
     // only the FRESH docs subtract, so a re-run can't corrupt the counts
@@ -209,10 +247,14 @@ object Takedown {
     repack(spark, outDir)
     Bm25Index.vacuum(spark, s"$outDir/bm25")
     VectorIndex.vacuum(spark, s"$outDir/vectors")
-    shingleIndexes.foreach(n => ShingleIndex.vacuum(spark, n))
-    lineSegmentIndexes.foreach(n => LineSegmentIndex.vacuum(spark, n))
-    intIvfIndexes.foreach(n => IntIvfIndex.vacuum(spark, n))
-    overlapIndexes.foreach(n => OverlapIndex.vacuum(spark, n))
+    withRecorded(outDir, "shingle", shingleIndexes)
+      .foreach(n => ShingleIndex.vacuum(spark, n))
+    withRecorded(outDir, "line", lineSegmentIndexes)
+      .foreach(n => LineSegmentIndex.vacuum(spark, n))
+    withRecorded(outDir, "intivf", intIvfIndexes)
+      .foreach(n => IntIvfIndex.vacuum(spark, n))
+    withRecorded(outDir, "overlap", overlapIndexes)
+      .foreach(n => OverlapIndex.vacuum(spark, n))
     val tomb = java.nio.file.Paths.get(tombDir(outDir))
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(tomb)

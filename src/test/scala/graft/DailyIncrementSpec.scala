@@ -577,8 +577,10 @@ class DailyIncrementSpec extends AnyFunSuite {
 
       val payload = Seq((10L, aText, "en"), (11L, bText, "en"))
         .toDF("doc_id", "text", "lang")
-      Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en",
-        shingleIndexes = Seq("graft_tknd"), overlapIndexes = Seq("graft_tkov"))
+      // NO index names passed: CurationJob recorded them under the tree
+      // (outDir/indexes), and the takedown must reach them on its own —
+      // a caller forgetting the parameter is exactly the leak this guards
+      Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en")
 
       // forgotten docs stop flagging overlap runs immediately
       val aQuote = Seq((9001L, ((3 to 12).map(i => s"p$i") ++ Seq("zz1", "zz2"))
