@@ -153,6 +153,49 @@ object CorpusQueries extends QueryModule {
       occ.filter($"doc_id" % EvalMod === 0), MinRunTokens)
   }
 
+  /** decontam_scrub's spelling with the df-ceiling elision knob (the
+    * dedupSpans pattern): an over-ceiling shingle joins on neither side,
+    * so it neither starts a run nor scrubs its tokens. Default 1.0 = the
+    * exact oracle baseline. */
+  private[graft] def decontamScrub(s: SparkSession, dir: String,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val occAll = Tables.load(s, dir, "documents")
+      .select($"doc_id", posexplode(shingleHashes($"text")).as(Seq("q", "h")))
+    val occ = if (maxDfFrac >= 1.0) occAll
+      else occAll.join(DedupQueries.hotShingles(
+        occAll.select($"doc_id", $"h").distinct(), maxDfFrac),
+        Seq("h"), "left_anti")
+    val tr = occ.filter($"doc_id" % EvalMod =!= 0)
+      .select($"doc_id".as("t_doc"), $"q".as("qt"), $"h")
+    val ev = occ.filter($"doc_id" % EvalMod === 0)
+      .select($"doc_id".as("e_doc"), $"q".as("qe"), $"h")
+    val j = tr.join(ev, "h")
+      .select($"t_doc", $"e_doc", ($"qt" - $"qe").as("diag"), $"qe", $"qt")
+    val iw = Window.partitionBy($"t_doc", $"e_doc", $"diag").orderBy($"qe")
+    val isl = j.withColumn("isl", $"qe" - row_number().over(iw))
+    // island SIZE via a second window on the same partitioning + isl —
+    // rides the island exchange, no extra shuffle
+    val szw = Window.partitionBy($"t_doc", $"e_doc", $"diag", $"isl")
+    val starts = isl.withColumn("len", count(lit(1)).over(szw))
+      .filter($"len" >= MinRunTokens - 2)
+      .select($"t_doc".as("doc_id"), $"qt".as("q")).distinct()
+    val perDoc = starts.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"q")).as("cstarts"))
+    Tables.load(s, dir, "documents")
+      .filter($"doc_id" % EvalMod =!= 0)
+      .select($"doc_id", tokens($"text").as("w"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("ds", coalesce($"cstarts", typedLit(Array.empty[Int])))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(w) - 1), i -> NOT exists(ds, q -> q >= i - 2 AND q <= i))"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        (size($"w") - size($"kept")).cast("long").as("n_removed"),
+        array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ").as("scrub_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: per training doc, how many of its
     // 3-gram shingles appear anywhere in the eval split.
@@ -190,6 +233,18 @@ object CorpusQueries extends QueryModule {
     // (t_doc, e_doc, diag) — per-pair match counts, never
     // corpus-sized. No pairwise doc join anywhere.
     "decontam_runs" -> { (s, dir) => decontamRuns(s, dir) },
+
+    // The ACTION form of decontam_runs — Lee et al. 2022's remedy
+    // applied to benchmark overlap: instead of dropping whole training
+    // docs (text_decontam's ≥50% rule) or only reporting the evidence
+    // (decontam_runs), scrub exactly the tokens covered by any
+    // ≥MinRunTokens contiguous run shared with the eval split and
+    // rebuild the text — a doc quoting one benchmark passage loses the
+    // passage, not its training value. Same diagonal/island skeleton as
+    // decontam_runs (one extra same-partitioning window for the island
+    // size), then dedup_span_scrub's row-local token rebuild. Train
+    // rows only; eval docs are never rewritten.
+    "decontam_scrub" -> { (s, dir) => decontamScrub(s, dir) },
 
     // The SAME relation probed against the MATERIALIZED positioned
     // shingle index (operators/OverlapIndex) — the production spelling:
@@ -1193,8 +1248,46 @@ object CorpusQueries extends QueryModule {
        |    AS BIGINT) AS keep
        |FROM per""".stripMargin
 
+  /** decontam_scrub: the oRunsSql island chain keeping the train
+    * position, a window count for the island size, then the
+    * dedup_span_scrub token rebuild restricted to train docs. */
+  private val oScrubSql =
+    s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+       |sg AS (SELECT doc_id, $oShingles3 AS ss FROM docs),
+       |occ AS (SELECT doc_id, unnest(ss) AS s,
+       |               unnest(range(0, len(ss))) AS q FROM sg),
+       |o2 AS (SELECT doc_id, q, ${oH60("s")} AS h FROM occ),
+       |j AS (SELECT t.doc_id AS t_doc, e.doc_id AS e_doc,
+       |             t.q - e.q AS diag, e.q AS qe, t.q AS qt
+       |      FROM o2 t JOIN o2 e ON t.h = e.h
+       |      WHERE t.doc_id % $EvalMod <> 0 AND e.doc_id % $EvalMod = 0),
+       |isl AS (SELECT t_doc, e_doc, diag, qe, qt,
+       |          qe - row_number() OVER (
+       |            PARTITION BY t_doc, e_doc, diag ORDER BY qe) AS isl
+       |        FROM j),
+       |qual AS (SELECT t_doc, qt,
+       |           count(*) OVER (PARTITION BY t_doc, e_doc, diag, isl) AS L
+       |         FROM isl),
+       |cs AS (SELECT DISTINCT t_doc AS doc_id, qt AS q FROM qual
+       |       WHERE L >= ${MinRunTokens - 2}),
+       |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
+       |fin AS (SELECT d.doc_id, d.w, coalesce(ds.dstarts, []) AS dsx
+       |        FROM docs d LEFT JOIN ds ON ds.doc_id = d.doc_id
+       |        WHERE d.doc_id % $EvalMod <> 0),
+       |k AS (SELECT doc_id, w,
+       |    [i for i in range(0, len(w))
+       |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept
+       |  FROM fin)
+       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+       |  CASE WHEN w IS NULL THEN NULL
+       |    ELSE coalesce(array_to_string([w[i+1] for i in kept], ' '), '')
+       |  END AS scrub_text
+       |FROM k""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "decontam_bloom" -> oDecontamSql,
+    "decontam_scrub" -> oScrubSql,
 
     "doc_shuffle" ->
       s"""SELECT doc_id, shard,
