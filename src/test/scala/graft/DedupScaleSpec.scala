@@ -199,6 +199,53 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("decontam_scrub == brute-force run-scrub reference; df-ceiled == reference over surviving shingles") {
+    val texts = corpusTexts
+    val minRun = graft.queries.CorpusQueries.MinRunTokens
+    // reference: per train doc, the trigram START positions lying in any
+    // >=(minRun-2)-long island of consecutive eval-matching diagonals,
+    // then the [i-2, i] token cover rebuild
+    def scrubRef(occ: Map[Long, Seq[(Long, Int)]]): Map[Long, (Long, Long, String)] = {
+      val evalIds = occ.keySet.filter(_ % graft.queries.CorpusQueries.EvalMod == 0)
+      val trainIds = occ.keySet -- evalIds
+      trainIds.map { t =>
+        val starts: Set[Int] = evalIds.flatMap { e =>
+          val byH = occ(e).groupBy(_._1)
+          val matches = occ(t).flatMap { case (h, qt) =>
+            byH.getOrElse(h, Nil).map { case (_, qe) => (qt - qe, qe, qt) } }
+          matches.groupBy(_._1).values.flatMap { diag =>
+            val sorted = diag.sortBy(_._2)
+            val islands = sorted.foldLeft(List.empty[List[(Int, Int, Int)]]) {
+              case (cur :: rest, m) if m._2 == cur.head._2 + 1 => (m :: cur) :: rest
+              case (acc, m) => List(m) :: acc
+            }
+            islands.filter(_.size >= minRun - 2).flatMap(_.map(_._3))
+          }
+        }
+        val w = texts(t).split("\\s+", -1)
+        val kept = w.indices.filterNot(i => starts.exists(q => q >= i - 2 && q <= i))
+        t -> (w.length.toLong, (w.length - kept.size).toLong, kept.map(w).mkString(" "))
+      }.toMap
+    }
+    val occ = texts.map { case (id, t) => id -> shingleList(t).zipWithIndex }
+    val got = SparkEntry.queries("decontam_scrub")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val expected = scrubRef(occ)
+    assert(got == expected, {
+      val diff = expected.keySet.filter(k => got.get(k) != expected.get(k)).take(3)
+      s"diverging docs: ${diff.map(k => (k, got.get(k), expected.get(k)))}"
+    })
+    assert(expected.values.exists(_._2 > 0), "nothing scrubbed — vacuous")
+    assert(expected.values.exists(_._2 == 0), "everything scrubbed — degenerate fixture")
+    // elision: an over-ceiling shingle neither starts a run nor scrubs
+    val (frac, _, hot) = elisionFixture(texts)
+    val gotElided = graft.queries.CorpusQueries.decontamScrub(spark, dir, frac)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(gotElided == scrubRef(
+      occ.map { case (id, hs) => id -> hs.filterNot(p => hot(p._1)) }))
+    spark.catalog.clearCache()
+  }
+
   test("pigeonhole banding is exact on random fingerprints (seeded property sweep)") {
     // the corpus test above exercises one fingerprint distribution; the
     // pigeonhole claim (hamming ≤ 2 ⇒ some band of 11+11+10 bits

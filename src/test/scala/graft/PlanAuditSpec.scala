@@ -523,16 +523,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, p)
   }
 
-  test("decontam_runs: islands window partitions on (pair, diag) — no cartesian, no single partition, no text keys") {
-    val p = plan("decontam_runs")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SinglePartition"), p)
-    assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, p)
-    // the island rank is a per-(pair, diagonal) window, never global: the
-    // window's required exchange hash-partitions on (t_doc, e_doc, diag)
-    // together — a global or pair-only window would show a different spec
-    assert("hashpartitioning\\(t_doc#\\d+L?, e_doc#\\d+L?, diag#\\d+"
-      .r.findFirstIn(p).isDefined, p)
+  test("decontam_runs/scrub: islands window partitions on (pair, diag) — no cartesian, no single partition, no text keys") {
+    for (q <- Seq("decontam_runs", "decontam_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, s"$q:\n$p")
+      // the island rank is a per-(pair, diagonal) window, never global:
+      // the window's required exchange hash-partitions on (t_doc, e_doc,
+      // diag) together — a global or pair-only window would show a
+      // different spec (decontam_scrub's island-size window rides the
+      // same exchange)
+      assert("hashpartitioning\\(t_doc#\\d+L?, e_doc#\\d+L?, diag#\\d+"
+        .r.findFirstIn(p).isDefined, s"$q:\n$p")
+    }
   }
 
   test("near-dup pipeline queries: no cartesian, no text-keyed exchange, no single-partition funnel") {
