@@ -154,6 +154,59 @@ object OverlapIndex {
       positioned(evalDocs), minRun)
   }
 
+  /** Scrub a training frame against an index holding the EVAL
+    * benchmark's positioned occurrences — the roles MIRRORED vs
+    * [[runsProbe]]: there the corpus is indexed once and each new
+    * benchmark probes it; here the benchmark (MBs by contract) is the
+    * standing artifact and each day's training batch probes it, so
+    * "scrub today's batch against the benchmark" costs one batch-sized
+    * pass and the benchmark-sized index join (AQE broadcasts it — the
+    * training mass never shuffles for the match step). Returns
+    * (doc_id, n_tokens, n_removed, scrub_text) for `trainDocs`; equals
+    * `decontam_scrub` restricted to them (OverlapIndexSpec pins it; the
+    * decontam_scrub_idx driver gate makes it an oracle equality). */
+  def scrubProbe(spark: SparkSession, name: String, trainDocs: DataFrame,
+      minRun: Long): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    CatalogCommit.requireCommitted(spark, name)
+    scrubFrames(trainDocs, positioned(trainDocs),
+      masked(spark, name, occurrences(spark, name)), minRun)
+  }
+
+  /** The scrub algebra over arbitrary positioned frames — the
+    * [[runsFrames]] island chain keeping the train position, one extra
+    * window on the SAME partitioning for the island size, then the
+    * span-scrub row-local token rebuild. Shared by the index probe
+    * above and the self-contained `decontam_scrub` battery query. */
+  private[graft] def scrubFrames(trainDocs: DataFrame, trOcc: DataFrame,
+      evOcc: DataFrame, minRun: Long): DataFrame = {
+    import graft.queries.CrossHash.tokens
+    val tr = trOcc.select(col("doc_id").as("t_doc"), col("q").as("qt"), col("h"))
+    val ev = evOcc.select(col("doc_id").as("e_doc"), col("q").as("qe"), col("h"))
+    val j = tr.join(ev, "h")
+      .select(col("t_doc"), col("e_doc"), (col("qt") - col("qe")).as("diag"),
+        col("qe"), col("qt"))
+    val iw = Window.partitionBy(col("t_doc"), col("e_doc"), col("diag"))
+      .orderBy(col("qe"))
+    val isl = j.withColumn("isl", col("qe") - row_number().over(iw))
+    val szw = Window.partitionBy(col("t_doc"), col("e_doc"), col("diag"), col("isl"))
+    val starts = isl.withColumn("len", count(lit(1)).over(szw))
+      .filter(col("len") >= minRun - 2)
+      .select(col("t_doc").as("doc_id"), col("qt").as("q")).distinct()
+    val perDoc = starts.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("q"))).as("cstarts"))
+    trainDocs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("ds", coalesce(col("cstarts"), typedLit(Array.empty[Int])))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(w) - 1), i -> NOT exists(ds, q -> q >= i - 2 AND q <= i))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ")
+          .as("scrub_text"))
+  }
+
   /** The diagonal/island run algebra over arbitrary positioned
     * occurrence frames — shared by the index probe above and the
     * self-contained `decontam_runs` battery query (one algebra, two

@@ -167,33 +167,12 @@ object CorpusQueries extends QueryModule {
       else occAll.join(DedupQueries.hotShingles(
         occAll.select($"doc_id", $"h").distinct(), maxDfFrac),
         Seq("h"), "left_anti")
-    val tr = occ.filter($"doc_id" % EvalMod =!= 0)
-      .select($"doc_id".as("t_doc"), $"q".as("qt"), $"h")
-    val ev = occ.filter($"doc_id" % EvalMod === 0)
-      .select($"doc_id".as("e_doc"), $"q".as("qe"), $"h")
-    val j = tr.join(ev, "h")
-      .select($"t_doc", $"e_doc", ($"qt" - $"qe").as("diag"), $"qe", $"qt")
-    val iw = Window.partitionBy($"t_doc", $"e_doc", $"diag").orderBy($"qe")
-    val isl = j.withColumn("isl", $"qe" - row_number().over(iw))
-    // island SIZE via a second window on the same partitioning + isl —
-    // rides the island exchange, no extra shuffle
-    val szw = Window.partitionBy($"t_doc", $"e_doc", $"diag", $"isl")
-    val starts = isl.withColumn("len", count(lit(1)).over(szw))
-      .filter($"len" >= MinRunTokens - 2)
-      .select($"t_doc".as("doc_id"), $"qt".as("q")).distinct()
-    val perDoc = starts.groupBy($"doc_id")
-      .agg(sort_array(collect_list($"q")).as("cstarts"))
-    Tables.load(s, dir, "documents")
-      .filter($"doc_id" % EvalMod =!= 0)
-      .select($"doc_id", tokens($"text").as("w"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("ds", coalesce($"cstarts", typedLit(Array.empty[Int])))
-      .withColumn("kept", expr(
-        "filter(sequence(0, size(w) - 1), i -> NOT exists(ds, q -> q >= i - 2 AND q <= i))"))
-      .select($"doc_id",
-        size($"w").cast("long").as("n_tokens"),
-        (size($"w") - size($"kept")).cast("long").as("n_removed"),
-        array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ").as("scrub_text"))
+    graft.operators.OverlapIndex.scrubFrames(
+      Tables.load(s, dir, "documents")
+        .filter($"doc_id" % EvalMod =!= 0).select($"doc_id", $"text"),
+      occ.filter($"doc_id" % EvalMod =!= 0),
+      occ.filter($"doc_id" % EvalMod === 0),
+      MinRunTokens)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,6 +224,25 @@ object CorpusQueries extends QueryModule {
     // size), then dedup_span_scrub's row-local token rebuild. Train
     // rows only; eval docs are never rewritten.
     "decontam_scrub" -> { (s, dir) => decontamScrub(s, dir) },
+
+    // The SAME scrub probed against a MATERIALIZED positioned index of
+    // the EVAL BENCHMARK — roles mirrored vs decontam_runs_idx: the
+    // benchmark (MBs) is the standing artifact, and each day's training
+    // batch scrubs against it at batch cost (the benchmark index
+    // broadcast-joins, so the training mass never shuffles for the
+    // match step). Shares decontam_scrub's oracle, so the driver gate
+    // makes index probe ≡ from-scratch recompute an equality.
+    "decontam_scrub_idx" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      s.sql("DROP TABLE IF EXISTS graft_q_scrub_idx")
+      s.sql("DROP TABLE IF EXISTS graft_q_scrub_idx_tombstones")
+      graft.operators.OverlapIndex.materialize(
+        docs.filter($"doc_id" % EvalMod === 0), "graft_q_scrub_idx")
+      graft.operators.OverlapIndex.scrubProbe(
+        s, "graft_q_scrub_idx", docs.filter($"doc_id" % EvalMod =!= 0),
+        MinRunTokens)
+    },
 
     // The SAME relation probed against the MATERIALIZED positioned
     // shingle index (operators/OverlapIndex) — the production spelling:
@@ -1288,6 +1286,7 @@ object CorpusQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     "decontam_bloom" -> oDecontamSql,
     "decontam_scrub" -> oScrubSql,
+    "decontam_scrub_idx" -> oScrubSql,
 
     "doc_shuffle" ->
       s"""SELECT doc_id, shard,

@@ -52,6 +52,42 @@ class OverlapIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubProbe == the oracle-checked decontam_scrub; benchmark-side delete releases its runs") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val train = docs.filter($"doc_id" % CorpusQueries.EvalMod =!= 0)
+    val evalD = docs.filter($"doc_id" % CorpusQueries.EvalMod === 0)
+    def scrubOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    try {
+      OverlapIndex.materialize(evalD, "graft_ovidx_ev")
+      val probe = OverlapIndex.scrubProbe(spark, "graft_ovidx_ev", train,
+        CorpusQueries.MinRunTokens)
+      val want = scrubOf(SparkEntry.queries("decontam_scrub")(spark, dir))
+      assert(want.exists(_._3 > 0), "nothing scrubbed — vacuous")
+      assert(scrubOf(probe) == want, "index scrub != from-scratch decontam_scrub")
+
+      // forget one benchmark doc that currently causes scrubbing: its
+      // runs must stop cutting tokens, exactly like a rebuild without it
+      val runs = OverlapIndex.runsFrames(
+        OverlapIndex.positioned(train), OverlapIndex.positioned(evalD),
+        CorpusQueries.MinRunTokens)
+      val eGone = runs.select($"e_doc").head.getLong(0)
+      OverlapIndex.delete(spark, "graft_ovidx_ev", Seq(eGone).toDF("doc_id"))
+      OverlapIndex.materialize(evalD.filter($"doc_id" =!= eGone), "graft_ovidx_ev2")
+      val afterDel = scrubOf(OverlapIndex.scrubProbe(spark, "graft_ovidx_ev", train,
+        CorpusQueries.MinRunTokens))
+      assert(afterDel == scrubOf(OverlapIndex.scrubProbe(spark, "graft_ovidx_ev2",
+        train, CorpusQueries.MinRunTokens)),
+        "scrub after benchmark-doc delete != rebuild without it")
+      assert(afterDel != want, "vacuous: the deleted eval doc scrubbed nothing")
+    } finally {
+      for (t <- Seq("graft_ovidx_ev", "graft_ovidx_ev_tombstones", "graft_ovidx_ev2"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("a missing _current pointer fails the probe loud (never silently reads mid-rewrite data)") {
     import spark.implicits._
     GraftExtensions.register(spark)
