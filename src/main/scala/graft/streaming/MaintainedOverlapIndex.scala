@@ -119,4 +119,15 @@ final class MaintainedOverlapIndex(path: Path, spark: SparkSession) {
     graft.GraftExtensions.register(spark)
     OverlapIndex.runsFrames(committedOcc, OverlapIndex.positioned(evalDocs), minRun)
   }
+
+  /** Scrub `trainDocs` against the STREAMED standing occurrences as the
+    * benchmark side — [[OverlapIndex.scrubProbe]]'s mirrored-roles form
+    * over a continuously-ingested eval benchmark (new benchmark docs
+    * stream in, takedowns stream out, and training batches scrub against
+    * the committed state). Unchanged text before the first commit. */
+  def scrubProbe(trainDocs: DataFrame, minRun: Long): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    OverlapIndex.scrubFrames(trainDocs, OverlapIndex.positioned(trainDocs),
+      committedOcc, minRun)
+  }
 }

@@ -59,6 +59,16 @@ class MaintainedOverlapIndexSpec extends AnyFunSuite {
       assert(runsOf(idx.runsProbe(evalDocs, CorpusQueries.MinRunTokens)) == want,
         "maintained runsProbe != batch materialize on the union")
 
+      // the mirrored-roles scrub: streamed occurrences as the benchmark
+      // side equal the batch index's scrubProbe on the same frames
+      def scrubOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val wantScrub = scrubOf(OverlapIndex.scrubProbe(spark, "graft_ovidxm_ref",
+        evalDocs, CorpusQueries.MinRunTokens))
+      assert(wantScrub.exists(_._3 > 0), "vacuous: streamed scrub cut nothing")
+      assert(scrubOf(idx.scrubProbe(evalDocs, CorpusQueries.MinRunTokens)) == wantScrub,
+        "maintained scrubProbe != batch index scrub")
+
       // a replayed batch id — even with DIFFERENT data — must be a no-op
       idx.update(Seq((999999L, "spark spark spark spark spark")).toDF("doc_id", "text"), 0L)
       assert(runsOf(idx.runsProbe(evalDocs, CorpusQueries.MinRunTokens)) == want,
