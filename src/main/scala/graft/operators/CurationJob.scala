@@ -76,20 +76,50 @@ object CurationJob {
     * FINAL kept set — the standing positioned-shingle artifact
     * DailyIncrement extends per batch, so "a new benchmark was adopted —
     * which standing docs share ≥N-token runs with it?" stays probe-cost
-    * on the daily tree. */
+    * on the daily tree.
+    *
+    * `benchIndex` switches the token-level SCRUB stage on (the
+    * pipeline_curate_scrub algebra): after every drop gate, runs of
+    * ≥[[CorpusQueries.MinRunTokens]] tokens shared with the gate/dedup-
+    * surviving eval split are EXCISED from the surviving docs — every
+    * downstream artifact (shards, bm25, dsir, tokenizer, vocab) consumes
+    * the scrubbed text and post-scrub token counts (the training surface
+    * is what a trainer actually reads), while the curated manifest keeps
+    * the RAW-text digest (the dedup surface stays content-addressed by
+    * what ARRIVED, so a re-delivered raw doc still anti-joins out).
+    * The named [[OverlapIndex]] materializes over the eval docs — the
+    * standing positioned BENCHMARK artifact DailyIncrement's scrub stage
+    * probes at |batch| cost and extends with each batch's own eval
+    * survivors (the evalh sequential-union doctrine, mirrored). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
       docFilter: org.apache.spark.sql.Column = lit(true),
       tokenizerMerges: Int = 8,
       nearDupIndex: Option[String] = None,
       nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
-      overlapIndex: Option[String] = None): Result = {
+      overlapIndex: Option[String] = None,
+      benchIndex: Option[String] = None): Result = {
     graft.GraftExtensions.register(spark)
     val preNearDup = CorpusQueries.curatedTrain(spark, sfDir, tok, docFilter).cache()
-    val kept = nearDupIndex match {
+    val ndKept = nearDupIndex match {
       case None => preNearDup
       case Some(_) =>
         CorpusQueries.nearDupSurvivors(preNearDup, nearDupThreshold).cache()
+    }
+    // optional token-level scrub stage — LAST (near-dup judges RAW text,
+    // and a scrub changing jaccard verdicts would diverge from the
+    // oracle-checked stage order). `digest` stays the raw-text md5.
+    val kept = benchIndex match {
+      case None => ndKept.withColumn("digest", md5(col("text")))
+      case Some(_) =>
+        val evalDocs = CorpusQueries.curatedEvalDocs(spark, sfDir, tok, docFilter)
+        val nd = ndKept.select(col("doc_id"), col("text"))
+        OverlapIndex.scrubFrames(nd, OverlapIndex.positioned(nd),
+            OverlapIndex.positioned(evalDocs), CorpusQueries.MinRunTokens)
+          .join(ndKept.select(col("doc_id"), md5(col("text")).as("digest")), "doc_id")
+          .select(col("doc_id"), col("scrub_text").as("text"),
+            (col("n_tokens") - col("n_removed")).as("n_tokens"), col("digest"))
+          .cache()
     }
     val curatedDir = s"$outDir/curated"
     // digest third: DailyIncrement's corpus-precedes-batch exact dedup
@@ -97,7 +127,7 @@ object CurationJob {
     // added_batch LAST (positional readers see 0..2 unchanged): batch 0
     // is day 0; each DailyIncrement stamps its own id — the provenance
     // column behind the as-of readers (DailyIncrement.manifestAsOf)
-    kept.select(col("doc_id"), col("n_tokens"), md5(col("text")).as("digest"))
+    kept.select(col("doc_id"), col("n_tokens"), col("digest"))
       .withColumn("added_batch", lit(0L))
       .write.mode("overwrite").parquet(curatedDir)
     val shardsDir = s"$outDir/shards"
@@ -176,8 +206,18 @@ object CurationJob {
       OverlapIndex.materialize(kept.select(col("doc_id"), col("text")), t)
       Takedown.recordIndex(outDir, "overlap", t)
     }
+    // the standing positioned BENCHMARK artifact (eval docs, not train):
+    // DailyIncrement's scrub stage probes it at |batch| cost and appends
+    // each batch's eval survivors. Recorded as kind "overlap" so a
+    // takedown of an eval doc releases its runs without the caller
+    // remembering the index name.
+    benchIndex.foreach { t =>
+      OverlapIndex.materialize(
+        CorpusQueries.curatedEvalDocs(spark, sfDir, tok, docFilter), t)
+      Takedown.recordIndex(outDir, "overlap", t)
+    }
     val n = kept.count()
-    kept.unpersist(); preNearDup.unpersist()
+    kept.unpersist(); ndKept.unpersist(); preNearDup.unpersist()
     // release the stage-boundary cache curatedTrain/curatedEvalH share
     CorpusQueries.curatedKept(spark, sfDir, tok, docFilter).unpersist()
     Result(n, nShards, curatedDir, shardsDir, bm25Dir, vectorDir,

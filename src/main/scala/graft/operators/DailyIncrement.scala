@@ -48,7 +48,11 @@ import graft.queries.CrossHash.shingleHashes
   *     already committed). The manifests therefore satisfy
   *     rebuild ⊆ daily, with the difference exactly the earlier-batch
   *     docs contaminated only by later eval survivors (pinned in
-  *     DailyIncrementSpec's compose test).
+  *     DailyIncrementSpec's compose test). The optional token-level
+  *     SCRUB stage (`benchIndex`) inherits the same semantics: batch k
+  *     scrubs against the benchmark index as of batch k (committed ∪ its
+  *     own eval survivors); committed text is never retroactively
+  *     re-scrubbed when a later batch adds benchmark content.
   *  2. The batch-side exact-dedup anti-join sees only the curated
   *     MANIFEST digests (kept docs). A batch eval doc duplicating a
   *     day-0 gate-surviving doc that was itself dropped (e.g.
@@ -70,7 +74,8 @@ object DailyIncrement {
       batchFilter: Column, tok: Tokenizer = Tokenizer.Whitespace,
       nearDupIndex: Option[String] = None,
       nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
-      overlapIndex: Option[String] = None): Result = {
+      overlapIndex: Option[String] = None,
+      benchIndex: Option[String] = None): Result = {
     import spark.implicits._
     runBatch(spark,
       Tables.load(spark, sfDir, "documents")
@@ -78,7 +83,7 @@ object DailyIncrement {
         .select($"doc_id", $"text", $"lang"),
       Tables.load(spark, sfDir, "embeddings")
         .select($"vec_id", $"embedding"),
-      outDir, tok, nearDupIndex, nearDupThreshold, overlapIndex)
+      outDir, tok, nearDupIndex, nearDupThreshold, overlapIndex, benchIndex)
   }
 
   /** The batch-DataFrame form of [[run]] — `batchDocs` is today's
@@ -119,12 +124,13 @@ object DailyIncrement {
       outDir: String, tok: Tokenizer = Tokenizer.Whitespace,
       nearDupIndex: Option[String] = None,
       nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
-      overlapIndex: Option[String] = None): Result = {
+      overlapIndex: Option[String] = None,
+      benchIndex: Option[String] = None): Result = {
     import spark.implicits._
     // finish any crashed predecessor before reading the tree it half-wrote
     recover(spark, outDir)
     val n = stage(spark, batchDocs, embeddings, outDir, tok,
-      nearDupIndex, nearDupThreshold, overlapIndex)
+      nearDupIndex, nearDupThreshold, overlapIndex, benchIndex)
     // ---- phases 2+3: apply from staging, then commit ----
     applyPending(spark, outDir)
     val nShards = spark.read.parquet(s"$outDir/shards")
@@ -139,7 +145,8 @@ object DailyIncrement {
       embeddings: DataFrame, outDir: String, tok: Tokenizer,
       nearDupIndex: Option[String] = None,
       nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
-      overlapIndex: Option[String] = None): Long = {
+      overlapIndex: Option[String] = None,
+      benchIndex: Option[String] = None): Long = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
 
@@ -239,6 +246,39 @@ object DailyIncrement {
         (freshKept.join(keepers, Seq("doc_id"), "left_semi"), Some(pairs))
     }
 
+    // ---- optional token-level SCRUB stage against the maintained
+    // positioned BENCHMARK index (CurationJob's benchIndex): runs of
+    // ≥MinRunTokens tokens shared with the benchmark — the committed
+    // index ∪ this batch's OWN eval survivors, the evalh sequential-union
+    // doctrine positioned — are excised from the kept docs before
+    // packing, so every appended artifact consumes what a trainer reads.
+    // `digest` stays the RAW-text md5 (the content-addressed dedup
+    // surface). A re-delivered eval id is a no-op: index membership ⇔
+    // already processed (duplicating its positioned rows would corrupt
+    // the island windows — same doctrine as the near-dup gate's
+    // membership check). ----
+    val (scrubKept, benchFresh): (DataFrame, Option[DataFrame]) = benchIndex match {
+      case None => (finalKept, None)
+      case Some(table) =>
+        CatalogCommit.requireCommitted(spark, table)
+        val occ = OverlapIndex.maskedOccurrences(spark, table)
+        val batchEvalDocs = deduped
+          .filter($"doc_id" % CorpusQueries.EvalMod === 0)
+          .select($"doc_id", $"text")
+        val freshEval = batchEvalDocs
+          .join(occ.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .cache()
+        val evOcc = occ.select($"doc_id", $"q", $"h")
+          .unionByName(OverlapIndex.positioned(freshEval))
+        val fk = finalKept.select($"doc_id", $"text")
+        val scrubbed = OverlapIndex.scrubFrames(
+            fk, OverlapIndex.positioned(fk), evOcc, CorpusQueries.MinRunTokens)
+          .join(finalKept.select($"doc_id", $"digest"), Seq("doc_id"))
+          .select($"doc_id", $"scrub_text".as("text"),
+            ($"n_tokens" - $"n_removed").as("n_tokens"), $"digest")
+        (scrubbed, Some(freshEval))
+    }
+
     // yesterday's pack continuation point — the persisted pack base, NOT
     // the manifest sum: after a takedown the masked manifest undercounts
     // the gapped shards, and after a repack the raw manifest OVERcounts
@@ -259,10 +299,16 @@ object DailyIncrement {
     // durable form of the old localCheckpoint pin against the
     // read-path-you-write hazard (appends grow outDir/curated, which
     // kept's lineage reads)
-    finalKept.select($"doc_id", $"text", $"n_tokens", $"digest")
+    scrubKept.select($"doc_id", $"text", $"n_tokens", $"digest")
       .join(batchDocs.select($"doc_id", $"lang"), Seq("doc_id"))
       .select($"doc_id", $"text", $"lang", $"n_tokens", $"digest")
       .write.parquet(s"$pend/kept")
+    // the benchmark index's append set: this batch's not-yet-indexed
+    // eval survivors — staged so the benchidx apply step reads durable
+    // data, and so a marker-driven retry appends the same set
+    benchFresh.foreach { fe =>
+      fe.select($"doc_id", $"text").write.parquet(s"$pend/bench_batch")
+    }
     // the dedup index's append set is the PRE-near-dup decontam survivors
     // (the rebuild graph — see the gate above), minus re-delivered ids
     // (already indexed); staged separately from the manifest-bound kept set
@@ -288,6 +334,10 @@ object DailyIncrement {
       overlapIndex.map { t =>
         CatalogCommit.requireCommitted(spark, t)
         s"overlap_target=${CatalogCommit.readLastBatch(spark, t).get + 1}"
+      },
+      benchIndex.map(t => s"bench_table=$t"),
+      benchIndex.map { t =>
+        s"bench_target=${CatalogCommit.readLastBatch(spark, t).get + 1}"
       }).flatten
     if (optLines.nonEmpty)
       java.nio.file.Files.writeString(
@@ -308,7 +358,7 @@ object DailyIncrement {
 
     val n = keptStaged.count()
     manifest.unpersist(); deduped.unpersist(); batchEvalH.unpersist()
-    ndPairs.foreach(_.unpersist())
+    ndPairs.foreach(_.unpersist()); benchFresh.foreach(_.unpersist())
     n
   }
 
@@ -515,6 +565,17 @@ object DailyIncrement {
       step("overlapidx") {
         OverlapIndex.appendAs(kept.select($"doc_id", $"text"), t,
           opts("overlap_target").toLong)
+      }
+    }
+    // extend the standing positioned BENCHMARK artifact with this batch's
+    // eval survivors (the evalh step's sequential-union doctrine for the
+    // scrub surface) — appendAs no-ops when the pointer already reached
+    // the staged target (crash between the index commit and the marker)
+    opts.get("bench_table").foreach { t =>
+      step("benchidx") {
+        OverlapIndex.appendAs(
+          spark.read.parquet(s"$pend/bench_batch").select($"doc_id", $"text"),
+          t, opts("bench_target").toLong)
       }
     }
     step("tokvocab") {

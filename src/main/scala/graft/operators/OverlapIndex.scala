@@ -54,6 +54,14 @@ object OverlapIndex {
   private def masked(spark: SparkSession, name: String, df: DataFrame): DataFrame =
     CatalogCommit.maskedByTombstones(spark, name, df)
 
+  /** The committed, tombstone-masked occurrence frame — what a probe
+    * actually matches against. Exposed so the daily-increment scrub
+    * stage can union it with the in-flight batch's own eval occurrences
+    * (the sequential-union benchmark semantics) before calling
+    * [[scrubFrames]] directly. */
+  private[graft] def maskedOccurrences(spark: SparkSession, name: String): DataFrame =
+    masked(spark, name, occurrences(spark, name))
+
   /** (doc_id, q, h) positioned trigram occurrences of a (doc_id, text)
     * frame — the probe-side spelling, shared with the battery query. */
   private[graft] def positioned(docs: DataFrame): DataFrame =

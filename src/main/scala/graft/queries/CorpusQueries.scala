@@ -454,6 +454,18 @@ object CorpusQueries extends QueryModule {
     // probe-fed at |batch| cost) run the same verdict.
     "pipeline_curate_neardup" -> { (s, dir) => pipelineCurateNearDup(s, dir) },
 
+    // pipeline_curate with the token-level SCRUB stage on — the decontam
+    // drop rule catches mostly-benchmark docs; this catches the long
+    // verbatim benchmark quote inside an otherwise-clean doc (the
+    // decontam_scrub island algebra over the CURATED frames) and packs
+    // on post-scrub token counts. Cost on top of pipeline_curate: the
+    // positioned re-shingle of survivors + the benchmark-broadcast hash
+    // join — the island windows partition on (pair, diag), never
+    // corpus-global. CurationJob (day 0, benchIndex=) and DailyIncrement
+    // (per batch, against the maintained positioned benchmark index at
+    // |batch| probe cost) run the same stage.
+    "pipeline_curate_scrub" -> { (s, dir) => pipelineCurateScrub(s, dir) },
+
     // pipeline_audit with the near-dup stage in the fate order — the
     // operability trace for the full-strength DAG: 'neardup' lands
     // between 'contaminated' and 'kept', dup_of reports the cluster
@@ -1068,6 +1080,19 @@ object CorpusQueries extends QueryModule {
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
       .distinct()
 
+  /** The gate/dedup-surviving EVAL docs (doc_id, text) — the benchmark
+    * POPULATION behind both decontam forms: [[curatedEvalH]] is its
+    * unordered shingle-hash projection (the ≥50% DROP rule), and the
+    * scrub stage's positioned benchmark index materializes over these
+    * same docs (an eval doc that fails the gate or loses dedup
+    * contributes no runs either). Hits the [[curatedKept]] cache. */
+  private[graft] def curatedEvalDocs(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace,
+      docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    curatedKept(s, dir, tok, docFilter)
+      .filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id"), col("text"))
+
   /** Near-dup gate threshold for the curation DAG's optional fourth
     * stage (exact word-3-gram jaccard — dedup_ngram_jaccard's cut). */
   val NearDupThreshold = 0.6
@@ -1146,6 +1171,34 @@ object CorpusQueries extends QueryModule {
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val train = curatedTrain(s, dir, tok)
     packNearDupKeepers(train, nearDupClusters(train))
+  }
+
+  /** [[pipelineCurate]] with the token-level SCRUB stage on: the decontam
+    * DROP stage removes docs ≥50% benchmark-overlapping, but a surviving
+    * doc can still carry a long verbatim benchmark quote (a 60-token
+    * quote in a 10k-token doc is 0.6% overlap) — this stage excises
+    * exactly those runs (the decontam_scrub algebra over the CURATED
+    * frames: train survivors vs the gate/dedup-surviving eval split, the
+    * same benchmark population the drop stage checked) and packs on the
+    * POST-scrub token counts, so shard budgets account for what a trainer
+    * actually reads. Output (doc_id, n_tokens, n_removed, shard,
+    * shard_offset); n_tokens is the post-scrub count. */
+  private[graft] def pipelineCurateScrub(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import graft.operators.OverlapIndex
+    val train = curatedTrain(s, dir, tok).select(col("doc_id"), col("text"))
+    val evalDocs = curatedKept(s, dir, tok)
+      .filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id"), col("text"))
+    val scrub = OverlapIndex.scrubFrames(
+      train, OverlapIndex.positioned(train), OverlapIndex.positioned(evalDocs),
+      MinRunTokens)
+    val packIn = scrub.select(col("doc_id"),
+      (col("n_tokens") - col("n_removed")).as("n_tokens"), col("n_removed"))
+    GlobalCumsum.runningBefore(packIn, "doc_id", "n_tokens", "cb")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+        (col("cb") % PackBudget).as("shard_offset"))
   }
 
   /** The positioned-occurrence run chain shared by decontam_runs and its
@@ -1493,6 +1546,72 @@ object CorpusQueries extends QueryModule {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
          |  FROM train)
          |SELECT doc_id, n_tokens,
+         |  CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |FROM c""".stripMargin,
+
+    // pipeline_curate's stage CTEs + the token-level scrub stage: the
+    // oScrubSql island chain over the CURATED frames (train survivors vs
+    // gate/dedup-surviving eval docs), then the packing window over the
+    // POST-scrub token counts
+    "pipeline_curate_scrub" ->
+      s"""WITH docs AS (SELECT doc_id, text, $oTokens AS w FROM documents),
+         |quality AS (SELECT doc_id, text, w FROM docs
+         |  WHERE len(w) >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+         |kept AS (SELECT q.doc_id, q.text, q.w
+         |         FROM quality q JOIN keep k ON q.doc_id = k.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM kept)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT tr.doc_id,
+         |      CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) AS frac
+         |    FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |    LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+         |  WHERE frac >= 0.5),
+         |train AS (SELECT doc_id, w FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |sgt AS (SELECT doc_id, $oShingles3 AS ss FROM train),
+         |sge AS (SELECT doc_id, $oShingles3 AS ss
+         |        FROM (SELECT doc_id, w FROM kept WHERE doc_id % $EvalMod = 0)),
+         |occt AS (SELECT doc_id, unnest(ss) AS s,
+         |                unnest(range(0, len(ss))) AS q FROM sgt),
+         |occe AS (SELECT doc_id, unnest(ss) AS s,
+         |                unnest(range(0, len(ss))) AS q FROM sge),
+         |j AS (SELECT t.doc_id AS t_doc, e.doc_id AS e_doc,
+         |             t.q - e.q AS diag, e.q AS qe, t.q AS qt
+         |      FROM (SELECT doc_id, q, ${oH60("s")} AS h FROM occt) t
+         |      JOIN (SELECT doc_id, q, ${oH60("s")} AS h FROM occe) e
+         |        ON t.h = e.h),
+         |isl AS (SELECT t_doc, e_doc, diag, qe, qt,
+         |          qe - row_number() OVER (
+         |            PARTITION BY t_doc, e_doc, diag ORDER BY qe) AS isl
+         |        FROM j),
+         |qual AS (SELECT t_doc, qt,
+         |           count(*) OVER (PARTITION BY t_doc, e_doc, diag, isl) AS L
+         |         FROM isl),
+         |cs AS (SELECT DISTINCT t_doc AS doc_id, qt AS q FROM qual
+         |       WHERE L >= ${MinRunTokens - 2}),
+         |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
+         |fin AS (SELECT t.doc_id, t.w, coalesce(ds.dstarts, []) AS dsx
+         |        FROM train t LEFT JOIN ds ON ds.doc_id = t.doc_id),
+         |k AS (SELECT doc_id, w,
+         |    [i for i in range(0, len(w))
+         |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept2
+         |  FROM fin),
+         |sc AS (SELECT doc_id, CAST(len(kept2) AS BIGINT) AS n_tokens,
+         |         CAST(len(w) - len(kept2) AS BIGINT) AS n_removed FROM k),
+         |c AS (SELECT doc_id, n_tokens, n_removed,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, n_removed,
          |  CAST(cb // $PackBudget AS BIGINT) AS shard,
          |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
          |FROM c""".stripMargin,
