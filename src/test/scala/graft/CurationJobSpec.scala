@@ -124,4 +124,71 @@ class CurationJobSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("benchIndex run: artifacts agree with pipeline_curate_scrub; manifest digest stays raw") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val out = Files.createTempDirectory("graft-curation-scrub-").toString
+    try {
+      val res = CurationJob.run(spark, dir, out,
+        benchIndex = Some("graft_cj_bench"))
+
+      // the packed shards ARE pipeline_curate_scrub's packing columns
+      // (post-scrub token counts — the oracle-checked stage composition)
+      val packed = SparkEntry.queries("pipeline_curate_scrub")(spark, dir)
+        .select($"doc_id", $"n_tokens", $"shard", $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(res.nDocsKept == packed.length.toLong,
+        "manifest count != pipeline_curate_scrub")
+      val shards = spark.read.parquet(res.shardsDir)
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(shards == packed.toSet,
+        "shard read-back != pipeline_curate_scrub packing")
+      // the scrub actually removed something on this corpus (non-vacuous)
+      val unscrubbed = SparkEntry.queries("pipeline_curate")(spark, dir)
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scrubbedTok = packed.map(p => p._1 -> p._2).toMap
+      assert(scrubbedTok.keySet == unscrubbed.keySet,
+        "scrub stage changed the kept DOC SET (it must only rewrite text)")
+      assert(scrubbedTok.exists { case (id, n) => n < unscrubbed(id) },
+        "vacuous pin: no doc lost tokens to the scrub on this corpus")
+
+      // manifest digest = md5 of the RAW text (the content-addressed
+      // dedup surface a re-delivered raw doc anti-joins against)
+      val rawDigests = Tables.load(spark, dir, "documents")
+        .select($"doc_id", md5($"text").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      spark.read.parquet(res.curatedDir)
+        .select($"doc_id", $"digest").collect().foreach { r =>
+          assert(r.getString(1) == rawDigests(r.getLong(0)),
+            s"manifest digest of doc ${r.getLong(0)} is not the raw-text md5")
+        }
+
+      // the benchmark index holds exactly the gate/dedup-surviving EVAL
+      // docs, and a training doc quoting one of them scrubs via the probe
+      val indexedIds = spark.table("graft_cj_bench")
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      assert(indexedIds.nonEmpty &&
+        indexedIds.forall(_ % graft.queries.CorpusQueries.EvalMod == 0),
+        "benchmark index holds a non-eval doc")
+      val evalText = Tables.load(spark, dir, "documents")
+        .filter($"doc_id" === indexedIds.head).select($"text").head.getString(0)
+      val words = evalText.split("\\s+").filter(_.nonEmpty)
+      assume(words.length >= 8)
+      val quote = words.slice(0, 8).mkString(" ")
+      val probe = Seq((999999L, s"zqa zqb $quote zqy zqz"))
+        .toDF("doc_id", "text")
+      val scrubbed = graft.operators.OverlapIndex.scrubProbe(
+        spark, "graft_cj_bench", probe, graft.queries.CorpusQueries.MinRunTokens)
+        .collect()
+      assert(scrubbed.length == 1 && scrubbed(0).getLong(2) >= 8L,
+        s"probe doc quoting an indexed benchmark doc was not scrubbed: ${scrubbed.toSeq}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cj_bench")
+      spark.sql("DROP TABLE IF EXISTS graft_cj_bench_tombstones")
+      spark.catalog.clearCache()
+    }
+  }
 }

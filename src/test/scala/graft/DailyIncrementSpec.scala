@@ -535,6 +535,129 @@ class DailyIncrementSpec extends AnyFunSuite {
     }
   }
 
+  test("scrub stage + maintained benchmark index: day0 + increments == union rebuild; replay and crash no-ops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // Scrub geometry (EvalMod = 17, MinRunTokens = 5): each benchmark doc
+    // is 30 unique words; each quoting train doc carries a 7-token
+    // verbatim quote (5 matching shingle starts → one island of 5 ≥
+    // MinRunTokens−2 → 7 tokens excised; 5/28 distinct shingles shared =
+    // 18% < the 50% decontam DROP cut, so the doc SURVIVES and scrubs).
+    // Sequential-union safety for the rebuild equality: E1 appears only
+    // in its own batch's train doc, E2 only in batch 2 — no later
+    // benchmark content hits an earlier batch's train docs.
+    //  - day0:  34=E0 (eval), 10 quotes E0, 12 unique
+    //  - batch1: 119=E1 (eval), 100 quotes E0 (via the STANDING index),
+    //            101 quotes E1 (via the batch's OWN eval union), 103 unique
+    //  - batch2: 204=E2 (eval), 200 quotes E2, 201 quotes E0, 202 unique
+    val mod = CorpusQueries.EvalMod
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def quoting(p: String, ew: String, from: Int) =
+      ((1 to 23).map(i => s"$p$i") ++ (from until from + 7).map(i => s"$ew$i"))
+        .mkString(" ")
+    val day0 = Seq((34L, uniq("e")), (10L, quoting("a", "e", 5)), (12L, uniq("v")))
+    val batch1 = Seq((119L, uniq("f")), (100L, quoting("x", "e", 12)),
+      (101L, quoting("y", "f", 5)), (103L, uniq("u")))
+    val batch2 = Seq((204L, uniq("g")), (200L, quoting("z", "g", 5)),
+      (201L, quoting("k", "e", 19)), (202L, uniq("m")))
+    val all = day0 ++ batch1 ++ batch2
+    assert(all.map(_._1).filter(_ % mod == 0).toSet == Set(34L, 119L, 204L),
+      "eval-split geometry drifted")
+    val synth = Files.createTempDirectory("graft-scrub-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-scrub-daily-").toString
+    val fullDir = Files.createTempDirectory("graft-scrub-full-").toString
+    val tables = Seq("graft_bi_daily", "graft_bi_full")
+    try {
+      CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100,
+        benchIndex = Some("graft_bi_daily"))
+      def manifestRows(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id", $"n_tokens", $"digest")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(manifestRows(dir).map(r => (r._1, r._2)) == Set((10L, 23L), (12L, 30L)),
+        s"day0 scrub verdict wrong: ${manifestRows(dir)}")
+
+      val inc1 = DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 100 && col("doc_id") < 200,
+        benchIndex = Some("graft_bi_daily"))
+      assert(inc1.nBatchKept == 3)
+      assert(manifestRows(dir).map(r => (r._1, r._2)) ==
+        Set((10L, 23L), (12L, 30L), (100L, 23L), (101L, 23L), (103L, 30L)),
+        s"batch1 scrub verdict wrong: ${manifestRows(dir)}")
+
+      // batch2 through the CRASH seam: stage, die after evalh (before the
+      // benchidx append), recover — the roll-forward must land the same
+      // tree a clean run would
+      val b2 = spark.read.parquet(s"$synth/documents.parquet")
+        .filter($"doc_id" >= 200).select($"doc_id", $"text", $"lang")
+      val embs = spark.read.parquet(s"$synth/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      DailyIncrement.stage(spark, b2, embs, dir,
+        graft.functions.Tokenizer.Whitespace, benchIndex = Some("graft_bi_daily"))
+      val boom = intercept[IllegalStateException] {
+        DailyIncrement.applyPending(spark, dir, failAfter = Some("evalh"))
+      }
+      assert(boom.getMessage.contains("injected"))
+      DailyIncrement.recover(spark, dir)
+      assert(manifestRows(dir).map(r => (r._1, r._2)) ==
+        Set((10L, 23L), (12L, 30L), (100L, 23L), (101L, 23L), (103L, 30L),
+          (200L, 23L), (201L, 23L), (202L, 30L)),
+        s"batch2 scrub verdict wrong after crash/recover: ${manifestRows(dir)}")
+
+      // ---- union rebuild with the scrub stage on: identical manifest,
+      // shards and benchmark index ----
+      CurationJob.run(spark, synth, fullDir, docFilter = lit(true),
+        benchIndex = Some("graft_bi_full"))
+      assert(manifestRows(fullDir) == manifestRows(dir),
+        s"rebuild=${manifestRows(fullDir)} daily=${manifestRows(dir)}")
+      def shardRows(d: String) = spark.read.parquet(s"$d/shards")
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(shardRows(fullDir) == shardRows(dir),
+        "daily shards != union rebuild (post-scrub packing diverged)")
+      def benchIds(t: String) = spark.table(t)
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      assert(benchIds("graft_bi_daily") == Set(34L, 119L, 204L),
+        s"maintained benchmark index ids: ${benchIds("graft_bi_daily")}")
+      assert(benchIds("graft_bi_full") == benchIds("graft_bi_daily"))
+      val probe = Seq((9000L,
+        ("pre1 pre2 " + (5 to 11).map(i => s"e$i").mkString(" ") + " mid " +
+          (5 to 11).map(i => s"g$i").mkString(" ") + " post").trim))
+        .toDF("doc_id", "text")
+      def scrubSet(t: String) = graft.operators.OverlapIndex
+        .scrubProbe(spark, t, probe, CorpusQueries.MinRunTokens)
+        .collect().map(_.toSeq).toSet
+      assert(scrubSet("graft_bi_daily").nonEmpty, "vacuous benchmark probe")
+      assert(scrubSet("graft_bi_daily") == scrubSet("graft_bi_full"),
+        "maintained benchmark index != union rebuild's")
+      // both quotes scrubbed: 7 + 7 of the probe's 18 tokens removed
+      assert(scrubSet("graft_bi_daily").head(2) == 14L,
+        s"probe scrub removed ${scrubSet("graft_bi_daily").head(2)} tokens, want 14")
+
+      // ---- replayed batch: manifest, shards and benchmark index all
+      // no-op (a re-delivered eval id must NOT duplicate its positioned
+      // rows — membership anti-join) ----
+      val rowsBefore = spark.table("graft_bi_daily").count()
+      val replay = DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 200, benchIndex = Some("graft_bi_daily"))
+      assert(replay.nBatchKept == 0, "replayed batch re-kept docs")
+      assert(spark.table("graft_bi_daily").count() == rowsBefore,
+        "replay duplicated benchmark occurrence rows")
+      assert(manifestRows(fullDir) == manifestRows(dir))
+    } finally {
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("takedown composes with the near-dup gate: forgotten content re-submits cleanly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -524,7 +524,10 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("decontam_runs/scrub: islands window partitions on (pair, diag) — no cartesian, no single partition, no text keys") {
-    for (q <- Seq("decontam_runs", "decontam_scrub")) {
+    // pipeline_curate_scrub rides the same scrubFrames algebra over the
+    // curated frames — the island windows must stay (pair, diag)-keyed
+    // there too (a stage composition must not regress the operator's plan)
+    for (q <- Seq("decontam_runs", "decontam_scrub", "pipeline_curate_scrub")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("SinglePartition"), s"$q:\n$p")
