@@ -257,7 +257,8 @@ object Bench {
       }.min
     val tables = Seq("graft_bench_shidx", "graft_bench_shidx_counts",
       "graft_bench_shidx_tombstones", "graft_bench_ovidx",
-      "graft_bench_ovidx_tombstones")
+      "graft_bench_ovidx_tombstones", "graft_bench_beidx",
+      "graft_bench_beidx_tombstones")
     try {
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       val docs = Tables.load(spark, sfDir, "documents")
@@ -277,9 +278,26 @@ object Bench {
       evalDocs.count()
       val tOvProbe = minOf3(operators.OverlapIndex.runsProbe(
         spark, "graft_bench_ovidx", evalDocs, queries.CorpusQueries.MinRunTokens))
-      shBatch.unpersist(); evalDocs.unpersist()
+      // decontam_scrub_idx's split, roles MIRRORED: the benchmark is the
+      // standing artifact and the training mass probes it — the daily
+      // scrub stage's serving shape. Non-vacuity is stricter than
+      // row-count here (scrubProbe emits one row per train doc even when
+      // nothing matches): at least one doc must actually lose tokens.
+      val tBeBuild = timed { operators.OverlapIndex.materialize(
+        evalDocs, "graft_bench_beidx") }
+      val trainDocs = docs.filter(col("doc_id") % evalMod =!= 0).cache()
+      trainDocs.count()
+      val tScrub = (1 to 3).map { _ =>
+        timed { require(operators.OverlapIndex.scrubProbe(
+            spark, "graft_bench_beidx", trainDocs,
+            queries.CorpusQueries.MinRunTokens)
+          .filter(col("n_removed") > 0).count() > 0,
+          "scrub probe removed nothing") }
+      }.min
+      shBatch.unpersist(); evalDocs.unpersist(); trainDocs.unpersist()
       Seq("shingle_index_build" -> tShBuild, "shingle_probe" -> tShProbe,
-        "overlap_index_build" -> tOvBuild, "runs_probe" -> tOvProbe)
+        "overlap_index_build" -> tOvBuild, "runs_probe" -> tOvProbe,
+        "bench_index_build" -> tBeBuild, "scrub_probe" -> tScrub)
     } catch {
       case e: Throwable => throw new RuntimeException("index bench failed", e)
     } finally {

@@ -138,10 +138,17 @@ object Takedown {
         fresh.select(col("doc_id").as("vec_id"))))
     // read-subtract-write on the model path: pin the B-row result on the
     // driver before the overwrite (the DailyIncrement DSIR discipline);
-    // only the FRESH docs subtract, so a re-run can't corrupt the counts
+    // only the FRESH docs subtract, so a re-run can't corrupt the counts.
+    // Restricted to docs the manifest actually KEPT (the vocab leg's
+    // doctrine): the model is fit on kept docs only, so subtracting a
+    // never-kept id — an eval/benchmark doc, a gate loser — would remove
+    // counts it never added and silently corrupt the remaining ratios.
     val freshDocs = docs.join(fresh, Seq("doc_id"), "left_semi")
+    val keptFreshDocs = freshDocs.join(
+      spark.read.parquet(s"$outDir/curated").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
     val removed = DsirModel.remove(
-      DsirModel.load(spark, s"$outDir/dsir"), freshDocs, isTarget)
+      DsirModel.load(spark, s"$outDir/dsir"), keptFreshDocs, isTarget)
     val pinned = spark.createDataFrame(
       java.util.Arrays.asList(removed.collect(): _*), removed.schema)
     DsirModel.write(pinned, s"$outDir/dsir")
@@ -155,11 +162,8 @@ object Takedown {
     val vocabDir = s"$outDir/tokenizer_vocab"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(vocabDir))) {
       val merges = BpeTrainer.load(spark, s"$outDir/tokenizer")
-      val keptFresh = freshDocs.join(
-        spark.read.parquet(s"$outDir/curated").select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
       val delta = BpeTrainer.vocabulary(
-          keptFresh.select(col("doc_id"), col("text")), merges)
+          keptFreshDocs.select(col("doc_id"), col("text")), merges)
         .select(col("piece"), col("cnt").as("dcnt"))
       val newVocab = spark.read.parquet(vocabDir)
         .join(delta, Seq("piece"), "left")

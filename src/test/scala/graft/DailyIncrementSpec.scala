@@ -658,6 +658,79 @@ class DailyIncrementSpec extends AnyFunSuite {
     }
   }
 
+  test("benchmark takedown: a forgotten eval doc stops scrubbing; DSIR untouched; content re-arms under a new id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // day0: 34=E0 (eval benchmark), 10 quotes E0 (scrubbed to 23), 12
+    // unique. E0 is then TAKEN DOWN: batch1's doc 100 quoting E0 must
+    // keep all 30 tokens (scrubbing against a forgotten benchmark would
+    // be acting on fingerprints of forgotten data), and the DSIR model
+    // must not change (34 was never KEPT — subtracting a never-added
+    // doc's counts would corrupt the ratios). batch2 re-submits E0's
+    // CONTENT under fresh eval id 510 (= 17·30): its train doc 205
+    // scrubs again — the surface re-arms.
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def quoting(p: String, ew: String, from: Int) =
+      ((1 to 23).map(i => s"$p$i") ++ (from until from + 7).map(i => s"$ew$i"))
+        .mkString(" ")
+    val e0 = uniq("e")
+    val all = Seq((34L, e0), (10L, quoting("a", "e", 5)), (12L, uniq("v")),
+      (100L, quoting("x", "e", 12)), (510L, e0), (205L, quoting("z", "e", 19)))
+    assert(all.map(_._1).filter(_ % CorpusQueries.EvalMod == 0).toSet == Set(34L, 510L))
+    val synth = Files.createTempDirectory("graft-bt-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-bt-daily-").toString
+    try {
+      CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100,
+        benchIndex = Some("graft_bt_bench"))
+      def toks(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(toks(dir) == Map(10L -> 23L, 12L -> 30L))
+      def dsirRows() = DsirModel.load(spark, s"$dir/dsir")
+        .collect().map(_.toSeq).toSet
+      val dsirBefore = dsirRows()
+
+      // forget the benchmark doc (via the tree-recorded index registry —
+      // the caller names nothing)
+      val docsAll = spark.read.parquet(s"$synth/documents.parquet")
+        .select($"doc_id", $"text", $"lang")
+      Takedown.run(spark, dir, Seq(34L).toDF("doc_id"), docsAll, $"lang" === "en")
+      assert(dsirRows() == dsirBefore,
+        "taking down a never-kept benchmark doc mutated the DSIR model")
+      val probeE0 = Seq((9000L, quoting("w", "e", 5))).toDF("doc_id", "text")
+      val masked = graft.operators.OverlapIndex.scrubProbe(
+        spark, "graft_bt_bench", probeE0, CorpusQueries.MinRunTokens).collect()
+      assert(masked.length == 1 && masked(0).getLong(2) == 0L,
+        s"forgotten benchmark doc still scrubs: ${masked.toSeq}")
+
+      // batch1: the quote survives INTACT (benchmark forgotten)
+      DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 100 && col("doc_id") < 200,
+        benchIndex = Some("graft_bt_bench"))
+      assert(toks(dir) == Map(10L -> 23L, 12L -> 30L, 100L -> 30L),
+        s"post-takedown batch wrongly scrubbed: ${toks(dir)}")
+
+      // batch2: E0's content re-submits under eval id 510 — scrubbing
+      // re-arms for the same batch's quoting doc
+      DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 200,
+        benchIndex = Some("graft_bt_bench"))
+      assert(toks(dir) ==
+        Map(10L -> 23L, 12L -> 30L, 100L -> 30L, 205L -> 23L),
+        s"re-submitted benchmark content did not re-arm the scrub: ${toks(dir)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bt_bench")
+      spark.sql("DROP TABLE IF EXISTS graft_bt_bench_tombstones")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("takedown composes with the near-dup gate: forgotten content re-submits cleanly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -90,4 +90,89 @@ class StreamingIncrementSpec extends AnyFunSuite {
       "replay advanced the pack base")
     spark.catalog.clearCache()
   }
+
+  test("streamed feed with the scrub stage on == batch daily; replay never duplicates benchmark rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the DailyIncrementSpec scrub geometry: 30-word benchmark docs,
+    // 7-token quotes (18% shingle overlap — under the drop cut, scrubbed)
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def quoting(p: String, ew: String, from: Int) =
+      ((1 to 23).map(i => s"$p$i") ++ (from until from + 7).map(i => s"$ew$i"))
+        .mkString(" ")
+    val all = Seq((34L, uniq("e")), (10L, quoting("a", "e", 5)), (12L, uniq("v")),
+      (119L, uniq("f")), (100L, quoting("x", "e", 12)),
+      (101L, quoting("y", "f", 5)), (103L, uniq("u")),
+      (204L, uniq("g")), (200L, quoting("z", "g", 5)),
+      (201L, quoting("k", "e", 19)), (202L, uniq("m")))
+    val synth = Files.createTempDirectory("graft-sbi-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val sDir = Files.createTempDirectory("graft-sbi-s-").toString
+    val bDir = Files.createTempDirectory("graft-sbi-b-").toString
+    try {
+      import org.apache.spark.sql.functions.col
+      CurationJob.run(spark, synth, sDir, docFilter = col("doc_id") < 100,
+        benchIndex = Some("graft_sbi_s"))
+      CurationJob.run(spark, synth, bDir, docFilter = col("doc_id") < 100,
+        benchIndex = Some("graft_sbi_b"))
+      DailyIncrement.run(spark, synth, bDir,
+        batchFilter = col("doc_id") >= 100 && col("doc_id") < 200,
+        benchIndex = Some("graft_sbi_b"))
+      DailyIncrement.run(spark, synth, bDir,
+        batchFilter = col("doc_id") >= 200, benchIndex = Some("graft_sbi_b"))
+
+      val docsTable = spark.read.parquet(s"$synth/documents.parquet")
+      def rowsOf(f: org.apache.spark.sql.Column) = docsTable.filter(f)
+        .select($"doc_id", $"text", $"lang")
+        .as[(Long, String, String)].collect().toSeq
+      val embs = spark.read.parquet(s"$synth/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      val ms = MemoryStream[(Long, String, String)]
+      val q = ms.toDF().toDF("doc_id", "text", "lang").writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ckpt-sbi-").toString)
+        .foreachBatch(StreamingIncrement(spark, embs, sDir,
+          benchIndex = Some("graft_sbi_s")))
+        .start()
+      ms.addData(rowsOf(col("doc_id") >= 100 && col("doc_id") < 200): _*)
+      q.processAllAvailable()
+      ms.addData(rowsOf(col("doc_id") >= 200): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      def manifest(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id", $"n_tokens", $"digest").collect().map(_.toSeq).toSet
+      assert(manifest(sDir) == manifest(bDir), "curated diverged under the scrub stage")
+      assert(manifest(sDir).map(r => (r(0), r(1))).contains((100L, 23L)),
+        "streamed batch doc quoting the day-0 benchmark was not scrubbed")
+      def benchRows(t: String) = spark.table(t)
+        .select($"doc_id", $"q", $"h").collect().map(_.toSeq).toSet
+      assert(benchRows("graft_sbi_s") == benchRows("graft_sbi_b"),
+        "maintained benchmark index diverged from the batch tree's")
+
+      // replay the first micro-batch: manifest AND the positioned
+      // benchmark index must be byte-identical (a duplicated eval
+      // occurrence row would corrupt every later island window)
+      val before = benchRows("graft_sbi_s")
+      StreamingIncrement(spark, embs, sDir, benchIndex = Some("graft_sbi_s"))(
+        rowsOf(col("doc_id") >= 100 && col("doc_id") < 200)
+          .toDF("doc_id", "text", "lang"), 0L)
+      assert(manifest(sDir) == manifest(bDir), "replay mutated the manifest")
+      assert(benchRows("graft_sbi_s") == before,
+        "replay duplicated benchmark occurrence rows")
+    } finally {
+      Seq("graft_sbi_s", "graft_sbi_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
