@@ -506,6 +506,41 @@ object CorpusQueries extends QueryModule {
           $"contam_frac", $"shard", $"shard_offset")
     },
 
+    // pipeline_audit with the SCRUB stage in the trace — the scrub never
+    // drops a doc, so the fate column is pipeline_audit's verbatim; what
+    // the trace adds is the stage's per-doc effect: n_removed (tokens
+    // excised by benchmark-run scrubbing; 0 = kept untouched, NULL =
+    // never reached the stage) and shard placement from the POST-scrub
+    // packing — the "why is doc X shorter in the shards than in the
+    // crawl?" ticket answered in one row.
+    "pipeline_audit_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
+      val quality = qualityGate(docs)
+      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
+      val dups = quality.select($"doc_id", md5($"text").as("ch"))
+        .join(win, "ch").select($"doc_id", $"keep_id")
+      val kept = curatedKept(s, dir)
+      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
+      val contam = contamination(sh)
+        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val packed = pipelineCurateScrub(s, dir)
+        .select($"doc_id", $"n_removed", $"shard", $"shard_offset")
+      docs.select($"doc_id", $"n_tokens")
+        .join(dups, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(packed, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          when($"keep_id".isNull, lit("gate_failed"))
+            .when($"keep_id" =!= $"doc_id", lit("dup"))
+            .when($"doc_id" % EvalMod === 0, lit("eval_split"))
+            .when($"contam_frac" >= 0.5, lit("contaminated"))
+            .otherwise(lit("kept")).as("fate"),
+          when($"keep_id" =!= $"doc_id", $"keep_id").as("dup_of"),
+          $"contam_frac", $"n_removed", $"shard", $"shard_offset")
+    },
+
     // Per-document FATE TRACE through the curation DAG — the operability
     // query behind every "why did doc X disappear from the training
     // set?" ticket a 100 TB pipeline fields: ONE row per corpus doc with
@@ -1745,6 +1780,84 @@ object CorpusQueries extends QueryModule {
 
     // pipeline_curate's stage CTEs replayed, joined back to every corpus
     // doc with the DAG-ordered verdict CASE
+    // pipeline_audit's CTEs + the scrub chain: fate CASE verbatim,
+    // n_removed from the island algebra over the curated frames, shard
+    // columns from the post-scrub packing window
+    "pipeline_audit_scrub" ->
+      s"""WITH docs AS (SELECT doc_id, text, $oTokens AS w,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |quality AS (SELECT * FROM docs WHERE n_tokens >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keepw AS (SELECT md5(text) AS ch, min(doc_id) AS keep_id
+         |          FROM quality GROUP BY md5(text)),
+         |dups AS (SELECT q.doc_id, k.keep_id
+         |         FROM quality q JOIN keepw k ON md5(q.text) = k.ch),
+         |kept AS (SELECT q.doc_id, q.text, q.w, q.n_tokens
+         |         FROM quality q JOIN dups d ON q.doc_id = d.doc_id
+         |           AND d.keep_id = q.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM kept)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contam AS (
+         |  SELECT tr.doc_id,
+         |    CAST(CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |      / count(*) AS contam_frac
+         |  FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |  LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id),
+         |train AS (SELECT doc_id, w FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam WHERE contam_frac >= 0.5)),
+         |sgt AS (SELECT doc_id, $oShingles3 AS ss FROM train),
+         |sge AS (SELECT doc_id, $oShingles3 AS ss
+         |        FROM (SELECT doc_id, w FROM kept WHERE doc_id % $EvalMod = 0)),
+         |occt AS (SELECT doc_id, unnest(ss) AS s,
+         |                unnest(range(0, len(ss))) AS q FROM sgt),
+         |occe AS (SELECT doc_id, unnest(ss) AS s,
+         |                unnest(range(0, len(ss))) AS q FROM sge),
+         |j AS (SELECT t.doc_id AS t_doc, e.doc_id AS e_doc,
+         |             t.q - e.q AS diag, e.q AS qe, t.q AS qt
+         |      FROM (SELECT doc_id, q, ${oH60("s")} AS h FROM occt) t
+         |      JOIN (SELECT doc_id, q, ${oH60("s")} AS h FROM occe) e
+         |        ON t.h = e.h),
+         |isl AS (SELECT t_doc, e_doc, diag, qe, qt,
+         |          qe - row_number() OVER (
+         |            PARTITION BY t_doc, e_doc, diag ORDER BY qe) AS isl
+         |        FROM j),
+         |qual AS (SELECT t_doc, qt,
+         |           count(*) OVER (PARTITION BY t_doc, e_doc, diag, isl) AS L
+         |         FROM isl),
+         |cs AS (SELECT DISTINCT t_doc AS doc_id, qt AS q FROM qual
+         |       WHERE L >= ${MinRunTokens - 2}),
+         |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
+         |fin AS (SELECT t.doc_id, t.w, coalesce(ds.dstarts, []) AS dsx
+         |        FROM train t LEFT JOIN ds ON ds.doc_id = t.doc_id),
+         |k AS (SELECT doc_id, w,
+         |    [i for i in range(0, len(w))
+         |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept2
+         |  FROM fin),
+         |sc AS (SELECT doc_id, CAST(len(kept2) AS BIGINT) AS nt,
+         |         CAST(len(w) - len(kept2) AS BIGINT) AS n_removed FROM k),
+         |c AS (SELECT doc_id, n_removed,
+         |    coalesce(sum(nt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sc),
+         |packed AS (SELECT doc_id, n_removed,
+         |    CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |    CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |  FROM c)
+         |SELECT d.doc_id, d.n_tokens,
+         |  CASE WHEN du.keep_id IS NULL THEN 'gate_failed'
+         |       WHEN du.keep_id <> d.doc_id THEN 'dup'
+         |       WHEN d.doc_id % $EvalMod = 0 THEN 'eval_split'
+         |       WHEN ct.contam_frac >= 0.5 THEN 'contaminated'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN du.keep_id <> d.doc_id THEN du.keep_id END AS dup_of,
+         |  ct.contam_frac, p.n_removed, p.shard, p.shard_offset
+         |FROM docs d LEFT JOIN dups du ON du.doc_id = d.doc_id
+         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |  LEFT JOIN packed p ON p.doc_id = d.doc_id""".stripMargin,
+
     "pipeline_audit" ->
       s"""WITH docs AS (SELECT doc_id, text,
          |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),

@@ -639,6 +639,18 @@ class DailyIncrementSpec extends AnyFunSuite {
       assert(scrubSet("graft_bi_daily").head(2) == 14L,
         s"probe scrub removed ${scrubSet("graft_bi_daily").head(2)} tokens, want 14")
 
+      // ---- the exports consume the SCRUBBED text: a term that lived
+      // only inside an excised quote is absent from bm25 (e12 appeared
+      // solely in doc 100's quote of E0 — eval docs are never indexed),
+      // while a term outside any run still resolves ----
+      val gone = Bm25Index.probe(spark, s"$dir/bm25",
+        Seq((1L, "e12")).toDF("query_id", "term")).count()
+      assert(gone == 0L, "bm25 still indexes a scrubbed-away quote term")
+      val there = Bm25Index.probe(spark, s"$dir/bm25",
+        Seq((1L, "x1")).toDF("query_id", "term"))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(there == Set(100L), s"bm25 lost a non-scrubbed term: $there")
+
       // ---- replayed batch: manifest, shards and benchmark index all
       // no-op (a re-delivered eval id must NOT duplicate its positioned
       // rows — membership anti-join) ----
