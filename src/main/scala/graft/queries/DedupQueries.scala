@@ -202,6 +202,16 @@ object DedupQueries extends QueryModule {
     val dupStarts = occ.join(dup, "h")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"q")).as("dup_starts"))
+    scrubRebuild(s, dir, dupStarts)
+  }
+
+  /** Shared scrub tail: per-doc dup-start lists → token rebuild. A token
+    * at index i is excised iff some dup trigram start q ∈ [i-2, i] covers
+    * it; the survivors re-join in original order. Row-local array pass —
+    * O(L·d) per doc, no further shuffle past the dup_starts aggregate. */
+  private def scrubRebuild(s: SparkSession, dir: String,
+      dupStarts: DataFrame): DataFrame = {
+    import s.implicits._
     Tables.load(s, dir, "documents")
       .select($"doc_id", tokens($"text").as("w"))
       .join(dupStarts, Seq("doc_id"), "left")
@@ -212,6 +222,46 @@ object DedupQueries extends QueryModule {
         size($"w").cast("long").as("n_tokens"),
         (size($"w") - size($"kept")).cast("long").as("n_removed"),
         array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ").as("scrub_text"))
+  }
+
+  /** dedup_span_keepfirst: duplicated-span removal that KEEPS ONE COPY —
+    * Lee et al. 2022's production rule ("when two examples share a
+    * sufficiently long substring, remove it from one of them"), where
+    * dedup_span_scrub is the remove-all filtering signal. Per duplicated
+    * trigram the keeper is the LOWEST doc_id holding it (deterministic,
+    * rerun- and engine-stable); only non-keeper occurrences become dup
+    * starts, so the first document to carry a passage keeps it verbatim
+    * and every later copy is excised. Note the keeper guarantee is
+    * per-trigram, not per-token: a doc can keep trigram h yet lose some
+    * of h's tokens to a different overlapping duplicated trigram it does
+    * NOT keep (same as the reference implementation's behavior).
+    *
+    * Scale shape: identical skeleton to dedup_span_scrub — one extra
+    * min(doc_id) in the already-present per-hash aggregate and an
+    * occurrence-local ≠ filter; no new shuffle, no pairwise join, and
+    * the [[dfCeiled]] elision knob composes the same way (an
+    * over-ceiling trigram neither elects a keeper nor scrubs). */
+  private[graft] def spanKeepFirst(s: SparkSession, dir: String,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val occAll = Tables.load(s, dir, "documents")
+      .select($"doc_id", posexplode(shingleHashes($"text")).as(Seq("q", "h")))
+    val occ = if (maxDfFrac >= 1.0) occAll
+      else occAll.join(
+        hotShingles(occAll.select($"doc_id", $"h").distinct(), maxDfFrac),
+        Seq("h"), "left_anti")
+    // distinct on (doc_id, h) as in spanScrub; min(doc_id) rides the
+    // same aggregate, so electing keepers costs no extra pass
+    val keeper = occ.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("nd"), min($"doc_id").as("keep_id"))
+      .filter($"nd" >= 2)
+      .select($"h", $"keep_id")
+    val dupStarts = occ.join(keeper, "h")
+      .filter($"doc_id" =!= $"keep_id")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"q")).as("dup_starts"))
+    scrubRebuild(s, dir, dupStarts)
   }
 
   private val oShingleCtes =
@@ -703,6 +753,15 @@ object DedupQueries extends QueryModule {
     // scrub is a row-local array pass: O(L·d) per doc for d dup starts —
     // d is bounded by doc length, and the corpus never joins pairwise.
     "dedup_span_scrub" -> { (s, dir) => spanScrub(s, dir) },
+
+    // Keep-one-copy duplicated-span removal (the Lee et al. 2022
+    // production rule): the lowest-doc_id holder of each duplicated
+    // trigram keeps it, every later copy is excised — so no passage
+    // vanishes from the corpus wholesale the way the remove-all
+    // dedup_span_scrub cuts it. Same O(occurrences) skeleton (see
+    // spanKeepFirst's scaladoc), strictly-weaker cuts (per-doc
+    // n_removed ≤ dedup_span_scrub's, LineScrubSpec-pinned).
+    "dedup_span_keepfirst" -> { (s, dir) => spanKeepFirst(s, dir) },
 
     // The CLEANING pipeline as one job — the pass a raw crawl takes
     // before curation ever sees it: blocklist gate → line-level
@@ -1579,6 +1638,33 @@ object DedupQueries extends QueryModule {
            |        GROUP BY h HAVING count(*) >= 2),
            |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts
            |       FROM o2 JOIN dup USING (h) GROUP BY doc_id),
+           |fin AS (SELECT d.doc_id, d.w, coalesce(ds.dstarts, []) AS dsx
+           |        FROM docs d LEFT JOIN ds ON ds.doc_id = d.doc_id),
+           |k AS (SELECT doc_id, w,
+           |    [i for i in range(0, len(w))
+           |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept
+           |  FROM fin)
+           |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+           |  CASE WHEN w IS NULL THEN NULL
+           |    ELSE coalesce(array_to_string([w[i+1] for i in kept], ' '), '')
+           |  END AS scrub_text
+           |FROM k""".stripMargin,
+
+      // dedup_span_scrub's chain with the keeper rule: min(doc_id) rides
+      // the per-hash dup aggregate, and only non-keeper occurrences
+      // contribute dup starts.
+      "dedup_span_keepfirst" ->
+        s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+           |occ AS (SELECT doc_id, unnest($oShingles3) AS s,
+           |               unnest(range(1, len(w)-1)) AS i FROM docs),
+           |o2 AS (SELECT doc_id, i - 1 AS q, ${oH60("s")} AS h FROM occ),
+           |dup AS (SELECT h, min(doc_id) AS keep_id
+           |        FROM (SELECT DISTINCT doc_id, h FROM o2)
+           |        GROUP BY h HAVING count(*) >= 2),
+           |ds AS (SELECT o2.doc_id, list(q ORDER BY q) AS dstarts
+           |       FROM o2 JOIN dup USING (h)
+           |       WHERE o2.doc_id <> dup.keep_id GROUP BY o2.doc_id),
            |fin AS (SELECT d.doc_id, d.w, coalesce(ds.dstarts, []) AS dsx
            |        FROM docs d LEFT JOIN ds ON ds.doc_id = d.doc_id),
            |k AS (SELECT doc_id, w,

@@ -152,6 +152,30 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("df-ceiled dedup_span_keepfirst == the full keep-first over surviving dup trigrams") {
+    val texts = corpusTexts
+    val (frac, _, hot) = elisionFixture(texts)
+    val occ = texts.map { case (id, t) =>
+      id -> shingleList(t).zipWithIndex.filterNot(p => hot(p._1)) }
+    // keeper election over the SURVIVING occurrences: an over-ceiling
+    // trigram neither elects a keeper nor scrubs (the scaladoc contract)
+    val keeper = occ.toSeq.flatMap { case (id, hs) => hs.map(_._1).distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (h, o) if o.map(_._2).distinct.size >= 2 =>
+        h -> o.map(_._2).min }
+    val expected = texts.map { case (id, t) =>
+      val w = t.split("\\s+", -1).toSeq
+      val dupStarts = occ(id).collect {
+        case (h, q) if keeper.get(h).exists(_ != id) => q }.toSet
+      val kept = w.indices.filterNot(i => dupStarts.exists(q => q >= i - 2 && q <= i))
+      (id, w.size.toLong, (w.size - kept.size).toLong, kept.map(w).mkString(" "))
+    }.toSet
+    val got = DedupQueries.spanKeepFirst(spark, dir, frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(2)} extra=${(got -- expected).take(2)}")
+    spark.catalog.clearCache()
+  }
+
   /** Independent single-JVM reference for decontam_runs: per (train,
     * eval) pair, group positioned trigram-hash matches by diagonal,
     * find maximal consecutive-qe islands, report (max island + 2,

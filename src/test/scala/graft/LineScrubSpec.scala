@@ -83,6 +83,29 @@ class LineScrubSpec extends AnyFunSuite {
     }
   }
 
+  /** Keep-first reference: keeper of each duplicated trigram is the min
+    * doc_id holding it; only non-keeper occurrences scrub. */
+  private def refKeepFirst(corpus: Seq[(Long, String)])
+      : Map[Long, (Long, Long, String)] = {
+    val tri = corpus.map { case (id, t) =>
+      val toks = t.split("\\s+").toSeq
+      id -> (toks, toks.sliding(3).zipWithIndex.collect {
+        case (s, q) if s.size == 3 => (s.mkString(" "), q)
+      }.toSeq)
+    }.toMap
+    val keeper = tri.toSeq.flatMap { case (id, (_, ts)) => ts.map(t => (id, t._1)) }
+      .distinct.groupBy(_._2).collect {
+        case (t, os) if os.size >= 2 => t -> os.map(_._1).min
+      }
+    tri.map { case (id, (toks, ts)) =>
+      val dupStarts = ts.collect {
+        case (t, q) if keeper.get(t).exists(_ != id) => q
+      }
+      val kept = toks.indices.filterNot(i => dupStarts.exists(q => q >= i - 2 && q <= i))
+      id -> (toks.size.toLong, (toks.size - kept.size).toLong, kept.map(toks).mkString(" "))
+    }
+  }
+
   // ---- hand-corpus pins ----
 
   test("dedup_lines: first occurrence wins, later aligned duplicates drop, misaligned repeats stay") {
@@ -110,6 +133,21 @@ class LineScrubSpec extends AnyFunSuite {
     assert(got(4L)._3 == "eps1 eps2 eps3 eps4")
     // doc 5 is untouched
     assert(got(5L)._2 == 0L && got(5L)._3 == hand.toMap.apply(5L))
+  }
+
+  test("dedup_span_keepfirst: the lowest-doc_id holder keeps the passage, later copies scrub") {
+    val got = SparkEntry.queries("dedup_span_keepfirst")(spark, handDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == refKeepFirst(hand))
+    // docs 3/4 share "run1 run2 run3": doc 3 (keeper) is UNTOUCHED —
+    // where dedup_span_scrub cut it from both — and doc 4 loses it
+    assert(got(3L)._2 == 0L && got(3L)._3 == hand.toMap.apply(3L))
+    assert(got(4L)._3 == "eps1 eps2 eps3 eps4")
+    // docs 0/1 share the 12-token segA prefix: doc 0 keeps everything,
+    // doc 1 loses exactly the prefix and keeps its gamma tail
+    assert(got(0L)._2 == 0L && got(0L)._3 == hand.toMap.apply(0L))
+    assert(got(1L)._3 == "gamma1 gamma2 gamma3 gamma4")
+    assert(got(5L)._2 == 0L)
   }
 
   /** Reference for the incremental form: corpus precedes batch — corpus
@@ -174,5 +212,21 @@ class LineScrubSpec extends AnyFunSuite {
     val clean = SparkEntry.queries("dedup_spans")(spark, sf).collect()
       .collect { case r if r.getLong(2) == 0L => r.getLong(0) }.toSet
     clean.foreach(id => assert(got(id)._2 == 0L, s"doc $id"))
+  }
+
+  test("sf0.001: dedup_span_keepfirst reference equality; strictly weaker than remove-all") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val got = SparkEntry.queries("dedup_span_keepfirst")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == refKeepFirst(corpus))
+    // keep-first's dup starts are a subset of remove-all's, so per-doc
+    // n_removed can never exceed dedup_span_scrub's; and the corpus
+    // must retain MORE tokens in total (somebody kept each passage)
+    val all = SparkEntry.queries("dedup_span_scrub")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, rem, _)) => assert(rem <= all(id), s"doc $id") }
+    assert(got.values.map(_._2).sum < all.values.sum)
   }
 }
