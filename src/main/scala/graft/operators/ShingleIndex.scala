@@ -227,6 +227,54 @@ object ShingleIndex {
         (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac"))
   }
 
+  /** Keep-first SPAN SCRUB of a new batch against the standing corpus —
+    * dedup_span_keepfirst_incr's arrival-order rule at PROBE-ONLY cost:
+    * a batch token is excised when covered by a dup trigram start whose
+    * hash exists anywhere in the (tombstone-masked) corpus index — the
+    * corpus holder keeps the passage by arriving first — or whose
+    * batch-internal keeper is a lower batch doc_id. Tombstone-masked
+    * like [[probe]]: a forgotten doc stops claiming its passages, so
+    * re-submitted content survives the scrub. Returns (doc_id,
+    * n_tokens, n_removed, scrub_text) for the batch docs — equal to the
+    * full recompute on the same split (shared driver-gate oracle +
+    * ShingleIndexSpec pin). Scale shape: the index side is touched only
+    * by a left-semi on the batch's hash set (h-bucketed, never
+    * shuffled); everything else is |batch|-bounded. */
+  def spanKeepFirstProbe(spark: SparkSession, name: String,
+      batch: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    CatalogCommit.requireCommitted(spark, name)
+    spanKeepFirstFrames(spark, masked(spark, name, pairs(spark, name)), batch)
+  }
+
+  /** The keep-first scrub algebra over an arbitrary committed index
+    * frame — shared by the catalog-table probe above and the streaming
+    * [[graft.streaming.MaintainedShingleIndex]]. `idx` is the corpus
+    * (doc_id, h) pair frame (already masked/gated by the caller). */
+  private[graft] def spanKeepFirstFrames(spark: SparkSession,
+      idx: DataFrame, batch: DataFrame): DataFrame = {
+    val occ = batch
+      .select(col("doc_id"), posexplode(shingleHashes(col("text"))).as(Seq("q", "h")))
+      .cache()
+    // corpus presence per BATCH hash only: the bucketed index side never
+    // shuffles; matching postings reduce to |batch hashes| rows
+    val inCorpus = idx
+      .join(occ.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("h")).distinct().withColumn("in_corpus", lit(1))
+    val keeper = occ.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keep_id"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("keep_id"))
+    val dupStarts = occ
+      .join(inCorpus, Seq("h"), "left")
+      .join(keeper, Seq("h"), "left")
+      .filter(col("in_corpus").isNotNull ||
+        (col("keep_id").isNotNull && col("doc_id") =!= col("keep_id")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("q"))).as("dup_starts"))
+    graft.queries.DedupQueries.scrubRebuild(spark, batch, dupStarts)
+  }
+
   /** Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) between a new
     * batch (doc_id, text; ids disjoint from the corpus) and the
     * materialized index — plus within the batch itself. Equals

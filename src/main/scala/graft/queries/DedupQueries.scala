@@ -202,17 +202,20 @@ object DedupQueries extends QueryModule {
     val dupStarts = occ.join(dup, "h")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"q")).as("dup_starts"))
-    scrubRebuild(s, dir, dupStarts)
+    scrubRebuild(s, Tables.load(s, dir, "documents"), dupStarts)
   }
 
-  /** Shared scrub tail: per-doc dup-start lists → token rebuild. A token
-    * at index i is excised iff some dup trigram start q ∈ [i-2, i] covers
-    * it; the survivors re-join in original order. Row-local array pass —
-    * O(L·d) per doc, no further shuffle past the dup_starts aggregate. */
-  private def scrubRebuild(s: SparkSession, dir: String,
+  /** Shared scrub tail: per-doc dup-start lists → token rebuild over the
+    * given (doc_id, text, …) docs frame. A token at index i is excised
+    * iff some dup trigram start q ∈ [i-2, i] covers it; the survivors
+    * re-join in original order. Row-local array pass — O(L·d) per doc,
+    * no further shuffle past the dup_starts aggregate. Shared with
+    * [[graft.operators.ShingleIndex.spanKeepFirstFrames]] (batch-only
+    * docs frame there). */
+  private[graft] def scrubRebuild(s: SparkSession, docs: DataFrame,
       dupStarts: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
+    docs
       .select($"doc_id", tokens($"text").as("w"))
       .join(dupStarts, Seq("doc_id"), "left")
       .withColumn("ds", coalesce($"dup_starts", typedLit(Array.empty[Int])))
@@ -261,8 +264,41 @@ object DedupQueries extends QueryModule {
       .filter($"doc_id" =!= $"keep_id")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"q")).as("dup_starts"))
-    scrubRebuild(s, dir, dupStarts)
+    scrubRebuild(s, Tables.load(s, dir, "documents"), dupStarts)
   }
+
+  /** Shared by dedup_span_keepfirst_incr and dedup_span_keepfirst_idx:
+    * the arrival-order keep-first chain — corpus presence or an earlier
+    * batch holder makes a dup start; batch-only output. */
+  private val oSpanKeepFirstIncrSql =
+    s"""WITH docs AS (SELECT doc_id, $oTokens AS w FROM documents),
+       |occ AS (SELECT doc_id, unnest($oShingles3) AS s,
+       |               unnest(range(1, len(w)-1)) AS i FROM docs),
+       |o2 AS (SELECT doc_id, i - 1 AS q, ${oH60("s")} AS h FROM occ),
+       |corpus AS (SELECT DISTINCT h FROM o2 WHERE doc_id % 10 <> 0),
+       |bk AS (SELECT h, min(doc_id) AS keep_id
+       |       FROM (SELECT DISTINCT doc_id, h FROM o2 WHERE doc_id % 10 = 0)
+       |       GROUP BY h HAVING count(*) >= 2),
+       |ds AS (SELECT o2.doc_id, list(q ORDER BY q) AS dstarts
+       |       FROM o2 LEFT JOIN corpus c ON o2.h = c.h
+       |               LEFT JOIN bk ON o2.h = bk.h
+       |       WHERE o2.doc_id % 10 = 0
+       |         AND (c.h IS NOT NULL
+       |              OR (bk.keep_id IS NOT NULL AND o2.doc_id <> bk.keep_id))
+       |       GROUP BY o2.doc_id),
+       |fin AS (SELECT d.doc_id, d.w, coalesce(ds.dstarts, []) AS dsx
+       |        FROM docs d LEFT JOIN ds ON ds.doc_id = d.doc_id
+       |        WHERE d.doc_id % 10 = 0),
+       |k AS (SELECT doc_id, w,
+       |    [i for i in range(0, len(w))
+       |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept
+       |  FROM fin)
+       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+       |  CASE WHEN w IS NULL THEN NULL
+       |    ELSE coalesce(array_to_string([w[i+1] for i in kept], ' '), '')
+       |  END AS scrub_text
+       |FROM k""".stripMargin
 
   private val oShingleCtes =
     s"""docs AS (SELECT doc_id, $oTokens AS w FROM documents),
@@ -762,6 +798,61 @@ object DedupQueries extends QueryModule {
     // spanKeepFirst's scaladoc), strictly-weaker cuts (per-doc
     // n_removed ≤ dedup_span_scrub's, LineScrubSpec-pinned).
     "dedup_span_keepfirst" -> { (s, dir) => spanKeepFirst(s, dir) },
+
+    // Incremental keep-first span dedup: the batch-vs-corpus form (suite
+    // convention: batch = doc_id % 10 == 0), ARRIVAL-ORDER keep-first —
+    // the standing corpus precedes the batch (the dedup_lines_incr
+    // doctrine), so a batch occurrence scrubs when its trigram exists
+    // anywhere in the corpus (the corpus holder keeps it by arriving
+    // first) or an earlier batch doc holds it (min batch doc_id wins
+    // within the day). Output is batch-only. At 100 TB the corpus hash
+    // set is the maintained ShingleIndex, not a recompute — the query
+    // spells the recompute so the oracle checks the whole verdict;
+    // dedup_span_keepfirst_idx is the probe-cost twin on the SAME
+    // oracle, making index ≡ recompute a driver-gate hash equality.
+    "dedup_span_keepfirst_incr" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val occ = Tables.load(s, dir, "documents")
+        .select($"doc_id", posexplode(shingleHashes($"text")).as(Seq("q", "h")))
+        .cache()
+      val corpusH = occ.filter($"doc_id" % 10 =!= 0)
+        .select($"h").distinct().withColumn("in_corpus", lit(1))
+      val batch = occ.filter($"doc_id" % 10 === 0)
+      val keeper = batch.select($"doc_id", $"h").distinct()
+        .groupBy($"h").agg(count(lit(1)).as("nd"), min($"doc_id").as("keep_id"))
+        .filter($"nd" >= 2)
+        .select($"h", $"keep_id")
+      val dupStarts = batch
+        .join(corpusH, Seq("h"), "left")
+        .join(keeper, Seq("h"), "left")
+        .filter($"in_corpus".isNotNull ||
+          ($"keep_id".isNotNull && $"doc_id" =!= $"keep_id"))
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list($"q")).as("dup_starts"))
+      scrubRebuild(s,
+        Tables.load(s, dir, "documents").filter($"doc_id" % 10 === 0),
+        dupStarts)
+    },
+
+    // The probe-cost twin: materialize the corpus ShingleIndex, then
+    // ShingleIndex.spanKeepFirstProbe scrubs the batch against it —
+    // |batch|-bounded, index side never shuffled. Shares _incr's oracle
+    // verbatim, so index ≡ recompute is a driver-gate equality (the
+    // dedup_containment_idx doctrine; the per-run materialize is the
+    // oracle-gate cost — the amortized serving number is the
+    // shingle_probe bench key's index).
+    "dedup_span_keepfirst_idx" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      for (t <- Seq("graft_q_kf_idx", "graft_q_kf_idx_counts",
+          "graft_q_kf_idx_tombstones"))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.operators.ShingleIndex.materialize(
+        docs.filter($"doc_id" % 10 =!= 0), "graft_q_kf_idx")
+      graft.operators.ShingleIndex.spanKeepFirstProbe(
+        s, "graft_q_kf_idx", docs.filter($"doc_id" % 10 === 0))
+    },
 
     // The CLEANING pipeline as one job — the pass a raw crawl takes
     // before curation ever sees it: blocklist gate → line-level
@@ -1650,6 +1741,13 @@ object DedupQueries extends QueryModule {
            |    ELSE coalesce(array_to_string([w[i+1] for i in kept], ' '), '')
            |  END AS scrub_text
            |FROM k""".stripMargin,
+
+      // Arrival-order keep-first: corpus presence OR an earlier batch
+      // holder makes a batch occurrence a dup start; batch-only output.
+      // dedup_span_keepfirst_idx shares this SQL verbatim — the driver
+      // gate hashes index-probe ≡ recompute.
+      "dedup_span_keepfirst_incr" -> oSpanKeepFirstIncrSql,
+      "dedup_span_keepfirst_idx" -> oSpanKeepFirstIncrSql,
 
       // dedup_span_scrub's chain with the keeper rule: min(doc_id) rides
       // the per-hash dup aggregate, and only non-keeper occurrences

@@ -229,4 +229,47 @@ class LineScrubSpec extends AnyFunSuite {
     got.foreach { case (id, (_, rem, _)) => assert(rem <= all(id), s"doc $id") }
     assert(got.values.map(_._2).sum < all.values.sum)
   }
+
+  /** Arrival-order keep-first reference: corpus precedes batch — corpus
+    * presence scrubs a batch occurrence outright, else the min batch
+    * doc_id holding the trigram keeps it. */
+  private def refKeepFirstIncr(corpus: Seq[(Long, String)])
+      : Map[Long, (Long, Long, String)] = {
+    val tri = corpus.map { case (id, t) =>
+      val toks = t.split("\\s+").toSeq
+      id -> (toks, toks.sliding(3).zipWithIndex.collect {
+        case (s, q) if s.size == 3 => (s.mkString(" "), q)
+      }.toSeq)
+    }.toMap
+    val corpusTri = tri.collect { case (id, (_, ts)) if id % 10 != 0 =>
+      ts.map(_._1) }.flatten.toSet
+    val batch = tri.filter(_._1 % 10 == 0)
+    val keeper = batch.toSeq.flatMap { case (id, (_, ts)) => ts.map(t => (id, t._1)) }
+      .distinct.groupBy(_._2).collect {
+        case (t, os) if os.size >= 2 => t -> os.map(_._1).min
+      }
+    batch.map { case (id, (toks, ts)) =>
+      val dupStarts = ts.collect {
+        case (t, q) if corpusTri(t) || keeper.get(t).exists(_ != id) => q
+      }
+      val kept = toks.indices.filterNot(i => dupStarts.exists(q => q >= i - 2 && q <= i))
+      id -> (toks.size.toLong, (toks.size - kept.size).toLong, kept.map(toks).mkString(" "))
+    }
+  }
+
+  test("sf0.001: dedup_span_keepfirst_incr reference equality; batch-only; at least as strict as full keep-first") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val got = SparkEntry.queries("dedup_span_keepfirst_incr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == refKeepFirstIncr(corpus))
+    assert(got.keySet.forall(_ % 10 == 0))
+    // a batch doc never keeps MORE under arrival order than under global
+    // min-doc_id keep-first: a full-pass keeper that lives in the corpus
+    // or earlier in the batch scrubs here too
+    val full = refKeepFirst(corpus)
+    got.foreach { case (id, (_, rem, _)) =>
+      assert(rem >= full(id)._2, s"doc $id: incr weaker than full keep-first") }
+  }
 }

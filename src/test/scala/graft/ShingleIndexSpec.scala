@@ -275,4 +275,46 @@ class ShingleIndexSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.catalog.clearCache()
   }
+
+  test("spanKeepFirstProbe == dedup_span_keepfirst_incr; forgetting a holder releases its passages") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    for (t <- Seq("graft_shidx_kf", "graft_shidx_kf_counts", "graft_shidx_kf_tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    ShingleIndex.materialize(corpus, "graft_shidx_kf")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = rows(ShingleIndex.spanKeepFirstProbe(spark, "graft_shidx_kf", batch))
+    assert(got == rows(SparkEntry.queries("dedup_span_keepfirst_incr")(spark, dir)))
+    assert(got.exists(_._3 > 0L), "vacuous: no batch doc shares a trigram")
+    // forget the corpus holders of some batch-scrubbed trigram: the probe
+    // must equal the arrival-order recompute over the REMAINING corpus —
+    // independent spelling (the registered query's shape, corpus thinned)
+    val removedIds = corpus.select($"doc_id").limit(5).collect().map(_.getLong(0)).toSeq
+    ShingleIndex.delete(spark, "graft_shidx_kf", removedIds.toDF("doc_id"))
+    val occ = docs
+      .select($"doc_id", posexplode(graft.queries.CrossHash.shingleHashes($"text"))
+        .as(Seq("q", "h"))).cache()
+    val corpusH = occ.filter($"doc_id" % 10 =!= 0 && !$"doc_id".isin(removedIds: _*))
+      .select($"h").distinct().withColumn("in_corpus", lit(1))
+    val bocc = occ.filter($"doc_id" % 10 === 0)
+    val keeper = bocc.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("nd"), min($"doc_id").as("keep_id"))
+      .filter($"nd" >= 2).select($"h", $"keep_id")
+    val dupStarts = bocc.join(corpusH, Seq("h"), "left").join(keeper, Seq("h"), "left")
+      .filter($"in_corpus".isNotNull ||
+        ($"keep_id".isNotNull && $"doc_id" =!= $"keep_id"))
+      .groupBy($"doc_id").agg(sort_array(collect_list($"q")).as("dup_starts"))
+    val want = rows(graft.queries.DedupQueries.scrubRebuild(spark, batch, dupStarts))
+    assert(rows(ShingleIndex.spanKeepFirstProbe(spark, "graft_shidx_kf", batch)) == want,
+      "keep-first probe did not respect the tombstone mask")
+    for (t <- Seq("graft_shidx_kf", "graft_shidx_kf_counts", "graft_shidx_kf_tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    occ.unpersist()
+    spark.catalog.clearCache()
+  }
 }
