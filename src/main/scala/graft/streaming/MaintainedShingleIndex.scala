@@ -166,4 +166,15 @@ final class MaintainedShingleIndex(path: Path, spark: SparkSession) {
     graft.GraftExtensions.register(spark)
     ShingleIndex.containmentFrames(committedPairs, committedCounts, batch, threshold)
   }
+
+  /** Arrival-order keep-first span scrub of a probe batch vs the
+    * committed corpus — [[ShingleIndex.spanKeepFirstProbe]] over the
+    * streamed state: the continuously-ingested corpus holds its
+    * passages, a probe doc keeps only what nobody committed (or a lower
+    * probe doc_id) already carries. Stream-carried takedowns release a
+    * forgotten doc's passages like every other probe here. */
+  def spanKeepFirstProbe(batch: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    ShingleIndex.spanKeepFirstFrames(spark, committedPairs, batch)
+  }
 }

@@ -67,6 +67,13 @@ class MaintainedShingleIndexSpec extends AnyFunSuite {
         ShingleIndex.containmentProbe(spark, "graft_shidxm_ref", probeBatch, 0.9))
       assert(pairSet(idx.containmentProbe(probeBatch, 0.9)) == wantCont,
         "maintained containment != batch materialize on the union")
+      def kfSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val wantKf = kfSet(
+        ShingleIndex.spanKeepFirstProbe(spark, "graft_shidxm_ref", probeBatch))
+      assert(wantKf.exists(_._3 > 0L), "vacuous: keep-first scrubbed nothing")
+      assert(kfSet(idx.spanKeepFirstProbe(probeBatch)) == wantKf,
+        "maintained keep-first scrub != batch materialize on the union")
 
       // a replayed batch id — even with DIFFERENT data — must be a no-op
       idx.update(Seq((999999L, "spark spark spark spark spark")).toDF("doc_id", "text"), 0L)
@@ -89,6 +96,9 @@ class MaintainedShingleIndexSpec extends AnyFunSuite {
       assert(novSet(idx.noveltyProbe(probeBatch)) == novSet(
         ShingleIndex.noveltyProbe(spark, "graft_shidxm_rem", probeBatch)),
         "novelty after stream-del did not release first-occurrence claims")
+      assert(kfSet(idx.spanKeepFirstProbe(probeBatch)) == kfSet(
+        ShingleIndex.spanKeepFirstProbe(spark, "graft_shidxm_rem", probeBatch)),
+        "keep-first scrub after stream-del did not release the forgotten passages")
 
       // del replay and re-request are no-ops
       idx.update(removed.map(id => (id, "", "del")).toDF("doc_id", "text", "op"), nextId)
