@@ -270,6 +270,17 @@ object Bench {
       shBatch.count()
       val tShProbe = minOf3(operators.ShingleIndex.containmentProbe(
         spark, "graft_bench_shidx", shBatch, 0.9))
+      // dedup_span_keepfirst_idx's split rides the SAME index — the
+      // curation span stage's serving shape (arrival-order keep-first
+      // scrub of a batch against the committed passage claims).
+      // Non-vacuity is stricter than row-count (one row per batch doc
+      // regardless): at least one doc must actually lose tokens.
+      val tSpan = (1 to 3).map { _ =>
+        timed { require(operators.ShingleIndex.spanKeepFirstProbe(
+            spark, "graft_bench_shidx", shBatch)
+          .filter(col("n_removed") > 0).count() > 0,
+          "span probe removed nothing") }
+      }.min
       // decontam_runs_idx's split: train vs the eval benchmark
       val evalMod = queries.CorpusQueries.EvalMod
       val tOvBuild = timed { operators.OverlapIndex.materialize(
@@ -296,6 +307,7 @@ object Bench {
       }.min
       shBatch.unpersist(); evalDocs.unpersist(); trainDocs.unpersist()
       Seq("shingle_index_build" -> tShBuild, "shingle_probe" -> tShProbe,
+        "span_probe" -> tSpan,
         "overlap_index_build" -> tOvBuild, "runs_probe" -> tOvProbe,
         "bench_index_build" -> tBeBuild, "scrub_probe" -> tScrub)
     } catch {

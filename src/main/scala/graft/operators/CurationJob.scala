@@ -90,7 +90,18 @@ object CurationJob {
     * The named [[OverlapIndex]] materializes over the eval docs — the
     * standing positioned BENCHMARK artifact DailyIncrement's scrub stage
     * probes at |batch| cost and extends with each batch's own eval
-    * survivors (the evalh sequential-union doctrine, mirrored). */
+    * survivors (the evalh sequential-union doctrine, mirrored).
+    *
+    * `spanIndex` switches the SPAN KEEP-FIRST stage on (the
+    * pipeline_curate_spans algebra): any trigram duplicated among the
+    * final kept docs keeps its lowest-id copy and every other occurrence
+    * is excised. Composes with `benchIndex`: both text-rewriting stages
+    * judge RAW text (like near-dup and the content-addressed digest), so
+    * their excision sets UNION into one token rebuild. The named
+    * [[ShingleIndex]] materializes over the final kept set's RAW text —
+    * the standing passage-claim surface DailyIncrement's span stage
+    * probes at |batch| cost (arrival-order keep-first ≡ union rebuild,
+    * because keeper = min id = first arrival). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
       docFilter: org.apache.spark.sql.Column = lit(true),
@@ -98,7 +109,8 @@ object CurationJob {
       nearDupIndex: Option[String] = None,
       nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
       overlapIndex: Option[String] = None,
-      benchIndex: Option[String] = None): Result = {
+      benchIndex: Option[String] = None,
+      spanIndex: Option[String] = None): Result = {
     graft.GraftExtensions.register(spark)
     val preNearDup = CorpusQueries.curatedTrain(spark, sfDir, tok, docFilter).cache()
     val ndKept = nearDupIndex match {
@@ -106,20 +118,36 @@ object CurationJob {
       case Some(_) =>
         CorpusQueries.nearDupSurvivors(preNearDup, nearDupThreshold).cache()
     }
-    // optional token-level scrub stage — LAST (near-dup judges RAW text,
-    // and a scrub changing jaccard verdicts would diverge from the
-    // oracle-checked stage order). `digest` stays the raw-text md5.
-    val kept = benchIndex match {
-      case None => ndKept.withColumn("digest", md5(col("text")))
-      case Some(_) =>
+    // optional token-level text-rewriting stages — LAST (near-dup judges
+    // RAW text, and a scrub changing jaccard verdicts would diverge from
+    // the oracle-checked stage order). Both the benchmark scrub and the
+    // span keep-first stage compute dup starts on RAW text, so their
+    // excision sets union into ONE rebuild. `digest` stays the raw-text
+    // md5 (the content-addressed dedup surface is what ARRIVED).
+    val kept = if (benchIndex.isEmpty && spanIndex.isEmpty)
+      ndKept.withColumn("digest", md5(col("text")))
+    else {
+      val nd = ndKept.select(col("doc_id"), col("text"))
+      val benchStarts = benchIndex.map { _ =>
         val evalDocs = CorpusQueries.curatedEvalDocs(spark, sfDir, tok, docFilter)
-        val nd = ndKept.select(col("doc_id"), col("text"))
-        OverlapIndex.scrubFrames(nd, OverlapIndex.positioned(nd),
-            OverlapIndex.positioned(evalDocs), CorpusQueries.MinRunTokens)
-          .join(ndKept.select(col("doc_id"), md5(col("text")).as("digest")), "doc_id")
-          .select(col("doc_id"), col("scrub_text").as("text"),
-            (col("n_tokens") - col("n_removed")).as("n_tokens"), col("digest"))
-          .cache()
+        OverlapIndex.scrubStartRows(OverlapIndex.positioned(nd),
+          OverlapIndex.positioned(evalDocs), CorpusQueries.MinRunTokens)
+      }
+      val spanStarts = spanIndex.map { _ =>
+        graft.queries.DedupQueries.spanKeepFirstStartRows(
+          nd.select(col("doc_id"),
+            posexplode(graft.queries.CrossHash.shingleHashes(col("text")))
+              .as(Seq("q", "h"))))
+      }
+      val dupStarts = (benchStarts.toSeq ++ spanStarts.toSeq)
+        .reduce(_ unionByName _).distinct()
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("q"))).as("dup_starts"))
+      graft.queries.DedupQueries.scrubRebuild(spark, nd, dupStarts)
+        .join(ndKept.select(col("doc_id"), md5(col("text")).as("digest")), "doc_id")
+        .select(col("doc_id"), col("scrub_text").as("text"),
+          (col("n_tokens") - col("n_removed")).as("n_tokens"), col("digest"))
+        .cache()
     }
     val curatedDir = s"$outDir/curated"
     // digest third: DailyIncrement's corpus-precedes-batch exact dedup
@@ -215,6 +243,16 @@ object CurationJob {
       OverlapIndex.materialize(
         CorpusQueries.curatedEvalDocs(spark, sfDir, tok, docFilter), t)
       Takedown.recordIndex(outDir, "overlap", t)
+    }
+    // the standing passage-claim surface for the span stage: the FINAL
+    // kept set's RAW trigrams (a near-dup loser's text never trains, so
+    // it claims no passages; raw — keepers claim what ARRIVED, not what
+    // survived scrubbing, or a batch re-quoting an excised span would
+    // wrongly keep it). Recorded kind "shingle": a takedown releases the
+    // forgotten doc's passage claims, so re-submitted content survives.
+    spanIndex.foreach { t =>
+      ShingleIndex.materialize(ndKept.select(col("doc_id"), col("text")), t)
+      Takedown.recordIndex(outDir, "shingle", t)
     }
     val n = kept.count()
     kept.unpersist(); ndKept.unpersist(); preNearDup.unpersist()

@@ -52,7 +52,12 @@ import graft.queries.CrossHash.shingleHashes
   *     SCRUB stage (`benchIndex`) inherits the same semantics: batch k
   *     scrubs against the benchmark index as of batch k (committed ∪ its
   *     own eval survivors); committed text is never retroactively
-  *     re-scrubbed when a later batch adds benchmark content.
+  *     re-scrubbed when a later batch adds benchmark content. The SPAN
+  *     KEEP-FIRST stage (`spanIndex`) is STRONGER: arrival-order
+  *     keep-first (committed corpus presence ∨ lower batch id) IS the
+  *     union rebuild's min-id keeper rule when batch ids are
+  *     arrival-monotone (guarded), so daily ≡ rebuild exactly — no
+  *     sequential caveat (DailyIncrementSpec pins the equality).
   *  2. The batch-side exact-dedup anti-join sees only the curated
   *     MANIFEST digests (kept docs). A batch eval doc duplicating a
   *     day-0 gate-surviving doc that was itself dropped (e.g.
@@ -75,7 +80,8 @@ object DailyIncrement {
       nearDupIndex: Option[String] = None,
       nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
       overlapIndex: Option[String] = None,
-      benchIndex: Option[String] = None): Result = {
+      benchIndex: Option[String] = None,
+      spanIndex: Option[String] = None): Result = {
     import spark.implicits._
     runBatch(spark,
       Tables.load(spark, sfDir, "documents")
@@ -83,7 +89,8 @@ object DailyIncrement {
         .select($"doc_id", $"text", $"lang"),
       Tables.load(spark, sfDir, "embeddings")
         .select($"vec_id", $"embedding"),
-      outDir, tok, nearDupIndex, nearDupThreshold, overlapIndex, benchIndex)
+      outDir, tok, nearDupIndex, nearDupThreshold, overlapIndex, benchIndex,
+      spanIndex)
   }
 
   /** The batch-DataFrame form of [[run]] — `batchDocs` is today's
@@ -125,12 +132,13 @@ object DailyIncrement {
       nearDupIndex: Option[String] = None,
       nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
       overlapIndex: Option[String] = None,
-      benchIndex: Option[String] = None): Result = {
+      benchIndex: Option[String] = None,
+      spanIndex: Option[String] = None): Result = {
     import spark.implicits._
     // finish any crashed predecessor before reading the tree it half-wrote
     recover(spark, outDir)
     val n = stage(spark, batchDocs, embeddings, outDir, tok,
-      nearDupIndex, nearDupThreshold, overlapIndex, benchIndex)
+      nearDupIndex, nearDupThreshold, overlapIndex, benchIndex, spanIndex)
     // ---- phases 2+3: apply from staging, then commit ----
     applyPending(spark, outDir)
     val nShards = spark.read.parquet(s"$outDir/shards")
@@ -146,7 +154,8 @@ object DailyIncrement {
       nearDupIndex: Option[String] = None,
       nearDupThreshold: Double = CorpusQueries.NearDupThreshold,
       overlapIndex: Option[String] = None,
-      benchIndex: Option[String] = None): Long = {
+      benchIndex: Option[String] = None,
+      spanIndex: Option[String] = None): Long = {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
 
@@ -257,27 +266,59 @@ object DailyIncrement {
     // already processed (duplicating its positioned rows would corrupt
     // the island windows — same doctrine as the near-dup gate's
     // membership check). ----
-    val (scrubKept, benchFresh): (DataFrame, Option[DataFrame]) = benchIndex match {
-      case None => (finalKept, None)
-      case Some(table) =>
-        CatalogCommit.requireCommitted(spark, table)
-        val occ = OverlapIndex.maskedOccurrences(spark, table)
-        val batchEvalDocs = deduped
-          .filter($"doc_id" % CorpusQueries.EvalMod === 0)
-          .select($"doc_id", $"text")
-        val freshEval = batchEvalDocs
-          .join(occ.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
-          .cache()
-        val evOcc = occ.select($"doc_id", $"q", $"h")
-          .unionByName(OverlapIndex.positioned(freshEval))
-        val fk = finalKept.select($"doc_id", $"text")
-        val scrubbed = OverlapIndex.scrubFrames(
-            fk, OverlapIndex.positioned(fk), evOcc, CorpusQueries.MinRunTokens)
+    val fk = finalKept.select($"doc_id", $"text")
+    val benchPieces: Option[(DataFrame, DataFrame)] = benchIndex.map { table =>
+      CatalogCommit.requireCommitted(spark, table)
+      val occ = OverlapIndex.maskedOccurrences(spark, table)
+      val batchEvalDocs = deduped
+        .filter($"doc_id" % CorpusQueries.EvalMod === 0)
+        .select($"doc_id", $"text")
+      val freshEval = batchEvalDocs
+        .join(occ.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .cache()
+      val evOcc = occ.select($"doc_id", $"q", $"h")
+        .unionByName(OverlapIndex.positioned(freshEval))
+      (OverlapIndex.scrubStartRows(OverlapIndex.positioned(fk), evOcc,
+        CorpusQueries.MinRunTokens), freshEval)
+    }
+    val benchFresh: Option[DataFrame] = benchPieces.map(_._2)
+    // ---- optional SPAN KEEP-FIRST stage against the maintained shingle
+    // index over every previously-kept doc's RAW trigrams (CurationJob's
+    // spanIndex): a batch token is excised when covered by a dup trigram
+    // start the committed corpus already holds — the committed holder
+    // keeps the passage by arriving first — or whose batch-internal
+    // keeper is a lower batch doc_id. Batch ids sit above every indexed
+    // id (guarded), so arrival-order keep-first is EXACTLY the union
+    // rebuild's min-id rule — no sequential-union caveat. ----
+    val spanStarts: Option[DataFrame] = spanIndex.map { table =>
+      CatalogCommit.requireCommitted(spark, table)
+      val indexedIds = CatalogCommit.maskedByTombstones(spark, table,
+        ShingleIndex.counts(spark, table)).select($"doc_id")
+      val maxIndexed = indexedIds.agg(max($"doc_id")).head
+      val minBatch = fk.agg(min($"doc_id")).head
+      require(maxIndexed.isNullAt(0) || minBatch.isNullAt(0) ||
+        minBatch.getLong(0) > maxIndexed.getLong(0),
+        s"batch doc ids must exceed every id indexed in '$table' " +
+          "(append-only daily feed contract) — lowest batch id " +
+          s"${minBatch.get(0)} <= max indexed id ${maxIndexed.get(0)}")
+      ShingleIndex.spanKeepFirstStartRowsFor(spark, table,
+        fk.select($"doc_id",
+          posexplode(shingleHashes($"text")).as(Seq("q", "h"))))
+    }
+    // both text-rewriting stages judge RAW text; their excision sets
+    // UNION into one token rebuild (CurationJob's composition, mirrored)
+    val allStarts = benchPieces.map(_._1).toSeq ++ spanStarts.toSeq
+    val scrubKept: DataFrame =
+      if (allStarts.isEmpty) finalKept
+      else {
+        val dupStarts = allStarts.reduce(_ unionByName _).distinct()
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list($"q")).as("dup_starts"))
+        graft.queries.DedupQueries.scrubRebuild(spark, fk, dupStarts)
           .join(finalKept.select($"doc_id", $"digest"), Seq("doc_id"))
           .select($"doc_id", $"scrub_text".as("text"),
             ($"n_tokens" - $"n_removed").as("n_tokens"), $"digest")
-        (scrubbed, Some(freshEval))
-    }
+      }
 
     // yesterday's pack continuation point — the persisted pack base, NOT
     // the manifest sum: after a takedown the masked manifest undercounts
@@ -319,6 +360,18 @@ object DailyIncrement {
           Seq("doc_id"), "left_anti")
         .select($"doc_id", $"text").write.parquet(s"$pend/shingle_batch")
     }
+    // the span index's append set is the final kept docs' RAW text (the
+    // passage claims of what ARRIVED — the scrubbed form never claims);
+    // minus already-indexed ids (a replayed batch is fully caught by the
+    // digest anti-join above, so this is the same defensive membership
+    // mask the shingle_batch staging carries)
+    spanIndex.foreach { table =>
+      finalKept
+        .join(CatalogCommit.maskedByTombstones(spark, table,
+          ShingleIndex.counts(spark, table)).select($"doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"text").write.parquet(s"$pend/span_batch")
+    }
     // index-append options + their staged TARGET batch ids: the apply
     // steps must be idempotent under marker-driven retries, and "the next
     // batch id" derived at apply time would drift once the index commits
@@ -338,6 +391,10 @@ object DailyIncrement {
       benchIndex.map(t => s"bench_table=$t"),
       benchIndex.map { t =>
         s"bench_target=${CatalogCommit.readLastBatch(spark, t).get + 1}"
+      },
+      spanIndex.map(t => s"span_table=$t"),
+      spanIndex.map { t =>
+        s"span_target=${CatalogCommit.readLastBatch(spark, t).get + 1}"
       }).flatten
     if (optLines.nonEmpty)
       java.nio.file.Files.writeString(
@@ -576,6 +633,19 @@ object DailyIncrement {
         OverlapIndex.appendAs(
           spark.read.parquet(s"$pend/bench_batch").select($"doc_id", $"text"),
           t, opts("bench_target").toLong)
+      }
+    }
+    // extend the standing passage-claim surface with this batch's kept
+    // docs' RAW trigrams — tomorrow's batch must lose any span today's
+    // docs carried first (the evalh sequential-union doctrine, except
+    // here daily ≡ union rebuild exactly: keeper = min id = first
+    // arrival). appendAs no-ops when the pointer already reached the
+    // staged target.
+    opts.get("span_table").foreach { t =>
+      step("spanidx") {
+        ShingleIndex.appendAs(
+          spark.read.parquet(s"$pend/span_batch").select($"doc_id", $"text"),
+          t, opts("span_target").toLong)
       }
     }
     step("tokvocab") {

@@ -189,19 +189,7 @@ object OverlapIndex {
   private[graft] def scrubFrames(trainDocs: DataFrame, trOcc: DataFrame,
       evOcc: DataFrame, minRun: Long): DataFrame = {
     import graft.queries.CrossHash.tokens
-    val tr = trOcc.select(col("doc_id").as("t_doc"), col("q").as("qt"), col("h"))
-    val ev = evOcc.select(col("doc_id").as("e_doc"), col("q").as("qe"), col("h"))
-    val j = tr.join(ev, "h")
-      .select(col("t_doc"), col("e_doc"), (col("qt") - col("qe")).as("diag"),
-        col("qe"), col("qt"))
-    val iw = Window.partitionBy(col("t_doc"), col("e_doc"), col("diag"))
-      .orderBy(col("qe"))
-    val isl = j.withColumn("isl", col("qe") - row_number().over(iw))
-    val szw = Window.partitionBy(col("t_doc"), col("e_doc"), col("diag"), col("isl"))
-    val starts = isl.withColumn("len", count(lit(1)).over(szw))
-      .filter(col("len") >= minRun - 2)
-      .select(col("t_doc").as("doc_id"), col("qt").as("q")).distinct()
-    val perDoc = starts.groupBy(col("doc_id"))
+    val perDoc = scrubStartRows(trOcc, evOcc, minRun).groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("q"))).as("cstarts"))
     trainDocs.select(col("doc_id"), tokens(col("text")).as("w"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -213,6 +201,28 @@ object OverlapIndex {
         (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
         array_join(expr("transform(kept, i -> element_at(w, i + 1))"), " ")
           .as("scrub_text"))
+  }
+
+  /** The benchmark-scrub dup-start rows (doc_id = train doc, q = train
+    * trigram start) of the island chain: every train start inside a
+    * ≥`minRun`-token shared run. The starts half of [[scrubFrames]],
+    * exposed so the curation path can UNION these with other
+    * text-rewriting stages' starts (the span keep-first stage) before
+    * one shared token rebuild. */
+  private[graft] def scrubStartRows(trOcc: DataFrame, evOcc: DataFrame,
+      minRun: Long): DataFrame = {
+    val tr = trOcc.select(col("doc_id").as("t_doc"), col("q").as("qt"), col("h"))
+    val ev = evOcc.select(col("doc_id").as("e_doc"), col("q").as("qe"), col("h"))
+    val j = tr.join(ev, "h")
+      .select(col("t_doc"), col("e_doc"), (col("qt") - col("qe")).as("diag"),
+        col("qe"), col("qt"))
+    val iw = Window.partitionBy(col("t_doc"), col("e_doc"), col("diag"))
+      .orderBy(col("qe"))
+    val isl = j.withColumn("isl", col("qe") - row_number().over(iw))
+    val szw = Window.partitionBy(col("t_doc"), col("e_doc"), col("diag"), col("isl"))
+    isl.withColumn("len", count(lit(1)).over(szw))
+      .filter(col("len") >= minRun - 2)
+      .select(col("t_doc").as("doc_id"), col("qt").as("q")).distinct()
   }
 
   /** The diagonal/island run algebra over arbitrary positioned

@@ -256,6 +256,21 @@ object ShingleIndex {
     val occ = batch
       .select(col("doc_id"), posexplode(shingleHashes(col("text"))).as(Seq("q", "h")))
       .cache()
+    val dupStarts = spanKeepFirstStartRows(idx, occ)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("q"))).as("dup_starts"))
+    graft.queries.DedupQueries.scrubRebuild(spark, batch, dupStarts)
+  }
+
+  /** The arrival-order keep-first dup-start rows (doc_id, q) of a batch
+    * occurrence frame against a committed corpus frame: a start is dup
+    * when its hash exists anywhere in the corpus (the committed holder
+    * arrived first) or its batch-internal keeper is a lower batch
+    * doc_id. Exposed separately from [[spanKeepFirstFrames]] so the
+    * daily curation path can UNION these starts with other
+    * text-rewriting stages' before one shared rebuild. */
+  private[graft] def spanKeepFirstStartRows(idx: DataFrame,
+      occ: DataFrame): DataFrame = {
     // corpus presence per BATCH hash only: the bucketed index side never
     // shuffles; matching postings reduce to |batch hashes| rows
     val inCorpus = idx
@@ -265,14 +280,23 @@ object ShingleIndex {
       .groupBy(col("h")).agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keep_id"))
       .filter(col("nd") >= 2)
       .select(col("h"), col("keep_id"))
-    val dupStarts = occ
+    occ
       .join(inCorpus, Seq("h"), "left")
       .join(keeper, Seq("h"), "left")
       .filter(col("in_corpus").isNotNull ||
         (col("keep_id").isNotNull && col("doc_id") =!= col("keep_id")))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("q"))).as("dup_starts"))
-    graft.queries.DedupQueries.scrubRebuild(spark, batch, dupStarts)
+      .select(col("doc_id"), col("q"))
+  }
+
+  /** [[spanKeepFirstStartRows]] against the NAMED committed index —
+    * the starts-only form of [[spanKeepFirstProbe]] for stage
+    * composition (CurationJob / DailyIncrement union these with the
+    * benchmark-scrub starts before one rebuild). */
+  private[graft] def spanKeepFirstStartRowsFor(spark: SparkSession,
+      name: String, occ: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    CatalogCommit.requireCommitted(spark, name)
+    spanKeepFirstStartRows(masked(spark, name, pairs(spark, name)), occ)
   }
 
   /** Near-dup pairs (doc_a, doc_b, jaccard ≥ threshold) between a new

@@ -466,6 +466,20 @@ object CorpusQueries extends QueryModule {
     // |batch| probe cost) run the same stage.
     "pipeline_curate_scrub" -> { (s, dir) => pipelineCurateScrub(s, dir) },
 
+    // pipeline_curate with the SPAN KEEP-FIRST stage on — intra-corpus
+    // duplicated-span removal that keeps the first (lowest-id) copy of
+    // every duplicated trigram run and packs on post-scrub token counts
+    // (dedup_span_keepfirst as a curation stage; the near-dup gate drops
+    // whole documents, this excises the shared passages that survive
+    // it — boilerplate, license blocks, quote chains). Cost on top of
+    // pipeline_curate: one positioned shingle pass + the per-hash keeper
+    // aggregate — no pairwise doc join. CurationJob (day 0, spanIndex=)
+    // and DailyIncrement (per batch, probing the maintained shingle
+    // index at |batch| cost — arrival-order keep-first, EXACTLY equal to
+    // a union rebuild because keeper = min id = first arrival) run the
+    // same stage.
+    "pipeline_curate_spans" -> { (s, dir) => pipelineCurateSpans(s, dir) },
+
     // pipeline_audit with the near-dup stage in the fate order — the
     // operability trace for the full-strength DAG: 'neardup' lands
     // between 'contaminated' and 'kept', dup_of reports the cluster
@@ -526,6 +540,41 @@ object CorpusQueries extends QueryModule {
       val contam = contamination(sh)
         .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
       val packed = pipelineCurateScrub(s, dir)
+        .select($"doc_id", $"n_removed", $"shard", $"shard_offset")
+      docs.select($"doc_id", $"n_tokens")
+        .join(dups, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(packed, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          when($"keep_id".isNull, lit("gate_failed"))
+            .when($"keep_id" =!= $"doc_id", lit("dup"))
+            .when($"doc_id" % EvalMod === 0, lit("eval_split"))
+            .when($"contam_frac" >= 0.5, lit("contaminated"))
+            .otherwise(lit("kept")).as("fate"),
+          when($"keep_id" =!= $"doc_id", $"keep_id").as("dup_of"),
+          $"contam_frac", $"n_removed", $"shard", $"shard_offset")
+    },
+
+    // pipeline_audit with the SPAN KEEP-FIRST stage in the trace — same
+    // doctrine as pipeline_audit_scrub (the stage never drops a doc, so
+    // the fate column is pipeline_audit's verbatim): n_removed here is
+    // the tokens excised because a LOWER surviving doc carried the same
+    // passage first, and shard placement comes from the post-span
+    // packing — "why is doc X shorter than its crawl copy when it never
+    // touched a benchmark?" answered in one row.
+    "pipeline_audit_spans" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
+      val quality = qualityGate(docs)
+      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
+      val dups = quality.select($"doc_id", md5($"text").as("ch"))
+        .join(win, "ch").select($"doc_id", $"keep_id")
+      val kept = curatedKept(s, dir)
+      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
+      val contam = contamination(sh)
+        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val packed = pipelineCurateSpans(s, dir)
         .select($"doc_id", $"n_removed", $"shard", $"shard_offset")
       docs.select($"doc_id", $"n_tokens")
         .join(dups, Seq("doc_id"), "left")
@@ -1236,6 +1285,33 @@ object CorpusQueries extends QueryModule {
         (col("cb") % PackBudget).as("shard_offset"))
   }
 
+  /** [[pipelineCurate]] with the SPAN KEEP-FIRST stage on: after the
+    * drop gates, any trigram duplicated among the surviving train docs
+    * keeps ONE copy — the lowest surviving doc_id holding it — and every
+    * other occurrence is excised (the dedup_span_keepfirst rule as a
+    * CURATION STAGE: Lee et al. 2022's "remove it from one of them"
+    * applied to the corpus the trainer actually reads), then the packing
+    * window runs over the POST-scrub token counts. Output (doc_id,
+    * n_tokens, n_removed, shard, shard_offset); n_tokens is post-scrub.
+    * Cost on top of pipeline_curate: the positioned-shingle pass and the
+    * per-hash keeper aggregate — no pairwise doc join. */
+  private[graft] def pipelineCurateSpans(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val train = curatedTrain(s, dir, tok).select(col("doc_id"), col("text"))
+    val occ = train.select(col("doc_id"),
+      posexplode(shingleHashes(col("text"))).as(Seq("q", "h")))
+    val dupStarts = DedupQueries.spanKeepFirstStartRows(occ)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("q"))).as("dup_starts"))
+    val scrub = DedupQueries.scrubRebuild(s, train, dupStarts)
+    val packIn = scrub.select(col("doc_id"),
+      (col("n_tokens") - col("n_removed")).as("n_tokens"), col("n_removed"))
+    GlobalCumsum.runningBefore(packIn, "doc_id", "n_tokens", "cb")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+        (col("cb") % PackBudget).as("shard_offset"))
+  }
+
   /** The positioned-occurrence run chain shared by decontam_runs and its
     * index-probe twin: zipped unnest pairs each shingle with its 0-based
     * start (matching Spark's posexplode), islands group on (pair,
@@ -1651,6 +1727,61 @@ object CorpusQueries extends QueryModule {
          |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
          |FROM c""".stripMargin,
 
+    // pipeline_curate's stage CTEs + the span keep-first stage: per
+    // duplicated trigram among the train survivors the lowest doc_id
+    // keeps it, every other positioned occurrence becomes a dup start
+    // (the dedup_span_keepfirst oracle chain), then the packing window
+    // over the post-scrub token counts
+    "pipeline_curate_spans" ->
+      s"""WITH docs AS (SELECT doc_id, text, $oTokens AS w FROM documents),
+         |quality AS (SELECT doc_id, text, w FROM docs
+         |  WHERE len(w) >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+         |kept AS (SELECT q.doc_id, q.text, q.w
+         |         FROM quality q JOIN keep k ON q.doc_id = k.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM kept)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT tr.doc_id,
+         |      CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) AS frac
+         |    FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |    LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+         |  WHERE frac >= 0.5),
+         |train AS (SELECT doc_id, w FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |sgt AS (SELECT doc_id, $oShingles3 AS ss FROM train),
+         |occ AS (SELECT doc_id, unnest(ss) AS s,
+         |               unnest(range(0, len(ss))) AS q FROM sgt),
+         |o2 AS (SELECT doc_id, q, ${oH60("s")} AS h FROM occ),
+         |bk AS (SELECT h, min(doc_id) AS keep_id
+         |       FROM (SELECT DISTINCT doc_id, h FROM o2)
+         |       GROUP BY h HAVING count(*) >= 2),
+         |cs AS (SELECT o2.doc_id, o2.q FROM o2 JOIN bk ON o2.h = bk.h
+         |       WHERE o2.doc_id <> bk.keep_id),
+         |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
+         |fin AS (SELECT t.doc_id, t.w, coalesce(ds.dstarts, []) AS dsx
+         |        FROM train t LEFT JOIN ds ON ds.doc_id = t.doc_id),
+         |k AS (SELECT doc_id, w,
+         |    [i for i in range(0, len(w))
+         |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept2
+         |  FROM fin),
+         |sc AS (SELECT doc_id, CAST(len(kept2) AS BIGINT) AS n_tokens,
+         |         CAST(len(w) - len(kept2) AS BIGINT) AS n_removed FROM k),
+         |c AS (SELECT doc_id, n_tokens, n_removed,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, n_removed,
+         |  CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |FROM c""".stripMargin,
+
     // pipeline_curate's stage CTEs + the near-dup stage: exact jaccard
     // pairs among the train survivors, recursive-CTE connected
     // components (the dedup_clusters oracle shape), keeper = component
@@ -1829,6 +1960,72 @@ object CorpusQueries extends QueryModule {
          |         FROM isl),
          |cs AS (SELECT DISTINCT t_doc AS doc_id, qt AS q FROM qual
          |       WHERE L >= ${MinRunTokens - 2}),
+         |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
+         |fin AS (SELECT t.doc_id, t.w, coalesce(ds.dstarts, []) AS dsx
+         |        FROM train t LEFT JOIN ds ON ds.doc_id = t.doc_id),
+         |k AS (SELECT doc_id, w,
+         |    [i for i in range(0, len(w))
+         |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept2
+         |  FROM fin),
+         |sc AS (SELECT doc_id, CAST(len(kept2) AS BIGINT) AS nt,
+         |         CAST(len(w) - len(kept2) AS BIGINT) AS n_removed FROM k),
+         |c AS (SELECT doc_id, n_removed,
+         |    coalesce(sum(nt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sc),
+         |packed AS (SELECT doc_id, n_removed,
+         |    CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |    CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |  FROM c)
+         |SELECT d.doc_id, d.n_tokens,
+         |  CASE WHEN du.keep_id IS NULL THEN 'gate_failed'
+         |       WHEN du.keep_id <> d.doc_id THEN 'dup'
+         |       WHEN d.doc_id % $EvalMod = 0 THEN 'eval_split'
+         |       WHEN ct.contam_frac >= 0.5 THEN 'contaminated'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN du.keep_id <> d.doc_id THEN du.keep_id END AS dup_of,
+         |  ct.contam_frac, p.n_removed, p.shard, p.shard_offset
+         |FROM docs d LEFT JOIN dups du ON du.doc_id = d.doc_id
+         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |  LEFT JOIN packed p ON p.doc_id = d.doc_id""".stripMargin,
+
+    // pipeline_audit's CTEs + the span keep-first chain: fate CASE
+    // verbatim, n_removed from the min-id keeper rule over the train
+    // survivors, shard columns from the post-span packing window
+    "pipeline_audit_spans" ->
+      s"""WITH docs AS (SELECT doc_id, text, $oTokens AS w,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |quality AS (SELECT * FROM docs WHERE n_tokens >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keepw AS (SELECT md5(text) AS ch, min(doc_id) AS keep_id
+         |          FROM quality GROUP BY md5(text)),
+         |dups AS (SELECT q.doc_id, k.keep_id
+         |         FROM quality q JOIN keepw k ON md5(q.text) = k.ch),
+         |kept AS (SELECT q.doc_id, q.text, q.w, q.n_tokens
+         |         FROM quality q JOIN dups d ON q.doc_id = d.doc_id
+         |           AND d.keep_id = q.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM kept)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contam AS (
+         |  SELECT tr.doc_id,
+         |    CAST(CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |      / count(*) AS contam_frac
+         |  FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |  LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id),
+         |train AS (SELECT doc_id, w FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam WHERE contam_frac >= 0.5)),
+         |sgt AS (SELECT doc_id, $oShingles3 AS ss FROM train),
+         |occ AS (SELECT doc_id, unnest(ss) AS s,
+         |               unnest(range(0, len(ss))) AS q FROM sgt),
+         |o2 AS (SELECT doc_id, q, ${oH60("s")} AS h FROM occ),
+         |bk AS (SELECT h, min(doc_id) AS keep_id
+         |       FROM (SELECT DISTINCT doc_id, h FROM o2)
+         |       GROUP BY h HAVING count(*) >= 2),
+         |cs AS (SELECT o2.doc_id, o2.q FROM o2 JOIN bk ON o2.h = bk.h
+         |       WHERE o2.doc_id <> bk.keep_id),
          |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
          |fin AS (SELECT t.doc_id, t.w, coalesce(ds.dstarts, []) AS dsx
          |        FROM train t LEFT JOIN ds ON ds.doc_id = t.doc_id),

@@ -254,17 +254,30 @@ object DedupQueries extends QueryModule {
       else occAll.join(
         hotShingles(occAll.select($"doc_id", $"h").distinct(), maxDfFrac),
         Seq("h"), "left_anti")
-    // distinct on (doc_id, h) as in spanScrub; min(doc_id) rides the
-    // same aggregate, so electing keepers costs no extra pass
-    val keeper = occ.select($"doc_id", $"h").distinct()
-      .groupBy($"h").agg(count(lit(1)).as("nd"), min($"doc_id").as("keep_id"))
-      .filter($"nd" >= 2)
-      .select($"h", $"keep_id")
-    val dupStarts = occ.join(keeper, "h")
-      .filter($"doc_id" =!= $"keep_id")
+    val dupStarts = spanKeepFirstStartRows(occ)
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"q")).as("dup_starts"))
     scrubRebuild(s, Tables.load(s, dir, "documents"), dupStarts)
+  }
+
+  /** The keep-first rule's dup-start rows (doc_id, q) over a positioned
+    * occurrence frame (doc_id, q, h): per duplicated trigram the LOWEST
+    * doc_id keeps it; every other occurrence is a dup start. One row
+    * per non-keeper occurrence (q is unique per (doc_id, h) by
+    * posexplode), so callers composing several text-rewriting stages
+    * can UNION start sets before the single [[scrubRebuild]]. Shared by
+    * [[spanKeepFirst]] and the curation DAG's span stage
+    * (pipeline_curate_spans / operators/CurationJob). */
+  private[graft] def spanKeepFirstStartRows(occ: DataFrame): DataFrame = {
+    // distinct on (doc_id, h) as in spanScrub; min(doc_id) rides the
+    // same aggregate, so electing keepers costs no extra pass
+    val keeper = occ.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keep_id"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("keep_id"))
+    occ.join(keeper, "h")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("q"))
   }
 
   /** Shared by dedup_span_keepfirst_incr and dedup_span_keepfirst_idx:

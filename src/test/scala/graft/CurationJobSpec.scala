@@ -191,4 +191,111 @@ class CurationJobSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("spanIndex run: artifacts agree with pipeline_curate_spans; index claims the kept set's raw passages") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val out = Files.createTempDirectory("graft-curation-span-").toString
+    try {
+      val res = CurationJob.run(spark, dir, out,
+        spanIndex = Some("graft_cj_span"))
+
+      // the packed shards ARE pipeline_curate_spans's packing columns
+      // (post-scrub token counts — the oracle-checked stage composition)
+      val packed = SparkEntry.queries("pipeline_curate_spans")(spark, dir)
+        .select($"doc_id", $"n_tokens", $"shard", $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(res.nDocsKept == packed.length.toLong,
+        "manifest count != pipeline_curate_spans")
+      val shards = spark.read.parquet(res.shardsDir)
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(shards == packed.toSet,
+        "shard read-back != pipeline_curate_spans packing")
+      // the stage only rewrites text — the kept DOC SET is pipeline_curate's
+      val unscrubbed = SparkEntry.queries("pipeline_curate")(spark, dir)
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val spanTok = packed.map(p => p._1 -> p._2).toMap
+      assert(spanTok.keySet == unscrubbed.keySet,
+        "span stage changed the kept DOC SET (it must only rewrite text)")
+      assert(spanTok.exists { case (id, n) => n < unscrubbed(id) },
+        "vacuous pin: no doc lost a duplicated span on this corpus")
+      // every duplicated trigram keeps at least one copy: the per-doc
+      // removals never excise EVERY occurrence (summed post-scrub token
+      // mass strictly exceeds what remove-ALL span scrubbing would leave)
+      val removedTotal = spanTok.map { case (id, n) => unscrubbed(id) - n }.sum
+      assert(removedTotal > 0 && spanTok.values.forall(_ >= 0))
+
+      // the index holds exactly the kept ids' RAW passages: a fresh doc
+      // quoting 8 words of a KEPT doc loses them via the probe
+      val indexedIds = spark.table("graft_cj_span")
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      assert(indexedIds == unscrubbed.keySet,
+        "span index population != final kept set")
+      val keptText = Tables.load(spark, dir, "documents")
+        .filter($"doc_id" === indexedIds.head).select($"text").head.getString(0)
+      val words = keptText.split("\\s+").filter(_.nonEmpty)
+      assume(words.length >= 8)
+      val quote = words.slice(0, 8).mkString(" ")
+      val probe = Seq((999999L, s"zqa zqb $quote zqy zqz"))
+        .toDF("doc_id", "text")
+      val scrubbed = graft.operators.ShingleIndex.spanKeepFirstProbe(
+        spark, "graft_cj_span", probe).collect()
+      assert(scrubbed.length == 1 && scrubbed(0).getLong(2) >= 8L,
+        s"probe doc re-quoting a kept passage was not scrubbed: ${scrubbed.toSeq}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cj_span")
+      spark.sql("DROP TABLE IF EXISTS graft_cj_span_tombstones")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("benchIndex + spanIndex compose: one rebuild over the UNION of excisions (overlap counted once)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // controlled geometry: 34 (eval, 17·2) = e1..e30 is the benchmark.
+    //   10 = 23 a-tokens + e5..e11   → bench quote only        → 23
+    //   12 = 23 b-tokens + e5..e11   → bench ∪ span, SAME 7
+    //        tokens (12 loses the span to keeper 10 AND it's a
+    //        benchmark quote — union must excise it ONCE)       → 23
+    //   11 = 23 v-tokens + s1..s7    → span keeper              → 30
+    //   13 = 16 p-tokens + e12..e18 + s1..s7 → DISJOINT bench
+    //        quote (7) + span lost to keeper 11 (7)             → 16
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    def withTail(p: String, n: Int, tail: Seq[String]) =
+      ((1 to n).map(i => s"$p$i") ++ tail).mkString(" ")
+    val e = (1 to 30).map(i => s"e$i")
+    val s7 = (1 to 7).map(i => s"s$i")
+    val all = Seq(
+      (34L, uniq("e", 30)),
+      (10L, withTail("a", 23, e.slice(4, 11))),
+      (12L, withTail("b", 23, e.slice(4, 11))),
+      (11L, withTail("v", 23, s7)),
+      (13L, ((1 to 16).map(i => s"p$i") ++ e.slice(11, 18) ++ s7).mkString(" ")))
+    assert(all.forall(_._2.split(" ").length == 30))
+    assert(all.map(_._1).filter(_ % graft.queries.CorpusQueries.EvalMod == 0) == Seq(34L))
+    val synth = Files.createTempDirectory("graft-cj-compose-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val out = Files.createTempDirectory("graft-cj-compose-").toString
+    try {
+      CurationJob.run(spark, synth, out,
+        benchIndex = Some("graft_cjc_bench"), spanIndex = Some("graft_cjc_span"))
+      val toks = spark.read.parquet(s"$out/curated")
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(toks == Map(10L -> 23L, 11L -> 30L, 12L -> 23L, 13L -> 16L),
+        s"composed excision verdict wrong: $toks")
+    } finally {
+      Seq("graft_cjc_bench", "graft_cjc_span").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }

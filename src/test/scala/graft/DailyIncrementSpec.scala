@@ -670,6 +670,135 @@ class DailyIncrementSpec extends AnyFunSuite {
     }
   }
 
+  test("span stage + maintained passage index: day0 + increments == union rebuild; crash and replay no-ops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // geometry (all ids off the eval split; 30 tokens per doc):
+    //   day0:   10 = 23a + S(7)  — S's keeper           → 30
+    //           11 = uniq v                              → 30
+    //           12 = 23b + S(7)  — loses S to 10         → 23
+    //   batch1: 100 = 23x + S(7) — S committed (10 AND
+    //           12's RAW claim is in the index)          → 23
+    //           101 = 23y + T(7) — T's batch keeper      → 30
+    //           103 = 23z + T(7) — loses T to 101        → 23
+    //   batch2: 200 = 23w + T(7) — T committed           → 23
+    //           201 = uniq m                              → 30
+    // arrival-order keep-first ≡ union rebuild EXACTLY (keeper = min id
+    // = first arrival; global keepers: S → 10, T → 101).
+    val mod = CorpusQueries.EvalMod
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def withSpan(p: String, sp: Seq[String]) =
+      ((1 to 23).map(i => s"$p$i") ++ sp).mkString(" ")
+    val spanS = (1 to 7).map(i => s"s$i")
+    val spanT = (1 to 7).map(i => s"t$i")
+    val day0 = Seq((10L, withSpan("a", spanS)), (11L, uniq("v")),
+      (12L, withSpan("b", spanS)))
+    val batch1 = Seq((100L, withSpan("x", spanS)), (101L, withSpan("y", spanT)),
+      (103L, withSpan("z", spanT)))
+    val batch2 = Seq((200L, withSpan("w", spanT)), (201L, uniq("m")))
+    val all = day0 ++ batch1 ++ batch2
+    assert(all.map(_._1).forall(_ % mod != 0), "eval-split geometry drifted")
+    val synth = Files.createTempDirectory("graft-span-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-span-daily-").toString
+    val fullDir = Files.createTempDirectory("graft-span-full-").toString
+    val tables = Seq("graft_sp_daily", "graft_sp_full")
+    try {
+      CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100,
+        spanIndex = Some("graft_sp_daily"))
+      def toks(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(toks(dir) == Map(10L -> 30L, 11L -> 30L, 12L -> 23L),
+        s"day0 span verdict wrong: ${toks(dir)}")
+
+      val inc1 = DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 100 && col("doc_id") < 200,
+        spanIndex = Some("graft_sp_daily"))
+      assert(inc1.nBatchKept == 3)
+      assert(toks(dir) == Map(10L -> 30L, 11L -> 30L, 12L -> 23L,
+        100L -> 23L, 101L -> 30L, 103L -> 23L),
+        s"batch1 span verdict wrong: ${toks(dir)}")
+
+      // batch2 through the CRASH seam: stage, die after dsir (before the
+      // spanidx append), recover — the roll-forward must land the same
+      // tree a clean run would
+      val b2 = spark.read.parquet(s"$synth/documents.parquet")
+        .filter($"doc_id" >= 200).select($"doc_id", $"text", $"lang")
+      val embs = spark.read.parquet(s"$synth/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      DailyIncrement.stage(spark, b2, embs, dir,
+        graft.functions.Tokenizer.Whitespace, spanIndex = Some("graft_sp_daily"))
+      val boom = intercept[IllegalStateException] {
+        DailyIncrement.applyPending(spark, dir, failAfter = Some("dsir"))
+      }
+      assert(boom.getMessage.contains("injected"))
+      DailyIncrement.recover(spark, dir)
+      assert(toks(dir) == Map(10L -> 30L, 11L -> 30L, 12L -> 23L,
+        100L -> 23L, 101L -> 30L, 103L -> 23L, 200L -> 23L, 201L -> 30L),
+        s"batch2 span verdict wrong after crash/recover: ${toks(dir)}")
+
+      // ---- union rebuild with the span stage on: identical manifest,
+      // shards and passage index ----
+      CurationJob.run(spark, synth, fullDir, docFilter = lit(true),
+        spanIndex = Some("graft_sp_full"))
+      assert(toks(fullDir) == toks(dir),
+        s"rebuild=${toks(fullDir)} daily=${toks(dir)}")
+      def shardRows(d: String) = spark.read.parquet(s"$d/shards")
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(shardRows(fullDir) == shardRows(dir),
+        "daily shards != union rebuild (post-span packing diverged)")
+      def idxIds(t: String) = spark.table(t)
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      assert(idxIds("graft_sp_daily") == all.map(_._1).toSet,
+        s"maintained passage index ids: ${idxIds("graft_sp_daily")}")
+      assert(idxIds("graft_sp_full") == idxIds("graft_sp_daily"))
+      // probe equality daily vs rebuild, and the RAW-claim doctrine: the
+      // probe quotes S — committed by 10 AND (raw) 12 — and a novel span
+      val probe = Seq((9000L,
+        ("pre1 pre2 " + spanS.mkString(" ") + " mid1 mid2 " +
+          (1 to 7).map(i => s"u$i").mkString(" ")).trim))
+        .toDF("doc_id", "text")
+      def probeSet(t: String) = graft.operators.ShingleIndex
+        .spanKeepFirstProbe(spark, t, probe)
+        .collect().map(_.toSeq).toSet
+      assert(probeSet("graft_sp_daily").nonEmpty, "vacuous passage probe")
+      assert(probeSet("graft_sp_daily") == probeSet("graft_sp_full"),
+        "maintained passage index != union rebuild's")
+      assert(probeSet("graft_sp_daily").head(2) == 7L,
+        s"probe kept a committed span: ${probeSet("graft_sp_daily")}")
+
+      // ---- the exports consume the POST-SPAN text: s1 lives only in
+      // 12's and 100's excised copies plus keeper 10 — bm25 resolves it
+      // to exactly the keeper ----
+      val holders = Bm25Index.probe(spark, s"$dir/bm25",
+        Seq((1L, "s1")).toDF("query_id", "term"))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(holders == Set(10L), s"bm25 sees a scrubbed span copy: $holders")
+
+      // ---- replayed batch: manifest, shards and passage index all no-op ----
+      val rowsBefore = spark.table("graft_sp_daily").count()
+      val replay = DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 200, spanIndex = Some("graft_sp_daily"))
+      assert(replay.nBatchKept == 0, "replayed batch re-kept docs")
+      assert(spark.table("graft_sp_daily").count() == rowsBefore,
+        "replay duplicated passage-claim rows")
+      assert(toks(fullDir) == toks(dir))
+    } finally {
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("benchmark takedown: a forgotten eval doc stops scrubbing; DSIR untouched; content re-arms under a new id") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -414,7 +414,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("dedup_lines / dedup_span_scrub: hash-keyed joins, no forced broadcast, no pairwise join") {
     for (q <- Seq("dedup_lines", "dedup_lines_incr", "dedup_span_scrub",
-        "dedup_span_keepfirst", "dedup_span_keepfirst_incr")) {
+        "dedup_span_keepfirst", "dedup_span_keepfirst_incr",
+        "pipeline_curate_spans")) {
       val p = plan(q)
       // the duplicated-hash table must not be hint-forced to broadcast
       // (data-dependent size: degrade to shuffle, not OOM) and nothing
