@@ -799,6 +799,69 @@ class DailyIncrementSpec extends AnyFunSuite {
     }
   }
 
+  test("span takedown: forgetting every holder releases the passage claims; content re-arms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // day0: 10 and 12 both carry span S (keeper 10 → 12 scrubs to 23);
+    // 11 is unique. BOTH S-holders are then taken down (via the
+    // tree-recorded index registry — the caller names nothing): batch1's
+    // doc 100 quoting S must keep all 30 tokens (scrubbing against
+    // forgotten claims would be acting on fingerprints of forgotten
+    // data), while 101 quoting S in the SAME batch loses it to the
+    // batch-internal keeper 100 — the surface re-arms immediately.
+    val mod = CorpusQueries.EvalMod
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def withSpan(p: String, sp: Seq[String]) =
+      ((1 to 23).map(i => s"$p$i") ++ sp).mkString(" ")
+    val spanS = (1 to 7).map(i => s"s$i")
+    val all = Seq((10L, withSpan("a", spanS)), (11L, uniq("v")),
+      (12L, withSpan("b", spanS)),
+      (100L, withSpan("x", spanS)), (101L, withSpan("y", spanS)),
+      (103L, uniq("m")))
+    assert(all.map(_._1).forall(_ % mod != 0), "eval-split geometry drifted")
+    val synth = Files.createTempDirectory("graft-tksp-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-tksp-daily-").toString
+    try {
+      CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100,
+        spanIndex = Some("graft_tksp"))
+      // read through the tombstone-masked manifest: the takedown masks
+      // rows rather than rewriting them (scrub is the physical form)
+      def toks(d: String) = Takedown.manifest(spark, d)
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(toks(dir) == Map(10L -> 30L, 11L -> 30L, 12L -> 23L),
+        s"day0 span verdict wrong: ${toks(dir)}")
+
+      // forget BOTH S-holders; their claims must release
+      val docsAll = spark.read.parquet(s"$synth/documents.parquet")
+        .select($"doc_id", $"text", $"lang")
+      Takedown.run(spark, dir, Seq(10L, 12L).toDF("doc_id"), docsAll,
+        $"lang" === "en")
+      val masked = graft.operators.ShingleIndex.spanKeepFirstProbe(
+        spark, "graft_tksp",
+        Seq((9000L, withSpan("w", spanS))).toDF("doc_id", "text")).collect()
+      assert(masked.length == 1 && masked(0).getLong(2) == 0L,
+        s"forgotten holders still claim the span: ${masked.toSeq}")
+
+      // batch1: 100 keeps S (claims released), 101 loses it to 100
+      DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 100, spanIndex = Some("graft_tksp"))
+      assert(toks(dir) == Map(11L -> 30L, 100L -> 30L, 101L -> 23L, 103L -> 30L),
+        s"post-takedown span verdicts wrong: ${toks(dir)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_tksp")
+      spark.sql("DROP TABLE IF EXISTS graft_tksp_tombstones")
+      spark.sql("DROP TABLE IF EXISTS graft_tksp_counts")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("benchmark takedown: a forgotten eval doc stops scrubbing; DSIR untouched; content re-arms under a new id") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
