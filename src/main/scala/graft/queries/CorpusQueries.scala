@@ -480,6 +480,14 @@ object CorpusQueries extends QueryModule {
     // same stage.
     "pipeline_curate_spans" -> { (s, dir) => pipelineCurateSpans(s, dir) },
 
+    // the FULL-STRENGTH DAG: every optional stage on in CurationJob's
+    // composition order (near-dup drops docs on RAW text; then the
+    // benchmark-scrub and span-keep-first dup starts UNION into one
+    // token rebuild; packing on post-scrub counts) — the production
+    // invocation, oracle-checked END TO END so the stage COMPOSITION is
+    // itself a driver-gate hash equality, not just each stage alone.
+    "pipeline_curate_full" -> { (s, dir) => pipelineCurateFull(s, dir) },
+
     // pipeline_audit with the near-dup stage in the fate order — the
     // operability trace for the full-strength DAG: 'neardup' lands
     // between 'contaminated' and 'kept', dup_of reports the cluster
@@ -1312,6 +1320,42 @@ object CorpusQueries extends QueryModule {
         (col("cb") % PackBudget).as("shard_offset"))
   }
 
+  /** The FULL-STRENGTH curation DAG in one query — every optional stage
+    * on, composed exactly as `CurationJob.run(nearDupIndex=, benchIndex=,
+    * spanIndex=)` composes them: quality → exact dedup → decontam →
+    * near-dup clustering (lowest-id-wins) → ONE token rebuild over the
+    * UNION of the benchmark-scrub and span-keep-first dup starts (both
+    * judged on RAW text; an overlapping region excises once) → packing
+    * on post-scrub counts. This is the production invocation a user
+    * actually runs; oracle-checked end to end so the COMPOSITION — not
+    * just each stage — is a driver-gate hash equality. */
+  private[graft] def pipelineCurateFull(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val train = curatedTrain(s, dir, tok)
+    // cache: the components loop ran inside nearDupSurvivors; nd feeds
+    // two positioned passes, the span occurrence pass and the rebuild
+    val nd = nearDupSurvivors(train).select(col("doc_id"), col("text")).cache()
+    val evalDocs = curatedKept(s, dir, tok)
+      .filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id"), col("text"))
+    val benchStarts = graft.operators.OverlapIndex.scrubStartRows(
+      graft.operators.OverlapIndex.positioned(nd),
+      graft.operators.OverlapIndex.positioned(evalDocs), MinRunTokens)
+    val spanStarts = DedupQueries.spanKeepFirstStartRows(
+      nd.select(col("doc_id"),
+        posexplode(shingleHashes(col("text"))).as(Seq("q", "h"))))
+    val dupStarts = benchStarts.unionByName(spanStarts).distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("q"))).as("dup_starts"))
+    val scrub = DedupQueries.scrubRebuild(s, nd, dupStarts)
+    val packIn = scrub.select(col("doc_id"),
+      (col("n_tokens") - col("n_removed")).as("n_tokens"), col("n_removed"))
+    GlobalCumsum.runningBefore(packIn, "doc_id", "n_tokens", "cb")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        expr(s"CAST(cb DIV $PackBudget AS BIGINT)").as("shard"),
+        (col("cb") % PackBudget).as("shard_offset"))
+  }
+
   /** The positioned-occurrence run chain shared by decontam_runs and its
     * index-probe twin: zipped unnest pairs each shingle with its 0-based
     * start (matching Spark's posexplode), islands group on (pair,
@@ -1767,6 +1811,102 @@ object CorpusQueries extends QueryModule {
          |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
          |fin AS (SELECT t.doc_id, t.w, coalesce(ds.dstarts, []) AS dsx
          |        FROM train t LEFT JOIN ds ON ds.doc_id = t.doc_id),
+         |k AS (SELECT doc_id, w,
+         |    [i for i in range(0, len(w))
+         |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept2
+         |  FROM fin),
+         |sc AS (SELECT doc_id, CAST(len(kept2) AS BIGINT) AS n_tokens,
+         |         CAST(len(w) - len(kept2) AS BIGINT) AS n_removed FROM k),
+         |c AS (SELECT doc_id, n_tokens, n_removed,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, n_removed,
+         |  CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |  CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |FROM c""".stripMargin,
+
+    // the full-strength DAG's oracle: pipeline_curate_neardup's
+    // recursive-CTE stage chain through the near-dup keepers, then BOTH
+    // text-rewriting chains (the scrub island chain and the keep-first
+    // min-id chain) over the near-dup survivors, their start sets
+    // UNIONed (set union — an overlapping region excises once), one
+    // token rebuild, and the packing window on post-scrub counts
+    "pipeline_curate_full" ->
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, text, $oTokens AS w FROM documents),
+         |quality AS (SELECT doc_id, text, w FROM docs
+         |  WHERE len(w) >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+         |kept AS (SELECT q.doc_id, q.text, q.w
+         |         FROM quality q JOIN keep k ON q.doc_id = k.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM kept)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT tr.doc_id,
+         |      CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) AS frac
+         |    FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |    LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+         |  WHERE frac >= 0.5),
+         |train AS (SELECT doc_id, w FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |tsh AS (SELECT s.doc_id, s.h FROM sh s
+         |        JOIN train t ON t.doc_id = s.doc_id),
+         |tcnt AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM tsh a JOIN tsh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN tcnt ca ON ca.doc_id = doc_a
+         |    JOIN tcnt cb ON cb.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $NearDupThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM train
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |ndk AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
+         |nd AS (SELECT t.doc_id, t.w FROM train t
+         |       JOIN ndk ON ndk.doc_id = t.doc_id),
+         |sgt AS (SELECT doc_id, $oShingles3 AS ss FROM nd),
+         |sge AS (SELECT doc_id, $oShingles3 AS ss
+         |        FROM (SELECT doc_id, w FROM kept WHERE doc_id % $EvalMod = 0)),
+         |occt AS (SELECT doc_id, unnest(ss) AS s,
+         |                unnest(range(0, len(ss))) AS q FROM sgt),
+         |occe AS (SELECT doc_id, unnest(ss) AS s,
+         |                unnest(range(0, len(ss))) AS q FROM sge),
+         |o2 AS (SELECT doc_id, q, ${oH60("s")} AS h FROM occt),
+         |j AS (SELECT t.doc_id AS t_doc, e.doc_id AS e_doc,
+         |             t.q - e.q AS diag, e.q AS qe, t.q AS qt
+         |      FROM o2 t
+         |      JOIN (SELECT doc_id, q, ${oH60("s")} AS h FROM occe) e
+         |        ON t.h = e.h),
+         |isl AS (SELECT t_doc, e_doc, diag, qe, qt,
+         |          qe - row_number() OVER (
+         |            PARTITION BY t_doc, e_doc, diag ORDER BY qe) AS isl
+         |        FROM j),
+         |qual AS (SELECT t_doc, qt,
+         |           count(*) OVER (PARTITION BY t_doc, e_doc, diag, isl) AS L
+         |         FROM isl),
+         |cs1 AS (SELECT DISTINCT t_doc AS doc_id, qt AS q FROM qual
+         |        WHERE L >= ${MinRunTokens - 2}),
+         |bk AS (SELECT h, min(doc_id) AS keep_id
+         |       FROM (SELECT DISTINCT doc_id, h FROM o2)
+         |       GROUP BY h HAVING count(*) >= 2),
+         |cs2 AS (SELECT o2.doc_id, o2.q FROM o2 JOIN bk ON o2.h = bk.h
+         |        WHERE o2.doc_id <> bk.keep_id),
+         |cs AS (SELECT doc_id, q FROM cs1 UNION SELECT doc_id, q FROM cs2),
+         |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
+         |fin AS (SELECT t.doc_id, t.w, coalesce(ds.dstarts, []) AS dsx
+         |        FROM nd t LEFT JOIN ds ON ds.doc_id = t.doc_id),
          |k AS (SELECT doc_id, w,
          |    [i for i in range(0, len(w))
          |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept2

@@ -246,7 +246,48 @@ class CurationJobSpec extends AnyFunSuite {
         s"probe doc re-quoting a kept passage was not scrubbed: ${scrubbed.toSeq}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_cj_span")
+      spark.sql("DROP TABLE IF EXISTS graft_cj_span_counts")
       spark.sql("DROP TABLE IF EXISTS graft_cj_span_tombstones")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("full-strength run (nearDup + bench + span): artifacts agree with pipeline_curate_full") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val out = Files.createTempDirectory("graft-curation-full-").toString
+    val tables = Seq("graft_cjf_nd", "graft_cjf_bench", "graft_cjf_span")
+    try {
+      val res = CurationJob.run(spark, dir, out,
+        nearDupIndex = Some("graft_cjf_nd"),
+        benchIndex = Some("graft_cjf_bench"),
+        spanIndex = Some("graft_cjf_span"))
+      val packed = SparkEntry.queries("pipeline_curate_full")(spark, dir)
+        .select($"doc_id", $"n_tokens", $"shard", $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(res.nDocsKept == packed.length.toLong,
+        "manifest count != pipeline_curate_full")
+      val shards = spark.read.parquet(res.shardsDir)
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(shards == packed.toSet,
+        "shard read-back != pipeline_curate_full packing")
+      // non-vacuous on this corpus: the near-dup stage dropped at least
+      // one doc vs the base DAG and at least one doc lost tokens
+      val base = SparkEntry.queries("pipeline_curate")(spark, dir)
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fullTok = packed.map(p => p._1 -> p._2).toMap
+      assert(fullTok.keySet.subsetOf(base.keySet) && fullTok.size < base.size,
+        "vacuous: near-dup stage dropped nothing on this corpus")
+      assert(fullTok.exists { case (id, n) => n < base(id) },
+        "vacuous: no doc lost tokens to the composed rewriting stages")
+    } finally {
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_counts")
+      }
       spark.catalog.clearCache()
     }
   }
@@ -291,7 +332,7 @@ class CurationJobSpec extends AnyFunSuite {
       assert(toks == Map(10L -> 23L, 11L -> 30L, 12L -> 23L, 13L -> 16L),
         s"composed excision verdict wrong: $toks")
     } finally {
-      Seq("graft_cjc_bench", "graft_cjc_span").foreach { t =>
+      Seq("graft_cjc_bench", "graft_cjc_span", "graft_cjc_span_counts").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
       }

@@ -707,7 +707,8 @@ class DailyIncrementSpec extends AnyFunSuite {
       .write.parquet(s"$synth/embeddings.parquet")
     val dir = Files.createTempDirectory("graft-span-daily-").toString
     val fullDir = Files.createTempDirectory("graft-span-full-").toString
-    val tables = Seq("graft_sp_daily", "graft_sp_full")
+    val tables = Seq("graft_sp_daily", "graft_sp_daily_counts",
+      "graft_sp_full", "graft_sp_full_counts")
     try {
       CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100,
         spanIndex = Some("graft_sp_daily"))
@@ -795,6 +796,96 @@ class DailyIncrementSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS $t")
         spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
       }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("full stack daily (nearDup + overlap + bench + span): day0 + increment == union rebuild") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // every optional stage on at once — the production configuration.
+    // Geometry keeps ALL eval content in day 0 (so the bench stage's
+    // sequential-union semantics coincide with the rebuild) and puts one
+    // trigger per stage in the batch:
+    //   day0: 34 (eval) = e1..e30; 10 = 23a+S (S keeper, 30);
+    //         12 = 23b+S (loses S, 23); 11 = 23v+e5..11 (bench quote, 23)
+    //   batch: 100 = 23x+S (S committed, 23); 101 = doc 10 with its last
+    //          token changed (jaccard .93 — near-dup of committed 10,
+    //          drops whole); 103 = 23m+e12..18 (bench quote, 23);
+    //          104 = uniq (30)
+    val mod = CorpusQueries.EvalMod
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def withTail(p: String, tail: Seq[String]) =
+      ((1 to 23).map(i => s"$p$i") ++ tail).mkString(" ")
+    val e = (1 to 30).map(i => s"e$i")
+    val spanS = (1 to 7).map(i => s"s$i")
+    val nearDupOf10 = ((1 to 23).map(i => s"a$i") ++ spanS.init :+ "z9").mkString(" ")
+    val all = Seq(
+      (34L, uniq("e")),
+      (10L, withTail("a", spanS)), (11L, withTail("v", e.slice(4, 11))),
+      (12L, withTail("b", spanS)),
+      (100L, withTail("x", spanS)), (101L, nearDupOf10),
+      (103L, withTail("m", e.slice(11, 18))), (104L, uniq("q")))
+    assert(all.map(_._1).filter(_ % mod == 0) == Seq(34L),
+      "eval-split geometry drifted")
+    val synth = Files.createTempDirectory("graft-fs-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-fs-daily-").toString
+    val fullDir = Files.createTempDirectory("graft-fs-full-").toString
+    val pre = Seq("graft_fs_nd", "graft_fs_ov", "graft_fs_be", "graft_fs_sp")
+    val tables = (pre ++ pre.map(_ + "_r")).flatMap(t =>
+      Seq(t, s"${t}_counts", s"${t}_tombstones"))
+    try {
+      CurationJob.run(spark, synth, dir, docFilter = col("doc_id") < 100,
+        nearDupIndex = Some("graft_fs_nd"), overlapIndex = Some("graft_fs_ov"),
+        benchIndex = Some("graft_fs_be"), spanIndex = Some("graft_fs_sp"))
+      def toks(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(toks(dir) == Map(10L -> 30L, 11L -> 23L, 12L -> 23L),
+        s"day0 full-stack verdict wrong: ${toks(dir)}")
+
+      val inc = DailyIncrement.run(spark, synth, dir,
+        batchFilter = col("doc_id") >= 100,
+        nearDupIndex = Some("graft_fs_nd"), overlapIndex = Some("graft_fs_ov"),
+        benchIndex = Some("graft_fs_be"), spanIndex = Some("graft_fs_sp"))
+      assert(inc.nBatchKept == 3, s"batch kept ${inc.nBatchKept}, want 3 (101 drops)")
+      val wantToks = Map(10L -> 30L, 11L -> 23L, 12L -> 23L,
+        100L -> 23L, 103L -> 23L, 104L -> 30L)
+      assert(toks(dir) == wantToks, s"daily full-stack verdicts: ${toks(dir)}")
+
+      // union rebuild with the identical configuration
+      CurationJob.run(spark, synth, fullDir, docFilter = lit(true),
+        nearDupIndex = Some("graft_fs_nd_r"), overlapIndex = Some("graft_fs_ov_r"),
+        benchIndex = Some("graft_fs_be_r"), spanIndex = Some("graft_fs_sp_r"))
+      assert(toks(fullDir) == toks(dir),
+        s"rebuild=${toks(fullDir)} daily=${toks(dir)}")
+      def shardRows(d: String) = spark.read.parquet(s"$d/shards")
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(shardRows(fullDir) == shardRows(dir),
+        "daily shards != union rebuild under the full stack")
+      // every maintained index equals its rebuilt twin's id set
+      def ids(t: String) = spark.table(t)
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      for ((d, r) <- pre.map(t => (t, t + "_r"))) {
+        assert(ids(d) == ids(r), s"$d ids ${ids(d)} != rebuild ${ids(r)}")
+      }
+      // the near-dup index carries the REBUILD GRAPH (pre-near-dup
+      // survivors: 101 is indexed though dropped), the span index only
+      // the final kept set's claims
+      assert(ids("graft_fs_nd").contains(101L),
+        "near-dup index must index the dropped near-dup loser (rebuild graph)")
+      assert(ids("graft_fs_sp") ==
+        Set(10L, 11L, 12L, 100L, 103L, 104L),
+        s"span index must claim only final kept docs: ${ids("graft_fs_sp")}")
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       spark.catalog.clearCache()
     }
   }
