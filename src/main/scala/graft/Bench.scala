@@ -4,13 +4,33 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against SPARK_GRAFT_SF_DIR
   * and prints one JSON line. A warmup pass (cheap count over each table)
   * runs first so session/codegen startup cost doesn't land on whichever
-  * query happens to run first. */
+  * query happens to run first.
+  *
+  * SESSION HYGIENE: the battery is ~190 keys; three rounds running
+  * (r11/r12/r13) the end-of-round run needed a plan-diff noise
+  * adjudication because whichever family ran LATE in the single shared
+  * JVM session came out 2-3× inflated (accumulated GC/listener/broadcast
+  * state — min-of-3 per key does not help when all three passes run at
+  * the same session age). Structural fix: the battery runs in CHUNKS of
+  * at most [[ChunkKeys]] keys, each chunk — and each stage bench — in a
+  * FRESH SparkSession (same JVM, so the warmed JIT carries; Spark-side
+  * accumulation resets). Restart + warmup cost lands OUTSIDE every timed
+  * region, so the reported total stays a sum of query work. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Max query keys per SparkSession — bounds how much session-age
+    * inflation the last key of a chunk can see. */
+  private val ChunkKeys = 40
+
+  private def newSession(sfDir: String, cpus: String,
+      warehouse: java.nio.file.Path): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // per-session warehouse: index queries materialize catalog tables;
+      // a later session's in-memory catalog would not know a prior
+      // session's leftovers, and CTAS into the non-empty leftover
+      // location fails — an isolated dir (deleted after stop) makes the
+      // sessions truly independent
+      .config("spark.sql.warehouse.dir", warehouse.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -20,10 +40,30 @@ object Bench {
       // cluster the default parallelism-first policy is the right call)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
+      // survive (truncated) rather than OOM if a plan tree ever blows up
+      .config("spark.sql.maxPlanStringLength", "8388608")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
+    // warmup: session/codegen/file-listing startup cost must not land on
+    // whichever key happens to run first in this session
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    spark
+  }
+
+  /** Run `body` in a fresh session that is ALWAYS stopped (and its
+    * scratch warehouse deleted) after — the next chunk starts clean even
+    * if this one threw. */
+  private def withSession[A](sfDir: String, cpus: String)(body: SparkSession => A): A = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-bench-wh-")
+    val spark = newSession(sfDir, cpus, warehouse)
+    try body(spark)
+    finally { spark.stop(); deleteRecursively(warehouse) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // dev convenience: `runMain graft.Bench q1_agg dedup_clusters` times just
     // those queries (and skips the pipeline/ANN/index stages); the pseudo-keys
     // `pipeline` / `ann` / `index` select those stages alone; no args = full
@@ -39,20 +79,24 @@ object Bench {
     // same plan); the min is stable and still includes all real work
     // (nothing is cached across passes at the table layer). A failing query
     // ABORTS the bench — swallowing would report a broken query as fast.
-    val results = selected.map { case (name, fn) =>
-      val t = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            throw new RuntimeException(s"bench query '$name' failed", e)
+    val results = selected.grouped(ChunkKeys).toSeq.flatMap { chunk =>
+      withSession(sfDir, cpus) { spark =>
+        chunk.map { case (name, fn) =>
+          val t = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch {
+              case e: Throwable =>
+                throw new RuntimeException(s"bench query '$name' failed", e)
+            }
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          // queries cache intermediates for their own multi-use plans; drop
+          // them between queries so retained caches don't crowd executor
+          // storage for the rest of the chunk
+          spark.catalog.clearCache()
+          name -> t
         }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      // queries cache intermediates for their own multi-use plans; drop
-      // them between queries so 70+ retained caches don't crowd executor
-      // storage for the rest of the session
-      spark.catalog.clearCache()
-      name -> t
+      }
     } ++ (if (args.isEmpty || stages("pipeline")) {
       // min-of-2 like the queries (the first pass is JIT/classload-bound —
       // measured ~4s cold vs ~2.5s warm for identical work); each pass
@@ -61,30 +105,37 @@ object Bench {
       // attributable to the stage that caused it; the combined key stays
       // for cross-round comparability (min of the per-pass TOTALS, so it
       // remains a real end-to-end measurement, not a sum of best legs).
-      val passes = (1 to 2).map(_ => pipelineBench(spark, sfDir))
-      val legKeys = passes.head.map(_._1)
-      val best = passes.minBy(_.map(_._2).sum)
-      legKeys.map(k => k -> best.collectFirst { case (`k`, v) => v }.get) :+
-        ("pipeline_ingest_replicate_consume" -> best.map(_._2).sum)
+      withSession(sfDir, cpus) { spark =>
+        val passes = (1 to 2).map(_ => pipelineBench(spark, sfDir))
+        val legKeys = passes.head.map(_._1)
+        val best = passes.minBy(_.map(_._2).sum)
+        legKeys.map(k => k -> best.collectFirst { case (`k`, v) => v }.get) :+
+          ("pipeline_ingest_replicate_consume" -> best.map(_._2).sum)
+      }
     } else Nil) ++
-      (if (args.isEmpty || stages("ann")) annBench(spark, sfDir) else Nil) ++
-      (if (args.isEmpty || stages("index")) indexBench(spark, sfDir) else Nil)
+      (if (args.isEmpty || stages("ann"))
+        withSession(sfDir, cpus)(annBench(_, sfDir)) else Nil) ++
+      (if (args.isEmpty || stages("index"))
+        withSession(sfDir, cpus)(indexBench(_, sfDir)) else Nil)
     // Plan artifacts ride every bench run (outside the timed region): one
     // formatted physical plan per query under target/plans/, so a
     // cross-round perf drift (like r5→r6's broad ~27%) is attributable by
     // diffing the plan surface instead of guessing session noise vs plan
-    // regression. PlanAuditSpec smoke-checks the dump shape.
-    dumpPlans(spark, sfDir, selected, java.nio.file.Paths.get("target/plans"))
+    // regression. PlanAuditSpec smoke-checks the dump shape. A fresh
+    // session on purpose: the stage benches leave no caches behind, so
+    // the dumped skeletons can't be memoized into a different shape
+    // (the r13 dedup_containment_idx plan_diff false-positive).
+    withSession(sfDir, cpus)(
+      dumpPlans(_, sfDir, selected, java.nio.file.Paths.get("target/plans")))
     val sfTag = new java.io.File(sfDir).getName
     // The driver captures only the LAST ~2000 log chars; r4/r5 both lost the
     // front of this line to that window (BENCH parsed:null). Persist the
     // full-precision line as a file artifact, then print a line guaranteed
-    // to fit (renderFitted). Stop Spark BEFORE printing so its shutdown
+    // to fit (renderFitted). Every session is stopped by now, so shutdown
     // logging can't push the JSON out of the captured tail.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
       renderOf(results, results, sfTag)(_.toString) + "\n")
-    spark.stop()
     println(renderFitted(results, sfTag))
   }
 

@@ -26,4 +26,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
       .config("spark.sql.ui.explainMode", "formatted")
+      // Backstop against plan-tree blowup (see plans/PlanGuard): a
+      // pathological composed plan degrades to a TRUNCATED explain string
+      // instead of OOM-ing the driver inside QueryExecution.explainString.
+      // The real fix is the lineage cut at the stage boundary — this only
+      // turns "driver dies formatting the plan" into a survivable symptom.
+      .config("spark.sql.maxPlanStringLength", "8388608")
 }

@@ -112,11 +112,33 @@ object CurationJob {
       benchIndex: Option[String] = None,
       spanIndex: Option[String] = None): Result = {
     graft.GraftExtensions.register(spark)
-    val preNearDup = CorpusQueries.curatedTrain(spark, sfDir, tok, docFilter).cache()
+    // Stage-boundary binding. With NO optional stage, `.cache()` suffices
+    // (single linear DAG). With any optional stage on, the boundaries must
+    // be LINEAGE CUTS, not caches: `kept` re-references `ndKept` several
+    // times (scrub input, digest join-back, and twice via the positioned/
+    // occurrence legs), each reference re-expanding curatedTrain's own
+    // multi-reference DAG — and Catalyst analyzed plans are trees, not
+    // DAGs, so node count multiplies per stage. Execution was never the
+    // problem (the cache bounds that); the DRIVER dies merely FORMATTING
+    // the analyzed plan (explainString OOM — the round-13 abort).
+    // `localCheckpoint(true)` truncates the plan to a LogicalRDD leaf —
+    // the ConnectedComponents.clustersPropagate doctrine, one level up.
+    // Storage is MEMORY_AND_DISK like the cache it replaces; on a shared
+    // long-lived session the checkpoint RDDs release when the frames go
+    // unreachable (ContextCleaner), same footprint class as the
+    // unpersist() below. (On a lossy cluster prefer the stage-to-parquet
+    // form — DailyIncrement's `_increment_pending` — which this job
+    // effectively gets too: every daily consumer reads the parquet
+    // artifacts, never this in-memory lineage.)
+    val cutLineage =
+      nearDupIndex.isDefined || benchIndex.isDefined || spanIndex.isDefined
+    def stageBound(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (cutLineage) df.localCheckpoint(true) else df.cache()
+    val preNearDup = stageBound(CorpusQueries.curatedTrain(spark, sfDir, tok, docFilter))
     val ndKept = nearDupIndex match {
       case None => preNearDup
       case Some(_) =>
-        CorpusQueries.nearDupSurvivors(preNearDup, nearDupThreshold).cache()
+        stageBound(CorpusQueries.nearDupSurvivors(preNearDup, nearDupThreshold))
     }
     // optional token-level text-rewriting stages — LAST (near-dup judges
     // RAW text, and a scrub changing jaccard verdicts would diverge from
@@ -143,12 +165,15 @@ object CurationJob {
         .reduce(_ unionByName _).distinct()
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("q"))).as("dup_starts"))
-      graft.queries.DedupQueries.scrubRebuild(spark, nd, dupStarts)
+      stageBound(graft.queries.DedupQueries.scrubRebuild(spark, nd, dupStarts)
         .join(ndKept.select(col("doc_id"), md5(col("text")).as("digest")), "doc_id")
         .select(col("doc_id"), col("scrub_text").as("text"),
-          (col("n_tokens") - col("n_removed")).as("n_tokens"), col("digest"))
-        .cache()
+          (col("n_tokens") - col("n_removed")).as("n_tokens"), col("digest")))
     }
+    // The pin that the cuts above stay in place: `kept` today is a
+    // LogicalRDD leaf (or the linear cached DAG); remove a checkpoint and
+    // this fails loud, named, BEFORE any consumer formats the plan.
+    graft.plans.PlanGuard.assertBounded(kept, "CurationJob.kept")
     val curatedDir = s"$outDir/curated"
     // digest third: DailyIncrement's corpus-precedes-batch exact dedup
     // anti-joins tomorrow's batch against it (content-addressed manifest)

@@ -213,7 +213,7 @@ object DailyIncrement {
     // drop every corpus-linked batch component whole, and keep only each
     // unlinked component's min id (the dedup_clusters verdict). The
     // components run on the |batch|-bounded batch-batch edge set. ----
-    val (finalKept, ndPairs): (DataFrame, Option[DataFrame]) = nearDupIndex match {
+    val (finalKept0, ndPairs): (DataFrame, Option[DataFrame]) = nearDupIndex match {
       case None => (kept, None)
       case Some(table) =>
         // re-delivered ids are no-ops: a near-dup LOSER is absent from the
@@ -266,6 +266,19 @@ object DailyIncrement {
     // already processed (duplicating its positioned rows would corrupt
     // the island windows — same doctrine as the near-dup gate's
     // membership check). ----
+    // With a text-rewriting stage on, finalKept feeds the positioned
+    // bench pass, the span occurrence pass, two min-id guard aggregates,
+    // the scrub rebuild + digest join-back, and the staging writes — each
+    // reference re-expanding the gate chain (digest anti-join → decontam
+    // → near-dup components), and Catalyst plans are trees, so the
+    // composed plan multiplies per consumer (the round-13 explainString
+    // OOM, CurationJob's twin). localCheckpoint(true) cuts the lineage to
+    // a LogicalRDD leaf (the ConnectedComponents doctrine) and doubles as
+    // the fk cache: every downstream pass scans materialized rows instead
+    // of re-executing the gates.
+    val finalKept =
+      if (benchIndex.isDefined || spanIndex.isDefined) finalKept0.localCheckpoint(true)
+      else finalKept0
     val fk = finalKept.select($"doc_id", $"text")
     val benchPieces: Option[(DataFrame, DataFrame)] = benchIndex.map { table =>
       CatalogCommit.requireCommitted(spark, table)
@@ -319,6 +332,10 @@ object DailyIncrement {
           .select($"doc_id", $"scrub_text".as("text"),
             ($"n_tokens" - $"n_removed").as("n_tokens"), $"digest")
       }
+    // Pin that the finalKept lineage cut stays in place (today scrubKept
+    // references a LogicalRDD leaf; remove the checkpoint above and this
+    // fails loud, named, before the staging write formats the plan).
+    graft.plans.PlanGuard.assertBounded(scrubKept, "DailyIncrement.scrubKept")
 
     // yesterday's pack continuation point — the persisted pack base, NOT
     // the manifest sum: after a takedown the masked manifest undercounts

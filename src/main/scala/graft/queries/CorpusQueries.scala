@@ -1333,7 +1333,12 @@ object CorpusQueries extends QueryModule {
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val train = curatedTrain(s, dir, tok)
     // cache: the components loop ran inside nearDupSurvivors; nd feeds
-    // two positioned passes, the span occurrence pass and the rebuild
+    // two positioned passes, the span occurrence pass and the rebuild.
+    // NOT unpersisted here — the returned plan still references the cache
+    // entry, so release is the CALLER's: the bench/verify harnesses call
+    // spark.catalog.clearCache() between queries; programmatic repeat
+    // callers should do the same (or run via CurationJob, whose stage
+    // boundaries carry their own explicit release discipline).
     val nd = nearDupSurvivors(train).select(col("doc_id"), col("text")).cache()
     val evalDocs = curatedKept(s, dir, tok)
       .filter(col("doc_id") % EvalMod === 0)

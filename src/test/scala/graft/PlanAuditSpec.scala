@@ -562,4 +562,46 @@ class PlanAuditSpec extends AnyFunSuite {
       assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, s"$q:\n$p")
     }
   }
+
+  // ---- plan-SIZE regression pins (round-13 verdict #2): Catalyst plans
+  // are trees, not DAGs, so a composed stage that re-references a
+  // multi-reference upstream K times multiplies node count per stage —
+  // the failure is the DRIVER dying while merely FORMATTING the plan
+  // (explainString OOM), independent of data size and cluster size. The
+  // operator-level compositions (CurationJob.run, DailyIncrement
+  // .runBatch) carry in-code PlanGuard.assertBounded at their lineage
+  // cuts — their full-stack specs ARE those pins. Here: the query-level
+  // capstone stays bounded, and the guard itself is proven to trip on a
+  // genuinely blown tree, so a removed checkpoint can never fail silent.
+
+  test("plan-size: the composed curation capstones stay tree-bounded (no multiplicative stage blowup)") {
+    for (q <- Seq("pipeline_curate_full", "pipeline_curate_neardup",
+        "pipeline_curate_scrub", "pipeline_curate_spans")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val n = graft.plans.PlanGuard.nodeCount(df, cap = 10000)
+      assert(n <= 10000, s"$q: analyzed plan exceeds 10k nodes ($n+) — a " +
+        "stage re-composition multiplied the tree; cut lineage at the " +
+        "stage boundary (PlanGuard scaladoc)")
+      // formatting must also stay cheap — this is the exact site that
+      // OOM'd r13's suite runs
+      assert(df.queryExecution.explainString(FormattedMode).length < 4000000,
+        s"$q: formatted plan unexpectedly large")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("plan-size: PlanGuard trips on a multiplicatively blown tree (capped walk, no enumeration)") {
+    import spark.implicits._
+    // double the plan 14 times: 2^14 leaf references — small data, a tree
+    // already over the guard cap (kept modest: ANALYSIS is itself O(tree),
+    // which is the whole point of guarding)
+    var df = Seq(1L, 2L, 3L).toDF("v")
+    for (_ <- 1 to 14) df = df.union(df)
+    val n = graft.plans.PlanGuard.nodeCount(df, cap = 10000)
+    assert(n > 10000, s"expected capped overflow, got $n")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.PlanGuard.assertBounded(df, "spec-blown-tree")
+    }
+    assert(e.getMessage.contains("spec-blown-tree"), e.getMessage)
+  }
 }
