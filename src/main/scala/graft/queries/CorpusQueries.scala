@@ -488,6 +488,53 @@ object CorpusQueries extends QueryModule {
     // itself a driver-gate hash equality, not just each stage alone.
     "pipeline_curate_full" -> { (s, dir) => pipelineCurateFull(s, dir) },
 
+    // The fate trace for the FULL-STRENGTH DAG — pipeline_audit_neardup's
+    // verdict CASE (near-dup drops land between 'contaminated' and
+    // 'kept') PLUS both text-rewriting stages' per-doc effect: n_removed
+    // is the tokens excised by the UNION of benchmark-scrub and
+    // span-keep-first dup starts (the one-rebuild composition
+    // pipeline_curate_full packs), and shard placement comes from that
+    // post-scrub packing. One row answers every "what happened to doc X
+    // in production?" ticket the composed pipeline fields. The cached
+    // cluster table feeds BOTH the fate column and the packing through
+    // packCurateFull, so the components loop runs once per query.
+    "pipeline_audit_full" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
+      val quality = qualityGate(docs)
+      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
+      val dups = quality.select($"doc_id", md5($"text").as("ch"))
+        .join(win, "ch").select($"doc_id", $"keep_id")
+      val kept = curatedKept(s, dir)
+      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
+      val contam = contamination(sh)
+        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val train = curatedTrain(s, dir)
+      val clusters = nearDupClusters(train).cache()
+      val nd = train
+        .join(clusters.filter($"cluster" === $"doc_id").select($"doc_id"),
+          Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"text").cache()
+      val packed = packCurateFull(s, dir, Tokenizer.Whitespace, nd)
+        .select($"doc_id", $"n_removed", $"shard", $"shard_offset")
+      docs.select($"doc_id", $"n_tokens")
+        .join(dups, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(clusters, Seq("doc_id"), "left")
+        .join(packed, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          when($"keep_id".isNull, lit("gate_failed"))
+            .when($"keep_id" =!= $"doc_id", lit("dup"))
+            .when($"doc_id" % EvalMod === 0, lit("eval_split"))
+            .when($"contam_frac" >= 0.5, lit("contaminated"))
+            .when($"cluster" =!= $"doc_id", lit("neardup"))
+            .otherwise(lit("kept")).as("fate"),
+          when($"keep_id" =!= $"doc_id", $"keep_id")
+            .when($"cluster" =!= $"doc_id", $"cluster").as("dup_of"),
+          $"contam_frac", $"n_removed", $"shard", $"shard_offset")
+    },
+
     // pipeline_audit with the near-dup stage in the fate order — the
     // operability trace for the full-strength DAG: 'neardup' lands
     // between 'contaminated' and 'kept', dup_of reports the cluster
@@ -1340,6 +1387,19 @@ object CorpusQueries extends QueryModule {
     // callers should do the same (or run via CurationJob, whose stage
     // boundaries carry their own explicit release discipline).
     val nd = nearDupSurvivors(train).select(col("doc_id"), col("text")).cache()
+    packCurateFull(s, dir, tok, nd)
+  }
+
+  /** The full-strength DAG's text-rewriting + packing tail from a
+    * PRECOMPUTED near-dup survivor frame `nd` (doc_id, text; cached by
+    * the caller): union of the benchmark-scrub and span-keep-first dup
+    * starts → one token rebuild → packing on post-scrub counts. Shared
+    * by [[pipelineCurateFull]] and pipeline_audit_full so the audit's
+    * CACHED cluster table feeds both its fate column and this packing —
+    * the components loop runs ONCE per query (the packNearDupKeepers
+    * doctrine applied to the capstone). */
+  private def packCurateFull(s: SparkSession, dir: String,
+      tok: Tokenizer, nd: DataFrame): DataFrame = {
     val evalDocs = curatedKept(s, dir, tok)
       .filter(col("doc_id") % EvalMod === 0)
       .select(col("doc_id"), col("text"))
@@ -2049,6 +2109,117 @@ object CorpusQueries extends QueryModule {
          |  CASE WHEN du.keep_id <> d.doc_id THEN du.keep_id
          |       WHEN cl.cluster <> d.doc_id THEN cl.cluster END AS dup_of,
          |  ct.contam_frac, p.shard, p.shard_offset
+         |FROM docs d LEFT JOIN dups du ON du.doc_id = d.doc_id
+         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |  LEFT JOIN packed p ON p.doc_id = d.doc_id""".stripMargin,
+
+    // pipeline_audit_neardup's fate CTEs + pipeline_curate_full's
+    // composed rebuild tail: the keepers' benchmark-scrub (cs1) and
+    // span-keep-first (cs2) dup starts UNION into one token rebuild,
+    // n_removed and the shard columns come from the post-scrub packing,
+    // and the verdict CASE carries 'neardup' in DAG order
+    "pipeline_audit_full" ->
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, text, $oTokens AS w,
+         |    CAST(len($oTokens) AS BIGINT) AS n_tokens FROM documents),
+         |quality AS (SELECT * FROM docs WHERE n_tokens >= 5
+         |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / nullif(length(text), 0) < 0.3),
+         |keepw AS (SELECT md5(text) AS ch, min(doc_id) AS keep_id
+         |          FROM quality GROUP BY md5(text)),
+         |dups AS (SELECT q.doc_id, k.keep_id
+         |         FROM quality q JOIN keepw k ON md5(q.text) = k.ch),
+         |kept AS (SELECT q.doc_id, q.text, q.w, q.n_tokens
+         |         FROM quality q JOIN dups d ON q.doc_id = d.doc_id
+         |           AND d.keep_id = q.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, ${oH60("sg")} AS h
+         |       FROM (SELECT doc_id, unnest($oShingles3) AS sg FROM kept)),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $EvalMod = 0),
+         |contam AS (
+         |  SELECT tr.doc_id,
+         |    CAST(CAST(sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |      / count(*) AS contam_frac
+         |  FROM (SELECT doc_id, h FROM sh WHERE doc_id % $EvalMod <> 0) tr
+         |  LEFT JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id),
+         |train AS (SELECT doc_id, w FROM kept
+         |  WHERE doc_id % $EvalMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam WHERE contam_frac >= 0.5)),
+         |tsh AS (SELECT s.doc_id, s.h FROM sh s
+         |        JOIN train t ON t.doc_id = s.doc_id),
+         |tcnt AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM tsh a JOIN tsh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN tcnt ca ON ca.doc_id = doc_a
+         |    JOIN tcnt cb ON cb.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= $NearDupThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM train
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |nd AS (SELECT t.doc_id, t.w FROM train t
+         |       JOIN cl ON cl.doc_id = t.doc_id AND cl.cluster = t.doc_id),
+         |sgt AS (SELECT doc_id, $oShingles3 AS ss FROM nd),
+         |sge AS (SELECT doc_id, $oShingles3 AS ss
+         |        FROM (SELECT doc_id, w FROM kept WHERE doc_id % $EvalMod = 0)),
+         |occt AS (SELECT doc_id, unnest(ss) AS s,
+         |                unnest(range(0, len(ss))) AS q FROM sgt),
+         |occe AS (SELECT doc_id, unnest(ss) AS s,
+         |                unnest(range(0, len(ss))) AS q FROM sge),
+         |o2 AS (SELECT doc_id, q, ${oH60("s")} AS h FROM occt),
+         |j AS (SELECT t.doc_id AS t_doc, e.doc_id AS e_doc,
+         |             t.q - e.q AS diag, e.q AS qe, t.q AS qt
+         |      FROM o2 t
+         |      JOIN (SELECT doc_id, q, ${oH60("s")} AS h FROM occe) e
+         |        ON t.h = e.h),
+         |isl AS (SELECT t_doc, e_doc, diag, qe, qt,
+         |          qe - row_number() OVER (
+         |            PARTITION BY t_doc, e_doc, diag ORDER BY qe) AS isl
+         |        FROM j),
+         |qual AS (SELECT t_doc, qt,
+         |           count(*) OVER (PARTITION BY t_doc, e_doc, diag, isl) AS L
+         |         FROM isl),
+         |cs1 AS (SELECT DISTINCT t_doc AS doc_id, qt AS q FROM qual
+         |        WHERE L >= ${MinRunTokens - 2}),
+         |bk AS (SELECT h, min(doc_id) AS keep_id
+         |       FROM (SELECT DISTINCT doc_id, h FROM o2)
+         |       GROUP BY h HAVING count(*) >= 2),
+         |cs2 AS (SELECT o2.doc_id, o2.q FROM o2 JOIN bk ON o2.h = bk.h
+         |        WHERE o2.doc_id <> bk.keep_id),
+         |cs AS (SELECT doc_id, q FROM cs1 UNION SELECT doc_id, q FROM cs2),
+         |ds AS (SELECT doc_id, list(q ORDER BY q) AS dstarts FROM cs GROUP BY doc_id),
+         |fin AS (SELECT t.doc_id, t.w, coalesce(ds.dstarts, []) AS dsx
+         |        FROM nd t LEFT JOIN ds ON ds.doc_id = t.doc_id),
+         |k AS (SELECT doc_id, w,
+         |    [i for i in range(0, len(w))
+         |     if len(list_filter(dsx, q -> q >= i-2 AND q <= i)) = 0] AS kept2
+         |  FROM fin),
+         |sc AS (SELECT doc_id, CAST(len(kept2) AS BIGINT) AS nt,
+         |         CAST(len(w) - len(kept2) AS BIGINT) AS n_removed FROM k),
+         |c AS (SELECT doc_id, n_removed,
+         |    coalesce(sum(nt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM sc),
+         |packed AS (SELECT doc_id, n_removed,
+         |    CAST(cb // $PackBudget AS BIGINT) AS shard,
+         |    CAST(cb % $PackBudget AS BIGINT) AS shard_offset
+         |  FROM c)
+         |SELECT d.doc_id, d.n_tokens,
+         |  CASE WHEN du.keep_id IS NULL THEN 'gate_failed'
+         |       WHEN du.keep_id <> d.doc_id THEN 'dup'
+         |       WHEN d.doc_id % $EvalMod = 0 THEN 'eval_split'
+         |       WHEN ct.contam_frac >= 0.5 THEN 'contaminated'
+         |       WHEN cl.cluster <> d.doc_id THEN 'neardup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN du.keep_id <> d.doc_id THEN du.keep_id
+         |       WHEN cl.cluster <> d.doc_id THEN cl.cluster END AS dup_of,
+         |  ct.contam_frac, p.n_removed, p.shard, p.shard_offset
          |FROM docs d LEFT JOIN dups du ON du.doc_id = d.doc_id
          |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
          |  LEFT JOIN cl ON cl.doc_id = d.doc_id

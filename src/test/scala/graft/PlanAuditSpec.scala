@@ -545,11 +545,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("near-dup pipeline queries: no cartesian, no text-keyed exchange, no single-partition funnel") {
-    for (q <- Seq("pipeline_curate_neardup", "pipeline_audit_neardup")) {
+    for (q <- Seq("pipeline_curate_neardup", "pipeline_audit_neardup",
+        "pipeline_audit_full")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("SinglePartition"), s"$q:\n$p")
       assert("hashpartitioning\\([^)]*text#".r.findFirstIn(p).isEmpty, s"$q:\n$p")
+      spark.catalog.clearCache()
     }
   }
 
@@ -576,7 +578,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("plan-size: the composed curation capstones stay tree-bounded (no multiplicative stage blowup)") {
     for (q <- Seq("pipeline_curate_full", "pipeline_curate_neardup",
-        "pipeline_curate_scrub", "pipeline_curate_spans")) {
+        "pipeline_curate_scrub", "pipeline_curate_spans", "pipeline_audit_full")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val n = graft.plans.PlanGuard.nodeCount(df, cap = 10000)
       assert(n <= 10000, s"$q: analyzed plan exceeds 10k nodes ($n+) — a " +

@@ -320,6 +320,117 @@ class TakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("full-stack tree: one registry-driven takedown + scrub reaches all four curation stage indexes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // The composition the r13 plan blowup blocked from being scrub-pinned:
+    // a day-0 tree carrying ALL FOUR stage indexes (near-dup gate,
+    // standing overlap artifact, positioned benchmark, span passage
+    // claims). One Takedown.run WITHOUT index names must reach every one
+    // through the tree-recorded registry, leave each probe equal to a
+    // rebuild on the remaining corpus, and one scrub() must physically
+    // erase the removed ids from all four without changing any probe.
+    val dir = Files.createTempDirectory("graft-tkfs-").toString
+    val stageTables = Seq("graft_tkfs_nd", "graft_tkfs_ov",
+      "graft_tkfs_be", "graft_tkfs_sp")
+    val allTables = (stageTables ++ stageTables.map(_ + "_ref"))
+      .flatMap(t => Seq(t, s"${t}_counts", s"${t}_tombstones"))
+    def dropAll(): Unit = allTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    try {
+      CurationJob.run(spark, sf, dir, docFilter = col("doc_id") % 10 =!= 0,
+        nearDupIndex = Some("graft_tkfs_nd"),
+        overlapIndex = Some("graft_tkfs_ov"),
+        benchIndex = Some("graft_tkfs_be"),
+        spanIndex = Some("graft_tkfs_sp"))
+      val docsTable = Tables.load(spark, sf, "documents")
+      def tableIds(t: String): Set[Long] =
+        spark.table(t).select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+      val origIds = stageTables.map(t => t -> tableIds(t)).toMap
+      val keptIds = spark.read.parquet(s"$dir/curated")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      // kept train docs + one benchmark (eval) doc: every index loses rows
+      val removed = keptIds.filter(_ % 7 == 0) + origIds("graft_tkfs_be").min
+      for (t <- stageTables)
+        assert(origIds(t).intersect(removed).nonEmpty, s"$t holds no removed id — vacuous")
+
+      val probeBatch = docsTable.filter($"doc_id" % 10 === 0)
+        .select($"doc_id", $"text")
+      val minRun = CorpusQueries.MinRunTokens
+      def ndPairs(t: String) = ShingleIndex.probe(spark, t, probeBatch, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def spanRows(t: String) = ShingleIndex.spanKeepFirstProbe(spark, t, probeBatch)
+        .select($"doc_id", $"n_removed", $"scrub_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      def ovRuns(t: String) = graft.operators.OverlapIndex
+        .runsProbe(spark, t, probeBatch, minRun)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def beScrub(t: String) = graft.operators.OverlapIndex
+        .scrubProbe(spark, t, probeBatch, minRun)
+        .select($"doc_id", $"n_removed", $"scrub_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // the standing overlap artifact indexes the SCRUBBED final-kept
+      // text (the daily path extends it with scrubbed batches), so its
+      // delete pin is run-locality, not a raw-text rebuild: runs are per
+      // (t_doc, e_doc) pair, so masking removes EXACTLY the removed
+      // docs' rows and touches nothing else
+      val ovPre = ovRuns("graft_tkfs_ov")
+
+      val payload = docsTable.filter($"doc_id".isin(removed.toSeq: _*))
+        .select($"doc_id", $"text", $"lang")
+      // NO index names passed — outDir/indexes must carry all four
+      Takedown.run(spark, dir, payload.select($"doc_id"), payload, $"lang" === "en")
+
+      // rebuild-on-remaining references over the SAME raw text the
+      // other three indexes saw (near-dup gate: pre-near-dup survivors'
+      // raw text; span claims: ndKept raw text; benchmark: eval docs'
+      // raw text — all RAW by CurationJob's design)
+      def corpusOf(ids: Set[Long]) = docsTable
+        .filter($"doc_id".isin(ids.toSeq: _*)).select($"doc_id", $"text")
+      ShingleIndex.materialize(
+        corpusOf(origIds("graft_tkfs_nd") -- removed), "graft_tkfs_nd_ref")
+      ShingleIndex.materialize(
+        corpusOf(origIds("graft_tkfs_sp") -- removed), "graft_tkfs_sp_ref")
+      graft.operators.OverlapIndex.materialize(
+        corpusOf(origIds("graft_tkfs_be") -- removed), "graft_tkfs_be_ref")
+
+      val nd = ndPairs("graft_tkfs_nd")
+      assert(nd == ndPairs("graft_tkfs_nd_ref"),
+        "near-dup gate probe != rebuild on remaining after registry takedown")
+      val sp = spanRows("graft_tkfs_sp")
+      assert(sp == spanRows("graft_tkfs_sp_ref"),
+        "span keep-first probe != rebuild on remaining after registry takedown")
+      val ov = ovRuns("graft_tkfs_ov")
+      assert(ov == ovPre.filterNot(r => removed(r._2)),
+        "overlap runs probe != pre-takedown rows minus the removed docs'")
+      // non-vacuity: the masked occurrence relation itself lost the
+      // removed ids (the probe diff can legitimately be empty when no
+      // removed doc shared a long-enough run with this probe batch)
+      assert(graft.operators.OverlapIndex
+        .maskedOccurrences(spark, "graft_tkfs_ov")
+        .select($"doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet.intersect(removed).isEmpty,
+        "masked overlap occurrences still carry removed ids")
+      val be = beScrub("graft_tkfs_be")
+      assert(be == beScrub("graft_tkfs_be_ref"),
+        "benchmark scrub probe != rebuild on remaining after registry takedown")
+
+      // physical erasure, registry-driven: no names passed here either
+      Takedown.scrub(spark, dir)
+      assert(ndPairs("graft_tkfs_nd") == nd, "near-dup probe changed across scrub")
+      assert(spanRows("graft_tkfs_sp") == sp, "span probe changed across scrub")
+      assert(ovRuns("graft_tkfs_ov") == ov, "overlap probe changed across scrub")
+      assert(beScrub("graft_tkfs_be") == be, "bench probe changed across scrub")
+      for (t <- stageTables) {
+        assert(tableIds(t).intersect(removed).isEmpty,
+          s"$t still holds removed ids after scrub")
+        assert(!spark.catalog.tableExists(s"${t}_tombstones"),
+          s"${t}_tombstones survived the scrub")
+      }
+    } finally { dropAll(); spark.catalog.clearCache() }
+  }
+
   test("DsirModel.remove: remove(fit(a ∪ b), b) == fit(a) exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
