@@ -39,15 +39,17 @@ object StreamingIncrement {
   /** The optional stage indexes are [[DailyIncrement.runBatch]]'s,
     * passed through verbatim: `nearDupIndex` (the standing dedup-graph
     * ShingleIndex), `overlapIndex` (positioned corpus artifact),
-    * `benchIndex` (the positioned benchmark the scrub stage probes) —
-    * the streaming feed gets the full-strength DAG, and the
+    * `benchIndex` (the positioned benchmark the scrub stage probes),
+    * `spanIndex` (the passage-claim surface the keep-first stage
+    * probes) — the streaming feed gets the full-strength DAG, and the
     * exactly-once story is unchanged because runBatch already carries
     * each index append inside its staged marker protocol. */
   def apply(spark: SparkSession, embeddings: DataFrame, outDir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
       nearDupIndex: Option[String] = None,
       overlapIndex: Option[String] = None,
-      benchIndex: Option[String] = None): (DataFrame, Long) => Unit =
+      benchIndex: Option[String] = None,
+      spanIndex: Option[String] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => {
       // pin the batch before runBatch's appends mutate paths its own
       // staging plan reads (the read-path-you-write discipline);
@@ -58,7 +60,7 @@ object StreamingIncrement {
           pinned.select(col("doc_id"), col("text"), col("lang")),
           embeddings, outDir, tok,
           nearDupIndex = nearDupIndex, overlapIndex = overlapIndex,
-          benchIndex = benchIndex)
+          benchIndex = benchIndex, spanIndex = spanIndex)
         ()
       }
     }

@@ -91,6 +91,126 @@ class StreamingIncrementSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("streamed FULL-STRENGTH feed (all four gates) == batch daily; replay is a no-op on every index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // DailyIncrementSpec's full-stack geometry: one trigger per stage —
+    // an eval doc (34), a span keeper (10) and loser (12), a bench quote
+    // (11) in day 0; the batch carries a committed-span quote (100), a
+    // near-dup of committed 10 (101, drops whole), a bench quote (103),
+    // and a unique doc (104) — streamed as TWO micro-batches so the
+    // monotone-id daily contract is exercised across triggers.
+    val mod = graft.queries.CorpusQueries.EvalMod
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def withTail(p: String, tail: Seq[String]) =
+      ((1 to 23).map(i => s"$p$i") ++ tail).mkString(" ")
+    val e = (1 to 30).map(i => s"e$i")
+    val spanS = (1 to 7).map(i => s"s$i")
+    val nearDupOf10 = ((1 to 23).map(i => s"a$i") ++ spanS.init :+ "z9").mkString(" ")
+    val all = Seq(
+      (34L, uniq("e")),
+      (10L, withTail("a", spanS)), (11L, withTail("v", e.slice(4, 11))),
+      (12L, withTail("b", spanS)),
+      (100L, withTail("x", spanS)), (101L, nearDupOf10),
+      (103L, withTail("m", e.slice(11, 18))), (104L, uniq("q")))
+    assert(all.map(_._1).filter(_ % mod == 0) == Seq(34L),
+      "eval-split geometry drifted")
+    val synth = Files.createTempDirectory("graft-sfs-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    Seq((10L, Array.fill(64)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val sDir = Files.createTempDirectory("graft-sfs-s-").toString
+    val bDir = Files.createTempDirectory("graft-sfs-b-").toString
+    val kinds = Seq("nd", "ov", "be", "sp")
+    val tables = kinds.flatMap(k => Seq(s"graft_sfs_${k}_s", s"graft_sfs_${k}_b"))
+      .flatMap(t => Seq(t, s"${t}_counts", s"${t}_tombstones"))
+    def idx(k: String, side: String) = s"graft_sfs_${k}_$side"
+    try {
+      for (side <- Seq("s", "b")) {
+        CurationJob.run(spark, synth,
+          if (side == "s") sDir else bDir, docFilter = col("doc_id") < 100,
+          nearDupIndex = Some(idx("nd", side)), overlapIndex = Some(idx("ov", side)),
+          benchIndex = Some(idx("be", side)), spanIndex = Some(idx("sp", side)))
+      }
+      // batch tree: the two splits as explicit DailyIncrements
+      for (f <- Seq(col("doc_id") >= 100 && col("doc_id") < 104,
+          col("doc_id") >= 104))
+        DailyIncrement.run(spark, synth, bDir, batchFilter = f,
+          nearDupIndex = Some(idx("nd", "b")), overlapIndex = Some(idx("ov", "b")),
+          benchIndex = Some(idx("be", "b")), spanIndex = Some(idx("sp", "b")))
+
+      // stream tree: the same splits as two micro-batches
+      val docsTable = spark.read.parquet(s"$synth/documents.parquet")
+      def rowsOf(f: org.apache.spark.sql.Column) = docsTable.filter(f)
+        .select($"doc_id", $"text", $"lang")
+        .as[(Long, String, String)].collect().toSeq
+      val embs = spark.read.parquet(s"$synth/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      val body = StreamingIncrement(spark, embs, sDir,
+        nearDupIndex = Some(idx("nd", "s")), overlapIndex = Some(idx("ov", "s")),
+        benchIndex = Some(idx("be", "s")), spanIndex = Some(idx("sp", "s")))
+      val ms = MemoryStream[(Long, String, String)]
+      val q = ms.toDF().toDF("doc_id", "text", "lang").writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ckpt-sfs-").toString)
+        .foreachBatch(body)
+        .start()
+      ms.addData(rowsOf(col("doc_id") >= 100 && col("doc_id") < 104): _*)
+      q.processAllAvailable()
+      ms.addData(rowsOf(col("doc_id") >= 104): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      def manifest(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id", $"n_tokens", $"digest").collect().map(_.toSeq).toSet
+      def shards(d: String) = spark.read.parquet(s"$d/shards")
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(_.toSeq).toSet
+      // index contents compared batch-column-free: both trees saw the
+      // identical splits, but the row identity is what the probes read
+      def ndRows(t: String) = spark.table(t)
+        .select($"doc_id", $"h").collect().map(_.toSeq).toSet
+      def ovRows(t: String) = spark.table(t)
+        .select($"doc_id", $"q", $"h").collect().map(_.toSeq).toSet
+      assert(manifest(sDir) == manifest(bDir), "curated diverged under the full stack")
+      assert(shards(sDir) == shards(bDir), "shards diverged under the full stack")
+      assert(ndRows(idx("nd", "s")) == ndRows(idx("nd", "b")),
+        "near-dup index diverged: streamed != batch")
+      assert(ndRows(idx("sp", "s")) == ndRows(idx("sp", "b")),
+        "span index diverged: streamed != batch")
+      assert(ovRows(idx("ov", "s")) == ovRows(idx("ov", "b")),
+        "overlap index diverged: streamed != batch")
+      assert(ovRows(idx("be", "s")) == ovRows(idx("be", "b")),
+        "benchmark index diverged: streamed != batch")
+      // stage verdicts actually fired (not a vacuous green): 101 dropped
+      // as a near-dup, 100 lost span S, 103's bench quote scrubbed
+      val toks = spark.read.parquet(s"$sDir/curated")
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(toks == Map(10L -> 30L, 11L -> 23L, 12L -> 23L,
+        100L -> 23L, 103L -> 23L, 104L -> 30L),
+        s"full-stack streamed verdicts drifted: $toks")
+
+      // replay the first micro-batch: every artifact must be untouched
+      val before = (manifest(sDir), kinds.map(k =>
+        if (k == "nd" || k == "sp") ndRows(idx(k, "s")) else ovRows(idx(k, "s"))))
+      body(rowsOf(col("doc_id") >= 100 && col("doc_id") < 104)
+        .toDF("doc_id", "text", "lang"), 0L)
+      assert(manifest(sDir) == before._1, "replay mutated the manifest")
+      val after = kinds.map(k =>
+        if (k == "nd" || k == "sp") ndRows(idx(k, "s")) else ovRows(idx(k, "s")))
+      assert(after == before._2, "replay mutated a maintained index")
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("streamed feed with the scrub stage on == batch daily; replay never duplicates benchmark rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
