@@ -394,15 +394,39 @@ object Bm25Index {
     * of the files its own plan reads. */
   def vacuum(spark: SparkSession, path: String): Unit = {
     if (!hasTombstones(path)) return
+    compact(spark, path)
+  }
+
+  /** [[vacuum]] WITHOUT requiring tombstones — the layout half of index
+    * maintenance: every [[append]] adds a `batch=<n>` partition under the
+    * postings dir, so a year of daily increments leaves a probe opening
+    * ~365× the partition dirs it needs even with nothing deleted.
+    * compact() folds every committed batch (tombstone-masked when a
+    * delete is in flight) into a FRESH single-base postings dir committed
+    * by pointer swap (the epoch-dir discipline — no plan overwrites files
+    * it reads), then GCs the superseded dir and any applied tombstones.
+    * Probes identical before/after; idempotent fast path when already
+    * single-base with nothing masked; legacy unbatched layouts are
+    * already one flat dir and also skip. Tree-level form:
+    * [[Maintenance.compact]]. */
+  def compact(spark: SparkSession, path: String): Unit = {
     applyPending(spark, path)
-    val (epoch, smallsRel, postingsRel, _) = currentState(path)
-    val newRel = s"postings_e$epoch"
+    val (epoch, smallsRel, postingsRel, lastBatch) = currentState(path)
+    if (!hasTombstones(path) && lastBatch <= 0) return
+    // bump the epoch so the rewrite always lands in a fresh dir (delete
+    // already bumped it for the vacuum path; the no-tombstone path must
+    // bump here — epochs are monotone, never reused, so this is safe)
+    val newEpoch = if (hasTombstones(path)) epoch else epoch + 1
+    val newRel = s"postings_e$newEpoch"
     if (newRel != postingsRel) {
-      // the rewrite compacts every committed batch back into batch 0
+      // the rewrite compacts every committed batch back into batch 0,
+      // re-clustered by posting bucket so each `b=` dir lands as one
+      // contiguous file set (the ShingleIndex.compact shape)
       masked(spark, path, postingsDf(spark, path))
+        .repartition(col("b"))
         .withColumn("batch", lit(0L))
         .write.mode("overwrite").partitionBy("batch", "b").parquet(s"$path/$newRel")
-      writeState(path, epoch, smallsRel, newRel, 0L)
+      writeState(path, newEpoch, smallsRel, newRel, 0L)
     }
     def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * ShingleIndex when OverlapIndex became the third artifact carrying the
   * same protocol.
   */
-private[operators] object CatalogCommit {
+private[graft] object CatalogCommit {
 
   def tableLocation(spark: SparkSession, table: String): java.nio.file.Path = {
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
@@ -75,6 +75,25 @@ private[operators] object CatalogCommit {
     try s.sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(java.nio.file.Files.delete)
     finally s.close()
+  }
+
+  /** The `batch=<n>` partition ids physically present at a catalog
+    * table's location (committed or not) — the layout-audit input of
+    * [[graft.operators.Maintenance]]'s compaction report: the daily path
+    * adds one partition per increment, and this is the count a compact
+    * folds back to 1. */
+  def batchDirs(spark: SparkSession, table: String): Seq[Long] = {
+    val loc = tableLocation(spark, table)
+    if (!java.nio.file.Files.exists(loc)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(loc)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Fail-loud pointer contract for PROBE paths: the only legitimate

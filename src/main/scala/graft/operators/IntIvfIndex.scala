@@ -328,6 +328,16 @@ object IntIvfIndex {
     * before and after are identical (IntIvfIndexSpec pins it). */
   def vacuum(spark: SparkSession, dir: String): Unit = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(dir)))) return
+    compact(spark, dir)
+  }
+
+  /** [[vacuum]] WITHOUT requiring tombstones — fold the per-[[append]]
+    * file accumulation inside each `cluster=` dir back into one compact
+    * file set (rows re-clustered so each IVF cell lands contiguously),
+    * dropping any tombstoned vectors along the way. Probes identical
+    * before/after; the trained centroid/PQ artifacts are preserved
+    * verbatim. Tree-level form: [[Maintenance.compact]]. */
+  def compact(spark: SparkSession, dir: String): Unit = {
     val cents = loadCentroids(spark, dir)
     // capture the (KB-sized) hidden artifacts the full-dir overwrite
     // removes; `codes` survives via the data columns themselves
@@ -338,7 +348,11 @@ object IntIvfIndex {
     val kept = masked(spark, dir, spark.read.parquet(dir))
       .select(dataCols: _*)
       .localCheckpoint(true)
-    kept.write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    // the whole-dir overwrite also wipes `_tombstones`/`_centroids`
+    // inside it — the mask above was checkpoint-pinned first, and the
+    // small artifacts rewrite below from their driver-side copies
+    kept.repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
     import spark.implicits._
     cents.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv").coalesce(1)

@@ -126,9 +126,23 @@ object LineSegmentIndex {
     * rewrite, probes identical before/after). */
   def vacuum(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
     if (!spark.catalog.tableExists(s"${name}_tombstones")) return
+    compact(spark, name, buckets)
+  }
+
+  /** [[vacuum]] WITHOUT requiring tombstones — rewrite the bucket layout
+    * once, folding the per-[[append]] file accumulation back into one
+    * compact file set (this table has no batch partitions; the
+    * small-files growth here is per-append files inside each bucket).
+    * Probes identical before/after; applied tombstones drop. Tree-level
+    * form: [[Maintenance.compact]]. */
+  def compact(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    graft.GraftExtensions.register(spark)
+    val hasTomb = spark.catalog.tableExists(s"${name}_tombstones")
     val kept = maskedPairs(spark, name).localCheckpoint(true)
-    kept.write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
-    spark.sql(s"DROP TABLE ${name}_tombstones")
+    // one file per non-empty bucket (the ShingleIndex.compact shape)
+    kept.repartition(buckets, col("h"))
+      .write.mode("overwrite").bucketBy(buckets, "h").saveAsTable(name)
+    if (hasTomb) spark.sql(s"DROP TABLE ${name}_tombstones")
   }
 
   /** Line-dedup a new batch (doc_id, text) against the index with

@@ -138,12 +138,27 @@ object OverlapIndex {
     * ShingleIndex.vacuum discipline). */
   def vacuum(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
     if (!spark.catalog.tableExists(s"${name}_tombstones")) return
+    compact(spark, name, buckets)
+  }
+
+  /** [[vacuum]] WITHOUT requiring tombstones — fold every committed
+    * `batch=<n>` partition (tombstone-masked when a delete is in flight)
+    * back into a single `batch=0` base, reset the pointer, drop applied
+    * tombstones. The ShingleIndex.compact doctrine on the positioned
+    * layout: probes identical before/after, idempotent fast path when
+    * already single-base. Tree-level form: [[Maintenance.compact]]. */
+  def compact(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    graft.GraftExtensions.register(spark)
+    val hasTomb = spark.catalog.tableExists(s"${name}_tombstones")
+    if (!hasTomb && CatalogCommit.batchDirs(spark, name) == Seq(0L) &&
+        readLastBatch(spark, name).contains(0L)) return
     val kept = masked(spark, name, occurrences(spark, name)).localCheckpoint(true)
-    kept.withColumn("batch", lit(0L))
+    // one file per non-empty bucket (the ShingleIndex.compact shape)
+    kept.repartition(buckets, col("h")).withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch").bucketBy(buckets, "h")
       .saveAsTable(name)
     writeLastBatch(spark, name, 0L)
-    spark.sql(s"DROP TABLE ${name}_tombstones")
+    if (hasTomb) spark.sql(s"DROP TABLE ${name}_tombstones")
   }
 
   /** Longest-contiguous-overlap runs of `evalDocs` (doc_id, text — the

@@ -176,8 +176,34 @@ object ShingleIndex {
     * operator's schedule (the Bm25Index.vacuum discipline). */
   def vacuum(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
     if (!spark.catalog.tableExists(s"${name}_tombstones")) return
+    compact(spark, name, buckets)
+  }
+
+  /** [[vacuum]] WITHOUT requiring tombstones — the layout half of index
+    * maintenance: the daily path adds one `batch=<n>` partition pair per
+    * increment ([[appendAs]]), so after a year of increments every probe
+    * opens ~365× the partition dirs it needs even if nothing was ever
+    * deleted. compact() folds every COMMITTED batch (tombstone-masked
+    * when a delete is in flight) back into a single `batch=0` base under
+    * the same bucket layout, resets the pointer, and drops any tombstones
+    * it applied — probes before and after are identical, uncommitted
+    * (crashed-append) partitions are dropped with the whole-table
+    * overwrite, and the serialized-writer contract makes the pointer
+    * reset safe (the next [[append]] simply commits batch 1). Idempotent:
+    * an already-single-base index with no tombstones returns without a
+    * rewrite. Same crash windows as the vacuum it generalizes.
+    * Tree-level form: [[Maintenance.compact]]. */
+  def compact(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    graft.GraftExtensions.register(spark)
+    val hasTomb = spark.catalog.tableExists(s"${name}_tombstones")
+    if (!hasTomb && CatalogCommit.batchDirs(spark, name) == Seq(0L) &&
+        readLastBatch(spark, name).contains(0L)) return
     val kept = masked(spark, name, pairs(spark, name)).localCheckpoint(true)
-    kept.withColumn("batch", lit(0L))
+    // numPartitions == numBuckets on the bucket column: HashPartitioning
+    // and the bucket id share the same Murmur3-pmod, so every task holds
+    // exactly one bucket and the fold lands ONE file per non-empty bucket
+    // — the bounded-file-count shape the compaction exists to restore
+    kept.repartition(buckets, col("h")).withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch").bucketBy(buckets, "h")
       .saveAsTable(name)
     spark.table(name)
@@ -185,7 +211,7 @@ object ShingleIndex {
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch").saveAsTable(s"${name}_counts")
     writeLastBatch(spark, name, 0L)
-    spark.sql(s"DROP TABLE ${name}_tombstones")
+    if (hasTomb) spark.sql(s"DROP TABLE ${name}_tombstones")
   }
 
   /** Per-batch-doc NOVELTY against the standing corpus — the

@@ -99,17 +99,30 @@ object VectorIndex {
     * (For the PQ layout use [[vacuumPq]].) */
   def vacuum(spark: SparkSession, path: String): Unit = {
     if (!hasTombstones(path)) return
-    // EAGER localCheckpoint, not cache: the rewrite overwrites the very
-    // files this plan reads, and a lost cached block would silently
-    // recompute from the half-overwritten layout — checkpointing cuts
-    // the lineage and fails loud instead (the DailyIncrement discipline;
-    // Bm25Index.vacuum avoids the hazard structurally via its pointer-
-    // swapped postings dirs, which this path-root hive layout can't use
-    // without breaking partition discovery).
+    compact(spark, path)
+  }
+
+  /** [[vacuum]] WITHOUT requiring tombstones — the layout half of index
+    * maintenance: every [[append]] adds its own files inside each
+    * `bucket=` dir (the layout has no batch axis), so a year of daily
+    * increments multiplies the files a partition-pruned probe opens.
+    * One rewrite folds them back: the surviving rows (tombstone-masked
+    * when a delete is in flight) re-cluster by bucket so each bucket
+    * lands contiguously, and applied tombstones clear. Probes identical
+    * before/after. EAGER localCheckpoint, not cache: the rewrite
+    * overwrites the very files this plan reads, and a lost cached block
+    * would silently recompute from the half-overwritten layout —
+    * checkpointing cuts the lineage and fails loud instead (the
+    * DailyIncrement discipline; Bm25Index avoids the hazard structurally
+    * via its pointer-swapped postings dirs, which this path-root hive
+    * layout can't use without breaking partition discovery). Tree-level
+    * form: [[Maintenance.compact]]. */
+  def compact(spark: SparkSession, path: String): Unit = {
     val kept = masked(spark, path,
       spark.read.parquet(path).select(col("vec_id"), col("v"), col("bucket")),
       "vec_id").localCheckpoint(true)
-    kept.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    kept.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
     clearTombstones(path)
   }
 
@@ -137,6 +150,7 @@ object VectorIndex {
 
   private def clearTombstones(path: String): Unit = {
     val tomb = java.nio.file.Paths.get(tombDir(path))
+    if (!java.nio.file.Files.exists(tomb)) return // compact with no delete in flight
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(tomb)
     try s.sorted(java.util.Comparator.reverseOrder())

@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25Index, CatalogCommit, CurationJob, DailyIncrement,
+  Maintenance, OverlapIndex, ShingleIndex, Takedown, VectorIndex}
+import graft.queries.CorpusQueries
+
+/** Tree-level layout compaction: every [[Maintenance.compact]] leg must
+  * be invisible to every probe surface, fold the per-increment batch
+  * partitions back to a single base, and leave the daily path continuing
+  * EXACTLY as if the compaction never ran (twin-tree equality). The
+  * geometry is the DailyIncrementSpec full-stack fixture extended to two
+  * increments + a probe/continuation batch, so every stage index is
+  * non-vacuously exercised. */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("compact: probes identical, batches fold to base, daily path continues ≡ uncompacted twin, tombstones subsumed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val mod = CorpusQueries.EvalMod
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def withTail(p: String, tail: Seq[String]) =
+      ((1 to 23).map(i => s"$p$i") ++ tail).mkString(" ")
+    val e = (1 to 30).map(i => s"e$i")
+    val spanS = (1 to 7).map(i => s"s$i")
+    // near-dups: jaccard 29/31 ≈ .935 ≥ 0.6 against a committed keeper
+    val nearDupOf104 = ((1 to 29).map(i => s"q$i") :+ "qq30").mkString(" ")
+    val nearDupOf10 = ((1 to 23).map(i => s"a$i") ++ spanS.init :+ "zz").mkString(" ")
+    val all = Seq(
+      // day0 (<100): eval benchmark, span keeper, span loser, bench quote
+      (34L, uniq("e")), (10L, withTail("a", spanS)),
+      (12L, withTail("b", spanS)), (11L, withTail("v", e.slice(4, 11))),
+      // batch1 (100..199): span hit, bench quote, clean keeper, eval doc
+      // (136 = 8·17 — extends the benchmark index so the `be` leg is
+      // non-vacuously multi-batch)
+      (100L, withTail("x", spanS)), (103L, withTail("m", e.slice(11, 18))),
+      (104L, uniq("q")), (136L, uniq("g")),
+      // batch2 (200..299): span hit, near-dup of committed 104 (drops),
+      // bench quote, clean keeper
+      (210L, withTail("y", spanS)), (211L, nearDupOf104),
+      (213L, withTail("n", e.slice(18, 25))), (215L, uniq("w")),
+      // batch3 / probe batch (300+): span hit, near-dup of committed 10
+      // (drops), bench quote, clean keeper
+      (300L, withTail("z", spanS)), (301L, nearDupOf10),
+      (303L, withTail("p", e.slice(4, 11))), (304L, uniq("r")))
+    assert(all.map(_._1).filter(_ % mod == 0).sorted == Seq(34L, 136L),
+      "eval-split geometry drifted")
+    val synth = Files.createTempDirectory("graft-mt-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    all.map { case (id, _) =>
+      (id, Array.tabulate(64)(d => (((id + d) % 7).toFloat + 1f) / 8f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+
+    val pre = Seq("nd", "ov", "be", "sp")
+    def tn(k: String, sfx: String) = s"graft_mt_${k}_$sfx"
+    val tables = for (k <- pre; s <- Seq("a", "b"); t <- Seq(tn(k, s)))
+      yield t
+    def dropAll(): Unit = tables.flatMap(t => Seq(t, s"${t}_counts",
+      s"${t}_tombstones")).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    val dirA = Files.createTempDirectory("graft-mt-a-").toString
+    val dirB = Files.createTempDirectory("graft-mt-b-").toString
+    try {
+      for ((d, sfx) <- Seq((dirA, "a"), (dirB, "b"))) {
+        CurationJob.run(spark, synth, d, docFilter = col("doc_id") < 100,
+          nearDupIndex = Some(tn("nd", sfx)), overlapIndex = Some(tn("ov", sfx)),
+          benchIndex = Some(tn("be", sfx)), spanIndex = Some(tn("sp", sfx)))
+        for (lo <- Seq(100L, 200L))
+          DailyIncrement.run(spark, synth, d,
+            batchFilter = col("doc_id") >= lo && col("doc_id") < lo + 100,
+            nearDupIndex = Some(tn("nd", sfx)), overlapIndex = Some(tn("ov", sfx)),
+            benchIndex = Some(tn("be", sfx)), spanIndex = Some(tn("sp", sfx)))
+      }
+      def manifest(d: String) = spark.read.parquet(s"$d/curated")
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(manifest(dirA) == Map(10L -> 30L, 11L -> 23L, 12L -> 23L,
+        100L -> 23L, 103L -> 23L, 104L -> 30L,
+        210L -> 23L, 213L -> 23L, 215L -> 30L),
+        s"pre-compact manifest drifted: ${manifest(dirA)}")
+
+      // ---- probe surfaces, captured on tree A before the compaction ----
+      val probeBatch = Tables.load(spark, synth, "documents")
+        .filter($"doc_id" >= 300).select($"doc_id", $"text")
+      val minRun = CorpusQueries.MinRunTokens
+      def ndPairs(t: String) = ShingleIndex
+        .probe(spark, t, probeBatch, CorpusQueries.NearDupThreshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def novelty(t: String) = ShingleIndex.noveltyProbe(spark, t, probeBatch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def spanRows(t: String) = ShingleIndex.spanKeepFirstProbe(spark, t, probeBatch)
+        .select($"doc_id", $"n_removed", $"scrub_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      def ovRuns(t: String) = OverlapIndex.runsProbe(spark, t, probeBatch, minRun)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def beScrub(t: String) = OverlapIndex.scrubProbe(spark, t, probeBatch, minRun)
+        .select($"doc_id", $"n_removed", $"scrub_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val qterms = Seq((1L, "a1"), (1L, "q5"), (2L, "w9")).toDF("query_id", "term")
+      def bm25(d: String) = Bm25Index.probe(spark, d + "/bm25", qterms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val vq = Seq((1L, Array.tabulate(64)(d => (((104L + d) % 7).toFloat + 1f) / 8f)))
+        .toDF("query_id", "embedding")
+      def vtop(d: String) = VectorIndex.probe(spark, d + "/vectors", vq, k = 3)
+        .select($"query_id", $"neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val ndPre = ndPairs(tn("nd", "a")); val novPre = novelty(tn("nd", "a"))
+      val spPre = spanRows(tn("sp", "a")); val ovPre = ovRuns(tn("ov", "a"))
+      val bePre = beScrub(tn("be", "a")); val bmPre = bm25(dirA)
+      val vPre = vtop(dirA)
+      // non-vacuity: the geometry must actually fire every surface
+      assert(ndPre.nonEmpty, "near-dup probe empty — geometry vacuous")
+      assert(spPre.exists(_._2 > 0), "span probe excised nothing — vacuous")
+      assert(ovPre.nonEmpty, "overlap runs probe empty — vacuous")
+      assert(bePre.exists(_._2 > 0), "bench scrub excised nothing — vacuous")
+      assert(bmPre.nonEmpty && vPre.nonEmpty, "retrieval probes empty")
+
+      // ---- layout before: one batch partition per increment ----
+      for (k <- Seq("nd", "ov", "sp"))
+        assert(CatalogCommit.batchDirs(spark, tn(k, "a")) == Seq(0L, 1L, 2L),
+          s"${tn(k, "a")} batch layout drifted")
+      assert(CatalogCommit.batchDirs(spark, tn("be", "a")) == Seq(0L, 1L),
+        "bench index should have day0 + the batch-1 eval doc's append")
+
+      val report = Maintenance.compact(spark, dirA)
+      assert(report.map(_.kind).toSet ==
+        Set("shingle", "overlap", "bm25", "vectors"),
+        s"compaction legs missing: $report")
+
+      // every batch folded, every probe identical
+      for (k <- pre)
+        assert(CatalogCommit.batchDirs(spark, tn(k, "a")) == Seq(0L),
+          s"${tn(k, "a")} not folded to base")
+      assert(ndPairs(tn("nd", "a")) == ndPre, "near-dup probe changed")
+      assert(novelty(tn("nd", "a")) == novPre, "novelty probe changed")
+      assert(spanRows(tn("sp", "a")) == spPre, "span probe changed")
+      assert(ovRuns(tn("ov", "a")) == ovPre, "overlap runs changed")
+      assert(beScrub(tn("be", "a")) == bePre, "bench scrub changed")
+      assert(bm25(dirA) == bmPre, "bm25 probe changed")
+      assert(vtop(dirA) == vPre, "vector probe changed")
+      assert(report.map(_.filesAfter).sum <= report.map(_.filesBefore).sum,
+        s"compaction grew the file count: $report")
+
+      // ---- the daily path continues as if nothing happened ----
+      for ((d, sfx) <- Seq((dirA, "a"), (dirB, "b")))
+        DailyIncrement.run(spark, synth, d,
+          batchFilter = col("doc_id") >= 300,
+          nearDupIndex = Some(tn("nd", sfx)), overlapIndex = Some(tn("ov", sfx)),
+          benchIndex = Some(tn("be", sfx)), spanIndex = Some(tn("sp", sfx)))
+      assert(manifest(dirA) == manifest(dirB),
+        s"post-compact increment diverged: ${manifest(dirA)} vs ${manifest(dirB)}")
+      def shardRows(d: String) = spark.read.parquet(s"$d/shards")
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(shardRows(dirA) == shardRows(dirB), "shards diverged after compact")
+      def idsOf(t: String) = spark.table(t)
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      for (k <- pre)
+        assert(idsOf(tn(k, "a")) == idsOf(tn(k, "b")),
+          s"index ${tn(k, "a")} diverged from uncompacted twin")
+      assert(bm25(dirA) == bm25(dirB), "bm25 diverged after compact")
+      assert(vtop(dirA) == vtop(dirB), "vectors diverged after compact")
+
+      // ---- tombstones in flight: compact subsumes vacuum ----
+      // forget the span/near-dup keeper 10 on BOTH trees, compact only A:
+      // physically-compacted A must keep matching tombstone-masked B
+      val payload = Tables.load(spark, synth, "documents")
+        .filter($"doc_id" === 10L).select($"doc_id", $"text", $"lang")
+      for (d <- Seq(dirA, dirB))
+        Takedown.run(spark, d, payload.select($"doc_id"), payload,
+          $"lang" === "en")
+      Maintenance.compact(spark, dirA)
+      for (k <- pre) {
+        assert(!spark.catalog.tableExists(s"${tn(k, "a")}_tombstones"),
+          s"${tn(k, "a")} tombstones survived the compact")
+        assert(!idsOf(tn(k, "a")).contains(10L),
+          s"${tn(k, "a")} still physically holds the removed doc")
+      }
+      assert(ndPairs(tn("nd", "a")) == ndPairs(tn("nd", "b")),
+        "post-takedown near-dup probe: compacted != masked twin")
+      assert(spanRows(tn("sp", "a")) == spanRows(tn("sp", "b")),
+        "post-takedown span probe: compacted != masked twin")
+      assert(ovRuns(tn("ov", "a")) == ovRuns(tn("ov", "b")),
+        "post-takedown overlap probe: compacted != masked twin")
+      assert(beScrub(tn("be", "a")) == beScrub(tn("be", "b")),
+        "post-takedown bench probe: compacted != masked twin")
+      assert(bm25(dirA) == bm25(dirB), "post-takedown bm25 diverged")
+      assert(vtop(dirA) == vtop(dirB), "post-takedown vectors diverged")
+
+      // ---- idempotence: a second compact is result-identical and the
+      // single-base catalog legs take the no-rewrite fast path ----
+      val ptrBefore = Files.getLastModifiedTime(
+        CatalogCommit.tableLocation(spark, tn("nd", "a")).resolve("_current"))
+      val again = Maintenance.compact(spark, dirA)
+      assert(again.forall(c => c.filesAfter == c.filesBefore),
+        s"double-compact changed file counts: $again")
+      assert(Files.getLastModifiedTime(
+        CatalogCommit.tableLocation(spark, tn("nd", "a")).resolve("_current"))
+        == ptrBefore,
+        "single-base shingle index was rewritten — fast path regressed")
+    } finally { dropAll(); spark.catalog.clearCache() }
+  }
+}
