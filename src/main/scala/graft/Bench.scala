@@ -309,7 +309,8 @@ object Bench {
     val tables = Seq("graft_bench_shidx", "graft_bench_shidx_counts",
       "graft_bench_shidx_tombstones", "graft_bench_ovidx",
       "graft_bench_ovidx_tombstones", "graft_bench_beidx",
-      "graft_bench_beidx_tombstones")
+      "graft_bench_beidx_tombstones", "graft_bench_shfrag",
+      "graft_bench_shfrag_counts", "graft_bench_shfrag_tombstones")
     try {
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       val docs = Tables.load(spark, sfDir, "documents")
@@ -356,11 +357,47 @@ object Bench {
           .filter(col("n_removed") > 0).count() > 0,
           "scrub probe removed nothing") }
       }.min
+      // LAYOUT MAINTENANCE keys (r14): the same corpus indexed as EIGHT
+      // appended batches (a week-plus of daily increments), probed on the
+      // fragmented layout, folded (Maintenance's per-index compact), and
+      // probed again — plus the fold's own cost. MaintenanceSpec pins the
+      // two probes return identical rows, so the fragmented/compacted
+      // pair times the SAME answer on the two layouts: the delta is the
+      // pure small-files tax the scheduled compact exists to bound.
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      operators.ShingleIndex.materialize(
+        corpus.filter(col("doc_id") % 8 === 0), "graft_bench_shfrag")
+      for (i <- 1 to 7)
+        operators.ShingleIndex.append(
+          corpus.filter(col("doc_id") % 8 === i), "graft_bench_shfrag")
+      require(operators.CatalogCommit.batchDirs(spark, "graft_bench_shfrag")
+        .size == 8, "fragmented-index geometry drifted")
+      val nFrag = operators.ShingleIndex.containmentProbe(
+        spark, "graft_bench_shfrag", shBatch, 0.9).count()
+      val tFragProbe = minOf3(operators.ShingleIndex.containmentProbe(
+        spark, "graft_bench_shfrag", shBatch, 0.9))
+      // quiescence before the fold (the Maintenance.compact discipline):
+      // the fragmented probes cached frames derived from the table the
+      // compact is about to overwrite — the CacheManager re-resolves such
+      // plans mid-INSERT and finds the table dropped
+      spark.catalog.clearCache()
+      val tCompact = timed {
+        operators.ShingleIndex.compact(spark, "graft_bench_shfrag") }
+      require(operators.CatalogCommit.batchDirs(spark, "graft_bench_shfrag")
+        == Seq(0L), "compact left more than the base partition")
+      require(operators.ShingleIndex.containmentProbe(
+          spark, "graft_bench_shfrag", shBatch, 0.9).count() == nFrag,
+        "compact changed the probe row count — the pair no longer times the same answer")
+      val tCompProbe = minOf3(operators.ShingleIndex.containmentProbe(
+        spark, "graft_bench_shfrag", shBatch, 0.9))
       shBatch.unpersist(); evalDocs.unpersist(); trainDocs.unpersist()
       Seq("shingle_index_build" -> tShBuild, "shingle_probe" -> tShProbe,
         "span_probe" -> tSpan,
         "overlap_index_build" -> tOvBuild, "runs_probe" -> tOvProbe,
-        "bench_index_build" -> tBeBuild, "scrub_probe" -> tScrub)
+        "bench_index_build" -> tBeBuild, "scrub_probe" -> tScrub,
+        "shingle_probe_fragmented" -> tFragProbe,
+        "maint_compact" -> tCompact,
+        "shingle_probe_compacted" -> tCompProbe)
     } catch {
       case e: Throwable => throw new RuntimeException("index bench failed", e)
     } finally {

@@ -192,7 +192,10 @@ object ShingleIndex {
     * reset safe (the next [[append]] simply commits batch 1). Idempotent:
     * an already-single-base index with no tombstones returns without a
     * rewrite. Same crash windows as the vacuum it generalizes.
-    * Tree-level form: [[Maintenance.compact]]. */
+    * CALLER CONTRACT: drop cached frames derived from this index first
+    * (the CacheManager re-resolves such plans mid-overwrite and finds
+    * the table dropped) — [[Maintenance.compact]], the tree-level form,
+    * does the clearCache for you. */
   def compact(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
     graft.GraftExtensions.register(spark)
     val hasTomb = spark.catalog.tableExists(s"${name}_tombstones")

@@ -66,6 +66,7 @@ final class MaintainedOverlapIndex(path: Path, spark: SparkSession) {
 
   /** The committed, tombstone-masked occurrence frame (doc_id, q, h). */
   private def committedOcc: DataFrame = {
+    CompactSwap.requireQuiescent(compactMarker)
     val last = proj.lastCommitted
     val base = if (last < 0 || !hasData(occDir)) emptyOcc
       else spark.read.parquet(occDir.toString)
@@ -83,6 +84,7 @@ final class MaintainedOverlapIndex(path: Path, spark: SparkSession) {
   def update(batch: DataFrame, batchId: Long): Unit =
     proj.foreachBatch { (df, id, stage) =>
       graft.GraftExtensions.register(spark)
+      CompactSwap.requireQuiescent(compactMarker)
       val hasOp = df.columns.contains("op")
       val adds = if (hasOp) df.filter(col("op") === "add") else df
       val delsReq = if (hasOp) df.filter(col("op") === "del")
@@ -129,5 +131,35 @@ final class MaintainedOverlapIndex(path: Path, spark: SparkSession) {
     graft.GraftExtensions.register(spark)
     OverlapIndex.scrubFrames(trainDocs, OverlapIndex.positioned(trainDocs),
       committedOcc, minRun)
+  }
+
+  // ---------------------------------------------------------------------
+  // Layout maintenance — the [[MaintainedShingleIndex.compact]] protocol
+  // on the positioned occurrence layout (one staged dir instead of two).
+
+  private def compactMarker = path.resolve("_compact_staged")
+  private def compactSwaps = Seq(occDir -> path.resolve("occ_compact"))
+  private def compactDrops(last: Long) =
+    Seq(path.resolve(s"eos/batch-$last/tombstones"))
+
+  /** Fold every committed batch partition (tombstone-masked) into a
+    * single `batch=0` base; EOS state untouched, probes identical
+    * before/after, staged-marker crash protocol — see
+    * [[MaintainedShingleIndex.compact]] for the full contract
+    * (MaintainedOverlapIndexSpec pins this twin). */
+  def compact(): Unit = compact(failAfterStage = false)
+
+  private[graft] def compact(failAfterStage: Boolean): Unit = {
+    val last = proj.lastCommitted
+    CompactSwap.recover(compactMarker, compactSwaps, compactDrops(last))
+    if (last < 0) return
+    val Seq((_, so)) = compactSwaps
+    CompactSwap.deleteRec(so)
+    committedOcc.repartition(32, col("h")).withColumn("batch", lit(0L))
+      .write.partitionBy("batch").parquet(so.toString)
+    Files.createFile(compactMarker)
+    if (failAfterStage)
+      throw new IllegalStateException("injected crash before the compact swap")
+    CompactSwap.roll(compactMarker, compactSwaps, compactDrops(last))
   }
 }

@@ -76,6 +76,7 @@ final class MaintainedShingleIndex(path: Path, spark: SparkSession) {
 
   /** The committed, tombstone-masked corpus pair frame (doc_id, h). */
   private def committedPairs: DataFrame = {
+    CompactSwap.requireQuiescent(compactMarker)
     val last = proj.lastCommitted
     val base = if (last < 0 || !hasData(pairsDir)) emptyPairs
       else spark.read.parquet(pairsDir.toString)
@@ -84,6 +85,7 @@ final class MaintainedShingleIndex(path: Path, spark: SparkSession) {
   }
 
   private def committedCounts: DataFrame = {
+    CompactSwap.requireQuiescent(compactMarker)
     val last = proj.lastCommitted
     val base = if (last < 0 || !hasData(countsDir)) emptyCounts
       else spark.read.parquet(countsDir.toString)
@@ -105,6 +107,7 @@ final class MaintainedShingleIndex(path: Path, spark: SparkSession) {
   def update(batch: DataFrame, batchId: Long): Unit =
     proj.foreachBatch { (df, id, stage) =>
       graft.GraftExtensions.register(spark)
+      CompactSwap.requireQuiescent(compactMarker)
       val hasOp = df.columns.contains("op")
       val adds = if (hasOp) df.filter(col("op") === "add") else df
       val delsReq = if (hasOp) df.filter(col("op") === "del")
@@ -176,5 +179,53 @@ final class MaintainedShingleIndex(path: Path, spark: SparkSession) {
   def spanKeepFirstProbe(batch: DataFrame): DataFrame = {
     graft.GraftExtensions.register(spark)
     ShingleIndex.spanKeepFirstFrames(spark, committedPairs, batch)
+  }
+
+  // ---------------------------------------------------------------------
+  // Layout maintenance
+
+  private def compactMarker = path.resolve("_compact_staged")
+  private def compactSwaps = Seq(
+    pairsDir -> path.resolve("pairs_compact"),
+    countsDir -> path.resolve("counts_compact"))
+  private def compactDrops(last: Long) =
+    Seq(path.resolve(s"eos/batch-$last/tombstones"))
+
+  /** Fold every committed batch partition (tombstone-masked) into a
+    * single `batch=0` base — the [[graft.operators.ShingleIndex.compact]]
+    * doctrine on the streamed layout: a continuous feed adds one
+    * partition per micro-batch forever, and with no takedown ever filed
+    * nothing else bounds the partition count a probe lists. `batch=0` is
+    * ≤ every committed marker, so the folded base stays visible to the
+    * gated readers; the EOS state is untouched, so the next micro-batch
+    * id continues from the checkpoint and replays still skip whole (G4).
+    * Applied tombstones drop with the fold (a re-requested del of a
+    * folded-away id re-tombstones an absent doc — a no-op, the
+    * already-deleted contract). Probes identical before/after
+    * (MaintainedShingleIndexSpec pins it through a crashed swap).
+    *
+    * Quiescent-stream contract: run between triggers (stop the query or
+    * schedule in a maintenance window). The swap is the staged-marker
+    * protocol ([[CompactSwap]]): a crash before the marker loses nothing;
+    * after it, probes/updates fail loud until the next compact() rolls
+    * the swap forward. */
+  def compact(): Unit = compact(failAfterStage = false)
+
+  /** `failAfterStage` is the spec's crash seam: throw after the staged
+    * dirs + marker land but before the swap — the widest window. */
+  private[graft] def compact(failAfterStage: Boolean): Unit = {
+    val last = proj.lastCommitted
+    CompactSwap.recover(compactMarker, compactSwaps, compactDrops(last))
+    if (last < 0) return
+    val Seq((_, sp), (_, sc)) = compactSwaps
+    CompactSwap.deleteRec(sp); CompactSwap.deleteRec(sc)
+    committedPairs.repartition(32, col("h")).withColumn("batch", lit(0L))
+      .write.partitionBy("batch").parquet(sp.toString)
+    committedCounts.withColumn("batch", lit(0L))
+      .write.partitionBy("batch").parquet(sc.toString)
+    Files.createFile(compactMarker)
+    if (failAfterStage)
+      throw new IllegalStateException("injected crash before the compact swap")
+    CompactSwap.roll(compactMarker, compactSwaps, compactDrops(last))
   }
 }
