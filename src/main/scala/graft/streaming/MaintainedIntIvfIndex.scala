@@ -71,6 +71,7 @@ final class MaintainedIntIvfIndex(path: Path, spark: SparkSession) {
   def update(batch: DataFrame, batchId: Long): Unit =
     proj.foreachBatch { (df, id, stage) =>
       graft.GraftExtensions.register(spark)
+      CompactSwap.requireQuiescent(compactMarker)
       val cents = IntIvfIndex.loadCentroids(spark, artDir)
       val (cb, dSub, _) = IntIvfIndex.loadPq(spark, artDir)
       val pts = IntegerKMeans.quantize(df.select(col("vec_id"), col("embedding")))
@@ -120,6 +121,37 @@ final class MaintainedIntIvfIndex(path: Path, spark: SparkSession) {
     finally s.close()
   }
 
+  // ---------------------------------------------------------------------
+  // Layout maintenance — the [[MaintainedShingleIndex.compact]] protocol
+  // on the (batch, cluster) layout. The frozen quantizer artifacts live
+  // OUTSIDE vecsDir and are untouched by the fold.
+
+  private def compactMarker = path.resolve("_compact_staged")
+  private def compactSwaps = Seq(vecsDir -> path.resolve("vectors_compact"))
+
+  /** Fold every committed (batch, cluster) partition — tombstone-masked —
+    * into a single `batch=0` base; gate/EOS untouched, probes identical,
+    * applied tombstones clear, staged-marker crash protocol — see
+    * [[MaintainedVectorIndex.compact]]. */
+  def compact(): Unit = compact(failAfterStage = false)
+
+  private[graft] def compact(failAfterStage: Boolean): Unit = {
+    CompactSwap.recover(compactMarker, compactSwaps, Seq(tombDir))
+    val last = proj.lastCommitted
+    if (last < 0 || !Files.exists(vecsDir)) return
+    val Seq((_, staged)) = compactSwaps
+    CompactSwap.deleteRec(staged)
+    maskedCorpus(spark.read.parquet(vecsDir.toString)
+        .filter(col("batch") <= last)
+        .select(col("vec_id"), col("qv"), col("codes"), col("cluster")))
+      .repartition(col("cluster")).withColumn("batch", lit(0L))
+      .write.partitionBy("batch", "cluster").parquet(staged.toString)
+    Files.createFile(compactMarker)
+    if (failAfterStage)
+      throw new IllegalStateException("injected crash before the compact swap")
+    CompactSwap.roll(compactMarker, compactSwaps, Seq(tombDir))
+  }
+
   /** IVFADC top-k per query against the committed index state — the
     * [[IntIvfIndex.probeAdc]] algebra over the batch-gated, cell-pruned,
     * tombstone-masked reader. Empty before the first commit. `queries`:
@@ -127,6 +159,7 @@ final class MaintainedIntIvfIndex(path: Path, spark: SparkSession) {
   def probeAdc(queries: DataFrame, nprobe: Int, k: Int, shortlist: Int,
       allowed: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(spark)
+    CompactSwap.requireQuiescent(compactMarker)
     val last = proj.lastCommitted
     if (last < 0 || !Files.exists(vecsDir))
       return queries.select(col("query_id").cast("long").as("query_id"),

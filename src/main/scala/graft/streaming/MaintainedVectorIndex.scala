@@ -84,11 +84,46 @@ final class MaintainedVectorIndex(path: Path, spark: SparkSession,
     finally s.close()
   }
 
+  // ---------------------------------------------------------------------
+  // Layout maintenance — the [[MaintainedShingleIndex.compact]] protocol.
+
+  private def compactMarker = path.resolve("_compact_staged")
+  private def compactSwaps = Seq(vecsDir -> path.resolve("vectors_compact"))
+
+  /** Fold every committed (batch, bucket) partition — tombstone-masked —
+    * into a single `batch=0` base: a continuous feed adds one batch
+    * partition per micro-batch forever, and nothing else bounds the
+    * partition count a bucket-pruned probe lists. `batch=0` stays under
+    * the `batch <= lastCommitted` gate; EOS state untouched; applied
+    * tombstones clear with the fold (re-requested deletes of folded-away
+    * ids are no-ops). Staged-marker crash protocol ([[CompactSwap]]):
+    * probes/updates fail loud mid-swap until the next compact rolls
+    * forward. Quiescent-stream contract, like [[vacuum]]. */
+  def compact(): Unit = compact(failAfterStage = false)
+
+  private[graft] def compact(failAfterStage: Boolean): Unit = {
+    CompactSwap.recover(compactMarker, compactSwaps, Seq(tombDir))
+    val last = proj.lastCommitted
+    if (last < 0 || !Files.exists(vecsDir)) return
+    val Seq((_, staged)) = compactSwaps
+    CompactSwap.deleteRec(staged)
+    maskedCorpus(spark.read.parquet(vecsDir.toString)
+        .filter(col("batch") <= last)
+        .select(col("vec_id"), col("v"), col("bucket")))
+      .repartition(col("bucket")).withColumn("batch", lit(0L))
+      .write.partitionBy("batch", "bucket").parquet(staged.toString)
+    Files.createFile(compactMarker)
+    if (failAfterStage)
+      throw new IllegalStateException("injected crash before the compact swap")
+    CompactSwap.roll(compactMarker, compactSwaps, Seq(tombDir))
+  }
+
   /** foreachBatch body — attach via `writeStream.foreachBatch(idx.update _)`.
     * `batch` needs columns (vec_id, embedding). */
   def update(batch: DataFrame, batchId: Long): Unit =
     proj.foreachBatch { (df, id, stage) =>
       graft.GraftExtensions.register(spark)
+      CompactSwap.requireQuiescent(compactMarker)
       df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bucket", VectorIndex.bucketCol(col("v"), bits, dim))
         .withColumn("batch", lit(id))
@@ -108,6 +143,7 @@ final class MaintainedVectorIndex(path: Path, spark: SparkSession,
     * (query_id, embedding). */
   def probe(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     graft.GraftExtensions.register(spark)
+    CompactSwap.requireQuiescent(compactMarker)
     val last = proj.lastCommitted
     if (last < 0 || !Files.exists(vecsDir))
       return queries.select(col("query_id"), lit(0L).as("rnk"),

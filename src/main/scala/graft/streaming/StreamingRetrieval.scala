@@ -120,6 +120,7 @@ final class MaintainedBm25Index(path: Path, spark: SparkSession, buckets: Int = 
   def update(batch: DataFrame, batchId: Long): Unit =
     proj.foreachBatch { (df, id, stage) =>
       graft.GraftExtensions.register(spark)
+      CompactSwap.requireQuiescent(compactMarker)
       val hasOp = df.columns.contains("op")
       val adds = if (hasOp) df.filter(col("op") === "add") else df
       val delsReq = if (hasOp) df.filter(col("op") === "del")
@@ -202,6 +203,7 @@ final class MaintainedBm25Index(path: Path, spark: SparkSession, buckets: Int = 
     * marker. Empty before the first commit. */
   def probe(qterms: DataFrame): DataFrame = {
     graft.GraftExtensions.register(spark)
+    CompactSwap.requireQuiescent(compactMarker)
     val last = proj.lastCommitted
     val empty = qterms.select(col("query_id"), lit(0L).as("doc_id"),
       lit(0L).as("score_scaled")).limit(0)
@@ -228,5 +230,45 @@ final class MaintainedBm25Index(path: Path, spark: SparkSession, buckets: Int = 
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("sc")).as("score_scaled"))
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Layout maintenance — the [[MaintainedShingleIndex.compact]] protocol
+  // on the (batch, b) postings layout. The df/stats sides ride the EOS
+  // snapshot and were decremented EXACTLY at each delete's commit, so
+  // physically dropping the masked rows + the applied tombstone set
+  // leaves every score identical.
+
+  private def compactMarker = path.resolve("_compact_staged")
+  private def compactSwaps = Seq(postingsDir -> path.resolve("postings_compact"))
+  private def compactDrops(last: Long) =
+    Seq(path.resolve(s"eos/batch-$last/tombstones"))
+
+  /** Fold every committed (batch, b) postings partition — tombstone-
+    * masked — into a single `batch=0` base re-clustered by bucket;
+    * gate/EOS and the terms/stats sides untouched, probes score
+    * identically, staged-marker crash protocol — see
+    * [[MaintainedShingleIndex.compact]] (StreamingRetrievalSpec pins
+    * this twin). */
+  def compact(): Unit = compact(failAfterStage = false)
+
+  private[graft] def compact(failAfterStage: Boolean): Unit = {
+    val last = proj.lastCommitted
+    CompactSwap.recover(compactMarker, compactSwaps, compactDrops(last))
+    if (last < 0 || !Files.exists(postingsDir)) return
+    val Seq((_, staged)) = compactSwaps
+    CompactSwap.deleteRec(staged)
+    val committed = spark.read.parquet(postingsDir.toString)
+      .filter(col("batch") <= last)
+    val masked = tombstones(last) match {
+      case None => committed
+      case Some(t) => committed.join(t.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    masked.drop("batch").repartition(col("b")).withColumn("batch", lit(0L))
+      .write.partitionBy("batch", "b").parquet(staged.toString)
+    Files.createFile(compactMarker)
+    if (failAfterStage)
+      throw new IllegalStateException("injected crash before the compact swap")
+    CompactSwap.roll(compactMarker, compactSwaps, compactDrops(last))
   }
 }

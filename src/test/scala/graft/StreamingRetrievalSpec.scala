@@ -291,4 +291,122 @@ class StreamingRetrievalSpec extends AnyFunSuite {
     pts.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("maintained bm25/vector/ivfadc compact: partitions fold, probes identical, crashed swap fails loud then rolls forward, feed continues ≡ uncompacted twin") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    def batchParts(p: java.nio.file.Path): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).toSeq.sorted
+      finally s.close()
+    }
+
+    // ---- BM25: stream-carried dels, sides ride the EOS snapshot ----
+    val docsDf = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val docRows = docsDf.as[(Long, String)].collect()
+    val (d1, d2) = docRows.splitAt(docRows.length / 2)
+    val delIds = d1.map(_._1).filter(_ % 9 == 4).toSeq
+    val extra = Seq((100001L, "maintenance fold keeps every score"),
+      (100002L, "bm25 fold bench text"))
+    val fx = RetrievalQueries.fixtureQueries.toDF("query_id", "term")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bmA = new MaintainedBm25Index(Files.createTempDirectory("bm25c-a-"), spark)
+    val bmB = new MaintainedBm25Index(Files.createTempDirectory("bm25c-b-"), spark)
+    // feed both twins: adds, then adds+dels
+    for (bm <- Seq(bmA, bmB)) {
+      bm.update(d1.toSeq.toDF("doc_id", "text"), 0L)
+      bm.update(d2.toSeq.map { case (i, t) => (i, t, "add") }
+        .toDF("doc_id", "text", "op")
+        .unionByName(delIds.map(i => (i, "", "del")).toDF("doc_id", "text", "op")), 1L)
+    }
+    val bmPre = scores(bmA.probe(fx))
+    assert(bmPre.nonEmpty, "vacuous bm25 fixture")
+    intercept[IllegalStateException](bmA.compact(failAfterStage = true))
+    intercept[IllegalArgumentException](bmA.probe(fx))
+    bmA.compact()
+    assert(scores(bmA.probe(fx)) == bmPre, "bm25 probe changed across compact")
+    for (bm <- Seq(bmA, bmB))
+      bm.update(extra.toDF("doc_id", "text"), 2L)
+    assert(scores(bmA.probe(fx)) == scores(bmB.probe(fx)),
+      "bm25 post-compact feed diverged from uncompacted twin")
+
+    // ---- vector index: out-of-band delete applied by the fold ----
+    val vecsDf = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").filter($"embedding".isNotNull)
+    val vecRows = vecsDf.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val (v1, v2) = vecRows.splitAt(vecRows.length / 2)
+    val queries = vecsDf.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val vPathA = Files.createTempDirectory("vecc-a-")
+    val vA = new MaintainedVectorIndex(vPathA, spark)
+    val vB = new MaintainedVectorIndex(Files.createTempDirectory("vecc-b-"), spark)
+    val vDel = vecRows.map(_._1).filter(_ % 5 == 3).toSeq
+    for (v <- Seq(vA, vB)) {
+      v.update(v1.toSeq.toDF("vec_id", "embedding"), 0L)
+      v.update(v2.toSeq.toDF("vec_id", "embedding"), 1L)
+      v.delete(vDel.toDF("vec_id"))
+    }
+    val vPre = hits(vA.probe(queries, k = 3, nprobe = 2))
+    assert(vPre.nonEmpty, "vacuous vector fixture")
+    assert(batchParts(vPathA.resolve("vectors")) == Seq("batch=0", "batch=1"))
+    intercept[IllegalStateException](vA.compact(failAfterStage = true))
+    intercept[IllegalArgumentException](vA.probe(queries, k = 3))
+    vA.compact()
+    assert(batchParts(vPathA.resolve("vectors")) == Seq("batch=0"),
+      "vector batches did not fold to base")
+    assert(!Files.exists(vPathA.resolve("tombstones")),
+      "applied vector tombstones survived the fold")
+    assert(spark.read.parquet(vPathA.resolve("vectors").toString)
+      .select($"vec_id").distinct().as[Long].collect().toSet
+      .intersect(vDel.toSet).isEmpty,
+      "fold left deleted vec_ids on disk")
+    assert(hits(vA.probe(queries, k = 3, nprobe = 2)) == vPre,
+      "vector probe changed across compact")
+    val vExtra = Seq((200001L, Array.fill(64)(0.25)), (200002L, Array.fill(64)(0.75)))
+    for (v <- Seq(vA, vB)) v.update(vExtra.toDF("vec_id", "embedding"), 2L)
+    assert(hits(vA.probe(queries, k = 3, nprobe = 2)) ==
+      hits(vB.probe(queries, k = 3, nprobe = 2)),
+      "vector post-compact feed diverged from uncompacted twin")
+
+    // ---- IVFADC: frozen quantizers survive the fold verbatim ----
+    val pts = IntegerKMeans.quantize(vecsDf).cache()
+    val iPathA = Files.createTempDirectory("ivfc-a-")
+    val iA = new MaintainedIntIvfIndex(iPathA, spark)
+    val iB = new MaintainedIntIvfIndex(Files.createTempDirectory("ivfc-b-"), spark)
+    val bootA = iA.bootstrap(pts, k = 8, iters = 2, mMax = 8, kc = 16,
+      pqIters = 4, trainN = 64)
+    val bootB = iB.bootstrap(pts, k = 8, iters = 2, mMax = 8, kc = 16,
+      pqIters = 4, trainN = 64)
+    assert(bootA.map(_._1) == bootB.map(_._1), "bootstrap determinism drifted")
+    val iDel = vecRows.map(_._1).filter(id => id >= 64 && id % 7 == 3).toSeq
+    for (i <- Seq(iA, iB)) {
+      i.update(v1.toSeq.toDF("vec_id", "embedding"), 0L)
+      i.update(v2.toSeq.toDF("vec_id", "embedding"), 1L)
+      i.delete(iDel.toDF("vec_id"))
+    }
+    def ahits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val iPre = ahits(iA.probeAdc(queries, 2, 5, 40))
+    assert(iPre.nonEmpty, "vacuous ivf fixture")
+    intercept[IllegalStateException](iA.compact(failAfterStage = true))
+    intercept[IllegalArgumentException](iA.probeAdc(queries, 2, 5, 40))
+    iA.compact()
+    assert(batchParts(iPathA.resolve("vectors")) == Seq("batch=0"),
+      "ivf batches did not fold to base")
+    assert(ahits(iA.probeAdc(queries, 2, 5, 40)) == iPre,
+      "ivf probe changed across compact")
+    for (i <- Seq(iA, iB)) i.update(vExtra.toDF("vec_id", "embedding"), 2L)
+    assert(ahits(iA.probeAdc(queries, 2, 5, 40)) ==
+      ahits(iB.probeAdc(queries, 2, 5, 40)),
+      "ivf post-compact feed diverged from uncompacted twin")
+    pts.unpersist()
+    spark.catalog.clearCache()
+  }
 }
