@@ -76,6 +76,53 @@ object Maintenance {
   private def pathFiles(dir: String): Long =
     dataFiles(java.nio.file.Paths.get(dir))
 
+  /** One artifact's physical layout: `batchParts` counts its `batch=`
+    * partition dirs (0 for layouts without a batch axis), `files` its
+    * parquet data files — the two quantities [[compact]] folds. */
+  final case class Layout(kind: String, name: String,
+      batchParts: Long, files: Long)
+
+  private def batchDirCount(p: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala
+        .count(_.getFileName.toString.startsWith("batch="))
+      finally s.close()
+    }
+  }
+
+  /** READ-ONLY fragmentation audit of the tree — the "should I compact
+    * yet?" signal, same artifact walk as [[compact]] with nothing
+    * rewritten. An operator schedules the fold off these numbers (e.g.
+    * any index past ~30 batch partitions), instead of either compacting
+    * blindly every night or discovering the small-files tax in probe
+    * latency. */
+  def status(spark: SparkSession, outDir: String,
+      shingleIndexes: Seq[String] = Nil,
+      lineSegmentIndexes: Seq[String] = Nil,
+      intIvfIndexes: Seq[String] = Nil,
+      overlapIndexes: Seq[String] = Nil): Seq[Layout] = {
+    def recorded(kind: String, explicit: Seq[String]): Seq[String] =
+      (explicit ++ Takedown.recordedIndexes(outDir, kind)).distinct
+    def table(kind: String, n: String) = Layout(kind, n,
+      CatalogCommit.batchDirs(spark, n).size.toLong, tableFiles(spark, n))
+    def dir(kind: String, n: String, batchRoot: Option[String]) = Layout(
+      kind, n, batchRoot.map(r => batchDirCount(java.nio.file.Paths.get(r)))
+        .getOrElse(0L), pathFiles(n))
+    val bm25 = s"$outDir/bm25"
+    val vectors = s"$outDir/vectors"
+    recorded("shingle", shingleIndexes).map(table("shingle", _)) ++
+      recorded("overlap", overlapIndexes).map(table("overlap", _)) ++
+      recorded("line", lineSegmentIndexes).map(table("line", _)) ++
+      recorded("intivf", intIvfIndexes).map(dir("intivf", _, None)) ++
+      (if (java.nio.file.Files.exists(java.nio.file.Paths.get(bm25)))
+        Seq(dir("bm25", bm25, Some(Bm25Index.postingsPath(bm25)))) else Nil) ++
+      (if (java.nio.file.Files.exists(java.nio.file.Paths.get(vectors)))
+        Seq(dir("vectors", vectors, None)) else Nil)
+  }
+
   /** Compact every artifact of the tree (see header). Returns one
     * [[Compacted]] row per artifact touched, file counts before/after. */
   def compact(spark: SparkSession, outDir: String,

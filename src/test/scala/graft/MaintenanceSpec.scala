@@ -131,10 +131,20 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(CatalogCommit.batchDirs(spark, tn("be", "a")) == Seq(0L, 1L),
         "bench index should have day0 + the batch-1 eval doc's append")
 
+      // the read-only audit sees the fragmentation the fold will remove
+      val statusPre = Maintenance.status(spark, dirA)
+      assert(statusPre.filter(_.kind == "shingle").map(_.batchParts).toSet
+        == Set(3L), s"status missed the shingle fragmentation: $statusPre")
+      assert(statusPre.find(_.kind == "bm25").exists(_.batchParts == 3L),
+        s"status missed the bm25 fragmentation: $statusPre")
+
       val report = Maintenance.compact(spark, dirA)
       assert(report.map(_.kind).toSet ==
         Set("shingle", "overlap", "bm25", "vectors"),
         s"compaction legs missing: $report")
+      val statusPost = Maintenance.status(spark, dirA)
+      assert(statusPost.filter(_.kind != "vectors").forall(_.batchParts == 1L),
+        s"status still sees fragmentation after the fold: $statusPost")
 
       // every batch folded, every probe identical
       for (k <- pre)
