@@ -219,4 +219,54 @@ class MaintenanceSpec extends AnyFunSuite {
         "single-base shingle index was rewritten — fast path regressed")
     } finally { dropAll(); spark.catalog.clearCache() }
   }
+
+  test("compact edges: empty batch index and pure-del maintained stream survive the fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val t = "graft_mt_edge_empty"
+    for (x <- Seq(t, s"${t}_counts", s"${t}_tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS $x")
+    try {
+      val probeBatch = Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+      // a committed index over ZERO documents folds without error and
+      // probes identically (batch-internal pairs only) before and after
+      ShingleIndex.materialize(
+        probeBatch.filter(lit(false)).select($"doc_id", $"text"), t)
+      def pairs() = ShingleIndex.probe(spark, t, probeBatch, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pre = pairs()
+      ShingleIndex.compact(spark, t)
+      assert(pairs() == pre, "empty-index compact changed the probe")
+      ShingleIndex.compact(spark, t) // idempotent on the empty base
+      assert(pairs() == pre)
+
+      // a maintained index that has only ever seen DELETES (tombstones,
+      // no data files) folds to an empty base and then accepts adds
+      val root = Files.createTempDirectory("graft-mt-edge-")
+      val m = new graft.streaming.MaintainedShingleIndex(root, spark)
+      m.update(Seq((77L, "", "del")).toDF("doc_id", "text", "op"), 0L)
+      assert(m.lastCommitted == 0L)
+      m.compact()
+      assert(m.probe(probeBatch, 0.5).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet == pre,
+        "pure-del maintained compact broke the empty-corpus probe")
+      m.update(probeBatch.withColumn("op", lit("add")), 1L)
+      val want = {
+        ShingleIndex.materialize(probeBatch, s"${t}_ref")
+        ShingleIndex.probe(spark, s"${t}_ref", probeBatch
+          .withColumn("doc_id", $"doc_id" + 100), 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(m.probe(probeBatch.withColumn("doc_id", $"doc_id" + 100), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+        "adds after a pure-del compact diverged from a batch materialize")
+    } finally {
+      for (x <- Seq(t, s"${t}_counts", s"${t}_tombstones",
+          s"${t}_ref", s"${t}_ref_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS $x")
+      spark.catalog.clearCache()
+    }
+  }
 }
