@@ -120,7 +120,12 @@ object Maintenance {
       (if (java.nio.file.Files.exists(java.nio.file.Paths.get(bm25)))
         Seq(dir("bm25", bm25, Some(Bm25Index.postingsPath(bm25)))) else Nil) ++
       (if (java.nio.file.Files.exists(java.nio.file.Paths.get(vectors)))
-        Seq(dir("vectors", vectors, None)) else Nil)
+        Seq(dir("vectors", vectors, None)) else Nil) ++
+      Seq("curated", "evalh", "shards").flatMap { rel =>
+        val d = s"$outDir/$rel"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+          Seq(dir(rel, d, None)) else Nil
+      }
   }
 
   /** Compact every artifact of the tree (see header). Returns one
@@ -172,6 +177,35 @@ object Maintenance {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(vectors)))
       leg("vectors", vectors, pathFiles(vectors), pathFiles(vectors)) {
         VectorIndex.compact(spark, vectors)
+      }
+    // The flat parquet artifacts accumulate one file set per daily
+    // APPEND (curated/evalh rows append; shards grow per-batch files
+    // inside their hive dirs) and, unlike the indexes, had no
+    // non-tombstone rewrite path at all — Takedown.scrub/repack only
+    // fire on removals. These folds are ROW-IDENTICAL rewrites: the
+    // manifest/evalh keep `added_batch` (the as-of provenance column —
+    // collapsing it would rewrite history), shards keep (doc_id, shard,
+    // offset) exactly (re-clustered one partition per shard dir), and
+    // takedown tombstones are deliberately NOT applied here — masking
+    // is the readers' job and erasure is scrub()'s, so compact stays
+    // semantics-free. Same checkpoint-pinned in-place-overwrite
+    // discipline as scrub's manifest rewrite.
+    for (rel <- Seq("curated", "evalh")) {
+      val d = s"$outDir/$rel"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+        leg(rel, d, pathFiles(d), pathFiles(d)) {
+          val kept = spark.read.parquet(d).localCheckpoint(true)
+          kept.coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+            .write.mode("overwrite").parquet(d)
+        }
+    }
+    val shards = s"$outDir/shards"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(shards)))
+      leg("shards", shards, pathFiles(shards), pathFiles(shards)) {
+        val kept = spark.read.parquet(shards).localCheckpoint(true)
+        kept.repartition(org.apache.spark.sql.functions.col("shard"))
+          .write.mode("overwrite")
+          .partitionBy("shard").parquet(shards)
       }
     report.toSeq
   }

@@ -138,12 +138,32 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(statusPre.find(_.kind == "bm25").exists(_.batchParts == 3L),
         s"status missed the bm25 fragmentation: $statusPre")
 
+      // flat-artifact rows (incl. as-of provenance) must survive the
+      // fold bit-identically — capture before
+      def shardSet(d: String) = spark.read.parquet(s"$d/shards")
+        .select($"doc_id", $"n_tokens", $"shard".cast("long"), $"shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def asOf(d: String, n: Long) = DailyIncrement.manifestAsOf(spark, d, n)
+        .select($"doc_id", $"n_tokens", $"added_batch")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val shardsPre = shardSet(dirA)
+      val asOfPre = (0L to 2L).map(n => asOf(dirA, n))
+      def evalhSet(d: String) = spark.read.parquet(s"$d/evalh")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val evalhPre = evalhSet(dirA)
+
       val report = Maintenance.compact(spark, dirA)
       assert(report.map(_.kind).toSet ==
-        Set("shingle", "overlap", "bm25", "vectors"),
+        Set("shingle", "overlap", "bm25", "vectors",
+          "curated", "evalh", "shards"),
         s"compaction legs missing: $report")
+      assert(shardSet(dirA) == shardsPre, "shard rows changed across compact")
+      assert((0L to 2L).map(n => asOf(dirA, n)) == asOfPre,
+        "as-of manifest history changed across compact")
+      assert(evalhSet(dirA) == evalhPre, "evalh rows changed across compact")
       val statusPost = Maintenance.status(spark, dirA)
-      assert(statusPost.filter(_.kind != "vectors").forall(_.batchParts == 1L),
+      assert(statusPost.filter(l => Set("shingle", "overlap", "bm25")(l.kind))
+        .forall(_.batchParts == 1L),
         s"status still sees fragmentation after the fold: $statusPost")
 
       // every batch folded, every probe identical
