@@ -108,4 +108,67 @@ class MaintainedOverlapIndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("compact: occurrences fold to one base, probes identical, crashed swap fails loud then rolls forward, feed continues ≡ uncompacted twin") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val minRun = CorpusQueries.MinRunTokens
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val corpus = docs.filter($"doc_id" % CorpusQueries.EvalMod =!= 0)
+    val evalDocs = docs.filter($"doc_id" % CorpusQueries.EvalMod === 0).cache()
+    def rowsOf(lo: Long, hi: Long) = corpus
+      .filter($"doc_id" >= lo && $"doc_id" < hi)
+      .withColumn("op", lit("add"))
+    val delId = corpus.filter($"doc_id" < 150).agg(min($"doc_id")).head.getLong(0)
+
+    val rootA = Files.createTempDirectory("ovidxmc-a-")
+    val rootB = Files.createTempDirectory("ovidxmc-b-")
+    val a = new MaintainedOverlapIndex(rootA, spark)
+    val b = new MaintainedOverlapIndex(rootB, spark)
+    for (idx <- Seq(a, b)) {
+      idx.update(rowsOf(0, 150), 0L)
+      idx.update(rowsOf(150, 500)
+        .unionByName(Seq((delId, "", "del")).toDF("doc_id", "text", "op")), 1L)
+    }
+    def runsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def scrubOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def batchParts(root: java.nio.file.Path): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(root.resolve("occ"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).toSeq.sorted
+      finally s.close()
+    }
+    val preRuns = runsOf(a.runsProbe(evalDocs, minRun))
+    val preScrub = scrubOf(a.scrubProbe(evalDocs, minRun))
+    assert(preRuns.nonEmpty, "vacuous probe geometry")
+    assert(batchParts(rootA) == Seq("batch=0", "batch=1"),
+      "expected one partition per fed batch before the fold")
+    assert(Files.exists(rootA.resolve("eos/batch-1/tombstones")),
+      "the stream-del should have staged a tombstone set")
+
+    intercept[IllegalStateException](a.compact(failAfterStage = true))
+    intercept[IllegalArgumentException](a.runsProbe(evalDocs, minRun))
+    a.compact()
+    assert(batchParts(rootA) == Seq("batch=0"),
+      "committed batches did not fold to the single base")
+    assert(!Files.exists(rootA.resolve("eos/batch-1/tombstones")),
+      "applied tombstones survived the fold")
+    assert(runsOf(a.runsProbe(evalDocs, minRun)) == preRuns, "runs probe changed")
+    assert(scrubOf(a.scrubProbe(evalDocs, minRun)) == preScrub, "scrub probe changed")
+
+    // the feed continues over the folded base like the uncompacted twin —
+    // including a re-requested del of the folded-away id
+    for (idx <- Seq(a, b))
+      idx.update(Seq((999001L, "alpha beta gamma delta epsilon zeta", "add"),
+        (delId, "", "del")).toDF("doc_id", "text", "op"), 2L)
+    assert(runsOf(a.runsProbe(evalDocs, minRun)) == runsOf(b.runsProbe(evalDocs, minRun)),
+      "post-compact feed diverged from the uncompacted twin")
+    assert(scrubOf(a.scrubProbe(evalDocs, minRun)) == scrubOf(b.scrubProbe(evalDocs, minRun)),
+      "post-compact scrub diverged")
+    evalDocs.unpersist()
+  }
 }

@@ -121,4 +121,85 @@ class MaintainedShingleIndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("compact: partitions fold to one base, probes identical, crashed swap fails loud then rolls forward, feed continues ≡ uncompacted twin") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    def rowsOf(lo: Long, hi: Long) = docs
+      .filter($"doc_id" >= lo && $"doc_id" < hi)
+      .withColumn("op", lit("add"))
+    val probeBatch = docs.filter($"doc_id" >= 350).cache()
+    val delId = docs.filter($"doc_id" < 150).agg(min($"doc_id")).head.getLong(0)
+
+    val rootA = Files.createTempDirectory("shidxmc-a-")
+    val rootB = Files.createTempDirectory("shidxmc-b-")
+    val a = new MaintainedShingleIndex(rootA, spark)
+    val b = new MaintainedShingleIndex(rootB, spark)
+    def feed(idx: MaintainedShingleIndex, id: Long, df: org.apache.spark.sql.DataFrame) =
+      idx.update(df, id)
+    // batches 0,1 — batch 1 carries adds AND a stream-del of a batch-0 doc
+    for (idx <- Seq(a, b)) {
+      feed(idx, 0L, rowsOf(0, 150))
+      feed(idx, 1L, rowsOf(150, 350)
+        .unionByName(Seq((delId, "", "del")).toDF("doc_id", "text", "op")))
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def novSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def kfSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_removed", $"scrub_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def batchParts(root: java.nio.file.Path, rel: String): Seq[String] = {
+      val d = root.resolve(rel)
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).toSeq.sorted
+      finally s.close()
+    }
+    val prePairs = pairSet(a.probe(probeBatch, 0.6))
+    val preNov = novSet(a.noveltyProbe(probeBatch))
+    val preKf = kfSet(a.spanKeepFirstProbe(probeBatch))
+    assert(prePairs.nonEmpty && preKf.exists(_._2 > 0), "vacuous probe geometry")
+    assert(batchParts(rootA, "pairs") == Seq("batch=0", "batch=1"),
+      "expected one partition per fed batch before the fold")
+    assert(Files.exists(rootA.resolve("eos/batch-1/tombstones")),
+      "the stream-del should have staged a tombstone set")
+
+    // crash after staging: probes/updates fail loud, the retry rolls forward
+    intercept[IllegalStateException](a.compact(failAfterStage = true))
+    intercept[IllegalArgumentException](a.probe(probeBatch, 0.6))
+    intercept[IllegalArgumentException](
+      feed(a, 2L, rowsOf(350, 360)))
+    a.compact()
+    assert(batchParts(rootA, "pairs") == Seq("batch=0") &&
+      batchParts(rootA, "counts") == Seq("batch=0"),
+      "committed batches did not fold to the single base")
+    assert(!Files.exists(rootA.resolve("eos/batch-1/tombstones")),
+      "applied tombstones survived the fold")
+    assert(pairSet(a.probe(probeBatch, 0.6)) == prePairs, "probe changed")
+    assert(novSet(a.noveltyProbe(probeBatch)) == preNov, "novelty changed")
+    assert(kfSet(a.spanKeepFirstProbe(probeBatch)) == preKf, "keep-first changed")
+
+    // the feed continues over the folded base exactly like the twin that
+    // never compacted — including a re-requested del of the folded-away id
+    for (idx <- Seq(a, b))
+      feed(idx, 2L, rowsOf(350, 400)
+        .unionByName(Seq((delId, "", "del")).toDF("doc_id", "text", "op")))
+    val probe2 = docs.filter($"doc_id" >= 400).cache()
+    assert(pairSet(a.probe(probe2, 0.6)) == pairSet(b.probe(probe2, 0.6)),
+      "post-compact feed diverged from the uncompacted twin")
+    assert(novSet(a.noveltyProbe(probe2)) == novSet(b.noveltyProbe(probe2)),
+      "post-compact novelty diverged")
+    assert(kfSet(a.spanKeepFirstProbe(probe2)) == kfSet(b.spanKeepFirstProbe(probe2)),
+      "post-compact keep-first diverged")
+    // double-compact is a no-op at the probe level
+    a.compact()
+    assert(pairSet(a.probe(probe2, 0.6)) == pairSet(b.probe(probe2, 0.6)),
+      "double compact changed the probe")
+    probeBatch.unpersist(); probe2.unpersist()
+  }
 }
