@@ -21,6 +21,16 @@ object Bench {
     * inflation the last key of a chunk can see. */
   private val ChunkKeys = 40
 
+  /** Keys slower than this re-run in a SECOND fresh session and the
+    * artifact reports the min across the two sessions (min-of-3 within a
+    * session bounds JIT/GC noise; a second session bounds the residual
+    * 2-4× swings the 1-3 s keys still showed between whole runs —
+    * whichever session happened to JIT/size its heap worse). Sub-second
+    * keys don't re-run: their absolute jitter is bench noise, not a
+    * cross-round signal, and re-running ~110 of them would double the
+    * battery for nothing. */
+  private val SlowKeySec = 1.0
+
   private def newSession(sfDir: String, cpus: String,
       warehouse: java.nio.file.Path): SparkSession = {
     val spark = SparkSession.builder()
@@ -79,32 +89,35 @@ object Bench {
     // same plan); the min is stable and still includes all real work
     // (nothing is cached across passes at the table layer). A failing query
     // ABORTS the bench — swallowing would report a broken query as fast.
-    val results = selected.grouped(ChunkKeys).toSeq.flatMap { chunk =>
-      withSession(sfDir, cpus) { spark =>
-        chunk.map { case (name, fn) =>
-          val t = (1 to 3).map { _ =>
-            val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch {
-              case e: Throwable =>
-                throw new RuntimeException(s"bench query '$name' failed", e)
-            }
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          // queries cache intermediates for their own multi-use plans; drop
-          // them between queries so retained caches don't crowd executor
-          // storage for the rest of the chunk
-          spark.catalog.clearCache()
-          name -> t
+    def batteryPass(sel: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double)] =
+      sel.grouped(ChunkKeys).toSeq.flatMap { chunk =>
+        withSession(sfDir, cpus) { spark =>
+          chunk.map { case (name, fn) =>
+            val t = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              try { fn(spark, sfDir).count() } catch {
+                case e: Throwable =>
+                  throw new RuntimeException(s"bench query '$name' failed", e)
+              }
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            // queries cache intermediates for their own multi-use plans; drop
+            // them between queries so retained caches don't crowd executor
+            // storage for the rest of the chunk
+            spark.catalog.clearCache()
+            name -> t
+          }
         }
       }
-    } ++ (if (args.isEmpty || stages("pipeline")) {
-      // min-of-2 like the queries (the first pass is JIT/classload-bound —
-      // measured ~4s cold vs ~2.5s warm for identical work); each pass
-      // builds its own temp log/sink so nothing is cached across passes.
-      // Per-leg keys (ingest/replicate/consume) make a perf movement
-      // attributable to the stage that caused it; the combined key stays
-      // for cross-round comparability (min of the per-pass TOTALS, so it
-      // remains a real end-to-end measurement, not a sum of best legs).
+    // min-of-2 like the queries (the first pass is JIT/classload-bound —
+    // measured ~4s cold vs ~2.5s warm for identical work); each pass
+    // builds its own temp log/sink so nothing is cached across passes.
+    // Per-leg keys (ingest/replicate/consume) make a perf movement
+    // attributable to the stage that caused it; the combined key stays
+    // for cross-round comparability (min of the per-pass TOTALS, so it
+    // remains a real end-to-end measurement, not a sum of best legs).
+    def pipelinePass(): Seq[(String, Double)] =
       withSession(sfDir, cpus) { spark =>
         val passes = (1 to 2).map(_ => pipelineBench(spark, sfDir))
         val legKeys = passes.head.map(_._1)
@@ -112,11 +125,36 @@ object Bench {
         legKeys.map(k => k -> best.collectFirst { case (`k`, v) => v }.get) :+
           ("pipeline_ingest_replicate_consume" -> best.map(_._2).sum)
       }
-    } else Nil) ++
-      (if (args.isEmpty || stages("ann"))
-        withSession(sfDir, cpus)(annBench(_, sfDir)) else Nil) ++
-      (if (args.isEmpty || stages("index"))
-        withSession(sfDir, cpus)(indexBench(_, sfDir)) else Nil)
+    // per-key min across the sessions; `a` fixes the key set
+    def minMerge(a: Seq[(String, Double)], b: Seq[(String, Double)])
+        : Seq[(String, Double)] = {
+      val bm = b.toMap
+      a.map { case (k, v) => k -> math.min(v, bm.getOrElse(k, v)) }
+    }
+    def slow(rs: Seq[(String, Double)]) = rs.filter(_._2 > SlowKeySec)
+    // every key measures once; keys above SlowKeySec get a SECOND fresh
+    // session and report min-across-sessions (pipeline re-runs whole so
+    // its combined key stays one session's end-to-end total)
+    val qp1 = batteryPass(selected)
+    val slowKeys = slow(qp1).map(_._1).toSet
+    val qp = minMerge(qp1, batteryPass(selected.filter(q => slowKeys(q._1))))
+    val pp1 = if (args.isEmpty || stages("pipeline")) pipelinePass() else Nil
+    val pp = if (slow(pp1).isEmpty) pp1 else {
+      val p2 = pipelinePass()
+      if (p2.collectFirst { case ("pipeline_ingest_replicate_consume", v) => v }
+          .getOrElse(Double.MaxValue) <
+        pp1.collectFirst { case ("pipeline_ingest_replicate_consume", v) => v }
+          .getOrElse(Double.MaxValue)) p2 else pp1
+    }
+    val ap1 = if (args.isEmpty || stages("ann"))
+      withSession(sfDir, cpus)(annBench(_, sfDir)) else Nil
+    val ap = if (slow(ap1).isEmpty) ap1
+      else minMerge(ap1, withSession(sfDir, cpus)(annBench(_, sfDir)))
+    val ip1 = if (args.isEmpty || stages("index"))
+      withSession(sfDir, cpus)(indexBench(_, sfDir)) else Nil
+    val ip = if (slow(ip1).isEmpty) ip1
+      else minMerge(ip1, withSession(sfDir, cpus)(indexBench(_, sfDir)))
+    val results = qp ++ pp ++ ap ++ ip
     // Plan artifacts ride every bench run (outside the timed region): one
     // formatted physical plan per query under target/plans/, so a
     // cross-round perf drift (like r5→r6's broad ~27%) is attributable by
@@ -135,6 +173,13 @@ object Bench {
     // logging can't push the JSON out of the captured tail.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
+      renderOf(results, results, sfTag)(_.toString) + "\n")
+    // The repo-root twin is the COMMITTED cross-round baseline: target/
+    // is wiped at round close, so without this file the next round has
+    // no full per-key map to adjudicate its movers against (the
+    // BENCHFULL_r{N} doctrine — round close renames it per round).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCHFULL_latest.json"),
       renderOf(results, results, sfTag)(_.toString) + "\n")
     println(renderFitted(results, sfTag))
   }
@@ -364,14 +409,19 @@ object Bench {
       // two probes return identical rows, so the fragmented/compacted
       // pair times the SAME answer on the two layouts: the delta is the
       // pure small-files tax the scheduled compact exists to bound.
+      // SPARK_GRAFT_FRAG_BATCHES widens the fragmentation geometry for
+      // the scale bench (BENCH10X runs a 30-batch tree — a month of
+      // daily increments — where the default 8 stays the round battery's
+      // cross-round-comparable shape)
+      val fragBatches = sys.env.getOrElse("SPARK_GRAFT_FRAG_BATCHES", "8").toInt
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       operators.ShingleIndex.materialize(
-        corpus.filter(col("doc_id") % 8 === 0), "graft_bench_shfrag")
-      for (i <- 1 to 7)
+        corpus.filter(col("doc_id") % fragBatches === 0), "graft_bench_shfrag")
+      for (i <- 1 until fragBatches)
         operators.ShingleIndex.append(
-          corpus.filter(col("doc_id") % 8 === i), "graft_bench_shfrag")
+          corpus.filter(col("doc_id") % fragBatches === i), "graft_bench_shfrag")
       require(operators.CatalogCommit.batchDirs(spark, "graft_bench_shfrag")
-        .size == 8, "fragmented-index geometry drifted")
+        .size == fragBatches, "fragmented-index geometry drifted")
       val nFrag = operators.ShingleIndex.containmentProbe(
         spark, "graft_bench_shfrag", shBatch, 0.9).count()
       val tFragProbe = minOf3(operators.ShingleIndex.containmentProbe(

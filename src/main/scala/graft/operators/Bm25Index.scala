@@ -412,22 +412,6 @@ object Bm25Index {
   def compact(spark: SparkSession, path: String): Unit = {
     applyPending(spark, path)
     val (epoch, smallsRel, postingsRel, lastBatch) = currentState(path)
-    if (!hasTombstones(path) && lastBatch <= 0) return
-    // bump the epoch so the rewrite always lands in a fresh dir (delete
-    // already bumped it for the vacuum path; the no-tombstone path must
-    // bump here — epochs are monotone, never reused, so this is safe)
-    val newEpoch = if (hasTombstones(path)) epoch else epoch + 1
-    val newRel = s"postings_e$newEpoch"
-    if (newRel != postingsRel) {
-      // the rewrite compacts every committed batch back into batch 0,
-      // re-clustered by posting bucket so each `b=` dir lands as one
-      // contiguous file set (the ShingleIndex.compact shape)
-      masked(spark, path, postingsDf(spark, path))
-        .repartition(col("b"))
-        .withColumn("batch", lit(0L))
-        .write.mode("overwrite").partitionBy("batch", "b").parquet(s"$path/$newRel")
-      writeState(path, newEpoch, smallsRel, newRel, 0L)
-    }
     def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       val s = java.nio.file.Files.walk(p)
@@ -435,8 +419,52 @@ object Bm25Index {
         .iterator().asScala.foreach(java.nio.file.Files.delete)
       finally s.close()
     }
-    rmTree(java.nio.file.Paths.get(tombDir(path)))
-    if (postingsRel != newRel) // GC the superseded postings dir
+    // Orphan collection FIRST: a crash between a prior compact's pointer
+    // swap and its trailing GC strands the superseded postings dir, and
+    // the retry takes one of the skip paths below and would never revisit
+    // it. Any `postings`/`postings_e*` dir that is not the pointer's
+    // current target is superseded (or a crashed uncommitted rewrite) by
+    // construction — the swap is atomic, epochs monotone, appends only
+    // ever write INTO the current dir — so collect unconditionally, the
+    // same discipline writeState applies to smalls/ snapshots.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.list(root)
+        try s.iterator().asScala.toList
+          .filter { d =>
+            val n = d.getFileName.toString
+            (n == "postings" || n.startsWith("postings_e")) && n != postingsRel
+          }
+          .foreach(rmTree)
+        finally s.close()
+      }
+    }
+    if (!hasTombstones(path) && lastBatch <= 0) return
+    // The rewrite decision reads the COMMITTED layout state, not dir-name
+    // equality: lastBatch != 0 means fragmented batch partitions (or a
+    // legacy flat dir with tombstones pending); with lastBatch == 0 the
+    // pointer can only name the current-epoch dir via a completed rewrite
+    // — in which case any remaining tombstone set was already physically
+    // applied by it and just needs dropping.
+    if (lastBatch != 0L || postingsRel != s"postings_e$epoch") {
+      // bump the epoch so the rewrite always lands in a fresh dir
+      // (epochs are monotone, never reused, so this is safe), compacting
+      // every committed batch back into batch 0, re-clustered by posting
+      // bucket so each `b=` dir lands as one contiguous file set (the
+      // ShingleIndex.compact shape)
+      val newEpoch = epoch + 1
+      val newRel = s"postings_e$newEpoch"
+      masked(spark, path, postingsDf(spark, path))
+        .repartition(col("b"))
+        .withColumn("batch", lit(0L))
+        .write.mode("overwrite").partitionBy("batch", "b").parquet(s"$path/$newRel")
+      writeState(path, newEpoch, smallsRel, newRel, 0L)
+      // GC the superseded dir; a crash before this line is collected by
+      // the next compact's opening sweep
       rmTree(java.nio.file.Paths.get(s"$path/$postingsRel"))
+    }
+    rmTree(java.nio.file.Paths.get(tombDir(path)))
   }
 }

@@ -69,6 +69,32 @@ private[graft] object CatalogCommit {
       if (java.nio.file.Files.exists(dir)) deleteRecursively(dir)
     }
 
+  /** Parquet data-file count under a dir tree — the small-files metric
+    * the compaction fast paths test against their folded target. */
+  def dataFileCount(p: java.nio.file.Path): Long =
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.count { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      finally s.close()
+    }
+
+  /** Immediate child dirs of `p` whose name starts with `prefix` (hive
+    * partition dirs: `bucket=`, `cluster=`, ...). */
+  def childDirs(p: java.nio.file.Path, prefix: String): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.exists(p)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith(prefix))
+      finally s.close()
+    }
+
   private def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(dir)

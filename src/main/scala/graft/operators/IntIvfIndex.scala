@@ -338,6 +338,14 @@ object IntIvfIndex {
     * before/after; the trained centroid/PQ artifacts are preserved
     * verbatim. Tree-level form: [[Maintenance.compact]]. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    // idempotent fast path: nothing masked and every cluster partition
+    // already folded to one file — skip the whole-dir rewrite (and its
+    // hidden-artifact capture/restore dance)
+    val root = java.nio.file.Paths.get(dir)
+    val clusterDirs = CatalogCommit.childDirs(root, "cluster=")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir(dir))) &&
+        clusterDirs.nonEmpty &&
+        clusterDirs.forall(c => CatalogCommit.dataFileCount(c) <= 1L)) return
     val cents = loadCentroids(spark, dir)
     // capture the (KB-sized) hidden artifacts the full-dir overwrite
     // removes; `codes` survives via the data columns themselves

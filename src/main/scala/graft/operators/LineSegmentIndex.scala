@@ -138,6 +138,12 @@ object LineSegmentIndex {
   def compact(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
     graft.GraftExtensions.register(spark)
     val hasTomb = spark.catalog.tableExists(s"${name}_tombstones")
+    // idempotent fast path: nothing masked and the file count already at
+    // the folded bound (≤ one file per bucket) — a scheduled re-run must
+    // not repeat the rewrite, nor re-expose the in-place overwrite
+    // window for nothing
+    if (!hasTomb && CatalogCommit.dataFileCount(
+        CatalogCommit.tableLocation(spark, name)) <= buckets.toLong) return
     val kept = maskedPairs(spark, name).localCheckpoint(true)
     // one file per non-empty bucket (the ShingleIndex.compact shape)
     kept.repartition(buckets, col("h"))

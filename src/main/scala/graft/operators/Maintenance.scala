@@ -129,14 +129,66 @@ object Maintenance {
   }
 
   /** Compact every artifact of the tree (see header). Returns one
-    * [[Compacted]] row per artifact touched, file counts before/after. */
+    * [[Compacted]] row per artifact visited (fast-pathed artifacts show
+    * before == after), file counts before/after. */
   def compact(spark: SparkSession, outDir: String,
       shingleIndexes: Seq[String] = Nil,
       lineSegmentIndexes: Seq[String] = Nil,
       intIvfIndexes: Seq[String] = Nil,
       overlapIndexes: Seq[String] = Nil,
-      buckets: Int = 32): Seq[Compacted] = {
+      buckets: Int = 32): Seq[Compacted] =
+    compactWhere(spark, outDir, _ => true,
+      shingleIndexes, lineSegmentIndexes, intIvfIndexes, overlapIndexes,
+      buckets)
+
+  /** The OPERATOR POLICY form — [[status]] wired to [[compact]]: fold
+    * exactly the artifacts past the fragmentation thresholds and leave
+    * the rest untouched (they don't even appear in the report). A
+    * scheduler calls this nightly with the tree's budget knobs instead
+    * of either compacting blindly or reading [[status]] by hand:
+    * `maxBatchParts` bounds the `batch=` partition-dir count of the
+    * batch-axis indexes (shingle/overlap/bm25 — ~30 ≈ a month of daily
+    * increments), `maxFiles` bounds raw parquet file count for the
+    * layouts without a batch axis (vectors/IVF/line/flat artifacts).
+    * Same quiescent-tree contract as [[compact]]: never run concurrently
+    * with an in-flight increment — a staged-but-unapplied
+    * [[DailyIncrement]]'s index targets go stale against the reset
+    * pointers and its apply step fails loud in `appendAs`
+    * (MaintenanceSpec pins that race), never corrupts. */
+  def auto(spark: SparkSession, outDir: String,
+      maxBatchParts: Long = 30L,
+      maxFiles: Long = 256L,
+      shingleIndexes: Seq[String] = Nil,
+      lineSegmentIndexes: Seq[String] = Nil,
+      intIvfIndexes: Seq[String] = Nil,
+      overlapIndexes: Seq[String] = Nil,
+      buckets: Int = 32): Seq[Compacted] =
+    compactWhere(spark, outDir,
+      l => l.batchParts > maxBatchParts || l.files > maxFiles,
+      shingleIndexes, lineSegmentIndexes, intIvfIndexes, overlapIndexes,
+      buckets)
+
+  private def compactWhere(spark: SparkSession, outDir: String,
+      pred: Layout => Boolean,
+      shingleIndexes: Seq[String],
+      lineSegmentIndexes: Seq[String],
+      intIvfIndexes: Seq[String],
+      overlapIndexes: Seq[String],
+      buckets: Int): Seq[Compacted] = {
     graft.GraftExtensions.register(spark)
+    // Fail-loud quiescence guard: a sealed-but-unapplied DailyIncrement
+    // means the tree is MID-INCREMENT — folding now would reset the index
+    // pointers its staged appends target, stranding the increment in
+    // appendAs's stale-target gate at apply time. Refuse up front so the
+    // operator applies it (DailyIncrement.recover) and re-schedules the
+    // fold; MaintenanceSpec pins the race.
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$outDir/_increment_pending/_staged")),
+      s"tree $outDir is not quiescent: a staged DailyIncrement is pending " +
+        "— apply it (DailyIncrement.recover) before compacting")
+    val targets = status(spark, outDir, shingleIndexes, lineSegmentIndexes,
+      intIvfIndexes, overlapIndexes).filter(pred)
+    if (targets.isEmpty) return Nil
     // Quiescent-tree op: drop cached plans before rewriting the tables
     // they may reference. A cached frame whose lineage reads a table
     // being overwritten is a live hazard — the CacheManager re-resolves
@@ -145,68 +197,70 @@ object Maintenance {
     // survivor would pin pre-compact data. Nothing legitimate holds
     // cached index lineage across a maintenance window.
     spark.catalog.clearCache()
-    def recorded(kind: String, explicit: Seq[String]): Seq[String] =
-      (explicit ++ Takedown.recordedIndexes(outDir, kind)).distinct
-    val report = scala.collection.mutable.ArrayBuffer.empty[Compacted]
-    def leg(kind: String, name: String, before: => Long, after: => Long)(
-        run: => Unit): Unit = {
-      val b = before; run; report += Compacted(kind, name, b, after)
+    targets.map { l =>
+      def files(): Long = l.kind match {
+        case "shingle" | "overlap" | "line" => tableFiles(spark, l.name)
+        case _ => pathFiles(l.name)
+      }
+      val before = files()
+      l.kind match {
+        case "shingle" => ShingleIndex.compact(spark, l.name, buckets)
+        case "overlap" => OverlapIndex.compact(spark, l.name, buckets)
+        case "line" => LineSegmentIndex.compact(spark, l.name, buckets)
+        case "intivf" => IntIvfIndex.compact(spark, l.name)
+        case "bm25" => Bm25Index.compact(spark, l.name)
+        case "vectors" => VectorIndex.compact(spark, l.name)
+        // The flat parquet artifacts accumulate one file set per daily
+        // APPEND (curated/evalh rows append; shards grow per-batch files
+        // inside their hive dirs) and, unlike the indexes, have no
+        // non-tombstone rewrite path at all — Takedown.scrub/repack only
+        // fire on removals. These folds are ROW-IDENTICAL rewrites: the
+        // manifest/evalh keep `added_batch` (the as-of provenance column
+        // — collapsing it would rewrite history), shards keep (doc_id,
+        // shard, offset) exactly (re-clustered one partition per shard
+        // dir), and takedown tombstones are deliberately NOT applied
+        // here — masking is the readers' job and erasure is scrub()'s,
+        // so compact stays semantics-free.
+        case "curated" | "evalh" =>
+          foldFlat(spark, outDir, l.kind, l.name,
+              math.max(1, spark.sparkContext.defaultParallelism).toLong) {
+            (df, out) =>
+              df.coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+                .write.parquet(out)
+          }
+        case "shards" =>
+          foldFlat(spark, outDir, "shards", l.name,
+              math.max(1L, CatalogCommit.childDirs(
+                java.nio.file.Paths.get(l.name), "shard=").size.toLong)) {
+            (df, out) =>
+              df.repartition(org.apache.spark.sql.functions.col("shard"))
+                .write.partitionBy("shard").parquet(out)
+          }
+      }
+      Compacted(l.kind, l.name, before, files())
     }
-    for (n <- recorded("shingle", shingleIndexes))
-      leg("shingle", n, tableFiles(spark, n), tableFiles(spark, n)) {
-        ShingleIndex.compact(spark, n, buckets)
-      }
-    for (n <- recorded("overlap", overlapIndexes))
-      leg("overlap", n, tableFiles(spark, n), tableFiles(spark, n)) {
-        OverlapIndex.compact(spark, n, buckets)
-      }
-    for (n <- recorded("line", lineSegmentIndexes))
-      leg("line", n, tableFiles(spark, n), tableFiles(spark, n)) {
-        LineSegmentIndex.compact(spark, n, buckets)
-      }
-    for (n <- recorded("intivf", intIvfIndexes))
-      leg("intivf", n, pathFiles(n), pathFiles(n)) {
-        IntIvfIndex.compact(spark, n)
-      }
-    val bm25 = s"$outDir/bm25"
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(bm25)))
-      leg("bm25", bm25, pathFiles(bm25), pathFiles(bm25)) {
-        Bm25Index.compact(spark, bm25)
-      }
-    val vectors = s"$outDir/vectors"
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(vectors)))
-      leg("vectors", vectors, pathFiles(vectors), pathFiles(vectors)) {
-        VectorIndex.compact(spark, vectors)
-      }
-    // The flat parquet artifacts accumulate one file set per daily
-    // APPEND (curated/evalh rows append; shards grow per-batch files
-    // inside their hive dirs) and, unlike the indexes, had no
-    // non-tombstone rewrite path at all — Takedown.scrub/repack only
-    // fire on removals. These folds are ROW-IDENTICAL rewrites: the
-    // manifest/evalh keep `added_batch` (the as-of provenance column —
-    // collapsing it would rewrite history), shards keep (doc_id, shard,
-    // offset) exactly (re-clustered one partition per shard dir), and
-    // takedown tombstones are deliberately NOT applied here — masking
-    // is the readers' job and erasure is scrub()'s, so compact stays
-    // semantics-free. Same checkpoint-pinned in-place-overwrite
-    // discipline as scrub's manifest rewrite.
-    for (rel <- Seq("curated", "evalh")) {
-      val d = s"$outDir/$rel"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
-        leg(rel, d, pathFiles(d), pathFiles(d)) {
-          val kept = spark.read.parquet(d).localCheckpoint(true)
-          kept.coalesce(math.max(1, spark.sparkContext.defaultParallelism))
-            .write.mode("overwrite").parquet(d)
-        }
+  }
+
+  /** One flat artifact's fold. Writes to a STAGED sibling dir and
+    * commits by the CompactSwap marker protocol — a routine scheduled
+    * compact must never expose the manifest to a lost-executor-mid-
+    * overwrite window (the plan reads the live dir and writes the
+    * staged one, so no checkpoint pin is needed; a crash before the
+    * marker loses nothing, after it the next compact rolls the rename
+    * forward) — plus an already-at-target fast path so a weekly
+    * schedule doesn't rewrite a quiet tree. */
+  private def foldFlat(spark: SparkSession, outDir: String, rel: String,
+      d: String, target: Long)(
+      write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
+    val live = java.nio.file.Paths.get(d)
+    val staged = java.nio.file.Paths.get(s"${d}_compact")
+    val marker = java.nio.file.Paths.get(s"$outDir/_maint_staged_$rel")
+    graft.streaming.CompactSwap.recover(marker, Seq(live -> staged), Nil)
+    graft.streaming.CompactSwap.deleteRec(staged) // pre-marker leftovers
+    if (pathFiles(d) > target) {
+      write(spark.read.parquet(d), staged.toString)
+      java.nio.file.Files.createFile(marker)
+      graft.streaming.CompactSwap.roll(marker, Seq(live -> staged), Nil)
     }
-    val shards = s"$outDir/shards"
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(shards)))
-      leg("shards", shards, pathFiles(shards), pathFiles(shards)) {
-        val kept = spark.read.parquet(shards).localCheckpoint(true)
-        kept.repartition(org.apache.spark.sql.functions.col("shard"))
-          .write.mode("overwrite")
-          .partitionBy("shard").parquet(shards)
-      }
-    report.toSeq
   }
 }

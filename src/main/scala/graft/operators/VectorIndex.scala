@@ -118,6 +118,11 @@ object VectorIndex {
     * layout can't use without breaking partition discovery). Tree-level
     * form: [[Maintenance.compact]]. */
   def compact(spark: SparkSession, path: String): Unit = {
+    // idempotent fast path: nothing masked and the layout already at the
+    // folded target (≤ one file per bucket dir) — skip the rewrite
+    val root = java.nio.file.Paths.get(path)
+    if (!hasTombstones(path) && CatalogCommit.dataFileCount(root) <=
+        CatalogCommit.childDirs(root, "bucket=").size.toLong) return
     val kept = masked(spark, path,
       spark.read.parquet(path).select(col("vec_id"), col("v"), col("bucket")),
       "vec_id").localCheckpoint(true)

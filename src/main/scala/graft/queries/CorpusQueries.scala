@@ -518,7 +518,9 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", $"text").cache()
       val packed = packCurateFull(s, dir, Tokenizer.Whitespace, nd)
         .select($"doc_id", $"n_removed", $"shard", $"shard_offset")
-      docs.select($"doc_id", $"n_tokens")
+      // materialized so the caches release before the return (the
+      // pipelineCurateFull leak discipline applied to the audit twin)
+      val out = docs.select($"doc_id", $"n_tokens")
         .join(dups, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .join(clusters, Seq("doc_id"), "left")
@@ -533,6 +535,9 @@ object CorpusQueries extends QueryModule {
           when($"keep_id" =!= $"doc_id", $"keep_id")
             .when($"cluster" =!= $"doc_id", $"cluster").as("dup_of"),
           $"contam_frac", $"n_removed", $"shard", $"shard_offset")
+        .localCheckpoint(true)
+      clusters.unpersist(); nd.unpersist()
+      out
     },
 
     // pipeline_audit with the near-dup stage in the fate order — the
@@ -558,7 +563,9 @@ object CorpusQueries extends QueryModule {
       val clusters = nearDupClusters(train).cache()
       val packed = packNearDupKeepers(train, clusters)
         .select($"doc_id", $"shard", $"shard_offset")
-      docs.select($"doc_id", $"n_tokens")
+      // materialized so the cluster cache releases before the return
+      // (the pipelineCurateFull leak discipline)
+      val out = docs.select($"doc_id", $"n_tokens")
         .join(dups, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .join(clusters, Seq("doc_id"), "left")
@@ -573,6 +580,9 @@ object CorpusQueries extends QueryModule {
           when($"keep_id" =!= $"doc_id", $"keep_id")
             .when($"cluster" =!= $"doc_id", $"cluster").as("dup_of"),
           $"contam_frac", $"shard", $"shard_offset")
+        .localCheckpoint(true)
+      clusters.unpersist()
+      out
     },
 
     // pipeline_audit with the SCRUB stage in the trace — the scrub never
@@ -1381,13 +1391,15 @@ object CorpusQueries extends QueryModule {
     val train = curatedTrain(s, dir, tok)
     // cache: the components loop ran inside nearDupSurvivors; nd feeds
     // two positioned passes, the span occurrence pass and the rebuild.
-    // NOT unpersisted here — the returned plan still references the cache
-    // entry, so release is the CALLER's: the bench/verify harnesses call
-    // spark.catalog.clearCache() between queries; programmatic repeat
-    // callers should do the same (or run via CurationJob, whose stage
-    // boundaries carry their own explicit release discipline).
+    // The packing MATERIALIZES here (localCheckpoint cuts the returned
+    // plan to a LogicalRDD leaf) so nd releases before the return — a
+    // lazy return would keep the cache entry pinned inside the caller's
+    // plan, leaking one nd per invocation in callers without an explicit
+    // clearCache between queries.
     val nd = nearDupSurvivors(train).select(col("doc_id"), col("text")).cache()
-    packCurateFull(s, dir, tok, nd)
+    val out = packCurateFull(s, dir, tok, nd).localCheckpoint(true)
+    nd.unpersist()
+    out
   }
 
   /** The full-strength DAG's text-rewriting + packing tail from a

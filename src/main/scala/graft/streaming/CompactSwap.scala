@@ -22,7 +22,7 @@ import java.nio.file.{Files, Path}
   *    layout fails loud ("roll forward first") instead of silently
   *    reading an empty corpus.
   */
-private[streaming] object CompactSwap {
+private[graft] object CompactSwap {
   def deleteRec(dir: Path): Unit = if (Files.exists(dir)) {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(dir)
@@ -45,6 +45,22 @@ private[streaming] object CompactSwap {
   /** Roll a crashed swap forward (no-op without the marker). */
   def recover(marker: Path, swaps: Seq[(Path, Path)], drops: Seq[Path]): Unit =
     if (Files.exists(marker)) roll(marker, swaps, drops)
+
+  /** Top-level `batch=<n>` partition ids of a maintained layout — the
+    * fragmentation axis compact() folds. The idempotent fast path tests
+    * this against Seq(0): a retry right after [[recover]] rolled a
+    * crashed swap forward would otherwise re-stage and re-roll the
+    * already-folded base, doubling the rewrite cost for nothing. */
+  def batchIds(dir: Path): Seq[Long] =
+    if (!Files.exists(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).toList.sorted
+      finally s.close()
+    }
 
   /** Fail-loud guard for probe/update paths: a present marker means a
     * crashed compact left the layout mid-swap. */

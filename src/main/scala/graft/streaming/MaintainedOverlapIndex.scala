@@ -153,6 +153,9 @@ final class MaintainedOverlapIndex(path: Path, spark: SparkSession) {
     val last = proj.lastCommitted
     CompactSwap.recover(compactMarker, compactSwaps, compactDrops(last))
     if (last < 0) return
+    // idempotent fast path (the post-recover retry must not re-fold)
+    if (CompactSwap.batchIds(occDir) == Seq(0L) &&
+        !Files.exists(path.resolve(s"eos/batch-$last/tombstones"))) return
     val Seq((_, so)) = compactSwaps
     CompactSwap.deleteRec(so)
     committedOcc.repartition(32, col("h")).withColumn("batch", lit(0L))

@@ -217,6 +217,12 @@ final class MaintainedShingleIndex(path: Path, spark: SparkSession) {
     val last = proj.lastCommitted
     CompactSwap.recover(compactMarker, compactSwaps, compactDrops(last))
     if (last < 0) return
+    // idempotent fast path — in particular the retry right after recover
+    // rolled a crashed swap forward: already single-base with no
+    // tombstone snapshot left to apply means there is nothing to fold
+    if (CompactSwap.batchIds(pairsDir) == Seq(0L) &&
+        CompactSwap.batchIds(countsDir) == Seq(0L) &&
+        !Files.exists(path.resolve(s"eos/batch-$last/tombstones"))) return
     val Seq((_, sp), (_, sc)) = compactSwaps
     CompactSwap.deleteRec(sp); CompactSwap.deleteRec(sc)
     committedPairs.repartition(32, col("h")).withColumn("batch", lit(0L))

@@ -105,6 +105,9 @@ final class MaintainedVectorIndex(path: Path, spark: SparkSession,
     CompactSwap.recover(compactMarker, compactSwaps, Seq(tombDir))
     val last = proj.lastCommitted
     if (last < 0 || !Files.exists(vecsDir)) return
+    // idempotent fast path (the post-recover retry must not re-fold)
+    if (CompactSwap.batchIds(vecsDir) == Seq(0L) && !Files.exists(tombDir))
+      return
     val Seq((_, staged)) = compactSwaps
     CompactSwap.deleteRec(staged)
     maskedCorpus(spark.read.parquet(vecsDir.toString)

@@ -256,6 +256,9 @@ final class MaintainedBm25Index(path: Path, spark: SparkSession, buckets: Int = 
     val last = proj.lastCommitted
     CompactSwap.recover(compactMarker, compactSwaps, compactDrops(last))
     if (last < 0 || !Files.exists(postingsDir)) return
+    // idempotent fast path (the post-recover retry must not re-fold)
+    if (CompactSwap.batchIds(postingsDir) == Seq(0L) &&
+        !Files.exists(path.resolve(s"eos/batch-$last/tombstones"))) return
     val Seq((_, staged)) = compactSwaps
     CompactSwap.deleteRec(staged)
     val committed = spark.read.parquet(postingsDir.toString)

@@ -850,11 +850,41 @@ class DailyIncrementSpec extends AnyFunSuite {
       assert(toks(dir) == Map(10L -> 30L, 11L -> 23L, 12L -> 23L),
         s"day0 full-stack verdict wrong: ${toks(dir)}")
 
+      // GATES-ONCE stage budget (the lineage cut's wasted-work pin): with
+      // every text-rewriting stage on, finalKept is localCheckpoint-cut,
+      // so the gate chain (digest anti-join → decontam → near-dup
+      // components) materializes ONCE and each downstream consumer
+      // (positioned bench pass, span pass, min-id guards, token rebuild,
+      // staging writes) reads the materialized rows. Without the cut
+      // every consumer re-executes the chain — an integer multiple of
+      // the gate stages. The stage count is a deterministic function of
+      // the fixed plan surface; measured 256 on this fixture, and the
+      // bound sits ~1.5× above so scheduler/AQE variation cannot trip it
+      // while chain re-execution (which at least doubles it) must.
+      val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stageListener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          stageCount.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(stageListener)
       val inc = DailyIncrement.run(spark, synth, dir,
         batchFilter = col("doc_id") >= 100,
         nearDupIndex = Some("graft_fs_nd"), overlapIndex = Some("graft_fs_ov"),
         benchIndex = Some("graft_fs_be"), spanIndex = Some("graft_fs_sp"))
+      // the listener bus is async — wait until the count stops moving
+      var lastSeen = -1
+      while (stageCount.get != lastSeen) {
+        lastSeen = stageCount.get; Thread.sleep(200)
+      }
+      spark.sparkContext.removeSparkListener(stageListener)
+      val stageDelta = stageCount.get
       assert(inc.nBatchKept == 3, s"batch kept ${inc.nBatchKept}, want 3 (101 drops)")
+      info(s"full-stack runBatch stage budget: $stageDelta stages")
+      assert(stageDelta <= 380,
+        s"full-stack runBatch cost $stageDelta stages — the gate chain is " +
+          "re-executing per consumer (was the finalKept lineage cut removed?)")
       val wantToks = Map(10L -> 30L, 11L -> 23L, 12L -> 23L,
         100L -> 23L, 103L -> 23L, 104L -> 30L)
       assert(toks(dir) == wantToks, s"daily full-stack verdicts: ${toks(dir)}")

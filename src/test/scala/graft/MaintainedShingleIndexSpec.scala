@@ -183,6 +183,13 @@ class MaintainedShingleIndexSpec extends AnyFunSuite {
     assert(pairSet(a.probe(probeBatch, 0.6)) == prePairs, "probe changed")
     assert(novSet(a.noveltyProbe(probeBatch)) == preNov, "novelty changed")
     assert(kfSet(a.spanKeepFirstProbe(probeBatch)) == preKf, "keep-first changed")
+    // idempotent fast path: an immediate re-compact of the folded base
+    // (exactly the retry-right-after-recover shape) must not re-stage
+    // and re-roll the already-folded layout
+    val foldStamp = Files.getLastModifiedTime(rootA.resolve("pairs"))
+    a.compact()
+    assert(Files.getLastModifiedTime(rootA.resolve("pairs")) == foldStamp,
+      "re-compact of an already-folded base rewrote it")
 
     // the feed continues over the folded base exactly like the twin that
     // never compacted — including a re-requested del of the folded-away id
@@ -201,5 +208,87 @@ class MaintainedShingleIndexSpec extends AnyFunSuite {
     assert(pairSet(a.probe(probe2, 0.6)) == pairSet(b.probe(probe2, 0.6)),
       "double compact changed the probe")
     probeBatch.unpersist(); probe2.unpersist()
+  }
+
+  test("compact under a LIVE query: between-trigger folds invisible, a mid-swap marker fails the trigger loud, compact() recovers and the restarted stream continues") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val corpus = docs.filter($"doc_id" < 300)
+    val probeBatch = docs.filter($"doc_id" >= 350).cache()
+    val rows = corpus.as[(Long, String)].collect()
+    val third = rows.length / 3
+    val (b1, rest) = rows.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+    val lateDoc = (900001L, "omega psi chi phi upsilon")
+
+    val root = Files.createTempDirectory("shidxm-live-")
+    val idx = new MaintainedShingleIndex(root, spark)
+    val ckpt = Files.createTempDirectory("graft-ckpt-shidxm-live-").toString
+    val ms = MemoryStream[(Long, String)]
+    def start() = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(idx.update _)
+      .start()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q = start()
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+
+      // BETWEEN triggers (query alive, idle) — the documented maintenance
+      // window: the fold is invisible to the next probe and the stream
+      // keeps appending onto the folded base
+      val pre = pairSet(idx.probe(probeBatch, 0.6))
+      assert(q.isActive, "fixture: the query must be live here")
+      idx.compact()
+      assert(pairSet(idx.probe(probeBatch, 0.6)) == pre,
+        "between-trigger compact changed the probe")
+      ms.addData(b3.toSeq: _*); q.processAllAvailable()
+      ShingleIndex.materialize(corpus, "graft_shidxm_live_ref")
+      val want = pairSet(
+        ShingleIndex.probe(spark, "graft_shidxm_live_ref", probeBatch, 0.6))
+      assert(want.nonEmpty, "vacuous probe geometry")
+      assert(pairSet(idx.probe(probeBatch, 0.6)) == want,
+        "stream over a between-trigger fold != batch rebuild on the union")
+
+      // DURING a trigger: a mid-swap marker (the crashed-compact state)
+      // must fail the arriving micro-batch LOUD — an update must never
+      // append into a half-swapped layout
+      Files.createFile(root.resolve("_compact_staged"))
+      ms.addData(lateDoc)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def rootCause(t: Throwable): Throwable =
+        if (t.getCause == null) t else rootCause(t.getCause)
+      assert(rootCause(e).getMessage.contains("crashed compact"),
+        s"wrong failure: ${rootCause(e).getMessage}")
+      assert(!q.isActive, "the failed trigger should have stopped the query")
+
+      // compact() rolls the swap forward and clears the marker; the
+      // restarted query replays the failed batch and the state equals a
+      // batch rebuild over everything delivered
+      idx.compact()
+      val q2 = start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      ShingleIndex.materialize(
+        corpus.unionByName(Seq(lateDoc).toDF("doc_id", "text")),
+        "graft_shidxm_live_ref2")
+      assert(pairSet(idx.probe(probeBatch, 0.6)) == pairSet(
+        ShingleIndex.probe(spark, "graft_shidxm_live_ref2", probeBatch, 0.6)),
+        "restart after a recovered swap diverged from the batch rebuild")
+    } finally {
+      if (q.isActive) q.stop()
+      for (t <- Seq("graft_shidxm_live_ref", "graft_shidxm_live_ref_counts",
+          "graft_shidxm_live_ref2", "graft_shidxm_live_ref2_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.clearCache()
+      probeBatch.unpersist()
+    }
   }
 }

@@ -289,4 +289,94 @@ class MaintenanceSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("auto(): threshold policy folds exactly the fragmented artifacts; a staged increment refuses maintenance loud; a pointer reset strands the staged apply in the stale-target gate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    def uniq(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val all = Seq(
+      (10L, uniq("a")), (11L, uniq("b")), (34L, uniq("e")),
+      (100L, uniq("c")), (104L, uniq("q")), (136L, uniq("g")),
+      (210L, uniq("w")), (211L, uniq("h")), (213L, uniq("n")),
+      (300L, uniq("x")), (301L, uniq("y")),
+      (400L, uniq("z")), (401L, uniq("k")))
+    val synth = Files.createTempDirectory("graft-mta-sf-").toString
+    all.map { case (id, tx) => (id, tx, "en", "webA", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$synth/documents.parquet")
+    all.map { case (id, _) =>
+      (id, Array.tabulate(64)(d => (((id + d) % 7).toFloat + 1f) / 8f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$synth/embeddings.parquet")
+    val nd = "graft_mta_nd"
+    def dropAll(): Unit = Seq(nd, s"${nd}_counts", s"${nd}_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    val out = Files.createTempDirectory("graft-mta-").toString
+    try {
+      CurationJob.run(spark, synth, out, docFilter = col("doc_id") < 100,
+        nearDupIndex = Some(nd))
+      for (lo <- Seq(100L, 200L))
+        DailyIncrement.run(spark, synth, out,
+          batchFilter = col("doc_id") >= lo && col("doc_id") < lo + 100,
+          nearDupIndex = Some(nd))
+      assert(CatalogCommit.batchDirs(spark, nd) == Seq(0L, 1L, 2L),
+        "fixture geometry drifted")
+
+      // ---- threshold policy: ONLY the batch-axis artifacts past
+      // maxBatchParts fold; layouts under their thresholds are not even
+      // visited (no report row, no rewrite — mtime pin) ----
+      val vecDir = java.nio.file.Paths.get(s"$out/vectors")
+      val vecStamp = Files.getLastModifiedTime(vecDir)
+      val r1 = Maintenance.auto(spark, out,
+        maxBatchParts = 2, maxFiles = 1000000)
+      assert(r1.map(_.kind).toSet == Set("shingle", "bm25"),
+        s"auto() visited the wrong artifacts: $r1")
+      assert(r1.exists(_.name == nd), s"auto() missed the shingle fold: $r1")
+      assert(CatalogCommit.batchDirs(spark, nd) == Seq(0L),
+        "auto() did not fold the fragmented shingle index")
+      assert(Files.getLastModifiedTime(vecDir) == vecStamp,
+        "auto() rewrote an artifact under its thresholds")
+      // converged tree: a second auto() finds nothing past threshold
+      assert(Maintenance.auto(spark, out,
+        maxBatchParts = 2, maxFiles = 1000000).isEmpty,
+        "auto() re-folded a converged tree")
+
+      // one more applied increment re-fragments (batch 1 on the folded
+      // base) so the race below has a real stale window
+      DailyIncrement.run(spark, synth, out,
+        batchFilter = col("doc_id") >= 300 && col("doc_id") < 400,
+        nearDupIndex = Some(nd))
+      assert(CatalogCommit.batchDirs(spark, nd) == Seq(0L, 1L))
+
+      // ---- the quiescence race: stage (but do not apply) the next
+      // increment — the tree is MID-INCREMENT and every maintenance fold
+      // must refuse loud instead of resetting the staged targets ----
+      DailyIncrement.stage(spark,
+        Tables.load(spark, synth, "documents").filter($"doc_id" >= 400)
+          .select($"doc_id", $"text", $"lang"),
+        Tables.load(spark, synth, "embeddings")
+          .select($"vec_id", $"embedding"),
+        out, graft.functions.Tokenizer.Whitespace, nearDupIndex = Some(nd))
+      val e1 = intercept[IllegalArgumentException] {
+        Maintenance.compact(spark, out) }
+      assert(e1.getMessage.contains("not quiescent"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Maintenance.auto(spark, out, maxBatchParts = 0) }
+      assert(e2.getMessage.contains("not quiescent"), e2.getMessage)
+
+      // ... and if an operator resets the index pointer ANYWAY (the
+      // index-level compact has no tree view), the staged apply step
+      // dies in appendAs's stale-target gate — loud, never a silent
+      // mis-append onto the folded base
+      spark.catalog.clearCache()
+      ShingleIndex.compact(spark, nd)
+      assert(CatalogCommit.batchDirs(spark, nd) == Seq(0L))
+      val e3 = intercept[IllegalArgumentException] {
+        DailyIncrement.recover(spark, out) }
+      assert(e3.getMessage.contains("stale"),
+        s"expected the stale-target failure, got: ${e3.getMessage}")
+    } finally { dropAll(); spark.catalog.clearCache() }
+  }
 }
