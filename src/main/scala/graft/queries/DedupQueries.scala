@@ -411,9 +411,14 @@ object DedupQueries extends QueryModule {
           expr(s"rk div $SnmW").as("ba"))
         val b = ranked.select($"doc_id".as("idb"), $"rk".as("rb"),
           expr(s"rk div $SnmW").as("bb"))
-        val cand = a.join(b,
-            ($"bb" === $"ba" || $"bb" === $"ba" + 1) &&
-              $"rb" > $"ra" && $"rb" <= $"ra" + SnmW)
+        // one equi-join per adjacent-bucket case, unioned — the branches
+        // are disjoint (bb = ba vs bb = ba+1). Spelling them as a single
+        // OR-disjunction defeats Catalyst's equi-key extraction and plans
+        // a BroadcastNestedLoopJoin: O(N²) comparisons, measured 25.6×
+        // (superlinear) on the 10× corpus where this union is ~10×.
+        val winCond = $"rb" > $"ra" && $"rb" <= $"ra" + SnmW
+        val cand = a.join(b, $"bb" === $"ba" && winCond)
+          .unionByName(a.join(b, $"bb" === $"ba" + 1 && winCond))
           .select($"ida", $"idb")
         val sh = shingleSet(s, dir).cache()
         val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
