@@ -202,6 +202,14 @@ object Bench {
         case e: Exception =>
           java.nio.file.Files.writeString(out, s"PLAN FAIL: ${e.getMessage}")
           Some(name)
+      } finally {
+        // a query that .cache()s during CONSTRUCTION (SNM's shingle set,
+        // GlobalCumsum's internal input) would otherwise leak live cache
+        // entries into every later-planned key's skeleton as
+        // InMemoryRelation nodes — the residual cross-query coupling
+        // behind the ±1 plan_diff wobble adjudicated in r15. Each key's
+        // dumped skeleton must be a function of that key alone.
+        spark.catalog.clearCache()
       }
     }
   }
