@@ -510,7 +510,7 @@ object CorpusQueries extends QueryModule {
       val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
       val contam = contamination(sh)
         .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
-      val train = curatedTrain(s, dir)
+      val train = curatedTrain(s, dir).cache()
       val clusters = nearDupClusters(train).cache()
       val nd = train
         .join(clusters.filter($"cluster" === $"doc_id").select($"doc_id"),
@@ -536,7 +536,7 @@ object CorpusQueries extends QueryModule {
             .when($"cluster" =!= $"doc_id", $"cluster").as("dup_of"),
           $"contam_frac", $"n_removed", $"shard", $"shard_offset")
         .localCheckpoint(true)
-      clusters.unpersist(); nd.unpersist()
+      clusters.unpersist(); nd.unpersist(); train.unpersist()
       out
     },
 
@@ -557,7 +557,7 @@ object CorpusQueries extends QueryModule {
       val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
       val contam = contamination(sh)
         .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
-      val train = curatedTrain(s, dir)
+      val train = curatedTrain(s, dir).cache()
       // cached: the assignment feeds BOTH the fate column and the
       // packing, and the components loop must not run twice
       val clusters = nearDupClusters(train).cache()
@@ -581,7 +581,7 @@ object CorpusQueries extends QueryModule {
             .when($"cluster" =!= $"doc_id", $"cluster").as("dup_of"),
           $"contam_frac", $"shard", $"shard_offset")
         .localCheckpoint(true)
-      clusters.unpersist()
+      clusters.unpersist(); train.unpersist()
       out
     },
 
@@ -1318,8 +1318,16 @@ object CorpusQueries extends QueryModule {
   /** [[pipelineCurate]] with the near-dup stage on. */
   private[graft] def pipelineCurateNearDup(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val train = curatedTrain(s, dir, tok)
-    packNearDupKeepers(train, nearDupClusters(train))
+    // cache: the gate+decontam chain fans out into the jaccard pair
+    // self-join, the components node set and the packing semi-join —
+    // uncached it re-executed (shingle explode included) once per
+    // consumer. Materialize-then-unpersist, the pipelineCurateFull leak
+    // discipline.
+    val train = curatedTrain(s, dir, tok).cache()
+    val out = packNearDupKeepers(train, nearDupClusters(train))
+      .localCheckpoint(true)
+    train.unpersist()
+    out
   }
 
   /** [[pipelineCurate]] with the token-level SCRUB stage on: the decontam
@@ -1388,7 +1396,10 @@ object CorpusQueries extends QueryModule {
     * just each stage — is a driver-gate hash equality. */
   private[graft] def pipelineCurateFull(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val train = curatedTrain(s, dir, tok)
+    // train cached too: nearDupSurvivors fans it into the jaccard pair
+    // self-join, the components node set and its own semi-join — the
+    // gate+decontam chain must execute once, not once per consumer.
+    val train = curatedTrain(s, dir, tok).cache()
     // cache: the components loop ran inside nearDupSurvivors; nd feeds
     // two positioned passes, the span occurrence pass and the rebuild.
     // The packing MATERIALIZES here (localCheckpoint cuts the returned
@@ -1398,7 +1409,7 @@ object CorpusQueries extends QueryModule {
     // clearCache between queries.
     val nd = nearDupSurvivors(train).select(col("doc_id"), col("text")).cache()
     val out = packCurateFull(s, dir, tok, nd).localCheckpoint(true)
-    nd.unpersist()
+    nd.unpersist(); train.unpersist()
     out
   }
 
