@@ -358,11 +358,17 @@ object ShingleIndex {
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("bdoc"), col("b.doc_id").as("cdoc"))
       .agg(count(lit(1)).as("inter"))
-    // candidate pairs are batch-bounded — broadcast THEM against the
-    // corpus-sized counts table (never the reverse)
+    // candidate pairs are batch-bounded, so they are the natural build
+    // side against the corpus-sized counts table — but the broadcast is
+    // NOT forced (the round-7 un-forced-broadcast doctrine): AQE
+    // broadcasts the candidate side when a bounded daily batch keeps it
+    // under threshold, and an oversized batch degrades to a sort-merge
+    // join instead of building a corpus-scaled relation on the driver
+    // (the forced hint OOM'd the 100x scale bench, where the fixture's
+    // %10 batch grows with the corpus)
     val crossN = ccnt.select(col("doc_id").as("cdoc"), col("n").as("nb"))
-      .join(broadcast(cross
-        .join(bcnt.select(col("doc_id").as("bdoc"), col("n").as("na")), "bdoc")), "cdoc")
+      .join(cross
+        .join(bcnt.select(col("doc_id").as("bdoc"), col("n").as("na")), "bdoc"), "cdoc")
 
     // batch-vs-batch: |batch|-bounded self-join, each pair once
     val self = bsh.as("a").join(bsh.as("b"),
@@ -425,11 +431,12 @@ object ShingleIndex {
       .agg(count(lit(1)).as("inter"))
 
     val c = col("inter").cast("double") / col("nin")
-    // corpus-doc-contained orientation: candidates broadcast against the
-    // corpus counts table (the probeFrames discipline)
+    // corpus-doc-contained orientation: candidates against the corpus
+    // counts table (the probeFrames discipline — un-forced, AQE picks
+    // broadcast for bounded batches and SMJ for oversized ones)
     val corpusIn = ccnt.select(col("doc_id").as("doc_in"), col("n").as("nin"))
-      .join(broadcast(cross.select(col("cdoc").as("doc_in"),
-        col("bdoc").as("doc_out"), col("inter"))), "doc_in")
+      .join(cross.select(col("cdoc").as("doc_in"),
+        col("bdoc").as("doc_out"), col("inter")), "doc_in")
     // batch-doc-contained orientations: batch-sized count join
     val batchIn = cross.select(col("bdoc").as("doc_in"), col("cdoc").as("doc_out"), col("inter"))
       .unionByName(self.select(col("bdoc").as("doc_in"), col("cdoc").as("doc_out"), col("inter")))

@@ -134,8 +134,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // dedup_incremental's candidate set is |batch| × fan-out — unbounded
     // in absolute terms, so a mandated broadcast there is an executor OOM
     // at 100 TB (the r6 judge's top scale-killer finding)
+    // the index-probe spellings ride probeFrames, whose candidate join
+    // was un-forced after the 100x scale bench OOM'd the driver building
+    // a corpus-scaled broadcast (the fixture's %10 batch grows with the
+    // corpus) — AQE still broadcasts bounded batches, oversized ones
+    // degrade to SMJ
     for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_incremental",
-        "dedup_containment", "dedup_containment_incr")) {
+        "dedup_containment", "dedup_containment_incr",
+        "dedup_containment_idx", "dedup_span_keepfirst_idx")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val hints = df.queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
