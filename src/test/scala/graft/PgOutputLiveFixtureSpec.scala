@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.PgOutputParser
+import graft.sources.PgOutputParser.PgMessage
 import graft.sources.PgOutputParser.PgMessage._
 
 /** Decodes REAL pgoutput frames emitted by a live PostgreSQL 15 — captured
@@ -12,14 +13,17 @@ import graft.sources.PgOutputParser.PgMessage._
   * is pinned against genuine wire bytes, not only the hand-crafted buffers
   * in PgOutputParserSpec. Generating operations (see the fixture header):
   * txn1 INSERT ids 1,2,3 into events.pgconf_live; txn2 INSERT id 4;
-  * txn3 UPDATE id 1; txn4 DELETE id 2.
+  * txn3 UPDATE id 1; txn4 DELETE id 2; txn5 TRUNCATE pgconf_live;
+  * txn6 INSERT 'alpha' into events.pgconf_textpk (text primary key).
   *
-  * Everything asserted here is deterministic given those operations: the
-  * message-type sequence, the relation identity, the bigserial row ids,
-  * the begin/commit LSN+timestamp pairing, and the Unknown fallback for
-  * the U/D messages the LsnUpdater path doesn't consume (the caller
-  * fail-fasts on Unknown — reference PgOutputMessageParser.java returns
-  * null there, F6/G8).
+  * Everything asserted is deterministic given those operations: the
+  * message-type sequence (PostgreSQL re-sends RELATION ahead of the
+  * truncate and for the second table), relation identities, bigserial row
+  * ids, begin/commit LSN+timestamp pairing, the Unknown fallback for
+  * U/D/T messages the LsnUpdater path doesn't consume (reference
+  * PgOutputMessageParser.java returns null there; caller fail-fasts,
+  * F6/G8), and the non-numeric-id fail-fast on a REAL frame whose first
+  * column is a text key rather than the events-schema bigserial.
   */
 class PgOutputLiveFixtureSpec extends AnyFunSuite {
 
@@ -31,37 +35,50 @@ class PgOutputLiveFixtureSpec extends AnyFunSuite {
     lines.map(l => l.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
   }
 
-  private lazy val msgs = frames.map(PgOutputParser.parse)
+  /** Parse results; the pgconf_textpk INSERT throws by contract. */
+  private lazy val msgs: Seq[Either[Throwable, PgMessage]] =
+    frames.map { f =>
+      try Right(PgOutputParser.parse(f))
+      catch { case e: IllegalStateException => Left(e) }
+    }
+
+  private def rights: Seq[PgMessage] = msgs.collect { case Right(m) => m }
 
   test("real capture decodes to the expected message-type sequence") {
     val kinds = msgs.map {
-      case _: Begin => 'B'
-      case _: Commit => 'C'
-      case _: Relation => 'R'
-      case _: Insert => 'I'
-      case Unknown(t) => t.toChar
+      case Right(_: Begin) => 'B'
+      case Right(_: Commit) => 'C'
+      case Right(_: Relation) => 'R'
+      case Right(_: Insert) => 'I'
+      case Right(Unknown(t)) => t.toChar
+      case Left(_) => 'X' // the text-PK insert frame — fail-fast below
     }.mkString
-    // txn1: B R I I I C; txn2: B I C; txn3 (update): B U C; txn4 (delete): B D C
-    assert(kinds == "BRIIICBICBUCBDC", s"got $kinds")
+    // txn1 BRIIIC; txn2 BIC; txn3 (update) BUC; txn4 (delete) BDC;
+    // txn5 (truncate) BRTC — PG re-sends RELATION ahead of the truncate;
+    // txn6 BRXC — new relation, then the non-numeric-id insert
+    assert(kinds == "BRIIICBICBUCBDCBRTCBRXC", s"got $kinds")
   }
 
-  test("relation message carries the publication table's identity") {
-    val rel = msgs.collect { case r: Relation => r }
-    assert(rel.size == 1) // one slot session -> relation sent once
-    assert(rel.head.namespace == "events" && rel.head.name == "pgconf_live")
+  test("relation messages carry the publication tables' identities") {
+    val rel = rights.collect { case r: Relation => r }
+    assert(rel.size == 3)
+    assert(rel.take(2).forall(r => r.namespace == "events" && r.name == "pgconf_live"))
+    assert(rel(0).id == rel(1).id) // same table re-announced before truncate
+    assert(rel(2).namespace == "events" && rel(2).name == "pgconf_textpk")
+    assert(rel(2).id != rel(0).id)
   }
 
   test("inserts decode the bigserial first column as the row id") {
-    val ins = msgs.collect { case i: Insert => i }
+    val ins = rights.collect { case i: Insert => i }
     assert(ins.map(_.rowId) == Seq(1L, 2L, 3L, 4L))
-    val relId = msgs.collect { case r: Relation => r.id }.head
-    assert(ins.forall(_.relationId == relId))
+    val liveRelId = rights.collect { case r: Relation => r.id }.head
+    assert(ins.forall(_.relationId == liveRelId))
   }
 
   test("begin/commit pair per transaction: finalLsn == commitLsn, shared timestamp, xids increase") {
-    val begins = msgs.collect { case b: Begin => b }
-    val commits = msgs.collect { case c: Commit => c }
-    assert(begins.size == 4 && commits.size == 4)
+    val begins = rights.collect { case b: Begin => b }
+    val commits = rights.collect { case c: Commit => c }
+    assert(begins.size == 6 && commits.size == 6)
     begins.zip(commits).foreach { case (b, c) =>
       assert(b.finalLsn == c.commitLsn, s"$b vs $c")
       assert(b.commitTimestampMicros == c.timestampMicros)
@@ -73,8 +90,15 @@ class PgOutputLiveFixtureSpec extends AnyFunSuite {
     assert(begins.map(_.xid).sliding(2).forall { case Seq(a, b) => a < b })
   }
 
-  test("update/delete surface as Unknown with the wire type byte (caller fail-fasts)") {
-    val unknown = msgs.collect { case Unknown(t) => t.toChar }
-    assert(unknown == Seq('U', 'D'))
+  test("update/delete/truncate surface as Unknown with the wire type byte (caller fail-fasts)") {
+    val unknown = rights.collect { case Unknown(t) => t.toChar }
+    assert(unknown == Seq('U', 'D', 'T'))
+  }
+
+  test("a REAL insert whose first column is not the bigserial id fail-fasts") {
+    val fails = msgs.collect { case Left(e) => e }
+    assert(fails.size == 1)
+    assert(fails.head.getMessage.contains("non-numeric id column: alpha"),
+      fails.head.getMessage)
   }
 }

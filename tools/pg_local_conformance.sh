@@ -77,14 +77,18 @@ else
   record ddl false "$(tr '\n"' ' .' < "$PGROOT/ddl.err")"
 fi
 
-# 2. dialect INSERT text (PREPARE keeps $n verbatim) + bigserial density.
-#    Row 1 goes through the dialect insert (lsn NULL — must be invisible to
-#    the replication scan, F1); rows 2-7 carry commit LSNs for the scan
-#    fixture (2-4 @ 0/10, 5-7 @ 0/20 — mid-lsn resume point (0/10, id 2)).
+# 2. dialect INSERT text, both variants (PREPARE keeps $n verbatim) +
+#    bigserial density. Rows 1-2 go through the dialect inserts (lsn
+#    NULL — must be invisible to the replication scan, F1); rows 3-8
+#    carry commit LSNs for the scan fixture (3-5 @ 0/10, 6-8 @ 0/20 —
+#    mid-lsn resume point (0/10, id 2)).
 INS_SQL=$(cat "$SQLDIR/insert.sql")
+INSM_SQL=$(cat "$SQLDIR/insert_meta.sql")
 if P <<EOF >/dev/null 2>"$PGROOT/ins.err"
 PREPARE dialect_ins AS $INS_SQL;
+PREPARE dialect_ins_meta AS $INSM_SQL;
 EXECUTE dialect_ins('\x00', '\x0000', now());
+EXECUTE dialect_ins_meta('\x0a', '\x0a0a', '\xabcd', now());
 INSERT INTO $SCHEMA.$TOPIC (key, data, timestamp, lsn) VALUES
   ('\x01','\x0101', now(), '0/10'), ('\x02','\x0202', now(), '0/10'),
   ('\x03','\x0303', now(), '0/10'), ('\x04','\x0404', now(), '0/20'),
@@ -92,10 +96,11 @@ INSERT INTO $SCHEMA.$TOPIC (key, data, timestamp, lsn) VALUES
 EOF
 then
   IDS=$(P -c "SELECT string_agg(id::text, ',' ORDER BY id) FROM $SCHEMA.$TOPIC")
-  if [ "$IDS" = "1,2,3,4,5,6,7" ]; then
-    record bigserial true "dense ids $IDS"
+  META=$(P -c "SELECT encode(metadata,'hex') FROM $SCHEMA.$TOPIC WHERE id = 2")
+  if [ "$IDS" = "1,2,3,4,5,6,7,8" ] && [ "$META" = "abcd" ]; then
+    record bigserial true "dense ids $IDS; metadata round-trips"
   else
-    record bigserial false "ids $IDS"
+    record bigserial false "ids $IDS meta $META"
   fi
 else
   record bigserial false "$(tr '\n"' ' .' < "$PGROOT/ins.err")"
@@ -105,7 +110,7 @@ fi
 #    -> ids 3,4 (same-lsn siblings) then 5,6,7; the lsn-NULL row 1 excluded.
 RV=$(P -c "$(cat "$SQLDIR/keyset_scan.sql")" | cut -d'|' -f1 | paste -sd,)
 EX=$(P -c "$(cat "$SQLDIR/keyset_scan_expanded.sql")" | cut -d'|' -f1 | paste -sd,)
-if [ "$RV" = "3,4,5,6,7" ] && [ "$EX" = "$RV" ]; then
+if [ "$RV" = "3,4,5,6,7,8" ] && [ "$EX" = "$RV" ]; then
   record keyset_scan true "both forms -> $RV"
 else
   record keyset_scan false "row-value=$RV expanded=$EX"
@@ -167,7 +172,8 @@ if [ "$CAPTURE" = 1 ]; then
 CREATE TABLE $SCHEMA.pgconf_live (
   id bigserial PRIMARY KEY, key bytea NOT NULL, data bytea NOT NULL,
   "timestamp" timestamptz NOT NULL, lsn pg_lsn);
-CREATE PUBLICATION graft_pub FOR TABLE $SCHEMA.pgconf_live;
+CREATE TABLE $SCHEMA.pgconf_textpk (name text PRIMARY KEY, data bytea);
+CREATE PUBLICATION graft_pub FOR TABLE $SCHEMA.pgconf_live, $SCHEMA.pgconf_textpk;
 SELECT pg_create_logical_replication_slot('graft_slot', 'pgoutput');
 BEGIN;
 INSERT INTO $SCHEMA.pgconf_live (key, data, "timestamp") VALUES
@@ -176,13 +182,17 @@ COMMIT;
 INSERT INTO $SCHEMA.pgconf_live (key, data, "timestamp") VALUES ('\x04','\x0404', now());
 UPDATE $SCHEMA.pgconf_live SET data = '\x9999' WHERE id = 1;
 DELETE FROM $SCHEMA.pgconf_live WHERE id = 2;
+TRUNCATE $SCHEMA.pgconf_live;
+INSERT INTO $SCHEMA.pgconf_textpk VALUES ('alpha', '\x01');
 EOF
   {
     echo "# REAL pgoutput frames captured from PostgreSQL $PGVERSION via"
     echo "# pg_logical_slot_get_binary_changes(proto_version 1) by"
     echo "# tools/pg_local_conformance.sh --capture. Generating operations:"
     echo "# txn1: INSERT ids 1,2,3 into $SCHEMA.pgconf_live; txn2: INSERT id 4;"
-    echo "# txn3: UPDATE id 1; txn4: DELETE id 2. One hex frame per line."
+    echo "# txn3: UPDATE id 1; txn4: DELETE id 2; txn5: TRUNCATE pgconf_live;"
+    echo "# txn6: INSERT 'alpha' into $SCHEMA.pgconf_textpk (text PK - the"
+    echo "# parser's non-numeric-id fail-fast path). One hex frame per line."
     P -c "SELECT encode(data,'hex') FROM pg_logical_slot_get_binary_changes('graft_slot', NULL, NULL, 'proto_version','1','publication_names','graft_pub')"
   } > "$FIXDIR/frames.txt"
   NFRAMES=$(grep -cv '^#' "$FIXDIR/frames.txt")
