@@ -37,7 +37,14 @@ object Bench {
     * SPARK_GRAFT_PASSES=2: at 10-100x data the measured quantity is a
     * 2-40x RATIO, so per-pass jitter cannot flip any verdict, while
     * extra passes add tens of minutes of wall per run. */
-  private val Passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+  private val Passes = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3")
+    val n = raw.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_PASSES must be an integer >= 1, got '$raw'"))
+    require(n >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $n")
+    n
+  }
 
   /** Whether keys above [[SlowKeySec]] get a second fresh session
     * (min-across-sessions). Default on — the driver protocol; the scale
@@ -371,7 +378,7 @@ object Bench {
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    def minOf3(probe: => org.apache.spark.sql.DataFrame): Double =
+    def minOfPasses(probe: => org.apache.spark.sql.DataFrame): Double =
       (1 to Passes).map { _ =>
         timed { require(probe.count() > 0, "index probe returned no rows") }
       }.min
@@ -389,7 +396,7 @@ object Bench {
         docs.filter(col("doc_id") % 10 =!= 0), "graft_bench_shidx") }
       val shBatch = docs.filter(col("doc_id") % 10 === 0).cache()
       shBatch.count()
-      val tShProbe = minOf3(operators.ShingleIndex.containmentProbe(
+      val tShProbe = minOfPasses(operators.ShingleIndex.containmentProbe(
         spark, "graft_bench_shidx", shBatch, 0.9))
       // dedup_span_keepfirst_idx's split rides the SAME index — the
       // curation span stage's serving shape (arrival-order keep-first
@@ -408,7 +415,7 @@ object Bench {
         docs.filter(col("doc_id") % evalMod =!= 0), "graft_bench_ovidx") }
       val evalDocs = docs.filter(col("doc_id") % evalMod === 0).cache()
       evalDocs.count()
-      val tOvProbe = minOf3(operators.OverlapIndex.runsProbe(
+      val tOvProbe = minOfPasses(operators.OverlapIndex.runsProbe(
         spark, "graft_bench_ovidx", evalDocs, queries.CorpusQueries.MinRunTokens))
       // decontam_scrub_idx's split, roles MIRRORED: the benchmark is the
       // standing artifact and the training mass probes it — the daily
@@ -448,7 +455,7 @@ object Bench {
         .size == fragBatches, "fragmented-index geometry drifted")
       val nFrag = operators.ShingleIndex.containmentProbe(
         spark, "graft_bench_shfrag", shBatch, 0.9).count()
-      val tFragProbe = minOf3(operators.ShingleIndex.containmentProbe(
+      val tFragProbe = minOfPasses(operators.ShingleIndex.containmentProbe(
         spark, "graft_bench_shfrag", shBatch, 0.9))
       // quiescence before the fold (the Maintenance.compact discipline):
       // the fragmented probes cached frames derived from the table the
@@ -462,7 +469,7 @@ object Bench {
       require(operators.ShingleIndex.containmentProbe(
           spark, "graft_bench_shfrag", shBatch, 0.9).count() == nFrag,
         "compact changed the probe row count — the pair no longer times the same answer")
-      val tCompProbe = minOf3(operators.ShingleIndex.containmentProbe(
+      val tCompProbe = minOfPasses(operators.ShingleIndex.containmentProbe(
         spark, "graft_bench_shfrag", shBatch, 0.9))
       shBatch.unpersist(); evalDocs.unpersist(); trainDocs.unpersist()
       Seq("shingle_index_build" -> tShBuild, "shingle_probe" -> tShProbe,

@@ -394,8 +394,12 @@ object ShingleIndex {
     * index — `IncrementalDedup.newContainment`'s relation at index cost:
     * the corpus text is never re-shingled (the pairs come from the
     * bucketed index scan, co-located like [[probe]]) and the corpus
-    * per-doc counts come from the precomputed counts table (batch-bounded
-    * candidates broadcast against it, never the reverse). Both
+    * per-doc counts come from the precomputed counts table. The
+    * candidate-side join carries NO forced broadcast hint (un-forced
+    * after the 100x probe OOM'd the driver building a corpus-scaled
+    * broadcast): AQE broadcasts genuinely batch-bounded candidate sets
+    * from runtime stats and degrades oversized ones to a shuffled join
+    * instead of killing the driver. Both
     * orientations of each unordered pair are emitted — a corpus doc
     * swallowed BY a batch doc is found via the batch doc's probe.
     * ShingleIndexSpec pins equality with newContainment on the same

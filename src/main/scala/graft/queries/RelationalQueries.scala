@@ -14,9 +14,14 @@ import graft.{QueryModule, Tables}
   * selection and AQE.
   *
   * Scale notes (100 TB design envelope):
-  *  - dimension tables (region/nation, and customer/supplier at star-schema
-  *    ratios) are broadcast explicitly so the fact-table join never shuffles
-  *    the big side;
+  *  - only the FIXED-cardinality dimensions (region: 5 rows, nation: 25
+  *    rows) carry an explicit `broadcast()` hint. customer/supplier/part
+  *    grow with scale factor (TB-class at the 100 TB target), so their
+  *    joins carry NO forced hint — AQE picks BroadcastHashJoin while the
+  *    side fits `autoBroadcastJoinThreshold` and degrades to shuffled
+  *    hash/sort-merge beyond it instead of OOMing the driver (the round-7
+  *    doctrine, re-proven at 100x when ShingleIndex.probeFrames' forced
+  *    broadcast OOM'd; see ADJUDICATIONS r15/r16);
   *  - aggregations are partial (map-side combine) by construction — plain
   *    `groupBy.agg` over codegen'd built-ins;
   *  - every query filters/prunes at the parquet scan (verified via
@@ -60,7 +65,7 @@ object RelationalQueries extends QueryModule {
       val region = Tables.load(s, dir, "region").filter($"r_name" === "ASIA")
       lineitem
         .join(orders, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .join(customer, $"o_custkey" === $"c_custkey")
         .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
@@ -185,7 +190,7 @@ object RelationalQueries extends QueryModule {
       val supplier = Tables.load(s, dir, "supplier")
       val nation = Tables.load(s, dir, "nation")
       Tables.load(s, dir, "lineitem")
-        .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
+        .join(supplier, $"l_suppkey" === $"s_suppkey")
         .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(sum(d2($"l_quantity")).cast("double").as("total_qty"),
@@ -240,7 +245,7 @@ object RelationalQueries extends QueryModule {
       val orders = Tables.load(s, dir, "orders")
       val customer = Tables.load(s, dir, "customer")
       big.join(orders, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .join(customer, $"o_custkey" === $"c_custkey")
         .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
           $"o_totalprice", $"total_qty")
     },
@@ -251,7 +256,7 @@ object RelationalQueries extends QueryModule {
       import s.implicits._
       val part = Tables.load(s, dir, "part")
       val li = Tables.load(s, dir, "lineitem")
-      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      li.join(part, $"l_partkey" === $"p_partkey")
         .filter(
           ($"p_brand" === "Brand#1" && $"p_size" <= 15 && $"l_quantity" >= 1 && $"l_quantity" <= 20) ||
           ($"p_brand" === "Brand#3" && $"p_size" <= 30 && $"l_quantity" >= 10 && $"l_quantity" <= 40))
@@ -291,7 +296,7 @@ object RelationalQueries extends QueryModule {
       li.filter($"late")
         .join(perOrder, $"l_orderkey" === $"ok")
         .filter($"n_supp" > 1 && $"n_late_supp" === 1)
-        .join(broadcast(Tables.load(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
         .groupBy($"s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy($"numwait".desc, $"s_name")

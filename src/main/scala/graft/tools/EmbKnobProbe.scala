@@ -23,6 +23,10 @@ import org.apache.spark.sql.SparkSession
   */
 object EmbKnobProbe {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: runMain graft.tools.EmbKnobProbe <sfDir> <bands> <bits>")
+      sys.exit(2)
+    }
     val Array(dir, bandsS, bitsS) = args.take(3)
     val (bands, bits) = (bandsS.toInt, bitsS.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -116,6 +116,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("relational family: broadcast hints only on fixed-cardinality dims (nation/region)") {
+    // customer/supplier/part grow with scale factor (TB-class at 100 TB) —
+    // a mandated broadcast there bypasses autoBroadcastJoinThreshold and is
+    // a driver OOM at scale (the exact class that killed probeFrames at
+    // 100x, r15). Only nation (25 rows) / region (5 rows) may carry hints;
+    // everything else must be left to stats/AQE so oversized sides degrade
+    // to a shuffled join instead of OOMing.
+    for (q <- Seq("q2_join5", "q13_suppagg", "q18_bigorders", "q19_disjunct",
+        "q21_waiting", "q3_topn", "q14_custdist", "q17_avgqty", "q20_nestsemi")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      for (h <- hints) {
+        val cols = h.child.output.map(_.name)
+        assert(cols.nonEmpty && cols.forall(c => c.startsWith("n_") || c.startsWith("r_")),
+          s"$q mandates broadcast of a scale-factor-sized table (cols=${cols.mkString(",")})")
+      }
+    }
+  }
+
+  test("relational un-forced dim joins still plan BroadcastHashJoin from stats at bench scale (sf0.1)") {
+    // the hints came OFF in r16 — this pins that nothing was lost at bench
+    // scale: the planner still picks BHJ for customer/supplier/part from
+    // parquet-size stats (all well under autoBroadcastJoinThreshold at
+    // sf0.1), so the un-forcing costs zero performance until the side
+    // genuinely outgrows the threshold, at which point SMJ is the correct
+    // outcome. explain-only: plan shape, not data, is under test.
+    val sf01 = "/root/testdata/sf0.1"
+    for ((q, minBhj) <- Seq("q2_join5" -> 3, "q13_suppagg" -> 2,
+        "q18_bigorders" -> 1, "q19_disjunct" -> 1, "q21_waiting" -> 1)) {
+      val p = SparkEntry.queries(q)(spark, sf01)
+        .queryExecution.explainString(FormattedMode)
+      val n = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(n >= minBhj, s"$q at sf0.1: expected >=$minBhj BroadcastHashJoin, got $n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q at sf0.1 went cartesian:\n$p")
+    }
+  }
+
   test("ev_cumsum: running totals cost exactly one exchange (the window partition shuffle)") {
     val p = plan("ev_cumsum")
     // count node headers ("(3) Exchange"), not tree+details double mentions

@@ -133,7 +133,14 @@ fi
 LOCK_SQL=$(cat "$SQLDIR/advisory_lock_psql.sql")
 P -c "PREPARE l AS $LOCK_SQL; EXECUTE l($LOCKKEY); SELECT pg_sleep(6);" >"$PGROOT/lock_a.out" 2>&1 &
 HOLDER=$!
-sleep 2
+# wait until the holder backend actually HOLDS the advisory key (a fixed
+# sleep races on slow machines: the contender could fire first and read
+# 't', false-failing the scenario)
+for _ in $(seq 1 50); do
+  HELD=$(P -c "SELECT count(*) FROM pg_locks WHERE locktype = 'advisory' AND granted;")
+  [ "$HELD" -ge 1 ] 2>/dev/null && break
+  sleep 0.2
+done
 CONTEND=$(P -c "PREPARE l AS $LOCK_SQL; EXECUTE l($LOCKKEY);" | head -1)
 wait $HOLDER
 AFTER=$(P -c "PREPARE l AS $LOCK_SQL; EXECUTE l($LOCKKEY);" | head -1)
