@@ -28,8 +28,17 @@ import org.apache.spark.sql.SparkSession
   *   ├─ int-IVF/ADC indexes     [[IntIvfIndex.compact]]   (kind `intivf`)
   *   ├─ lexical index           [[Bm25Index.compact]]     (pointer-swapped
   *   │    fresh postings dir — no plan overwrites files it reads)
-  *   └─ vector index            [[VectorIndex.compact]]   (rows re-cluster
-  *        so each bucket lands contiguously)
+  *   ├─ vector index            [[VectorIndex.compact]]   (rows re-cluster
+  *   │    so each bucket lands contiguously)
+  *   └─ STREAMING-maintained twins (r16): MaintainedShingle/Overlap/
+  *        Bm25/Vector/IntIvfIndex roots recorded under registry kind
+  *        `stream` (layout-detected to `stream-<kind>`) fold via their
+  *        own staged-swap compact(). These fragment FASTEST — one
+  *        `batch=` partition per MICRO-batch, ~10⁵/year at 5-minute
+  *        triggers vs ~365/year for the daily tree — so the threshold
+  *        policy matters most here. Quiescent-STREAM contract: schedule
+  *        [[auto]] in trigger gaps; a racing update() fails loud on the
+  *        staged marker (each twin's spec pins it), never corrupts.
   *
   * Indexes are reached through the tree-recorded registry
   * ([[Takedown.recordIndex]]) exactly like a takedown — the caller does
@@ -82,6 +91,43 @@ object Maintenance {
   final case class Layout(kind: String, name: String,
       batchParts: Long, files: Long)
 
+  /** The five STREAMING-maintained layouts share one shape: an `eos/`
+    * commit dir beside `batch=`-partitioned data dirs and a staged-swap
+    * compact(). Kind detects from the layout itself (quantizers before
+    * vectors — the IVF twin has both), so the registry needs only one
+    * `stream=<path>` line per index, not five spellings. */
+  private[graft] def streamedKind(root: java.nio.file.Path): Option[String] = {
+    def has(rel: String) = java.nio.file.Files.exists(root.resolve(rel))
+    if (!has("eos")) None
+    else if (has("pairs")) Some("stream-shingle")
+    else if (has("occ")) Some("stream-overlap")
+    else if (has("postings")) Some("stream-bm25")
+    else if (has("quantizers")) Some("stream-intivf")
+    else if (has("vectors")) Some("stream-vector")
+    else None
+  }
+
+  /** The `batch=`-partitioned data dirs of one streamed layout — the
+    * dirs whose partition count grows by one per MICRO-BATCH (~10⁵/year
+    * at 5-minute triggers) until compact() folds them. */
+  private def streamedDataDirs(kind: String, root: java.nio.file.Path): Seq[java.nio.file.Path] =
+    kind match {
+      case "stream-shingle" => Seq(root.resolve("pairs"), root.resolve("counts"))
+      case "stream-overlap" => Seq(root.resolve("occ"))
+      case "stream-bm25" => Seq(root.resolve("postings"))
+      case _ => Seq(root.resolve("vectors"))
+    }
+
+  private def streamedLayout(name: String): Option[Layout] = {
+    val root = java.nio.file.Paths.get(name)
+    streamedKind(root).map { kind =>
+      val dirs = streamedDataDirs(kind, root)
+      Layout(kind, name,
+        dirs.map(batchDirCount).maxOption.getOrElse(0L),
+        dirs.map(dataFiles).sum)
+    }
+  }
+
   private def batchDirCount(p: java.nio.file.Path): Long = {
     if (!java.nio.file.Files.exists(p)) 0L
     else {
@@ -103,7 +149,8 @@ object Maintenance {
       shingleIndexes: Seq[String] = Nil,
       lineSegmentIndexes: Seq[String] = Nil,
       intIvfIndexes: Seq[String] = Nil,
-      overlapIndexes: Seq[String] = Nil): Seq[Layout] = {
+      overlapIndexes: Seq[String] = Nil,
+      streamedIndexes: Seq[String] = Nil): Seq[Layout] = {
     def recorded(kind: String, explicit: Seq[String]): Seq[String] =
       (explicit ++ Takedown.recordedIndexes(outDir, kind)).distinct
     def table(kind: String, n: String) = Layout(kind, n,
@@ -125,7 +172,12 @@ object Maintenance {
         val d = s"$outDir/$rel"
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
           Seq(dir(rel, d, None)) else Nil
-      }
+      } ++
+      // the streaming-maintained twins (kind detected from the layout;
+      // record with Takedown.recordIndex(outDir, "stream", path) or pass
+      // explicitly) — they fragment FASTEST: one batch= partition per
+      // micro-batch, ~10⁵/year at 5-minute triggers
+      recorded("stream", streamedIndexes).flatMap(streamedLayout)
   }
 
   /** Compact every artifact of the tree (see header). Returns one
@@ -136,10 +188,11 @@ object Maintenance {
       lineSegmentIndexes: Seq[String] = Nil,
       intIvfIndexes: Seq[String] = Nil,
       overlapIndexes: Seq[String] = Nil,
+      streamedIndexes: Seq[String] = Nil,
       buckets: Int = 32): Seq[Compacted] =
     compactWhere(spark, outDir, _ => true,
       shingleIndexes, lineSegmentIndexes, intIvfIndexes, overlapIndexes,
-      buckets)
+      streamedIndexes, buckets)
 
   /** The OPERATOR POLICY form — [[status]] wired to [[compact]]: fold
     * exactly the artifacts past the fragmentation thresholds and leave
@@ -162,11 +215,12 @@ object Maintenance {
       lineSegmentIndexes: Seq[String] = Nil,
       intIvfIndexes: Seq[String] = Nil,
       overlapIndexes: Seq[String] = Nil,
+      streamedIndexes: Seq[String] = Nil,
       buckets: Int = 32): Seq[Compacted] =
     compactWhere(spark, outDir,
       l => l.batchParts > maxBatchParts || l.files > maxFiles,
       shingleIndexes, lineSegmentIndexes, intIvfIndexes, overlapIndexes,
-      buckets)
+      streamedIndexes, buckets)
 
   private def compactWhere(spark: SparkSession, outDir: String,
       pred: Layout => Boolean,
@@ -174,6 +228,7 @@ object Maintenance {
       lineSegmentIndexes: Seq[String],
       intIvfIndexes: Seq[String],
       overlapIndexes: Seq[String],
+      streamedIndexes: Seq[String],
       buckets: Int): Seq[Compacted] = {
     graft.GraftExtensions.register(spark)
     // Fail-loud quiescence guard: a sealed-but-unapplied DailyIncrement
@@ -187,7 +242,7 @@ object Maintenance {
       s"tree $outDir is not quiescent: a staged DailyIncrement is pending " +
         "— apply it (DailyIncrement.recover) before compacting")
     val targets = status(spark, outDir, shingleIndexes, lineSegmentIndexes,
-      intIvfIndexes, overlapIndexes).filter(pred)
+      intIvfIndexes, overlapIndexes, streamedIndexes).filter(pred)
     if (targets.isEmpty) return Nil
     // Quiescent-tree op: drop cached plans before rewriting the tables
     // they may reference. A cached frame whose lineage reads a table
@@ -200,6 +255,8 @@ object Maintenance {
     targets.map { l =>
       def files(): Long = l.kind match {
         case "shingle" | "overlap" | "line" => tableFiles(spark, l.name)
+        case k if k.startsWith("stream-") =>
+          streamedDataDirs(k, java.nio.file.Paths.get(l.name)).map(dataFiles).sum
         case _ => pathFiles(l.name)
       }
       val before = files()
@@ -210,6 +267,27 @@ object Maintenance {
         case "intivf" => IntIvfIndex.compact(spark, l.name)
         case "bm25" => Bm25Index.compact(spark, l.name)
         case "vectors" => VectorIndex.compact(spark, l.name)
+        // the streaming-maintained twins fold via their own staged-swap
+        // compact() (probe-identical before/after, crash-safe marker
+        // protocol — each twin's spec pins it). Quiescent-STREAM
+        // contract: auto() must run in a trigger gap, exactly like
+        // calling the index's compact() by hand; a racing update() fails
+        // loud on the staged marker, never corrupts.
+        case "stream-shingle" =>
+          new graft.streaming.MaintainedShingleIndex(
+            java.nio.file.Paths.get(l.name), spark).compact()
+        case "stream-overlap" =>
+          new graft.streaming.MaintainedOverlapIndex(
+            java.nio.file.Paths.get(l.name), spark).compact()
+        case "stream-bm25" =>
+          new graft.streaming.MaintainedBm25Index(
+            java.nio.file.Paths.get(l.name), spark, buckets).compact()
+        case "stream-intivf" =>
+          new graft.streaming.MaintainedIntIvfIndex(
+            java.nio.file.Paths.get(l.name), spark).compact()
+        case "stream-vector" =>
+          new graft.streaming.MaintainedVectorIndex(
+            java.nio.file.Paths.get(l.name), spark).compact()
         // The flat parquet artifacts accumulate one file set per daily
         // APPEND (curated/evalh rows append; shards grow per-batch files
         // inside their hive dirs) and, unlike the indexes, have no

@@ -82,7 +82,10 @@ object Takedown {
   private def indexFile(outDir: String) = java.nio.file.Paths.get(s"$outDir/indexes")
 
   /** Record an index table under the tree (idempotent; kind ∈
-    * {shingle, overlap, line, intivf}). */
+    * {shingle, overlap, line, intivf} for takedown reach, plus `stream`
+    * for streaming-maintained index ROOTS so [[Maintenance.status]]/
+    * [[Maintenance.auto]] reach them — their takedowns ride the stream
+    * itself as `op='del'` rows, not this registry). */
   def recordIndex(outDir: String, kind: String, name: String): Unit = {
     val p = indexFile(outDir)
     val line = s"$kind=$name"

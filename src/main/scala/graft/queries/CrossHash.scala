@@ -75,6 +75,44 @@ object CrossHash {
   /** Test-default geometry's planes (registered query + oracle). */
   val embPlanes: IndexedSeq[IndexedSeq[Int]] = embPlanesFor(EmbBands, EmbBandBits)
 
+  /** Hyperplane match probability per bit at the cosine-0.9 DESIGN
+    * threshold (θ ≈ 26°, p = 1 − θ/π) — the production near-dup regime
+    * the default (16 × 6) geometry was sized for. */
+  private val EmbDesignP = 0.857
+
+  /** AUTO-GEOMETRY: the SCALING RULE on [[embPlanesFor]] turned into
+    * code, so `dedup_embed_cosine` sizes its own (bands × bits) from the
+    * corpus vector count instead of leaving the knob to an operator.
+    *
+    *  - `bits = max(6, ⌈log₂ n⌉ − 3)`: expected candidates per band are
+    *    ≈ n²/2^bits for near-random data, so this pins them at ≈ 8n —
+    *    LINEAR in n at every scale (fixed bits go quadratic once n
+    *    outgrows 2^bits: measured 38.8× at 10× data, BENCH10X_r15).
+    *  - `bands = round(16 · p^((6 − bits)/2))` with p = [[EmbDesignP]]:
+    *    HALF-damped recall recovery. Full recovery (exponent 6 − bits)
+    *    would hold design recall at 0.999 but makes bands ∝ n^0.22, i.e.
+    *    total candidates ∝ n^1.22 — superlinear forever (constant-recall
+    *    LSH's inherent n^(1+ρ)). The half exponent keeps design-threshold
+    *    recall 1−(1−p^bits)^bands ≥ 0.95 through 10⁶ vectors (0.996 at
+    *    2k, 0.98 at 20k, 0.958 at 200k — the ≥94% regime the r15 knob
+    *    probe measured sane at 200k vectors) while halving the bands
+    *    growth to ∝ n^0.11.
+    *
+    * At n ≤ 512 the rule reproduces the default (16 × 6) EXACTLY — the
+    * sf0.01 correctness gate's static oracle SQL stays valid by
+    * construction (DedupScaleSpec pins this equality plus the sf0.1 and
+    * 100×-probe geometries). Growth points: n=2000 → (19 × 8),
+    * n=20000 → (25 × 12), n=200000 → (32 × 15) — the last within one
+    * bit of the 32 × 16 geometry EmbKnobProbe priced at 60.7 s for 200k
+    * vectors (vs est. ~1 h fixed-geometry). */
+  def embGeometryFor(n: Long): (Int, Int) = {
+    val ceilLog2 = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val bits = math.max(EmbBandBits, ceilLog2 - 3)
+    val bands = math.round(
+      EmbBands * math.pow(EmbDesignP, (EmbBandBits - bits) / 2.0)).toInt
+    (bands, bits)
+  }
+
   /** SimHash banding (dedup_simhash): 32-bit fingerprints at hamming ≤ 2
     * split into 3 bands (11+11+10 bits). Pigeonhole: ≤2 differing bits
     * can touch at most 2 of 3 bands, so every qualifying pair matches

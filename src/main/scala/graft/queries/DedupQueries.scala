@@ -716,7 +716,15 @@ object DedupQueries extends QueryModule {
     // Dot products via the native codegen graft_dot expression. The exact
     // quadratic spelling survives as embCosineAllPairs (DedupScaleSpec's
     // recall cross-check); the point-query ANN paths live in knn_*.
-    "dedup_embed_cosine" -> { (s, dir) => embCosineBanded(s, dir) },
+    // The (bands × bits) geometry AUTO-SIZES from the corpus vector count
+    // ([[CrossHash.embGeometryFor]]): the count() is a footer-metadata
+    // scan, and at gate scale (n ≤ 512) the rule reproduces the default
+    // 16 × 6 exactly, so the static oracle SQL below stays valid.
+    "dedup_embed_cosine" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings").count()
+      val (bands, bits) = CrossHash.embGeometryFor(n)
+      embCosineBanded(s, dir, bands, bits)
+    },
 
     // Duplicated-SPAN accounting (the measurement behind substring-level
     // dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language

@@ -7,15 +7,17 @@ import org.apache.spark.sql.SparkSession
   * DedupQueries.embCosineBanded at an arbitrary (bands × bits) geometry
   * on an arbitrary corpus dir.
   *
-  * Why it exists: the registered `dedup_embed_cosine` key deliberately
-  * prices the knob-NOT-turned case (fixed 16×6 geometry → candidates
+  * Why it exists: through r15 the registered `dedup_embed_cosine` key
+  * priced the knob-NOT-turned case (fixed 16×6 geometry → candidates
   * ≈ bands·n²/2^bits, quadratic once n outgrows 2^bits — measured 38.8×
-  * at 10× data, BENCH10X_r15). This main measures the knob-TURNED case
-  * at the same scale, so the scaling-rule claim ("bits grows with
-  * log₂ n ⇒ the family stays near-linear") is a number, not arithmetic.
+  * at 10× data, BENCH10X_r15), and this main measured the knob-TURNED
+  * case so the scaling-rule claim was a number, not arithmetic. As of
+  * r16 the registered key turns the knob ITSELF
+  * (CrossHash.embGeometryFor auto-sizes from the corpus vector count);
+  * the probe remains for pricing arbitrary off-rule geometries.
   * Correctness of the parameterization is pinned by DedupScaleSpec's
-  * second-geometry precision/recall cross-check; this probe only prices
-  * it.
+  * second/third-geometry precision/recall cross-checks; this probe only
+  * prices it.
   *
   * Usage: `runMain graft.tools.EmbKnobProbe <sfDir> <bands> <bits>`
   * Prints one JSON line {dir, n_vectors, bands, bits, pairs, sec}

@@ -457,6 +457,36 @@ class DedupScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("embed-LSH auto-geometry: the rule reproduces the oracle geometry at gate scale; a third geometry keeps precision perfect and design recall") {
+    import graft.queries.CrossHash
+    // the rule (r16): bits = max(6, ceil(log2 n) - 3) pins candidates at
+    // ~8n per band (linear); bands = round(16·p^((6-bits)/2)) recovers
+    // design-threshold recall half-damped (≥0.95 through 10^6 vectors;
+    // full recovery would be superlinear n^1.22 in total candidates). At
+    // gate scale it MUST reproduce 16×6 — the static DuckDB oracle text
+    // hard-codes that geometry.
+    assert(CrossHash.embGeometryFor(500) == (16, 6), "sf0.01 gate geometry")
+    assert(CrossHash.embGeometryFor(512) == (16, 6), "rule boundary")
+    assert(CrossHash.embGeometryFor(2000) == (19, 8), "sf0.1 bench geometry")
+    assert(CrossHash.embGeometryFor(20000) == (25, 12), "10x probe geometry")
+    assert(CrossHash.embGeometryFor(200000) == (32, 15), "100x probe geometry")
+    // third geometry EXECUTED (the sf0.1 auto pick, 19×8, on this corpus):
+    // precision stays perfect (every emitted pair is exact-verified), and
+    // the pairs the production threshold cares about (cosine ≥ 0.9, the
+    // regime the bands formula holds recall for) survive the banding
+    val lsh = DedupQueries.embCosineBanded(spark, dir, nBands = 19, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = DedupQueries.embCosineAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty)
+    val hi = exact.filter(_._3 >= 0.9)
+    val hiHit = hi.count(lsh.contains)
+    assert(hi.isEmpty || hiHit.toDouble / hi.size >= 0.9,
+      s"design-threshold recall $hiHit/${hi.size} under 19x8")
+    spark.catalog.clearCache()
+  }
+
   test("dedup_sorted_neighborhood: prefix-offset distributed rank == global sort rank; no global window") {
     // the query's correctness rests on the offset-table rank equalling a
     // global ORDER BY rank — pin the production helpers directly

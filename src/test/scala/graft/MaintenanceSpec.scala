@@ -379,4 +379,100 @@ class MaintenanceSpec extends AnyFunSuite {
         s"expected the stale-target failure, got: ${e3.getMessage}")
     } finally { dropAll(); spark.catalog.clearCache() }
   }
+
+  test("auto() reaches the streaming-maintained twins: status sees their fragmentation, thresholds fold exactly the fragmented ones, the fold is invisible between triggers of a LIVE query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-mts-").toString
+
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+    val rows = docs.filter($"doc_id" < 300).as[(Long, String)].collect()
+    val third = rows.length / 3
+    val (b1, rest) = rows.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+    val probeBatch = docs.filter($"doc_id" >= 350).cache()
+
+    // streamed SHINGLE twin: three micro-batches → batch={0,1,2} dirs
+    val shRoot = Files.createTempDirectory("graft-mts-sh-")
+    val sh = new graft.streaming.MaintainedShingleIndex(shRoot, spark)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-mts-ck-").toString)
+      .foreachBatch(sh.update _).start()
+
+    // streamed VECTOR twin: ONE batch — under threshold, must stay untouched
+    val vecRoot = Files.createTempDirectory("graft-mts-vec-")
+    val mv = new graft.streaming.MaintainedVectorIndex(vecRoot, spark)
+    val vrows = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val msv = MemoryStream[(Long, Array[Double])]
+    val qv = msv.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-mts-ckv-").toString)
+      .foreachBatch(mv.update _).start()
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      msv.addData(vrows.toSeq: _*); qv.processAllAvailable()
+
+      // the operator's ONE-LINE registration — same registry a takedown
+      // uses; kind detects from the layout, so "stream" covers all five
+      Takedown.recordIndex(out, "stream", shRoot.toString)
+      Takedown.recordIndex(out, "stream", vecRoot.toString)
+
+      val st = Maintenance.status(spark, out)
+      assert(st.map(l => l.kind -> l.name).toSet == Set(
+        "stream-shingle" -> shRoot.toString,
+        "stream-vector" -> vecRoot.toString), st.toString)
+      assert(st.find(_.kind == "stream-shingle").get.batchParts == 2L, st.toString)
+      assert(st.find(_.kind == "stream-vector").get.batchParts == 1L, st.toString)
+
+      ms.addData(b3.toSeq: _*); q.processAllAvailable() // → 3 batch parts
+
+      // BETWEEN triggers (both queries alive, idle — the documented
+      // maintenance window): auto() folds ONLY the fragmented shingle
+      // twin; the single-batch vector twin is not even visited
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pre = pairSet(sh.probe(probeBatch, 0.6))
+      assert(pre.nonEmpty, "vacuous probe geometry")
+      val vecStamp = Files.getLastModifiedTime(vecRoot.resolve("vectors"))
+      assert(q.isActive && qv.isActive, "fixture: the queries must be live here")
+      val rep = Maintenance.auto(spark, out,
+        maxBatchParts = 2, maxFiles = 1000000)
+      assert(rep.map(_.kind) == Seq("stream-shingle"),
+        s"auto() visited the wrong streamed twins: $rep")
+      // the folded metric is the BATCH-DIR count (3 → 1); at toy scale the
+      // file count can rise (the fold re-buckets pairs to 32 partitions) —
+      // the report just has to be accurate about it
+      assert(rep.head.filesBefore > 0 && rep.head.filesAfter > 0, rep.toString)
+      assert(graft.streaming.CompactSwap.batchIds(shRoot.resolve("pairs")) == Seq(0L),
+        "auto() did not fold the fragmented streamed index")
+      assert(Maintenance.status(spark, out)
+        .find(_.kind == "stream-shingle").get.batchParts == 1L,
+        "post-fold status must report a single batch part")
+      assert(Files.getLastModifiedTime(vecRoot.resolve("vectors")) == vecStamp,
+        "auto() rewrote a streamed twin under its thresholds")
+      assert(pairSet(sh.probe(probeBatch, 0.6)) == pre,
+        "between-trigger auto() changed the probe")
+
+      // converged: a second auto() finds nothing past threshold
+      assert(Maintenance.auto(spark, out,
+        maxBatchParts = 2, maxFiles = 1000000).isEmpty,
+        "auto() re-folded a converged streamed twin")
+
+      // the live stream continues appending onto the folded base
+      ms.addData((900001L, "omega psi chi phi upsilon")); q.processAllAvailable()
+      assert(sh.lastCommitted >= 3L,
+        s"stream did not continue past the fold: ${sh.lastCommitted}")
+      assert(pairSet(sh.probe(probeBatch, 0.6)) == pre,
+        "post-fold append of an unrelated doc changed the probe")
+    } finally {
+      q.stop(); qv.stop(); probeBatch.unpersist(); spark.catalog.clearCache()
+    }
+  }
 }
