@@ -63,7 +63,18 @@ object Bench {
       // location fails — an isolated dir (deleted after stop) makes the
       // sessions truly independent
       .config("spark.sql.warehouse.dir", warehouse.toString)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE: shuffle-partition override for the SCALE
+      // protocol (default = cpus, the sf0.1 convention — unchanged
+      // artifacts). At 10-100× data a fixed partition count manufactures
+      // spill superlinearity that no production config would see: at
+      // 100 TB the initial partition count tracks the cluster, and AQE
+      // coalesces down — which is exactly what parallelismFirst=false
+      // below is configured for. StageProfile measured dedup_clusters at
+      // 100×: 4 partitions = 33 GB spill / 158 s; 64 partitions = 12 GB /
+      // 137 s core-saturated (ADJUDICATIONS r16). Scale runs pass
+      // SPARK_GRAFT_SHUFFLE ∝ copies; sf0.1 runs leave it unset.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -111,24 +122,37 @@ object Bench {
     // same plan); the min is stable and still includes all real work
     // (nothing is cached across passes at the table layer). A failing query
     // ABORTS the bench — swallowing would report a broken query as fast.
+    // IO-HONESTY (r16): min-of-passes bounds JIT/GC jitter but not
+    // page-cache/IO state — the r15 driver-vs-committed comparison showed
+    // 3-4x per-key gaps concentrated in the file-IO-heavy index
+    // build/fold keys (aggregate inside the envelope, zero regressions;
+    // VERDICT r15 "what's wrong #2"). The artifact therefore carries BOTH
+    // numbers: `queries` stays the min (the stable cross-round signal for
+    // compute-bound keys) and `first_pass` records each key's FIRST
+    // measured execution (session 1 — the IO-cold-est number this run
+    // saw; for the stage benches, session 1's own protocol value).
+    // Cross-round per-key claims on the index family key off min but
+    // adjudicate against family totals or the first_pass spread.
+    val firstPass = scala.collection.mutable.LinkedHashMap[String, Double]()
     def batteryPass(sel: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
         : Seq[(String, Double)] =
       sel.grouped(ChunkKeys).toSeq.flatMap { chunk =>
         withSession(sfDir, cpus) { spark =>
           chunk.map { case (name, fn) =>
-            val t = (1 to Passes).map { _ =>
+            val ts = (1 to Passes).map { _ =>
               val t0 = System.nanoTime()
               try { fn(spark, sfDir).count() } catch {
                 case e: Throwable =>
                   throw new RuntimeException(s"bench query '$name' failed", e)
               }
               (System.nanoTime() - t0) / 1e9
-            }.min
+            }
+            firstPass.getOrElseUpdate(name, ts.head)
             // queries cache intermediates for their own multi-use plans; drop
             // them between queries so retained caches don't crowd executor
             // storage for the rest of the chunk
             spark.catalog.clearCache()
-            name -> t
+            name -> ts.min
           }
         }
       }
@@ -177,6 +201,10 @@ object Bench {
       withSession(sfDir, cpus)(indexBench(_, sfDir)) else Nil
     val ip = if (!SlowRerun || slow(ip1).isEmpty) ip1
       else minMerge(ip1, withSession(sfDir, cpus)(indexBench(_, sfDir)))
+    // stage-bench keys: session 1's protocol value is their "first" —
+    // the pre-min-across-sessions number the IO-state gap shows up in
+    (pp1 ++ ap1 ++ ip1).foreach { case (k, v) =>
+      firstPass.getOrElseUpdate(k, v) }
     val results = qp ++ pp ++ ap ++ ip
     // Plan artifacts ride every bench run (outside the timed region): one
     // formatted physical plan per query under target/plans/, so a
@@ -195,15 +223,15 @@ object Bench {
     // to fit (renderFitted). Every session is stopped by now, so shutdown
     // logging can't push the JSON out of the captured tail.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
-      renderOf(results, results, sfTag)(_.toString) + "\n")
+    val fullLine = renderFull(results, sfTag, firstPass) + "\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), fullLine)
     // The repo-root twin is the COMMITTED cross-round baseline: target/
     // is wiped at round close, so without this file the next round has
     // no full per-key map to adjudicate its movers against (the
     // BENCHFULL_r{N} doctrine — round close renames it per round).
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCHFULL_latest.json"),
-      renderOf(results, results, sfTag)(_.toString) + "\n")
+      java.nio.file.Paths.get("BENCHFULL_latest.json"), fullLine)
     println(renderFitted(results, sfTag))
   }
 
@@ -256,6 +284,20 @@ object Bench {
     // (the combined key), not again through its leg breakdown
     val total = fmt(all.collect { case (k, v) if !isLegKey(k) => v }.sum)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+  }
+
+  /** The FILE-artifact line: the driver schema plus a `first_pass` map
+    * (each key's first measured execution — the IO-cold-est number the
+    * run saw; see the IO-honesty note in [[main]]). Printed lines keep
+    * the plain schema: the driver's log window is the constraint there,
+    * and the file artifacts are where cross-round adjudication reads. */
+  private[graft] def renderFull(rs: Seq[(String, Double)], sfTag: String,
+      firsts: collection.Map[String, Double]): String = {
+    val base = renderOf(rs, rs, sfTag)(_.toString)
+    val fp = rs.flatMap { case (k, _) => firsts.get(k).map(v =>
+      "\"" + k + "\":" + v.toString) }
+      .mkString("{", ",", "}")
+    base.stripSuffix("}") + ",\"first_pass\":" + fp + "}"
   }
 
   /** The printed driver line: centisecond precision when it fits, then
