@@ -19,6 +19,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // GEOMETRY SENTINEL: the auto-sized LSH/cell geometries reproduce the
+    // static-oracle constants only while the gate corpus stays at n ≤ 512
+    // embeddings (currently 500). If a regenerated corpus crosses the
+    // boundary, the failure must NAME the geometry drift — not surface as
+    // a confusing hash mismatch three queries deep into the compare.
+    locally {
+      import graft.queries.{CrossHash, DedupQueries}
+      val n = Tables.load(spark, sfDir, "embeddings").count()
+      val emb = CrossHash.embGeometryFor(n)
+      val sem = CrossHash.semGeometryFor(n)
+      val gate = (CrossHash.EmbBands, CrossHash.EmbBandBits)
+      if (emb != gate || sem != DedupQueries.SemBits)
+        System.err.println(s"[verify] GEOMETRY DRIFT: $n embeddings → " +
+          s"embGeometryFor=$emb (oracle assumes $gate), semGeometryFor=$sem " +
+          s"(oracle assumes ${DedupQueries.SemBits}) — the static oracle SQL " +
+          "for dedup_embed_cosine/dedup_semantic/dedup_semantic_incr/" +
+          "knn_self_topk is INVALID at this corpus size; any hash mismatch " +
+          "there is geometry drift, not an algebra bug.")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only(name)) ()
       else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

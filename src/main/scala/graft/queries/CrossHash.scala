@@ -106,12 +106,38 @@ object CrossHash {
     * bit of the 32 × 16 geometry EmbKnobProbe priced at 60.7 s for 200k
     * vectors (vs est. ~1 h fixed-geometry). */
   def embGeometryFor(n: Long): (Int, Int) = {
-    val ceilLog2 = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    val bits = math.max(EmbBandBits, ceilLog2 - 3)
+    val bits = math.max(EmbBandBits, ceilLog2(n) - 3)
     val bands = math.round(
       EmbBands * math.pow(EmbDesignP, (EmbBandBits - bits) / 2.0)).toInt
     (bands, bits)
   }
+
+  private def ceilLog2(n: Long): Int =
+    if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** AUTO-GEOMETRY for the SINGLE-BAND coarse-cell partitions — the
+    * SemDeDup cluster key (`dedup_semantic`/`dedup_semantic_incr`, the
+    * streaming semantic twin) and `knn_self_topk`'s self-join bucket:
+    * `bits = max(4, ⌈log₂ n⌉ − 5)`, i.e. cells = 2^bits track n/32.
+    *
+    * The cost these partitions bound is a within-cell self-join,
+    * Σ|cell|² ≈ n²/2^bits for near-uniform cells — FIXED bits go
+    * quadratic once n outgrows the geometry (the regime
+    * [[embGeometryFor]] closed for the banded LSH: measured 38.8× at
+    * 10× data before the rule, 6.84× after). This rule pins expected
+    * within-cell candidates at ≈ 32n — linear at every scale.
+    *
+    * Unlike the banded LSH there is NO recall-recovery dimension to
+    * trade: SemDeDup's coarse partition is single-band BY DESIGN
+    * (cross-cell near-dups are missed deliberately — that pruning is
+    * what makes the pass feasible; production SemDeDup grows its
+    * k-means k with n exactly like this), so the only knob is the cell
+    * count and the rule is pure ⌈log₂⌉. At n ≤ 512 it reproduces the
+    * 4-bit gate geometry EXACTLY, so the sf0.01 static oracles stay
+    * valid by construction (DedupScaleSpec pins the boundary and the
+    * sf0.1 / 10× / 100× growth points: 2000 → 6, 20000 → 10,
+    * 200000 → 13). */
+  def semGeometryFor(n: Long): Int = math.max(4, ceilLog2(n) - 5)
 
   /** SimHash banding (dedup_simhash): 32-bit fingerprints at hamming ≤ 2
     * split into 3 bands (11+11+10 bits). Pigeonhole: ≤2 differing bits

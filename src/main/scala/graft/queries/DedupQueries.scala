@@ -943,13 +943,19 @@ object DedupQueries extends QueryModule {
     //
     // Production SemDeDup clusters with k-means; here the cluster key is
     // the deterministic hyperplane sign pattern ([[CrossHash.embPlanesFor]],
-    // 1 band × SemBits bits → 2^SemBits cells) so the oracle can build the
+    // 1 band × `bits` → 2^bits cells) so the oracle can build the
     // IDENTICAL partition and the gate verifies the whole keep/drop verdict
     // bit-for-bit — the trained-quantizer variant of coarse partitioning is
-    // exercised by knn_ivf_kmeans. SemBits is a corpus-size knob like the
-    // LSH band geometry: cells ≈ 2^bits must grow with n to keep
-    // Σ|cluster|² bounded (at 10⁸ vectors use 16+ bits ≈ 64k+ cells).
-    "dedup_semantic" -> { (s, dir) => semanticVerdicts(s, dir) },
+    // exercised by knn_ivf_kmeans. The cell count AUTO-SIZES from the
+    // corpus vector count ([[CrossHash.semGeometryFor]]: cells track n/32,
+    // keeping Σ|cluster|² linear in n — fixed cells go quadratic once n
+    // outgrows them); the count() is a footer-metadata scan, and at gate
+    // scale (n ≤ 512) the rule reproduces [[SemBits]] = 4 exactly, so the
+    // static oracle SQL stays valid.
+    "dedup_semantic" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings").count()
+      semanticVerdicts(s, dir, CrossHash.semGeometryFor(n))
+    },
 
     // Incremental semantic dedup: the batch-vs-corpus form of
     // dedup_semantic (the embedding analog of dedup_incremental) — a
@@ -962,31 +968,41 @@ object DedupQueries extends QueryModule {
     // corpus (IncrementalDedupSpec pins the equality). The probe join is
     // |batch|-bounded: the corpus side never self-joins, and at scale the
     // corpus is stored partitioned by cell so each batch cell probes one
-    // partition.
+    // partition. Cell geometry auto-sizes exactly as dedup_semantic's.
     "dedup_semantic_incr" -> { (s, dir) =>
-      import s.implicits._
-      graft.GraftExtensions.register(s)
-      val flat: Seq[Double] = semPlanesFor(SemBits).flatten.map(_.toDouble)
-      val e = embVecs(s, dir)
-        .withColumn("cluster", element_at(call_function("graft_lsh_bands",
-          $"v", typedlit(flat), lit(1), lit(SemBits)), 1))
-      val batch = e.filter($"vec_id" % 10 === 0)
-      val others = e // corpus ∪ batch: any lower-id same-cell near-dup wins
-      val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
-      val dups = others
-        .select($"cluster", $"vec_id", $"v".as("av"), $"nrm".as("anrm")).as("a")
-        .join(batch.select($"cluster", $"vec_id".as("vec_b"), $"v".as("bv"),
-          $"nrm".as("bnrm")).as("b"),
-          $"a.cluster" === $"b.cluster" &&
-            ($"a.vec_id" % 10 =!= 0 || $"a.vec_id" < $"vec_b") &&
-            $"a.vec_id" =!= $"vec_b")
-        .filter(cos >= 0.4)
-        .groupBy($"vec_b".as("vec_id")).agg(min($"a.vec_id").as("dup_of"))
-      batch.select($"vec_id", $"cluster")
-        .join(dups, Seq("vec_id"), "left")
-        .select($"vec_id", $"cluster", $"dup_of", $"dup_of".isNull.as("keep"))
+      val n = Tables.load(s, dir, "embeddings").count()
+      semanticIncrVerdicts(s, dir, CrossHash.semGeometryFor(n))
     }
   )
+
+  /** The incremental SemDeDup pass (`dedup_semantic_incr`) at an arbitrary
+    * cell geometry — the batch-vs-corpus analog of [[semanticVerdicts]],
+    * same knob semantics (cells = 2^bits grow with n,
+    * [[CrossHash.semGeometryFor]]). */
+  private[graft] def semanticIncrVerdicts(s: SparkSession, dir: String,
+      bits: Int = SemBits): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val flat: Seq[Double] = semPlanesFor(bits).flatten.map(_.toDouble)
+    val e = embVecs(s, dir)
+      .withColumn("cluster", element_at(call_function("graft_lsh_bands",
+        $"v", typedlit(flat), lit(1), lit(bits)), 1))
+    val batch = e.filter($"vec_id" % 10 === 0)
+    val others = e // corpus ∪ batch: any lower-id same-cell near-dup wins
+    val cos = expr("graft_dot(av, bv)") / nullif(col("anrm") * col("bnrm"), lit(0.0))
+    val dups = others
+      .select($"cluster", $"vec_id", $"v".as("av"), $"nrm".as("anrm")).as("a")
+      .join(batch.select($"cluster", $"vec_id".as("vec_b"), $"v".as("bv"),
+        $"nrm".as("bnrm")).as("b"),
+        $"a.cluster" === $"b.cluster" &&
+          ($"a.vec_id" % 10 =!= 0 || $"a.vec_id" < $"vec_b") &&
+          $"a.vec_id" =!= $"vec_b")
+      .filter(cos >= 0.4)
+      .groupBy($"vec_b".as("vec_id")).agg(min($"a.vec_id").as("dup_of"))
+    batch.select($"vec_id", $"cluster")
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster", $"dup_of", $"dup_of".isNull.as("keep"))
+  }
 
   /** The SemDeDup pass at an arbitrary cell geometry (1 band × `bits`
     * sign bits). The registered query runs [[SemBits]]; like the LSH band
@@ -1013,10 +1029,14 @@ object DedupQueries extends QueryModule {
       .select($"vec_id", $"cluster", $"dup_of", $"dup_of".isNull.as("keep"))
   }
 
-  /** Semantic-cluster geometry: 1 band × [[SemBits]] sign bits =
-    * 2^SemBits coarse cells (16 at test scale — small enough that clusters
-    * are non-trivial on the 10³-vector corpora, see scaling note on
-    * [[semanticVerdicts]]). */
+  /** GATE-SCALE semantic-cluster geometry: 1 band × [[SemBits]] sign
+    * bits = 2^SemBits coarse cells (16 — small enough that clusters are
+    * non-trivial on the 10³-vector corpora). The static oracle SQL is
+    * written at this geometry; the REGISTERED queries auto-size via
+    * [[CrossHash.semGeometryFor]], which reproduces SemBits at n ≤ 512
+    * so gate runs stay hash-exact. Non-auto-sized users (mix_domains'
+    * O(cells) rate table, decontam_semantic's eval-bounded probe) keep
+    * the constant — their cost is not Σ|cell|²-shaped. */
   val SemBits = 4
 
   /** dedup_pagerank: total scaled probability mass and power-method

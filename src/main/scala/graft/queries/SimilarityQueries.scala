@@ -39,13 +39,21 @@ object SimilarityQueries extends QueryModule {
   private val Dim = 64
   private val NBits = 8
 
-  /** knn_self_topk: 4-bit bucket (first 4 hyperplanes → 16 buckets) and
-    * k=3 neighbors per vector — test-scale constants of the same
-    * log₂(n)-bits scaling rule documented in CrossHash. */
-  private val SelfBits = 4
+  /** knn_self_topk GATE-SCALE bucket width (first 4 hyperplanes → 16
+    * buckets) and k=3 neighbors per vector. The static oracle SQL is
+    * written at SelfBits; the REGISTERED query auto-sizes its bucket
+    * width via [[CrossHash.semGeometryFor]] (the bucketed self-join is
+    * the same Σ|bucket|² regime as semantic dedup), which reproduces
+    * SelfBits at n ≤ 512 so gate runs stay hash-exact. */
+  private[queries] val SelfBits = 4
   private val SelfK = 3
-  private[queries] val hyperplanes: IndexedSeq[IndexedSeq[Int]] =
-    (0 until NBits).map { j =>
+
+  /** Deterministic ±1 hyperplanes, extendable to any bit count — plane j
+    * is a pure function of (j, d), so hyperplanesFor(b1) is a PREFIX of
+    * hyperplanesFor(b2) for b1 < b2 and the auto-sized bucket widths all
+    * share the gate geometry's first planes. */
+  private[queries] def hyperplanesFor(nbits: Int): IndexedSeq[IndexedSeq[Int]] =
+    (0 until nbits).map { j =>
       (0 until Dim).map { d =>
         // stable ±1 from md5 of "j_d"
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -53,6 +61,8 @@ object SimilarityQueries extends QueryModule {
         if ((md(0) & 1) == 0) 1 else -1
       }
     }
+  private[queries] val hyperplanes: IndexedSeq[IndexedSeq[Int]] =
+    hyperplanesFor(NBits)
 
   /** Product-quantizer geometry (knn_ivfpq): up to M subspaces (evenly
     * splitting the corpus dim), Kc centroids each (4-bit codes). The ADC
@@ -376,26 +386,14 @@ object SimilarityQueries extends QueryModule {
     // corpus, so unlike every knn_* probe above NOTHING broadcasts: the
     // join shuffles both sides on the 4-bit LSH bucket and each task sees
     // one bucket's ~n/16. Output is rank-bounded at 3·n rows. At 10⁸
-    // vectors the bucket bits grow with log₂(n) (CrossHash scaling rule)
-    // and the bucket column becomes the on-disk partition key, making the
-    // self-join a co-partitioned zipped scan.
+    // vectors the bucket bits grow with log₂(n) — AUTO-SIZED here via
+    // CrossHash.semGeometryFor from the corpus count (a footer-metadata
+    // scan; n ≤ 512 reproduces the 4-bit gate geometry so the static
+    // oracle stays valid) — and the bucket column becomes the on-disk
+    // partition key, making the self-join a co-partitioned zipped scan.
     "knn_self_topk" -> { (s, dir) =>
-      import s.implicits._
-      val e = vecs(s, dir)
-      val bucket = (0 until SelfBits).map { j =>
-        when(expr(s"graft_dot(v, ${planeSql(j)})") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      // cache: BOTH self-join sides are the full corpus, so without it
-      // the scan + norm + 4-plane bucket projection run twice end to end
-      val withB = e.withColumn("bucket", bucket).cache()
-      val q = withB.select($"vec_id".as("query_id"), $"bucket", $"v".as("qv"), $"nrm".as("qnrm"))
-      val c = withB.select($"vec_id".as("neighbor_id"), $"bucket".as("cbucket"), $"v".as("cv"), $"nrm".as("cnrm"))
-      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-      q.join(c, $"bucket" === $"cbucket" && $"query_id" =!= $"neighbor_id")
-        .withColumn("cosine", cosExpr)
-        .withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= SelfK)
-        .select($"query_id", $"rnk".cast("long").as("rnk"), $"neighbor_id", $"cosine")
+      val n = Tables.load(s, dir, "embeddings").count()
+      selfTopK(s, dir, CrossHash.semGeometryFor(n))
     },
 
     // Scalar int8 vector quantization audit: per-vector symmetric scale
@@ -917,9 +915,37 @@ object SimilarityQueries extends QueryModule {
     sb.result()
   }
 
+  /** The knn_self_topk pass at an arbitrary bucket width — the registered
+    * query runs [[CrossHash.semGeometryFor]] of the corpus count;
+    * SimilaritySpec pins a second geometry so the parameterization stays
+    * correct (the DedupScaleSpec discipline). */
+  private[graft] def selfTopK(s: SparkSession, dir: String,
+      bits: Int = SelfBits): DataFrame = {
+    import s.implicits._
+    val planes = hyperplanesFor(bits)
+    val e = vecs(s, dir)
+    val bucket = (0 until bits).map { j =>
+      when(expr(s"graft_dot(v, ${planeSqlOf(planes, j)})") > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // cache: BOTH self-join sides are the full corpus, so without it
+    // the scan + norm + per-plane bucket projection run twice end to end
+    val withB = e.withColumn("bucket", bucket).cache()
+    val q = withB.select($"vec_id".as("query_id"), $"bucket", $"v".as("qv"), $"nrm".as("qnrm"))
+    val c = withB.select($"vec_id".as("neighbor_id"), $"bucket".as("cbucket"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    q.join(c, $"bucket" === $"cbucket" && $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", cosExpr)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= SelfK)
+      .select($"query_id", $"rnk".cast("long").as("rnk"), $"neighbor_id", $"cosine")
+  }
+
   /** SQL literal for hyperplane j (shared by Spark expr and oracle). */
-  private def planeSql(j: Int): String =
-    hyperplanes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
+  private def planeSql(j: Int): String = planeSqlOf(hyperplanes, j)
+
+  private def planeSqlOf(planes: IndexedSeq[IndexedSeq[Int]], j: Int): String =
+    planes(j).map(x => s"${x}.0D").mkString("array(", ", ", ")")
 
   private def oPlane(j: Int): String =
     hyperplanes(j).map(x => s"${x}.0").mkString("[", ", ", "]::DOUBLE[]")

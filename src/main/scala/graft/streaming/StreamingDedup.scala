@@ -155,7 +155,9 @@ object StreamingDedup {
     * (`queries/DedupQueries.dedup_semantic`'s deterministic coarse
     * partition), normalized vector and norm. At 100 TB this table lives
     * PARTITIONED BY cluster on disk, so a micro-batch's probe reads only
-    * the cells its vectors land in. `corpus` needs (vec_id, embedding). */
+    * the cells its vectors land in. `corpus` needs (vec_id, embedding).
+    * Size `bits` with [[semanticBitsFor]] — the cell count must grow with
+    * the corpus exactly as the batch pass's does. */
   def semanticIndex(corpus: DataFrame, bits: Int, dim: Int): DataFrame = {
     graft.GraftExtensions.register(corpus.sparkSession)
     val flat: Seq[Double] =
@@ -249,6 +251,16 @@ object StreamingDedup {
     * row-locally on the stream (narrow), so per-trigger cost is the
     * batch's vectors joined against only their cells of the static index.
     * `vecs` needs (vec_id, embedding, `eventTimeCol`). */
+  /** The cell width the semantic streaming twins should run at for an
+    * n-vector corpus — the SAME auto-sizing rule as the batch pass
+    * ([[graft.queries.CrossHash.semGeometryFor]]), so streamed ≡ batch
+    * verdict equality holds at every geometry the rule picks, not just
+    * the gate's 4 bits (StreamingSpec pins the equality at a second
+    * geometry). Index and probe MUST agree on `bits` — size both from
+    * the standing corpus count. */
+  def semanticBitsFor(corpusCount: Long): Int =
+    graft.queries.CrossHash.semGeometryFor(corpusCount)
+
   def semanticProbe(vecs: DataFrame, index: DataFrame, threshold: Double,
       bits: Int, dim: Int, eventTimeCol: String = "ts",
       watermark: String = "10 minutes", window: String = "10 minutes"): DataFrame = {

@@ -581,4 +581,47 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(pr.values.map(BigInt(_)).sum <= BigInt(1000000000000L))
     spark.catalog.clearCache()
   }
+
+  test("semantic-cell auto-geometry: the rule reproduces the 4-bit gate geometry at n <= 512 and grows with log2(n)") {
+    import graft.queries.CrossHash
+    // bits = max(4, ceil(log2 n) - 5) pins within-cell self-join
+    // candidates at ~32n (linear); single-band by SemDeDup design, so
+    // no recall-recovery term — pure log2 (scaladoc on semGeometryFor).
+    // At gate scale it MUST reproduce SemBits = 4: the static DuckDB
+    // oracle text for dedup_semantic/dedup_semantic_incr/knn_self_topk
+    // hard-codes that geometry.
+    assert(CrossHash.semGeometryFor(50) == 4, "spec corpus geometry")
+    assert(CrossHash.semGeometryFor(500) == 4, "sf0.01 gate geometry")
+    assert(CrossHash.semGeometryFor(512) == 4, "rule boundary")
+    assert(CrossHash.semGeometryFor(513) == 5, "first step past the boundary")
+    assert(CrossHash.semGeometryFor(2000) == 6, "sf0.1 bench geometry")
+    assert(CrossHash.semGeometryFor(20000) == 10, "10x probe geometry")
+    assert(CrossHash.semGeometryFor(200000) == 13, "100x probe geometry")
+  }
+
+  test("dedup_semantic_incr at a second geometry (6 bits): batch verdicts equal the corpus-precedes-batch rule") {
+    // the incremental pass must stay correct at every cell width the
+    // auto-geometry rule can pick — same derivation as the 4-bit test
+    // (all-pairs spelling + the full pass's cells), at 6 bits
+    val full = queries.DedupQueries.semanticVerdicts(spark, dir, bits = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verdicts = queries.DedupQueries.semanticIncrVerdicts(spark, dir, bits = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(verdicts.keySet == full.keySet.filter(_ % 10 == 0))
+    verdicts.foreach { case (id, (c, _)) => assert(c == full(id), s"cell mismatch at $id") }
+    val pairs = queries.DedupQueries.embCosineAllPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => full(a) == full(b) }
+    val expectDropped = (pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (partner, b) =>
+        b % 10 == 0 && (partner % 10 != 0 || partner < b) })
+      .groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    assert(expectDropped.nonEmpty, "vacuous: no qualifying batch pairs at 6 bits")
+    val dropped = verdicts.collect { case (id, (_, Some(d))) => id -> d }
+    assert(dropped == expectDropped,
+      s"missing=${(expectDropped.toSet -- dropped.toSet).take(5)} " +
+        s"extra=${(dropped.toSet -- expectDropped.toSet).take(5)}")
+    spark.catalog.clearCache()
+  }
 }

@@ -16,6 +16,51 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("rnk"))
       .toMap
 
+  test("knn_self_topk at a second geometry (6 bits): equals the within-bucket exact top-3 (independent spelling)") {
+    // the bucket width is a corpus-size knob (the registered query
+    // auto-sizes via CrossHash.semGeometryFor, which reproduces 4 bits at
+    // gate scale where the static oracle lives) — pin a NON-default width
+    // against a driver-side brute force so the parameterization stays
+    // correct at every width the rule can pick. Planes re-derived here
+    // from the md5 formula (independent of hyperplanesFor).
+    val bits = 6
+    val vs = Tables.load(spark, dir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val planes = (0 until bits).map { j =>
+      (0 until vs.head._2.length).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_$d".getBytes("UTF-8"))
+        if ((md(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+    def dot(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def bucket(v: Array[Double]): Long =
+      (0 until bits).map(j => if (dot(v, planes(j)) > 0) 1L << j else 0L).sum
+    val byBucket = vs.groupBy { case (_, v) => bucket(v) }
+    val expected = byBucket.values.toSeq.flatMap { members =>
+      members.toSeq.flatMap { case (qid, qv) =>
+        val qnrm = math.sqrt(dot(qv, qv.toSeq))
+        members.toSeq.filter(_._1 != qid)
+          .map { case (nid, nv) =>
+            (qid, nid, dot(qv, nv.toSeq) / (qnrm * math.sqrt(dot(nv, nv.toSeq)))) }
+          .sortBy { case (_, nid, cos) => (-cos, nid) }
+          .take(3).zipWithIndex
+          .map { case ((q, n, c), i) => (q, (i + 1).toLong, n, c) }
+      }
+    }.toSet
+    val got = queries.SimilarityQueries.selfTopK(spark, dir, bits = bits)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty, "vacuous: no bucket-mates at 6 bits")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("brute-force top-k is a dense ranking per query") {
     val brute = resultSet("knn_brute")
     val perQuery = brute.keys.groupBy(_._1)

@@ -516,6 +516,75 @@ class StreamingSpec extends AnyFunSuite {
       s"stream semantic probe: got ${got.toSet} expected $expected")
   }
 
+  test("streaming semantic probe at a second geometry (6 bits): streamed verdicts equal brute force, and the stream sizing rule IS the batch rule") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the streaming twins must agree with the batch pass at EVERY cell
+    // width the auto-geometry rule can pick, not just the gate's 4 bits:
+    // pin (a) the sizing rule is shared verbatim, (b) index+probe at a
+    // non-default width still equal the brute-force verdicts
+    for (n <- Seq(50L, 512L, 2000L, 200000L))
+      assert(StreamingDedup.semanticBitsFor(n) ==
+        graft.queries.CrossHash.semGeometryFor(n), s"rule diverged at n=$n")
+
+    val (bits, dim, theta) = (6, 8, 0.9)
+    val corpusVecs = Seq(
+      1L -> Array(1.0, 0.0, 0.0, 0.1, 0.0, 0.0, 0.05, 0.0),
+      2L -> Array(0.0, 1.0, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0),
+      3L -> Array(-1.0, 0.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0),
+      4L -> Array(0.9, 0.1, 0.0, 0.1, 0.0, 0.0, 0.05, 0.0))
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+    val index = StreamingDedup.semanticIndex(corpus, bits, dim).cache()
+
+    val streamVecs = Seq(
+      (10L, 60L, Array(0.95, 0.05, 0.0, 0.1, 0.0, 0.0, 0.05, 0.0)),
+      (11L, 70L, Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.5)))
+    val ms = MemoryStream[(Long, Long, Array[Double])]
+    val vecs = ms.toDF().toDF("vec_id", "sec", "embedding")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = StreamingDedup.semanticProbe(vecs, index, theta, bits, dim)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-sem6-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    ms.addData(streamVecs: _*)
+    q.processAllAvailable()
+    ms.addData((99L, 1000000L, Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val planes = graft.queries.CrossHash.embPlanesFor(1, bits, dim)
+    def cell(v: Array[Double]): Long =
+      (0 until bits).map { j =>
+        val dotp = v.zip(planes(j)).map { case (x, p) => x * p }.sum
+        if (dotp > 0) 1L << j else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = streamVecs.map { case (id, _, v) =>
+      val partners = corpusVecs.filter { case (_, bv) =>
+        cell(bv) == cell(v) && cos(v, bv) >= theta }
+      id -> partners
+    }.filter(_._2.nonEmpty)
+      .map { case (id, ps) => (id, ps.map(_._1).min, ps.size.toLong) }.toSet
+    assert(expected.nonEmpty, "no qualifying stream-vs-corpus partner — vacuous")
+    assert(got.toSet == expected,
+      s"stream semantic probe at 6 bits: got ${got.toSet} expected $expected")
+  }
+
   test("streaming perceptual probe equals the quadratic stream-vs-corpus verdicts (multi-band pair counted once)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
