@@ -53,6 +53,18 @@ object Bench {
   private val SlowRerun =
     sys.env.getOrElse("SPARK_GRAFT_SLOW_RERUN", "1") != "0"
 
+  /** Shuffle-partition override for the SCALE protocol — validated like
+    * [[Passes]]: a malformed value must fail with a clear message here,
+    * not as an opaque Spark config error during session construction. */
+  private val Shuffle: Option[Int] =
+    sys.env.get("SPARK_GRAFT_SHUFFLE").map { raw =>
+      val n = raw.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SHUFFLE must be an integer >= 1, got '$raw'"))
+      require(n >= 1, s"SPARK_GRAFT_SHUFFLE must be >= 1, got $n")
+      n
+    }
+
   private def newSession(sfDir: String, cpus: String,
       warehouse: java.nio.file.Path): SparkSession = {
     val spark = SparkSession.builder()
@@ -74,7 +86,7 @@ object Bench {
       // 137 s core-saturated (ADJUDICATIONS r16). Scale runs pass
       // SPARK_GRAFT_SHUFFLE ∝ copies; sf0.1 runs leave it unset.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        Shuffle.map(_.toString).getOrElse(cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -111,6 +123,8 @@ object Bench {
     // those queries (and skips the pipeline/ANN/index stages); the pseudo-keys
     // `pipeline` / `ann` / `index` select those stages alone; no args = full
     // battery.
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val only = args.toSet - "pipeline" - "ann" - "index"
     val stages = args.toSet.intersect(Set("pipeline", "ann", "index"))
     val unknown = only.diff(SparkEntry.queries.keySet)
@@ -223,7 +237,9 @@ object Bench {
     // to fit (renderFitted). Every session is stopped by now, so shutdown
     // logging can't push the JSON out of the captured tail.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    val fullLine = renderFull(results, sfTag, firstPass) + "\n"
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val fullLine = renderFull(results, sfTag, firstPass, loadStart, loadEnd) + "\n"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), fullLine)
     // The repo-root twin is the COMMITTED cross-round baseline: target/
@@ -286,18 +302,65 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
   }
 
+  /** Family of a bench key — MUST stay in sync with the FAMILIES map in
+    * tools/scale_report.py (the python side of the same rollup). The
+    * per-family sums exist because per-KEY comparisons on the
+    * file-IO-heavy index family are environment-bound (page-cache state,
+    * concurrent load on a shared box — the r15/r16 driver-vs-builder
+    * gap), while family totals are the stable cross-environment signal. */
+  private[graft] def familyOf(k: String): String =
+    if (k.startsWith("dedup_") || k.startsWith("corpus_")) "dedup"
+    else if (k.startsWith("decontam") || k == "text_decontam") "decontam"
+    else if (k.startsWith("pipeline_curate") || k.startsWith("pipeline_audit"))
+      "pipeline_curation"
+    else if (k == "text_bm25" || k == "retrieve_rrf" || k == "knn_filtered")
+      "retrieval"
+    else if (k.startsWith("knn_") || k.startsWith("ann_") || k.startsWith("emb_"))
+      "ann"
+    else if (k.endsWith("_index_build") || k.endsWith("_probe") ||
+      k == "maint_compact" || k == "span_probe" ||
+      k == "shingle_probe_fragmented" || k == "shingle_probe_compacted")
+      "index_maintenance"
+    else if (k.startsWith("pipeline_ingest") || k.startsWith("pipeline_replicate")
+      || k.startsWith("pipeline_consume")) "event_pipeline"
+    else if (k.length > 1 && k(0) == 'q' && k(1).isDigit) "relational"
+    else "other"
+
   /** The FILE-artifact line: the driver schema plus a `first_pass` map
     * (each key's first measured execution — the IO-cold-est number the
-    * run saw; see the IO-honesty note in [[main]]). Printed lines keep
-    * the plain schema: the driver's log window is the constraint there,
-    * and the file artifacts are where cross-round adjudication reads. */
+    * run saw; see the IO-honesty note in [[main]]), a `families` rollup
+    * (per-family sums of the min map, leg keys excluded so family sums
+    * partition the headline total — the cross-environment comparison
+    * line for the IO-heavy families), and the box's 1-min load average
+    * (start/end of run) so a slow-looking run on a loaded shared machine
+    * carries the evidence of WHY. Printed lines keep the plain schema:
+    * the driver's log window is the constraint there, and the file
+    * artifacts are where cross-round adjudication reads. */
   private[graft] def renderFull(rs: Seq[(String, Double)], sfTag: String,
-      firsts: collection.Map[String, Double]): String = {
+      firsts: collection.Map[String, Double],
+      loadStart: Double = -1.0, loadEnd: Double = -1.0): String = {
     val base = renderOf(rs, rs, sfTag)(_.toString)
     val fp = rs.flatMap { case (k, _) => firsts.get(k).map(v =>
       "\"" + k + "\":" + v.toString) }
       .mkString("{", ",", "}")
-    base.stripSuffix("}") + ",\"first_pass\":" + fp + "}"
+    val fams = rs.filterNot { case (k, _) => isLegKey(k) }
+      .groupBy { case (k, _) => familyOf(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, kvs) =>
+        "\"" + f + "\":" + math.round(kvs.map(_._2).sum * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    // protocol self-description: the scale runs vary SHUFFLE per decade
+    // (fixed 4 partitions at 100× manufactures spill no production
+    // config sees — ADJUDICATIONS r16), so the artifact must say what
+    // it ran under or the numbers aren't comparable across rounds
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val proto = s"""{"cpus":$cpus,"shuffle":${Shuffle.map(_.toString).getOrElse(cpus)},""" +
+      s""""passes":$Passes,"slow_rerun":${if (SlowRerun) 1 else 0}}"""
+    base.stripSuffix("}") + ",\"first_pass\":" + fp +
+      ",\"families\":" + fams +
+      ",\"protocol\":" + proto +
+      s""","load_avg":{"start":$loadStart,"end":$loadEnd,"cpus":${
+        Runtime.getRuntime.availableProcessors}}}"""
   }
 
   /** The printed driver line: centisecond precision when it fits, then

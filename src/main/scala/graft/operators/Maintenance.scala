@@ -107,19 +107,35 @@ object Maintenance {
     else None
   }
 
-  /** The `batch=`-partitioned data dirs of one streamed layout — the
-    * dirs whose partition count grows by one per MICRO-BATCH (~10⁵/year
-    * at 5-minute triggers) until compact() folds them. */
+  /** The file-accumulating data dirs of one streamed layout — the
+    * `batch=`-partitioned dirs whose partition count grows by one per
+    * MICRO-BATCH (~10⁵/year at 5-minute triggers) until compact() folds
+    * them, PLUS the vector/intivf twins' plain-append `tombstones` dir:
+    * a delete-heavy stream accumulates tombstone files compact() drops,
+    * so they must count toward auto()'s maxFiles threshold or
+    * delete-only churn would be invisible to the fold policy. */
   private def streamedDataDirs(kind: String, root: java.nio.file.Path): Seq[java.nio.file.Path] =
     kind match {
       case "stream-shingle" => Seq(root.resolve("pairs"), root.resolve("counts"))
       case "stream-overlap" => Seq(root.resolve("occ"))
       case "stream-bm25" => Seq(root.resolve("postings"))
-      case _ => Seq(root.resolve("vectors"))
+      case _ => Seq(root.resolve("vectors"), root.resolve("tombstones"))
     }
 
+  /** Fail-loud layout resolution for a registered `stream=` root: every
+    * maintained twin creates its `eos/` commit dir at INSTANTIATION, so a
+    * root without one is a typo'd/stale registration — throw (silently
+    * flatMap-dropping it would hide the index from status()/auto()
+    * forever, against the fail-loud doctrine). A root WITH eos/ but no
+    * recognized data dir yet is the legitimate brand-new-index window
+    * (instantiated, zero commits) — skipped quietly until data lands. */
   private def streamedLayout(name: String): Option[Layout] = {
     val root = java.nio.file.Paths.get(name)
+    require(java.nio.file.Files.exists(root.resolve("eos")),
+      s"registered stream index root '$name' has no eos/ commit dir — " +
+        "every streaming-maintained index creates one at instantiation, " +
+        "so this registration is a typo or points at a dead path; fix or " +
+        "remove the stream= line")
     streamedKind(root).map { kind =>
       val dirs = streamedDataDirs(kind, root)
       Layout(kind, name,

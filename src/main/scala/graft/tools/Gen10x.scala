@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   * base corpus exactly, so a dedup family that is linear in corpus size
   * must come out ~N× — any superlinearity observed is real shuffle/
   * listing cost, never a data-skew artifact of the generator. Embedding
-  * slices circular-shift the 64 dims by k (distance-preserving within a
-  * slice); relational keys stride uniformly with referential integrity
+  * slices circular-shift the 64 dims by k AND sign-flip per (k, dim)
+  * (both exact-IEEE distance-preserving within a slice; the signs keep
+  * slices distinct past k = 64, where shift-only repeats verbatim —
+  * Gen10xSpec pins both invariants); relational keys stride uniformly
+  * with referential integrity
   * (orderkey/custkey/partkey/suppkey shift together; nation/region dims
   * stay shared). Fully seedless-deterministic: pure column transforms,
   * no RNG, no clock.
@@ -73,11 +76,26 @@ object Gen10x {
             t => concat(t, lit("~"), k.cast("string"))), " ")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
+    // Embedding slices: circular-shift the dims by k, then flip each
+    // dim's SIGN by a deterministic per-(k, dim) pattern (xxhash64 —
+    // generator-only, no oracle spelling needed). Both ops are
+    // distance-preserving WITHIN a slice in exact IEEE terms (a sign
+    // flip touches only the sign bit; (s·a)(s·b) = ab exactly), so every
+    // within-slice pair relationship ≡ base. The sign pattern is what
+    // keeps slices distinct past k = 64: shift-only slices repeat
+    // verbatim at k mod 64 (r16's x100_output_caveat — 100× embed pair
+    // output was ~12× superlinear from k/k+64 verbatim duplicates);
+    // with per-slice signs, two slices coincide only if all 64 dims'
+    // flips agree (~2⁻⁶⁴). k = 0 is pinned to the identity so the base
+    // slice stays byte-identical.
     amp("embeddings", 8) { (df, k) =>
       df.withColumn("vec_id", shift("vec_id", k))
         .withColumn("embedding", expr(
           "transform(embedding, (x, i) -> " +
-            "element_at(embedding, ((i + k) % size(embedding)) + 1))"))
+            "element_at(embedding, ((i + k) % size(embedding)) + 1) * " +
+            "(CASE WHEN k = 0 THEN CAST(1 AS FLOAT) " +
+            "WHEN pmod(xxhash64('genflip', k, i), 2) = 0 THEN CAST(1 AS FLOAT) " +
+            "ELSE CAST(-1 AS FLOAT) END))"))
     }
     amp("events", 8) { (df, k) =>
       df.withColumn("event_id", shift("event_id", k))

@@ -35,7 +35,13 @@ object StageProfile {
     // partitions (data 100×, partitions constant) goes linear again when
     // partitions scale with the data — which is what AQE + cluster
     // sizing do at 100 TB, where partition count tracks cores, not 4.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // validated like Bench's knob: a malformed value fails HERE, clearly
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE").map { raw =>
+      val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_SHUFFLE must be an integer >= 1, got '$raw'"))
+      require(n >= 1, s"SPARK_GRAFT_SHUFFLE must be >= 1, got $n")
+      n.toString
+    }.getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -71,11 +77,15 @@ object StageProfile {
     def reset(): Unit = Seq(runMs, cpuNs, shufR, shufW, spillMem, spillDisk, gcMs)
       .foreach(_.set(0L))
 
+    // clearCache OUTSIDE the nanoTime window — Bench.batteryPass's
+    // convention, so `sec` is comparable with the scale benches' numbers
+    // for cache-heavy queries
     def pass(): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      sec
     }
     val warm = pass() // pass 1: JIT/classload-bound — time it, meter pass 2
     spark.sparkContext.addSparkListener(listener)

@@ -46,8 +46,9 @@ def family(k):
 
 
 def main():
-    a = json.load(open(sys.argv[1]))["queries"]
-    b = json.load(open(sys.argv[2]))["queries"]
+    aj = json.load(open(sys.argv[1]))
+    bj = json.load(open(sys.argv[2]))
+    a, b = aj["queries"], bj["queries"]
     copies = float(sys.argv[3])
     out_path = sys.argv[4]
     keys = sorted(set(a) & set(b))
@@ -73,20 +74,37 @@ def main():
             capture_output=True, text=True)
         plan_diff = {"exit": r.returncode,
                      "report": r.stdout.strip().splitlines()}
-    # superlinear flags: only meaningful where the base time is real work
+    # superlinear flags: only meaningful where the base time is real work.
+    # FLOOR RULE (r17, closing the r16 verdict's mis-tuned-floor finding):
+    # at copies >= 100 a 0.98s/137x key is a real signal, so the per-key
+    # base-time floor drops from 1.0s to 0.5s for the second decade; and
+    # FAMILY totals are flagged too (family sf01 >= 1.0s) so a family of
+    # individually-sub-floor keys can't scale superlinearly unflagged.
+    floor = 1.0 if copies < 100 else 0.5
     flags = [k for k, v in per_key.items()
-             if v["sf01"] >= 1.0 and v["ratio"] > copies * 1.3]
+             if v["sf01"] >= floor and v["ratio"] > copies * 1.3]
+    family_flags = [f for f, v in fams.items()
+                    if v["sf01"] >= 1.0 and v["ratio"] is not None
+                    and v["ratio"] > copies * 1.3]
     artifact = {
         "copies": copies,
+        "flag_floor_sec": floor,
         "families": fams,
         "superlinear_flags": flags,
+        "family_flags": family_flags,
+        # protocol self-description from the two bench runs (r17): the
+        # scale protocol varies SPARK_GRAFT_SHUFFLE per decade, so the
+        # artifact records what each side ran under
+        "protocol": {"base": aj.get("protocol"), "scaled": bj.get("protocol"),
+                     "load_avg": {"base": aj.get("load_avg"),
+                                  "scaled": bj.get("load_avg")}},
         "per_key": per_key,
         "plan_diff": plan_diff,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=False)
     print(f"wrote {out_path}: {len(per_key)} keys, "
-          f"{len(flags)} superlinear flags")
+          f"{len(flags)} superlinear flags, {len(family_flags)} family flags")
     for name, f in sorted(fams.items()):
         print(f"  {name:20s} sf01={f['sf01']:>8.2f}s sf1={f['sf1']:>8.2f}s "
               f"ratio={f['ratio']}")
