@@ -55,8 +55,10 @@ object Bench {
 
   /** Shuffle-partition override for the SCALE protocol — validated like
     * [[Passes]]: a malformed value must fail with a clear message here,
-    * not as an opaque Spark config error during session construction. */
-  private val Shuffle: Option[Int] =
+    * not as an opaque Spark config error during session construction.
+    * Shared with StageProfile (same knob, same rule — one definition so
+    * the two mains can't drift). */
+  private[graft] def shuffleEnv: Option[Int] =
     sys.env.get("SPARK_GRAFT_SHUFFLE").map { raw =>
       val n = raw.toIntOption.getOrElse(
         throw new IllegalArgumentException(
@@ -64,6 +66,7 @@ object Bench {
       require(n >= 1, s"SPARK_GRAFT_SHUFFLE must be >= 1, got $n")
       n
     }
+  private val Shuffle: Option[Int] = shuffleEnv
 
   private def newSession(sfDir: String, cpus: String,
       warehouse: java.nio.file.Path): SparkSession = {
@@ -352,9 +355,12 @@ object Bench {
     // protocol self-description: the scale runs vary SHUFFLE per decade
     // (fixed 4 partitions at 100× manufactures spill no production
     // config sees — ADJUDICATIONS r16), so the artifact must say what
-    // it ran under or the numbers aren't comparable across rounds
+    // it ran under or the numbers aren't comparable across rounds.
+    // cpus is emitted as a JSON STRING: "*" is a valid local[] master
+    // token and would otherwise produce a malformed artifact.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val proto = s"""{"cpus":$cpus,"shuffle":${Shuffle.map(_.toString).getOrElse(cpus)},""" +
+    val proto = s"""{"cpus":"$cpus","shuffle":${Shuffle.map(_.toString)
+        .getOrElse(cpus.toIntOption.getOrElse(0).toString)},""" +
       s""""passes":$Passes,"slow_rerun":${if (SlowRerun) 1 else 0}}"""
     base.stripSuffix("}") + ",\"first_pass\":" + fp +
       ",\"families\":" + fams +

@@ -35,13 +35,9 @@ object StageProfile {
     // partitions (data 100×, partitions constant) goes linear again when
     // partitions scale with the data — which is what AQE + cluster
     // sizing do at 100 TB, where partition count tracks cores, not 4.
-    // validated like Bench's knob: a malformed value fails HERE, clearly
-    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE").map { raw =>
-      val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"SPARK_GRAFT_SHUFFLE must be an integer >= 1, got '$raw'"))
-      require(n >= 1, s"SPARK_GRAFT_SHUFFLE must be >= 1, got $n")
-      n.toString
-    }.getOrElse(cpus)
+    // validated via Bench's shared rule: a malformed value fails HERE,
+    // clearly, and the two mains can't drift on the knob's semantics
+    val shuffle = graft.Bench.shuffleEnv.map(_.toString).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

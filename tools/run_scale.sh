@@ -24,14 +24,19 @@ KEYS_BASE="corpus_dup_sources corpus_overlap corpus_overlap_incr decontam_bloom 
 KEYS_10X="$KEYS_BASE"
 KEYS_100X="corpus_overlap decontam_bloom decontam_runs decontam_scrub_idx dedup_clusters dedup_clusters_incr dedup_containment_incr dedup_embed_cosine dedup_exact dedup_lines dedup_minhash_lsh dedup_ngram_jaccard dedup_semantic dedup_semantic_incr dedup_simhash dedup_sorted_neighborhood dedup_spans emb_kmeans_int ev_asof ev_cumsum ev_first_last ev_funnel ev_retention ev_session ev_topk_per_user ev_window_sliding knn_brute knn_filtered knn_ivf_int knn_pq_int knn_self_topk mix_novelty pipeline_audit pipeline_curate_full pipeline_curate_neardup pipeline_curate_scrub q18_bigorders q1_agg q21_waiting q2_join5 retrieve_rrf split_leakage text_bm25 text_decontam text_ngram_freq text_tokens"
 
+# Bench OVERWRITES the committed BENCHFULL_latest.json baseline on every
+# run: protect it for the WHOLE script, restored even on failure/Ctrl-C
+# (without the trap, an abort between Bench's overwrite and the restore
+# leaves scale numbers in the cross-round baseline).
+cp BENCHFULL_latest.json /tmp/BENCHFULL_protect.json
+trap 'cp /tmp/BENCHFULL_protect.json BENCHFULL_latest.json' EXIT
+
 run_bench() { # sfdir shuffle outfile keys...
   local sfdir="$1" shuffle="$2" out="$3"; shift 3
-  cp BENCHFULL_latest.json /tmp/BENCHFULL_protect.json
   SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_PASSES=2 SPARK_GRAFT_SLOW_RERUN=0 \
     SPARK_GRAFT_SHUFFLE="$shuffle" \
     sbt -batch "runMain graft.Bench $* pipeline ann index" | tail -2
   cp target/bench.json "$out"
-  cp /tmp/BENCHFULL_protect.json BENCHFULL_latest.json
   echo "wrote $out (plans in target/plans — snapshot before the next run)"
 }
 
@@ -43,12 +48,15 @@ case "${1:-}" in
   10x)  run_bench "$PWD/bigdata/sf1"   16 /tmp/bench_sf1.json  $KEYS_10X ;;
   100x)
     run_bench "$PWD/bigdata/sf10" 64 /tmp/bench_sf10.json $KEYS_100X
+    # snapshot the 100x plan surface BEFORE the control run — the
+    # control's dumpPlans rewrites dedup_clusters.txt under SHUFFLE=4,
+    # which would contaminate the plan_diff evidence of the main run
+    python3 tools/plan_diff.py --snapshot target/plans /tmp/plans_100x.json
     # fixed-4 continuity control (merge into the artifact's
-    # fixed_partition_control field by hand/python)
-    cp BENCHFULL_latest.json /tmp/BENCHFULL_protect.json
+    # fixed_partition_control field by hand/python; use
+    # /tmp/plans_100x.json — NOT target/plans — for the assemble step)
     SPARK_GRAFT_SF_DIR="$PWD/bigdata/sf10" SPARK_GRAFT_PASSES=2 \
       SPARK_GRAFT_SLOW_RERUN=0 SPARK_GRAFT_SHUFFLE=4 \
-      sbt -batch "runMain graft.Bench dedup_clusters" | grep metric || true
-    cp /tmp/BENCHFULL_protect.json BENCHFULL_latest.json ;;
+      sbt -batch "runMain graft.Bench dedup_clusters" | grep metric || true ;;
   *) echo "usage: $0 {gen|base|10x|100x}"; exit 2 ;;
 esac

@@ -57,8 +57,15 @@ def main():
             "ratio": round(b[k] / a[k], 2), "family": family(k)}
         for k in keys
     }
+    # family sums exclude the pipeline LEG keys (informational sub-timings
+    # of the combined pipeline_ingest_replicate_consume key — counting
+    # both double-counts the family ~2x; Bench.isLegKey is the Scala twin
+    # of this rule, and Bench's own `families` block applies it too)
+    LEGS = {"pipeline_ingest", "pipeline_replicate", "pipeline_consume"}
     fams = {}
     for k, v in per_key.items():
+        if k in LEGS:
+            continue
         f = fams.setdefault(v["family"], {"sf01": 0.0, "sf1": 0.0, "keys": 0})
         f["sf01"] += v["sf01"]
         f["sf1"] += v["sf1"]
