@@ -326,6 +326,9 @@ object Bench {
       "index_maintenance"
     else if (k.startsWith("pipeline_ingest") || k.startsWith("pipeline_replicate")
       || k.startsWith("pipeline_consume")) "event_pipeline"
+    // the pack/shuffle family rides the r17 auto-geometries
+    // (CrossHash.shardsFor / GlobalCumsum.bucketsFor)
+    else if (k.startsWith("doc_")) "corpus_pack"
     else if (k.length > 1 && k(0) == 'q' && k(1).isDigit) "relational"
     else "other"
 

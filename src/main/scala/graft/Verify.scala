@@ -25,7 +25,7 @@ object Verify {
     // boundary, the failure must NAME the geometry drift — not surface as
     // a confusing hash mismatch three queries deep into the compare.
     locally {
-      import graft.queries.{CrossHash, DedupQueries}
+      import graft.queries.{CorpusQueries, CrossHash, DedupQueries}
       val n = Tables.load(spark, sfDir, "embeddings").count()
       val emb = CrossHash.embGeometryFor(n)
       val sem = CrossHash.semGeometryFor(n)
@@ -37,6 +37,13 @@ object Verify {
           "for dedup_embed_cosine/dedup_semantic/dedup_semantic_incr/" +
           "knn_self_topk is INVALID at this corpus size; any hash mismatch " +
           "there is geometry drift, not an algebra bug.")
+      val nDocs = Tables.load(spark, sfDir, "documents").count()
+      val shards = CrossHash.shardsFor(nDocs)
+      if (shards != CorpusQueries.ShuffleShards)
+        System.err.println(s"[verify] GEOMETRY DRIFT: $nDocs documents → " +
+          s"shardsFor=$shards (oracle assumes ${CorpusQueries.ShuffleShards})" +
+          " — the static doc_shuffle oracle SQL is INVALID at this corpus " +
+          "size; a hash mismatch there is geometry drift, not an algebra bug.")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only(name)) ()

@@ -58,10 +58,17 @@ object ZOrderLayout {
     * The z/bucket columns are dropped — the layout, not the schema,
     * carries the clustering. */
   def write(df: DataFrame, colA: String, colB: String, path: String,
-      files: Int = 32, bucketBits: Int = 8,
+      files: Int = 0, bucketBits: Int = 8,
       rowGroupBytes: Long = 8L << 20): Unit = {
-    require(files >= 1, s"files out of range: $files")
+    require(files >= 0, s"files out of range (0 = auto-size): $files")
     require(bucketBits >= 1 && bucketBits <= 16, s"bucketBits out of range: $bucketBits")
+    // files=0 auto-sizes from the row count: ~2^20 rows per file with a
+    // 32-file floor, so file count tracks the DATA (the layout writer is
+    // an offline job — a fixed count means 3 TB files at 100 TB input;
+    // per-file rows stay range-sort-in-one-task sized instead)
+    val nFiles =
+      if (files > 0) files
+      else math.max(32L, (df.count() + (1L << 20) - 1) >> 20).toInt
     val b = 1 << bucketBits
     val probs = (1 until b).map(_.toDouble / b).toArray
     val Seq(qa, qb) = Seq(colA, colB).map { c =>
@@ -70,7 +77,7 @@ object ZOrderLayout {
     }
     df.withColumn("_z",
         zValue(bucketOf(col(colA), qa), bucketOf(col(colB), qb), bucketBits))
-      .repartitionByRange(files, col("_z"))
+      .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite")

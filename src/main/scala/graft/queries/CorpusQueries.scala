@@ -70,9 +70,13 @@ object CorpusQueries extends QueryModule {
   val ChunkTokens = 16L
   val ChunkStride = 12L
 
-  /** doc_shuffle shard count. Test-scale constant; a production epoch
-    * uses total_tokens/shard_size shards (10³–10⁵) — the shard key is a
-    * content hash, so the count only changes file granularity. */
+  /** doc_shuffle GATE-SCALE shard count — the static oracle SQL is
+    * written at 8 shards; the REGISTERED query auto-sizes the count via
+    * [[CrossHash.shardsFor]] (per-shard rows bounded at 4096, so the
+    * per-shard window never grows with the corpus), which reproduces 8
+    * at n ≤ 2^15 so gate runs stay hash-exact. The shard key is a
+    * content hash — any count yields a valid reproducible permutation,
+    * the count only changes file granularity and window parallelism. */
   val ShuffleShards = 8L
 
   /** sample_importance feature space: hashed-unigram bucket count (the
@@ -843,20 +847,18 @@ object CorpusQueries extends QueryModule {
     // the corpus in a shuffled but REPRODUCIBLE order (restarts, engine
     // swaps and stragglers must all see the same permutation). The order
     // key is a content hash — no RNG state, no seed coordination — and
-    // the corpus splits into ShuffleShards shard files, each internally
-    // ordered by the hash: a data-loader worker streams its shard
-    // sequentially. One shuffle (the per-shard window); no global sort —
-    // the 100 TB token stream never funnels through one task, and shard
-    // count scales with corpus size, not cluster size.
+    // the corpus splits into shard files, each internally ordered by the
+    // hash: a data-loader worker streams its shard sequentially. One
+    // shuffle (the per-shard window); no global sort — the 100 TB token
+    // stream never funnels through one task, and the shard count is
+    // AUTO-SIZED from the corpus count (CrossHash.shardsFor, a
+    // footer-metadata scan: per-shard rows bounded at 4096, so window
+    // parallelism scales with n instead of 8 tasks each sorting n/8;
+    // n ≤ 2^15 reproduces the 8-shard gate geometry so the static
+    // oracle stays valid).
     "doc_shuffle" -> { (s, dir) =>
-      import s.implicits._
-      val w = Window.partitionBy($"shard").orderBy($"hh", $"doc_id")
-      Tables.load(s, dir, "documents")
-        .select($"doc_id",
-          h60(concat($"doc_id".cast("string"), lit(":"), $"text")).as("hh"))
-        .withColumn("shard", $"hh" % ShuffleShards)
-        .withColumn("pos", row_number().over(w).cast("long"))
-        .select($"doc_id", $"shard", $"pos")
+      val n = Tables.load(s, dir, "documents").count()
+      docShuffle(s, dir, CrossHash.shardsFor(n))
     },
 
     // Bloom-prefiltered benchmark decontamination — text_decontam's
@@ -923,6 +925,23 @@ object CorpusQueries extends QueryModule {
   // its own counter and every downstream integer (shards, chunks, rates)
   // re-derives consistently. CorpusSpec pins ToyBpe pack boundaries
   // against an independent driver-side spelling.
+
+  /** doc_shuffle at an explicit shard count — the registered query wires
+    * [[CrossHash.shardsFor]] of the corpus count; CorpusSpec pins the
+    * second geometry (shards ≠ gate 8) against an independent spelling
+    * plus the permutation invariants, so the auto-sizing rule cannot
+    * silently change the operator's algebra. */
+  private[graft] def docShuffle(s: SparkSession, dir: String,
+      shards: Long = ShuffleShards): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"hh", $"doc_id")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        h60(concat($"doc_id".cast("string"), lit(":"), $"text")).as("hh"))
+      .withColumn("shard", $"hh" % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+  }
 
   private[graft] def docPack(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {

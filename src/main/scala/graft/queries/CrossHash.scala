@@ -139,6 +139,28 @@ object CrossHash {
     * 200000 → 13). */
   def semGeometryFor(n: Long): Int = math.max(4, ceilLog2(n) - 5)
 
+  /** AUTO-GEOMETRY for the epoch-shuffle shard count
+    * (`doc_shuffle`): `shards = 2^max(3, ⌈log₂ n⌉ − 12)`, i.e.
+    * per-shard rows are bounded at 2^12 = 4096 FOREVER (n ≤
+    * 2^⌈log₂ n⌉ = shards · 4096), so the per-shard `row_number`
+    * window — the operator's only sort — never grows with the corpus:
+    * parallelism scales linearly with n instead of 8 tasks each
+    * sorting n/8 rows (the fixed-count regime this rule replaces, the
+    * same scaladoc-promises-scaling-but-code-fixes-it class as the
+    * pre-r17 SemBits).
+    *
+    * Unlike the LSH geometries there is no recall/cost trade here at
+    * all — the shard key is a content hash and ANY count yields a
+    * valid reproducible permutation — so the only design point is file
+    * granularity: 4096 docs/shard suits the test corpora; a production
+    * epoch sizes the per-shard budget by BYTES (swap the −12 for the
+    * log of its target), the rule shape is unchanged. At n ≤ 2^15 the
+    * rule reproduces the 8-shard gate geometry EXACTLY, so the sf0.01
+    * static oracle (written at [[CorpusQueries.ShuffleShards]] = 8)
+    * stays valid by construction. Growth points: 5000 (sf0.1) → 8,
+    * 50000 (10×) → 16, 500000 (100×) → 128. */
+  def shardsFor(n: Long): Long = 1L << math.max(3, ceilLog2(n) - 12)
+
   /** SimHash banding (dedup_simhash): 32-bit fingerprints at hamming ≤ 2
     * split into 3 bands (11+11+10 bits). Pigeonhole: ≤2 differing bits
     * can touch at most 2 of 3 bands, so every qualifying pair matches

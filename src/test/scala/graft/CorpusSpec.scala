@@ -29,7 +29,7 @@ class CorpusSpec extends AnyFunSuite {
         coalesce(sum($"v").over(Window.orderBy($"k")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"k", $"cb").as[(Long, Long)].collect().toMap
-    for (nb <- Seq(1, 2, 4, 32, 1000)) {
+    for (nb <- Seq(0, 1, 2, 4, 32, 1000)) { // 0 = the auto-sized default
       val got = GlobalCumsum.runningBefore(df, "k", "v", "cb", nb)
         .select($"k", $"cb").as[(Long, Long)].collect().toMap
       assert(got == naive, s"numBuckets=$nb: $got != $naive")
@@ -80,6 +80,67 @@ class CorpusSpec extends AnyFunSuite {
     val out = GlobalCumsum.runningBefore(df, "k", "v", "cb")
     assert(out.columns.contains("cb"))
     assert(out.count() == 0)
+  }
+
+  test("GlobalCumsum.bucketsFor: per-bucket rows tracked at <= 8192 up to the 4096-bucket cap") {
+    // gate/bench corpora reproduce the historic 32 — no behavior change
+    // where the oracles run (the result is bucket-count-invariant anyway;
+    // this pins the PARALLELISM rule, the thing that scales)
+    assert(GlobalCumsum.bucketsFor(0) == 32)
+    assert(GlobalCumsum.bucketsFor(500) == 32, "sf0.01 gate")
+    assert(GlobalCumsum.bucketsFor(5000) == 32, "sf0.1 bench")
+    assert(GlobalCumsum.bucketsFor(1L << 18) == 32, "rule boundary")
+    assert(GlobalCumsum.bucketsFor((1L << 18) + 1) == 64, "first step past it")
+    assert(GlobalCumsum.bucketsFor(500000) == 64, "100x document corpus")
+    assert(GlobalCumsum.bucketsFor(1L << 25) == 4096, "cap reached")
+    assert(GlobalCumsum.bucketsFor(1L << 40) == 4096, "cap holds")
+    // below the cap, no bucket is ever asked to window more than 8192 rows
+    for (n <- Seq(1L, 8192L, 8193L, 100000L, 1L << 20, 1L << 25))
+      assert(n <= GlobalCumsum.bucketsFor(n).toLong * 8192L, s"n=$n")
+  }
+
+  test("CrossHash.shardsFor: per-shard rows bounded at 4096 — gate boundary and growth points") {
+    import graft.queries.CrossHash
+    assert(CrossHash.shardsFor(50) == 8L, "spec corpus geometry")
+    assert(CrossHash.shardsFor(500) == 8L, "sf0.01 gate geometry")
+    assert(CrossHash.shardsFor(5000) == 8L, "sf0.1 bench geometry")
+    assert(CrossHash.shardsFor(1L << 15) == 8L, "rule boundary")
+    assert(CrossHash.shardsFor((1L << 15) + 1) == 16L, "first step past the boundary")
+    assert(CrossHash.shardsFor(50000) == 16L, "10x geometry")
+    assert(CrossHash.shardsFor(500000) == 128L, "100x geometry")
+    // the invariant the rule exists for: the per-shard window (the
+    // operator's only sort) is bounded regardless of corpus size
+    for (n <- Seq(1L, 100L, 4096L, 4097L, 100000L, 1000000L, 1L << 40))
+      assert(n <= CrossHash.shardsFor(n) * 4096L, s"n=$n unbounded shard")
+  }
+
+  test("doc_shuffle at a second geometry (16 shards): driver-side recomputation matches; pos is a contiguous per-shard rank") {
+    import spark.implicits._
+    import graft.queries.{CorpusQueries, CrossHash}
+    GraftExtensions.register(spark)
+    val got = CorpusQueries.docShuffle(spark, dir, shards = 16L)
+      .as[(Long, Long, Long)].collect().toSet
+    // hh from the registered hash (pinned cross-engine by the driver
+    // gate at the 8-shard geometry); the SHARD/POS algebra — modulo
+    // bucketing and the per-shard (hh, doc_id) rank — is recomputed
+    // DRIVER-SIDE, so the auto-sizing rule cannot silently change what
+    // the operator computes at a non-gate width
+    val hh = Tables.load(spark, dir, "documents")
+      .select($"doc_id", CrossHash.h60(concat($"doc_id".cast("string"),
+        lit(":"), $"text")).as("hh"))
+      .as[(Long, Long)].collect()
+    val want = hh.groupBy(_._2 % 16L).toSeq.flatMap { case (shard, docs) =>
+      docs.sortBy(d => (d._2, d._1)).zipWithIndex.map { case ((id, _), i) =>
+        (id, shard, i + 1L)
+      }
+    }.toSet
+    assert(got == want)
+    // permutation invariants: every doc appears exactly once; per-shard
+    // positions are exactly 1..|shard|
+    assert(got.map(_._1).size == hh.length)
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size.toLong).toSet, s"shard $sh")
+    }
   }
 
   test("doc_pack: offsets stay inside the budget and the stream reassembles exactly") {

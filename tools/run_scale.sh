@@ -20,9 +20,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 # union battery (10x keys ∪ 100x keys, r17): stage pseudo-keys last
-KEYS_BASE="corpus_dup_sources corpus_overlap corpus_overlap_incr decontam_bloom decontam_runs decontam_runs_idx decontam_scrub_idx decontam_semantic dedup_best_keep dedup_clusters dedup_clusters_incr dedup_containment dedup_containment_idx dedup_containment_incr dedup_embed_cosine dedup_exact dedup_incremental dedup_lines dedup_minhash_lsh dedup_ngram_jaccard dedup_semantic dedup_semantic_incr dedup_simhash dedup_soft dedup_sorted_neighborhood dedup_span_keepfirst_idx dedup_spans emb_kmeans_int ev_asof ev_cumsum ev_first_last ev_funnel ev_retention ev_session ev_topk_per_user ev_window_sliding knn_brute knn_filtered knn_ivf_int knn_ivfadc_filtered knn_ivfadc_int knn_pq_int knn_self_topk mix_novelty pipeline_audit pipeline_audit_full pipeline_curate_full pipeline_curate_neardup pipeline_curate_scrub q18_bigorders q1_agg q21_waiting q2_join5 retrieve_rrf split_leakage text_bm25 text_decontam text_ngram_freq text_tokens"
+KEYS_BASE="corpus_dup_sources corpus_overlap corpus_overlap_incr decontam_bloom decontam_runs decontam_runs_idx decontam_scrub_idx decontam_semantic dedup_best_keep dedup_clusters dedup_clusters_incr dedup_containment dedup_containment_idx dedup_containment_incr dedup_embed_cosine dedup_exact dedup_incremental dedup_lines dedup_minhash_lsh dedup_ngram_jaccard dedup_semantic dedup_semantic_incr dedup_simhash dedup_soft dedup_sorted_neighborhood dedup_span_keepfirst_idx dedup_spans doc_pack doc_shuffle emb_kmeans_int ev_asof ev_cumsum ev_first_last ev_funnel ev_retention ev_session ev_topk_per_user ev_window_sliding knn_brute knn_filtered knn_ivf_int knn_ivfadc_filtered knn_ivfadc_int knn_pq_int knn_self_topk mix_novelty pipeline_audit pipeline_audit_full pipeline_curate_full pipeline_curate_neardup pipeline_curate_scrub q18_bigorders q1_agg q21_waiting q2_join5 retrieve_rrf split_leakage text_bm25 text_decontam text_ngram_freq text_tokens"
 KEYS_10X="$KEYS_BASE"
-KEYS_100X="corpus_overlap decontam_bloom decontam_runs decontam_scrub_idx dedup_clusters dedup_clusters_incr dedup_containment_incr dedup_embed_cosine dedup_exact dedup_lines dedup_minhash_lsh dedup_ngram_jaccard dedup_semantic dedup_semantic_incr dedup_simhash dedup_sorted_neighborhood dedup_spans emb_kmeans_int ev_asof ev_cumsum ev_first_last ev_funnel ev_retention ev_session ev_topk_per_user ev_window_sliding knn_brute knn_filtered knn_ivf_int knn_pq_int knn_self_topk mix_novelty pipeline_audit pipeline_curate_full pipeline_curate_neardup pipeline_curate_scrub q18_bigorders q1_agg q21_waiting q2_join5 retrieve_rrf split_leakage text_bm25 text_decontam text_ngram_freq text_tokens"
+KEYS_100X="corpus_overlap decontam_bloom decontam_runs decontam_scrub_idx dedup_clusters dedup_clusters_incr dedup_containment_incr dedup_embed_cosine dedup_exact dedup_lines dedup_minhash_lsh dedup_ngram_jaccard dedup_semantic dedup_semantic_incr dedup_simhash dedup_sorted_neighborhood dedup_spans doc_pack doc_shuffle emb_kmeans_int ev_asof ev_cumsum ev_first_last ev_funnel ev_retention ev_session ev_topk_per_user ev_window_sliding knn_brute knn_filtered knn_ivf_int knn_pq_int knn_self_topk mix_novelty pipeline_audit pipeline_curate_full pipeline_curate_neardup pipeline_curate_scrub q18_bigorders q1_agg q21_waiting q2_join5 retrieve_rrf split_leakage text_bm25 text_decontam text_ngram_freq text_tokens"
 
 # Bench OVERWRITES the committed BENCHFULL_latest.json baseline on every
 # run: protect it for the WHOLE script, restored even on failure/Ctrl-C

@@ -34,6 +34,9 @@ FAMILIES = {
             "shingle_probe_fragmented", "shingle_probe_compacted"),
     "event_pipeline": lambda k: k.startswith("pipeline_ingest")
         or k.startswith("pipeline_replicate") or k.startswith("pipeline_consume"),
+    # the pack/shuffle family rides the r17 auto-geometries
+    # (CrossHash.shardsFor / GlobalCumsum.bucketsFor)
+    "corpus_pack": lambda k: k.startswith("doc_"),
     "relational": lambda k: k.startswith("q") and k[1].isdigit(),
 }
 
