@@ -376,17 +376,25 @@ object CorpusQueries extends QueryModule {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("ns"),
           sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("nn"))
+      // cached: the O(sources) rollup feeds both the total-novel scalar
+      // and the final projection — uncached (and with the old
+      // driver-side .head spelling) the whole shingle chain executed
+      // twice per run. The scalar rides back as a 1-row cross join (the
+      // mix_allocation pattern); w_ppm spells the total-zero degrade as
+      // a CASE so the emitted value matches the old driver-side branch.
       val perSrc = docs.select($"doc_id", $"source")
         .join(perDoc, "doc_id")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum($"ns").as("n_shingles"), sum($"nn").as("n_novel"))
-      val totalNovel = perSrc.agg(coalesce(sum($"n_novel"), lit(0L)))
-        .head.getLong(0)
-      perSrc.select($"source", $"n_docs", $"n_shingles", $"n_novel",
-        expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"),
-        (if (totalNovel == 0L) lit(0L)
-         else expr(s"(n_novel * 1000000) div $totalNovel")).as("w_ppm"))
+        .cache()
+      val totals = perSrc.agg(
+        coalesce(sum($"n_novel"), lit(0L)).as("total_novel"))
+      perSrc.crossJoin(totals) // 1 row — AQE broadcasts
+        .select($"source", $"n_docs", $"n_shingles", $"n_novel",
+          expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"),
+          when($"total_novel" === 0L, lit(0L))
+            .otherwise(expr("(n_novel * 1000000) div total_novel")).as("w_ppm"))
     },
 
     // Data-constrained mixture allocation (the "scaling data-constrained
@@ -504,16 +512,7 @@ object CorpusQueries extends QueryModule {
     // packCurateFull, so the components loop runs once per query.
     "pipeline_audit_full" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
-      val quality = qualityGate(docs)
-      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
-      val dups = quality.select($"doc_id", md5($"text").as("ch"))
-        .join(win, "ch").select($"doc_id", $"keep_id")
-      val kept = curatedKept(s, dir)
-      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
-      val contam = contamination(sh)
-        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val (docs, dups, contam) = auditStageFrames(s, dir)
       val train = curatedTrain(s, dir).cache()
       val clusters = nearDupClusters(train).cache()
       val nd = train
@@ -551,16 +550,7 @@ object CorpusQueries extends QueryModule {
     // and shard placement comes from the thinner near-dup packing.
     "pipeline_audit_neardup" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
-      val quality = qualityGate(docs)
-      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
-      val dups = quality.select($"doc_id", md5($"text").as("ch"))
-        .join(win, "ch").select($"doc_id", $"keep_id")
-      val kept = curatedKept(s, dir)
-      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
-      val contam = contamination(sh)
-        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val (docs, dups, contam) = auditStageFrames(s, dir)
       val train = curatedTrain(s, dir).cache()
       // cached: the assignment feeds BOTH the fate column and the
       // packing, and the components loop must not run twice
@@ -598,16 +588,7 @@ object CorpusQueries extends QueryModule {
     // crawl?" ticket answered in one row.
     "pipeline_audit_scrub" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
-      val quality = qualityGate(docs)
-      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
-      val dups = quality.select($"doc_id", md5($"text").as("ch"))
-        .join(win, "ch").select($"doc_id", $"keep_id")
-      val kept = curatedKept(s, dir)
-      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
-      val contam = contamination(sh)
-        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val (docs, dups, contam) = auditStageFrames(s, dir)
       val packed = pipelineCurateScrub(s, dir)
         .select($"doc_id", $"n_removed", $"shard", $"shard_offset")
       docs.select($"doc_id", $"n_tokens")
@@ -633,16 +614,7 @@ object CorpusQueries extends QueryModule {
     // touched a benchmark?" answered in one row.
     "pipeline_audit_spans" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
-      val quality = qualityGate(docs)
-      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
-      val dups = quality.select($"doc_id", md5($"text").as("ch"))
-        .join(win, "ch").select($"doc_id", $"keep_id")
-      val kept = curatedKept(s, dir)
-      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
-      val contam = contamination(sh)
-        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val (docs, dups, contam) = auditStageFrames(s, dir)
       val packed = pipelineCurateSpans(s, dir)
         .select($"doc_id", $"n_removed", $"shard", $"shard_offset")
       docs.select($"doc_id", $"n_tokens")
@@ -672,16 +644,7 @@ object CorpusQueries extends QueryModule {
     // oracle replays the stage CTEs and the verdict CASE verbatim.
     "pipeline_audit" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
-      val quality = qualityGate(docs)
-      val win = quality.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("keep_id"))
-      val dups = quality.select($"doc_id", md5($"text").as("ch"))
-        .join(win, "ch").select($"doc_id", $"keep_id")
-      val kept = curatedKept(s, dir)
-      val sh = kept.select($"doc_id", explode(shingleHashes($"text")).as("h")).distinct()
-      val contam = contamination(sh)
-        .select($"doc_id", ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+      val (docs, dups, contam) = auditStageFrames(s, dir)
       val packed = pipelineCurate(s, dir).select($"doc_id", $"shard", $"shard_offset")
       docs.select($"doc_id", $"n_tokens")
         .join(dups, Seq("doc_id"), "left")
@@ -789,14 +752,21 @@ object CorpusQueries extends QueryModule {
       import TextQueries.{ScoreA, ScoreDim, ScoreP, ScoreRange}
       val wf = (t: org.apache.spark.sql.Column) =>
         ((h60(t) % ScoreDim) * ScoreA) % ScoreP % ScoreRange - (ScoreRange / 2)
+      // cached: the narrow (doc_id, n_tokens, score) frame feeds the
+      // bin-boundary counts, the totals scalar AND the per-bin rollup —
+      // uncached, the corpus scan + score fold executed once per
+      // consumer (three times; r17 optimization). tot (1 row) is cached
+      // too: it rides into two separate cross joins.
       val scored = Tables.load(s, dir, "documents")
         .select($"doc_id", tokens($"text").as("w"))
         .select($"doc_id",
           coalesce(size($"w").cast("long"), lit(0L)).as("n_tokens"),
           coalesce(aggregate(transform($"w", wf), lit(0L), (acc, x) => acc + x), lit(0L))
             .as("score"))
+        .cache()
       val counts = scored.groupBy($"score").agg(count(lit(1)).as("c"))
       val tot = scored.agg(count(lit(1)).as("n"), sum($"n_tokens").as("total_tok"))
+        .cache()
       val binMap = GlobalCumsum.runningBefore(counts, "score", "c", "cb")
         .crossJoin(tot.select($"n")) // 1 row — AQE broadcasts
         .select($"score", expr("CAST((cb * 4) DIV n AS BIGINT)").as("bin"))
@@ -902,9 +872,14 @@ object CorpusQueries extends QueryModule {
     "text_tfidf" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
+      // tf cached: both the per-doc weights and the document frequency
+      // derive from it (dfreq over distinct (doc_id, term) ≡ dfreq over
+      // tf's group keys), so the corpus explode runs once, not twice
+      // (r17 optimization)
       val tok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
       val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.distinct().groupBy($"term").agg(count(lit(1)).as("dfreq"))
+        .cache()
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
       val ndocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
       tf.join(dfreq, "term")
@@ -1053,9 +1028,13 @@ object CorpusQueries extends QueryModule {
     val toks = Tables.load(s, dir, "documents")
       .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
     val cells = semCells(s, dir)
+    // cached: the O(cells) rollup feeds both the totals scalar and the
+    // final projection — uncached, the embeddings+corpus join lineage
+    // executed once per side of the cross join (r17 optimization)
     val per = cells.join(toks, cells("vec_id") === toks("doc_id"))
       .groupBy($"cluster")
       .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .cache()
     val totals = per.agg(sum($"n_tokens").as("total_tokens"),
       count(lit(1)).as("n_cells"))
     per.crossJoin(totals) // 1 row — AQE broadcasts
@@ -1161,10 +1140,14 @@ object CorpusQueries extends QueryModule {
   private[graft] def mixAllocation(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     import s.implicits._
+    // cached: the O(sources) rollup feeds both the totals scalar and the
+    // final projection — uncached, the corpus scan+tokenize executed
+    // once per side of the cross join (r17 optimization)
     val perSource = Tables.load(s, dir, "documents")
       .select($"source", tok.count($"text").as("n"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .cache()
     val totals = perSource.agg(
       sum($"n_tokens").as("total_tokens"),
       count(lit(1)).as("n_sources"))
@@ -1290,12 +1273,38 @@ object CorpusQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** The decontam stage's contamination table over the gate/dedup
+    * survivors — (doc_id, n_shingles, n_contaminated), train-side docs
+    * only. Cached at the stage boundary (the [[curatedKept]] doctrine):
+    * its lineage is the corpus-wide shingle explode + distinct + eval
+    * join, and the audit family reads it TWICE per query (the
+    * contam_frac trace column AND the ≥50% drop rule inside
+    * [[curatedTrain]]) — uncached, each reference re-ran that whole
+    * chain (measured r17: 40-88 scan nodes per audit plan). A second
+    * call builds the identical plan and hits the same cache entry, so
+    * callers need no plumbing. */
+  private[graft] def curatedContam(s: SparkSession, dir: String,
+      tok: Tokenizer = Tokenizer.Whitespace,
+      docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    import s.implicits._
+    contamination(curatedKept(s, dir, tok, docFilter)
+        .select($"doc_id", explode(shingleHashes($"text")).as("h"))
+        .distinct())
+      .cache()
+  }
+
   private[graft] def curatedTrain(s: SparkSession, dir: String,
       tok: Tokenizer = Tokenizer.Whitespace,
       docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import s.implicits._
     val kept = curatedKept(s, dir, tok, docFilter)
-    // decontamination: drop the eval split and anything ≥50% eval-overlapping
+    // decontamination: drop the eval split and anything ≥50% eval-overlapping.
+    // Deliberately NOT routed through [[curatedContam]]'s .cache(): in the
+    // curate-only paths contamination has exactly one consumer, so forcing
+    // a cache materialization is pure overhead (measured +16-19% on
+    // pipeline_curate/_full in r17) — while in the audit paths, where
+    // auditStageFrames HAS cached the identical plan, the CacheManager's
+    // sameResult substitution serves this subtree from that entry anyway.
     val sh = kept
       .select($"doc_id", explode(shingleHashes($"text")).as("h"))
       .distinct()
@@ -1304,6 +1313,33 @@ object CorpusQueries extends QueryModule {
       .select($"doc_id")
     kept.filter($"doc_id" % EvalMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** The audit family's shared stage prefix — (docs, dups, contam): the
+    * per-doc token counts, the exact-dedup winner map, and the decontam
+    * fraction. Each derives from the CACHED stage tables so the five
+    * audit keys pay the gate/md5/shingle chains ONCE per query (r17
+    * optimization — the old per-key spelling recomputed them beside the
+    * cached twins): `win` reads the winners' digests straight off
+    * [[curatedKept]] — the winners ARE the per-digest min rows, so
+    * md5-ing the cached winner set replaces a second corpus-wide md5
+    * aggregation (PipelineAuditSpec pins the equality) — and contam_frac
+    * projects [[curatedContam]], the same cache entry
+    * [[curatedTrain]]'s ≥50% drop rule reads. */
+  private def auditStageFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text", Tokenizer.Whitespace.count($"text").as("n_tokens"))
+    val quality = qualityGate(docs)
+    val win = curatedKept(s, dir)
+      .select(md5($"text").as("ch"), $"doc_id".as("keep_id"))
+    val dups = quality.select($"doc_id", md5($"text").as("ch"))
+      .join(win, "ch").select($"doc_id", $"keep_id")
+    val contam = curatedContam(s, dir)
+      .select($"doc_id",
+        ($"n_contaminated".cast("double") / $"n_shingles").as("contam_frac"))
+    (docs, dups, contam)
   }
 
   private[graft] def pipelineCurate(s: SparkSession, dir: String,

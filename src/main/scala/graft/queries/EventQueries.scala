@@ -220,9 +220,13 @@ object EventQueries extends QueryModule {
     // Hour-over-hour retention: users active in h and h+1.
     "ev_retention" -> { (s, dir) =>
       import s.implicits._
+      // cached: the (user, hour) activity set sits on BOTH sides of the
+      // adjacent-hour self-join — uncached, the scan + distinct executed
+      // twice (r17 optimization)
       val active = Tables.load(s, dir, "events")
         .select($"user_id", window($"ts", "1 hour")("start").as("h"))
         .distinct()
+        .cache()
       active.as("a").join(active.as("b"),
           $"a.user_id" === $"b.user_id" &&
             $"b.h" === $"a.h" + expr("INTERVAL 1 HOUR"))
@@ -490,10 +494,14 @@ object EventQueries extends QueryModule {
 
     "dq_freshness" -> { (s, dir) =>
       import s.implicits._
+      // cached: the O(types) rollup feeds both the head scalar and the
+      // final projection — uncached, the events scan executed once per
+      // side of the cross join (r17 optimization)
       val perType = Tables.load(s, dir, "events")
         .select($"event_type", unix_micros($"ts").as("us"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"), max($"us").as("latest_us"))
+        .cache()
       val head = perType.agg(max($"latest_us").as("head_us"))
       perType.crossJoin(head) // 1 row — AQE broadcasts
         .select($"event_type", $"n_events", $"latest_us",
@@ -549,11 +557,16 @@ object EventQueries extends QueryModule {
       val ev = Tables.load(s, dir, "events")
         .select($"event_type", unix_micros($"ts").as("us"))
       val bounds = ev.agg(expr("min(us) + (max(us) - min(us)) DIV 2").as("mid"))
+      // per cached: the O(types) rollup feeds both the window totals and
+      // the final projection — uncached, the events scan (plus the
+      // midpoint scalar's scan) executed once per side of the second
+      // cross join (r17 optimization)
       val per = ev.crossJoin(bounds) // 1 row — AQE broadcasts
         .groupBy($"event_type")
         .agg(
           sum(when($"us" > $"mid", 0L).otherwise(1L)).as("n_a"),
           sum(when($"us" > $"mid", 1L).otherwise(0L)).as("n_b"))
+        .cache()
       val tot = per.agg(sum($"n_a").as("ta"), sum($"n_b").as("tb"))
       per.crossJoin(tot) // 1 row — AQE broadcasts
         .select($"event_type", $"n_a", $"n_b",
@@ -696,11 +709,15 @@ object EventQueries extends QueryModule {
     "ev_kmv_sliding" -> { (s, dir) =>
       import s.implicits._
       val k = KmvK
+      // cached: the O(days) sketch table sits on BOTH sides of the
+      // window self-join — uncached, the corpus pass + KMV fold executed
+      // twice (r17 optimization)
       val perDay = Tables.load(s, dir, "events")
         .select(to_date($"ts".cast("timestamp")).as("day"),
           CrossHash.h60($"user_id".cast("string")).as("h"))
         .groupBy($"day")
         .agg(call_function("graft_kmv", $"h", lit(k)).as("mins"))
+        .cache()
       val windows = perDay.as("a").join(perDay.as("b"),
           $"b.day" >= date_sub($"a.day", 2) && $"b.day" <= $"a.day")
         .select($"a.day".as("day"), explode($"b.mins").as("h"))

@@ -80,10 +80,16 @@ object RetrievalQueries extends QueryModule {
     * (query-document token sets). */
   private def bm25Contrib(s: SparkSession, dir: String, qterms: DataFrame): DataFrame = {
     import s.implicits._
+    // tf cached: dl (Σtf per doc ≡ the token count), dfreq and the
+    // contribution join all derive from it, so the corpus explode runs
+    // once instead of once per consumer (r17 optimization — the old
+    // spelling re-exploded for tf, dl, and again through their
+    // downstream aggregates)
     val tok = Tables.load(s, dir, "documents")
       .select($"doc_id", explode(tokens($"text")).as("term"))
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      .cache()
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_dl"))
     qterms.join(tf, "term")

@@ -443,8 +443,12 @@ object TextQueries extends QueryModule {
       graft.GraftExtensions.register(s)
       val (w, d) = (CmsW, CmsD)
       import graft.functions.expressions.{CountMinSketch => CMS}
+      // cached: the exploded token stream feeds both the sketch fold and
+      // the exact counts — uncached, the corpus scan+explode executed
+      // twice (r17 optimization)
       val toks = Tables.load(s, dir, "documents")
         .select(explode(tokens($"text")).as("t"))
+        .cache()
       val sketch = toks
         .agg(call_function("graft_cms", $"t", lit(w), lit(d)).as("sk"))
       val counts = toks.groupBy($"t").agg(count(lit(1)).as("true_cnt"))
@@ -522,7 +526,12 @@ object TextQueries extends QueryModule {
           "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
             "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) " +
             "ELSE array() END")).as("bg"))
+      // cnt cached: the vocabulary²-bounded frequency table feeds the
+      // total scalar and the join-back — uncached, the corpus bigram
+      // explode executed once per consumer (three times with the join's
+      // probe side; r17 optimization)
       val cnt = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
+        .cache()
       val tot = cnt.agg(sum($"cnt").as("t"))
       val sc = floor(($"t".cast("double") / $"cnt".cast("double")) * lit(1.0e6) + lit(0.5))
       bg.join(cnt, "bg")
