@@ -106,6 +106,10 @@ object IncrementalDedup {
       .agg(count(lit(1)).as("i2"), max($"bn").as("bn"))
       .select($"x", $"y",
         when($"bn", ($"i2" / 2).cast("long")).otherwise($"i2").as("inter"))
+      // cached: the two mirror orientations below each reference it —
+      // uncached, the batch×all join + aggregate executed twice (r17
+      // optimization, the containmentPairs `half` pattern)
+      .cache()
     val both = inter.select($"x".as("doc_in"), $"y".as("doc_out"), $"inter")
       .unionByName(inter.select($"y".as("doc_in"), $"x".as("doc_out"), $"inter"))
     val c = $"inter".cast("double") / $"nin"

@@ -429,10 +429,13 @@ object ShingleIndex {
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("bdoc"), col("b.doc_id").as("cdoc"))
       .agg(count(lit(1)).as("inter")).cache()
+    // cached like `cross`: the two batch-contained orientations below
+    // each reference it — uncached, the half self-join + aggregate
+    // executed twice (r17 optimization)
     val self = bsh.as("a").join(bsh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("bdoc"), col("b.doc_id").as("cdoc"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter")).cache()
 
     val c = col("inter").cast("double") / col("nin")
     // corpus-doc-contained orientation: candidates against the corpus

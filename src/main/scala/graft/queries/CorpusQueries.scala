@@ -146,6 +146,10 @@ object CorpusQueries extends QueryModule {
       maxDfFrac: Double = 1.0): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
+    // NOT cached (r17 optimization note): the train/eval sides are
+    // disjoint filters of one positioned pass, but eval is ~1/EvalMod of
+    // the rows — materializing ALL positions to save the small side's
+    // re-explode measured net-negative (0.71→0.74 s)
     val occAll = Tables.load(s, dir, "documents")
       .select($"doc_id", posexplode(shingleHashes($"text")).as(Seq("q", "h")))
     val occ = if (maxDfFrac >= 1.0) occAll
@@ -165,6 +169,8 @@ object CorpusQueries extends QueryModule {
       maxDfFrac: Double = 1.0): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
+    // NOT cached: same asymmetric-sides reasoning as [[decontamRuns]]
+    // (measured net-negative in r17)
     val occAll = Tables.load(s, dir, "documents")
       .select($"doc_id", posexplode(shingleHashes($"text")).as(Seq("q", "h")))
     val occ = if (maxDfFrac >= 1.0) occAll
@@ -369,8 +375,11 @@ object CorpusQueries extends QueryModule {
     "mix_novelty" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
+      // sh cached: it feeds the first-occurrence aggregate AND the
+      // join-back (the text_novelty shape — r17 optimization)
       val sh = docs.select($"doc_id", explode(shingleHashes($"text")).as("h"))
         .distinct()
+        .cache()
       val firsts = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
       val perDoc = sh.join(firsts, "h")
         .groupBy($"doc_id")

@@ -139,10 +139,15 @@ object DedupQueries extends QueryModule {
     // dominates either way (measured 2.0 vs 1.9 s at sf0.1), but the
     // Σdf² pair-generation term is the one that grows at 100 TB, and
     // this halves it
+    // half cached: the two mirror orientations below each referenced it —
+    // uncached, the pair-generation self-join + aggregate executed TWICE
+    // (r17 optimization; the whole point of the a<b spelling was to halve
+    // that join, and the uncached union silently took the halving back)
     val half = sh.as("a").join(sh.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("x"), $"b.doc_id".as("y"))
       .agg(count(lit(1)).as("inter"))
+      .cache()
     val inter = half.select($"x".as("doc_in"), $"y".as("doc_out"), $"inter")
       .unionByName(half.select($"y".as("doc_in"), $"x".as("doc_out"), $"inter"))
     val c = $"inter".cast("double") / $"nin"
@@ -165,10 +170,14 @@ object DedupQueries extends QueryModule {
       maxDfFrac: Double = 1.0): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
+    // occ cached: it feeds the document-frequency aggregate AND the
+    // join-back — uncached, the corpus explode executed twice (r17
+    // optimization)
     val occAll = Tables.load(s, dir, "documents")
       .select($"doc_id", explode(shingleHashes($"text")).as("h"))
-    val occ = if (maxDfFrac >= 1.0) occAll
-      else occAll.join(hotShingles(occAll.distinct(), maxDfFrac), Seq("h"), "left_anti")
+    val occ = (if (maxDfFrac >= 1.0) occAll
+      else occAll.join(hotShingles(occAll.distinct(), maxDfFrac), Seq("h"), "left_anti"))
+      .cache()
     val docFreq = occ.distinct()
       .groupBy($"h").agg(count(lit(1)).as("nd"))
     occ.join(docFreq, "h")
@@ -349,7 +358,11 @@ object DedupQueries extends QueryModule {
     "dedup_pagerank" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents").select($"doc_id").cache()
-      val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+      // pairs cached: the undirected edge union references it twice, and
+      // the edges cache materializes through BOTH branches — uncached,
+      // the verified-pair join executed twice into that one
+      // materialization (r17 optimization)
+      val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b").cache()
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .cache()
@@ -406,7 +419,11 @@ object DedupQueries extends QueryModule {
             org.apache.spark.sql.types.StructField("jaccard",
               org.apache.spark.sql.types.DoubleType))))
       else {
-        val ranked = snmRank(docs, SnmPrefixCap)
+        // cached: the adjacent-bucket union references the ranked frame
+        // FOUR times (a and b sides of two joins) — uncached, the key
+        // normalization + per-group rank executed once per reference
+        // (r17 optimization)
+        val ranked = snmRank(docs, SnmPrefixCap).cache()
         val a = ranked.select($"doc_id".as("ida"), $"rk".as("ra"),
           expr(s"rk div $SnmW").as("ba"))
         val b = ranked.select($"doc_id".as("idb"), $"rk".as("rb"),

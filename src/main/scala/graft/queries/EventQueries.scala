@@ -521,7 +521,10 @@ object EventQueries extends QueryModule {
         val df = Tables.load(s, dir, table)
         val aggs = count(lit(1)).as("n_rows") +:
           checks.map { case (c, bad) => sum(when(bad, 1L).otherwise(0L)).as(s"_$c") }
-        val row = df.agg(aggs.head, aggs.tail: _*)
+        // cached: the 1-row audit aggregate is re-projected once per
+        // audited column — uncached, the table scan executed once per
+        // column (r17 optimization)
+        val row = df.agg(aggs.head, aggs.tail: _*).cache()
         checks.map { case (c, _) =>
           row.select(lit(table).as("table_name"), lit(c).as("column_name"),
             $"n_rows", col(s"_$c").as("n_missing"),

@@ -215,9 +215,13 @@ object TextQueries extends QueryModule {
     // the cheap standing audit next to the pairwise dedup relations.
     "text_novelty" -> { (s, dir) =>
       import s.implicits._
+      // cached: sh feeds the first-occurrence aggregate AND the join-back
+      // — uncached, the corpus explode+distinct executed twice (r17
+      // optimization; text_novelty_incr already caches its split twin)
       val sh = Tables.load(s, dir, "documents")
         .select($"doc_id", explode(shingleHashes($"text")).as("h"))
         .distinct()
+        .cache()
       val first = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
       sh.join(first, "h")
         .groupBy($"doc_id")
