@@ -386,24 +386,24 @@ object CorpusQueries extends QueryModule {
         .agg(count(lit(1)).as("ns"),
           sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("nn"))
       // cached: the O(sources) rollup feeds both the total-novel scalar
-      // and the final projection — uncached (and with the old
-      // driver-side .head spelling) the whole shingle chain executed
-      // twice per run. The scalar rides back as a 1-row cross join (the
-      // mix_allocation pattern); w_ppm spells the total-zero degrade as
-      // a CASE so the emitted value matches the old driver-side branch.
+      // and the final projection — uncached, the whole shingle chain
+      // executed twice per run (r17 optimization). The scalar stays the
+      // driver-side .head read (not a 1-row cross join): PlanAuditSpec
+      // pins this family's RETURNED plan free of SinglePartition
+      // exchanges, and the scalar's own 1-row aggregate runs over the
+      // cache, outside the returned plan.
       val perSrc = docs.select($"doc_id", $"source")
         .join(perDoc, "doc_id")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum($"ns").as("n_shingles"), sum($"nn").as("n_novel"))
         .cache()
-      val totals = perSrc.agg(
-        coalesce(sum($"n_novel"), lit(0L)).as("total_novel"))
-      perSrc.crossJoin(totals) // 1 row — AQE broadcasts
-        .select($"source", $"n_docs", $"n_shingles", $"n_novel",
-          expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"),
-          when($"total_novel" === 0L, lit(0L))
-            .otherwise(expr("(n_novel * 1000000) div total_novel")).as("w_ppm"))
+      val totalNovel = perSrc.agg(coalesce(sum($"n_novel"), lit(0L)))
+        .head.getLong(0)
+      perSrc.select($"source", $"n_docs", $"n_shingles", $"n_novel",
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"),
+        (if (totalNovel == 0L) lit(0L)
+         else expr(s"(n_novel * 1000000) div $totalNovel")).as("w_ppm"))
     },
 
     // Data-constrained mixture allocation (the "scaling data-constrained

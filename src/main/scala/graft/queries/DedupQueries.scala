@@ -464,9 +464,13 @@ object DedupQueries extends QueryModule {
     // never rescanned beyond the shingle pass the pairs already need.
     "corpus_dup_sources" -> { (s, dir) =>
       import s.implicits._
+      // cached: the (doc_id, source, n_tok) side table joins into BOTH
+      // pair endpoints — uncached, the corpus scan + tokenize executed
+      // once per side (r17 optimization)
       val docs = Tables.load(s, dir, "documents")
         .select($"doc_id", $"source",
           graft.functions.Tokenizer.Whitespace.count($"text").as("n_tok"))
+        .cache()
       val pairs = jaccardPairs(s, dir)
         .join(docs.select($"doc_id".as("doc_a"), $"source".as("sa"),
           $"n_tok".as("ta")), "doc_a")
@@ -509,12 +513,16 @@ object DedupQueries extends QueryModule {
     // leaky docs listed by joining this back to the pair set.
     "split_leakage" -> { (s, dir) =>
       import s.implicits._
+      // cached: the split map joins into BOTH pair endpoints — uncached,
+      // the corpus scan + content hash executed once per side (r17
+      // optimization)
       val splits = Tables.load(s, dir, "documents")
         .select($"doc_id",
           (h60(concat($"text", lit("|split"))) % 100L).as("bucket"))
         .select($"doc_id",
           when($"bucket" < 90, "train").when($"bucket" < 95, "validation")
             .otherwise("test").as("split"))
+        .cache()
       jaccardPairs(s, dir)
         .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
         .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")

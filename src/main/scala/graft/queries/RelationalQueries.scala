@@ -285,17 +285,24 @@ object RelationalQueries extends QueryModule {
     //     (n_supp > 1 ∧ exactly one late supplier) — a single extra
     //     shuffle on l_orderkey instead of two correlated self-joins. ---
     "q21_waiting" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val orders = Tables.load(s, dir, "orders").filter($"o_orderstatus" === "F")
       val li = Tables.load(s, dir, "lineitem")
         .join(orders, $"l_orderkey" === $"o_orderkey")
         .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
-      val perOrder = li.groupBy($"l_orderkey".as("ok"))
-        .agg(countDistinct($"l_suppkey").as("n_supp"),
-          countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
-      li.filter($"late")
-        .join(perOrder, $"l_orderkey" === $"ok")
-        .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+      // per-order supplier counts as WINDOWS over the same frame instead
+      // of an aggregate joined back (r17 optimization — the dedup_best_keep
+      // doctrine): the agg-then-join-back spelling re-executed the
+      // lineitem⋈orders join once per side, and both window specs ride
+      // the one l_orderkey exchange. size(collect_set(...)) ≡
+      // countDistinct per group; the when(late, ...) NULLs drop from the
+      // set exactly as they did from countDistinct.
+      val w = Window.partitionBy($"l_orderkey")
+      li.withColumn("n_supp", size(collect_set($"l_suppkey").over(w)).cast("long"))
+        .withColumn("n_late_supp",
+          size(collect_set(when($"late", $"l_suppkey")).over(w)).cast("long"))
+        .filter($"late" && $"n_supp" > 1 && $"n_late_supp" === 1)
         .join(Tables.load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
         .groupBy($"s_name")
         .agg(count(lit(1)).as("numwait"))
