@@ -658,6 +658,9 @@ object EventQueries extends QueryModule {
         // an all-NULL-user type has an empty sketch — no set algebra to
         // do (the oracle's h IS NOT NULL chain drops the type the same way)
         .filter(size($"mins") >= 1)
+        // cached: the O(types) sketch table sits on BOTH sides of the
+        // pair self-join (the ev_kmv_sliding shape — r17 optimization)
+        .cache()
       val a = mins.select($"event_type".as("type_a"), $"mins".as("ma"))
       val b = mins.select($"event_type".as("type_b"), $"mins".as("mb"))
       val kth = when(size($"mg") >= 1, element_at($"mg", size($"mg")))

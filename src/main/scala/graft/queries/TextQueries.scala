@@ -564,8 +564,12 @@ object TextQueries extends QueryModule {
       import s.implicits._
       val toks = Tables.load(s, dir, "documents")
         .select(tokens($"text").as("w"))
+      // cached: the unigram table joins into BOTH pair endpoints —
+      // uncached, the token explode + aggregate executed once per side
+      // (r17 optimization)
       val uni = toks.select(explode($"w").as("t"))
         .groupBy($"t").agg(count(lit(1)).as("c"))
+        .cache()
       val big = toks.select(explode(expr(
           "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
             "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) " +
