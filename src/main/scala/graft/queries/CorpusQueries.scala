@@ -1490,6 +1490,12 @@ object CorpusQueries extends QueryModule {
     val evalDocs = curatedKept(s, dir, tok)
       .filter(col("doc_id") % EvalMod === 0)
       .select(col("doc_id"), col("text"))
+    // NOT cached (r17 optimization note): sharing one cached positioned
+    // pass between the bench-scrub and span-keep-first start relations
+    // measured +26..70% on the _full keys — materializing every (doc_id,
+    // q, h) row costs more than the re-explode it saves, because the
+    // uncached spelling pipelines the explode straight into each
+    // consumer's partial aggregate inside one codegen stage.
     val benchStarts = graft.operators.OverlapIndex.scrubStartRows(
       graft.operators.OverlapIndex.positioned(nd),
       graft.operators.OverlapIndex.positioned(evalDocs), MinRunTokens)

@@ -419,16 +419,20 @@ object EventQueries extends QueryModule {
     // Per-user-hour first/last snapshot (first_value/last_value over the
     // full window frame): the open/close values of each activity bucket.
     "ev_first_last" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val w = Window.partitionBy($"user_id", $"h").orderBy($"ts", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // one map-side-combinable aggregate instead of a full-frame window
+      // + distinct (r17 optimization: 2 exchanges + per-row frame
+      // materialization → 1 partial-agg exchange). min_by/max_by on the
+      // (ts, event_id) struct pick exactly the first/last row's value —
+      // event_id is unique, so the order is total and the group collapses
+      // to the same single row the old distinct kept.
       Tables.load(s, dir, "events")
         .withColumn("h", date_trunc("hour", $"ts"))
+        .groupBy($"user_id", $"h")
+        .agg(min_by($"value", struct($"ts", $"event_id")).as("open_value"),
+          max_by($"value", struct($"ts", $"event_id")).as("close_value"))
         .select($"user_id", $"h".as("window_start"),
-          first($"value").over(w).as("open_value"),
-          last($"value").over(w).as("close_value"))
-        .distinct()
+          $"open_value", $"close_value")
     },
 
     // Event-type transition matrix (Markov counts): for each user-stream
